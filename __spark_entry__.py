@@ -1,38 +1,757 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke, queries() + oracle_sql() correctness gate.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each queries() entry is built from the engine library
+(data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark)
+and has a DuckDB ANSI-SQL twin in oracle_sql() unless the operation is
+non-SQL-expressible (approximate/LSH/streaming-stateful) — those are
+rows-only checks.
+
+Float policy: aggregates of fixed-decimal float columns are quantized to
+integer "cents" BEFORE aggregation (exact, order-independent sums) and
+outputs are floor-quantized (floor(x*10^d + 0.5)/10^d) instead of
+ROUND()ed — Spark rounds the shortest-decimal repr (HALF_UP) while
+DuckDB rounds the binary double, so ROUND diverges on midpoints.
+Integral sums, window deltas and counts are exact and left raw.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions import (
+    codecs,
+    text as textf,
+)
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+    dedup,
+    fusion,
+    relational,
+    similarity,
+)
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources import readers
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.streaming import (
+    pipeline as streaming,
+)
+
+SF0001 = "/root/testdata/sf0.001"
 
 
+def _cents(col: F.Column | str, scale: int = 100) -> F.Column:
+    """Quantize a fixed-decimal-valued double to integer 'cents'.
+
+    Sums/avgs over the resulting longs are exact integers (< 2^53), so
+    they are independent of partition/accumulation order — the oracle
+    hash can't be tripped by float sum-order nondeterminism.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale).cast("long")
+
+
+def _q(col: F.Column, digits: int) -> F.Column:
+    """floor-quantize to `digits` decimals: floor(x*10^d + 0.5) / 10^d.
+
+    Unlike ROUND, this is bit-deterministic across engines: Spark rounds
+    the shortest decimal repr (HALF_UP on BigDecimal) while DuckDB rounds
+    the binary double, so ROUND diverges on .xxx5 midpoints; floor of the
+    identical double is identical everywhere.
+    """
+    p = 10 ** digits
+    return F.floor(col * p + F.lit(0.5)) / F.lit(float(p))
+
+
+def _sql_q(expr: str, digits: int) -> str:
+    p = 10 ** digits
+    return f"FLOOR(({expr}) * {p} + 0.5) / {p}.0"
+
+
+def _cents_avg(col: F.Column | str, scale: int = 100, digits: int = 4) -> F.Column:
+    return _q(F.avg(_cents(col, scale)) / float(scale), digits)
+
+
+def _cents_sum(col: F.Column | str, scale: int = 100, digits: int = 2) -> F.Column:
+    return _q(F.sum(_cents(col, scale)) / float(scale), digits)
+
+
+#: SQL twins of _cents_avg/_cents_sum (DuckDB)
+def _sql_cents_avg(expr: str, scale: int = 100, digits: int = 4) -> str:
+    inner = f"AVG(CAST(ROUND({expr} * {scale}, 0) AS BIGINT)) / {scale}.0"
+    return _sql_q(inner, digits)
+
+
+def _sql_cents_sum(expr: str, scale: int = 100, digits: int = 2) -> str:
+    inner = f"SUM(CAST(ROUND({expr} * {scale}, 0) AS BIGINT)) / {scale}.0"
+    return _sql_q(inner, digits)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return readers.read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# entry: flagship = the reference's fusion query shape (minute rollup) on events
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_fusion_minute_avg(spark, SF0001)
+
+
+# --------------------------------------------------------------------------
+# individual queries
+# --------------------------------------------------------------------------
+def q_fusion_minute_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/A1/A2/F1/F2: epoch↔ts, minute truncate, group mean (data_collector.py:23-38)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts_sec", F.col("ts").cast("double"))
+        .withColumn("value_c", _cents("value"))
+    )
+    rolled = fusion.minute_rollup(
+        ev, ts_col="ts_sec", keys=("event_type",), metrics=("value_c",)
+    )
+    return rolled.select(
+        "event_ts_min",
+        "ts_min_bignt",
+        "event_type",
+        _q(F.col("value_c") / 100.0, 4).alias("avg_value"),
+        "n",
+    )
+
+
+def q_multiway_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 generalized: 5-table equi-join chain + agg (TPC-H Q5 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = relational.multiway_join(
+        li,
+        [
+            (o, li.l_orderkey == o.o_orderkey, "inner"),
+            (c, o.o_custkey == c.c_custkey, "inner"),
+            (F.broadcast(na), c.c_nationkey == na.n_nationkey, "inner"),
+            (F.broadcast(r), na.n_regionkey == r.r_regionkey, "inner"),
+        ],
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        _cents_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, 2
+        ).alias("revenue"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+def q_decode_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: from_json with explicit schema (spark_streaming_kafka.py:33)."""
+    ev = _t(spark, sf_dir, "events")
+    decoded = ev.withColumn("data", codecs.json_decode("props", "k INT"))
+    return (
+        decoded.select(F.col("data.k").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_delimited_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+F8: delimiter encode → positional decode (the §0 quirk, both halves)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
+    encoded = li.select(
+        codecs.delimited_encode(cols, sep="|").alias("value")
+    )
+    ddl = "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING"
+    decoded = encoded.select(
+        codecs.delimited_decode("value", ddl, sep="|").alias("data")
+    ).select("data.*")
+    return decoded
+
+
+def q_null_safe_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: negative projection + na.drop + pushdown-friendly filter."""
+    docs = _t(spark, sf_dir, "documents")
+    out = relational.drop_null_rows(
+        relational.project_exclude(docs, ["text"])
+    )
+    return out.filter(F.col("n_chars") > 300)
+
+
+def q_union_filtered_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: unionByName of two filtered projections + agg."""
+    c = _t(spark, sf_dir, "customer")
+    hi = c.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", F.lit("high").alias("tier")
+    )
+    lo = c.filter(F.col("c_acctbal") < 1000).select(
+        "c_custkey", F.lit("low").alias("tier")
+    )
+    return relational.union_all([hi, lo]).groupBy("tier").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_repeat_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: dataset repetition ×N without driver loops (dataframe_to_kafka.py:91)."""
+    r = _t(spark, sf_dir, "region")
+    return relational.repeat_rows(r, 3).groupBy("r_name").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_date_histogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: Kibana date-histogram + terms split."""
+    ev = _t(spark, sf_dir, "events")
+    return relational.date_histogram(
+        ev,
+        "ts",
+        "day",
+        keys=("event_type",),
+        aggs=[
+            F.count("*").alias("doc_count"),
+            _cents_avg("value").alias("avg_value"),
+        ],
+    )
+
+
+def q_terms_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/2.6: terms agg with top-k (TakeOrderedAndProject, no full sort)."""
+    ev = _t(spark, sf_dir, "events")
+    return relational.terms_agg(ev, "event_type", k=3)
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.6: global top-k with deterministic tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.5: per-key lag/delta (sensor rate-of-change shape)."""
+    ev = _t(spark, sf_dir, "events")
+    out = relational.lag_delta(
+        ev, ["user_id"], "ts", "value", tiebreak="event_id"
+    )
+    return out.select("event_id", "user_id", "value", "prev_value", "delta")
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch twin: keyed last-write-wins (ES doc-id upsert semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    out = relational.latest_per_key(ev, ["user_id"], "ts", tiebreak="event_id")
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+def q_rollup_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.4 extension: hierarchical rollup (region → nation subtotals)."""
+    c = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(na), c.c_nationkey == na.n_nationkey).join(
+        F.broadcast(r), na.n_regionkey == r.r_regionkey
+    )
+    return relational.rollup_agg(
+        joined,
+        ["r_name", "n_name"],
+        [F.count("*").alias("n"), _cents_sum("c_acctbal").alias("total_bal")],
+    )
+
+
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return relational.cube_agg(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        [F.count("*").alias("n"), _cents_sum("o_totalprice").alias("total")],
+    )
+
+
+def q_distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left-semi join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti join (filtered so the result is non-empty)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list → no extra distinct pass)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        ev.withColumn("value_c", _cents("value"))
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(_q(F.avg("value_c") / 100.0, 4))
+    )
+    return piv
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap + running sum (batch twin of session_window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    # second-truncated bounds: oracle-stable vs the parquet's nanosecond
+    # timestamps (Spark caps at micros; truncation commutes with min/max)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n"),
+        F.date_trunc("second", F.min("ts")).alias("session_start"),
+        F.date_trunc("second", F.max("ts")).alias("session_end"),
+    )
+
+
+# ------------------------------------------------------------- text analysis
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textf.whitespace_token_count("text").alias("n_ws_tokens"),
+        textf.regex_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        _q(F.avg(textf.whitespace_token_count("text")), 4).alias("avg_tokens"),
+        _q(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textf.quality_score("text").alias("quality"))
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic vs. labeled lang."""
+    docs = _t(spark, sf_dir, "documents")
+    hits = {
+        lang: textf.stopword_hits("text", words).alias(f"h_{lang}")
+        for lang, words in textf.STOPWORDS.items()
+    }
+    scored = docs.select("doc_id", "lang", *hits.values())
+    h = {k: F.col(f"h_{k}") for k in textf.STOPWORDS}
+    pred = (
+        F.when(
+            (h["en"] >= h["de"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["es"]), "en"
+        )
+        .when((h["de"] >= h["fr"]) & (h["de"] >= h["es"]), "de")
+        .when(h["fr"] >= h["es"], "fr")
+        .otherwise("es")
+    )
+    return (
+        scored.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+# ------------------------------------------------------------ vector search
+def q_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.brute_force_topk(emb, list(qvec), k=10)
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH buckets (rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    planes = similarity.make_planes(dim=len(qvec), n_planes=6, seed=42)
+    return similarity.lsh_bucketed_topk(
+        emb, list(qvec), planes, k=10, multiprobe=2
+    )
+
+
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified (rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=0.5)
+
+
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 candidate pairs (rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_candidates(docs).filter(F.col("hamming") <= 3)
+
+
+# --------------------------------------------------------------- streaming
+def q_streaming_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming windowed agg driven to completion over the
+    events parquet as a file stream; complete mode → equals batch group-by."""
+    # file source wants a directory — stage a symlink dir over the table file
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = readers.file_stream(spark, stage, batch_schema)
+    # ts arrives as long nanos (nanosAsLong) — convert like read_table does
+    stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("event_ts_min"), "event_type", "n"
+        )
+    )
+    name = f"stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "fusion_minute_avg": q_fusion_minute_avg,
+    "multiway_join_revenue": q_multiway_join_revenue,
+    "decode_json_props": q_decode_json_props,
+    "delimited_roundtrip": q_delimited_roundtrip,
+    "null_safe_projection": q_null_safe_projection,
+    "union_filtered_accounts": q_union_filtered_accounts,
+    "repeat_replay": q_repeat_replay,
+    "date_histogram_daily": q_date_histogram_daily,
+    "terms_topk_event_types": q_terms_topk_event_types,
+    "topk_orders": q_topk_orders,
+    "window_lag_delta": q_window_lag_delta,
+    "latest_event_per_user": q_latest_event_per_user,
+    "rollup_accounts": q_rollup_accounts,
+    "cube_status_priority": q_cube_status_priority,
+    "distinct_user_counts": q_distinct_user_counts,
+    "semi_join_active_customers": q_semi_join_active_customers,
+    "anti_join_idle_customers": q_anti_join_idle_customers,
+    "pivot_event_values": q_pivot_event_values,
+    "sessionize_events": q_sessionize_events,
+    "doc_token_counts": q_doc_token_counts,
+    "token_stats_by_lang": q_token_stats_by_lang,
+    "quality_scores": q_quality_scores,
+    "lang_id_confusion": q_lang_id_confusion,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "embedding_topk_cosine": q_embedding_topk_cosine,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "simhash_candidates": q_simhash_candidates,
+    "streaming_minute_counts": q_streaming_minute_counts,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL). Keys missing here → rows-only check.
+# --------------------------------------------------------------------------
+_WS_TOKENS = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _stopword_hits_sql(words: list[str]) -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    terms = []
+    for w in words:
+        needle = f" {w} "
+        terms.append(
+            f"(length({padded}) - length(replace({padded}, '{needle}', ' ')))"
+            f" / {len(w) + 1}"
+        )
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_hits = {
+        lang: _stopword_hits_sql(words) for lang, words in __import__(
+            "data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.text",
+            fromlist=["STOPWORDS"],
+        ).STOPWORDS.items()
+    }
+    subs = {
+        "{AVGV}": _sql_cents_avg("value"),
+        "{REV}": _sql_cents_sum("l_extendedprice * (1 - l_discount)", 10000, 2),
+        "{BAL}": _sql_cents_sum("c_acctbal"),
+        "{TOT}": _sql_cents_sum("o_totalprice"),
+    }
+    oracles = {
+        "fusion_minute_avg": """
+            SELECT date_trunc('minute', ts) AS event_ts_min,
+                   CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ts_min_bignt,
+                   event_type,
+                   {AVGV} AS avg_value,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "multiway_join_revenue": """
+            SELECT r_name, n_name,
+                   {REV} AS revenue,
+                   COUNT(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY r_name, n_name
+        """,
+        "decode_json_props": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "delimited_roundtrip": """
+            WITH encoded AS (
+                SELECT concat_ws('|',
+                        COALESCE(CAST(l_orderkey AS VARCHAR), ''),
+                        COALESCE(CAST(l_linenumber AS VARCHAR), ''),
+                        COALESCE(CAST(l_quantity AS VARCHAR), ''),
+                        COALESCE(l_returnflag, '')) AS value
+                FROM lineitem
+            ), split AS (SELECT string_split(value, '|') AS p FROM encoded)
+            SELECT CAST(NULLIF(p[1], '') AS BIGINT) AS l_orderkey,
+                   CAST(NULLIF(p[2], '') AS INT) AS l_linenumber,
+                   CAST(NULLIF(p[3], '') AS DOUBLE) AS l_quantity,
+                   NULLIF(p[4], '') AS l_returnflag
+            FROM split
+        """,
+        "null_safe_projection": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+              AND source IS NOT NULL AND n_chars IS NOT NULL
+              AND n_chars > 300
+        """,
+        "union_filtered_accounts": """
+            SELECT tier, COUNT(*) AS n FROM (
+                SELECT c_custkey, 'high' AS tier FROM customer WHERE c_acctbal > 5000
+                UNION ALL
+                SELECT c_custkey, 'low' AS tier FROM customer WHERE c_acctbal < 1000
+            ) GROUP BY tier
+        """,
+        "repeat_replay": """
+            SELECT r_name, COUNT(*) AS n
+            FROM region, range(3)
+            GROUP BY r_name
+        """,
+        "date_histogram_daily": """
+            SELECT date_trunc('day', ts) AS bucket, event_type,
+                   COUNT(*) AS doc_count, {AVGV} AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "terms_topk_event_types": """
+            SELECT event_type, COUNT(*) AS doc_count
+            FROM events GROUP BY event_type
+            ORDER BY doc_count DESC, event_type ASC LIMIT 3
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "window_lag_delta": """
+            SELECT event_id, user_id, value,
+                   LAG(value) OVER w AS prev_value,
+                   value - LAG(value) OVER w AS delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, event_type, value FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "rollup_accounts": """
+            SELECT r_name, n_name, COUNT(*) AS n,
+                   {BAL} AS total_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "cube_status_priority": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   {TOT} AS total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "distinct_user_counts": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "semi_join_active_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        """,
+        "anti_join_idle_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 450000)
+        """,
+        "pivot_event_values": """
+            SELECT user_id,
+                   FLOOR((AVG(CAST(ROUND(value * 100, 0) AS BIGINT)) FILTER (WHERE event_type = 'click') / 100.0) * 10000 + 0.5) / 10000.0 AS click,
+                   FLOOR((AVG(CAST(ROUND(value * 100, 0) AS BIGINT)) FILTER (WHERE event_type = 'error') / 100.0) * 10000 + 0.5) / 10000.0 AS error,
+                   FLOOR((AVG(CAST(ROUND(value * 100, 0) AS BIGINT)) FILTER (WHERE event_type = 'purchase') / 100.0) * 10000 + 0.5) / 10000.0 AS purchase,
+                   FLOOR((AVG(CAST(ROUND(value * 100, 0) AS BIGINT)) FILTER (WHERE event_type = 'signup') / 100.0) * 10000 + 0.5) / 10000.0 AS signup,
+                   FLOOR((AVG(CAST(ROUND(value * 100, 0) AS BIGINT)) FILTER (WHERE event_type = 'view') / 100.0) * 10000 + 0.5) / 10000.0 AS "view"
+            FROM events GROUP BY user_id
+        """,
+        "sessionize_events": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                              OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800.0
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), s AS (
+                SELECT user_id, ts,
+                       CAST(SUM(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM g
+            )
+            SELECT user_id, session_id, COUNT(*) AS n,
+                   date_trunc('second', MIN(ts)) AS session_start,
+                   date_trunc('second', MAX(ts)) AS session_end
+            FROM s GROUP BY user_id, session_id
+        """,
+        "doc_token_counts": f"""
+            SELECT doc_id,
+                   {_WS_TOKENS} AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "token_stats_by_lang": f"""
+            SELECT lang,
+                   FLOOR(AVG({_WS_TOKENS}) * 10000 + 0.5) / 10000.0 AS avg_tokens,
+                   FLOOR(AVG(n_chars) * 10000 + 0.5) / 10000.0 AS avg_chars,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "quality_scores": """
+            WITH m AS (
+                SELECT doc_id,
+                       length(text) AS nc,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS nw,
+                       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS npunct,
+                       length(regexp_replace(text, '\\s+', '', 'g')) AS nc_nospace
+                FROM documents
+            ), r AS (
+                SELECT doc_id,
+                       LEAST(nc / 200.0, 1.0) AS len_score,
+                       LEAST((CASE WHEN nc = 0 THEN 0.0
+                                   ELSE CAST(npunct AS DOUBLE) / nc END) * 2.0,
+                             1.0) AS noise_penalty,
+                       CASE WHEN nw = 0 THEN 0.0
+                            ELSE CAST(nc_nospace AS DOUBLE) / nw END AS wl
+                FROM m
+            )
+            SELECT doc_id,
+                   FLOOR((len_score * 0.5
+                         + (CASE WHEN wl >= 3.0 AND wl <= 8.0
+                                 THEN 1.0 ELSE 0.5 END) * 0.3
+                         + (1.0 - noise_penalty) * 0.2) * 1000000 + 0.5)
+                       / 1000000.0 AS quality
+            FROM r
+        """,
+        "lang_id_confusion": f"""
+            WITH h AS (
+                SELECT lang,
+                       {lang_hits['en']} AS h_en,
+                       {lang_hits['de']} AS h_de,
+                       {lang_hits['fr']} AS h_fr,
+                       {lang_hits['es']} AS h_es
+                FROM documents
+            )
+            SELECT lang,
+                   CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                        WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                        WHEN h_fr >= h_es THEN 'fr'
+                        ELSE 'es' END AS pred_lang,
+                   COUNT(*) AS n
+            FROM h GROUP BY 1, 2
+        """,
+        "exact_dedup_docs": f"""
+            SELECT md5({_NORM_TEXT}) AS fingerprint,
+                   MIN(doc_id) AS keep_id,
+                   COUNT(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "embedding_topk_cosine": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   FLOOR(list_cosine_similarity(e.embedding::DOUBLE[], q.qe)
+                         * 1000000 + 0.5) / 1000000.0 AS cos_sim
+            FROM embeddings e, q
+            ORDER BY cos_sim DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "streaming_minute_counts": """
+            SELECT date_trunc('minute', ts) AS event_ts_min, event_type,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        # rows-only (non-SQL-expressible / approximate):
+        #   lsh_ann_topk, minhash_dedup_pairs, simhash_candidates
+    }
+    for name, sql in oracles.items():
+        for k, v in subs.items():
+            sql = sql.replace(k, v)
+        oracles[name] = sql
+    return oracles

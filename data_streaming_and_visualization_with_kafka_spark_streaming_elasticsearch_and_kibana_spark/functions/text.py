@@ -1,0 +1,128 @@
+"""Text-analysis column expressions for large-scale corpus pipelines.
+
+All pure built-in Column expressions (JVM-side, codegen) — no Python
+UDFs in the hot path. Designed for the `documents` table shape
+(doc_id, text, lang, source, n_chars) but generic over any string col.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ tokenizing
+
+#: BPE-ish word/num/punct splitter: runs of letters, runs of digits, or a
+#: single non-space symbol — approximates subword pre-tokenization.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    """Number of whitespace-separated tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def regex_token_count(col: Column | str, pattern: str = TOKEN_REGEX) -> Column:
+    """BPE-ish token count via regexp_count (Spark 3.5+)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(pattern))
+
+
+# -------------------------------------------------------------- quality score
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]")).cast("double") / n
+    )
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(c, F.lit(r"[A-Za-z]")).cast("double") / n
+    )
+
+
+def mean_word_len(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    nw = whitespace_token_count(c)
+    # chars excluding whitespace / word count
+    nc = F.length(F.regexp_replace(c, r"\s+", ""))
+    return F.when(nw == 0, F.lit(0.0)).otherwise(nc.cast("double") / nw)
+
+
+#: Tiny language-marker stopword lists (public-knowledge function words).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+
+def stopword_hits(col: Column | str, words: list[str]) -> Column:
+    """Total occurrences of any marker word (word-bounded) in the text.
+
+    Uses the portable length-difference trick on a padded lowercase copy,
+    so the identical formula can be expressed in ANSI SQL for the oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    total = F.lit(0)
+    for w in words:
+        needle = f" {w} "
+        # each removal shortens the string by len(needle); overlapping
+        # occurrences (shared spaces) under-count identically in any
+        # engine using the same formula → oracle-stable.
+        hits = (
+            F.length(padded) - F.length(F.regexp_replace(padded, f" {w} ", " "))
+        ) / len(f"{w} ")
+        total = total + hits
+    return total.cast("long")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] doc-quality heuristic: favors mid-length docs with
+    normal word lengths and low symbol noise. Deterministic, SQL-portable.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    len_score = F.least(n.cast("double") / F.lit(200.0), F.lit(1.0))
+    noise_penalty = F.least(punct_ratio(c) * 2.0, F.lit(1.0))
+    wl = mean_word_len(c)
+    wl_score = F.when((wl >= 3.0) & (wl <= 8.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    raw = len_score * 0.5 + wl_score * 0.3 + (1.0 - noise_penalty) * 0.2
+    # floor-quantize (not ROUND): bit-identical across engines for oracles
+    return F.floor(raw * 1e6 + F.lit(0.5)) / F.lit(1e6)
+
+
+# ------------------------------------------------------------- fingerprinting
+
+def normalized_fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    lowercase text. md5 (not xxhash/murmur) so DuckDB oracles reproduce it.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> — input to MinHash/Jaccard.
+
+    Built from split + transform over index range: pure SQL expressions,
+    distributed, no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    # short docs → one whole-text shingle (concat_ws joins the array)
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )

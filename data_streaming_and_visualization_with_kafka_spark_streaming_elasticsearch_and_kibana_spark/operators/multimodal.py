@@ -1,0 +1,115 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque `binary` columns + a typed metadata struct; all
+transforms run as Arrow-batched `mapInPandas` so bytes never round-trip
+through Python row objects one at a time.
+
+The container has no image/audio libraries, so the actual codec step is
+STUBBED: `decode_image` raises NotImplementedError unless
+`fake=True`, in which case a deterministic fake decoder (seeded from the
+bytes) produces (height, width, mean_luma) so the Spark-side plumbing —
+schema, batching, partitioning — is fully exercised by tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical multimodal record: raw bytes + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("bytes", T.LongType(), True),
+                    T.StructField("source_uri", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_DDL = (
+    "media_id long, height int, width int, mean_luma double, content_sha string"
+)
+
+
+def attach_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Fill the metadata struct from the binary column itself."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(F.col(content_col)).cast("long").alias("bytes"),
+            F.lit(None).cast("string").alias("source_uri"),
+        ),
+    )
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for a real image decoder: dimensions and
+    luma derived from a sha256 of the bytes. Replaces PIL/-cv2 in this
+    container; swap for a real decoder in production."""
+    h = hashlib.sha256(content or b"").digest()
+    height = 1 + h[0] % 64
+    width = 1 + h[1] % 64
+    mean_luma = h[2] / 255.0
+    return height, width, mean_luma
+
+
+def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """binary → (height, width, mean_luma, sha) via Arrow-batched
+    mapInPandas. `fake=False` requires a real imaging library.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "real image decode requires PIL/opencv — not in this container"
+            )
+        for pdf in it:
+            feats = pdf["content"].map(lambda b: _fake_decode(bytes(b or b"")))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "height": feats.map(lambda t: t[0]).astype("int32"),
+                    "width": feats.map(lambda t: t[1]).astype("int32"),
+                    "mean_luma": feats.map(lambda t: t[2]),
+                    "content_sha": pdf["content"].map(
+                        lambda b: hashlib.sha256(bytes(b or b"")).hexdigest()
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_batches, IMAGE_FEATURES_DDL)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling *plan*: at scale, video bytes explode to
+    frames inside mapInPandas (one video per batch row, frames emitted
+    as multiple rows). Stub emits frame indices only."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                n_fake_frames = 1 + (len(r["content"] or b"") % 5)
+                rows += [
+                    {"media_id": r["media_id"], "frame_idx": i * every_n}
+                    for i in range(n_fake_frames)
+                ]
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx"])
+
+    return df.mapInPandas(_batches, "media_id long, frame_idx int")

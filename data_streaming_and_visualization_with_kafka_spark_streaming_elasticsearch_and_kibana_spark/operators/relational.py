@@ -1,0 +1,137 @@
+"""Generic relational operators — the Kibana-analytics surface (SURVEY §2.4
+A3, §2.5, §2.6) plus the batch projections/set-ops of §2.2/§2.7.
+
+Everything is a thin, composable builder over DataFrame ops so Catalyst
+sees the whole plan (pushdown/pruning/broadcast come free). No collect(),
+no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------- projections / filters
+def project_exclude(df: DataFrame, excluded: list[str]) -> DataFrame:
+    """Negative projection (P1, dataframe_to_kafka.py:64-66)."""
+    return df.drop(*excluded)
+
+
+def drop_null_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Null-row filter (P2, dataframe_to_kafka.py:61,76) — na.drop('any')."""
+    return df.na.drop("any", subset=subset)
+
+
+# ------------------------------------------------------------------- set ops
+def union_all(dfs: list[DataFrame]) -> DataFrame:
+    """U1 (pd.concat, data_collector.py:46) — by-name union."""
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def repeat_rows(df: DataFrame, n: int) -> DataFrame:
+    """U2 (replay ×N, dataframe_to_kafka.py:91) without driver loops:
+    explode a constant array — one narrow map stage, no union chain."""
+    return (
+        df.withColumn("__r", F.explode(F.array_repeat(F.lit(1), n)))
+        .drop("__r")
+    )
+
+
+# ---------------------------------------------------------------- aggregation
+def date_histogram(
+    df: DataFrame,
+    ts_col: str,
+    interval: str = "day",
+    keys: tuple[str, ...] = (),
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Kibana date-histogram (A3): truncate + group. `interval` is any
+    date_trunc unit (minute/hour/day/week/month)."""
+    bucket = F.date_trunc(interval, F.col(ts_col)).alias("bucket")
+    aggs = aggs or [F.count("*").alias("doc_count")]
+    return df.groupBy(bucket, *keys).agg(*aggs)
+
+
+def terms_agg(
+    df: DataFrame, key: str, aggs: list[Column] | None = None, k: int | None = None
+) -> DataFrame:
+    """Kibana terms aggregation: group by key, optional top-k by count.
+    Top-k compiles to TakeOrderedAndProject — no full sort at scale."""
+    aggs = aggs or [F.count("*").alias("doc_count")]
+    out = df.groupBy(key).agg(*aggs)
+    if k:
+        out = out.orderBy(F.desc("doc_count"), F.asc(key)).limit(k)
+    return out
+
+
+def rollup_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """Hierarchical subtotals (Kibana split-chart equivalent)."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    return df.cube(*keys).agg(*aggs)
+
+
+# ------------------------------------------------------------------- windows
+def topk_per_group(
+    df: DataFrame, part_keys: list[str], order: list[Column], k: int
+) -> DataFrame:
+    """Top-k rows per group via row_number window. `order` must be a
+    deterministic total order (include a unique tiebreaker column)."""
+    w = Window.partitionBy(*part_keys).orderBy(*order)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def latest_per_key(
+    df: DataFrame, keys: list[str], ts_col: str, tiebreak: str | None = None
+) -> DataFrame:
+    """Keyed last-write-wins view — the batch twin of the reference's
+    ES doc-id upsert (S8/T5, spark_streaming_kafka.py:41: es.mapping.id=room
+    keeps only the latest doc per room).
+    """
+    order = [F.desc(ts_col)] + ([F.desc(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def lag_delta(
+    df: DataFrame, keys: list[str], ts_col: str, value_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key consecutive delta (sensor-rate-of-change analytics)."""
+    order = [F.asc(ts_col)] + ([F.asc(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(value_col).over(w)
+    return df.withColumn("prev_value", prev).withColumn(
+        "delta", F.col(value_col) - prev
+    )
+
+
+# --------------------------------------------------------------------- joins
+def multiway_join(
+    base: DataFrame, joins: list[tuple[DataFrame, list[str] | Column, str]]
+) -> DataFrame:
+    """Chained join builder (J1 generalized). Each entry: (df, on, how).
+    Catalyst/AQE reorders and picks broadcast vs. sort-merge; callers
+    should still `F.broadcast()` dimension tables explicitly for
+    plan stability at scale."""
+    out = base
+    for other, on, how in joins:
+        out = out.join(other, on, how)
+    return out
+
+
+# ------------------------------------------------------------------ sampling
+def shuffled(df: DataFrame, seed: int = 42) -> DataFrame:
+    """O1 (sample(frac=1), dataframe_to_kafka.py:58) — deterministic full
+    shuffle by seeded rand. At scale this is a full sort; prefer
+    per-partition shuffling if global order doesn't matter."""
+    return df.orderBy(F.rand(seed))

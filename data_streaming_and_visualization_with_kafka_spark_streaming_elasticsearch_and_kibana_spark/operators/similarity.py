@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  brute_force_topk — exact cosine top-k. The query vector is a literal
+      pushed into the plan (no join at all); cosine is built-in
+      zip_with/aggregate → whole-stage codegen; top-k compiles to
+      TakeOrderedAndProject (per-partition heap + driver merge of k
+      rows, never a full sort). This IS scalable for single queries:
+      one pass over the corpus, no shuffle.
+  lsh_bucketed_topk — random-hyperplane LSH: sign-bit bucket key per
+      vector, probe only matching buckets (plus optional multi-probe
+      neighbors). At 100 TB, persist the corpus bucketed/partitioned by
+      `bucket` so a probe prunes partitions instead of scanning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot
+
+
+def _query_vec_literal(qvec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in qvec])
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    Rounded score + id tiebreak → deterministic result set.
+    """
+    q = _query_vec_literal(qvec)
+    p = float(10 ** round_to)
+    # floor-quantize (not ROUND): bit-identical across engines for oracles
+    scored = corpus.select(
+        F.col(id_col),
+        (F.floor(cosine(F.col(vec_col), q) * p + F.lit(0.5)) / F.lit(p)).alias(
+            "cos_sim"
+        ),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_bucket(vec_col, planes: np.ndarray):
+    """LSH bucket id: one sign bit per random hyperplane, folded to a long.
+
+    `planes` is (n_planes, dim) from a seeded RNG — the same literal
+    planes must be used at index- and query-time.
+    """
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = dot(vec_col, _query_vec_literal(list(p)))
+        bucket = bucket.bitwiseOR(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def lsh_index(
+    corpus: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the LSH bucket column. At scale: `.write.partitionBy("bucket")`
+    so queries prune to one partition per probe."""
+    return corpus.withColumn("bucket", hyperplane_bucket(F.col(vec_col), planes))
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    qvec: list[float],
+    planes: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's bucket
+    (plus `multiprobe` single-bit-flip neighbor buckets).
+
+    Recall/cost dial = n_planes & multiprobe. The bucket filter is a
+    plain equality predicate → partition pruning when the index is
+    partitioned by bucket.
+    """
+    q = np.asarray(qvec, dtype=np.float64)
+    signs = (planes @ q) > 0
+    qbucket = 0
+    for i, s in enumerate(signs):
+        if s:
+            qbucket |= 1 << i
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(multiprobe)]
+    indexed = lsh_index(corpus, planes, vec_col)
+    cand = indexed.filter(F.col("bucket").isin(probes))
+    return brute_force_topk(cand, qvec, k, id_col, vec_col)

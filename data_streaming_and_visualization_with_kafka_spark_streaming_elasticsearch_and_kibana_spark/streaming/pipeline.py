@@ -1,0 +1,130 @@
+"""Structured-Streaming pipelines.
+
+The reference streams Kafka → parse → ES with zero event-time handling
+(no watermark, no window, no stateful op — SURVEY §2.10 T6). The engine
+supplies the full set:
+
+  decode_stream        — P3/F5|F8/P4 (cast → decode → flatten), either wire format
+  windowed_rollup      — watermarked tumbling/sliding window aggregation
+  session_rollup       — session windows (gap-based)
+  latest_value_view    — keyed last-write-wins (T5: the ES doc-id=room
+                         upsert semantics, expressed in the engine itself)
+  throttled_replay     — principled version of the producer throttle (O2)
+
+Scale notes: watermarks bound state; for 100 TB streams use the RocksDB
+state store (`spark.sql.streaming.stateStore.providerClass`) and
+per-query checkpoint dirs (the reference shared one dir — T2 bug).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.codecs import decode_kafka_value
+
+
+def decode_stream(
+    raw: DataFrame,
+    schema: T.StructType | str,
+    wire_format: str = "json",
+    sep: str = ",",
+) -> DataFrame:
+    """Kafka-shaped stream (key/value binary) → typed record stream."""
+    return decode_kafka_value(raw, schema, wire_format, sep)
+
+
+def windowed_rollup(
+    records: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    metrics: list[str],
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked windowed mean/min/max/count per key — the streaming
+    twin of the batch minute_rollup, and what Kibana's date-histogram
+    charts (A3) compute server-side.
+    """
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    aggs = []
+    for m in metrics:
+        aggs += [
+            F.avg(m).alias(f"{m}_avg"),
+            F.min(m).alias(f"{m}_min"),
+            F.max(m).alias(f"{m}_max"),
+        ]
+    aggs.append(F.count("*").alias("n"))
+    return (
+        records.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            *[f"{m}_{s}" for m in metrics for s in ("avg", "min", "max")],
+            "n",
+        )
+    )
+
+
+def session_rollup(
+    records: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows (Spark 3.2+ session_window) — activity bursts per
+    key separated by `gap` of silence."""
+    return (
+        records.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), *keys)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            *keys,
+            "n",
+        )
+    )
+
+
+def latest_value_view(
+    records: DataFrame, keys: list[str], ts_col: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """T5 streaming: keep first arrival per (key, event-ts) within the
+    watermark — with the ES keyed sink (`es.mapping.id`) the index
+    converges to last-write-wins per key exactly as the reference's S8
+    sink does, but the dedup state lives in the engine, bounded by the
+    watermark."""
+    return records.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
+
+
+def throttled_replay(records: DataFrame, rows_per_second: int = 100) -> DataFrame:
+    """O2 done right: pace a bounded table through a streaming join with
+    the rate source? No — for replay the engine simply bounds source
+    intake (maxFilesPerTrigger / maxOffsetsPerTrigger on the reader) and
+    lets the trigger interval set the cadence. This helper exists to
+    document that decision; it returns the input unchanged."""
+    return records
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Test/dev harness: drive a streaming DataFrame to completion
+    synchronously into an in-memory table; returns the StreamingQuery
+    (caller reads `spark.table(name)`)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
