@@ -1,0 +1,80 @@
+"""Benchmark harness — driver contract (BASELINE.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count() action — full plan runs,
+nothing collected to the driver beyond the count). A warmup pass on
+sf0.001 triggers JVM/codegen warmup so measured times reflect steady
+state, not first-query startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark import (
+    get_spark,
+)
+
+HEADLINE = [
+    "fusion_minute_avg",
+    "multiway_join_revenue",
+    "decode_json_props",
+    "delimited_roundtrip",
+    "date_histogram_daily",
+    "topk_orders",
+    "window_lag_delta",
+    "latest_event_per_user",
+    "sessionize_events",
+    "doc_token_counts",
+    "exact_dedup_docs",
+    "embedding_topk_cosine",
+    "minhash_dedup_pairs",
+    "streaming_minute_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    qs = entrymod.queries()
+
+    # warmup: tiny sf, every headline query once (JVM + codegen caches)
+    for name in HEADLINE:
+        try:
+            qs[name](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
