@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 import sys
-import uuid
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -418,33 +417,47 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------- streaming
 def q_streaming_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming windowed agg driven to completion over the
-    events parquet as a file stream; complete mode → equals batch group-by."""
-    # file source wants a directory — stage a symlink dir over the table file
+    events parquet as a file stream; complete mode → equals batch group-by.
+
+    Fixed-name memory sink (dropped & re-registered per call) and a
+    try/finally-cleaned staging dir, so repeated runs in one process
+    don't accumulate tables, symlinks, or temp dirs.
+    """
+    import shutil
     import tempfile
 
+    name = "stream_minute_counts_mem"
+    # stop any prior incarnation + drop its table before re-registering
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    spark.catalog.dropTempView(name)
+
+    # session-independence: same confs read_table sets (raw ts is
+    # TIMESTAMP(NANOS) parquet → read as long, convert to micros below)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    # file source wants a directory — stage a symlink dir over the table file
     stage = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = readers.file_stream(spark, stage, batch_schema)
-    # ts arrives as long nanos (nanosAsLong) — convert like read_table does
-    stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    agg = (
-        stream.groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
-        .agg(F.count("*").alias("n"))
-        .select(
-            F.col("win.start").alias("event_ts_min"), "event_type", "n"
+    try:
+        os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = readers.file_stream(spark, stage, batch_schema)
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        agg = (
+            stream.groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("win.start").alias("event_ts_min"), "event_type", "n"
+            )
         )
-    )
-    name = f"stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+        q = streaming.run_to_memory(agg, name, output_mode="complete")
+        q.stop()
+        # memory sink holds the rows; the staging dir is no longer needed
+        return spark.table(name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------

@@ -67,7 +67,16 @@ NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Driver test-table loader (TESTDATA.md)."""
+    """Driver test-table loader (TESTDATA.md).
+
+    Session-independent: the test parquet stores TIMESTAMP(NANOS), which
+    Spark caps at micros — so we read nanos as long (runtime-settable
+    SQLConf) and convert explicitly below. The session timezone is pinned
+    UTC so date_trunc semantics match the tz-naive DuckDB oracle on ANY
+    caller-supplied session, not just get_spark()'s.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANOS_TS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":

@@ -37,6 +37,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _is_numeric(s: pd.Series) -> bool:
+    return pd.api.types.is_numeric_dtype(s)
+
+
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     if len(a) != len(b):
         return f"row count {len(a)} vs {len(b)}"
@@ -44,20 +48,22 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
         return f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
     a, b = normalize(a), normalize(b)
     for c in a.columns:
-        if str(a[c].dtype).startswith("float") or str(b[c].dtype).startswith("float"):
-            ok = (
-                (a[c].isna() & b[c].isna())
-                | ((a[c] - b[c]).abs() < 1e-9)
-            ).all()
+        av, bv = a[c], b[c]
+        if _is_numeric(av) and _is_numeric(bv):
+            # coerce int64-vs-float64 pairs numerically (never via str —
+            # '1' != '1.0') and compare with tolerance
+            av = pd.to_numeric(av, errors="coerce")
+            bv = pd.to_numeric(bv, errors="coerce")
+            match = (av.isna() & bv.isna()) | ((av - bv).abs() < 1e-9)
         else:
-            av, bv = a[c], b[c]
             if av.dtype != bv.dtype:
                 av, bv = av.astype(str), bv.astype(str)
-            ok = (av.fillna("<N>") == bv.fillna("<N>")).all() if av.dtype == object else (
-                (av.isna() & bv.isna()) | (av == bv)
-            ).all()
-        if not ok:
-            mism = a[c] != b[c]
+            if av.dtype == object:
+                match = av.fillna("<N>") == bv.fillna("<N>")
+            else:
+                match = (av.isna() & bv.isna()) | (av == bv)
+        if not match.all():
+            mism = ~match  # same predicate as the pass/fail decision
             return (
                 f"values differ in col {c}; first rows:\n"
                 f"spark:\n{a[mism][:3]}\nduck:\n{b[mism][:3]}"
@@ -68,7 +74,19 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    spark = get_spark(shuffle_partitions=8)
+    if os.environ.get("VANILLA_SESSION") == "1":
+        # mimic the driver's correctness harness: bare session with none of
+        # get_spark's confs — queries must be session-independent
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-vanilla")
+            .master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TEST_TABLES:
         con.sql(
