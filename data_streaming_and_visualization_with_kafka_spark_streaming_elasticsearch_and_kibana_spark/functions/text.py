@@ -112,17 +112,45 @@ def normalized_fingerprint(col: Column | str) -> Column:
     return F.md5(norm)
 
 
-def shingles(col: Column | str, k: int = 3) -> Column:
-    """Word k-shingles as an array<string> — input to MinHash/Jaccard.
+def shingles_from_words(words: Column, k: int = 3) -> Column:
+    """Word k-shingles from an already-split array<string> column.
 
-    Built from split + transform over index range: pure SQL expressions,
-    distributed, no UDF.
+    element_at per position (NOT slice — slice copies a k-array per
+    index) keeps this O(words × k) element reads. Callers should project
+    the split into its own column first so it is evaluated once per row;
+    `shingles()` below does that binding automatically.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.trim(F.lower(c)), r"\s+")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     # short docs → one whole-text shingle (concat_ws joins the array)
     return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(1, k + 1)]
+            ),
+        )
+    )
+
+
+def split_words(col: Column | str) -> Column:
+    """Lowercased whitespace word split — the shingle alphabet."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> — input to MinHash/Jaccard.
+
+    The split is bound as a higher-order-function lambda variable
+    (transform over a single-element array), which guarantees it is
+    evaluated ONCE per row even when the optimizer inlines this whole
+    expression into a collapsed projection — the naive form re-ran
+    split() for every shingle index, O(words²) per document.
+    """
+    return F.element_at(
+        F.transform(
+            F.array(split_words(col)), lambda words: shingles_from_words(words, k)
+        ),
+        1,
     )

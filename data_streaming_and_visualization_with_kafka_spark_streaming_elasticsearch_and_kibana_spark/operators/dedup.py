@@ -18,10 +18,16 @@ shuffles are the bucket joins, each keyed on a well-distributed hash.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from ..functions.text import normalized_fingerprint, shingles
+from ..functions.text import (
+    normalized_fingerprint,
+    shingles,
+    shingles_from_words,
+    split_words,
+)
 
 
 # ------------------------------------------------------------------ exact
@@ -51,18 +57,52 @@ def jaccard(a: Column, b: Column) -> Column:
 
 # ---------------------------------------------------------------- minhash
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: sig[i] = min over shingles of xxhash64(i, s).
+    """MinHash signature: sig[i] = min over shingles of xxhash64(i, h(s)).
 
-    Seeding by prepending the hash index as a column gives num_hashes
-    independent hash families from one built-in function.
+    Each shingle STRING is hashed exactly once (the expensive part —
+    variable-length bytes); the num_hashes independent families then
+    re-hash the resulting 8-byte long with the family index as seed.
+    Same independence guarantees, ~num_hashes× less string hashing.
     """
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     return F.transform(
         idx,
         lambda i: F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(i, s))
+            F.transform(base, lambda h: F.xxhash64(i, h))
         ),
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    persist: bool = True,
+) -> DataFrame:
+    """(id, shingles, signature) computed in ONE pass and persisted.
+
+    The shingle→32×xxhash64 pipeline is the expensive part of MinHash;
+    candidate generation AND exact-Jaccard verification both branch off
+    this table, so it must be materialized once, never recomputed per
+    join side. At cluster scale swap `.persist()` for a checkpoint to
+    durable storage.
+    """
+    # explicit words projection: the split materializes once per row in
+    # its own project, so the shingle transform reads array elements
+    # instead of re-splitting the text per index
+    out = (
+        df.select(F.col(id_col), split_words(text_col).alias("__words"))
+        .select(
+            id_col, shingles_from_words(F.col("__words"), k_shingle).alias("sh")
+        )
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    )
+    if persist:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
 
 
 def minhash_lsh_candidates(
@@ -72,24 +112,28 @@ def minhash_lsh_candidates(
     k_shingle: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket_size: int | None = 1000,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
     rows = num_hashes / bands hashes per band; docs agreeing on ALL rows
-    of any band land in the same bucket. The bucket join shuffles on
-    (band_idx, band_hash) — well distributed, no O(n²) compare.
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across
-    bands, est_jaccard = signature agreement rate.
+    of any band land in the same bucket. Shuffle discipline:
+      * the banded self-join carries (band, bucket, id) ONLY — the
+        32-long signature arrays are re-attached after pair dedup, so
+        wide rows never cross a shuffle;
+      * buckets larger than `max_bucket_size` are dropped (a hot bucket
+        is quadratic in the self-join — at 100 TB a degenerate shingle
+        like boilerplate would otherwise dominate the stage; the docs in
+        it are still covered by their other bands).
+    Returns (id_a, id_b, est_jaccard), id_a < id_b, deduped across bands.
     """
     rows = num_hashes // bands
-    sig_df = df.select(
-        F.col(id_col),
-        minhash_signature(shingles(text_col, k_shingle), num_hashes).alias("sig"),
-    )
+    if sig_df is None:
+        sig_df = minhash_signatures(df, text_col, id_col, k_shingle, num_hashes)
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig_df.select(
         id_col,
-        "sig",
         F.explode(
             F.transform(
                 band_idx,
@@ -101,7 +145,14 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -115,20 +166,26 @@ def minhash_lsh_candidates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # signatures re-attached AFTER dedup: the pair set is tiny relative to
+    # the corpus, so AQE broadcasts it into the cached sig_df scan
+    sig_a = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
         )
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        (agree.cast("double") / F.lit(len(range(num_hashes)))).alias("est_jaccard"),
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
     )
 
 
@@ -137,54 +194,81 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
-    **lsh_kwargs,
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidates → exact-Jaccard verification ≥ threshold.
 
-    The verify join re-attaches shingle sets only for candidate ids
-    (semi-join sized, not corpus sized).
+    Shingle sets come from the SAME persisted signature table the
+    candidate stage used (zero recomputation); the verify join streams
+    the cached shingles against the broadcast candidate-pair set.
     """
-    cands = minhash_lsh_candidates(df, text_col, id_col, **lsh_kwargs)
-    sh = df.select(
-        F.col(id_col), shingles(text_col).alias("sh")
-    )
+    base = minhash_signatures(df, text_col, id_col, k_shingle, num_hashes)
+    cands = minhash_lsh_candidates(
+        df,
+        text_col,
+        id_col,
+        k_shingle,
+        num_hashes,
+        bands,
+        max_bucket_size,
+        sig_df=base,
+    ).select("id_a", "id_b")
+    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
 
 # ---------------------------------------------------------------- simhash
+def _bit_masks(n_bits: int = 64) -> Column:
+    """Literal array of the 64 single-bit long masks (bit 63 is the signed
+    long min — Python `1 << 63` doesn't fit a signed literal)."""
+    vals = [(1 << b) if b < n_bits - 1 else -(1 << (n_bits - 1)) for b in range(n_bits)]
+    return F.array(*[F.lit(v).cast("long") for v in vals])
+
+
 def simhash64(token_col: Column, n_bits: int = 64) -> Column:
-    """64-bit SimHash of an array<string> token column.
+    """64-bit SimHash of an array<string> token column — ONE pass.
 
     bit b of the signature = sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1).
-    Token hashes are computed ONCE into an array, then each bit weight is
-    an `aggregate` over that array — all built-in expressions, no UDF.
-    (Bit indices are Python ints because shift amounts must be literals.)
+    A single `aggregate` folds every token hash into a 64-counter array
+    (zip_with against the literal bit-mask array), then one more
+    fixed-size fold ORs the positive-counter masks into the long. All
+    built-in expressions — O(tokens × 64) work total, vs. the naive
+    formulation's 64 independent aggregate passes over the token array.
     """
     hashes = F.transform(token_col, lambda t: F.xxhash64(t))
-
-    def bit_weight(b: int) -> Column:
-        # factory so the lambda stays 2-arg (pyspark maps extra params to
-        # lambda variables) and `b` is a Python literal
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    sig = F.lit(0).cast("long")
-    for b in range(n_bits):
-        sig = sig.bitwiseOR(
-            F.when(bit_weight(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return sig
+    masks = _bit_masks(n_bits)
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    # sign bits → long: OR together the masks of positive counters
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            masks,
+            lambda cnt, m: F.when(cnt > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
 
 
 def simhash_candidates(
