@@ -32,6 +32,7 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
 from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
     dedup,
     fusion,
+    multimodal,
     relational,
     similarity,
 )
@@ -393,12 +394,23 @@ def q_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH buckets (rows-only check)."""
+    """Approximate NN probing a PERSISTED bucket-partitioned LSH index
+    (rows-only check). The index is built once per sf_dir and reused;
+    the probe's `bucket IN (...)` predicate prunes partitions, so query
+    cost is O(probed buckets), not O(corpus)."""
+    import tempfile
+
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     planes = similarity.make_planes(dim=len(qvec), n_planes=6, seed=42)
-    return similarity.lsh_bucketed_topk(
-        emb, list(qvec), planes, k=10, multiprobe=2
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    index_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_lsh_index_{sf_tag}"
+    )
+    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+        similarity.build_lsh_index(emb, planes, index_path)
+    return similarity.lsh_topk_from_index(
+        spark, index_path, list(qvec), planes, k=10, multiprobe=2
     )
 
 
@@ -412,6 +424,40 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 candidate pairs (rows-only)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_candidates(docs).filter(F.col("hamming") <= 3)
+
+
+# -------------------------------------------------------------- multimodal
+def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-cast as a media table: text bytes stand in for image
+    content (the container has no real image data; the plumbing —
+    binary column, Arrow batching, schema — is identical)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+    )
+
+
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary media
+    columns; the deterministic fake decoder (sha256-derived dims) makes
+    this fully oracle-checkable in DuckDB."""
+    media = _docs_as_media(spark, sf_dir)
+    feats = multimodal.decode_image_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "height",
+        "width",
+        _q(F.col("mean_luma"), 6).alias("mean_luma"),
+        "content_sha",
+    )
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized frame-explosion plan (one row per sampled frame)."""
+    media = _docs_as_media(spark, sf_dir)
+    return multimodal.frame_sample_plan(media, every_n=30)
 
 
 # --------------------------------------------------------------- streaming
@@ -490,6 +536,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash_candidates": q_simhash_candidates,
+    "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
     "streaming_minute_counts": q_streaming_minute_counts,
 }
 
@@ -506,6 +554,14 @@ _WS_TOKENS = (
     "ELSE len(string_split_regex(trim(text), '\\s+')) END"
 )
 _NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _sha_hex_byte(i: int) -> str:
+    """DuckDB expression: byte `i` of a hex sha string named `sha` as an
+    integer (two hex chars → strpos arithmetic, no hex-cast needed)."""
+    hi = f"(strpos('0123456789abcdef', substr(sha, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr(sha, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
 
 
 def _stopword_hits_sql(words: list[str]) -> str:
@@ -759,6 +815,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('minute', ts) AS event_ts_min, event_type,
                    COUNT(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "multimodal_image_features": f"""
+            WITH s AS (
+                SELECT doc_id AS media_id, sha256(text) AS sha FROM documents
+            ), b AS (
+                SELECT media_id, sha,
+                       {_sha_hex_byte(0)} AS b0,
+                       {_sha_hex_byte(1)} AS b1,
+                       {_sha_hex_byte(2)} AS b2
+                FROM s
+            )
+            SELECT media_id,
+                   CAST(1 + (b0 % 64) AS INT) AS height,
+                   CAST(1 + (b1 % 64) AS INT) AS width,
+                   FLOOR((b2 / 255.0) * 1000000 + 0.5) / 1000000.0 AS mean_luma,
+                   sha AS content_sha
+            FROM b
+        """,
+        "multimodal_frame_sample": """
+            SELECT doc_id AS media_id, CAST(r.range * 30 AS INT) AS frame_idx
+            FROM documents, range(5) r
+            WHERE r.range < 1 + octet_length(CAST(text AS BLOB)) % 5
         """,
         # rows-only (non-SQL-expressible / approximate):
         #   lsh_ann_topk, minhash_dedup_pairs, simhash_candidates

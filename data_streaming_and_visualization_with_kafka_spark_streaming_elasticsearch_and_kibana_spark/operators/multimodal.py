@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -99,17 +100,23 @@ def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: at scale, video bytes explode to
     frames inside mapInPandas (one video per batch row, frames emitted
-    as multiple rows). Stub emits frame indices only."""
+    as multiple rows). Stub derives a fake frame count from the byte
+    length; the row explosion is fully vectorized (repeat + cumsum
+    arithmetic — no per-row Python inside the Arrow batch)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                n_fake_frames = 1 + (len(r["content"] or b"") % 5)
-                rows += [
-                    {"media_id": r["media_id"], "frame_idx": i * every_n}
-                    for i in range(n_fake_frames)
-                ]
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx"])
+            lens = pdf["content"].str.len().fillna(0).astype("int64").to_numpy()
+            n_frames = 1 + (lens % 5)
+            total = int(n_frames.sum())
+            # per-media frame counter: global arange minus each media's start
+            starts = np.repeat(np.cumsum(n_frames) - n_frames, n_frames)
+            frame_no = np.arange(total) - starts
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), n_frames),
+                    "frame_idx": (frame_no * every_n).astype("int32"),
+                }
+            )
 
     return df.mapInPandas(_batches, "media_id long, frame_idx int")

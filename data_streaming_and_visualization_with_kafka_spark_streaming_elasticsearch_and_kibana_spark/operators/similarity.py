@@ -74,9 +74,40 @@ def lsh_index(
     planes: np.ndarray,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Attach the LSH bucket column. At scale: `.write.partitionBy("bucket")`
-    so queries prune to one partition per probe."""
+    """Attach the LSH bucket column (see `build_lsh_index` for the
+    persisted, partition-pruned form queries should use at scale)."""
     return corpus.withColumn("bucket", hyperplane_bucket(F.col(vec_col), planes))
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    planes: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH index as parquet PARTITIONED BY bucket.
+
+    One pass over the corpus at build time; afterwards a probe query's
+    `bucket IN (...)` predicate becomes a partition filter — the scan
+    reads only the probed buckets' files, never the full corpus. This is
+    the scale path: index once, probe many."""
+    from ..sources.sinks import write_partitioned_parquet
+
+    write_partitioned_parquet(lsh_index(corpus, planes, vec_col), path, ["bucket"])
+
+
+def query_buckets(
+    qvec: list[float], planes: np.ndarray, multiprobe: int = 0
+) -> list[int]:
+    """Driver-side probe set: the query's bucket plus `multiprobe`
+    single-bit-flip neighbors (tiny fixed cost, no data pass)."""
+    q = np.asarray(qvec, dtype=np.float64)
+    signs = (planes @ q) > 0
+    qbucket = 0
+    for i, s in enumerate(signs):
+        if s:
+            qbucket |= 1 << i
+    return [qbucket] + [qbucket ^ (1 << i) for i in range(multiprobe)]
 
 
 def lsh_bucketed_topk(
@@ -88,20 +119,28 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's bucket
-    (plus `multiprobe` single-bit-flip neighbor buckets).
-
-    Recall/cost dial = n_planes & multiprobe. The bucket filter is a
-    plain equality predicate → partition pruning when the index is
-    partitioned by bucket.
-    """
-    q = np.asarray(qvec, dtype=np.float64)
-    signs = (planes @ q) > 0
-    qbucket = 0
-    for i, s in enumerate(signs):
-        if s:
-            qbucket |= 1 << i
-    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(multiprobe)]
+    """Approximate top-k scoring only the probed buckets, computing
+    buckets on the fly (full scan — fine for one-off queries; use
+    `build_lsh_index` + `lsh_topk_from_index` for repeated probes)."""
+    probes = query_buckets(qvec, planes, multiprobe)
     indexed = lsh_index(corpus, planes, vec_col)
     cand = indexed.filter(F.col("bucket").isin(probes))
     return brute_force_topk(cand, qvec, k, id_col, vec_col)
+
+
+def lsh_topk_from_index(
+    spark,
+    index_path: str,
+    qvec: list[float],
+    planes: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Approximate top-k against the PERSISTED bucket-partitioned index:
+    the probe predicate prunes partitions, so cost is O(bucket), not
+    O(corpus). Same planes must be used at build and probe time."""
+    probes = query_buckets(qvec, planes, multiprobe)
+    idx = spark.read.parquet(index_path).filter(F.col("bucket").isin(probes))
+    return brute_force_topk(idx, qvec, k, id_col, vec_col)

@@ -22,4 +22,8 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Number of distinct whole-stage-codegen stages in the physical plan
+    (formatted mode annotates operators with `[codegen id : N]`)."""
+    import re
+
+    return len(set(re.findall(r"codegen id : (\d+)", formatted_plan(df))))

@@ -9,7 +9,9 @@ supplies the full set:
   session_rollup       — session windows (gap-based)
   latest_value_view    — keyed last-write-wins (T5: the ES doc-id=room
                          upsert semantics, expressed in the engine itself)
-  throttled_replay     — principled version of the producer throttle (O2)
+  stream_static_enrich — T7: stream ⋈ broadcast static dimension table
+  throttled_replay     — principled version of the producer throttle (O2):
+                         source-bounded intake + ProcessingTime trigger
 
 Scale notes: watermarks bound state; for 100 TB streams use the RocksDB
 state store (`spark.sql.streaming.stateStore.providerClass`) and
@@ -106,13 +108,48 @@ def latest_value_view(
     return records.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
 
 
-def throttled_replay(records: DataFrame, rows_per_second: int = 100) -> DataFrame:
-    """O2 done right: pace a bounded table through a streaming join with
-    the rate source? No — for replay the engine simply bounds source
-    intake (maxFilesPerTrigger / maxOffsetsPerTrigger on the reader) and
-    lets the trigger interval set the cadence. This helper exists to
-    document that decision; it returns the input unchanged."""
-    return records
+def stream_static_enrich(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """T7 (SURVEY §2.10): enrich a stream with a static dimension table.
+
+    The dimension side is explicitly broadcast — each micro-batch joins
+    against the replicated dim table map-side, so the unbounded stream
+    never shuffles. This is the engine's version of joining sensor
+    readings to per-room metadata (the reference had no join in its
+    streaming path at all)."""
+    return stream_df.join(F.broadcast(dim_df), on, how)
+
+
+def throttled_replay(
+    stream_df: DataFrame,
+    query_name: str,
+    trigger_interval: str = "1 second",
+    output_mode: str = "append",
+    sink_format: str = "memory",
+    checkpoint: str | None = None,
+    **sink_options: str,
+):
+    """O2 done right (vs. the reference's sleep-per-row+flush loop,
+    dataframe_to_kafka.py:94-102): cadence comes from the ProcessingTime
+    trigger; volume per tick comes from source-side bounds the caller
+    set on the reader (maxFilesPerTrigger / maxOffsetsPerTrigger).
+    Returns the started StreamingQuery — stop() it to end the replay.
+    """
+    w = (
+        stream_df.writeStream.format(sink_format)
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(processingTime=trigger_interval)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    for k, v in sink_options.items():
+        w = w.option(k, v)
+    return w.start()
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):

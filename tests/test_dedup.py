@@ -1,0 +1,110 @@
+"""Dedup operator tests: exact, MinHash-LSH (candidates + verified
+pairs + hot-bucket cap), and a differential check of the single-pass
+simhash fold against an independent per-bit formulation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+    dedup,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "The quick  brown fox jumps over the lazy dog"),  # ws/case dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (4, "completely different content about databases and engines"),
+    (5, "completely different content about databases and engines"),  # exact dup of 4
+    (6, "unrelated short text"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id BIGINT, text STRING")
+
+
+def test_exact_dedup_groups_normalized_duplicates(spark):
+    out = dedup.exact_dedup(_docs(spark)).collect()
+    by_keep = {r.keep_id: r.dup_count for r in out}
+    assert by_keep[1] == 2  # docs 1+2 collapse (whitespace/case-insensitive)
+    assert by_keep[4] == 2  # docs 4+5
+    assert by_keep[3] == 1 and by_keep[6] == 1
+    assert len(out) == 4
+
+
+def test_minhash_identical_docs_pair_with_jaccard_one(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_dedup_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0  # normalization happens in shingling
+    assert pairs.get((4, 5)) == 1.0
+    assert (1, 6) not in pairs and (4, 6) not in pairs
+
+
+def test_minhash_near_dup_found_by_verification(spark):
+    # docs 1 and 3 share 6 of 8 shingles (jaccard 0.6 over the union of 10)
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_dedup_pairs(_docs(spark), threshold=0.3).collect()
+    }
+    assert (1, 3) in pairs
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+
+
+def test_minhash_candidates_est_jaccard_in_range(spark):
+    cands = dedup.minhash_lsh_candidates(_docs(spark)).collect()
+    assert cands, "identical docs must land in the same buckets"
+    for r in cands:
+        assert 0.0 <= r.est_jaccard <= 1.0
+
+
+def test_minhash_hot_bucket_cap_drops_degenerate_buckets(spark):
+    # 5 identical docs -> every band bucket has size 5; cap 4 drops them all
+    clones = spark.createDataFrame(
+        [(i, "same text in every document here") for i in range(5)],
+        "doc_id BIGINT, text STRING",
+    )
+    capped = dedup.minhash_lsh_candidates(clones, max_bucket_size=4).count()
+    uncapped = dedup.minhash_lsh_candidates(clones, max_bucket_size=None).count()
+    assert capped == 0
+    assert uncapped == 10  # all C(5,2) pairs
+
+
+def test_simhash_single_pass_matches_per_bit_formulation(spark):
+    """Differential: the folded 64-counter simhash must equal the naive
+    bit-by-bit definition (sign of per-bit +1/-1 sums)."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    df = _docs(spark).select("doc_id", dedup.simhash64(toks).alias("sig"))
+
+    hashes = F.transform(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: F.xxhash64(t)
+    )
+    def bit_weight(b: int):
+        # factory keeps the aggregate lambda 2-arg (pyspark maps extra
+        # params to lambda variables) with b a Python literal
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    naive = F.lit(0).cast("long")
+    for b in range(64):
+        weight = bit_weight(b)
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        naive = naive.bitwiseOR(
+            F.when(weight > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    ref = _docs(spark).select("doc_id", naive.alias("sig"))
+    assert sorted(df.collect()) == sorted(ref.collect())
+
+
+def test_simhash_candidates_identical_docs_hamming_zero(spark):
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_candidates(_docs(spark)).collect()
+    }
+    assert out.get((4, 5)) == 0  # byte-identical docs

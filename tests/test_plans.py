@@ -1,0 +1,59 @@
+"""Physical-plan assertions — verify Catalyst actually produces the
+plans the engine is designed around (pushdown, broadcast, top-k,
+codegen), per the 100 TB design notes in SURVEY §7 Phase 4."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.plans import (
+    explain,
+)
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources import (
+    readers,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = readers.read_table(spark, SF, "orders").filter(F.col("o_totalprice") > 1000.0)
+    assert explain.assert_pushed_filters(df)
+    plan = explain.formatted_plan(df)
+    assert "o_totalprice" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_in_read_schema(spark):
+    df = readers.read_table(spark, SF, "lineitem").select("l_orderkey")
+    plan = explain.formatted_plan(df)
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in read_schema and "l_comment" not in read_schema
+
+
+def test_multiway_join_broadcasts_dimensions(spark):
+    df = entrymod.q_multiway_join_revenue(spark, SF)
+    assert explain.has_broadcast_join(df)
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    df = entrymod.q_topk_orders(spark, SF)
+    assert "TakeOrderedAndProject" in explain.formatted_plan(df)
+
+
+def test_fusion_query_is_whole_stage_codegen(spark):
+    # AQE wraps the un-executed plan in AdaptiveSparkPlan, which hides the
+    # codegen annotations until runtime — disable it for the inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = entrymod.q_fusion_minute_avg(spark, SF)
+        assert explain.codegen_stage_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_null_safe_projection_pushes_isnotnull(spark):
+    df = entrymod.q_null_safe_projection(spark, SF)
+    plan = explain.formatted_plan(df)
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "IsNotNull" in pushed and "GreaterThan" in pushed

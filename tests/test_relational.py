@@ -1,0 +1,114 @@
+"""Relational operator unit tests (projections, set ops, windows, joins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+    relational,
+)
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.plans.explain import (
+    formatted_plan,
+)
+
+
+def test_project_exclude_and_drop_null_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, 3.0), (3, "c", 4.0)],
+        "id BIGINT, name STRING, v DOUBLE",
+    )
+    out = relational.drop_null_rows(relational.project_exclude(df, ["v"]))
+    assert sorted(out.collect()) == [Row(id=1, name="a"), Row(id=3, name="c")]
+
+
+def test_union_all_by_name(spark):
+    a = spark.createDataFrame([(1, "x")], "id BIGINT, tag STRING")
+    b = spark.createDataFrame([("y", 2)], "tag STRING, id BIGINT")  # reordered cols
+    out = relational.union_all([a, b])
+    assert sorted(out.collect()) == [Row(id=1, tag="x"), Row(id=2, tag="y")]
+
+
+def test_repeat_rows_is_narrow(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id BIGINT")
+    out = relational.repeat_rows(df, 3)
+    assert out.count() == 6
+    assert "Exchange" not in formatted_plan(out), "repeat must not shuffle"
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "grp STRING, id BIGINT, v DOUBLE",
+    )
+    out = relational.topk_per_group(df, ["grp"], [F.desc("v"), F.asc("id")], k=2)
+    got = sorted((r.grp, r.id, r.rn) for r in out.collect())
+    assert got == [("a", 2, 1), ("a", 3, 2), ("b", 4, 1)]
+
+
+def test_latest_per_key_with_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 200), ("a", 3, 200), ("b", 4, 50)],
+        "k STRING, id BIGINT, ts BIGINT",
+    )
+    out = relational.latest_per_key(df, ["k"], "ts", tiebreak="id")
+    got = {r.k: r.id for r in out.collect()}
+    assert got == {"a": 3, "b": 4}  # ties broken by highest id
+
+
+def test_lag_delta(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 15.0), ("a", 3, 12.0)],
+        "k STRING, ts BIGINT, v DOUBLE",
+    )
+    out = relational.lag_delta(df, ["k"], "ts", "v").orderBy("ts")
+    assert [r.delta for r in out.collect()] == [None, 5.0, -3.0]
+
+
+def test_date_histogram_and_terms(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 10), "x"),
+            (dt.datetime(2024, 1, 1, 11), "x"),
+            (dt.datetime(2024, 1, 2, 9), "y"),
+        ],
+        "ts TIMESTAMP, kind STRING",
+    )
+    hist = {
+        r.bucket.date().isoformat(): r.doc_count
+        for r in relational.date_histogram(df, "ts", "day").collect()
+    }
+    assert hist == {"2024-01-01": 2, "2024-01-02": 1}
+    terms = relational.terms_agg(df, "kind", k=1).collect()
+    assert [(r.kind, r.doc_count) for r in terms] == [("x", 2)]
+
+
+def test_rollup_and_cube_totals(spark):
+    df = spark.createDataFrame(
+        [("r1", "n1", 1), ("r1", "n2", 2), ("r2", "n3", 3)],
+        "r STRING, n STRING, v INT",
+    )
+    roll = relational.rollup_agg(df, ["r", "n"], [F.sum("v").alias("s")])
+    grand = [x.s for x in roll.collect() if x.r is None and x.n is None]
+    assert grand == [6]
+    cube = relational.cube_agg(df, ["r", "n"], [F.sum("v").alias("s")])
+    # cube adds the n-only slices rollup lacks
+    n_only = {x.n: x.s for x in cube.collect() if x.r is None and x.n is not None}
+    assert n_only == {"n1": 1, "n2": 2, "n3": 3}
+
+
+def test_multiway_join_chain(spark):
+    a = spark.createDataFrame([(1, "x")], "id BIGINT, av STRING")
+    b = spark.createDataFrame([(1, "y")], "id BIGINT, bv STRING")
+    c = spark.createDataFrame([(1, "z")], "id BIGINT, cv STRING")
+    out = relational.multiway_join(a, [(b, "id", "inner"), (c, "id", "inner")])
+    assert out.collect() == [Row(id=1, av="x", bv="y", cv="z")]
+
+
+def test_shuffled_deterministic_per_seed(spark):
+    df = spark.createDataFrame([(i,) for i in range(20)], "id BIGINT")
+    a = [r.id for r in relational.shuffled(df, seed=1).collect()]
+    b = [r.id for r in relational.shuffled(df, seed=1).collect()]
+    assert a == b and sorted(a) == list(range(20))

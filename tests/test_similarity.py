@@ -1,0 +1,89 @@
+"""Similarity-search tests: brute-force cosine vs a numpy oracle, LSH
+probe correctness, and partition pruning on the persisted index."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+    similarity,
+)
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.plans.explain import (
+    formatted_plan,
+)
+
+DIM = 8
+N = 60
+
+
+def _corpus(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(N, DIM)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(N)]
+    return (
+        spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"),
+        vecs,
+    )
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    corpus, vecs = _corpus(spark)
+    q = vecs[0]
+    got = [r.vec_id for r in similarity.brute_force_topk(corpus, list(q), k=5).collect()]
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    # replicate the query's floor-quantize + id tiebreak
+    quant = np.floor(sims * 1e6 + 0.5) / 1e6
+    want = sorted(range(N), key=lambda i: (-quant[i], i))[:5]
+    assert got == want
+
+
+def test_brute_force_topk_self_is_top1(spark):
+    corpus, vecs = _corpus(spark)
+    top = similarity.brute_force_topk(corpus, list(vecs[3]), k=1).first()
+    assert top.vec_id == 3 and top.cos_sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_topk_subset_of_probed_buckets(spark):
+    corpus, vecs = _corpus(spark)
+    planes = similarity.make_planes(DIM, n_planes=4, seed=1)
+    probes = set(similarity.query_buckets(list(vecs[0]), planes, multiprobe=2))
+    got = similarity.lsh_bucketed_topk(
+        corpus, list(vecs[0]), planes, k=10, multiprobe=2
+    ).collect()
+    indexed = {
+        r.vec_id: r.bucket for r in similarity.lsh_index(corpus, planes).collect()
+    }
+    assert got, "query's own bucket can never be empty"
+    for r in got:
+        assert indexed[r.vec_id] in probes
+
+
+def test_persisted_index_partition_pruning(spark, tmp_dir):
+    corpus, vecs = _corpus(spark)
+    planes = similarity.make_planes(DIM, n_planes=4, seed=1)
+    path = f"{tmp_dir}/lsh_index"
+    similarity.build_lsh_index(corpus, planes, path)
+    out = similarity.lsh_topk_from_index(
+        spark, path, list(vecs[0]), planes, k=5, multiprobe=1
+    )
+    plan = formatted_plan(out)
+    # the probe predicate must reach the scan as a partition filter
+    assert "PartitionFilters" in plan and "bucket" in plan
+    top = out.first()
+    assert top.vec_id == 0  # the query vector itself survives the probe
+
+
+def test_index_and_flyscan_agree(spark, tmp_dir):
+    corpus, vecs = _corpus(spark)
+    planes = similarity.make_planes(DIM, n_planes=4, seed=1)
+    path = f"{tmp_dir}/lsh_index2"
+    similarity.build_lsh_index(corpus, planes, path)
+    a = similarity.lsh_topk_from_index(
+        spark, path, list(vecs[5]), planes, k=5, multiprobe=2
+    ).collect()
+    b = similarity.lsh_bucketed_topk(
+        corpus, list(vecs[5]), planes, k=5, multiprobe=2
+    ).collect()
+    assert [(r.vec_id, r.cos_sim) for r in a] == [(r.vec_id, r.cos_sim) for r in b]

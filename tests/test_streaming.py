@@ -1,0 +1,197 @@
+"""Structured-Streaming semantics tests (SURVEY §5.3), driven through
+bounded file streams + the memory sink — no broker required.
+
+Covers: windowed rollup == batch twin, session windows, keyed
+first-arrival dedup (T5), stream-static enrichment (T7), watermark
+late-data drop across a checkpointed restart (T2), and the bounded
+throttled replay (O2).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.readers import (
+    file_stream,
+)
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.streaming import (
+    pipeline,
+)
+
+SCHEMA = "ts TIMESTAMP, room STRING, temp DOUBLE"
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _rows(*specs):
+    """(iso_minute_second, room, temp) → typed rows."""
+    import datetime as dt
+
+    return [
+        (dt.datetime.fromisoformat(t), room, float(v)) for t, room, v in specs
+    ]
+
+
+def _drain(spark, stream_df, name, mode):
+    q = pipeline.run_to_memory(stream_df, name, output_mode=mode)
+    q.stop()
+    return spark.table(name)
+
+
+def test_windowed_rollup_equals_batch_groupby(spark, tmp_dir):
+    src = f"{tmp_dir}/src"
+    rows = _rows(
+        ("2024-01-01T10:00:05", "a", 1.0),
+        ("2024-01-01T10:00:55", "a", 3.0),
+        ("2024-01-01T10:01:05", "a", 5.0),
+        ("2024-01-01T10:00:30", "b", 7.0),
+    )
+    _write_events(spark, src, rows)
+    stream = file_stream(spark, src, SCHEMA)
+    rolled = pipeline.windowed_rollup(stream, "ts", ["room"], ["temp"])
+    got = {
+        (r.window_start.isoformat(), r.room): (r.temp_avg, r.temp_min, r.temp_max, r.n)
+        for r in _drain(spark, rolled, f"w_{uuid.uuid4().hex[:6]}", "complete").collect()
+    }
+    assert got[("2024-01-01T10:00:00", "a")] == (2.0, 1.0, 3.0, 2)
+    assert got[("2024-01-01T10:01:00", "a")] == (5.0, 5.0, 5.0, 1)
+    assert got[("2024-01-01T10:00:00", "b")] == (7.0, 7.0, 7.0, 1)
+
+
+def test_session_rollup_gap_splits_sessions(spark, tmp_dir):
+    src = f"{tmp_dir}/src"
+    rows = _rows(
+        ("2024-01-01T10:00:00", "a", 1.0),
+        ("2024-01-01T10:01:00", "a", 1.0),   # within 2-min gap → same session
+        ("2024-01-01T10:07:00", "a", 1.0),   # 6 min silence → new session
+    )
+    _write_events(spark, src, rows)
+    stream = file_stream(spark, src, SCHEMA)
+    sess = pipeline.session_rollup(stream, "ts", ["room"], gap="2 minutes")
+    got = sorted(
+        (r.session_start.isoformat(), r.n)
+        for r in _drain(spark, sess, f"s_{uuid.uuid4().hex[:6]}", "complete").collect()
+    )
+    assert got == [("2024-01-01T10:00:00", 2), ("2024-01-01T10:07:00", 1)]
+
+
+def test_latest_value_view_first_arrival_dedup(spark, tmp_dir):
+    src = f"{tmp_dir}/src"
+    rows = _rows(
+        ("2024-01-01T10:00:00", "a", 1.0),
+        ("2024-01-01T10:00:00", "a", 99.0),  # same (key, ts) → duplicate
+        ("2024-01-01T10:01:00", "a", 2.0),
+    )
+    _write_events(spark, src, rows)
+    stream = file_stream(spark, src, SCHEMA)
+    view = pipeline.latest_value_view(stream, ["room"], "ts")
+    out = _drain(spark, view, f"l_{uuid.uuid4().hex[:6]}", "append").collect()
+    assert len(out) == 2  # one row per (room, ts)
+    assert sorted(r.ts.isoformat() for r in out) == [
+        "2024-01-01T10:00:00",
+        "2024-01-01T10:01:00",
+    ]
+
+
+def test_stream_static_enrich_broadcast_join(spark, tmp_dir):
+    src = f"{tmp_dir}/src"
+    _write_events(
+        spark,
+        src,
+        _rows(("2024-01-01T10:00:00", "a", 1.0), ("2024-01-01T10:00:00", "z", 2.0)),
+    )
+    dim = spark.createDataFrame(
+        [("a", 3), ("b", 4)], "room STRING, floor INT"
+    )
+    stream = file_stream(spark, src, SCHEMA)
+    enriched = pipeline.stream_static_enrich(stream, dim, on="room", how="left")
+    out = {r.room: r.floor for r in _drain(
+        spark, enriched, f"e_{uuid.uuid4().hex[:6]}", "append"
+    ).collect()}
+    assert out == {"a": 3, "z": None}
+
+
+def test_watermark_drops_late_rows_across_restart(spark, tmp_dir):
+    """T2+T6: run 1 advances the watermark and closes the 10:00 window;
+    run 2 (same checkpoint) feeds a row older than the watermark — it
+    must be dropped, not re-open the finalized window."""
+    src = f"{tmp_dir}/src"
+    ckpt = f"{tmp_dir}/ckpt"
+    out = f"{tmp_dir}/out"
+
+    def run():
+        # file sink: the memory sink can't recover from a checkpoint, and
+        # checkpointed recovery IS the semantics under test (T2)
+        stream = file_stream(spark, src, SCHEMA)
+        agg = pipeline.windowed_rollup(
+            stream, "ts", ["room"], ["temp"], watermark="10 minutes"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return spark.read.parquet(out)
+
+    _write_events(
+        spark,
+        src,
+        _rows(("2024-01-01T10:00:00", "a", 1.0), ("2024-01-01T11:00:00", "a", 2.0)),
+    )
+    out1 = run().collect()
+    # watermark after run 1 = 10:50 → the 10:00 window is closed & emitted
+    assert [r.window_start.isoformat() for r in out1] == ["2024-01-01T10:00:00"]
+
+    _write_events(
+        spark,
+        src,
+        _rows(
+            ("2024-01-01T10:00:30", "a", 100.0),  # LATE: before 10:50 watermark
+            ("2024-01-01T12:00:00", "a", 3.0),    # advances watermark past 11:01
+        ),
+    )
+    rows2 = sorted(run().collect(), key=lambda r: r.window_start)
+    starts = [r.window_start.isoformat() for r in rows2]
+    # had the late row NOT been dropped it would re-emit a second 10:00
+    # window row with temp=100; the cumulative sink must hold exactly the
+    # run-1 10:00 row and the newly closed 11:00 row
+    assert starts == ["2024-01-01T10:00:00", "2024-01-01T11:00:00"]
+    assert rows2[0].n == 1 and rows2[0].temp_avg == 1.0
+    assert rows2[1].n == 1 and rows2[1].temp_avg == 2.0
+
+
+def test_throttled_replay_bounded_intake(spark, tmp_dir):
+    """O2: three files, maxFilesPerTrigger=1 → no micro-batch ingests
+    more than one file's rows; all rows eventually arrive."""
+    src = f"{tmp_dir}/src"
+    for i in range(3):
+        _write_events(
+            spark,
+            src,
+            _rows(*[(f"2024-01-01T10:0{i}:0{j}", "a", float(j)) for j in range(3)]),
+        )
+    stream = file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    name = f"r_{uuid.uuid4().hex[:6]}"
+    q = pipeline.throttled_replay(
+        stream, name, trigger_interval="500 milliseconds"
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() < 9:
+            time.sleep(0.5)
+        assert spark.table(name).count() == 9
+        per_batch = [p["numInputRows"] for p in q.recentProgress]
+        assert max(per_batch) <= 3, f"a batch exceeded one file: {per_batch}"
+        assert sum(1 for n in per_batch if n > 0) >= 3
+    finally:
+        q.stop()

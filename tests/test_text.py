@@ -1,0 +1,69 @@
+"""Text-analysis expression unit tests (token counts, quality, shingles,
+fingerprints) on known strings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions import (
+    text as textf,
+)
+
+
+def _one(spark, s, col_expr):
+    return spark.createDataFrame([(s,)], "text STRING").select(
+        col_expr.alias("v")
+    ).first().v
+
+
+def test_whitespace_token_count(spark):
+    assert _one(spark, "a b  c", textf.whitespace_token_count("text")) == 3
+    assert _one(spark, "   ", textf.whitespace_token_count("text")) == 0
+    assert _one(spark, "", textf.whitespace_token_count("text")) == 0
+    assert _one(spark, "single", textf.whitespace_token_count("text")) == 1
+
+
+def test_regex_token_count(spark):
+    # letters run + digits run + symbol each count once
+    assert _one(spark, "ab12!", textf.regex_token_count("text")) == 3
+    assert _one(spark, "hello, world", textf.regex_token_count("text")) == 3
+
+
+def test_stopword_hits_word_bounded(spark):
+    hits = textf.stopword_hits("text", ["the", "and"])
+    assert _one(spark, "the cat and the dog", hits) == 3
+    # 'theme' must not count as 'the'
+    assert _one(spark, "theme park", hits) == 0
+
+
+def test_quality_score_bounds(spark):
+    for s in ["", "short", "a " * 300, "!!!???##@@", "normal words of decent length here"]:
+        v = _one(spark, s, textf.quality_score("text"))
+        assert 0.0 <= v <= 1.0, (s, v)
+
+
+def test_normalized_fingerprint_collapses_whitespace_and_case(spark):
+    fp = lambda s: _one(spark, s, textf.normalized_fingerprint("text"))
+    assert fp("Hello   World") == fp("hello world") == fp("  hello\tworld  ")
+    assert fp("hello world") != fp("hello worlds")
+
+
+def test_shingles_basic(spark):
+    got = _one(spark, "a b c d", textf.shingles("text", 3))
+    assert got == ["a b c", "b c d"]
+
+
+def test_shingles_short_doc_single_shingle(spark):
+    assert _one(spark, "a b", textf.shingles("text", 3)) == ["a b"]
+
+
+def test_shingles_equivalent_to_words_form(spark):
+    df = spark.createDataFrame(
+        [("The quick brown fox jumps over the lazy dog",), ("one two",)],
+        "text STRING",
+    )
+    a = df.select(textf.shingles("text", 3).alias("s")).collect()
+    b = df.select(
+        textf.shingles_from_words(textf.split_words("text"), 3).alias("s")
+    ).collect()
+    assert a == b
