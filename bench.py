@@ -39,6 +39,8 @@ HEADLINE = [
     "exact_dedup_docs",
     "embedding_topk_cosine",
     "minhash_dedup_pairs",
+    "simhash_candidates",
+    "multimodal_image_features",
     "streaming_minute_counts",
 ]
 

@@ -271,19 +271,38 @@ def simhash64(token_col: Column, n_bits: int = 64) -> Column:
     )
 
 
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
+    """(id, simhash64) computed once and persisted — both sides of the
+    pigeonhole self-join reuse it instead of re-folding every document's
+    token hashes per branch."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    out = df.select(F.col(id_col), simhash64(toks).alias("sig"))
+    if persist:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
+
+
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Hamming-≤3 candidate pairs by pigeonhole on 4×16-bit chunks:
     any pair within distance 3 agrees exactly on ≥1 chunk → equi-join
-    per chunk, union, dedup. Shuffle key = (chunk_idx, chunk_value).
-    Returns (id_a, id_b, hamming).
+    per chunk, union, dedup. Shuffle discipline mirrors the MinHash
+    path: the self-join carries (chunk, cval, id) only, signatures are
+    re-attached after pair dedup, and degenerate hot chunks (identical
+    boilerplate) are capped. Returns (id_a, id_b, hamming).
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    sig = df.select(F.col(id_col), simhash64(toks).alias("sig"))
+    sig = simhash_signatures(df, text_col, id_col)
     chunked = sig.select(
         id_col,
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -297,7 +316,14 @@ def simhash_candidates(
                 ]
             )
         ).alias("cc"),
-    ).select(id_col, "sig", "cc.chunk", "cc.cval")
+    ).select(id_col, "cc.chunk", "cc.cval")
+    if max_bucket_size:
+        w = Window.partitionBy("chunk", "cval")
+        chunked = (
+            chunked.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a, b = chunked.alias("a"), chunked.alias("b")
     pairs = (
         a.join(
@@ -309,10 +335,14 @@ def simhash_candidates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-    return pairs.select("id_a", "id_b", F.bit_count(xor).alias("hamming"))
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", F.bit_count(xor).alias("hamming"))
+    )
