@@ -29,12 +29,16 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
     codecs,
     text as textf,
 )
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.text import (
+    split_words,
+)
 from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
     dedup,
     fusion,
     multimodal,
     relational,
     similarity,
+    temporal,
 )
 from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources import readers
 from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.streaming import (
@@ -333,6 +337,42 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.3's named gap): each click attributed to the
+    user's latest purchase at-or-before it. One shuffle on user_id via
+    the union+window formulation in operators.temporal — no inequality
+    join, no per-row range probe."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # deterministic: one purchase per (user, ts), highest event_id wins
+    purch = relational.latest_per_key(purch, ["user_id", "ts"], "event_id")
+    out = temporal.asof_join(
+        clicks, purch, ["user_id"], "ts", ["event_id", "value"], rsuffix="_p"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("event_id_p").alias("purchase_event"),
+        F.col("value_p").alias("purchase_value"),
+    )
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6+F5 inverse property: to_json(struct) → from_json == identity
+    (JSON, unlike the delimited format, round-trips NULLs and empty
+    strings losslessly)."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    ddl = "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+    encoded = o.select(codecs.json_encode(cols).alias("v"))
+    return encoded.select(codecs.json_decode("v", ddl).alias("d")).select("d.*")
+
+
 # ------------------------------------------------------------- text analysis
 def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -384,6 +424,53 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (unigram) Jaccard similarity between consecutive doc ids —
+    the exact-verification tier of near-dedup, fully oracle-checkable
+    (the LSH tiers pick WHICH pairs to verify; this checks the verifier
+    itself)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.array_distinct(split_words("text")).alias("toks")
+    )
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    n_common = F.size(F.array_intersect("ta", "tb"))
+    union_sz = F.size("ta") + F.size("tb") - n_common
+    return pairs.select(
+        "id_a",
+        "id_b",
+        n_common.cast("long").alias("n_common"),
+        _q(n_common.cast("double") / union_sz, 6).alias("jac"),
+    )
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact tier: top-20 most similar pairs
+    within a bounded id range. (At corpus scale the LSH-bucketed index
+    generates candidates; this exact pairwise scorer verifies them.)"""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 50)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.vectors import (
+        cosine,
+    )
+
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", _q(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
 
 
 # ------------------------------------------------------------ vector search
@@ -527,6 +614,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_join_idle_customers": q_anti_join_idle_customers,
     "pivot_event_values": q_pivot_event_values,
     "sessionize_events": q_sessionize_events,
+    "asof_purchase_attribution": q_asof_purchase_attribution,
+    "json_roundtrip": q_json_roundtrip,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "doc_token_counts": q_doc_token_counts,
     "token_stats_by_lang": q_token_stats_by_lang,
     "quality_scores": q_quality_scores,
@@ -736,6 +827,50 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('second', MIN(ts)) AS session_start,
                    date_trunc('second', MAX(ts)) AS session_end
             FROM s GROUP BY user_id, session_id
+        """,
+        "asof_purchase_attribution": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click'
+            ), purch AS (
+                SELECT user_id, ts, event_id, value FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                    FROM events WHERE event_type = 'purchase'
+                ) WHERE rn = 1
+            )
+            SELECT c.user_id, c.event_id,
+                   p.event_id AS purchase_event,
+                   p.value AS purchase_value
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "json_roundtrip": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
+                   FLOOR((len(list_intersect(a.toks, b.toks))::DOUBLE
+                          / (len(a.toks) + len(b.toks)
+                             - len(list_intersect(a.toks, b.toks))))
+                         * 1000000 + 0.5) / 1000000.0 AS jac
+            FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        """,
+        "embedding_cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   FLOOR(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[])
+                         * 1000000 + 0.5) / 1000000.0 AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < b.vec_id AND a.vec_id < 50 AND b.vec_id < 50
+            ORDER BY cos_sim DESC, id_a ASC, id_b ASC
+            LIMIT 20
         """,
         "doc_token_counts": f"""
             SELECT doc_id,

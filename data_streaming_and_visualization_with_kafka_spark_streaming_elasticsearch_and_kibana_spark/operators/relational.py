@@ -129,6 +129,28 @@ def multiway_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-busting equi-join: scatter the (large, skewed) left side
+    across `n_salts` random salt buckets and replicate the right side
+    once per salt, so a hot key's rows spread over n_salts tasks instead
+    of one straggler. Semantics identical to `left.join(right, on, how)`
+    for inner/left joins; right-side size must tolerate ×n_salts
+    replication. Prefer AQE's automatic skew split first — this is the
+    explicit tool for when a single key dominates a 100 TB shuffle."""
+    l = left.withColumn("__salt", F.floor(F.rand(seed) * n_salts).cast("int"))
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l.join(r, on + ["__salt"], how).drop("__salt")
+
+
 # ------------------------------------------------------------------ sampling
 def shuffled(df: DataFrame, seed: int = 42) -> DataFrame:
     """O1 (sample(frac=1), dataframe_to_kafka.py:58) — deterministic full

@@ -21,7 +21,17 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="unit-tests", master="local[4]", shuffle_partitions=4)
+    import tempfile
+
+    s = get_spark(
+        app_name="unit-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            # bucketed-table tests saveAsTable into a throwaway warehouse
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="test_warehouse_")
+        },
+    )
     yield s
 
 

@@ -1,0 +1,113 @@
+"""Join-strategy tests: as-of join semantics, salted-join equivalence,
+and the bucketed co-located join layout (shuffle-free plan)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+    relational,
+    temporal,
+)
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.plans.explain import (
+    formatted_plan,
+)
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.sinks import (
+    write_bucketed_table,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T10:00:00"), 1),
+            ("u1", _ts("2024-01-01T10:05:00"), 2),
+            ("u1", _ts("2024-01-01T09:00:00"), 3),   # before any right row
+            ("u2", _ts("2024-01-01T10:00:00"), 4),   # key with no right rows
+        ],
+        "k STRING, ts TIMESTAMP, lid INT",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T09:30:00"), "a"),
+            ("u1", _ts("2024-01-01T10:05:00"), "b"),  # equal ts → matches
+            ("u1", _ts("2024-01-01T11:00:00"), "c"),  # future → never matches
+        ],
+        "k STRING, ts TIMESTAMP, rv STRING",
+    )
+    out = {
+        r.lid: r.rv_r
+        for r in temporal.asof_join(left, right, ["k"], "ts", ["rv"]).collect()
+    }
+    assert out == {1: "a", 2: "b", 3: None, 4: None}
+
+
+def test_asof_join_struct_keeps_right_row_consistent(spark):
+    # both right columns must come from the SAME matched row
+    left = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T10:00:00"), 1)], "k STRING, ts TIMESTAMP, lid INT"
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T09:00:00"), "early", 100),
+            ("u1", _ts("2024-01-01T09:30:00"), "late", 200),
+        ],
+        "k STRING, ts TIMESTAMP, tag STRING, amount INT",
+    )
+    row = temporal.asof_join(left, right, ["k"], "ts", ["tag", "amount"]).first()
+    assert (row.tag_r, row.amount_r) == ("late", 200)
+
+
+def test_salted_join_equivalent_to_plain_join(spark):
+    left = spark.createDataFrame(
+        [(i % 3, i) for i in range(100)], "k BIGINT, v BIGINT"
+    )
+    right = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (5, "z")], "k BIGINT, tag STRING"
+    )
+    plain = sorted(
+        (r.k, r.v, r.tag) for r in left.join(right, ["k"], "inner").collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.tag)
+        for r in relational.salted_join(left, right, ["k"], n_salts=8).collect()
+    )
+    assert salted == plain
+    left_out = sorted(
+        (r.k, r.v, r.tag)
+        for r in relational.salted_join(left, right, ["k"], n_salts=8, how="left").collect()
+    )
+    plain_left = sorted(
+        (r.k, r.v, r.tag) for r in left.join(right, ["k"], "left").collect()
+    )
+    assert left_out == plain_left
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    facts = spark.createDataFrame(
+        [(i % 10, float(i)) for i in range(1000)], "k BIGINT, v DOUBLE"
+    )
+    dims = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(10)], "k BIGINT, name STRING"
+    )
+    write_bucketed_table(facts, "t_facts", ["k"], 4, sort_cols=["k"])
+    write_bucketed_table(dims, "t_dims", ["k"], 4, sort_cols=["k"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        joined = spark.table("t_facts").join(spark.table("t_dims"), "k")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "co-bucketed join must not shuffle"
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_facts")
+        spark.sql("DROP TABLE IF EXISTS t_dims")
