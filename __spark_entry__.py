@@ -513,6 +513,20 @@ def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_candidates(docs).filter(F.col("hamming") <= 3)
 
 
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (SURVEY §2.4 extension): HLL distinct counts +
+    t-digest-style percentile per group. Rows-only check — sketch values
+    are engine-specific by design (DuckDB's HLL differs), but at 100 TB
+    these replace exact distinct/percentile shuffles with mergeable
+    fixed-size state."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.percentile_approx("value", 0.95).alias("p95_value"),
+    )
+
+
 # -------------------------------------------------------------- multimodal
 def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents re-cast as a media table: text bytes stand in for image
@@ -548,18 +562,19 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- streaming
-def q_streaming_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured-Streaming windowed agg driven to completion over the
-    events parquet as a file stream; complete mode → equals batch group-by.
+def _run_event_stream_query(
+    spark: SparkSession, sf_dir: str, name: str, build
+) -> DataFrame:
+    """Drive a streaming query over the events table as a file stream.
 
-    Fixed-name memory sink (dropped & re-registered per call) and a
-    try/finally-cleaned staging dir, so repeated runs in one process
-    don't accumulate tables, symlinks, or temp dirs.
+    Fixed-name memory sink (prior incarnation stopped & dropped per
+    call) and a try/finally-cleaned staging dir, so repeated runs in one
+    process don't accumulate tables, symlinks, or temp dirs. `build`
+    maps the typed stream → streaming DataFrame.
     """
     import shutil
     import tempfile
 
-    name = "stream_minute_counts_mem"
     # stop any prior incarnation + drop its table before re-registering
     for active in spark.streams.active:
         if active.name == name:
@@ -578,19 +593,49 @@ def q_streaming_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         stream = readers.file_stream(spark, stage, batch_schema)
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        agg = (
-            stream.groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
-            .agg(F.count("*").alias("n"))
-            .select(
-                F.col("win.start").alias("event_ts_min"), "event_type", "n"
-            )
-        )
-        q = streaming.run_to_memory(agg, name, output_mode="complete")
+        q = streaming.run_to_memory(build(stream), name, output_mode="complete")
         q.stop()
         # memory sink holds the rows; the staging dir is no longer needed
         return spark.table(name)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def q_streaming_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming windowed agg driven to completion over the
+    events parquet as a file stream; complete mode → equals batch group-by."""
+
+    def build(stream):
+        return (
+            stream.groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("event_ts_min"), "event_type", "n")
+        )
+
+    return _run_event_stream_query(spark, sf_dir, "stream_minute_counts_mem", build)
+
+
+def q_streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 stateful session windows (session_window, Spark 3.2+) driven to
+    completion — oracle-checkable because a session window's bounds are
+    deterministic: [min ts, max ts + gap) per burst, new session when the
+    inter-event gap is >= the window gap."""
+
+    def build(stream):
+        return (
+            stream.groupBy(
+                F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+            )
+            .agg(F.count("*").alias("n"))
+            .select(
+                "user_id",
+                F.date_trunc("second", F.col("sw.start")).alias("session_start"),
+                F.date_trunc("second", F.col("sw.end")).alias("session_end"),
+                "n",
+            )
+        )
+
+    return _run_event_stream_query(spark, sf_dir, "stream_session_mem", build)
 
 
 # --------------------------------------------------------------------------
@@ -630,6 +675,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "streaming_minute_counts": q_streaming_minute_counts,
+    "streaming_session_rollup": q_streaming_session_rollup,
+    "approx_sketches": q_approx_sketches,
 }
 
 
@@ -950,6 +997,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('minute', ts) AS event_ts_min, event_type,
                    COUNT(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "streaming_session_rollup": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                              OR epoch(ts) - LAG(epoch(ts)) OVER w >= 1800.0
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), s AS (
+                SELECT user_id, ts,
+                       CAST(SUM(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+                FROM g
+            )
+            SELECT user_id,
+                   date_trunc('second', MIN(ts)) AS session_start,
+                   date_trunc('second', MAX(ts)) + INTERVAL 30 MINUTE
+                       AS session_end,
+                   COUNT(*) AS n
+            FROM s GROUP BY user_id, sid
         """,
         "multimodal_image_features": f"""
             WITH s AS (

@@ -35,6 +35,7 @@ HEADLINE = [
     "window_lag_delta",
     "latest_event_per_user",
     "sessionize_events",
+    "asof_purchase_attribution",
     "doc_token_counts",
     "exact_dedup_docs",
     "embedding_topk_cosine",
@@ -42,6 +43,7 @@ HEADLINE = [
     "simhash_candidates",
     "multimodal_image_features",
     "streaming_minute_counts",
+    "streaming_session_rollup",
 ]
 
 

@@ -152,6 +152,59 @@ def throttled_replay(
     return w.start()
 
 
+def ewma_view(
+    records: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-key
+    exponentially-weighted moving average maintained ACROSS micro-batches.
+
+    The per-batch update is closed-form vectorized numpy (no per-row
+    Python): E_m = (1-a)^m E_0 + a Σ (1-a)^(m-i) v_i over the batch's
+    time-sorted values. State = (ewma, count); update output mode emits
+    one row per key per batch. This is the engine's template for
+    operators Structured Streaming lacks natively."""
+    import numpy as np
+    import pandas as pd
+
+    out_ddl = f"{key_col} bigint, ewma double, n_seen bigint"
+    state_ddl = "ewma double, n bigint"
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            ewma, n = state.get
+        else:
+            ewma, n = None, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            vals = pdf[value_col].to_numpy(dtype="float64")
+            m = len(vals)
+            if m:
+                w = np.power(1.0 - alpha, np.arange(m - 1, -1, -1))
+                contrib = float(alpha * np.dot(w, vals))
+                if ewma is None:
+                    # seed with the first value, fold the rest in
+                    ewma = float(vals[0])
+                    if m > 1:
+                        w1 = np.power(1.0 - alpha, np.arange(m - 2, -1, -1))
+                        ewma = float(
+                            (1.0 - alpha) ** (m - 1) * ewma
+                            + alpha * np.dot(w1, vals[1:])
+                        )
+                else:
+                    ewma = float((1.0 - alpha) ** m * ewma + contrib)
+                n += m
+        state.update((ewma, n))
+        yield pd.DataFrame({key_col: [key[0]], "ewma": [ewma], "n_seen": [n]})
+
+    return records.groupBy(key_col).applyInPandasWithState(
+        update, out_ddl, state_ddl, "update", "NoTimeout"
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Test/dev harness: drive a streaming DataFrame to completion
     synchronously into an in-memory table; returns the StreamingQuery

@@ -170,6 +170,40 @@ def test_watermark_drops_late_rows_across_restart(spark, tmp_dir):
     assert rows2[1].n == 1 and rows2[1].temp_avg == 2.0
 
 
+def test_ewma_stateful_operator_across_batches(spark, tmp_dir):
+    """applyInPandasWithState: state must carry across micro-batches —
+    three files at one file per trigger, final EWMA equals the closed-form
+    sequential computation over all nine values."""
+    src = f"{tmp_dir}/src"
+    schema = "uid BIGINT, ts TIMESTAMP, v DOUBLE"
+    import datetime as dt
+
+    vals = [float(x) for x in [10, 12, 11, 20, 18, 19, 5, 6, 7]]
+    for i in range(3):
+        spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1, 10, i, j), vals[i * 3 + j])
+                for j in range(3)
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    ewma = pipeline.ewma_view(stream, "uid", "ts", "v", alpha=0.5)
+    name = f"ew_{uuid.uuid4().hex[:6]}"
+    q = pipeline.run_to_memory(ewma, name, output_mode="update")
+    q.stop()
+    rows = spark.table(name).collect()
+    # one update row per micro-batch; the final one has n_seen == 9
+    final = max(rows, key=lambda r: r.n_seen)
+    expect = vals[0]
+    for v in vals[1:]:
+        expect = 0.5 * expect + 0.5 * v
+    assert final.n_seen == 9
+    assert abs(final.ewma - expect) < 1e-9
+    assert len(rows) == 3  # state updated across three micro-batches
+
+
 def test_throttled_replay_bounded_intake(spark, tmp_dir):
     """O2: three files, maxFilesPerTrigger=1 → no micro-batch ingests
     more than one file's rows; all rows eventually arrive."""
