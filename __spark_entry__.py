@@ -501,6 +501,57 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via an IVF index (k-means coarse quantizer trained
+    on a bounded sample, index partitioned by centroid id, probes prune
+    partitions). Rows-only check — IVF recall is data-dependent by
+    design; the LSH twin covers the oblivious-hash path."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cents = similarity.train_ivf_centroids(emb, n_centroids=16, seed=42)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    index_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivf_index_{sf_tag}"
+    )
+    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+        similarity.build_ivf_index(emb, cents, index_path)
+    return similarity.ivf_topk_from_index(
+        spark, index_path, list(qvec), cents, k=10, nprobe=3
+    )
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min hash over all char 8-grams
+    (degenerate winnowing with window = whole doc). md5 rather than
+    xxhash so the DuckDB oracle reproduces it bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    idx = F.sequence(F.lit(1), F.greatest(n - 7, F.lit(1)))
+    fp = F.array_min(
+        F.transform(idx, lambda i: F.md5(F.col("text").substr(i, F.lit(8))))
+    )
+    return docs.select("doc_id", fp.alias("fp"))
+
+
+def q_kafka_wire_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the full streaming consumer path (S7→P3→F5→P4):
+    rows → Kafka (key BINARY, value BINARY) JSON wire shape → decode →
+    flatten → aggregate. Proves the wire codecs are lossless end-to-end
+    under the differential gate."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    wire = codecs.encode_for_kafka(ev, key_col="user_id", wire_format="json")
+    ddl = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    decoded = codecs.decode_kafka_value(wire, ddl, wire_format="json")
+    return decoded.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        _cents_sum("value").alias("total_value"),
+    )
+
+
 def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified (rows-only)."""
     docs = _t(spark, sf_dir, "documents")
@@ -670,6 +721,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "embedding_topk_cosine": q_embedding_topk_cosine,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "kafka_wire_pipeline": q_kafka_wire_pipeline,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash_candidates": q_simhash_candidates,
     "multimodal_image_features": q_multimodal_image_features,
@@ -1042,8 +1096,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, range(5) r
             WHERE r.range < 1 + octet_length(CAST(text AS BLOB)) % 5
         """,
+        "rolling_fingerprint": """
+            SELECT doc_id,
+                   list_min(list_transform(
+                       generate_series(1, GREATEST(length(text) - 7, 1)),
+                       i -> md5(substr(text, i, 8)))) AS fp
+            FROM documents
+        """,
+        "kafka_wire_pipeline": f"""
+            SELECT event_type, COUNT(*) AS n,
+                   {_sql_cents_sum("value")} AS total_value
+            FROM events GROUP BY event_type
+        """,
         # rows-only (non-SQL-expressible / approximate):
-        #   lsh_ann_topk, minhash_dedup_pairs, simhash_candidates
+        #   lsh_ann_topk, ivf_ann_topk, minhash_dedup_pairs,
+        #   simhash_candidates, approx_sketches
     }
     for name, sql in oracles.items():
         for k, v in subs.items():

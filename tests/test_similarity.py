@@ -75,6 +75,28 @@ def test_persisted_index_partition_pruning(spark, tmp_dir):
     assert top.vec_id == 0  # the query vector itself survives the probe
 
 
+def test_ivf_assign_matches_numpy_argmin(spark):
+    corpus, vecs = _corpus(spark)
+    cents = similarity.train_ivf_centroids(corpus, n_centroids=4, sample=60, seed=3)
+    got = {
+        r.vec_id: r.cid for r in similarity.ivf_assign(corpus, cents).collect()
+    }
+    d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = d.argmin(axis=1)
+    assert all(got[i] == want[i] for i in range(N))
+
+
+def test_ivf_index_probe_finds_query_vector(spark, tmp_dir):
+    corpus, vecs = _corpus(spark)
+    cents = similarity.train_ivf_centroids(corpus, n_centroids=4, sample=60, seed=3)
+    path = f"{tmp_dir}/ivf"
+    similarity.build_ivf_index(corpus, cents, path)
+    out = similarity.ivf_topk_from_index(spark, path, list(vecs[7]), cents, k=3, nprobe=1)
+    plan = formatted_plan(out)
+    assert "PartitionFilters" in plan and "cid" in plan  # pruned probe
+    assert out.first().vec_id == 7  # nearest centroid holds the vector itself
+
+
 def test_index_and_flyscan_agree(spark, tmp_dir):
     corpus, vecs = _corpus(spark)
     planes = similarity.make_planes(DIM, n_planes=4, seed=1)
