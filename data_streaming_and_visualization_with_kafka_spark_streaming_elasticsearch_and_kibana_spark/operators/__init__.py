@@ -1,1 +1,8 @@
-from . import dedup, fusion, multimodal, relational, similarity  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    fusion,
+    multimodal,
+    relational,
+    similarity,
+    temporal,
+)

@@ -14,6 +14,13 @@ Four tiers, all shuffle-conscious:
 All signatures are built from built-in expressions (xxhash64, transform,
 aggregate) — JVM-side, no Python in the hot path. At 100 TB the only
 shuffles are the bucket joins, each keyed on a well-distributed hash.
+
+Algorithms are the standard public constructions: MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents",
+1997), banded LSH (Leskovec/Rajaraman/Ullman, Mining of Massive
+Datasets ch. 3), SimHash (Charikar, "Similarity estimation techniques
+from rounding algorithms", STOC 2002) with the Hamming-distance
+pigeonhole search of Manku et al. (WWW 2007).
 """
 
 from __future__ import annotations
@@ -114,6 +121,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     max_bucket_size: int | None = 1000,
     sig_df: DataFrame | None = None,
+    with_est: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -169,6 +177,10 @@ def minhash_lsh_candidates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not with_est:
+        # caller verifies with exact Jaccard anyway — skip the two
+        # signature re-attach joins entirely
+        return pairs
     # signatures re-attached AFTER dedup: the pair set is tiny relative to
     # the corpus, so AQE broadcasts it into the cached sig_df scan
     sig_a = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
@@ -215,7 +227,8 @@ def minhash_dedup_pairs(
         bands,
         max_bucket_size,
         sig_df=base,
-    ).select("id_a", "id_b")
+        with_est=False,
+    )
     sh_a = base.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = base.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (

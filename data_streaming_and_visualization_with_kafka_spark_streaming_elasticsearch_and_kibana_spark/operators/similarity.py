@@ -7,10 +7,16 @@ Two paths:
       TakeOrderedAndProject (per-partition heap + driver merge of k
       rows, never a full sort). This IS scalable for single queries:
       one pass over the corpus, no shuffle.
-  lsh_bucketed_topk — random-hyperplane LSH: sign-bit bucket key per
-      vector, probe only matching buckets (plus optional multi-probe
-      neighbors). At 100 TB, persist the corpus bucketed/partitioned by
-      `bucket` so a probe prunes partitions instead of scanning.
+  lsh_bucketed_topk — random-hyperplane LSH (Charikar, STOC 2002):
+      sign-bit bucket key per vector, probe only matching buckets (plus
+      optional multi-probe neighbors). At 100 TB, persist the corpus
+      bucketed/partitioned by `bucket` so a probe prunes partitions
+      instead of scanning.
+  IVF (train_ivf_centroids / build_ivf_index / ivf_topk_from_index) —
+      inverted-file coarse quantization (Sivic & Zisserman "Video
+      Google" 2003; Jégou et al., "Product quantization for nearest
+      neighbor search", TPAMI 2011): k-means cells as partitions,
+      probe the nprobe nearest cells.
 """
 
 from __future__ import annotations
