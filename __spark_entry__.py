@@ -448,6 +448,28 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (pointer-jumping min-label
+    propagation): the clustering step that turns pairwise similarity into
+    an actual keep/drop decision. Edges here are the deterministic
+    consecutive-id Jaccard pairs so the whole thing is oracle-checkable
+    (DuckDB recursive CTE)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.array_distinct(split_words("text")).alias("toks"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    n_common = F.size(F.array_intersect("ta", "tb"))
+    union_sz = F.size("ta") + F.size("tb") - n_common
+    pairs = (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .filter(n_common.cast("double") / union_sz >= 0.6)
+        .select("id_a", "id_b")
+    )
+    return dedup.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact tier: top-20 most similar pairs
     within a bounded id range. (At corpus scale the LSH-bucketed index
@@ -726,6 +748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_attribution": q_asof_purchase_attribution,
     "json_roundtrip": q_json_roundtrip,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "doc_token_counts": q_doc_token_counts,
     "token_stats_by_lang": q_token_stats_by_lang,
@@ -975,6 +998,30 @@ def oracle_sql() -> dict[str, str]:
                              - len(list_intersect(a.toks, b.toks))))
                          * 1000000 + 0.5) / 1000000.0 AS jac
             FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        """,
+        "dedup_clusters": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+                FROM documents
+            ), p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+                WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                      / (len(a.toks) + len(b.toks)
+                         - len(list_intersect(a.toks, b.toks))) >= 0.6
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM p
+                UNION SELECT id_b, id_a FROM p
+            ), reach AS (
+                WITH RECURSIVE r(id, label) AS (
+                    SELECT a, a FROM edges
+                    UNION
+                    SELECT e.b, r.label FROM r JOIN edges e ON e.a = r.id
+                ) SELECT * FROM r
+            )
+            SELECT id AS doc_id, MIN(label) AS component
+            FROM reach GROUP BY id
         """,
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

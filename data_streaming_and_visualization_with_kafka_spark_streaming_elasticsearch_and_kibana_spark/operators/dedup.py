@@ -243,6 +243,88 @@ def minhash_dedup_pairs(
     )
 
 
+# ----------------------------------------------------- components / keep-list
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-dup pairs → clusters: (id, component) with component = min id
+    reachable through the pair graph.
+
+    Distributed min-label propagation with POINTER JUMPING (each round a
+    node takes min(own, neighbors' labels), then follows its label's
+    label), so convergence is O(log diameter) rounds, not O(diameter) —
+    a 1M-long dup chain resolves in ~20 rounds. Each round is two
+    id-keyed joins; lineage is truncated per round with localCheckpoint
+    so the plan stays flat. The driver-side loop is the standard shape
+    for iterative graph algorithms on DataFrames (same as GraphFrames'
+    CC); everything data-sized stays distributed.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(labels, edges["a"] == labels["id"])
+            .select(F.col("b").alias("id"), "label")
+            .groupBy("id")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        prop = labels.join(nmin, "id", "left").select(
+            "id", F.least("label", F.coalesce("nlabel", "label")).alias("label")
+        )
+        # pointer jump: label <- label(label); min labels propagate
+        # exponentially along chains
+        ptr = prop.select(F.col("id").alias("label"), F.col("label").alias("plabel"))
+        jumped = (
+            prop.join(ptr, "label", "left")
+            .select("id", F.coalesce("plabel", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster the near-dup pairs and decide survivors: every document
+    gets (id, component, keep) where keep = the lowest id of its
+    component (isolated docs keep themselves). This is the artifact a
+    training-data pipeline actually consumes — filter `keep` to
+    materialize the deduplicated corpus."""
+    cc = connected_components(pairs)
+    out = (
+        df.select(F.col(id_col))
+        .join(cc.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    # the component label IS the min id of the component (min-label CC),
+    # so the survivor test needs no extra shuffle
+    return out.withColumn("keep", F.col(id_col) == F.col("component"))
+
+
 # ---------------------------------------------------------------- simhash
 def _bit_masks(n_bits: int = 64) -> Column:
     """Literal array of the 64 single-bit long masks (bit 63 is the signed

@@ -102,6 +102,34 @@ def test_simhash_single_pass_matches_per_bit_formulation(spark):
     assert sorted(df.collect()) == sorted(ref.collect())
 
 
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3), pair {10,11}, isolated edge {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a BIGINT, id_b BIGINT"
+    )
+    got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    # 40-node chain: plain propagation needs 39 rounds; pointer jumping
+    # must converge well inside max_iter=30
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a BIGINT, id_b BIGINT"
+    )
+    got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_dedup_keep_list_survivors(spark):
+    docs = _docs(spark)
+    pairs = spark.createDataFrame([(1, 2), (4, 5)], "id_a BIGINT, id_b BIGINT")
+    out = {r.doc_id: (r.component, r.keep) for r in dedup.dedup_keep_list(docs, pairs).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False)
+    assert out[4] == (4, True) and out[5] == (4, False)
+    assert out[3] == (3, True) and out[6] == (6, True)  # isolated keep themselves
+
+
 def test_simhash_candidates_identical_docs_hamming_zero(spark):
     out = {
         (r.id_a, r.id_b): r.hamming
