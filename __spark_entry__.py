@@ -647,6 +647,13 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(media, every_n=30)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan (integer-exact target dims over the
+    fake decoder's source dims — oracle-checkable end to end)."""
+    media = _docs_as_media(spark, sf_dir)
+    return multimodal.resize_plan(media, max_side=32)
+
+
 # --------------------------------------------------------------- streaming
 def _run_event_stream_query(
     spark: SparkSession, sf_dir: str, name: str, build
@@ -764,6 +771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_candidates": q_simhash_candidates,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_resize": q_multimodal_resize,
     "streaming_minute_counts": q_streaming_minute_counts,
     "streaming_session_rollup": q_streaming_session_rollup,
     "approx_sketches": q_approx_sketches,
@@ -1155,6 +1163,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, CAST(r.range * 30 AS INT) AS frame_idx
             FROM documents, range(5) r
             WHERE r.range < 1 + octet_length(CAST(text AS BLOB)) % 5
+        """,
+        "multimodal_resize": f"""
+            WITH s AS (
+                SELECT doc_id AS media_id, sha256(text) AS sha FROM documents
+            ), d AS (
+                SELECT media_id,
+                       1 + ({_sha_hex_byte(0)} % 64) AS h,
+                       1 + ({_sha_hex_byte(1)} % 64) AS w
+                FROM s
+            )
+            SELECT media_id,
+                   CAST(h AS INT) AS src_height, CAST(w AS INT) AS src_width,
+                   CAST(GREATEST(CASE WHEN GREATEST(h, w) > 32
+                        THEN (h * 32) // GREATEST(h, w) ELSE h END, 1) AS INT)
+                       AS height,
+                   CAST(GREATEST(CASE WHEN GREATEST(h, w) > 32
+                        THEN (w * 32) // GREATEST(h, w) ELSE w END, 1) AS INT)
+                       AS width
+            FROM d
         """,
         "rolling_fingerprint": """
             SELECT doc_id,

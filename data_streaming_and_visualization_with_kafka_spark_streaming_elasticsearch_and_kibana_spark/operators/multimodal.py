@@ -97,6 +97,44 @@ def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(_batches, IMAGE_FEATURES_DDL)
 
 
+def resize_plan(df: DataFrame, max_side: int = 32, fake: bool = True) -> DataFrame:
+    """Image resize *plan*: aspect-preserving downscale to `max_side`.
+
+    The real path would decode → resample → re-encode inside the Arrow
+    batch; the stub derives source dims with the fake decoder and
+    computes target dims with INTEGER arithmetic (h·max_side // max(h,w))
+    so the result is bit-exact reproducible in any engine. Fully
+    vectorized numpy inside mapInPandas."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "real image resize requires PIL/opencv — not in this container"
+            )
+        for pdf in it:
+            dims = pdf["content"].map(lambda b: _fake_decode(bytes(b or b"")))
+            h = dims.map(lambda t: t[0]).to_numpy(dtype="int64")
+            w = dims.map(lambda t: t[1]).to_numpy(dtype="int64")
+            longest = np.maximum(h, w)
+            scaleable = longest > max_side
+            out_h = np.where(scaleable, h * max_side // longest, h)
+            out_w = np.where(scaleable, w * max_side // longest, w)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_height": h.astype("int32"),
+                    "src_width": w.astype("int32"),
+                    "height": np.maximum(out_h, 1).astype("int32"),
+                    "width": np.maximum(out_w, 1).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        _batches,
+        "media_id long, src_height int, src_width int, height int, width int",
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: at scale, video bytes explode to
     frames inside mapInPandas (one video per batch row, frames emitted

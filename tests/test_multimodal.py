@@ -62,6 +62,24 @@ def test_frame_sample_explosion_counts(spark):
     assert sorted(by_media[2]) == [0, 10, 20]
 
 
+def test_resize_plan_aspect_preserving_integer_dims(spark):
+    blobs = [b"x", b"yy", b"zzz"]
+    out = {r.media_id: r for r in multimodal.resize_plan(
+        _media(spark, blobs), max_side=16
+    ).collect()}
+    for i, blob in enumerate(blobs):
+        h = hashlib.sha256(blob).digest()
+        sh, sw = 1 + h[0] % 64, 1 + h[1] % 64
+        r = out[i]
+        assert (r.src_height, r.src_width) == (sh, sw)
+        if max(sh, sw) > 16:
+            assert max(r.height, r.width) == 16
+            assert r.height == max(sh * 16 // max(sh, sw), 1)
+            assert r.width == max(sw * 16 // max(sh, sw), 1)
+        else:
+            assert (r.height, r.width) == (sh, sw)
+
+
 def test_attach_meta_byte_lengths(spark):
     df = multimodal.attach_meta(_media(spark, [b"12345", None]))
     got = {r.media_id: r.meta["bytes"] for r in df.collect()}
