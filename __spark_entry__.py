@@ -279,6 +279,18 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (rank-based → engine-
+    independent, unlike variance-family aggs whose float accumulation
+    order differs). The approx twin is q_approx_sketches."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _q(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        _q(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.max("value").alias("vmax"),
+    )
+
+
 def q_distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -747,6 +759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_event_per_user": q_latest_event_per_user,
     "rollup_accounts": q_rollup_accounts,
     "cube_status_priority": q_cube_status_priority,
+    "exact_percentiles": q_exact_percentiles,
     "distinct_user_counts": q_distinct_user_counts,
     "semi_join_active_customers": q_semi_join_active_customers,
     "anti_join_idle_customers": q_anti_join_idle_customers,
@@ -927,6 +940,13 @@ def oracle_sql() -> dict[str, str]:
                    {TOT} AS total
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "exact_percentiles": """
+            SELECT event_type,
+                   FLOOR(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000.0 AS p50,
+                   FLOOR(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000.0 AS p90,
+                   MAX(value) AS vmax
+            FROM events GROUP BY event_type
         """,
         "distinct_user_counts": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
