@@ -154,6 +154,18 @@ def salted_join(
 # ------------------------------------------------------------------ sampling
 def shuffled(df: DataFrame, seed: int = 42) -> DataFrame:
     """O1 (sample(frac=1), dataframe_to_kafka.py:58) — deterministic full
-    shuffle by seeded rand. At scale this is a full sort; prefer
-    per-partition shuffling if global order doesn't matter."""
+    shuffle by seeded rand. This is a GLOBAL sort: only use when a total
+    random order matters; `shuffled_within_partitions` is the scale path."""
     return df.orderBy(F.rand(seed))
+
+
+def shuffled_within_partitions(
+    df: DataFrame, seed: int = 42, num_partitions: int | None = None
+) -> DataFrame:
+    """Scalable randomization: scatter rows across partitions by a seeded
+    rand key (one hash shuffle, no global sort) and randomize order
+    inside each partition with a local sort. Sufficient for replay /
+    training-shard randomization, where inter-shard order is irrelevant."""
+    key = F.rand(seed)
+    parts = [num_partitions] if num_partitions else []
+    return df.repartition(*parts, key).sortWithinPartitions(F.rand(seed + 1))
