@@ -152,6 +152,27 @@ def q_multiway_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_part_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup over part ⋈ supplier ⋈ nation —
+    exercises the two otherwise-untouched dimension tables. Fact table
+    shuffles once per join key; all three dimensions broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_retailprice") > 950.0)
+    s = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(na), s.s_nationkey == na.n_nationkey)
+    )
+    margin = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("n_name", "p_brand").agg(
+        _cents_sum(margin, 10000, 2).alias("margin"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 def q_decode_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: from_json with explicit schema (spark_streaming_kafka.py:33)."""
     ev = _t(spark, sf_dir, "events")
@@ -747,6 +768,7 @@ def q_streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fusion_minute_avg": q_fusion_minute_avg,
     "multiway_join_revenue": q_multiway_join_revenue,
+    "supplier_part_margin": q_supplier_part_margin,
     "decode_json_props": q_decode_json_props,
     "delimited_roundtrip": q_delimited_roundtrip,
     "null_safe_projection": q_null_safe_projection,
@@ -835,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
     subs = {
         "{AVGV}": _sql_cents_avg("value"),
         "{REV}": _sql_cents_sum("l_extendedprice * (1 - l_discount)", 10000, 2),
+        "{MARGIN}": _sql_cents_sum("l_extendedprice * (1 - l_discount)", 10000, 2),
         "{BAL}": _sql_cents_sum("c_acctbal"),
         "{TOT}": _sql_cents_sum("o_totalprice"),
     }
@@ -859,6 +882,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN region   ON n_regionkey = r_regionkey
             WHERE o_orderstatus = 'F'
             GROUP BY r_name, n_name
+        """,
+        "supplier_part_margin": """
+            SELECT n_name, p_brand,
+                   {MARGIN} AS margin,
+                   SUM(CAST(l_quantity AS BIGINT)) AS qty,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_retailprice > 950.0
+            GROUP BY n_name, p_brand
         """,
         "decode_json_props": """
             SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
