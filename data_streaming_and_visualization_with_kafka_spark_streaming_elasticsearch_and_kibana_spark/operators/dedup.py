@@ -31,7 +31,6 @@ from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import (
     normalized_fingerprint,
-    shingles,
     shingles_from_words,
     split_words,
 )
