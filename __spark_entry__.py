@@ -569,6 +569,37 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_signatures_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature pipeline verified BIT-FOR-BIT against DuckDB:
+    md5 hash family (available in both engines), min taken over the hex
+    strings' lexicographic order — MinHash only needs a total order on
+    hash values. The production path (operators.dedup) swaps in seeded
+    xxhash64 for speed; this query pins the shingle→family→min pipeline
+    semantics under the differential gate. Output exploded to
+    (doc_id, family, mh) flat strings for robust comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", split_words("text").alias("__w"))
+    sh = words.select(
+        "doc_id", textf.shingles_from_words(F.col("__w"), 3).alias("sh")
+    )
+    families = F.sequence(F.lit(0), F.lit(3))
+    sigs = sh.select(
+        "doc_id",
+        F.transform(
+            families,
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.md5(F.concat(i.cast("string"), F.lit(" "), s)),
+                )
+            ),
+        ).alias("sig"),
+    )
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("family", "mh")
+    )
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via an IVF index (k-means coarse quantizer trained
     on a bounded sample, index partitioned by centroid id, probes prune
@@ -797,6 +828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "lang_id_confusion": q_lang_id_confusion,
     "exact_dedup_docs": q_exact_dedup_docs,
+    "minhash_signatures_verified": q_minhash_signatures_verified,
     "embedding_topk_cosine": q_embedding_topk_cosine,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
@@ -1159,6 +1191,27 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_id,
                    COUNT(*) AS dup_count
             FROM documents GROUP BY 1
+        """,
+        "minhash_signatures_verified": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS words
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) < 3
+                            THEN [array_to_string(words, ' ')]
+                            ELSE list_transform(
+                                generate_series(0, len(words) - 3),
+                                i -> array_to_string(
+                                    list_slice(words, i + 1, i + 3), ' '))
+                       END AS shingles
+                FROM w
+            ), f AS (SELECT doc_id, r.range AS family, shingles FROM sh, range(4) r)
+            SELECT doc_id, CAST(family AS INT) AS family,
+                   list_min(list_transform(shingles,
+                       s -> md5(family::VARCHAR || ' ' || s))) AS mh
+            FROM f
         """,
         "embedding_topk_cosine": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe
