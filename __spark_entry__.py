@@ -37,6 +37,7 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
     fusion,
     multimodal,
     relational,
+    sampling,
     similarity,
     temporal,
 )
@@ -795,6 +796,87 @@ def q_streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_event_stream_query(spark, sf_dir, "stream_session_mem", build)
 
 
+#: stratified split rates used by q_stratified_split / its oracle twin
+_SPLIT_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "tr": 0.25}
+
+
+def _split_oracle_sql() -> str:
+    """DuckDB twin of sampling.hash_split with _SPLIT_RATES: identical
+    md5-prefix bucket, identical per-language hex thresholds."""
+    arms = "\n".join(
+        f"WHEN lang = '{lang}' AND substring(md5('split:' || doc_id::VARCHAR),"
+        f" 1, 8) < '{sampling.rate_threshold(r)}' THEN 'train'"
+        for lang, r in sorted(_SPLIT_RATES.items())
+    )
+    return f"""
+        SELECT doc_id, lang,
+               CASE {arms} ELSE 'holdout' END AS split
+        FROM documents
+    """
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/holdout split: md5-keyed bucket per
+    doc, per-language keep rate. Reproducible across runs/engines/cluster
+    layouts — what rand()-based splits can't give a 100 TB pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.hash_split(
+        docs, "doc_id", _SPLIT_RATES, stratum_col="lang"
+    ).select("doc_id", "lang", "split")
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sharding for resumable materialization: stable shard id per
+    doc, aggregated to per-shard doc/char totals (balance check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.shard_assign(docs, "doc_id", 16)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: per language, cut the doc_id-ordered
+    token stream at 2048-token boundaries; per-bin doc and token totals."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", textf.whitespace_token_count("text")
+    )
+    packed = sampling.contiguous_pack(
+        docs, "n_tokens", 2048, "doc_id", partition_cols=("lang",)
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
+    )
+
+
+def q_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: parts priced into overlapping promo bands via
+    the bucketed broadcast equi-join rewrite (relational.band_join) —
+    no BroadcastNestedLoopJoin anywhere in the plan."""
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(name, float(lo), float(hi)) for name, lo, hi in _PRICE_BANDS],
+        "band string, lo double, hi double",
+    )
+    joined = relational.band_join(part, bands, "p_retailprice", step=25.0)
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_parts"),
+        _cents_avg("p_retailprice").alias("avg_price"),
+    )
+
+
+#: overlapping bands spanning the generator's 900-1000 retail-price range
+_PRICE_BANDS = [
+    ("budget", 900, 940),
+    ("mid", 930, 970),
+    ("premium", 960, 1000),
+]
+
+
 # --------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -839,6 +921,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
+    "stratified_split": q_stratified_split,
+    "shard_balance": q_shard_balance,
+    "pack_token_budget": q_pack_token_budget,
+    "price_band_join": q_price_band_join,
     "streaming_minute_counts": q_streaming_minute_counts,
     "streaming_session_rollup": q_streaming_session_rollup,
     "approx_sketches": q_approx_sketches,
@@ -1302,6 +1388,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    {_sql_cents_sum("value")} AS total_value
             FROM events GROUP BY event_type
+        """,
+        "stratified_split": _split_oracle_sql(),
+        "shard_balance": """
+            SELECT CAST(('0x' || substring(md5('shard:' || doc_id::VARCHAR),
+                         1, 8))::UBIGINT % 16 AS INT) AS shard,
+                   COUNT(*) AS n_docs,
+                   SUM(n_chars) AS total_chars
+            FROM documents GROUP BY 1
+        """,
+        "pack_token_budget": f"""
+            WITH t AS (
+                SELECT doc_id, lang, {_WS_TOKENS} AS n_tokens FROM documents
+            ), c AS (
+                SELECT lang, n_tokens,
+                       SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t
+            )
+            SELECT lang,
+                   CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+                   COUNT(*) AS n_docs,
+                   SUM(n_tokens) AS bin_tokens
+            FROM c GROUP BY 1, 2
+        """,
+        "price_band_join": f"""
+            SELECT band, COUNT(*) AS n_parts,
+                   {_sql_cents_avg("p_retailprice")} AS avg_price
+            FROM part
+            JOIN (VALUES {", ".join(f"('{n}', {lo}.0, {hi}.0)" for n, lo, hi in _PRICE_BANDS)})
+                 b(band, lo, hi)
+              ON p_retailprice >= lo AND p_retailprice < hi
+            GROUP BY band
         """,
         # rows-only (non-SQL-expressible / approximate):
         #   lsh_ann_topk, ivf_ann_topk, minhash_dedup_pairs,

@@ -151,6 +151,47 @@ def salted_join(
     return l.join(r, on + ["__salt"], how).drop("__salt")
 
 
+def band_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    step: float = 1.0,
+) -> DataFrame:
+    """Range (band) join — ``facts.value BETWEEN bands.lo AND bands.hi``
+    (lo inclusive, hi exclusive) — rewritten as a broadcast *equi*-join.
+
+    Spark has no native range-join operator: a raw non-equi predicate
+    compiles to BroadcastNestedLoopJoin, O(facts × bands) comparisons —
+    fatal at 100 TB. Instead, quantize the value space into fixed-width
+    buckets of ``step``: explode each band into the bucket ids it covers,
+    equi-join the fact's bucket against that (broadcast) exploded table,
+    then re-apply the exact range predicate as a residual filter. Each
+    fact row is compared against only the bands overlapping its bucket —
+    hash lookup, whole-stage codegen, no shuffle on the fact side.
+
+    ``step`` tunes replication: bands of width w explode into ~w/step
+    rows each; pick step ≈ median band width. Requires finite lo/hi.
+    """
+    v = F.col(value_col)
+    fact_b = facts.withColumn("__bucket", F.floor(v / step).cast("long"))
+    band_b = bands.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / step).cast("long"),
+                F.floor((F.col(hi_col) - 1e-9) / step).cast("long"),
+            )
+        ),
+    )
+    return (
+        fact_b.join(F.broadcast(band_b), "__bucket")
+        .filter((v >= F.col(lo_col)) & (v < F.col(hi_col)))
+        .drop("__bucket")
+    )
+
+
 # ------------------------------------------------------------------ sampling
 def shuffled(df: DataFrame, seed: int = 42) -> DataFrame:
     """O1 (sample(frac=1), dataframe_to_kafka.py:58) — deterministic full

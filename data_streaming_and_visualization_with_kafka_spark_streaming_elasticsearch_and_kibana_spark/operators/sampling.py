@@ -1,0 +1,111 @@
+"""Deterministic hash-based sampling, splitting, sharding and packing.
+
+Extension tier (no counterpart in the reference beyond the pandas
+``sample(frac=1)`` shuffle at ``dataframe_to_kafka.py:58``): a training-data
+pipeline at 100 TB needs *reproducible* subsets. ``rand()`` is useless there —
+it changes across retries, speculative duplicates, and partition layouts — so
+every operator here keys on a content hash instead:
+
+    bucket(key) = first 8 hex chars of md5(seed || ':' || key)
+
+which is uniform on [0, 16^8), stable across runs and engines, and cheap
+(one JVM-side md5 per row, no shuffle). Splits compare the hex prefix
+lexicographically against a precomputed threshold string, so the assignment
+is a pure narrow map — filter-pushdown-friendly and embarrassingly parallel.
+
+All operators are pure Column expressions (whole-stage codegen, no UDFs)
+and add exactly zero shuffles beyond any aggregation the caller asks for.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HEX_SPACE = 16 ** 8
+
+
+def hash_hex(key: Column, seed: str) -> Column:
+    """First 8 lowercase-hex chars of md5(seed:key) — a stable uniform bucket."""
+    return F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 8)
+
+
+def rate_threshold(rate: float) -> str:
+    """Hex string h such that P[hash_hex(k) < h] == rate (up to 1/16^8)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(min(int(rate * HEX_SPACE), HEX_SPACE - 1), "08x")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    rate: float | dict[str, float],
+    stratum_col: str | None = None,
+    seed: str = "split",
+    names: tuple[str, str] = ("train", "holdout"),
+) -> DataFrame:
+    """Deterministic train/holdout split keyed on md5(key).
+
+    ``rate`` may be a single fraction or, with ``stratum_col``, a
+    per-stratum dict (stratified split — e.g. keep 90% of English but
+    only 50% of a low-resource language). Rows hash to the same side on
+    every run, engine, and cluster size; no state, no shuffle.
+    """
+    h = hash_hex(F.col(key_col), seed)
+    if isinstance(rate, dict):
+        if stratum_col is None:
+            raise ValueError("per-stratum rates require stratum_col")
+        expr: Column = F.lit(names[1])
+        for stratum, r in sorted(rate.items()):
+            expr = F.when(
+                (F.col(stratum_col) == stratum) & (h < rate_threshold(r)),
+                names[0],
+            ).otherwise(expr)
+    else:
+        expr = F.when(h < rate_threshold(rate), names[0]).otherwise(names[1])
+    return df.withColumn("split", expr)
+
+
+def shard_assign(
+    df: DataFrame, key_col: str, n_shards: int, seed: str = "shard"
+) -> DataFrame:
+    """Stable output-shard id in [0, n_shards) from the key hash.
+
+    Use as the partition column of the final ``write.partitionBy`` so a
+    re-run lands every document in the same shard file — required for
+    resumable 100-TB materializations.
+    """
+    bucket = F.conv(hash_hex(F.col(key_col), seed), 16, 10).cast("long")
+    return df.withColumn("shard", (bucket % n_shards).cast("int"))
+
+
+def contiguous_pack(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str,
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Assign each row a pack ``bin`` by cutting the ordered stream of
+    token counts at multiples of ``budget`` (a document is binned where
+    its tokens *start*). This is the deterministic contiguous variant of
+    sequence packing for LLM pretraining: exact first-fit is inherently
+    sequential, but contiguous packing is a single window cumsum — one
+    shuffle on the partition keys, scale-free.
+
+    At 100 TB, partition on a bounded-cardinality key (language, source,
+    shard id) so each window partition fits an executor; the cumsum is
+    O(rows) per partition with no additional passes.
+    """
+    w = (
+        Window.partitionBy(*[F.col(c) for c in partition_cols])
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return df.withColumn(
+        "bin", F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long")
+    )

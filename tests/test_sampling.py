@@ -1,0 +1,111 @@
+"""Unit tests for deterministic sampling/splitting/packing (operators.sampling)
+and the bucketed range join (relational.band_join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+    relational,
+    sampling,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, "en" if i % 3 else "tr", 10 + i % 50) for i in range(600)],
+        "doc_id long, lang string, n_tokens int",
+    )
+
+
+def test_rate_threshold_bounds():
+    assert sampling.rate_threshold(0.0) == "00000000"
+    assert sampling.rate_threshold(1.0) == "ffffffff"
+    assert sampling.rate_threshold(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        sampling.rate_threshold(1.5)
+
+
+def test_hash_split_deterministic_and_calibrated(docs):
+    a = sampling.hash_split(docs, "doc_id", 0.8).collect()
+    b = sampling.hash_split(docs, "doc_id", 0.8).collect()
+    assert sorted((r.doc_id, r.split) for r in a) == sorted(
+        (r.doc_id, r.split) for r in b
+    )
+    frac = sum(r.split == "train" for r in a) / len(a)
+    assert 0.7 < frac < 0.9  # binomial(600, .8) within ~4 sigma
+
+
+def test_hash_split_stratified_rates(docs):
+    out = sampling.hash_split(
+        docs, "doc_id", {"en": 1.0, "tr": 0.0}, stratum_col="lang"
+    ).collect()
+    for r in out:
+        assert r.split == ("train" if r.lang == "en" else "holdout")
+
+
+def test_hash_split_seed_changes_assignment(docs):
+    a = {r.doc_id: r.split for r in sampling.hash_split(docs, "doc_id", 0.5).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(docs, "doc_id", 0.5, seed="other").collect()
+    }
+    assert a != b
+
+
+def test_shard_assign_stable_and_in_range(docs):
+    out = sampling.shard_assign(docs, "doc_id", 8).collect()
+    assert {r.shard for r in out} <= set(range(8))
+    counts = [sum(r.shard == s for r in out) for s in range(8)]
+    assert min(counts) > 0  # 600 keys over 8 shards: every shard hit
+
+
+def test_contiguous_pack_respects_budget_boundaries(docs):
+    packed = sampling.contiguous_pack(
+        docs, "n_tokens", 200, "doc_id", partition_cols=("lang",)
+    )
+    rows = packed.orderBy("lang", "doc_id").collect()
+    # bin = floor(tokens-before-this-doc / budget), per language
+    seen: dict[str, int] = {}
+    for r in rows:
+        before = seen.get(r.lang, 0)
+        assert r.bin == before // 200, (r.doc_id, r.lang, before)
+        seen[r.lang] = before + r.n_tokens
+
+
+def test_band_join_matches_nested_loop_semantics(spark):
+    facts = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    bands = spark.createDataFrame(
+        [("a", 0.0, 30.0), ("b", 25.0, 60.0), ("c", 59.5, 100.0)],
+        "band string, lo double, hi double",
+    )
+    got = {
+        (r.id, r.band)
+        for r in relational.band_join(facts, bands, "v", step=7.0).collect()
+    }
+    want = {
+        (r.id, r.band)
+        for r in facts.join(
+            bands, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_band_join_plan_has_no_nested_loop(spark):
+    facts = spark.range(100).select(F.col("id"), F.col("id").cast("double").alias("v"))
+    bands = spark.createDataFrame(
+        [("a", 0.0, 50.0)], "band string, lo double, hi double"
+    )
+    plan = (
+        relational.band_join(facts, bands, "v", step=10.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
