@@ -796,6 +796,26 @@ def q_streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_event_stream_query(spark, sf_dir, "stream_session_mem", build)
 
 
+def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 stream-static enrichment: the event stream joins a broadcast
+    static customer dimension per micro-batch (map-side, the unbounded
+    side never shuffles), then aggregates per market segment. Complete
+    mode → equals the batch left-join + group-by the oracle runs."""
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+
+    def build(stream):
+        enriched = streaming.stream_static_enrich(stream, dim, "user_id")
+        return enriched.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents("value")).alias("value_cents"),
+        )
+
+    return _run_event_stream_query(spark, sf_dir, "stream_enriched_mem", build)
+
+
 #: stratified split rates used by q_stratified_split / its oracle twin
 _SPLIT_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "tr": 0.25}
 
@@ -927,6 +947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_band_join": q_price_band_join,
     "streaming_minute_counts": q_streaming_minute_counts,
     "streaming_session_rollup": q_streaming_session_rollup,
+    "streaming_enriched_counts": q_streaming_enriched_counts,
     "approx_sketches": q_approx_sketches,
 }
 
@@ -1388,6 +1409,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    {_sql_cents_sum("value")} AS total_value
             FROM events GROUP BY event_type
+        """,
+        "streaming_enriched_counts": """
+            SELECT c.c_mktsegment,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS value_cents
+            FROM events e
+            LEFT JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
         "stratified_split": _split_oracle_sql(),
         "shard_balance": """

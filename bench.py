@@ -42,8 +42,12 @@ HEADLINE = [
     "minhash_dedup_pairs",
     "simhash_candidates",
     "multimodal_image_features",
+    "stratified_split",
+    "pack_token_budget",
+    "price_band_join",
     "streaming_minute_counts",
     "streaming_session_rollup",
+    "streaming_enriched_counts",
 ]
 
 
