@@ -719,6 +719,32 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_plan(media, max_side=32)
 
 
+def q_intersect_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops beyond the reference's union (SURVEY §2.7 notes no
+    intersect/except): purchasers who also hit errors, minus anyone who
+    signed up. Compiles to left-semi/left-anti hash joins over the
+    distinct key sets — one shuffle per leg, no sort."""
+    ev = _t(spark, sf_dir, "events")
+
+    def users(kind: str, min_value: float) -> DataFrame:
+        return ev.filter(
+            (F.col("event_type") == kind) & (F.col("value") > min_value)
+        ).select("user_id")
+
+    return (
+        users("purchase", 50.0)
+        .intersect(users("error", 45.0))
+        .subtract(users("signup", 100.0))
+    )
+
+
+def q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plan (fixed 10 s windows over sha-derived fake
+    durations — oracle-checkable end to end, one row per chunk)."""
+    media = _docs_as_media(spark, sf_dir)
+    return multimodal.audio_chunk_plan(media, chunk_ms=10_000)
+
+
 # --------------------------------------------------------------- streaming
 def _run_event_stream_query(
     spark: SparkSession, sf_dir: str, name: str, build
@@ -941,6 +967,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_audio_chunks": q_multimodal_audio_chunks,
+    "intersect_except_users": q_intersect_except_users,
     "stratified_split": q_stratified_split,
     "shard_balance": q_shard_balance,
     "pack_token_budget": q_pack_token_budget,
@@ -1397,6 +1425,32 @@ def oracle_sql() -> dict[str, str]:
                         THEN (w * 32) // GREATEST(h, w) ELSE w END, 1) AS INT)
                        AS width
             FROM d
+        """,
+        "intersect_except_users": """
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 50.0
+            INTERSECT
+            SELECT user_id FROM events
+            WHERE event_type = 'error' AND value > 45.0
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'signup' AND value > 100.0
+        """,
+        "multimodal_audio_chunks": f"""
+            WITH s AS (
+                SELECT doc_id AS media_id, sha256(text) AS sha FROM documents
+            ), d AS (
+                SELECT media_id,
+                       1000 + (({_sha_hex_byte(0)} * 256 + {_sha_hex_byte(1)})
+                               % 59000) AS dur
+                FROM s
+            )
+            SELECT media_id,
+                   CAST(r.range AS INT) AS chunk_idx,
+                   CAST(r.range * 10000 AS INT) AS start_ms,
+                   CAST(LEAST(r.range * 10000 + 10000, dur) AS INT) AS end_ms
+            FROM d, range(10) r
+            WHERE r.range * 10000 < dur
         """,
         "rolling_fingerprint": """
             SELECT doc_id,

@@ -135,6 +135,54 @@ def resize_plan(df: DataFrame, max_side: int = 32, fake: bool = True) -> DataFra
     )
 
 
+def audio_chunk_plan(
+    df: DataFrame, chunk_ms: int = 10_000, fake: bool = True
+) -> DataFrame:
+    """Audio chunking *plan*: split each clip into fixed-length windows
+    (the standard pre-step for ASR/feature extraction at scale — each
+    chunk becomes one unit of downstream work, so skewed clip lengths
+    can't create straggler tasks).
+
+    The real path would probe the container header for duration; the
+    stub derives a fake duration from sha256 bytes (1000 +
+    (b0·256 + b1) % 59000 ms) so chunk boundaries are bit-exact
+    reproducible. Row explosion is vectorized repeat/arange — no
+    per-row Python beyond the per-clip "decode"."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "real audio probing requires ffmpeg/librosa — not in this container"
+            )
+        for pdf in it:
+            sha = pdf["content"].map(
+                lambda b: hashlib.sha256(bytes(b or b"")).digest()
+            )
+            dur = sha.map(lambda d: 1000 + ((d[0] * 256 + d[1]) % 59000)).to_numpy(
+                dtype="int64"
+            )
+            n_chunks = -(-dur // chunk_ms)  # ceil div
+            total = int(n_chunks.sum())
+            starts = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+            idx = np.arange(total) - starts
+            start_ms = idx * chunk_ms
+            dur_rep = np.repeat(dur, n_chunks)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), n_chunks),
+                    "chunk_idx": idx.astype("int32"),
+                    "start_ms": start_ms.astype("int32"),
+                    "end_ms": np.minimum(start_ms + chunk_ms, dur_rep).astype(
+                        "int32"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(
+        _batches, "media_id long, chunk_idx int, start_ms int, end_ms int"
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: at scale, video bytes explode to
     frames inside mapInPandas (one video per batch row, frames emitted

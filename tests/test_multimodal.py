@@ -84,3 +84,20 @@ def test_attach_meta_byte_lengths(spark):
     df = multimodal.attach_meta(_media(spark, [b"12345", None]))
     got = {r.media_id: r.meta["bytes"] for r in df.collect()}
     assert got == {0: 5, 1: None}
+
+
+def test_audio_chunk_plan_covers_duration_exactly(spark):
+    blobs = [b"clip-a", b"clip-b", b"clip-c"]
+    out = multimodal.audio_chunk_plan(_media(spark, blobs), chunk_ms=10_000)
+    by_media = {}
+    for r in out.collect():
+        by_media.setdefault(r.media_id, []).append(r)
+    for i, blob in enumerate(blobs):
+        d = hashlib.sha256(blob).digest()
+        dur = 1000 + ((d[0] * 256 + d[1]) % 59000)
+        chunks = sorted(by_media[i], key=lambda r: r.chunk_idx)
+        assert len(chunks) == -(-dur // 10_000)
+        assert [c.start_ms for c in chunks] == [j * 10_000 for j in range(len(chunks))]
+        assert chunks[-1].end_ms == dur  # last chunk clipped to duration
+        for c in chunks[:-1]:
+            assert c.end_ms - c.start_ms == 10_000
