@@ -105,15 +105,36 @@ def build_lsh_index(
 def query_buckets(
     qvec: list[float], planes: np.ndarray, multiprobe: int = 0
 ) -> list[int]:
-    """Driver-side probe set: the query's bucket plus `multiprobe`
-    single-bit-flip neighbors (tiny fixed cost, no data pass)."""
+    """Driver-side probe set: the query's own bucket plus the
+    `multiprobe` best perturbed buckets, ranked multi-probe-LSH style
+    (Lv et al., VLDB 2007): a perturbation flips a SET of hash bits and
+    is scored by the summed |margin| of the flipped hyperplanes — a
+    near-zero margin means the neighbor likely sits on the other side of
+    that plane, so those flips are probed first. Tiny fixed driver cost
+    (enumerate flip sets up to size 3), no data pass."""
     q = np.asarray(qvec, dtype=np.float64)
-    signs = (planes @ q) > 0
+    proj = planes @ q
     qbucket = 0
-    for i, s in enumerate(signs):
+    for i, s in enumerate(proj > 0):
         if s:
             qbucket |= 1 << i
-    return [qbucket] + [qbucket ^ (1 << i) for i in range(multiprobe)]
+    if multiprobe <= 0:
+        return [qbucket]
+    from itertools import combinations
+
+    n = len(planes)
+    scored = sorted(
+        (sum(abs(proj[i]) for i in flips), flips)
+        for r in range(1, min(3, n) + 1)
+        for flips in combinations(range(n), r)
+    )
+    probes = [qbucket]
+    for _, flips in scored[:multiprobe]:
+        b = qbucket
+        for i in flips:
+            b ^= 1 << i
+        probes.append(b)
+    return probes
 
 
 def lsh_bucketed_topk(

@@ -109,3 +109,51 @@ def test_index_and_flyscan_agree(spark, tmp_dir):
         corpus, list(vecs[5]), planes, k=5, multiprobe=2
     ).collect()
     assert [(r.vec_id, r.cos_sim) for r in a] == [(r.vec_id, r.cos_sim) for r in b]
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """Recall@10 of the approximate paths against exact brute force on the
+    sf0.001 embeddings (64-dim, deterministic planes/centroid seeds).
+    Floors are empirical for these fixed seeds — a drop means an index
+    regression, not dataset noise."""
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qvecs = {
+        r.vec_id: r.embedding
+        for r in corpus.filter(F.col("vec_id") < 3).collect()
+    }
+    planes = similarity.make_planes(64, n_planes=6, seed=42)
+    cents = similarity.train_ivf_centroids(corpus, n_centroids=8, sample=512)
+
+    lsh_recalls, ivf_recalls = [], []
+    for qid, qv in qvecs.items():
+        exact = {
+            r.vec_id for r in similarity.brute_force_topk(corpus, qv, 10).collect()
+        }
+        lsh = {
+            r.vec_id
+            for r in similarity.lsh_bucketed_topk(
+                corpus, qv, planes, 10, multiprobe=15
+            ).collect()
+        }
+        cand = similarity.ivf_assign(corpus, cents)
+        import numpy as np
+
+        d = ((cents - np.asarray(qv)) ** 2).sum(axis=1)
+        probes = [int(i) for i in d.argsort()[:3]]
+        ivf = {
+            r.vec_id
+            for r in similarity.brute_force_topk(
+                cand.filter(F.col("cid").isin(probes)), qv, 10
+            ).collect()
+        }
+        lsh_recalls.append(len(exact & lsh) / 10)
+        ivf_recalls.append(len(exact & ivf) / 10)
+
+    # floors: measured 0.50 (LSH, 16/64 buckets probed) and IVF at 3/8
+    # centroids on these seeds; the synthetic embeddings are near-random
+    # so absolute recall is dataset-bound — the assertion pins regressions
+    assert sum(lsh_recalls) / len(lsh_recalls) >= 0.4, lsh_recalls
+    assert sum(ivf_recalls) / len(ivf_recalls) >= 0.5, ivf_recalls
