@@ -719,6 +719,40 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_plan(media, max_side=32)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking pass (emails + phone-like runs → placeholder tokens)
+    verified end-to-end: deterministic synthetic PII is appended to each
+    doc, masked with functions.text.mask_pii, and the masked text is
+    fingerprinted so the oracle must reproduce the exact output bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1 555 010 "),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    masked = textf.mask_pii(aug)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(textf.EMAIL_RE)).alias("n_emails"),
+        F.md5(masked).alias("masked_fp"),
+        masked.contains("@").cast("int").alias("residual_at"),
+    )
+
+
+def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining text normalization (lowercase, URL strip, whitespace
+    collapse) — output fingerprinted for bit-exact oracle comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = textf.normalize_text("text")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
 def q_intersect_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set ops beyond the reference's union (SURVEY §2.7 notes no
     intersect/except): purchasers who also hit errors, minus anyone who
@@ -846,6 +880,32 @@ def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "tr": 0.25}
 
 
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of q_pii_scrub — same append, same patterns, 'g' flag
+    to match Spark's replace-all semantics."""
+    email, phone = textf.EMAIL_RE, textf.PHONE_RE
+    return f"""
+        WITH a AS (
+            SELECT doc_id,
+                   text || ' contact u' || doc_id::VARCHAR
+                        || '@example.com or call +1 555 010 '
+                        || (1000 + doc_id % 9000)::VARCHAR AS aug
+            FROM documents
+        ), m AS (
+            SELECT doc_id, aug,
+                   regexp_replace(
+                       regexp_replace(aug, '{email}', '<EMAIL>', 'g'),
+                       '{phone}', '<PHONE>', 'g') AS masked
+            FROM a
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '{email}')) AS INT) AS n_emails,
+               md5(masked) AS masked_fp,
+               CAST(contains(masked, '@') AS INT) AS residual_at
+        FROM m
+    """
+
+
 def _split_oracle_sql() -> str:
     """DuckDB twin of sampling.hash_split with _SPLIT_RATES: identical
     md5-prefix bucket, identical per-language hex thresholds."""
@@ -969,6 +1029,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_audio_chunks": q_multimodal_audio_chunks,
     "intersect_except_users": q_intersect_except_users,
+    "pii_scrub": q_pii_scrub,
+    "normalize_docs": q_normalize_docs,
     "stratified_split": q_stratified_split,
     "shard_balance": q_shard_balance,
     "pack_token_budget": q_pack_token_budget,
@@ -1425,6 +1487,20 @@ def oracle_sql() -> dict[str, str]:
                         THEN (w * 32) // GREATEST(h, w) ELSE w END, 1) AS INT)
                        AS width
             FROM d
+        """,
+        "pii_scrub": _pii_oracle_sql(),
+        "normalize_docs": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                           regexp_replace(lower(text),
+                               'https?://[^\\s]+', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS norm
+                FROM documents
+            )
+            SELECT doc_id, md5(norm) AS norm_fp,
+                   CAST(length(norm) AS INT) AS norm_len
+            FROM n
         """,
         "intersect_except_users": """
             SELECT user_id FROM events

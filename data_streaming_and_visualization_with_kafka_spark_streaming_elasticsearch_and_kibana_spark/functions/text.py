@@ -154,3 +154,35 @@ def shingles(col: Column | str, k: int = 3) -> Column:
         ),
         1,
     )
+
+
+# ------------------------------------------------------------ normalization
+
+#: simple, engine-portable patterns (POSIX classes only — identical
+#: semantics in Spark's Java regex and DuckDB's RE2)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Pretraining text cleanup: lowercase, strip URLs, collapse runs of
+    whitespace, trim. Pure JVM expressions — runs inside whole-stage
+    codegen, no UDF; at 100 TB this is a narrow map over the scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_url = F.regexp_replace(F.lower(c), URL_RE, " ")
+    return F.trim(F.regexp_replace(no_url, r"\s+", " "))
+
+
+def mask_pii(
+    col: Column | str,
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> Column:
+    """Mask emails and phone-like digit runs with placeholder tokens —
+    the standard pre-release scrub pass for web-crawl corpora. Pattern
+    set is deliberately conservative (no lookarounds) so the same regex
+    runs identically JVM-side and in any RE2-based oracle engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    masked = F.regexp_replace(c, EMAIL_RE, email_token)
+    return F.regexp_replace(masked, PHONE_RE, phone_token)

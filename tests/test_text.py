@@ -67,3 +67,31 @@ def test_shingles_equivalent_to_words_form(spark):
         textf.shingles_from_words(textf.split_words("text"), 3).alias("s")
     ).collect()
     assert a == b
+
+
+def test_mask_pii_emails_and_phones(spark):
+    rows = [
+        (0, "write to alice.smith+spam@mail.example.co.uk today"),
+        (1, "call +1 (555) 010-1234 or 555-010-9999 now"),
+        (2, "no pii here at all"),
+        (3, "mixed: bob@x.io and +44 20 7946 0958 ok"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: r.m
+        for r in df.select("id", textf.mask_pii("t").alias("m")).collect()
+    }
+    assert got[0] == "write to <EMAIL> today"
+    assert "<PHONE>" in got[1] and "555" not in got[1]
+    assert got[2] == "no pii here at all"
+    assert "<EMAIL>" in got[3] and "<PHONE>" in got[3]
+    assert "bob@" not in got[3]
+
+
+def test_normalize_text_urls_case_whitespace(spark):
+    df = spark.createDataFrame(
+        [(0, "  See https://Example.com/A?b=1   NOW\t\tplease ")],
+        "id long, t string",
+    )
+    out = df.select(textf.normalize_text("t").alias("n")).head().n
+    assert out == "see now please"
