@@ -856,6 +856,25 @@ def q_streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_event_stream_query(spark, sf_dir, "stream_session_mem", build)
 
 
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 sliding windows (10-minute window, 5-minute slide): every event
+    lands in exactly two overlapping windows. Oracle: explode each event
+    to its two candidate window starts (5-minute grid, and that minus
+    5 minutes) and group — deterministic, engine-independent."""
+
+    def build(stream):
+        return (
+            stream.groupBy(
+                F.window("ts", "10 minutes", "5 minutes").alias("win"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("win_start"), "event_type", "n")
+        )
+
+    return _run_event_stream_query(spark, sf_dir, "stream_sliding_mem", build)
+
+
 def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 stream-static enrichment: the event stream joins a broadcast
     static customer dimension per micro-batch (map-side, the unbounded
@@ -1038,6 +1057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_minute_counts": q_streaming_minute_counts,
     "streaming_session_rollup": q_streaming_session_rollup,
     "streaming_enriched_counts": q_streaming_enriched_counts,
+    "streaming_sliding_counts": q_streaming_sliding_counts,
     "approx_sketches": q_approx_sketches,
 }
 
@@ -1539,6 +1559,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    {_sql_cents_sum("value")} AS total_value
             FROM events GROUP BY event_type
+        """,
+        "streaming_sliding_counts": """
+            WITH g AS (
+                SELECT event_type,
+                       CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS g5
+                FROM events
+            ), w AS (
+                SELECT event_type, to_timestamp(g5) AS win_start FROM g
+                UNION ALL
+                SELECT event_type, to_timestamp(g5 - 300) AS win_start FROM g
+            )
+            SELECT win_start, event_type, COUNT(*) AS n
+            FROM w GROUP BY 1, 2
         """,
         "streaming_enriched_counts": """
             SELECT c.c_mktsegment,
