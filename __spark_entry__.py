@@ -601,6 +601,41 @@ def q_minhash_signatures_verified(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded-LSH candidate MECHANISM under the differential gate:
+    an md5-family signature table (reproducible in DuckDB, unlike the
+    production xxhash64 family) is fed through the SAME production
+    banding/bucketing/self-join path (dedup.minhash_lsh_candidates via
+    sig_df). 4 hashes → 2 bands × 2 rows; the oracle self-joins on the
+    band slice strings directly, so the pair sets must agree exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", split_words("text").alias("__w"))
+    sh = words.select(
+        "doc_id", textf.shingles_from_words(F.col("__w"), 3).alias("sh")
+    )
+    families = F.sequence(F.lit(0), F.lit(3))
+    sig_df = sh.select(
+        "doc_id",
+        F.transform(
+            families,
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.md5(F.concat(i.cast("string"), F.lit(" "), s)),
+                )
+            ),
+        ).alias("sig"),
+    )
+    return dedup.minhash_lsh_candidates(
+        docs,
+        sig_df=sig_df,
+        num_hashes=4,
+        bands=2,
+        max_bucket_size=None,
+        with_est=False,
+    )
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via an IVF index (k-means coarse quantizer trained
     on a bounded sample, index partitioned by centroid id, probes prune
@@ -1036,6 +1071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_confusion": q_lang_id_confusion,
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_signatures_verified": q_minhash_signatures_verified,
+    "minhash_lsh_verified": q_minhash_lsh_verified,
     "embedding_topk_cosine": q_embedding_topk_cosine,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
@@ -1429,6 +1465,38 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(shingles,
                        s -> md5(family::VARCHAR || ' ' || s))) AS mh
             FROM f
+        """,
+        "minhash_lsh_verified": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS words
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) < 3
+                            THEN [array_to_string(words, ' ')]
+                            ELSE list_transform(
+                                generate_series(0, len(words) - 3),
+                                i -> array_to_string(
+                                    list_slice(words, i + 1, i + 3), ' '))
+                       END AS shingles
+                FROM w
+            ), s AS (
+                SELECT doc_id,
+                       list_transform([0, 1, 2, 3],
+                           i -> list_min(list_transform(shingles,
+                               x -> md5(i::VARCHAR || ' ' || x)))) AS sig
+                FROM sh
+            ), b AS (
+                SELECT doc_id, r.range AS band,
+                       sig[CAST(r.range * 2 + 1 AS INT)] || ',' ||
+                       sig[CAST(r.range * 2 + 2 AS INT)] AS bucket
+                FROM s, range(2) r
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+            FROM b a
+            JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                     AND a.doc_id < b2.doc_id
         """,
         "embedding_topk_cosine": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe
