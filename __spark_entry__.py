@@ -636,6 +636,22 @@ def q_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash bit-vote fold under the differential gate: 60-bit
+    md5-derived token hashes (15 hex chars — fits signed long in both
+    engines) drive the production simhash_from_hashes fold; DuckDB
+    recomputes the same majority votes bit by bit. Verifies the fold's
+    +1/-1 counting, tie handling, and mask assembly exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = split_words("text")
+    hashes = F.transform(
+        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    return docs.select(
+        "doc_id", dedup.simhash_from_hashes(hashes, 60).alias("simhash")
+    )
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via an IVF index (k-means coarse quantizer trained
     on a bounded sample, index partitioned by centroid id, probes prune
@@ -1072,6 +1088,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_signatures_verified": q_minhash_signatures_verified,
     "minhash_lsh_verified": q_minhash_lsh_verified,
+    "simhash_verified": q_simhash_verified,
     "embedding_topk_cosine": q_embedding_topk_cosine,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
@@ -1497,6 +1514,24 @@ def oracle_sql() -> dict[str, str]:
             FROM b a
             JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket
                      AND a.doc_id < b2.doc_id
+        """,
+        "simhash_verified": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           tok -> ('0x' || substring(md5(tok), 1, 15))::UBIGINT
+                       ) AS hashes
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(list_aggregate(
+                       list_transform(range(60), b -> CASE
+                           WHEN 2 * len(list_filter(hashes,
+                                    h -> (h >> b) & 1 = 1)) > len(hashes)
+                           THEN (1::UBIGINT << b) ELSE 0::UBIGINT END),
+                       'sum') AS BIGINT) AS simhash
+            FROM t
         """,
         "embedding_topk_cosine": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe

@@ -328,7 +328,8 @@ def dedup_keep_list(
 def _bit_masks(n_bits: int = 64) -> Column:
     """Literal array of the 64 single-bit long masks (bit 63 is the signed
     long min — Python `1 << 63` doesn't fit a signed literal)."""
-    vals = [(1 << b) if b < n_bits - 1 else -(1 << (n_bits - 1)) for b in range(n_bits)]
+    # only bit 63 overflows a signed long literal; every lower mask is +2^b
+    vals = [(1 << b) if b < 63 else -(1 << 63) for b in range(n_bits)]
     return F.array(*[F.lit(v).cast("long") for v in vals])
 
 
@@ -336,13 +337,25 @@ def simhash64(token_col: Column, n_bits: int = 64) -> Column:
     """64-bit SimHash of an array<string> token column — ONE pass.
 
     bit b of the signature = sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1).
-    A single `aggregate` folds every token hash into a 64-counter array
-    (zip_with against the literal bit-mask array), then one more
-    fixed-size fold ORs the positive-counter masks into the long. All
-    built-in expressions — O(tokens × 64) work total, vs. the naive
-    formulation's 64 independent aggregate passes over the token array.
+    See `simhash_from_hashes` for the fold itself; this binds the
+    production xxhash64 token-hash family.
     """
-    hashes = F.transform(token_col, lambda t: F.xxhash64(t))
+    return simhash_from_hashes(
+        F.transform(token_col, lambda t: F.xxhash64(t)), n_bits
+    )
+
+
+def simhash_from_hashes(hashes: Column, n_bits: int = 64) -> Column:
+    """SimHash fold over an already-hashed array<long> column.
+
+    A single `aggregate` folds every token hash into an n_bits-counter
+    array (zip_with against the literal bit-mask array), then one more
+    fixed-size fold ORs the positive-counter masks into the long. All
+    built-in expressions — O(tokens × n_bits) work total, vs. the naive
+    formulation's n_bits independent aggregate passes over the array.
+    Separated from `simhash64` so an engine-portable hash family (md5)
+    can drive the same fold under the differential oracle gate.
+    """
     masks = _bit_masks(n_bits)
     counts = F.aggregate(
         hashes,

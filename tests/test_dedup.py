@@ -136,3 +136,17 @@ def test_simhash_candidates_identical_docs_hamming_zero(spark):
         for r in dedup.simhash_candidates(_docs(spark)).collect()
     }
     assert out.get((4, 5)) == 0  # byte-identical docs
+
+
+def test_simhash_from_hashes_small_nbits_positive_masks(spark):
+    """Regression: _bit_masks(n) for n<64 must emit +2^(n-1) for the top
+    bit, not the negated 64-bit sentinel (caught by the md5 differential
+    twin — signatures came out negative for n_bits=60)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([([1, 1, 1],)], "h array<long>")
+    out = df.select(dedup.simhash_from_hashes(F.col("h"), 8).alias("s")).head().s
+    assert out == 1  # all tokens hash to 1 -> only bit 0 wins votes
+    df2 = spark.createDataFrame([([1 << 7, 1 << 7],)], "h array<long>")
+    out2 = df2.select(dedup.simhash_from_hashes(F.col("h"), 8).alias("s")).head().s
+    assert out2 == 1 << 7  # top bit of an 8-bit simhash is +128, not negative
