@@ -112,3 +112,25 @@ def test_shuffled_deterministic_per_seed(spark):
     a = [r.id for r in relational.shuffled(df, seed=1).collect()]
     b = [r.id for r in relational.shuffled(df, seed=1).collect()]
     assert a == b and sorted(a) == list(range(20))
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """approx_count_distinct (HLL, ~2.3% default rsd) and
+    percentile_approx must land near exact answers — the rows-only
+    driver check can't see values, so the bound lives here."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 37).alias("g"),
+        (F.col("id") % 4831).alias("u"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    got = df.groupBy((F.col("g") % 2).alias("grp")).agg(
+        F.approx_count_distinct("u").alias("au"),
+        F.countDistinct("u").alias("eu"),
+        F.percentile_approx("v", 0.5).alias("p50"),
+        F.expr("percentile(v, 0.5)").alias("e50"),
+    )
+    for r in got.collect():
+        assert abs(r.au - r.eu) / r.eu < 0.10, (r.au, r.eu)  # 2x default rsd
+        assert abs(r.p50 - r.e50) <= 10.0, (r.p50, r.e50)
