@@ -832,7 +832,7 @@ def q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- streaming
 def _run_event_stream_query(
-    spark: SparkSession, sf_dir: str, name: str, build
+    spark: SparkSession, sf_dir: str, name: str, build, output_mode: str = "complete"
 ) -> DataFrame:
     """Drive a streaming query over the events table as a file stream.
 
@@ -862,7 +862,7 @@ def _run_event_stream_query(
         batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         stream = readers.file_stream(spark, stage, batch_schema)
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        q = streaming.run_to_memory(build(stream), name, output_mode="complete")
+        q = streaming.run_to_memory(build(stream), name, output_mode=output_mode)
         q.stop()
         # memory sink holds the rows; the staging dir is no longer needed
         return spark.table(name)
@@ -905,6 +905,22 @@ def q_streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_event_stream_query(spark, sf_dir, "stream_session_mem", build)
+
+
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) under the oracle
+    gate: per-user EWMA (alpha=0.3, seeded with the first value) over the
+    event stream in update mode. The closed-form vectorized batch update
+    equals a sequential fold, which DuckDB reproduces with list_reduce
+    over the ts-ordered values; output floor-quantized to 1e-6."""
+
+    def build(stream):
+        return streaming.ewma_view(stream, "user_id", "ts", "value", alpha=0.3)
+
+    out = _run_event_stream_query(
+        spark, sf_dir, "stream_ewma_mem", build, output_mode="update"
+    )
+    return out.select("user_id", _q(F.col("ewma"), 6).alias("ewma"), "n_seen")
 
 
 def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,6 +1127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_session_rollup": q_streaming_session_rollup,
     "streaming_enriched_counts": q_streaming_enriched_counts,
     "streaming_sliding_counts": q_streaming_sliding_counts,
+    "streaming_ewma": q_streaming_ewma,
     "approx_sketches": q_approx_sketches,
 }
 
@@ -1662,6 +1679,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    {_sql_cents_sum("value")} AS total_value
             FROM events GROUP BY event_type
+        """,
+        "streaming_ewma": """
+            WITH l AS (
+                SELECT user_id,
+                       list(value ORDER BY ts, event_id) AS vs,
+                       COUNT(*) AS n_seen
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id,
+                   FLOOR(list_reduce(vs, (acc, x) -> 0.7 * acc + 0.3 * x)
+                         * 1000000 + 0.5) / 1000000.0 AS ewma,
+                   n_seen
+            FROM l
         """,
         "streaming_sliding_counts": """
             WITH g AS (
