@@ -907,6 +907,36 @@ def q_streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_event_stream_query(spark, sf_dir, "stream_session_mem", build)
 
 
+def q_dashboard_hourly_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kibana-equivalent panel compiler under the gate: a date_histogram
+    panel spec (hourly, split by event_type, avg+count metrics) compiles
+    through operators.dashboards.build_panel to a DataFrame plan."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        dashboards,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    panel = dashboards.build_panel(
+        ev,
+        {
+            "kind": "date_histogram",
+            "ts": "ts",
+            "interval": "hour",
+            "split": "event_type",
+            "metrics": {
+                "avg_value": _cents_avg("value").alias("avg_value"),
+                "n": F.count("*").alias("n"),
+            },
+        },
+    )
+    return panel.select(
+        F.col("bucket").alias("hour"),
+        "event_type",
+        F.col("avg_value").alias("avg_value"),
+        "n",
+    )
+
+
 def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) under the oracle
     gate: per-user EWMA (alpha=0.3, seeded with the first value) over the
@@ -1128,6 +1158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_enriched_counts": q_streaming_enriched_counts,
     "streaming_sliding_counts": q_streaming_sliding_counts,
     "streaming_ewma": q_streaming_ewma,
+    "dashboard_hourly_panel": q_dashboard_hourly_panel,
     "approx_sketches": q_approx_sketches,
 }
 
@@ -1679,6 +1710,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    {_sql_cents_sum("value")} AS total_value
             FROM events GROUP BY event_type
+        """,
+        "dashboard_hourly_panel": f"""
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   {_sql_cents_avg("value")} AS avg_value,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "streaming_ewma": """
             WITH l AS (
