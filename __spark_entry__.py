@@ -636,6 +636,23 @@ def q_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup at corpus scale: banded hyperplane-LSH
+    candidates (id-only self-join, capped buckets), exact-cosine verify
+    >= 0.4 (the synthetic embeddings' max pairwise cosine is ~0.51, so
+    the threshold sits where real pairs exist; 4 planes x 8 bands keeps
+    recall usable at that moderate similarity). Rows-only: the candidate
+    set depends on the seeded plane family; the exact-cosine verifier is
+    separately oracle-checked by embedding_cosine_pairs and the operator
+    by its planted-dup unit test."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.4, n_planes=4, bands=8
+    )
+
+
 def q_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SimHash bit-vote fold under the differential gate: 60-bit
     md5-derived token hashes (15 hex chars — fits signed long in both
@@ -1135,6 +1152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures_verified": q_minhash_signatures_verified,
     "minhash_lsh_verified": q_minhash_lsh_verified,
     "simhash_verified": q_simhash_verified,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_topk_cosine": q_embedding_topk_cosine,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,

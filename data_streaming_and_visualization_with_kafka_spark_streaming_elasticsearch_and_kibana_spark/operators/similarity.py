@@ -259,3 +259,79 @@ def ivf_topk_from_index(
     probes = [int(i) for i in d.argsort()[:nprobe]]
     idx = spark.read.parquet(index_path).filter(F.col("cid").isin(probes))
     return brute_force_topk(idx, qvec, k, id_col, vec_col)
+
+
+# ----------------------------------------------------- embedding near-dup
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at corpus scale.
+
+    Same shuffle discipline as the MinHash dedup path (dedup.py): `bands`
+    independent hyperplane sets each bucket the corpus; the per-band
+    self-join carries (band, bucket, id) ONLY; hot buckets are capped;
+    the deduped candidate id pairs re-attach vectors and keep exact
+    cosine >= threshold. A pair of vectors at cosine s collides in one
+    band with p = (1 - acos(s)/pi)^n_planes, so recall ~= 1-(1-p)^bands —
+    tune bands/n_planes to the dup similarity you must catch. All-pairs
+    cosine is O(n^2) and unrunnable at 100 TB; this is O(sum bucket^2)
+    with bounded buckets.
+    """
+    # all band buckets in ONE projection + explode — a single corpus scan,
+    # not one unioned scan per band
+    banded = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        hyperplane_bucket(
+                            F.col(vec_col), make_planes(dim, n_planes, seed + b)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    p = 10.0 ** 6
+    sim = F.floor(cosine(F.col("__va"), F.col("__vb")) * p + F.lit(0.5)) / F.lit(p)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

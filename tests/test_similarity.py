@@ -157,3 +157,32 @@ def test_ann_recall_vs_brute_force(spark):
     # so absolute recall is dataset-bound — the assertion pins regressions
     assert sum(lsh_recalls) / len(lsh_recalls) >= 0.4, lsh_recalls
     assert sum(ivf_recalls) / len(ivf_recalls) >= 0.5, ivf_recalls
+
+
+def test_embedding_near_dup_pairs_finds_planted_dups(spark):
+    """Plant 20 near-duplicate vector pairs (cos ~0.99) among decoys;
+    the banded-LSH near-dup operator must recover almost all of them
+    (p_bucket ~= 0.955^8 ~= 0.69/band -> recall ~0.99 with 4 bands) and
+    every returned pair must genuinely clear the cosine threshold."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(20, DIM * 4)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        dup = v + 0.02 * rng.randn(DIM * 4) * np.linalg.norm(v) / (DIM * 4) ** 0.5
+        rows.append((100 + i, [float(x) for x in dup]))
+    for j in range(40):  # decoys
+        rows.append((1000 + j, [float(x) for x in rng.randn(DIM * 4)]))
+    corpus = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    got = similarity.embedding_near_dup_pairs(
+        corpus, dim=DIM * 4, threshold=0.9, n_planes=8, bands=4
+    ).collect()
+    vec = {r[0]: np.asarray(r[1]) for r in rows}
+    for r in got:  # precision: exact cosine really clears the threshold
+        a, b = vec[r.id_a], vec[r.id_b]
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos >= 0.9 - 1e-6, (r.id_a, r.id_b, cos)
+    planted = {(i, 100 + i) for i in range(20)}
+    found = {(r.id_a, r.id_b) for r in got}
+    assert len(planted & found) >= 18, planted - found  # recall >= 0.9
