@@ -924,6 +924,23 @@ def q_streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_event_stream_query(spark, sf_dir, "stream_session_mem", build)
 
 
+def q_rolling_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window FRAME spec (§2.5 depth): per-user 5-row rolling
+    mean over time-ordered events — ROWS BETWEEN 4 PRECEDING AND CURRENT
+    ROW, cents-quantized for float parity."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        _q(F.avg(_cents("value")).over(w) / 100.0, 4).alias("roll_avg"),
+    )
+
+
 def q_dashboard_hourly_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kibana-equivalent panel compiler under the gate: a date_histogram
     panel spec (hourly, split by event_type, avg+count metrics) compiles
@@ -1177,6 +1194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sliding_counts": q_streaming_sliding_counts,
     "streaming_ewma": q_streaming_ewma,
     "dashboard_hourly_panel": q_dashboard_hourly_panel,
+    "rolling_avg_value": q_rolling_avg_value,
     "approx_sketches": q_approx_sketches,
 }
 
@@ -1728,6 +1746,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    {_sql_cents_sum("value")} AS total_value
             FROM events GROUP BY event_type
+        """,
+        "rolling_avg_value": f"""
+            SELECT event_id, user_id,
+                   {_sql_q(
+                       "AVG(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER ("
+                       "PARTITION BY user_id ORDER BY ts, event_id "
+                       "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0",
+                       4)} AS roll_avg
+            FROM events
         """,
         "dashboard_hourly_panel": f"""
             SELECT date_trunc('hour', ts) AS hour, event_type,
