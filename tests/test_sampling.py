@@ -109,3 +109,18 @@ def test_band_join_plan_has_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_rate_threshold_properties():
+    """Monotone, endpoint-exact, and 8-hex-char invariant for any rate."""
+    from hypothesis import given, strategies as st
+
+    @given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+    def check(r):
+        t = sampling.rate_threshold(r)
+        assert len(t) == 8 and all(c in "0123456789abcdef" for c in t)
+
+    check()
+    grid = [i / 100 for i in range(101)]
+    ts = [sampling.rate_threshold(r) for r in grid]
+    assert ts == sorted(ts)  # monotone in the rate
