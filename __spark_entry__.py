@@ -924,6 +924,31 @@ def q_streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_event_stream_query(spark, sf_dir, "stream_session_mem", build)
 
 
+def q_dashboard_terms_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other two panel kinds through the compiler: a terms panel
+    (top-4 event types by count) cross-joined with the single-row metric
+    panel (global totals) — both plans compiled from specs."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        dashboards,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    terms = dashboards.build_panel(
+        ev, {"kind": "terms", "key": "event_type", "k": 4}
+    )
+    metric = dashboards.build_panel(
+        ev,
+        {
+            "kind": "metric",
+            "metrics": {
+                "total_events": F.count("*").alias("total_events"),
+                "total_value": _cents_sum("value").alias("total_value"),
+            },
+        },
+    )
+    return terms.crossJoin(F.broadcast(metric))
+
+
 def q_rolling_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit window FRAME spec (§2.5 depth): per-user 5-row rolling
     mean over time-ordered events — ROWS BETWEEN 4 PRECEDING AND CURRENT
@@ -1195,6 +1220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_ewma": q_streaming_ewma,
     "dashboard_hourly_panel": q_dashboard_hourly_panel,
     "rolling_avg_value": q_rolling_avg_value,
+    "dashboard_terms_metric": q_dashboard_terms_metric,
     "approx_sketches": q_approx_sketches,
 }
 
@@ -1746,6 +1772,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    {_sql_cents_sum("value")} AS total_value
             FROM events GROUP BY event_type
+        """,
+        "dashboard_terms_metric": f"""
+            WITH t AS (
+                SELECT event_type, COUNT(*) AS doc_count
+                FROM events GROUP BY event_type
+                ORDER BY doc_count DESC, event_type ASC LIMIT 4
+            ), m AS (
+                SELECT COUNT(*) AS total_events,
+                       {_sql_cents_sum("value")} AS total_value
+                FROM events
+            )
+            SELECT * FROM t, m
         """,
         "rolling_avg_value": f"""
             SELECT event_id, user_id,
