@@ -949,6 +949,39 @@ def q_dashboard_terms_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.crossJoin(F.broadcast(metric))
 
 
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): exact subtotal
+    combinations (type), (user), () — via Spark SQL, same text DuckDB
+    runs. Grouping-null keys folded to sentinel strings so the hash
+    compare is null-order-proof."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ev_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, '<all>') AS event_type,
+               COALESCE(CAST(user_id AS STRING), '<all>') AS user_id,
+               COUNT(*) AS n
+        FROM __ev_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """
+    )
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match tier (entity resolution): Levenshtein distance between
+    consecutive docs' 200-char prefixes — bounded cost per pair, exact
+    dynamic-programming distance, identical semantics in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 200).alias("t")
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return pairs.select(
+        "id_a", "id_b", F.levenshtein("ta", "tb").alias("edit_dist")
+    )
+
+
 def q_rolling_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit window FRAME spec (§2.5 depth): per-user 5-row rolling
     mean over time-ordered events — ROWS BETWEEN 4 PRECEDING AND CURRENT
@@ -1221,6 +1254,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dashboard_hourly_panel": q_dashboard_hourly_panel,
     "rolling_avg_value": q_rolling_avg_value,
     "dashboard_terms_metric": q_dashboard_terms_metric,
+    "grouping_sets_events": q_grouping_sets_events,
+    "edit_distance_pairs": q_edit_distance_pairs,
     "approx_sketches": q_approx_sketches,
 }
 
@@ -1772,6 +1807,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    {_sql_cents_sum("value")} AS total_value
             FROM events GROUP BY event_type
+        """,
+        "grouping_sets_events": """
+            SELECT COALESCE(event_type, '<all>') AS event_type,
+                   COALESCE(CAST(user_id AS VARCHAR), '<all>') AS user_id,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """,
+        "edit_distance_pairs": """
+            WITH d AS (
+                SELECT doc_id, substring(text, 1, 200) AS t FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.t, b.t) AS INT) AS edit_dist
+            FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         """,
         "dashboard_terms_metric": f"""
             WITH t AS (
