@@ -872,9 +872,16 @@ def _run_event_stream_query(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    # stateful streaming allocates one state-store partition per shuffle
+    # partition, fixed at query start — a vanilla session's default of 200
+    # pays 200 store inits per stateful op. Scope a sane count to this
+    # query and restore the caller's setting after.
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
     # file source wants a directory — stage a symlink dir over the table file
     stage = tempfile.mkdtemp(prefix="stream_events_")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
         os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
         batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         stream = readers.file_stream(spark, stage, batch_schema)
@@ -884,6 +891,7 @@ def _run_event_stream_query(
         # memory sink holds the rows; the staging dir is no longer needed
         return spark.table(name)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
         shutil.rmtree(stage, ignore_errors=True)
 
 
@@ -1191,6 +1199,125 @@ _PRICE_BANDS = [
 ]
 
 
+def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the canonical scan-heavy streaming agg.
+
+    One pass over lineitem, filter pushed to the parquet scan, all eight
+    aggregates computed map-side-partial in a single hash aggregate
+    (verify with .explain: one Scan → partial HashAggregate → exchange on
+    the 4-value grouping key → final HashAggregate). Money columns are
+    quantized to integer ticks before SUM so partial-aggregation order
+    can't perturb the float result (l_extendedprice*(1-l_discount) has 4
+    decimal digits → scale 1e4; the triple-product charge has 6 → 1e6).
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _cents_sum("l_quantity", 1, 0).alias("sum_qty"),
+            _cents_sum("l_extendedprice", 100, 2).alias("sum_base_price"),
+            _cents_sum(disc_price, 10000, 2).alias("sum_disc_price"),
+            _cents_sum(charge, 1000000, 2).alias("sum_charge"),
+            _cents_avg("l_quantity", 1, 4).alias("avg_qty"),
+            _cents_avg("l_extendedprice", 100, 4).alias("avg_price"),
+            _cents_avg("l_discount", 100, 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_correlated_subquery_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery, by brand.
+
+    Expressed as SQL so Catalyst's subquery decorrelation does the
+    rewrite (scalar subquery over the correlated l_partkey → aggregate +
+    join, visible in .explain as a left outer join on the per-part avg).
+    Exercises the engine's ability to take textual ANSI SQL — not just
+    DataFrame calls — through the same oracle gate.
+    """
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__q17_li")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__q17_part")
+    # correlated predicate in SQL (Catalyst decorrelates it); the money
+    # aggregate via the Column-side quantize helpers — numeric literals in
+    # Spark SQL text are DECIMAL, and decimal division diverges from the
+    # double math the oracle runs
+    filtered = spark.sql(
+        """
+        SELECT p.p_brand, l.l_extendedprice
+        FROM __q17_li l JOIN __q17_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity)
+            FROM __q17_li l2 WHERE l2.l_partkey = l.l_partkey
+        )
+        """
+    )
+    return filtered.groupBy("p_brand").agg(
+        _cents_sum("l_extendedprice").alias("below_avg_revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (the hardest Structured Streaming join
+    tier): purchases joined to same-user clicks in the preceding 30
+    minutes, both sides watermarked so join state is bounded — at scale
+    the watermark is what keeps 100 TB of history out of the state store.
+    Inner interval joins emit eagerly per micro-batch, so a bounded
+    replay equals the batch self-join the oracle runs.
+    """
+
+    def build(stream):
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        joined = purchases.withWatermark("p_ts", "2 hours").join(
+            clicks.withWatermark("c_ts", "2 hours"),
+            F.expr(
+                "p_user = c_user AND "
+                "c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"
+            ),
+        )
+        return joined.select(
+            "purchase_id", "click_id", F.col("p_user").alias("user_id")
+        )
+
+    return _run_event_stream_query(
+        spark, sf_dir, "stream_interval_join_mem", build, output_mode="append"
+    )
+
+
+def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: watermarked dropDuplicates on a business
+    key — the streaming twin of exact_dedup_docs. The watermark bounds
+    dedup state (keys older than the horizon are evicted), which is the
+    only way streaming dedup survives unbounded input. Projecting the
+    key columns afterward makes the result order-independent: exactly
+    the DISTINCT key set, whichever physical row won.
+    """
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", "24 hours")
+            .dropDuplicates(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+
+    return _run_event_stream_query(
+        spark, sf_dir, "stream_dedup_mem", build, output_mode="append"
+    )
+
+
 # --------------------------------------------------------------------------
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -1256,6 +1383,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dashboard_terms_metric": q_dashboard_terms_metric,
     "grouping_sets_events": q_grouping_sets_events,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+    "correlated_subquery_q17": q_correlated_subquery_q17,
+    "streaming_interval_join": q_streaming_interval_join,
+    "streaming_dedup_keys": q_streaming_dedup_keys,
     "approx_sketches": q_approx_sketches,
 }
 
@@ -1822,6 +1953,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(levenshtein(a.t, b.t) AS INT) AS edit_dist
             FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        """,
+        "tpch_q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_sql_cents_sum("l_quantity", 1, 0)} AS sum_qty,
+                   {_sql_cents_sum("l_extendedprice", 100, 2)} AS sum_base_price,
+                   {_sql_cents_sum("l_extendedprice * (1 - l_discount)", 10000, 2)} AS sum_disc_price,
+                   {_sql_cents_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1000000, 2)} AS sum_charge,
+                   {_sql_cents_avg("l_quantity", 1, 4)} AS avg_qty,
+                   {_sql_cents_avg("l_extendedprice", 100, 4)} AS avg_price,
+                   {_sql_cents_avg("l_discount", 100, 4)} AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "correlated_subquery_q17": f"""
+            SELECT p.p_brand,
+                   {_sql_cents_sum("l.l_extendedprice")} AS below_avg_revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_quantity < (
+                SELECT 0.2 * AVG(l2.l_quantity)
+                FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+            )
+            GROUP BY p.p_brand
+        """,
+        "streaming_interval_join": """
+            SELECT e.event_id AS purchase_id, c.event_id AS click_id,
+                   e.user_id AS user_id
+            FROM events e JOIN events c
+              ON e.user_id = c.user_id
+             AND e.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts BETWEEN e.ts - INTERVAL 30 MINUTE AND e.ts
+        """,
+        "streaming_dedup_keys": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "dashboard_terms_metric": f"""
             WITH t AS (

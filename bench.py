@@ -27,6 +27,8 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
 
 HEADLINE = [
     "fusion_minute_avg",
+    "tpch_q1_pricing_summary",
+    "correlated_subquery_q17",
     "multiway_join_revenue",
     "decode_json_props",
     "delimited_roundtrip",

@@ -57,3 +57,33 @@ def test_null_safe_projection_pushes_isnotnull(spark):
     plan = explain.formatted_plan(df)
     pushed = plan.split("PushedFilters")[1][:300]
     assert "IsNotNull" in pushed and "GreaterThan" in pushed
+
+
+def test_tpch_q1_single_exchange_partial_agg(spark):
+    """Q1 must be scan -> partial HashAggregate -> one exchange on the
+    grouping key -> final HashAggregate; the shipdate filter pushed to
+    the scan. More exchanges would mean the map-side combine was lost."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = entrymod.q_tpch_q1_pricing_summary(spark, SF)
+        plan = explain.formatted_plan(df)
+        # the tree section (before the per-node details) lists each
+        # physical node exactly once
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Exchange") == 1
+        assert tree.count("HashAggregate") == 2
+        pushed = plan.split("PushedFilters")[1][:200]
+        assert "l_shipdate" in pushed
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    """Catalyst must rewrite the scalar subquery into an aggregate+join
+    (no per-row subquery execution): the physical plan contains the
+    per-partkey aggregate and no Subquery node in the main query path."""
+    df = entrymod.q_correlated_subquery_q17(spark, SF)
+    plan = explain.formatted_plan(df)
+    assert "avg(l_quantity)" in plan or "avg(l2.l_quantity)" in plan.lower()
+    out = df.limit(1).collect()
+    assert len(out) == 1
