@@ -1199,6 +1199,58 @@ _PRICE_BANDS = [
 ]
 
 
+def q_repetition_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: per-doc repeated-trigram
+    fraction. Shingles projected once, counts + ratio derived from the
+    same array column — single narrow map over the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", textf.shingles("text", 3).alias("sh"))
+    return d.select(
+        "doc_id",
+        F.size("sh").alias("n_shingles"),
+        F.size(F.array_distinct("sh")).alias("n_distinct"),
+        _q(
+            F.lit(1.0) - F.size(F.array_distinct("sh")) / F.size("sh"), 6
+        ).alias("rep_ratio"),
+    )
+
+
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 50 == 0 stand in for
+    a held-out eval set; count each training doc's distinct trigrams
+    that collide with any benchmark trigram. Benchmark gram set is
+    broadcast — the corpus side never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.contamination_hits(docs, (F.col("doc_id") % 50) == 0)
+
+
+def q_corpus_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining corpus filter: token-count band, quality
+    floor, repetition ceiling — one predicate chain, all pure JVM
+    expressions, evaluated in a single codegen stage over the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        textf.whitespace_token_count("text").alias("n_tokens"),
+        textf.quality_score("text").alias("q_raw"),
+        textf.repetition_ratio("text", 3).alias("r_raw"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 10000)
+        & (F.col("q_raw") >= 0.9)
+        & (F.col("r_raw") <= 0.05)
+    )
+    return kept.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        _q(F.col("q_raw"), 6).alias("quality"),
+        _q(F.col("r_raw"), 6).alias("rep_ratio"),
+    )
+
+
 def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary — the canonical scan-heavy streaming agg.
 
@@ -1383,6 +1435,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dashboard_terms_metric": q_dashboard_terms_metric,
     "grouping_sets_events": q_grouping_sets_events,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "repetition_ratio_docs": q_repetition_ratio_docs,
+    "ngram_contamination": q_ngram_contamination,
+    "corpus_filter_chain": q_corpus_filter_chain,
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
     "correlated_subquery_q17": q_correlated_subquery_q17,
     "streaming_interval_join": q_streaming_interval_join,
@@ -1953,6 +2008,108 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(levenshtein(a.t, b.t) AS INT) AS edit_dist
             FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        """,
+        "repetition_ratio_docs": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS words
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) < 3
+                            THEN [array_to_string(words, ' ')]
+                            ELSE list_transform(
+                                generate_series(0, len(words) - 3),
+                                i -> array_to_string(
+                                    list_slice(words, i + 1, i + 3), ' '))
+                       END AS shingles
+                FROM w
+            )
+            SELECT doc_id,
+                   len(shingles) AS n_shingles,
+                   len(list_distinct(shingles)) AS n_distinct,
+                   FLOOR((1 - len(list_distinct(shingles))
+                              / CAST(len(shingles) AS DOUBLE)) * 1000000
+                         + 0.5) / 1000000.0 AS rep_ratio
+            FROM sh
+        """,
+        "ngram_contamination": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS words
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) < 3
+                            THEN [array_to_string(words, ' ')]
+                            ELSE list_transform(
+                                generate_series(0, len(words) - 3),
+                                i -> array_to_string(
+                                    list_slice(words, i + 1, i + 3), ' '))
+                       END AS shingles
+                FROM w
+            ), ex AS (
+                SELECT doc_id, unnest(list_distinct(shingles)) AS gram FROM sh
+            ), bench AS (
+                SELECT DISTINCT gram FROM ex WHERE doc_id % 50 = 0
+            )
+            SELECT t.doc_id, COUNT(*) AS n_hits
+            FROM (SELECT * FROM ex WHERE doc_id % 50 != 0) t
+            JOIN bench b USING (gram)
+            GROUP BY t.doc_id
+        """,
+        "corpus_filter_chain": r"""
+            WITH w AS (
+                SELECT doc_id, lang, text,
+                       string_split_regex(lower(trim(text)), '\s+') AS words
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, lang, text,
+                       CASE WHEN len(words) < 3
+                            THEN [array_to_string(words, ' ')]
+                            ELSE list_transform(
+                                generate_series(0, len(words) - 3),
+                                i -> array_to_string(
+                                    list_slice(words, i + 1, i + 3), ' '))
+                       END AS shingles
+                FROM w
+            ), m AS (
+                SELECT doc_id, lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS n_tokens,
+                       length(text) AS nc,
+                       len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct,
+                       length(regexp_replace(text, '\s+', '', 'g')) AS nc_nospace,
+                       1 - len(list_distinct(shingles))
+                           / CAST(len(shingles) AS DOUBLE) AS rep
+                FROM sh
+            ), r AS (
+                SELECT doc_id, lang, n_tokens, rep,
+                       LEAST(nc / 200.0, 1.0) AS len_score,
+                       LEAST((CASE WHEN nc = 0 THEN 0.0
+                                   ELSE CAST(npunct AS DOUBLE) / nc END) * 2.0,
+                             1.0) AS noise_penalty,
+                       CASE WHEN n_tokens = 0 THEN 0.0
+                            ELSE CAST(nc_nospace AS DOUBLE) / n_tokens END AS wl
+                FROM m
+            ), q AS (
+                -- quality_score() floor-quantizes internally, so the
+                -- filter compares the quantized value on both engines
+                SELECT doc_id, lang, n_tokens, rep,
+                       FLOOR((len_score * 0.5
+                              + (CASE WHEN wl >= 3.0 AND wl <= 8.0
+                                      THEN 1.0 ELSE 0.5 END) * 0.3
+                              + (1.0 - noise_penalty) * 0.2) * 1000000
+                             + 0.5) / 1000000.0 AS quality
+                FROM r
+            )
+            SELECT doc_id, lang, n_tokens,
+                   FLOOR(quality * 1000000 + 0.5) / 1000000.0 AS quality,
+                   FLOOR(rep * 1000000 + 0.5) / 1000000.0 AS rep_ratio
+            FROM q
+            WHERE n_tokens >= 20 AND n_tokens <= 10000
+              AND quality >= 0.9 AND rep <= 0.05
         """,
         "tpch_q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,

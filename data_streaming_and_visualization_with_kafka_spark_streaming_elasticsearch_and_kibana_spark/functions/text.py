@@ -186,3 +186,13 @@ def mask_pii(
     c = F.col(col) if isinstance(col, str) else col
     masked = F.regexp_replace(c, EMAIL_RE, email_token)
     return F.regexp_replace(masked, PHONE_RE, phone_token)
+
+
+def repetition_ratio(col: Column | str, k: int = 3) -> Column:
+    """Gopher-style repeated-k-gram fraction: 1 - distinct/total word
+    k-shingles. High values flag boilerplate / TV-static documents that
+    quality filters drop before pretraining. Pure array expressions over
+    the one-pass shingle builder — whole-stage codegen, no shuffle, no
+    UDF; at corpus scale this is a narrow map over the scan."""
+    sh = shingles(col, k)
+    return F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh)

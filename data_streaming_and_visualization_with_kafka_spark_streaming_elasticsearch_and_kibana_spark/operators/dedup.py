@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import (
+    shingles,
     normalized_fingerprint,
     shingles_from_words,
     split_words,
@@ -452,4 +453,34 @@ def simhash_candidates(
         pairs.join(sig_a, "id_a")
         .join(sig_b, "id_b")
         .select("id_a", "id_b", F.bit_count(xor).alias("hamming"))
+    )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    is_benchmark: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its
+    distinct word k-grams also appear in any benchmark document.
+
+    The benchmark n-gram set is tiny relative to the corpus (eval sets
+    are KBs, corpora are TBs), so it is broadcast — the training side
+    never shuffles: scan → shingle → explode → broadcast-hash semi
+    lookup → partial-aggregated count per doc. Shingling reuses the
+    one-pass builder from functions.text (no O(words²) blowup).
+    """
+    grams = docs.select(
+        id_col,
+        is_benchmark.alias("__bench"),
+        F.explode(F.array_distinct(shingles(F.col(text_col)))).alias("gram"),
+    )
+    bench = grams.filter(F.col("__bench")).select("gram").distinct()
+    train = grams.filter(~F.col("__bench"))
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
     )

@@ -47,3 +47,27 @@ def asof_join(
     for c in right_cols:
         out = out.withColumn(f"{c}{rsuffix}", F.col(f"__match.{c}"))
     return out.drop("__match")
+
+
+def scd2_ranges(
+    df,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    order_tiebreak: list[str] | None = None,
+):
+    """Slowly-changing-dimension (type 2) history build: per key, turn a
+    change log into validity intervals [valid_from, valid_to), open-ended
+    (null valid_to) for the current version.
+
+    One window over (key, ts) — a single shuffle on the key, same cost
+    profile as any per-key window at scale; the interval assembly is a
+    LEAD, no self-join (the naive range build joins the log to itself).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return df.withColumn("valid_from", F.col(ts_col)).withColumn(
+        "valid_to", F.lead(ts_col).over(w)
+    )

@@ -150,3 +150,43 @@ def test_simhash_from_hashes_small_nbits_positive_masks(spark):
     df2 = spark.createDataFrame([([1 << 7, 1 << 7],)], "h array<long>")
     out2 = df2.select(dedup.simhash_from_hashes(F.col("h"), 8).alias("s")).head().s
     assert out2 == 1 << 7  # top bit of an 8-bit simhash is +128, not negative
+
+
+def test_contamination_hits_counts_shared_trigrams(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),        # benchmark (id % 2 == 0)
+            (1, "the quick brown fox sleeps"),       # shares 2 trigrams w/ 0
+            (3, "completely different words here"),  # shares none
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.n_hits
+        for r in dedup.contamination_hits(
+            docs, (F.col("doc_id") % 2) == 0
+        ).collect()
+    }
+    # doc 1's distinct trigrams: {the quick brown, quick brown fox,
+    # brown fox sleeps} — first two appear in benchmark doc 0
+    assert out == {1: 2}
+
+
+def test_repetition_ratio_flags_repeated_trigrams(spark):
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions import (
+        text as textf,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "all words here are distinct tokens"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.r
+        for r in docs.select(
+            "doc_id", textf.repetition_ratio("text").alias("r")
+        ).collect()
+    }
+    assert out[1] == 0.5  # ["a a a","a a a"] -> 1 distinct of 2
+    assert out[2] == 0.0
+    assert out[3] == 0.0  # short doc -> single whole-text shingle
