@@ -1199,6 +1199,99 @@ _PRICE_BANDS = [
 ]
 
 
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each user's purchase log becomes
+    validity intervals [valid_from, valid_to), open-ended for the
+    current version — one LEAD window per key, no self-join."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        temporal,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
+    hist = temporal.scd2_ranges(
+        ev, ["user_id"], ts_col="ts", order_tiebreak=["event_id"]
+    )
+    return hist.select(
+        "user_id", "event_id", "valid_from", "valid_to",
+        F.col("valid_to").isNull().cast("int").alias("is_current"),
+    )
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel with per-stage time bounds: first view → first
+    click within 24h of it → first purchase within 24h of that. Three
+    keyed aggregations, each joined back on user_id — at scale each
+    stage is one shuffle on the funnel key, and stages shrink
+    monotonically so later joins are cheap (and broadcast-eligible)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.expr("INTERVAL 24 HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("first_view"))
+            & (F.col("ts") <= F.col("first_view") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("first_click"))
+            & (F.col("ts") <= F.col("first_click") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "first_view", "first_click", "first_purchase")
+    )
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customers bucketed by how many orders they have,
+    including zero (left outer join preserved through two aggregation
+    levels)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram over events.value (width 50, last
+    bucket open): bucket assignment is a pure projection, then one
+    aggregation — the classic dashboard histogram without a distinct
+    pass or a sort."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("long")
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            _cents_sum("value").alias("total_value"),
+        )
+    )
+
+
 def q_repetition_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signal: per-doc repeated-trigram
     fraction. Shingles projected once, counts + ratio derived from the
@@ -1435,6 +1528,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dashboard_terms_metric": q_dashboard_terms_metric,
     "grouping_sets_events": q_grouping_sets_events,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "scd2_user_history": q_scd2_user_history,
+    "funnel_conversion": q_funnel_conversion,
+    "order_count_distribution": q_order_count_distribution,
+    "value_histogram": q_value_histogram,
     "repetition_ratio_docs": q_repetition_ratio_docs,
     "ngram_contamination": q_ngram_contamination,
     "corpus_filter_chain": q_corpus_filter_chain,
@@ -2008,6 +2105,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(levenshtein(a.t, b.t) AS INT) AS edit_dist
             FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        """,
+        "scd2_user_history": """
+            SELECT user_id, event_id,
+                   ts AS valid_from,
+                   LEAD(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS valid_to,
+                   CAST(LEAD(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) IS NULL AS INT) AS is_current
+            FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        """,
+        "funnel_conversion": """
+            WITH v AS (
+                SELECT user_id, MIN(ts) AS first_view
+                FROM events
+                WHERE event_type = 'view' AND user_id IS NOT NULL
+                GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, MIN(e.ts) AS first_click
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click'
+                  AND e.ts >= v.first_view
+                  AND e.ts <= v.first_view + INTERVAL 24 HOUR
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, MIN(e.ts) AS first_purchase
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase'
+                  AND e.ts >= c.first_click
+                  AND e.ts <= c.first_click + INTERVAL 24 HOUR
+                GROUP BY e.user_id
+            )
+            SELECT v.user_id, v.first_view, c.first_click, p.first_purchase
+            FROM v
+            LEFT JOIN c ON v.user_id = c.user_id
+            LEFT JOIN p ON v.user_id = p.user_id
+        """,
+        "order_count_distribution": """
+            SELECT c_count, COUNT(*) AS n_customers
+            FROM (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "value_histogram": f"""
+            SELECT CAST(LEAST(FLOOR(value / 50.0), 9) AS BIGINT) AS bucket,
+                   COUNT(*) AS n,
+                   {_sql_cents_sum("value")} AS total_value
+            FROM events
+            GROUP BY 1
         """,
         "repetition_ratio_docs": r"""
             WITH w AS (

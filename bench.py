@@ -38,6 +38,8 @@ HEADLINE = [
     "latest_event_per_user",
     "sessionize_events",
     "asof_purchase_attribution",
+    "funnel_conversion",
+    "order_count_distribution",
     "doc_token_counts",
     "exact_dedup_docs",
     "embedding_topk_cosine",

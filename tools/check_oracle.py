@@ -49,7 +49,12 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     a, b = normalize(a), normalize(b)
     for c in a.columns:
         av, bv = a[c], b[c]
-        if _is_numeric(av) and _is_numeric(bv):
+        if pd.api.types.is_bool_dtype(av) or pd.api.types.is_bool_dtype(bv):
+            # numpy bools break arithmetic compare; exact match via int
+            av = av.astype("float64")
+            bv = bv.astype("float64")
+            match = (av.isna() & bv.isna()) | (av == bv)
+        elif _is_numeric(av) and _is_numeric(bv):
             # coerce int64-vs-float64 pairs numerically (never via str —
             # '1' != '1.0') and compare with tolerance
             av = pd.to_numeric(av, errors="coerce")
