@@ -1199,6 +1199,90 @@ _PRICE_BANDS = [
 ]
 
 
+def q_topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (the grouped twin of global top-k): 3 longest
+    docs per language via one row_number window — single shuffle on the
+    group key, no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    out = relational.topk_per_group(
+        docs,
+        ["lang"],
+        [F.desc("n_chars"), F.asc("doc_id")],
+        k=3,
+    )
+    return out.select("lang", "doc_id", "n_chars", "rn")
+
+
+def q_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quantile bucketing: orders split into 4 equal-count tiles
+    by total price (unique orderkey tiebreak makes the tile assignment a
+    deterministic total order), then per-tile stats. A global NTILE is
+    inherently a total sort — at 100 TB you'd range-partition on the
+    sort key first (Spark's global Window funnels rows through one
+    partition); for approximate tiles use percentile_approx cutpoints
+    instead (see approx_sketches)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    tiled = orders.withColumn("quartile", F.ntile(4).over(w))
+    return tiled.groupBy("quartile").agg(
+        F.count("*").alias("n"),
+        _cents_sum("o_totalprice").alias("total"),
+        _q(F.min("o_totalprice"), 2).alias("lo"),
+        _q(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seed centroids: the first 8 embeddings by vec_id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd assignment step over the embedding corpus: nearest of 8
+    deterministic seed centroids by L2, centroids broadcast so the
+    corpus side never shuffles for scoring (one shuffle for the argmin
+    aggregation)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.assign_nearest_centroid(emb, _kmeans_centroids(spark, sf_dir))
+    return out.select("vec_id", "cid", _q(F.col("dist"), 6).alias("dist"))
+
+
+def q_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full distributed Lloyd iteration: assignment + component-mean
+    update in long form (cid, pos, n, mean). Component sums quantized to
+    integer ticks so the distributed float sum is order-independent —
+    the pattern that makes iterative ML algorithms oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = similarity.assign_nearest_centroid(
+        emb, _kmeans_centroids(spark, sf_dir)
+    ).select("vec_id", "cid")
+    return similarity.kmeans_update(assigned, emb)
+
+
+def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (completes the join matrix beyond inner/left/
+    semi/anti): high-balance customers vs big-spender order totals, with
+    exclusive keys surviving on both sides via coalesce."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(_cents_sum("o_totalprice").alias("total_spend"))
+        .filter(F.col("total_spend") > 300000)
+    )
+    joined = cust.join(spend, cust.c_custkey == spend.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_acctbal").isNotNull().cast("int").alias("is_high_balance"),
+        F.col("total_spend").isNotNull().cast("int").alias("is_big_spender"),
+        _q(F.coalesce("c_acctbal", F.lit(0.0)), 2).alias("acctbal"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+    )
+
+
 def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history build: each user's purchase log becomes
     validity intervals [valid_from, valid_to), open-ended for the
@@ -1528,6 +1612,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dashboard_terms_metric": q_dashboard_terms_metric,
     "grouping_sets_events": q_grouping_sets_events,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "topk_docs_per_lang": q_topk_docs_per_lang,
+    "order_quartiles": q_order_quartiles,
+    "kmeans_assign": q_kmeans_assign,
+    "kmeans_iteration": q_kmeans_iteration,
+    "full_outer_reconciliation": q_full_outer_reconciliation,
     "scd2_user_history": q_scd2_user_history,
     "funnel_conversion": q_funnel_conversion,
     "order_count_distribution": q_order_count_distribution,
@@ -2105,6 +2194,100 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(levenshtein(a.t, b.t) AS INT) AS edit_dist
             FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        """,
+        "topk_docs_per_lang": """
+            SELECT lang, doc_id, n_chars, CAST(rn AS INT) AS rn
+            FROM (
+                SELECT lang, doc_id, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id ASC
+                       ) AS rn
+                FROM documents
+            )
+            WHERE rn <= 3
+        """,
+        "order_quartiles": f"""
+            WITH t AS (
+                SELECT o_totalprice,
+                       NTILE(4) OVER (
+                           ORDER BY o_totalprice ASC, o_orderkey ASC
+                       ) AS quartile
+                FROM orders
+            )
+            SELECT CAST(quartile AS INT) AS quartile,
+                   COUNT(*) AS n,
+                   {_sql_cents_sum("o_totalprice")} AS total,
+                   {_sql_q("MIN(o_totalprice)", 2)} AS lo,
+                   {_sql_q("MAX(o_totalprice)", 2)} AS hi
+            FROM t GROUP BY quartile
+        """,
+        "kmeans_assign": """
+            WITH c AS (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+                FROM embeddings WHERE vec_id < 8
+            ), d AS (
+                SELECT e.vec_id, c.cid,
+                       list_distance(e.embedding::DOUBLE[], c.ce) AS dist
+                FROM embeddings e CROSS JOIN c
+            ), r AS (
+                SELECT vec_id, cid, dist,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY dist, cid
+                       ) AS rn
+                FROM d
+            )
+            SELECT vec_id, cid,
+                   FLOOR(dist * 1000000 + 0.5) / 1000000.0 AS dist
+            FROM r WHERE rn = 1
+        """,
+        "kmeans_iteration": """
+            WITH c AS (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+                FROM embeddings WHERE vec_id < 8
+            ), d AS (
+                SELECT e.vec_id, c.cid,
+                       list_distance(e.embedding::DOUBLE[], c.ce) AS dist
+                FROM embeddings e CROSS JOIN c
+            ), r AS (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY dist, cid
+                       ) AS rn
+                FROM d
+            ), a AS (
+                SELECT vec_id, cid FROM r WHERE rn = 1
+            ), ex AS (
+                SELECT a.cid, t.i - 1 AS pos, e.embedding[t.i]::DOUBLE AS val
+                FROM a JOIN embeddings e USING (vec_id)
+                CROSS JOIN UNNEST(generate_series(1, 64)) AS t(i)
+            ), g AS (
+                SELECT cid, pos, COUNT(*) AS n,
+                       SUM(CAST(ROUND(val * 1000000, 0) AS BIGINT)) AS s
+                FROM ex GROUP BY cid, pos
+            )
+            SELECT cid, CAST(pos AS INT) AS pos, n,
+                   FLOOR(((s / 1000000.0) / n) * 1000000 + 0.5)
+                       / 1000000.0 AS mean
+            FROM g
+        """,
+        "full_outer_reconciliation": f"""
+            WITH cust AS (
+                SELECT c_custkey, c_acctbal FROM customer
+                WHERE c_acctbal > 9000
+            ), spend0 AS (
+                SELECT o_custkey,
+                       {_sql_cents_sum("o_totalprice")} AS total_spend
+                FROM orders GROUP BY o_custkey
+            ), spend AS (
+                SELECT * FROM spend0 WHERE total_spend > 300000
+            )
+            SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+                   CAST(c_acctbal IS NOT NULL AS INT) AS is_high_balance,
+                   CAST(total_spend IS NOT NULL AS INT) AS is_big_spender,
+                   {_sql_q("COALESCE(c_acctbal, 0.0)", 2)} AS acctbal,
+                   COALESCE(total_spend, 0.0) AS total_spend
+            FROM cust FULL OUTER JOIN spend ON c_custkey = o_custkey
         """,
         "scd2_user_history": """
             SELECT user_id, event_id,

@@ -43,6 +43,7 @@ HEADLINE = [
     "doc_token_counts",
     "exact_dedup_docs",
     "embedding_topk_cosine",
+    "kmeans_iteration",
     "minhash_dedup_pairs",
     "simhash_candidates",
     "multimodal_image_features",

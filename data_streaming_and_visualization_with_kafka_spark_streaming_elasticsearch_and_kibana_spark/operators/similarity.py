@@ -25,6 +25,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import vectors
 from ..functions.vectors import cosine, dot
 
 
@@ -334,4 +335,64 @@ def embedding_near_dup_pairs(
         .join(vb, "id_b")
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ------------------------------------------------------- k-means (Lloyd)
+
+
+def assign_nearest_centroid(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """DataFrame-native Lloyd assignment step: nearest centroid per
+    vector by L2, centroids broadcast (K rows vs a corpus of billions —
+    the corpus side never shuffles for the assignment).
+
+    Deterministic argmin: min over struct(dist, cid) breaks distance
+    ties by centroid id. Distance math is the left-to-right double
+    zip_with from functions.vectors — reproducible across engines.
+
+    centroids: DataFrame(cid, centroid array<float|double>).
+    """
+    d = vectors.l2_distance(F.col(vec_col), F.col("centroid"))
+    scored = corpus.join(F.broadcast(centroids)).select(
+        id_col, F.struct(d.alias("dist"), F.col("cid").alias("cid")).alias("s")
+    )
+    best = scored.groupBy(id_col).agg(F.min("s").alias("s"))
+    return best.select(id_col, F.col("s.cid").alias("cid"), F.col("s.dist").alias("dist"))
+
+
+def kmeans_update(
+    assigned: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lloyd update step as long-form (cid, pos, n, mean) rows: vectors
+    posexploded to (cid, dim, value), component sums taken over
+    integer-quantized values so the distributed sum is order-independent
+    (float summation order varies with partitioning; quantized longs
+    don't), then the component mean.
+
+    Long form instead of re-assembled arrays: the downstream re-centroid
+    join needs (cid, pos) anyway, and array_agg would force a sort per
+    group. Two shuffles total: assignment key, then (cid, pos).
+    """
+    ex = assigned.join(corpus, id_col).select(
+        "cid", F.posexplode(vec_col).alias("pos", "val")
+    )
+    q = F.round(F.col("val").cast("double") * scale).cast("long")
+    agg = ex.groupBy("cid", "pos").agg(
+        F.count("*").alias("n"), F.sum(q).alias("s")
+    )
+    mean = (F.col("s") / float(scale)) / F.col("n")
+    return agg.select(
+        "cid",
+        "pos",
+        "n",
+        (F.floor(mean * scale + F.lit(0.5)) / F.lit(float(scale))).alias("mean"),
     )

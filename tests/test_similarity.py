@@ -186,3 +186,35 @@ def test_embedding_near_dup_pairs_finds_planted_dups(spark):
     planted = {(i, 100 + i) for i in range(20)}
     found = {(r.id_a, r.id_b) for r in got}
     assert len(planted & found) >= 18, planted - found  # recall >= 0.9
+
+
+def test_kmeans_assign_picks_nearest_and_breaks_ties_by_cid(spark):
+    corpus = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (11, [1.0, 1.0]), (12, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])],
+        "cid long, centroid array<float>",
+    )
+    out = {
+        r.vec_id: (r.cid, r.dist)
+        for r in similarity.assign_nearest_centroid(corpus, cents).collect()
+    }
+    assert out[10][0] == 0 and out[10][1] == 0.0
+    assert out[11][0] == 1
+    assert out[12][0] == 0  # equidistant -> lower cid wins
+
+
+def test_kmeans_update_component_means(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (2, [3.0, 5.0]), (3, [10.0, 20.0])],
+        "vec_id long, embedding array<float>",
+    )
+    assigned = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "vec_id long, cid long"
+    )
+    rows = similarity.kmeans_update(assigned, corpus).collect()
+    got = {(r.cid, r.pos): (r.n, r.mean) for r in rows}
+    assert got[(0, 0)] == (2, 2.0) and got[(0, 1)] == (2, 4.0)
+    assert got[(1, 0)] == (1, 10.0) and got[(1, 1)] == (1, 20.0)
