@@ -1283,6 +1283,115 @@ def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-busting salted join (relational.salted_join): revenue per
+    market segment through orders⋈customer with the probe side scattered
+    over 16 salt buckets and the build side replicated per salt. The
+    oracle is the PLAIN unsalted join — proving salting changes only the
+    physical distribution, never the result. The manual tool for when
+    one hot key defeats AQE's skew split at 100 TB."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = relational.salted_join(orders, cust, ["custkey"], n_salts=16)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        _cents_sum("o_totalprice").alias("revenue"),
+    )
+
+
+def q_event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (temporal.runs): maximal streaks of an unchanged
+    event_type per user via the double-row_number island id — two window
+    passes over one (user_id, event_id) shuffle, no self-join. Streaks
+    of >= 3 only (the interesting tail)."""
+    ev = _t(spark, sf_dir, "events")
+    r = temporal.runs(ev, ["user_id"], "event_type", ["event_id"])
+    return r.filter(F.col("run_len") >= 3).select(
+        "user_id", "event_type", "run_len", "run_start", "run_end"
+    )
+
+
+def q_locf_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap-fill (temporal.locf): every event row annotated with the
+    user's most recent purchase value at or before it — last(...,
+    ignorenulls) over an unbounded-preceding window, one shuffle on
+    user_id. The batch repair pass run before training-data export."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    out = temporal.locf(
+        obs, "purchase_value", ["user_id"], ["event_id"], out_col="lpv"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _q(F.coalesce(F.col("lpv"), F.lit(0.0)), 2).alias("last_purchase_value"),
+    )
+
+
+def q_daily_spine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense date-spine zero-fill (temporal.date_spine): daily event
+    counts per type over the corpus's full [min_day, max_day] range,
+    with missing (day, type) cells surfaced as explicit zeros — the
+    date_histogram contract ES dashboards expect (empty buckets emitted,
+    not dropped). Spine from a one-row min/max agg + sequence(), no
+    driver collect."""
+    ev = _t(spark, sf_dir, "events")
+    dims = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    out = temporal.date_spine(ev, "ts", dims, counts)
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+
+
+def q_unpivot_lang_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (DataFrame.unpivot / melt — the inverse of
+    pivot_event_values): per-language wide aggregates folded to long
+    (lang, metric, value) rows. Wide→long is a metadata-only projection
+    (each input row fans out to k output rows map-side, no shuffle
+    beyond the aggregation's own)."""
+    docs = _t(spark, sf_dir, "documents")
+    wide = docs.groupBy("lang").agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        _cents_avg("n_chars", scale=1, digits=4).alias("avg_chars"),
+    )
+    return wide.unpivot(
+        ["lang"], ["n_docs", "total_chars", "avg_chars"], "metric", "value"
+    )
+
+
+def q_order_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank windows (percent_rank + cume_dist, completing the
+    ranking family beyond row_number/ntile): each order's price
+    percentile within its priority class, filtered to the top 1%.
+    Deterministic total order via the orderkey tiebreak; both engines
+    compute the same (rank-1)/(n-1) doubles, so the quantized filter
+    cannot straddle."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    out = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        _q(F.percent_rank().over(w), 6).alias("pct_rank"),
+        _q(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+    return out.filter(F.col("pct_rank") >= 0.99)
+
+
 def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history build: each user's purchase log becomes
     validity intervals [valid_from, valid_to), open-ended for the
@@ -1617,6 +1726,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_assign": q_kmeans_assign,
     "kmeans_iteration": q_kmeans_iteration,
     "full_outer_reconciliation": q_full_outer_reconciliation,
+    "salted_join_parity": q_salted_join_parity,
+    "event_type_runs": q_event_type_runs,
+    "locf_purchase_value": q_locf_purchase_value,
+    "daily_spine_counts": q_daily_spine_counts,
+    "unpivot_lang_metrics": q_unpivot_lang_metrics,
+    "order_rank_percentiles": q_order_rank_percentiles,
     "scd2_user_history": q_scd2_user_history,
     "funnel_conversion": q_funnel_conversion,
     "order_count_distribution": q_order_count_distribution,
@@ -2288,6 +2403,96 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_q("COALESCE(c_acctbal, 0.0)", 2)} AS acctbal,
                    COALESCE(total_spend, 0.0) AS total_spend
             FROM cust FULL OUTER JOIN spend ON c_custkey = o_custkey
+        """,
+        "salted_join_parity": f"""
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   {_sql_cents_sum("o_totalprice")} AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "event_type_runs": """
+            WITH t AS (
+                SELECT user_id, event_type, event_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                       )
+                     - ROW_NUMBER() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY event_id
+                       ) AS grp
+                FROM events
+            )
+            SELECT user_id, event_type, COUNT(*) AS run_len,
+                   MIN(event_id) AS run_start, MAX(event_id) AS run_end
+            FROM t GROUP BY user_id, event_type, grp
+            HAVING COUNT(*) >= 3
+        """,
+        "locf_purchase_value": f"""
+            SELECT event_id, user_id,
+                   {_sql_q(
+                       "COALESCE(LAST_VALUE("
+                       "CASE WHEN event_type = 'purchase' THEN value END"
+                       " IGNORE NULLS) OVER ("
+                       "PARTITION BY user_id ORDER BY event_id "
+                       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                       "), 0.0)", 2)} AS last_purchase_value
+            FROM events
+        """,
+        "daily_spine_counts": """
+            WITH b AS (
+                SELECT MIN(CAST(ts AS DATE)) AS lo,
+                       MAX(CAST(ts AS DATE)) AS hi
+                FROM events
+            ), days AS (
+                SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))
+                            AS DATE) AS day
+                FROM b
+            ), dims AS (
+                SELECT DISTINCT event_type FROM events
+            ), counts AS (
+                SELECT CAST(ts AS DATE) AS day, event_type,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT CAST(d.day AS VARCHAR) AS day, dims.event_type,
+                   COALESCE(c.n, 0) AS n
+            FROM days d
+            CROSS JOIN dims
+            LEFT JOIN counts c
+              ON c.day = d.day AND c.event_type = dims.event_type
+        """,
+        "unpivot_lang_metrics": f"""
+            WITH w AS (
+                SELECT lang,
+                       CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                       CAST(SUM(n_chars) AS DOUBLE) AS total_chars,
+                       {_sql_cents_avg("n_chars", scale=1, digits=4)}
+                           AS avg_chars
+                FROM documents GROUP BY lang
+            )
+            SELECT lang, 'n_docs' AS metric, n_docs AS value FROM w
+            UNION ALL
+            SELECT lang, 'total_chars', total_chars FROM w
+            UNION ALL
+            SELECT lang, 'avg_chars', avg_chars FROM w
+        """,
+        "order_rank_percentiles": f"""
+            WITH t AS (
+                SELECT o_orderkey, o_orderpriority,
+                       {_sql_q(
+                           "PERCENT_RANK() OVER ("
+                           "PARTITION BY o_orderpriority "
+                           "ORDER BY o_totalprice ASC, o_orderkey ASC)", 6)}
+                           AS pct_rank,
+                       {_sql_q(
+                           "CUME_DIST() OVER ("
+                           "PARTITION BY o_orderpriority "
+                           "ORDER BY o_totalprice ASC, o_orderkey ASC)", 6)}
+                           AS cume_dist
+                FROM orders
+            )
+            SELECT * FROM t WHERE pct_rank >= 0.99
         """,
         "scd2_user_history": """
             SELECT user_id, event_id,

@@ -71,3 +71,92 @@ def scd2_ranges(
     return df.withColumn("valid_from", F.col(ts_col)).withColumn(
         "valid_to", F.lead(ts_col).over(w)
     )
+
+
+def runs(
+    df: DataFrame,
+    key_cols: list[str],
+    state_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Gaps-and-islands: collapse each key's ordered change log into
+    maximal runs of an unchanged state value.
+
+    Island id = row_number over (key) minus row_number over
+    (key, state): constant within a streak, distinct across streaks —
+    two window passes over the SAME (key, order) shuffle, so Spark
+    reuses one exchange; no self-join, no iteration. Returns one row
+    per run: keys, state, run_len, run start/end order columns.
+    """
+    order = [F.asc(c) for c in order_cols]
+    w_all = Window.partitionBy(*key_cols).orderBy(*order)
+    w_state = Window.partitionBy(*key_cols, state_col).orderBy(*order)
+    grp = (F.row_number().over(w_all) - F.row_number().over(w_state)).alias(
+        "__grp"
+    )
+    first_ord = order_cols[0]
+    return (
+        df.select(*key_cols, state_col, *order_cols, grp)
+        .groupBy(*key_cols, state_col, "__grp")
+        .agg(
+            F.count("*").alias("run_len"),
+            F.min(first_ord).alias("run_start"),
+            F.max(first_ord).alias("run_end"),
+        )
+        .drop("__grp")
+    )
+
+
+def locf(
+    df: DataFrame,
+    value_col,
+    key_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "locf",
+) -> DataFrame:
+    """Last-observation-carried-forward gap fill: per key, replace a
+    (possibly null) observation column with the most recent non-null
+    value at or before each row.
+
+    One window (unbounded-preceding last with ignorenulls) over one
+    shuffle on the key — the streaming-friendly twin is
+    latest_value_view; this is the batch repair pass run before
+    training-data export.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, F.last(v, ignorenulls=True).over(w))
+
+
+def date_spine(
+    df: DataFrame,
+    ts_col: str,
+    dims: DataFrame,
+    counts: DataFrame,
+    day_col: str = "day",
+) -> DataFrame:
+    """Dense daily spine zero-fill: cross the corpus's [min_day, max_day]
+    range with a (small) dimension table and left-join sparse per-day
+    aggregates, so missing days surface as explicit zero rows (what a
+    dashboard's date_histogram needs — ES emits empty buckets; a naive
+    groupBy silently drops them).
+
+    The spine is built from a single-row global min/max aggregate
+    (tiny, broadcast by AQE) exploded via sequence() — no driver
+    round-trip, no collect; `dims` must be broadcast-small.
+    """
+    bounds = df.agg(
+        F.min(F.to_date(ts_col)).alias("lo"), F.max(F.to_date(ts_col)).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+        ).alias(day_col)
+    )
+    return days.crossJoin(F.broadcast(dims)).join(
+        counts, [day_col, *dims.columns], "left"
+    )

@@ -111,3 +111,61 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_facts")
         spark.sql("DROP TABLE IF EXISTS t_dims")
+
+
+# ----------------------------------------------------- gaps-and-islands
+
+
+def test_runs_collapses_streaks(spark):
+    rows = [
+        # user 1: a a a b a  -> runs a(3), b(1), a(1)
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "a"), (1, 4, "b"), (1, 5, "a"),
+        # user 2: b b -> one run of 2
+        (2, 6, "b"), (2, 7, "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, state string")
+    got = {
+        (r.user_id, r.run_start): (r.state, r.run_len, r.run_end)
+        for r in temporal.runs(df, ["user_id"], "state", ["event_id"]).collect()
+    }
+    assert got[(1, 1)] == ("a", 3, 3)
+    assert got[(1, 4)] == ("b", 1, 4)
+    assert got[(1, 5)] == ("a", 1, 5)
+    assert got[(2, 6)] == ("b", 2, 7)
+    assert len(got) == 4
+
+
+def test_locf_carries_last_non_null_per_key(spark):
+    rows = [
+        (1, 1, None), (1, 2, 5.0), (1, 3, None), (1, 4, 7.0), (1, 5, None),
+        (2, 6, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+    out = {
+        r.seq: r.filled
+        for r in temporal.locf(df, "v", ["k"], ["seq"], out_col="filled").collect()
+    }
+    assert out[1] is None          # nothing observed yet
+    assert out[2] == 5.0
+    assert out[3] == 5.0           # carried forward
+    assert out[4] == 7.0           # replaced by newer observation
+    assert out[5] == 7.0
+    assert out[6] is None          # other key unaffected
+
+
+def test_date_spine_emits_zero_days(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "x"), ("2024-01-03 09:00:00", "x")],
+        "ts string, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    dims = df.select("tag").distinct()
+    counts = df.groupBy(F.to_date("ts").alias("day"), "tag").agg(
+        F.count("*").alias("n")
+    )
+    out = temporal.date_spine(df, "ts", dims, counts)
+    got = {
+        str(r.day): r.n
+        for r in out.select("day", F.coalesce("n", F.lit(0)).alias("n")).collect()
+    }
+    # Jan 2 has no events but MUST appear as an explicit zero bucket
+    assert got == {"2024-01-01": 1, "2024-01-02": 0, "2024-01-03": 1}
