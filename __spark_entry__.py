@@ -32,7 +32,11 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
 from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.text import (
     split_words,
 )
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.vectors import (
+    dot as vectors_dot,
+)
 from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+    cdc,
     dedup,
     fusion,
     multimodal,
@@ -1392,6 +1396,216 @@ def q_order_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("pct_rank") >= 0.99)
 
 
+def q_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column path: props JSON decoded to map<string,bigint>
+    (not a fixed struct — the schema-free variant of decode_json_props),
+    entries exploded map-side and aggregated per (event_type, key).
+    Explode fanout is bounded by map cardinality; no extra shuffle
+    beyond the aggregation's own."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias(
+            "pkey", "pval"
+        ),
+    )
+    return m.groupBy("event_type", "pkey").agg(
+        F.count("*").alias("n"),
+        F.sum("pval").alias("total"),
+        F.min("pval").alias("vmin"),
+        F.max("pval").alias("vmax"),
+    )
+
+
+def q_embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class query surface:
+    per-vector L2 norm (transform+aggregate fold), positive-component
+    count (filter+size), and max component — all JVM-side lambda
+    expressions inside whole-stage codegen, zero UDFs, zero shuffles
+    (pure map over the scan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        _q(F.sqrt(vectors_dot(v, v)), 6).alias("l2_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        _q(F.array_max(v), 6).alias("max_c"),
+    )
+
+
+def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining (market-basket shape): unordered event-type
+    pairs seen within the same (user, minute) basket. Distinct-first
+    bounds the self-join fanout to |types| per basket — the guard that
+    keeps basket self-joins from going quadratic on hot baskets at
+    100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    basket = ev.select(
+        "user_id",
+        F.date_trunc("minute", "ts").alias("m"),
+        "event_type",
+    ).distinct()
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.m") == F.col("b.m"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    return pairs.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    ).agg(F.count("*").alias("n_baskets"))
+
+
+def q_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: median absolute deviation via two
+    rank-based percentile passes (median, broadcast back, median of
+    |x - med|). Rank statistics are engine-independent where
+    variance-family float accumulation is not — the reason MAD is the
+    oracle-safe robust spread."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    j = ev.join(F.broadcast(med), "event_type")
+    return j.groupBy("event_type").agg(
+        _q(F.max("med"), 4).alias("med"),
+        _q(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 4
+        ).alias("mad"),
+    )
+
+
+def q_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame (the value-offset twin of the
+    ROWS-frame rolling_avg_value): per user, count and spend over the
+    trailing 10 real minutes at each event — peers at equal timestamps
+    share the frame, which a ROWS frame cannot express. Ordered on
+    integer epoch-millis so the frame bounds are exact."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.withColumn("ems", F.unix_millis("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ems")
+        .rangeBetween(-600_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        _q(F.sum(_cents("value")).over(w) / 100.0, 2).alias("spend_10m"),
+    )
+
+
+def q_cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply (operators.cdc.merge_upsert): the events stream
+    read as a change log on the customer snapshot — last write per key
+    wins, 'error' deletes the key, anything else upserts the balance;
+    log-only keys insert, untouched base rows pass through. Two
+    same-key shuffles (log collapse + full-outer resolve), no MERGE
+    INTO statement needed."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        _q(F.col("c_acctbal"), 2).alias("c_acctbal"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("user_id").alias("c_custkey"),
+        F.when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        _q(F.col("value"), 2).alias("c_acctbal"),
+        "event_id",
+    )
+    snap = cdc.merge_upsert(
+        cust, changes, ["c_custkey"], ["event_id"], op_col="op"
+    )
+    return snap.select("c_custkey", "c_mktsegment", "c_acctbal", "event_id")
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, then
+    distinct active users per (cohort, day-offset) for the first week.
+    Two aggregations on user_id plus one join — all on the same key, so
+    the exchanges line up; the distinct-first projection keeps the join
+    input at one row per (user, day)."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    j = active.join(first, "user_id")
+    return (
+        j.select(
+            "user_id",
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build (the tokenizer-training precursor):
+    explode the whitespace tokenizer, aggregate term frequency +
+    document frequency, keep the top 100 by tf. The global order is a
+    TakeOrderedAndProject limit (per-partition heaps, no full sort);
+    the rank window then runs over only the 100 survivors — the
+    scale-safe way to number a global top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(split_words("text")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = tok.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    top = vocab.orderBy(F.desc("tf"), F.asc("term")).limit(100)
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def q_daily_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period delta: daily spend total with percent change
+    vs the previous day. The lag window is global but runs over the
+    POST-aggregation series (one row per day — tiny at any corpus
+    scale); the heavy lifting is the map-side-combined daily sum."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        _cents_sum("value").alias("total")
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("total").over(w)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "total",
+        _q((F.col("total") - prev) / prev * 100.0, 4).alias("pct_change"),
+    )
+
+
+def q_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity score (bot/spam screen for corpus
+    curation): Gini-Simpson index 1 - Σpᵢ² of each user's event-type
+    distribution. Chosen over Shannon entropy deliberately: Σnᵢ² and N
+    are exact integer aggregates, so the index is ONE double division —
+    bit-identical across engines — where ln() differs in the last ulp
+    between libms and can flip a quantization tick."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    agg = cnt.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.sum(F.col("n") * F.col("n")).alias("sumsq"),
+    )
+    n = F.col("n_events")
+    div = F.lit(1.0) - F.col("sumsq").cast("double") / (n * n).cast("double")
+    return agg.select("user_id", "n_events", _q(div, 6).alias("diversity"))
+
+
 def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history build: each user's purchase log becomes
     validity intervals [valid_from, valid_to), open-ended for the
@@ -1732,6 +1946,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_spine_counts": q_daily_spine_counts,
     "unpivot_lang_metrics": q_unpivot_lang_metrics,
     "order_rank_percentiles": q_order_rank_percentiles,
+    "props_map_stats": q_props_map_stats,
+    "embedding_component_stats": q_embedding_component_stats,
+    "event_cooccurrence": q_event_cooccurrence,
+    "value_mad_by_type": q_value_mad_by_type,
+    "range_frame_rolling": q_range_frame_rolling,
+    "cdc_merge_snapshot": q_cdc_merge_snapshot,
+    "cohort_retention": q_cohort_retention,
+    "vocab_top_terms": q_vocab_top_terms,
+    "daily_pct_change": q_daily_pct_change,
+    "user_diversity": q_user_diversity,
     "scd2_user_history": q_scd2_user_history,
     "funnel_conversion": q_funnel_conversion,
     "order_count_distribution": q_order_count_distribution,
@@ -2493,6 +2717,163 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             )
             SELECT * FROM t WHERE pct_rank >= 0.99
+        """,
+        "props_map_stats": """
+            WITH kv AS (
+                SELECT event_type,
+                       UNNEST(json_keys(props::JSON)) AS pkey,
+                       props
+                FROM events
+            )
+            SELECT event_type, pkey, COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract_string(props, '$.' || pkey)
+                                 AS BIGINT)) AS BIGINT) AS total,
+                   MIN(CAST(json_extract_string(props, '$.' || pkey)
+                            AS BIGINT)) AS vmin,
+                   MAX(CAST(json_extract_string(props, '$.' || pkey)
+                            AS BIGINT)) AS vmax
+            FROM kv GROUP BY event_type, pkey
+        """,
+        "embedding_component_stats": f"""
+            SELECT vec_id,
+                   {_sql_q(
+                       "SQRT(list_aggregate(list_transform("
+                       "embedding::DOUBLE[], x -> x * x), 'sum'))", 6)}
+                       AS l2_norm,
+                   CAST(LEN(list_filter(embedding::DOUBLE[], x -> x > 0))
+                        AS INT) AS n_pos,
+                   {_sql_q("list_max(embedding::DOUBLE[])", 6)} AS max_c
+            FROM embeddings
+        """,
+        "event_cooccurrence": """
+            WITH basket AS (
+                SELECT DISTINCT user_id,
+                       date_trunc('minute', ts) AS m,
+                       event_type
+                FROM events
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_baskets
+            FROM basket a
+            JOIN basket b
+              ON a.user_id = b.user_id AND a.m = b.m
+             AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        """,
+        "value_mad_by_type": f"""
+            WITH med AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS med
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_type,
+                   {_sql_q("MAX(med)", 4)} AS med,
+                   {_sql_q("quantile_cont(ABS(e.value - med), 0.5)", 4)}
+                       AS mad
+            FROM events e JOIN med USING (event_type)
+            GROUP BY e.event_type
+        """,
+        "range_frame_rolling": f"""
+            SELECT event_id, user_id,
+                   COUNT(*) OVER w AS n_10m,
+                   {_sql_q(
+                       "SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) "
+                       "OVER w / 100.0", 2)} AS spend_10m
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY epoch_ms(ts)
+                RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW
+            )
+        """,
+        "cdc_merge_snapshot": f"""
+            WITH chg AS (
+                SELECT user_id AS c_custkey,
+                       CASE WHEN event_type = 'error' THEN 'D'
+                            ELSE 'U' END AS op,
+                       {_sql_q("value", 2)} AS new_bal,
+                       event_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY event_id DESC
+                       ) AS rn
+                FROM events
+            ), last AS (
+                SELECT * FROM chg WHERE rn = 1
+            ), b AS (
+                SELECT c_custkey, c_mktsegment,
+                       {_sql_q("c_acctbal", 2)} AS c_acctbal
+                FROM customer
+            )
+            SELECT COALESCE(b.c_custkey, l.c_custkey) AS c_custkey,
+                   b.c_mktsegment AS c_mktsegment,
+                   CASE WHEN l.op IS NOT NULL THEN l.new_bal
+                        ELSE b.c_acctbal END AS c_acctbal,
+                   l.event_id AS event_id
+            FROM b FULL OUTER JOIN last l ON b.c_custkey = l.c_custkey
+            WHERE l.op IS NULL OR l.op <> 'D'
+        """,
+        "cohort_retention": """
+            WITH first AS (
+                SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+                FROM events GROUP BY user_id
+            ), active AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events
+            )
+            SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+                   CAST(datediff('day', f.cohort_day, a.day) AS INT)
+                       AS day_offset,
+                   COUNT(DISTINCT a.user_id) AS n_users
+            FROM active a JOIN first f USING (user_id)
+            WHERE datediff('day', f.cohort_day, a.day) <= 7
+            GROUP BY 1, 2
+        """,
+        "vocab_top_terms": """
+            WITH tok AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(TRIM(LOWER(text)), '\\s+'))
+                           AS term
+                FROM documents
+            ), v AS (
+                SELECT term, COUNT(*) AS tf,
+                       COUNT(DISTINCT doc_id) AS df
+                FROM tok WHERE term <> '' GROUP BY term
+            ), r AS (
+                SELECT term, tf, df,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY tf DESC, term ASC
+                       ) AS INT) AS rank
+                FROM v
+            )
+            SELECT * FROM r WHERE rank <= 100
+        """,
+        "daily_pct_change": f"""
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       {_sql_cents_sum("value")} AS total
+                FROM events GROUP BY 1
+            )
+            SELECT CAST(day AS VARCHAR) AS day, total,
+                   {_sql_q(
+                       "(total - LAG(total) OVER (ORDER BY day)) "
+                       "/ LAG(total) OVER (ORDER BY day) * 100.0", 4)}
+                       AS pct_change
+            FROM daily
+        """,
+        "user_diversity": f"""
+            WITH cnt AS (
+                SELECT user_id, event_type, COUNT(*) AS n
+                FROM events GROUP BY user_id, event_type
+            ), agg AS (
+                SELECT user_id,
+                       CAST(SUM(n) AS BIGINT) AS n_events,
+                       CAST(SUM(n * n) AS BIGINT) AS sumsq
+                FROM cnt GROUP BY user_id
+            )
+            SELECT user_id, n_events,
+                   {_sql_q(
+                       "1.0 - CAST(sumsq AS DOUBLE) "
+                       "/ CAST(n_events * n_events AS DOUBLE)", 6)}
+                       AS diversity
+            FROM agg
         """,
         "scd2_user_history": """
             SELECT user_id, event_id,
