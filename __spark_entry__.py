@@ -100,6 +100,14 @@ def _sql_cents_sum(expr: str, scale: int = 100, digits: int = 2) -> str:
     return _sql_q(inner, digits)
 
 
+def _sql_spread(e: str) -> str:
+    """SQL twin of relational.zorder2_key's magic-mask bit spread."""
+    x = f"(({e}) & 65535)"
+    for shift, mask in ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)):
+        x = f"((({x}) | (({x}) << {shift})) & {mask})"
+    return x
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return readers.read_table(spark, sf_dir, name)
 
@@ -1606,6 +1614,64 @@ def q_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("user_id", "n_events", _q(div, 6).alias("diversity"))
 
 
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screen (the data-quality gate run before
+    stats aggregation): per event type, quantized IQR fences from
+    rank-based quartiles, then an outlier count against them. Fences
+    are floor-quantized BEFORE the comparison so the predicate operates
+    on exact decimals in both engines — an unquantized fence one ulp
+    apart could flip a row at the boundary."""
+    ev = _t(spark, sf_dir, "events")
+    quarts = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fences = quarts.select(
+        "event_type",
+        _q(F.col("q1") - 1.5 * iqr, 4).alias("lo_fence"),
+        _q(F.col("q3") + 1.5 * iqr, 4).alias("hi_fence"),
+    )
+    j = ev.join(F.broadcast(fences), "event_type")
+    is_out = (F.col("value") < F.col("lo_fence")) | (
+        F.col("value") > F.col("hi_fence")
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+        F.max("lo_fence").alias("lo_fence"),
+        F.max("hi_fence").alias("hi_fence"),
+    )
+
+
+def q_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (relational.zorder2_key) over
+    (user_id, event-minute): per curve bucket, row count and per-
+    dimension min/max spans — the statistics that become parquet
+    row-group bounds after `repartitionByRange(z)` + sorted write,
+    enabling 2-D scan pruning. Bit-exact integer arithmetic, mirrored
+    literally in the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    minute = F.floor(F.unix_millis("ts") / F.lit(60000)).cast("long")
+    z = relational.zorder2_key(F.col("user_id"), minute)
+    e = ev.select(
+        F.col("user_id"),
+        minute.alias("minute_idx"),
+        z.alias("zkey"),
+    )
+    return (
+        e.withColumn("bucket", F.shiftright("zkey", 26))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("user_id").alias("user_lo"),
+            F.max("user_id").alias("user_hi"),
+            F.min("minute_idx").alias("minute_lo"),
+            F.max("minute_idx").alias("minute_hi"),
+        )
+    )
+
+
 def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history build: each user's purchase log becomes
     validity intervals [valid_from, valid_to), open-ended for the
@@ -1956,6 +2022,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_top_terms": q_vocab_top_terms,
     "daily_pct_change": q_daily_pct_change,
     "user_diversity": q_user_diversity,
+    "iqr_outliers": q_iqr_outliers,
+    "zorder_clustering": q_zorder_clustering,
     "scd2_user_history": q_scd2_user_history,
     "funnel_conversion": q_funnel_conversion,
     "order_count_distribution": q_order_count_distribution,
@@ -2874,6 +2942,46 @@ def oracle_sql() -> dict[str, str]:
                        "/ CAST(n_events * n_events AS DOUBLE)", 6)}
                        AS diversity
             FROM agg
+        """,
+        "iqr_outliers": f"""
+            WITH quarts AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.25) AS q1,
+                       quantile_cont(value, 0.75) AS q3
+                FROM events GROUP BY event_type
+            ), fences AS (
+                SELECT event_type,
+                       {_sql_q("q1 - 1.5 * (q3 - q1)", 4)} AS lo_fence,
+                       {_sql_q("q3 + 1.5 * (q3 - q1)", 4)} AS hi_fence
+                FROM quarts
+            )
+            SELECT e.event_type, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN e.value < f.lo_fence
+                                   OR e.value > f.hi_fence
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers,
+                   MAX(f.lo_fence) AS lo_fence,
+                   MAX(f.hi_fence) AS hi_fence
+            FROM events e JOIN fences f USING (event_type)
+            GROUP BY e.event_type
+        """,
+        "zorder_clustering": f"""
+            WITH e AS (
+                SELECT user_id,
+                       CAST(FLOOR(epoch_ms(ts) / 60000) AS BIGINT)
+                           AS minute_idx
+                FROM events
+            ), z AS (
+                SELECT user_id, minute_idx,
+                       ({_sql_spread("user_id")})
+                       | (({_sql_spread("minute_idx")}) << 1) AS zkey
+                FROM e
+            )
+            SELECT zkey >> 26 AS bucket, COUNT(*) AS n,
+                   MIN(user_id) AS user_lo, MAX(user_id) AS user_hi,
+                   MIN(minute_idx) AS minute_lo,
+                   MAX(minute_idx) AS minute_hi
+            FROM z GROUP BY bucket
         """,
         "scd2_user_history": """
             SELECT user_id, event_id,

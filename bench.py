@@ -50,6 +50,12 @@ HEADLINE = [
     "stratified_split",
     "pack_token_budget",
     "price_band_join",
+    "cdc_merge_snapshot",
+    "event_cooccurrence",
+    "range_frame_rolling",
+    "vocab_top_terms",
+    "salted_join_parity",
+    "cohort_retention",
     "streaming_minute_counts",
     "streaming_session_rollup",
     "streaming_enriched_counts",

@@ -210,3 +210,32 @@ def shuffled_within_partitions(
     key = F.rand(seed)
     parts = [num_partitions] if num_partitions else []
     return df.repartition(*parts, key).sortWithinPartitions(F.rand(seed + 1))
+
+
+def zorder2_key(a: Column, b: Column) -> Column:
+    """Morton (z-order) key interleaving the low 16 bits of two
+    non-negative dimensions — the space-filling-curve clustering key
+    for multi-dimensional data layout.
+
+    Why it matters at 100 TB: `repartitionByRange(zorder2_key(x, y))`
+    + sorted parquet write co-locates rows that are close in BOTH
+    dimensions, so min/max row-group statistics prune scans for 2-D
+    predicates — a plain sort on x gives pruning on x only. Pure
+    integer shift/mask arithmetic (the classic magic-mask bit spread),
+    JVM-codegen'd, engine-exact.
+    """
+
+    def lmask(m: int) -> Column:
+        return F.lit(m).cast("long")
+
+    def spread(x: Column) -> Column:
+        # Column.&/| are LOGICAL operators in PySpark; bitwise ops are
+        # the bitwiseAND/bitwiseOR methods.
+        x = x.cast("long").bitwiseAND(lmask(0xFFFF))
+        x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(lmask(0x00FF00FF))
+        x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(lmask(0x0F0F0F0F))
+        x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(lmask(0x33333333))
+        x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(lmask(0x55555555))
+        return x
+
+    return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))

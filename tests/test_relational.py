@@ -134,3 +134,19 @@ def test_approx_sketches_within_error_bounds(spark):
     for r in got.collect():
         assert abs(r.au - r.eu) / r.eu < 0.10, (r.au, r.eu)  # 2x default rsd
         assert abs(r.p50 - r.e50) <= 10.0, (r.p50, r.e50)
+
+
+def test_zorder2_key_bit_interleave(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(3, 1), (0xFFFF, 0), (0, 0xFFFF), (0, 0)], "a long, b long"
+    )
+    got = [
+        r.z
+        for r in df.select(
+            relational.zorder2_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    ]
+    # spread(3)=0b101, spread(1)=0b1 -> 0b101 | 0b10 = 7
+    assert got == [7, 0x55555555, 0xAAAAAAAA, 0]
