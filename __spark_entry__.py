@@ -1672,6 +1672,29 @@ def q_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corrupt_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record quarantine: a deterministic 10% of the props payloads
+    are truncated in flight (every event_id % 10 == 0 loses its last
+    char), then parsed with from_json — which yields NULL on malformed
+    input instead of failing the job (the PERMISSIVE contract a 100 TB
+    ingest needs: one corrupt record must never kill a 6-hour batch).
+    Output: parse-health counts per event type."""
+    ev = _t(spark, sf_dir, "events")
+    mangled = F.when(
+        F.col("event_id") % 10 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    parsed = ev.select(
+        "event_type",
+        F.from_json(mangled, "map<string,bigint>").alias("m"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("m").isNull().cast("long")).alias("n_quarantined"),
+        F.sum(F.col("m").isNotNull().cast("long")).alias("n_parsed"),
+    )
+
+
 def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history build: each user's purchase log becomes
     validity intervals [valid_from, valid_to), open-ended for the
@@ -2024,6 +2047,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_diversity": q_user_diversity,
     "iqr_outliers": q_iqr_outliers,
     "zorder_clustering": q_zorder_clustering,
+    "corrupt_json_quarantine": q_corrupt_json_quarantine,
     "scd2_user_history": q_scd2_user_history,
     "funnel_conversion": q_funnel_conversion,
     "order_count_distribution": q_order_count_distribution,
@@ -2982,6 +3006,21 @@ def oracle_sql() -> dict[str, str]:
                    MIN(minute_idx) AS minute_lo,
                    MAX(minute_idx) AS minute_hi
             FROM z GROUP BY bucket
+        """,
+        "corrupt_json_quarantine": """
+            WITH m AS (
+                SELECT event_type,
+                       CASE WHEN event_id % 10 = 0
+                            THEN SUBSTRING(props, 1, LENGTH(props) - 1)
+                            ELSE props END AS props2
+                FROM events
+            )
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN json_valid(props2) THEN 0 ELSE 1
+                            END) AS BIGINT) AS n_quarantined,
+                   CAST(SUM(CASE WHEN json_valid(props2) THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_parsed
+            FROM m GROUP BY event_type
         """,
         "scd2_user_history": """
             SELECT user_id, event_id,

@@ -60,3 +60,52 @@ def test_merge_upsert_change_only_column_null_for_untouched(spark):
     snap = _snapshot(spark, [(1, "U", 11.0, 7)])
     assert snap[1].seq == 7
     assert snap[2].seq is None
+
+
+from hypothesis import given, settings, strategies as st
+
+_OPS = st.lists(
+    st.tuples(
+        st.integers(0, 5),                       # key
+        st.sampled_from(["U", "D"]),             # op
+        st.one_of(st.none(), st.integers(0, 99)),  # new balance
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_OPS)
+def test_merge_upsert_matches_sequential_fold(spark, ops):
+    """merge_upsert == applying the log one change at a time."""
+    base = {0: 10.0, 1: 20.0, 2: 30.0}
+    expected = dict(base)
+    for key, op, val in ops:
+        if op == "D":
+            expected.pop(key, None)
+        else:
+            expected[key] = None if val is None else float(val)
+
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "k long, bal double"
+    )
+    if ops:
+        chg_df = spark.createDataFrame(
+            [
+                (k, op, None if v is None else float(v), seq)
+                for seq, (k, op, v) in enumerate(ops)
+            ],
+            "k long, op string, bal double, seq long",
+        )
+    else:
+        chg_df = spark.createDataFrame(
+            [], "k long, op string, bal double, seq long"
+        )
+    got = {
+        r.k: r.bal
+        for r in cdc.merge_upsert(
+            base_df, chg_df, ["k"], ["seq"], op_col="op"
+        ).collect()
+    }
+    assert got == expected
