@@ -1695,6 +1695,46 @@ def q_corrupt_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-corpus curation pipeline as ONE lazy plan:
+    benchmark exclusion → quality/length scoring+filter → exact dedup
+    (lowest id per normalized fingerprint) → n-gram decontamination
+    (anti-join against benchmark trigrams, broadcast) → deterministic
+    stratified train/holdout split. Every stage is the already-gated
+    operator; composing them stays declarative, so Catalyst prunes the
+    text column the moment the last text-derived expression is computed
+    and the whole chain runs scan→filter→two shuffles (fingerprint
+    window, contamination join) → map-side split."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter((F.col("doc_id") % 50) != 0)
+    scored = corpus.select(
+        "doc_id",
+        "lang",
+        "text",
+        textf.whitespace_token_count("text").alias("n_tokens"),
+        textf.quality_score("text").alias("quality"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 10) & (F.col("quality") >= 0.5)
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        kept.withColumn(
+            "fingerprint", textf.normalized_fingerprint("text")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    hits = dedup.contamination_hits(docs, (F.col("doc_id") % 50) == 0)
+    clean = deduped.join(hits, "doc_id", "left_anti")
+    out = sampling.hash_split(
+        clean, "doc_id", _SPLIT_RATES, stratum_col="lang"
+    )
+    return out.select(
+        "doc_id", "lang", "n_tokens", _q(F.col("quality"), 6).alias("quality"), "split"
+    )
+
+
 def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history build: each user's purchase log becomes
     validity intervals [valid_from, valid_to), open-ended for the
@@ -2048,6 +2088,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iqr_outliers": q_iqr_outliers,
     "zorder_clustering": q_zorder_clustering,
     "corrupt_json_quarantine": q_corrupt_json_quarantine,
+    "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
     "scd2_user_history": q_scd2_user_history,
     "funnel_conversion": q_funnel_conversion,
     "order_count_distribution": q_order_count_distribution,
@@ -3022,6 +3063,88 @@ def oracle_sql() -> dict[str, str]:
                             END) AS BIGINT) AS n_parsed
             FROM m GROUP BY event_type
         """,
+        "corpus_pipeline_end2end": f"""
+            WITH corpus AS (
+                SELECT * FROM documents WHERE doc_id % 50 != 0
+            ), m AS (
+                SELECT doc_id, lang, text,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens,
+                       length(text) AS nc,
+                       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                           AS npunct,
+                       length(regexp_replace(text, '\\s+', '', 'g'))
+                           AS nc_nospace
+                FROM corpus
+            ), r AS (
+                SELECT doc_id, lang, text, n_tokens,
+                       LEAST(nc / 200.0, 1.0) AS len_score,
+                       LEAST((CASE WHEN nc = 0 THEN 0.0
+                                   ELSE CAST(npunct AS DOUBLE) / nc END)
+                             * 2.0, 1.0) AS noise_penalty,
+                       CASE WHEN n_tokens = 0 THEN 0.0
+                            ELSE CAST(nc_nospace AS DOUBLE) / n_tokens
+                       END AS wl
+                FROM m
+            ), q AS (
+                SELECT doc_id, lang, text, n_tokens,
+                       FLOOR((len_score * 0.5
+                              + (CASE WHEN wl >= 3.0 AND wl <= 8.0
+                                      THEN 1.0 ELSE 0.5 END) * 0.3
+                              + (1.0 - noise_penalty) * 0.2) * 1000000
+                             + 0.5) / 1000000.0 AS quality
+                FROM r
+            ), kept AS (
+                SELECT * FROM q
+                WHERE n_tokens >= 10 AND quality >= 0.5
+            ), dd AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                                    '\\s+', ' ', 'g'))
+                    ORDER BY doc_id
+                ) AS rn
+                FROM kept
+            ), deduped AS (
+                SELECT * FROM dd WHERE rn = 1
+            ), wS AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+')
+                           AS words
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) < 3
+                            THEN [array_to_string(words, ' ')]
+                            ELSE list_transform(
+                                generate_series(0, len(words) - 3),
+                                i -> array_to_string(
+                                    list_slice(words, i + 1, i + 3), ' '))
+                       END AS shingles
+                FROM wS
+            ), ex AS (
+                SELECT doc_id, unnest(list_distinct(shingles)) AS gram
+                FROM sh
+            ), bench AS (
+                SELECT DISTINCT gram FROM ex WHERE doc_id % 50 = 0
+            ), contaminated AS (
+                SELECT DISTINCT t.doc_id
+                FROM (SELECT * FROM ex WHERE doc_id % 50 != 0) t
+                JOIN bench b USING (gram)
+            ), clean AS (
+                SELECT * FROM deduped
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+            )
+            SELECT doc_id, lang, n_tokens,
+                   FLOOR(quality * 1000000 + 0.5) / 1000000.0 AS quality,
+                   CASE {{arms}} ELSE 'holdout' END AS split
+            FROM clean
+        """.replace("{arms}", " ".join(
+            f"WHEN lang = '{lang}' AND "
+            f"substring(md5('split:' || doc_id::VARCHAR), 1, 8) < "
+            f"'{sampling.rate_threshold(r)}' THEN 'train'"
+            for lang, r in sorted(_SPLIT_RATES.items())
+        )),
         "scd2_user_history": """
             SELECT user_id, event_id,
                    ts AS valid_from,

@@ -50,6 +50,7 @@ HEADLINE = [
     "stratified_split",
     "pack_token_budget",
     "price_band_join",
+    "corpus_pipeline_end2end",
     "cdc_merge_snapshot",
     "event_cooccurrence",
     "range_frame_rolling",
