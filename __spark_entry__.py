@@ -1653,11 +1653,20 @@ def q_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     literally in the oracle."""
     ev = _t(spark, sf_dir, "events")
     minute = F.floor(F.unix_millis("ts") / F.lit(60000)).cast("long")
-    z = relational.zorder2_key(F.col("user_id"), minute)
-    e = ev.select(
-        F.col("user_id"),
-        minute.alias("minute_idx"),
-        z.alias("zkey"),
+    # rebase to the corpus's first minute: the key interleaves 16-bit
+    # dimensions, and absolute epoch-minutes (~28M) would wrap the mask
+    # mid-corpus, scrambling the locality the layout exists to create
+    base = ev.agg(F.min(minute).alias("m0"))
+    e = (
+        ev.select(F.col("user_id"), minute.alias("m"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            "user_id",
+            (F.col("m") - F.col("m0")).alias("minute_idx"),
+        )
+    )
+    e = e.withColumn(
+        "zkey", relational.zorder2_key(F.col("user_id"), F.col("minute_idx"))
     )
     return (
         e.withColumn("bucket", F.shiftright("zkey", 26))
@@ -2732,7 +2741,8 @@ def oracle_sql() -> dict[str, str]:
             ), ex AS (
                 SELECT a.cid, t.i - 1 AS pos, e.embedding[t.i]::DOUBLE AS val
                 FROM a JOIN embeddings e USING (vec_id)
-                CROSS JOIN UNNEST(generate_series(1, 64)) AS t(i)
+                CROSS JOIN UNNEST(generate_series(1, len(e.embedding)))
+                    AS t(i)
             ), g AS (
                 SELECT cid, pos, COUNT(*) AS n,
                        SUM(CAST(ROUND(val * 1000000, 0) AS BIGINT)) AS s
@@ -3031,11 +3041,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e.event_type
         """,
         "zorder_clustering": f"""
-            WITH e AS (
+            WITH mins AS (
                 SELECT user_id,
-                       CAST(FLOOR(epoch_ms(ts) / 60000) AS BIGINT)
-                           AS minute_idx
+                       CAST(FLOOR(epoch_ms(ts) / 60000) AS BIGINT) AS m
                 FROM events
+            ), e AS (
+                SELECT user_id,
+                       m - (SELECT MIN(m) FROM mins) AS minute_idx
+                FROM mins
             ), z AS (
                 SELECT user_id, minute_idx,
                        ({_sql_spread("user_id")})
@@ -3057,10 +3070,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT event_type, COUNT(*) AS n,
-                   CAST(SUM(CASE WHEN json_valid(props2) THEN 0 ELSE 1
-                            END) AS BIGINT) AS n_quarantined,
-                   CAST(SUM(CASE WHEN json_valid(props2) THEN 1 ELSE 0
-                            END) AS BIGINT) AS n_parsed
+                   -- from_json(map<...>) also nulls valid-but-non-object
+                   -- JSON, so mirror validity AND object shape (value
+                   -- coercion is per the generator contract: int values)
+                   CAST(SUM(CASE WHEN json_valid(props2)
+                                 THEN (CASE WHEN json_type(props2)
+                                                 = 'OBJECT'
+                                            THEN 0 ELSE 1 END)
+                                 ELSE 1 END) AS BIGINT) AS n_quarantined,
+                   CAST(SUM(CASE WHEN json_valid(props2)
+                                 THEN (CASE WHEN json_type(props2)
+                                                 = 'OBJECT'
+                                            THEN 1 ELSE 0 END)
+                                 ELSE 0 END) AS BIGINT) AS n_parsed
             FROM m GROUP BY event_type
         """,
         "corpus_pipeline_end2end": f"""
@@ -3068,9 +3090,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM documents WHERE doc_id % 50 != 0
             ), m AS (
                 SELECT doc_id, lang, text,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '\\s+'))
-                       END AS n_tokens,
+                       {_WS_TOKENS} AS n_tokens,
                        length(text) AS nc,
                        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
                            AS npunct,
@@ -3100,8 +3120,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE n_tokens >= 10 AND quality >= 0.5
             ), dd AS (
                 SELECT *, ROW_NUMBER() OVER (
-                    PARTITION BY md5(regexp_replace(lower(trim(text)),
-                                                    '\\s+', ' ', 'g'))
+                    PARTITION BY md5({_NORM_TEXT})
                     ORDER BY doc_id
                 ) AS rn
                 FROM kept
@@ -3249,7 +3268,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN bench b USING (gram)
             GROUP BY t.doc_id
         """,
-        "corpus_filter_chain": r"""
+        "corpus_filter_chain": rf"""
             WITH w AS (
                 SELECT doc_id, lang, text,
                        string_split_regex(lower(trim(text)), '\s+') AS words
@@ -3266,9 +3285,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM w
             ), m AS (
                 SELECT doc_id, lang,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '\s+'))
-                       END AS n_tokens,
+                       {_WS_TOKENS} AS n_tokens,
                        length(text) AS nc,
                        len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct,
                        length(regexp_replace(text, '\s+', '', 'g')) AS nc_nospace,

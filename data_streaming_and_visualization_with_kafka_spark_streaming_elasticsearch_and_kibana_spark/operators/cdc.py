@@ -23,15 +23,15 @@ def latest_changes(
     order_cols: list[str],
 ) -> DataFrame:
     """Collapse a change log to its final state per key (last write
-    wins, deterministic via the full order_cols tiebreak)."""
-    w = Window.partitionBy(*key_cols).orderBy(
-        *[F.desc(c) for c in order_cols]
-    )
-    return (
-        log.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    wins, deterministic via the order_cols tiebreak). Thin wrapper over
+    relational.latest_per_key so the keyed last-write-wins logic has
+    exactly one implementation."""
+    from .relational import latest_per_key
+
+    if len(order_cols) > 2:
+        raise ValueError("latest_changes supports at most 2 order columns")
+    ts, *rest = order_cols
+    return latest_per_key(log, key_cols, ts, tiebreak=rest[0] if rest else None)
 
 
 def merge_upsert(
@@ -46,9 +46,10 @@ def merge_upsert(
 
     - the latest change per key wins (order_cols descending);
     - a final `delete_op` removes the key (even if it exists in base);
-    - any other final op upserts: non-key columns common to both sides
-      are taken from the change, columns only in base are kept,
-      columns only in the change appear (null for untouched base rows);
+    - any other final op — including a NULL op — upserts: non-key
+      columns common to both sides are taken from the change, columns
+      only in base are kept, columns only in the change appear (null
+      for untouched base rows);
     - base rows with no change pass through unchanged.
 
     Returns the new snapshot with schema = base ∪ change value columns
@@ -67,17 +68,25 @@ def merge_upsert(
     c = last.select(
         *key_cols,
         F.col(op_col).alias("__op"),
+        # presence marker distinct from __op: the op value itself may
+        # legitimately be NULL (treated as an upsert), so change-row
+        # detection must not ride on __op's nullability
+        F.lit(1).alias("__present"),
         *[F.col(v).alias(f"__c_{v}") for v in c_vals],
     )
     j = b.join(c, key_cols, "full_outer")
-    # deleted keys drop out; unmatched base rows (__op null) survive
-    j = j.filter(F.col("__op").isNull() | (F.col("__op") != delete_op))
+    # deleted keys drop out; unmatched base rows and NULL-op upserts survive
+    j = j.filter(
+        F.col("__present").isNull()
+        | F.col("__op").isNull()
+        | (F.col("__op") != delete_op)
+    )
     base_vals = [x for x in base.columns if x not in key_cols]
     out_cols = [F.col(k) for k in key_cols]
     for v in base_vals:
         if v in c_vals:  # the change is authoritative (even a NULL)
             out_cols.append(
-                F.when(F.col("__op").isNotNull(), F.col(f"__c_{v}"))
+                F.when(F.col("__present").isNotNull(), F.col(f"__c_{v}"))
                 .otherwise(F.col(f"__b_{v}"))
                 .alias(v)
             )

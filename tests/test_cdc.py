@@ -67,7 +67,7 @@ from hypothesis import given, settings, strategies as st
 _OPS = st.lists(
     st.tuples(
         st.integers(0, 5),                       # key
-        st.sampled_from(["U", "D"]),             # op
+        st.sampled_from(["U", "D", None]),       # op (NULL op = upsert)
         st.one_of(st.none(), st.integers(0, 99)),  # new balance
     ),
     min_size=0,
