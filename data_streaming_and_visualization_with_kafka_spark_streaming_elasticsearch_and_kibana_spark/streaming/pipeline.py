@@ -124,6 +124,32 @@ def stream_static_enrich(
     return stream_df.join(F.broadcast(dim_df), on, how)
 
 
+def stream_stream_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the
+    completeness tier above the inner interval join: unmatched left
+    rows DO surface, as null-extended rows, but only once the global
+    watermark (min over both sides) passes their join window, because
+    that is the earliest moment "no match ever arrived" is decidable
+    on unbounded input. Until then they live in bounded join state.
+
+    `condition` must include the equi-key AND a time bound tying
+    right_ts to left_ts, or state cannot be evicted and grows without
+    bound. Null emission happens in the micro-batch AFTER the
+    watermark advances (eviction-driven) — exercised batch-by-batch
+    in tests/test_streaming.py.
+    """
+    return left.withWatermark(left_ts, watermark).join(
+        right.withWatermark(right_ts, watermark), condition, "leftOuter"
+    )
+
+
 def throttled_replay(
     stream_df: DataFrame,
     query_name: str,

@@ -229,3 +229,54 @@ def test_throttled_replay_bounded_intake(spark, tmp_dir):
         assert sum(1 for n in per_batch if n > 0) >= 3
     finally:
         q.stop()
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_dir):
+    """Unmatched left rows must surface as null-extended rows once the
+    watermark passes their join window — fed one file per micro-batch
+    so the eviction actually happens across batches."""
+    src = f"{tmp_dir}/souter"
+    # batch 1: an observation with no calibration in its 10-min lookback
+    _write_events(spark, src, _rows(("2024-01-01T10:00:00", "a", 1.0)))
+    # batch 2: matched pair far in the future -> advances BOTH watermarks
+    _write_events(
+        spark,
+        src,
+        _rows(("2024-01-01T11:30:00", "x", 2.0), ("2024-01-01T11:30:00", "x", 200.0)),
+    )
+    # batch 3: another pair; processing it evicts 'a' (watermark 11:25)
+    _write_events(
+        spark,
+        src,
+        _rows(("2024-01-01T11:40:00", "y", 3.0), ("2024-01-01T11:40:00", "y", 300.0)),
+    )
+
+    stream = file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    obs = stream.filter(F.col("temp") < 100).select(
+        F.col("room").alias("o_room"),
+        F.col("ts").alias("o_ts"),
+        F.col("temp").alias("o_temp"),
+    )
+    cal = stream.filter(F.col("temp") >= 100).select(
+        F.col("room").alias("c_room"),
+        F.col("ts").alias("c_ts"),
+        F.col("temp").alias("c_temp"),
+    )
+    joined = pipeline.stream_stream_outer_join(
+        obs,
+        cal,
+        F.expr(
+            "o_room = c_room AND "
+            "c_ts BETWEEN o_ts - INTERVAL 10 MINUTES AND o_ts"
+        ),
+        "o_ts",
+        "c_ts",
+        watermark="5 minutes",
+    )
+    name = f"souter_{uuid.uuid4().hex[:6]}"
+    got = {
+        r.o_room: r.c_temp
+        for r in _drain(spark, joined.select("o_room", "c_temp"), name, "append").collect()
+    }
+    assert got["x"] == 200.0 and got["y"] == 300.0       # inner matches
+    assert "a" in got and got["a"] is None               # evicted -> null row
