@@ -1744,6 +1744,57 @@ def q_corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (the dashboard percentage column): per-type event
+    count and spend as fractions of the corpus total via an empty-frame
+    window over the POST-aggregation rows — the global window touches
+    |event types| rows, not the corpus, so the 'single partition' cost
+    of an unpartitioned window is irrelevant by construction."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_cents("value")).alias("spend_c"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "event_type",
+        "n",
+        _q(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+            "share_events"
+        ),
+        _q(
+            F.col("spend_c").cast("double") / F.sum("spend_c").over(w), 6
+        ).alias("share_spend"),
+    )
+
+
+def q_rank_vs_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie semantics of the rank family: customers ranked by order count
+    within market segment, keeping everyone with rank() <= 3 — ties
+    share a rank (and inflate the next), dense_rank stays gapless. The
+    rank-value filter makes the result set deterministic WITHOUT a
+    tiebreak column: all peers of a qualifying rank qualify together."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    counts = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("n_orders"))
+    ranked = counts.select(
+        "c_mktsegment",
+        "c_custkey",
+        "n_orders",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+    return ranked.filter(F.col("rnk") <= 3)
+
+
 def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history build: each user's purchase log becomes
     validity intervals [valid_from, valid_to), open-ended for the
@@ -2098,6 +2149,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_clustering": q_zorder_clustering,
     "corrupt_json_quarantine": q_corrupt_json_quarantine,
     "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
+    "share_of_total": q_share_of_total,
+    "rank_vs_dense_rank": q_rank_vs_dense_rank,
     "scd2_user_history": q_scd2_user_history,
     "funnel_conversion": q_funnel_conversion,
     "order_count_distribution": q_order_count_distribution,
@@ -3164,6 +3217,42 @@ def oracle_sql() -> dict[str, str]:
             f"'{sampling.rate_threshold(r)}' THEN 'train'"
             for lang, r in sorted(_SPLIT_RATES.items())
         )),
+        "share_of_total": f"""
+            WITH agg AS (
+                SELECT event_type, COUNT(*) AS n,
+                       SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                           AS spend_c
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   {_sql_q(
+                       "CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)",
+                       6)} AS share_events,
+                   {_sql_q(
+                       "CAST(spend_c AS DOUBLE) "
+                       "/ CAST(SUM(spend_c) OVER () AS DOUBLE)", 6)}
+                       AS share_spend
+            FROM agg
+        """,
+        "rank_vs_dense_rank": """
+            WITH counts AS (
+                SELECT c_mktsegment, c_custkey, COUNT(*) AS n_orders
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_mktsegment, c_custkey
+            ), ranked AS (
+                SELECT c_mktsegment, c_custkey, n_orders,
+                       CAST(RANK() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY n_orders DESC
+                       ) AS INT) AS rnk,
+                       CAST(DENSE_RANK() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY n_orders DESC
+                       ) AS INT) AS drnk
+                FROM counts
+            )
+            SELECT * FROM ranked WHERE rnk <= 3
+        """,
         "scd2_user_history": """
             SELECT user_id, event_id,
                    ts AS valid_from,
