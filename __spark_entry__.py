@@ -1711,9 +1711,10 @@ def q_corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     (anti-join against benchmark trigrams, broadcast) → deterministic
     stratified train/holdout split. Every stage is the already-gated
     operator; composing them stays declarative, so Catalyst prunes the
-    text column the moment the last text-derived expression is computed
-    and the whole chain runs scan→filter→two shuffles (fingerprint
-    window, contamination join) → map-side split."""
+    text column the moment the last text-derived expression is computed.
+    Audited plan (PLANS.md): 3 shuffles (fingerprint window, the
+    contamination build's gram aggregation, dedup) + 2 broadcasts (bench
+    gram set, anti-join), split assignment map-side."""
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter((F.col("doc_id") % 50) != 0)
     scored = corpus.select(
