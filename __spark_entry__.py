@@ -1796,6 +1796,49 @@ def q_rank_vs_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rnk") <= 3)
 
 
+def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (the clickstream 'path' feature): each
+    user's first 10 event types joined in event order. collect_list has
+    NO ordering guarantee under parallel aggregation — the correct
+    pattern is collect structs, array_sort on the embedded sort key,
+    then project+join; the oracle is DuckDB's string_agg(... ORDER BY),
+    so any ordering leak fails the hash."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    first10 = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 10
+    )
+    collected = first10.groupBy("user_id").agg(
+        F.collect_list(F.struct("event_id", "event_type")).alias("evs")
+    )
+    path = F.array_join(
+        F.transform(F.array_sort("evs"), lambda x: x.event_type), ">"
+    )
+    return collected.select(
+        "user_id", F.size("evs").alias("n"), path.alias("path")
+    )
+
+
+def q_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped min-max feature scaling (ML-prep staple): value rescaled
+    to [0,1] within its event type. Per-group extrema via one aggregate
+    broadcast back — two passes over the exact same 2-decimal values in
+    both engines, so (v - min)/(max - min) is the identical double."""
+    ev = _t(spark, sf_dir, "events")
+    ext = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    j = ev.join(F.broadcast(ext), "event_type")
+    scaled = (F.col("value") - F.col("vmin")) / (
+        F.col("vmax") - F.col("vmin")
+    )
+    return j.select(
+        "event_id",
+        "event_type",
+        _q(scaled, 6).alias("scaled"),
+    )
+
+
 def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history build: each user's purchase log becomes
     validity intervals [valid_from, valid_to), open-ended for the
@@ -2152,6 +2195,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
     "share_of_total": q_share_of_total,
     "rank_vs_dense_rank": q_rank_vs_dense_rank,
+    "user_event_paths": q_user_event_paths,
+    "minmax_normalize": q_minmax_normalize,
     "scd2_user_history": q_scd2_user_history,
     "funnel_conversion": q_funnel_conversion,
     "order_count_distribution": q_order_count_distribution,
@@ -3253,6 +3298,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM counts
             )
             SELECT * FROM ranked WHERE rnk <= 3
+        """,
+        "user_event_paths": """
+            WITH first10 AS (
+                SELECT user_id, event_id, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                       ) AS rn
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS INT) AS n,
+                   string_agg(event_type, '>' ORDER BY event_id) AS path
+            FROM first10 WHERE rn <= 10
+            GROUP BY user_id
+        """,
+        "minmax_normalize": f"""
+            WITH ext AS (
+                SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+                FROM events GROUP BY event_type
+            )
+            SELECT event_id, event_type,
+                   {_sql_q("(value - vmin) / (vmax - vmin)", 6)} AS scaled
+            FROM events JOIN ext USING (event_type)
         """,
         "scd2_user_history": """
             SELECT user_id, event_id,
