@@ -10,7 +10,12 @@ rate per unit of corpus stays constant while the corpus grows. (Naive
 which measures quadratic pair output, not engine scaling.)
 
 Timed per k: exact dedup, MinHash-LSH pairs, SimHash candidates, token
-counts, quality scores. Writes SCALING.md with wall time and rows/sec.
+counts, quality scores, and the end-to-end curation pipeline (~30s at
+k=32). Map-only queries are timed through the noop sink — a bare
+.count() lets Catalyst prune their projection down to a parquet
+metadata count, timing the scan instead of the operator; aggregating
+queries are timed via .count(), which cannot be pruned. Writes
+SCALING.md (preserving foreign trailing sections).
 
 Usage: python tools/stress_scaling.py [k ...]   (default: 1 4 16)
 """
@@ -36,13 +41,17 @@ BASE = "/root/testdata/sf0.1"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    ".benchmarks", "stress")
 TIMED = [
+    # map-only queries first: measured before the heavy dedup self-joins
+    # fill the JVM with shuffle/GC pressure that inflates their times
+    "doc_token_counts",
+    "quality_scores",
     "exact_dedup_docs",
     "minhash_dedup_pairs",
     "simhash_candidates",
-    "doc_token_counts",
-    "quality_scores",
     "corpus_pipeline_end2end",
 ]
+#: pure narrow-map queries, timed via the noop sink (see main loop)
+MAP_ONLY = {"doc_token_counts", "quality_scores"}
 
 
 def build_corpus(spark, k: int) -> str:
@@ -111,10 +120,28 @@ def main() -> None:
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         row: dict = {"n_docs": n_docs, "times": {}}
         for name in TIMED:
+            df = qs[name](spark, sf_dir)
             t0 = time.time()
-            out_rows = qs[name](spark, sf_dir).count()
-            row["times"][name] = round(time.time() - t0, 3)
-            row.setdefault("out_rows", {})[name] = out_rows
+            if name in MAP_ONLY:
+                # noop sink materializes EVERY column — .count() on a
+                # map-only projection prunes to a parquet metadata count
+                # and times the scan, not the operator. Best of 2 reps:
+                # sub-second map stages are GC-noise-sensitive
+                reps = []
+                for _ in range(2):
+                    r0 = time.time()
+                    df.write.format("noop").mode("overwrite").save()
+                    reps.append(time.time() - r0)
+                row["times"][name] = round(min(reps), 3)
+                # cardinality unchanged by a projection: the cheap
+                # metadata count is the correct row count
+                row.setdefault("out_rows", {})[name] = df.count()
+            else:
+                # aggregations/joins cannot be pruned by count(): the
+                # count IS the full computation, and doubles as out_rows
+                out_rows = df.count()
+                row["times"][name] = round(time.time() - t0, 3)
+                row.setdefault("out_rows", {})[name] = out_rows
         results[k] = row
         print(json.dumps({"k": k, **row}))
 
@@ -165,11 +192,13 @@ def main() -> None:
     ]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "SCALING.md")
-    # preserve sections other tools append (e.g. the skew-join evidence)
+    # preserve sections other tools append (e.g. the skew-join evidence):
+    # this harness emits no H2 headings, so the first "\n## " in the old
+    # file marks foreign content
     tail = ""
     if os.path.exists(path):
         prev = open(path).read()
-        marker = prev.find("\n## ", prev.find("corpus-growth"))
+        marker = prev.find("\n## ")
         if marker != -1:
             tail = prev[marker:]
     with open(path, "w") as f:
