@@ -280,3 +280,53 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_di
     }
     assert got["x"] == 200.0 and got["y"] == 300.0       # inner matches
     assert "a" in got and got["a"] is None               # evicted -> null row
+
+
+def test_stream_stream_left_outer_late_match_no_null_row(spark, tmp_dir):
+    """A right-side match arriving in a LATER micro-batch (but inside
+    the watermark) must join its buffered left row — and that left row
+    must NOT also surface as a null-extended row afterwards."""
+    src = f"{tmp_dir}/slate"
+    # batch 1: observation alone
+    _write_events(spark, src, _rows(("2024-01-01T10:00:00", "a", 1.0)))
+    # batch 2: its calibration arrives late (same minute, next batch)
+    _write_events(spark, src, _rows(("2024-01-01T10:00:30", "a", 150.0)))
+    # batches 3-4: advance watermark far past a's window, then evict
+    _write_events(
+        spark,
+        src,
+        _rows(("2024-01-01T11:30:00", "x", 2.0), ("2024-01-01T11:30:00", "x", 200.0)),
+    )
+    _write_events(
+        spark,
+        src,
+        _rows(("2024-01-01T11:40:00", "y", 3.0), ("2024-01-01T11:40:00", "y", 300.0)),
+    )
+
+    stream = file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    obs = stream.filter(F.col("temp") < 100).select(
+        F.col("room").alias("o_room"), F.col("ts").alias("o_ts")
+    )
+    cal = stream.filter(F.col("temp") >= 100).select(
+        F.col("room").alias("c_room"),
+        F.col("ts").alias("c_ts"),
+        F.col("temp").alias("c_temp"),
+    )
+    joined = pipeline.stream_stream_outer_join(
+        obs,
+        cal,
+        F.expr(
+            "o_room = c_room AND "
+            "c_ts BETWEEN o_ts AND o_ts + INTERVAL 10 MINUTES"
+        ),
+        "o_ts",
+        "c_ts",
+        watermark="5 minutes",
+    )
+    name = f"slate_{uuid.uuid4().hex[:6]}"
+    rows = _drain(
+        spark, joined.select("o_room", "c_temp"), name, "append"
+    ).collect()
+    a_rows = [r.c_temp for r in rows if r.o_room == "a"]
+    # exactly one 'a' result: the late match — never a null companion
+    assert a_rows == [150.0], rows
