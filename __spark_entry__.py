@@ -112,6 +112,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return readers.read_table(spark, sf_dir, name)
 
 
+def _epoch_sec(col: F.Column | str) -> F.Column:
+    """Epoch seconds (double) from any timestamp flavor.
+
+    TIMESTAMP_NTZ cannot be cast to a numeric directly; routing through
+    TIMESTAMP first is legal for both NTZ and LTZ inputs, and with the
+    session timezone pinned UTC (read_table does this) the NTZ wall time
+    IS the UTC instant — identical to DuckDB's epoch(ts) on naive ts.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
 # --------------------------------------------------------------------------
 # entry: flagship = the reference's fusion query shape (minute rollup) on events
 # --------------------------------------------------------------------------
@@ -126,7 +138,7 @@ def q_fusion_minute_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1/A1/A2/F1/F2: epoch↔ts, minute truncate, group mean (data_collector.py:23-38)."""
     ev = (
         _t(spark, sf_dir, "events")
-        .withColumn("ts_sec", F.col("ts").cast("double"))
+        .withColumn("ts_sec", _epoch_sec("ts"))
         .withColumn("value_c", _cents("value"))
     )
     rolled = fusion.minute_rollup(
@@ -368,7 +380,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag-gap + running sum (batch twin of session_window)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    gap = _epoch_sec("ts") - F.lag(_epoch_sec("ts")).over(w)
     is_new = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
     sess = ev.withColumn(
         "session_id",
@@ -897,7 +909,13 @@ def _run_event_stream_query(
         os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
         batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         stream = readers.file_stream(spark, stage, batch_schema)
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # normalize ts to TIMESTAMP (LTZ, session=UTC) whatever the file
+        # stores: bigint nanos (legacy conf path) or native TIMESTAMP_NTZ
+        ts_type = batch_schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
         q = streaming.run_to_memory(build(stream), name, output_mode=output_mode)
         q.stop()
         # memory sink holds the rows; the staging dir is no longer needed
@@ -1493,7 +1511,7 @@ def q_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the frame, which a ROWS frame cannot express. Ordered on
     integer epoch-millis so the frame bounds are exact."""
     ev = _t(spark, sf_dir, "events")
-    e = ev.withColumn("ems", F.unix_millis("ts"))
+    e = ev.withColumn("ems", F.unix_millis(F.col("ts").cast("timestamp")))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ems")
@@ -1652,7 +1670,9 @@ def q_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     enabling 2-D scan pruning. Bit-exact integer arithmetic, mirrored
     literally in the oracle."""
     ev = _t(spark, sf_dir, "events")
-    minute = F.floor(F.unix_millis("ts") / F.lit(60000)).cast("long")
+    minute = F.floor(
+        F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(60000)
+    ).cast("long")
     # rebase to the corpus's first minute: the key interleaves 16-bit
     # dimensions, and absolute epoch-minutes (~28M) would wrap the mask
     # mid-corpus, scrambling the locality the layout exists to create
@@ -1940,8 +1960,8 @@ def q_repetition_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", textf.shingles("text", 3).alias("sh"))
     return d.select(
         "doc_id",
-        F.size("sh").alias("n_shingles"),
-        F.size(F.array_distinct("sh")).alias("n_distinct"),
+        F.size("sh").cast("long").alias("n_shingles"),
+        F.size(F.array_distinct("sh")).cast("long").alias("n_distinct"),
         _q(
             F.lit(1.0) - F.size(F.array_distinct("sh")) / F.size("sh"), 6
         ).alias("rep_ratio"),
@@ -2285,7 +2305,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_part_margin": """
             SELECT n_name, p_brand,
                    {MARGIN} AS margin,
-                   SUM(CAST(l_quantity AS BIGINT)) AS qty,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
                    COUNT(*) AS n_lines
             FROM lineitem
             JOIN part     ON l_partkey = p_partkey
@@ -3559,9 +3579,12 @@ def oracle_sql() -> dict[str, str]:
                        CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS g5
                 FROM events
             ), w AS (
-                SELECT event_type, to_timestamp(g5) AS win_start FROM g
+                SELECT event_type,
+                       CAST(to_timestamp(g5) AS TIMESTAMP) AS win_start FROM g
                 UNION ALL
-                SELECT event_type, to_timestamp(g5 - 300) AS win_start FROM g
+                SELECT event_type,
+                       CAST(to_timestamp(g5 - 300) AS TIMESTAMP) AS win_start
+                FROM g
             )
             SELECT win_start, event_type, COUNT(*) AS n
             FROM w GROUP BY 1, 2
@@ -3569,7 +3592,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_enriched_counts": """
             SELECT c.c_mktsegment,
                    COUNT(*) AS n_events,
-                   SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS value_cents
             FROM events e
             LEFT JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY c.c_mktsegment
@@ -3579,7 +3603,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(('0x' || substring(md5('shard:' || doc_id::VARCHAR),
                          1, 8))::UBIGINT % 16 AS INT) AS shard,
                    COUNT(*) AS n_docs,
-                   SUM(n_chars) AS total_chars
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY 1
         """,
         "pack_token_budget": f"""
@@ -3594,7 +3618,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
                    COUNT(*) AS n_docs,
-                   SUM(n_tokens) AS bin_tokens
+                   CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
             FROM c GROUP BY 1, 2
         """,
         "price_band_join": f"""

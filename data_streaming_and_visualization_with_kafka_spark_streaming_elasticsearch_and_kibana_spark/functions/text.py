@@ -21,7 +21,11 @@ def whitespace_token_count(col: Column | str) -> Column:
     """Number of whitespace-separated tokens."""
     c = F.col(col) if isinstance(col, str) else col
     t = F.trim(c)
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    # long, not int: DuckDB counts are BIGINT, and the oracle compare is
+    # representation-sensitive (int32 vs int64 collected via Arrow)
+    return (
+        F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    ).cast("long")
 
 
 def regex_token_count(col: Column | str, pattern: str = TOKEN_REGEX) -> Column:
