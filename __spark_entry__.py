@@ -45,7 +45,7 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
     similarity,
     temporal,
 )
-from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources import readers
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources import readers, sinks
 from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.streaming import (
     pipeline as streaming,
 )
@@ -767,6 +767,100 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("p50_value"),
         F.percentile_approx("value", 0.95).alias("p95_value"),
+    )
+
+
+def _materialized_path(sf_dir: str, tag: str) -> str:
+    """Stable temp path for a per-sf_dir materialized artifact (index,
+    format-converted copy); `_SUCCESS` marks a completed write."""
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{sf_tag}")
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format breadth (§2.1 S4 family): customer → ORC (the other
+    mainstream columnar format; splittable, predicate-pushdown-capable)
+    → read back → aggregate. The oracle runs on the original parquet, so
+    a hash match proves the ORC write/read path is lossless."""
+    path = _materialized_path(sf_dir, "orc_customer")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _t(spark, sf_dir, "customer").write.mode("overwrite").orc(path)
+    c = spark.read.orc(path)
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        _cents_sum("c_acctbal").alias("balance"),
+    )
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source (§2.1, the landed-file twin of the Kafka JSON
+    wire): orders → .json lines → read back with an EXPLICIT schema (never
+    inferSchema: one pass, stable types) → aggregate. Doubles survive the
+    text roundtrip exactly (Spark emits shortest-repr decimals)."""
+    path = _materialized_path(sf_dir, "jsonl_orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        ).write.mode("overwrite").json(path)
+    schema = (
+        "o_orderkey BIGINT, o_orderstatus STRING, "
+        "o_orderpriority STRING, o_totalprice DOUBLE"
+    )
+    o = spark.read.schema(schema).json(path)
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        _cents_sum("o_totalprice").alias("total"),
+    )
+
+
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 under the gate: orders written `partitionBy(o_orderstatus)`
+    (low-cardinality dim → directory per value), then a status-filtered
+    aggregate reads back ONLY the matching directory — the physical plan
+    carries the predicate as a PartitionFilter, not a data filter
+    (asserted in tests/test_plans.py). This is the 100 TB layout move:
+    time/dim-partitioned landing tables make every downstream
+    status/date-scoped query touch a fraction of the files."""
+    path = _materialized_path(sf_dir, "part_orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        sinks.write_partitioned_parquet(
+            _t(spark, sf_dir, "orders"), path, ["o_orderstatus"]
+        )
+    o = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        _cents_sum("o_totalprice").alias("total"),
+    )
+
+
+def q_lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual rebalancing (public recipe from the
+    XLM-R / mT5 line): per-language corpus share p_l, sampling weight
+    w_l ∝ p_l^alpha (alpha=0.3 flattens the head), and the implied
+    upsample factor w_l/p_l. The per-language aggregate is tiny (lang
+    cardinality), so the normalizing sums are a broadcast, not a wide
+    shuffle — the doc-count groupBy is the only full-data pass."""
+    docs = _t(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    alpha = 0.3
+    p = F.col("n_docs").cast("double") / F.col("n_total")
+    w_raw = F.pow(p, F.lit(alpha))
+    totals = per_lang.agg(F.sum("n_docs").alias("n_total"))
+    enriched = per_lang.crossJoin(F.broadcast(totals)).withColumn(
+        "w_raw", w_raw
+    )
+    z = enriched.agg(F.sum("w_raw").alias("z"))
+    return (
+        enriched.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            _q(p, 6).alias("p"),
+            _q(F.col("w_raw") / F.col("z"), 6).alias("w"),
+            _q(F.col("w_raw") / F.col("z") / p, 6).alias("upsample"),
+        )
     )
 
 
@@ -2155,7 +2249,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_lag_delta": q_window_lag_delta,
     "latest_event_per_user": q_latest_event_per_user,
     "grouping_sets_events": q_grouping_sets_events,
-    "cube_status_priority": q_cube_status_priority,
+    "partition_pruned_scan": q_partition_pruned_scan,
     "exact_percentiles": q_exact_percentiles,
     "distinct_user_counts": q_distinct_user_counts,
     "semi_join_active_customers": q_semi_join_active_customers,
@@ -2189,6 +2283,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_features": q_multimodal_image_features,
     "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
     # ---------------------------------------------------- beyond the cap
+    "cube_status_priority": q_cube_status_priority,
+    "orc_roundtrip": q_orc_roundtrip,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "lang_sampling_weights": q_lang_sampling_weights,
     "rollup_accounts": q_rollup_accounts,
     "token_stats_by_lang": q_token_stats_by_lang,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
@@ -3643,6 +3741,35 @@ def oracle_sql() -> dict[str, str]:
                  b(band, lo, hi)
               ON p_retailprice >= lo AND p_retailprice < hi
             GROUP BY band
+        """,
+        "orc_roundtrip": f"""
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   {_sql_cents_sum("c_acctbal")} AS balance
+            FROM customer GROUP BY 1
+        """,
+        "jsonl_roundtrip": f"""
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   {_sql_cents_sum("o_totalprice")} AS total
+            FROM orders GROUP BY 1, 2
+        """,
+        "partition_pruned_scan": f"""
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   {_sql_cents_sum("o_totalprice")} AS total
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        """,
+        "lang_sampling_weights": f"""
+            WITH l AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+            t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM l),
+            e AS (SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+                         CAST(n_docs AS DOUBLE) / n_total AS p,
+                         POW(CAST(n_docs AS DOUBLE) / n_total, 0.3) AS w_raw
+                  FROM l, t),
+            z AS (SELECT SUM(w_raw) AS z FROM e)
+            SELECT lang, n_docs,
+                   {_sql_q("p", 6)} AS p,
+                   {_sql_q("w_raw / z", 6)} AS w,
+                   {_sql_q("w_raw / z / p", 6)} AS upsample
+            FROM e, z
         """,
         # rows-only (non-SQL-expressible / approximate):
         #   lsh_ann_topk, ivf_ann_topk, minhash_dedup_pairs,

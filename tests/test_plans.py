@@ -78,6 +78,21 @@ def test_tpch_q1_single_exchange_partial_agg(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_partitioned_scan_prunes_directories(spark):
+    """The status predicate over a partitionBy(o_orderstatus) layout must
+    become a PartitionFilter on the scan (directory pruning), NOT a
+    pushed data filter — at 100 TB that is the difference between
+    listing one directory and reading every file."""
+    df = entrymod.q_partition_pruned_scan(spark, SF)
+    plan = explain.formatted_plan(df)
+    part_section = plan.split("PartitionFilters")[1][:200]
+    assert "o_orderstatus" in part_section
+    # the data-filter pushdown section (absent here, since the only
+    # predicate became a partition filter) must not carry the partition col
+    if "PushedFilters" in plan:
+        assert "o_orderstatus" not in plan.split("PushedFilters")[1][:200]
+
+
 def test_correlated_subquery_is_decorrelated(spark):
     """Catalyst must rewrite the scalar subquery into an aggregate+join
     (no per-row subquery execution): the physical plan contains the
