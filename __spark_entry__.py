@@ -594,6 +594,20 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_bucket_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketing under the differential gate: the exact-
+    bucket probe (multiprobe=0) over the same seeded plane family the
+    indexed ANN path uses, re-ranked by exact cosine. DuckDB recomputes
+    every sign bit from the planes inlined as literals — a hash match
+    pins the whole bucket→probe→re-rank pipeline bit-for-bit (the
+    indexed q_lsh_ann_topk twin then only adds partition-pruned I/O,
+    which tests/test_similarity.py covers)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = _query_vec(spark, sf_dir)
+    planes = similarity.make_planes(dim=len(qvec), n_planes=6, seed=42)
+    return similarity.lsh_bucketed_topk(emb, qvec, planes, k=10, multiprobe=0)
+
+
 def q_minhash_signatures_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature pipeline verified BIT-FOR-BIT against DuckDB:
     md5 hash family (available in both engines), min taken over the hex
@@ -2276,9 +2290,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_lsh_verified": q_minhash_lsh_verified,
     "simhash_verified": q_simhash_verified,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "embedding_topk_cosine": q_embedding_topk_cosine,
+    "lsh_bucket_verified": q_lsh_bucket_verified,
     "stratified_split": q_stratified_split,
     "multimodal_image_features": q_multimodal_image_features,
     "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
@@ -2292,6 +2306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "minhash_signatures_verified": q_minhash_signatures_verified,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "rolling_fingerprint": q_rolling_fingerprint,
@@ -2376,6 +2391,40 @@ def _stopword_hits_sql(words: list[str]) -> str:
             f" / {len(w) + 1}"
         )
     return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def _lsh_bucket_oracle_sql() -> str:
+    """DuckDB twin of q_lsh_bucket_verified: the seeded hyperplanes are
+    inlined as DOUBLE[] literals (repr roundtrips doubles exactly), sign
+    bits folded to the bucket id, exact-bucket filter, cosine re-rank.
+    Sign decisions are robust to summation-order float noise: the margins
+    are O(1) while cross-engine dot-product error is ~1e-13."""
+    planes = similarity.make_planes(dim=64, n_planes=6, seed=42)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH pl(i, p) AS (VALUES {rows}),
+        qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+        qb AS (SELECT CAST(SUM(CASE WHEN list_inner_product(pl.p, qv.q) > 0
+                                    THEN (1::BIGINT << pl.i) ELSE 0 END)
+                      AS BIGINT) AS qbucket
+               FROM pl, qv),
+        cb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bk AS (SELECT cb.vec_id, cb.v,
+                      CAST(SUM(CASE WHEN list_inner_product(pl.p, cb.v) > 0
+                                    THEN (1::BIGINT << pl.i) ELSE 0 END)
+                      AS BIGINT) AS bucket
+               FROM cb, pl GROUP BY cb.vec_id, cb.v)
+        SELECT bk.vec_id,
+               FLOOR(list_cosine_similarity(bk.v, qv.q) * 1000000 + 0.5)
+                 / 1000000.0 AS cos_sim
+        FROM bk, qv, qb
+        WHERE bk.bucket = qb.qbucket
+        ORDER BY cos_sim DESC, bk.vec_id ASC
+        LIMIT 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2772,6 +2821,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, e.vec_id ASC
             LIMIT 10
         """,
+        "lsh_bucket_verified": _lsh_bucket_oracle_sql(),
         "streaming_minute_counts": """
             SELECT date_trunc('minute', ts) AS event_ts_min, event_type,
                    COUNT(*) AS n
