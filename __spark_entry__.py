@@ -41,6 +41,7 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
     fusion,
     multimodal,
     relational,
+    rollup,
     sampling,
     similarity,
     temporal,
@@ -846,6 +847,24 @@ def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
         _cents_sum("o_totalprice").alias("total"),
+    )
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (operators.rollup): minute rollup served from
+    a day-partitioned MATERIALIZED history plus a fresh-tail rollup over
+    raw events beyond the watermark — the hypertable pattern where a
+    query touches rolled-up parquet for all of history and raw data only
+    for the newest day. The oracle is a plain full-table GROUP BY, so a
+    hash match proves history ∪ tail is exactly the full rollup."""
+    ev = _t(spark, sf_dir, "events")
+    path = _materialized_path(sf_dir, "cagg_minute")
+    agg = rollup.ensure_materialized(spark, ev, path)
+    return agg.select(
+        "minute",
+        "event_type",
+        "n",
+        _q(F.col("value_cents") / 100.0, 2).alias("value_sum"),
     )
 
 
@@ -2298,6 +2317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
     # ---------------------------------------------------- beyond the cap
     "cube_status_priority": q_cube_status_priority,
+    "hypertable_rollup": q_hypertable_rollup,
     "orc_roundtrip": q_orc_roundtrip,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "lang_sampling_weights": q_lang_sampling_weights,
@@ -3806,6 +3826,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, COUNT(*) AS n,
                    {_sql_cents_sum("o_totalprice")} AS total
             FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+        """,
+        "hypertable_rollup": f"""
+            SELECT date_trunc('minute', ts) AS minute, event_type,
+                   COUNT(*) AS n,
+                   {_sql_cents_sum("value")} AS value_sum
+            FROM events GROUP BY 1, 2
         """,
         "lang_sampling_weights": f"""
             WITH l AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),

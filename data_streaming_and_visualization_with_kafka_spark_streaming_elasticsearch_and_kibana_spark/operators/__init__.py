@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     fusion,
     multimodal,
     relational,
+    rollup,
     similarity,
     temporal,
 )

@@ -1,0 +1,110 @@
+"""Continuous aggregates — hypertable-style materialized rollups.
+
+The TimescaleDB/"hypertable rollup" pattern re-expressed Spark-first:
+at 100 TB the raw event history is append-only and cold, and re-scanning
+it for every bucketed dashboard query is the anti-pattern. Instead the
+bucketed rollup is materialized ONCE as parquet partitioned by day —
+so an incremental refresh rewrites only the invalidated day partitions —
+and a query unions that materialized history with a rollup of the fresh
+tail computed from raw events. The only raw data a query touches is the
+tail beyond the materialization watermark.
+
+Correctness invariant: the bucket (minute) never straddles the watermark
+because the watermark is a day boundary and day-truncation is coarser
+than minute-truncation — so history buckets and tail buckets are
+disjoint and the union IS the full rollup (no re-aggregation needed).
+The differential gate pins this: q_hypertable_rollup must hash-match a
+plain full-table GROUP BY in DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def minute_rollup_frame(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Shared rollup shape for both the materialized and the tail branch:
+    (minute, *keys) → row count + exact integer-cents sum. The cents sum
+    is a long, so partial/map-side aggregation is exact and the
+    materialized numbers merge losslessly with the tail's."""
+    ts = F.col(ts_col).cast("timestamp")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return df.groupBy(
+        F.date_trunc("minute", ts).alias("minute"), *keys
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("value_cents"),
+    )
+
+
+def materialization_watermark(df: DataFrame, ts_col: str = "ts"):
+    """Day-boundary watermark: day-truncated max(ts). One parquet
+    footer-stats scan at 100 TB (min/max per row group), a single scalar
+    to the driver — the same watermark a continuous-aggregate refresh
+    job would persist."""
+    ts = F.col(ts_col).cast("timestamp")
+    return df.agg(F.date_trunc("day", F.max(ts)).alias("w")).head()[0]
+
+
+def materialize_history(
+    df: DataFrame,
+    path: str,
+    watermark,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> None:
+    """Write the pre-watermark rollup partitioned by day. Refresh story:
+    late data for day D invalidates exactly partition dt=D — overwrite
+    that directory, not the table (dynamic partition overwrite)."""
+    ts = F.col(ts_col).cast("timestamp")
+    hist = minute_rollup_frame(
+        df.filter(ts < F.lit(watermark)), ts_col, keys, value_col
+    ).withColumn("dt", F.to_date("minute"))
+    hist.write.mode("overwrite").partitionBy("dt").parquet(path)
+
+
+def continuous_aggregate(
+    spark: SparkSession,
+    raw: DataFrame,
+    path: str,
+    watermark,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Materialized history ∪ fresh-tail rollup. Disjoint by the day/
+    minute granularity argument above, so a plain unionByName is exact."""
+    ts = F.col(ts_col).cast("timestamp")
+    cols = ["minute", *keys, "n", "value_cents"]
+    hist = spark.read.parquet(path).select(*cols)
+    tail = minute_rollup_frame(
+        raw.filter(ts >= F.lit(watermark)), ts_col, keys, value_col
+    ).select(*cols)
+    return hist.unionByName(tail)
+
+
+def ensure_materialized(
+    spark: SparkSession,
+    raw: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Build-if-absent convenience used by the gated query: materialize
+    once per path, then serve every subsequent call from history + tail."""
+    watermark = materialization_watermark(raw, ts_col)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_history(raw, path, watermark, ts_col, keys, value_col)
+    return continuous_aggregate(
+        spark, raw, path, watermark, ts_col, keys, value_col
+    )
