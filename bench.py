@@ -60,6 +60,9 @@ HEADLINE = [
     "streaming_minute_counts",
     "streaming_session_rollup",
     "streaming_enriched_counts",
+    "hypertable_rollup",
+    "partition_pruned_scan",
+    "lsh_bucket_verified",
 ]
 
 

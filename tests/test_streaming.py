@@ -330,3 +330,53 @@ def test_stream_stream_left_outer_late_match_no_null_row(spark, tmp_dir):
     a_rows = [r.c_temp for r in rows if r.o_room == "a"]
     # exactly one 'a' result: the late match — never a null companion
     assert a_rows == [150.0], rows
+
+
+def test_rollup_refresh_sink_converges_to_batch_rollup(spark, tmp_dir):
+    """Streaming half of the hypertable pattern: three files → three
+    micro-batches (maxFilesPerTrigger=1) through the foreachBatch
+    incremental refresh; the materialized day-partitioned rollup must
+    equal the batch rollup of everything ingested — including the
+    cross-batch merge of partials for the SAME minute."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators.rollup import (
+        minute_rollup_frame,
+    )
+
+    src = f"{tmp_dir}/src"
+    mat = f"{tmp_dir}/mat"
+    ckpt = f"{tmp_dir}/ckpt"
+    batches = [
+        _rows(("2024-01-01T10:00:05", "a", 1.0), ("2024-01-01T10:00:40", "b", 2.0)),
+        # same minute as batch 1 → must MERGE with stored partials
+        _rows(("2024-01-01T10:00:50", "a", 3.0), ("2024-01-02T09:00:00", "a", 4.0)),
+        _rows(("2024-01-02T09:00:30", "b", 5.0)),
+    ]
+    for rows in batches:
+        _write_events(spark, src, rows)
+
+    stream = file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(
+            pipeline.rollup_refresh_sink(
+                mat, ts_col="ts", keys=("room",), value_col="temp"
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    got = spark.read.parquet(mat).select("minute", "room", "n", "value_cents")
+    want = minute_rollup_frame(
+        spark.read.parquet(src), "ts", ("room",), "temp"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # day partitioning held: one directory per affected day
+    import os
+
+    assert sorted(
+        d for d in os.listdir(mat) if d.startswith("dt=")
+    ) == ["dt=2024-01-01", "dt=2024-01-02"]
