@@ -80,14 +80,28 @@ def continuous_aggregate(
     ts_col: str = "ts",
     keys: tuple[str, ...] = ("event_type",),
     value_col: str = "value",
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Materialized history ∪ fresh-tail rollup. Disjoint by the day/
-    minute granularity argument above, so a plain unionByName is exact."""
+    minute granularity argument above, so a plain unionByName is exact.
+
+    `partition_col`: when the raw landing table is day-partitioned (the
+    S5 layout this engine writes), name its date partition column and
+    the tail filter becomes a PartitionFilter — the serve scan lists and
+    reads ONLY the post-watermark day directories instead of row-group-
+    filtering the whole history. A bare timestamp predicate cannot prune
+    directories; the redundant-looking date predicate is what makes the
+    tail O(tail) at 100 TB (measured in tools/cagg_experiment.py)."""
     ts = F.col(ts_col).cast("timestamp")
     cols = ["minute", *keys, "n", "value_cents"]
     hist = spark.read.parquet(path).select(*cols)
+    tail_src = raw
+    if partition_col is not None:
+        tail_src = tail_src.filter(
+            F.col(partition_col) >= F.to_date(F.lit(watermark))
+        )
     tail = minute_rollup_frame(
-        raw.filter(ts >= F.lit(watermark)), ts_col, keys, value_col
+        tail_src.filter(ts >= F.lit(watermark)), ts_col, keys, value_col
     ).select(*cols)
     return hist.unionByName(tail)
 

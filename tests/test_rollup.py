@@ -63,3 +63,33 @@ def test_tail_reads_only_post_watermark_rows(spark, tmp_dir):
     # and the union still accounts for every raw row
     agg = rollup.continuous_aggregate(spark, ev, path, w)
     assert agg.agg(F.sum("n")).head()[0] == ev.count()
+
+
+def test_tail_scan_prunes_day_partitions(spark, tmp_dir):
+    """With a day-partitioned landing table and partition_col set, the
+    tail side of the serve plan must carry the watermark as a
+    PartitionFilter on dt — directory pruning, not row filtering."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    ev = _events(spark)
+    land = os.path.join(tmp_dir, "land")
+    ev.withColumn("dt", F.to_date("ts")).write.partitionBy("dt").parquet(land)
+    raw = spark.read.parquet(land)
+    w = rollup.materialization_watermark(raw)
+    mat = os.path.join(tmp_dir, "cagg")
+    rollup.materialize_history(raw, mat, w)
+    served = rollup.continuous_aggregate(
+        spark, raw, mat, w, partition_col="dt"
+    )
+    plan = formatted_plan(served)
+    # the landing-table scan (the one over `land`) must show a dt bound
+    assert any(
+        "PartitionFilters" in s and "dt" in s.split("PartitionFilters")[1][:200]
+        for s in plan.split("Scan parquet") if "land" in s[:800]
+    ), plan[:1500]
+    # and the union still equals the full rollup
+    full = rollup.minute_rollup_frame(raw)
+    assert served.exceptAll(full).count() == 0
+    assert full.exceptAll(served).count() == 0
