@@ -2131,6 +2131,80 @@ def q_corpus_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer (broadcast) ⋈ date-
+    bounded orders ⋈ lineitem, revenue per order, top-10 — the classic
+    join-then-topk; compiles to TakeOrderedAndProject over one shuffled
+    agg, both date filters pushed to the scans."""
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global agg — every predicate pushed
+    to the parquet scan, no shuffle wider than the final single-row
+    reduce. The what-if revenue delta of dropping small discounts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _cents_sum(
+            F.col("l_extendedprice") * F.col("l_discount"), 10000, 2
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-subquery rewritten as an aggregate-then-
+    join — the per-order quantity rollup (one shuffle on l_orderkey)
+    filters to large orders first, so the customer/orders joins touch
+    only the qualifying keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary — the canonical scan-heavy streaming agg.
 
@@ -2316,6 +2390,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_features": q_multimodal_image_features,
     "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
     # ---------------------------------------------------- beyond the cap
+    "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+    "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+    "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "cube_status_priority": q_cube_status_priority,
     "hypertable_rollup": q_hypertable_rollup,
     "orc_roundtrip": q_orc_roundtrip,
@@ -3678,6 +3755,43 @@ def oracle_sql() -> dict[str, str]:
             FROM q
             WHERE n_tokens >= 20 AND n_tokens <= 10000
               AND quality >= 0.9 AND rep <= 0.05
+        """,
+        "tpch_q3_shipping_priority": f"""
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   {_sql_cents_sum("l_extendedprice * (1 - l_discount)", 10000, 2)} AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate  > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q6_forecast_revenue": f"""
+            SELECT {_sql_cents_sum("l_extendedprice * l_discount", 10000, 2)} AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, total_qty
+            FROM orders
+            JOIN big      ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
         """,
         "tpch_q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
