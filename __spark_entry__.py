@@ -2205,6 +2205,32 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the same engine through spark.sql over
+    registered temp views — ANSI join + aggregate with window share-of-
+    group, parsed by Spark's SQL parser into the identical Catalyst plan
+    a DataFrame chain would produce (same pushdown, same broadcast)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH agg AS (
+            SELECT c.c_mktsegment AS seg, e.event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM v_events e
+            JOIN v_customer c ON e.user_id = c.c_custkey
+            GROUP BY c.c_mktsegment, e.event_type
+        )
+        SELECT seg, event_type, n, value_cents,
+               FLOOR(n * 1e6 / SUM(n) OVER (PARTITION BY seg) + 0.5)
+                 / 1e6 AS share_of_seg
+        FROM agg
+        """
+    )
+
+
 def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary — the canonical scan-heavy streaming agg.
 
@@ -2390,6 +2416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_features": q_multimodal_image_features,
     "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
     # ---------------------------------------------------- beyond the cap
+    "sql_surface": q_sql_surface,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
     "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
@@ -3755,6 +3782,21 @@ def oracle_sql() -> dict[str, str]:
             FROM q
             WHERE n_tokens >= 20 AND n_tokens <= 10000
               AND quality >= 0.9 AND rep <= 0.05
+        """,
+        "sql_surface": """
+            WITH agg AS (
+                SELECT c.c_mktsegment AS seg, e.event_type,
+                       COUNT(*) AS n,
+                       CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT))
+                            AS BIGINT) AS value_cents
+                FROM events e
+                JOIN customer c ON e.user_id = c.c_custkey
+                GROUP BY c.c_mktsegment, e.event_type
+            )
+            SELECT seg, event_type, n, value_cents,
+                   FLOOR(n * 1e6 / SUM(n) OVER (PARTITION BY seg) + 0.5)
+                     / 1e6 AS share_of_seg
+            FROM agg
         """,
         "tpch_q3_shipping_priority": f"""
             SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -28,6 +28,9 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
 HEADLINE = [
     "fusion_minute_avg",
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
     "correlated_subquery_q17",
     "multiway_join_revenue",
     "decode_json_props",
