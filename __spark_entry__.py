@@ -742,6 +742,31 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fp"))
 
 
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper winnowing (Schleimer et al., SIGMOD 2003): min md5 over
+    each sliding window of 6 consecutive char-8-gram hashes, distinct
+    mins kept — the fingerprint density the degenerate whole-doc min
+    (rolling_fingerprint) can't give. Guarantees any shared substring of
+    length ≥ 13 (k + w - 1) contributes a shared fingerprint, which is
+    what makes it the standard local-similarity/contamination sketch.
+    Pure higher-order array expressions — per-row O(len·w), no UDF, no
+    shuffle before the final distinct."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1)),"
+        " i -> md5(substring(text, i, 8)))"
+    )
+    mins = F.expr(
+        "transform(sequence(1, greatest(size(__grams) - 5, 1)),"
+        " j -> array_min(slice(__grams, j, 6)))"
+    )
+    return (
+        docs.select("doc_id", grams.alias("__grams"))
+        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+        .distinct()
+    )
+
+
 def q_kafka_wire_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the full streaming consumer path (S7→P3→F5→P4):
     rows → Kafka (key BINARY, value BINARY) JSON wire shape → decode →
@@ -2434,6 +2459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "winnowing_fingerprints": q_winnowing_fingerprints,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash_candidates": q_simhash_candidates,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -3782,6 +3808,22 @@ def oracle_sql() -> dict[str, str]:
             FROM q
             WHERE n_tokens >= 20 AND n_tokens <= 10000
               AND quality >= 0.9 AND rep <= 0.05
+        """,
+        "winnowing_fingerprints": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(1, GREATEST(length(text) - 7, 1)),
+                           i -> md5(substr(text, i, 8))) AS grams
+                FROM documents
+            )
+            SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id,
+                       UNNEST(list_transform(
+                           generate_series(1, GREATEST(len(grams) - 5, 1)),
+                           j -> list_min(list_slice(grams, j, j + 5)))) AS fp
+                FROM g
+            )
         """,
         "sql_surface": """
             WITH agg AS (
