@@ -239,6 +239,82 @@ def rollup_refresh_sink(
     return _apply
 
 
+def running_totals_view(
+    records: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator on transformWithStateInPandas — the
+    Spark 4.x typed-state successor to applyInPandasWithState (which
+    ewma_view demonstrates): per-key running count / integer-cents sum /
+    max maintained in a ValueState across micro-batches, one row per key
+    per batch in update mode. Cents are quantized per value BEFORE
+    summing (pandas round half-to-even on exact-decimal inputs), so the
+    running sum is an exact integer and the view converges to the batch
+    aggregate regardless of batch boundaries.
+
+    Requires the RocksDB state store provider AND the `protobuf` python
+    package (the TWS state client speaks protobuf to the JVM state
+    server; without it the worker crashes opaquely — hence the explicit
+    import gate). ewma_view is the dependency-free stateful fallback."""
+    import pandas as pd
+
+    try:
+        import google.protobuf  # noqa: F401  (TWS state-client wire format)
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the `protobuf` package for "
+            "its state-server protocol; it is not installed in this "
+            "environment. Use ewma_view (applyInPandasWithState) instead."
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_ddl = (
+        f"{key_col} string, n_seen bigint, total_cents bigint, "
+        "max_value double"
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, cents bigint, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._totals.exists():
+                n, cents, mx = self._totals.get()
+            else:
+                n, cents, mx = 0, 0, None
+            for pdf in rows:
+                vals = pdf[value_col]
+                n += int(len(pdf))
+                cents += int(
+                    (vals * 100).round().astype("int64").sum()
+                )
+                batch_max = float(vals.max()) if len(vals) else None
+                if batch_max is not None:
+                    mx = batch_max if mx is None else max(mx, batch_max)
+            self._totals.update((n, cents, mx))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_seen": [n],
+                    "total_cents": [cents],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return records.groupBy(key_col).transformWithStateInPandas(
+        RunningTotals(), out_ddl, "update", "none"
+    )
+
+
 def ewma_view(
     records: DataFrame,
     key_col: str,

@@ -380,3 +380,60 @@ def test_rollup_refresh_sink_converges_to_batch_rollup(spark, tmp_dir):
     assert sorted(
         d for d in os.listdir(mat) if d.startswith("dt=")
     ) == ["dt=2024-01-01", "dt=2024-01-02"]
+
+
+def test_transform_with_state_running_totals(spark, tmp_dir):
+    """transformWithStateInPandas (Spark 4.x typed-state API): per-key
+    running totals must converge to the batch aggregate across micro-
+    batch boundaries — including a key that appears in both batches.
+    Skips where `protobuf` (the TWS state-client wire format) is absent;
+    the import gate in running_totals_view is itself exercised below."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = f"{tmp_dir}/src"
+    batches = [
+        _rows(("2024-01-01T10:00:05", "a", 1.5), ("2024-01-01T10:00:40", "b", 2.0)),
+        _rows(("2024-01-01T10:01:50", "a", 3.25), ("2024-01-01T10:02:00", "c", 4.0)),
+    ]
+    for rows in batches:
+        _write_events(spark, src, rows)
+    stream = file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    view = pipeline.running_totals_view(stream, "room", "temp")
+    name = f"tws_{uuid.uuid4().hex[:6]}"
+    rows = _drain(spark, view, name, "update").collect()
+    # update mode emits one row per key per batch: latest = max n_seen
+    latest = {}
+    for r in rows:
+        if r.room not in latest or r.n_seen > latest[r.room].n_seen:
+            latest[r.room] = r
+    got = {k: (r.n_seen, r.total_cents, r.max_value) for k, r in latest.items()}
+    assert got == {
+        "a": (2, 475, 3.25),
+        "b": (1, 200, 2.0),
+        "c": (1, 400, 4.0),
+    }, got
+
+
+def test_running_totals_view_gates_missing_protobuf(spark):
+    """Without protobuf the operator must fail fast with a clear message,
+    not crash an opaque TWS worker mid-query."""
+    try:
+        import google.protobuf  # noqa: F401
+        import pytest
+
+        pytest.skip("protobuf present; gate not reachable")
+    except ImportError:
+        pass
+    import pytest
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value % 3 AS STRING) AS room", "CAST(value AS DOUBLE) AS temp"
+    )
+    with pytest.raises(RuntimeError, match="protobuf"):
+        pipeline.running_totals_view(stream, "room", "temp")
