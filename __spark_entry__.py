@@ -588,8 +588,10 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_lsh_index_{sf_tag}"
     )
-    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+    fp = _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+    if not _artifact_ready(index_path, fp):
         similarity.build_lsh_index(emb, planes, index_path)
+        _mark_artifact(index_path, fp)
     return similarity.lsh_topk_from_index(
         spark, index_path, qvec, planes, k=10, multiprobe=2
     )
@@ -722,8 +724,10 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_ivf_index_{sf_tag}"
     )
-    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+    fp = _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+    if not _artifact_ready(index_path, fp):
         similarity.build_ivf_index(emb, cents, index_path)
+        _mark_artifact(index_path, fp)
     return similarity.ivf_topk_from_index(
         spark, index_path, qvec, cents, k=10, nprobe=3
     )
@@ -819,14 +823,53 @@ def _materialized_path(sf_dir: str, tag: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{sf_tag}")
 
 
+def _source_fingerprint(*paths: str) -> str:
+    """Digest of source files' (path, size, mtime) — cheap staleness key
+    for cached artifacts. The driver regenerates /root/testdata between
+    rounds; an artifact built from the old corpus must NOT be served
+    against the new one (the oracle reads the live parquet)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        if os.path.isdir(p):
+            walk = sorted(
+                os.path.join(r, fn)
+                for r, _, fs in os.walk(p)
+                for fn in fs
+            )
+        else:
+            walk = [p]
+        for fp in walk:
+            st = os.stat(fp)
+            h.update(f"{fp}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
+def _artifact_ready(path: str, fingerprint: str) -> bool:
+    fp_file = os.path.join(path, "_FINGERPRINT")
+    if not (os.path.exists(os.path.join(path, "_SUCCESS"))
+            and os.path.exists(fp_file)):
+        return False
+    with open(fp_file) as f:
+        return f.read() == fingerprint
+
+
+def _mark_artifact(path: str, fingerprint: str) -> None:
+    with open(os.path.join(path, "_FINGERPRINT"), "w") as f:
+        f.write(fingerprint)
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-format breadth (§2.1 S4 family): customer → ORC (the other
     mainstream columnar format; splittable, predicate-pushdown-capable)
     → read back → aggregate. The oracle runs on the original parquet, so
     a hash match proves the ORC write/read path is lossless."""
     path = _materialized_path(sf_dir, "orc_customer")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    fp = _source_fingerprint(f"{sf_dir}/customer.parquet")
+    if not _artifact_ready(path, fp):
         _t(spark, sf_dir, "customer").write.mode("overwrite").orc(path)
+        _mark_artifact(path, fp)
     c = spark.read.orc(path)
     return c.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
@@ -840,10 +883,12 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     inferSchema: one pass, stable types) → aggregate. Doubles survive the
     text roundtrip exactly (Spark emits shortest-repr decimals)."""
     path = _materialized_path(sf_dir, "jsonl_orders")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    fp = _source_fingerprint(f"{sf_dir}/orders.parquet")
+    if not _artifact_ready(path, fp):
         _t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
         ).write.mode("overwrite").json(path)
+        _mark_artifact(path, fp)
     schema = (
         "o_orderkey BIGINT, o_orderstatus STRING, "
         "o_orderpriority STRING, o_totalprice DOUBLE"
@@ -864,10 +909,12 @@ def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     time/dim-partitioned landing tables make every downstream
     status/date-scoped query touch a fraction of the files."""
     path = _materialized_path(sf_dir, "part_orders")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    fp = _source_fingerprint(f"{sf_dir}/orders.parquet")
+    if not _artifact_ready(path, fp):
         sinks.write_partitioned_parquet(
             _t(spark, sf_dir, "orders"), path, ["o_orderstatus"]
         )
+        _mark_artifact(path, fp)
     o = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
     return o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
@@ -884,7 +931,12 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash match proves history ∪ tail is exactly the full rollup."""
     ev = _t(spark, sf_dir, "events")
     path = _materialized_path(sf_dir, "cagg_minute")
-    agg = rollup.ensure_materialized(spark, ev, path)
+    agg = rollup.ensure_materialized(
+        spark,
+        ev,
+        path,
+        source_fingerprint=_source_fingerprint(f"{sf_dir}/events.parquet"),
+    )
     return agg.select(
         "minute",
         "event_type",
@@ -895,16 +947,18 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based multilingual rebalancing (public recipe from the
-    XLM-R / mT5 line): per-language corpus share p_l, sampling weight
-    w_l ∝ p_l^alpha (alpha=0.3 flattens the head), and the implied
-    upsample factor w_l/p_l. The per-language aggregate is tiny (lang
+    XLM line, Lample & Conneau 2019: alpha=0.5): per-language corpus
+    share p_l, sampling weight w_l ∝ p_l^0.5 (flattens the head), and
+    the implied upsample factor w_l/p_l. alpha=0.5 deliberately: sqrt is
+    correctly rounded under IEEE-754 in BOTH engines, while pow(x, 0.3)
+    may differ in the last ulp between Math.pow and libm and flip a
+    quantization tick. The per-language aggregate is tiny (lang
     cardinality), so the normalizing sums are a broadcast, not a wide
     shuffle — the doc-count groupBy is the only full-data pass."""
     docs = _t(spark, sf_dir, "documents")
     per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    alpha = 0.3
     p = F.col("n_docs").cast("double") / F.col("n_total")
-    w_raw = F.pow(p, F.lit(alpha))
+    w_raw = F.sqrt(p)
     totals = per_lang.agg(F.sum("n_docs").alias("n_total"))
     enriched = per_lang.crossJoin(F.broadcast(totals)).withColumn(
         "w_raw", w_raw
@@ -4039,7 +4093,7 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM l),
             e AS (SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
                          CAST(n_docs AS DOUBLE) / n_total AS p,
-                         POW(CAST(n_docs AS DOUBLE) / n_total, 0.3) AS w_raw
+                         SQRT(CAST(n_docs AS DOUBLE) / n_total) AS w_raw
                   FROM l, t),
             z AS (SELECT SUM(w_raw) AS z FROM e)
             SELECT lang, n_docs,

@@ -94,7 +94,6 @@ def continuous_aggregate(
     tail O(tail) at 100 TB (measured in tools/cagg_experiment.py)."""
     ts = F.col(ts_col).cast("timestamp")
     cols = ["minute", *keys, "n", "value_cents"]
-    hist = spark.read.parquet(path).select(*cols)
     tail_src = raw
     if partition_col is not None:
         tail_src = tail_src.filter(
@@ -103,6 +102,13 @@ def continuous_aggregate(
     tail = minute_rollup_frame(
         tail_src.filter(ts >= F.lit(watermark)), ts_col, keys, value_col
     ).select(*cols)
+    try:
+        hist = spark.read.parquet(path).select(*cols)
+    except Exception:
+        # empty materialization (single-day corpus: everything is tail) —
+        # a partition-dir parquet write with zero rows leaves no data
+        # files to infer a schema from
+        return tail
     return hist.unionByName(tail)
 
 
@@ -113,12 +119,44 @@ def ensure_materialized(
     ts_col: str = "ts",
     keys: tuple[str, ...] = ("event_type",),
     value_col: str = "value",
+    source_fingerprint: str | None = None,
+    partition_col: str | None = None,
 ) -> DataFrame:
-    """Build-if-absent convenience used by the gated query: materialize
-    once per path, then serve every subsequent call from history + tail."""
-    watermark = materialization_watermark(raw, ts_col)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    """Build-if-absent convenience used by the gated query.
+
+    The watermark is FROZEN with the materialization (persisted in
+    `_CAGG_META`) and reused on every serve — recomputing it from live
+    data against a frozen history would silently drop any days that
+    arrived in between (they'd be past the old history AND before the
+    new watermark). `source_fingerprint` (any caller-computed digest of
+    the raw source) invalidates the materialization when the underlying
+    data changes; rebuild then re-freezes both."""
+    import datetime
+    import json
+
+    meta_path = os.path.join(path, "_CAGG_META")
+    watermark = None
+    if os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
+        meta_path
+    ):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (
+            source_fingerprint is None
+            or meta.get("fingerprint") == source_fingerprint
+        ):
+            watermark = datetime.datetime.fromisoformat(meta["watermark"])
+    if watermark is None:
+        watermark = materialization_watermark(raw, ts_col)
         materialize_history(raw, path, watermark, ts_col, keys, value_col)
+        with open(meta_path, "w") as f:
+            json.dump(
+                {
+                    "fingerprint": source_fingerprint,
+                    "watermark": watermark.isoformat(),
+                },
+                f,
+            )
     return continuous_aggregate(
-        spark, raw, path, watermark, ts_col, keys, value_col
+        spark, raw, path, watermark, ts_col, keys, value_col, partition_col
     )

@@ -200,13 +200,32 @@ def rollup_refresh_sink(
     from ..operators.rollup import minute_rollup_frame
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import json
         import os
         import shutil
+
+        # foreachBatch is at-least-once: a crash between the last day
+        # swap and the checkpoint commit replays this batch_id — without
+        # this ledger the replayed delta would double-merge into the
+        # already-updated partitions. (A replay of a PARTIALLY-applied
+        # batch still double-merges the days that committed; full
+        # cross-day atomicity needs a table format — documented limit.)
+        ledger = os.path.join(path, "_APPLIED_BATCHES")
+        applied: list[int] = []
+        if os.path.exists(ledger):
+            with open(ledger) as f:
+                applied = json.load(f)
+        if batch_id in applied:
+            return
 
         spark = batch_df.sparkSession
         delta = minute_rollup_frame(batch_df, ts_col, keys, value_col)
         delta = delta.withColumn("dt", F.to_date("minute"))
+        # the rolled-up partials are tiny; persist so isEmpty, the day
+        # collect, and the per-day writes don't re-aggregate the batch
+        delta = delta.persist()
         if delta.isEmpty():
+            delta.unpersist()
             return
         # affected-day list: tiny (time-ordered streams touch 1-2 days
         # per batch), and it IS the refresh unit — a deliberate driver
@@ -233,8 +252,11 @@ def rollup_refresh_sink(
             if os.path.exists(ddir):
                 shutil.rmtree(ddir)
             os.replace(staging, ddir)
+        delta.unpersist()
         # root marker: partition dirs are discoverable from here on
         open(os.path.join(path, "_SUCCESS"), "a").close()
+        with open(ledger, "w") as f:
+            json.dump(applied + [batch_id], f)
 
     return _apply
 

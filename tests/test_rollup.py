@@ -93,3 +93,18 @@ def test_tail_scan_prunes_day_partitions(spark, tmp_dir):
     full = rollup.minute_rollup_frame(raw)
     assert served.exceptAll(full).count() == 0
     assert full.exceptAll(served).count() == 0
+
+
+def test_frozen_watermark_covers_late_arriving_days(spark, tmp_dir):
+    """Regression: ensure_materialized must reuse the watermark FROZEN at
+    materialization time. Recomputing it from live data would drop every
+    day that arrived between the old and new max(ts) — they'd be past
+    the frozen history AND before the recomputed watermark."""
+    ev1 = _events(spark, 300)  # spans ~1.5 days from 2024-01-01
+    path = os.path.join(tmp_dir, "cagg")
+    got1 = rollup.ensure_materialized(spark, ev1, path)
+    assert got1.agg(F.sum("n")).head()[0] == 300
+    # two more days of data arrive AFTER materialization
+    ev2 = _events(spark, 500)
+    got2 = rollup.ensure_materialized(spark, ev2, path)
+    assert got2.agg(F.sum("n")).head()[0] == 500  # nothing dropped

@@ -437,3 +437,24 @@ def test_running_totals_view_gates_missing_protobuf(spark):
     )
     with pytest.raises(RuntimeError, match="protobuf"):
         pipeline.running_totals_view(stream, "room", "temp")
+
+
+def test_rollup_refresh_sink_replay_is_idempotent(spark, tmp_dir):
+    """foreachBatch is at-least-once: re-applying the same batch_id must
+    not double-merge the partials into the day partitions."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators.rollup import (
+        minute_rollup_frame,
+    )
+
+    mat = f"{tmp_dir}/mat"
+    batch = spark.createDataFrame(
+        _rows(("2024-01-01T10:00:05", "a", 1.0), ("2024-01-01T10:00:40", "b", 2.0)),
+        SCHEMA,
+    )
+    sink = pipeline.rollup_refresh_sink(mat, ts_col="ts", keys=("room",), value_col="temp")
+    sink(batch, 0)
+    sink(batch, 0)  # replay of the SAME batch id → no-op
+    got = spark.read.parquet(mat)
+    assert got.agg(F.sum("n")).head()[0] == 2
+    sink(batch, 1)  # a new batch id DOES merge
+    assert spark.read.parquet(mat).agg(F.sum("n")).head()[0] == 4

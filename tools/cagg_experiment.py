@@ -53,10 +53,12 @@ MARKER = "## Continuous-aggregate serving vs rescan"
 
 
 def build_history(spark, k: int) -> str:
-    """k× event rate over the SAME time span: replica i keeps every
-    timestamp (jittered by i seconds within the minute, so buckets are
-    unchanged) — raw rows grow k×, rollup cardinality and the tail's
-    bucket set stay fixed."""
+    """k× event rate over the SAME time span: replica i jitters each
+    timestamp by (i % 30) seconds — replicas 30 apart collide exactly
+    and a jitter can cross a minute boundary, neither of which matters
+    here: what the experiment needs is raw rows growing k× while rollup
+    cardinality stays bounded by span-minutes × keys (it does — the
+    span is fixed), not bit-identical buckets per replica."""
     path = f"{OUT}/x{k}"
     if os.path.exists(f"{path}/_SUCCESS"):
         return path
@@ -141,13 +143,13 @@ def main() -> None:
         "SCALING.md",
     )
     text = open(scaling_md).read() if os.path.exists(scaling_md) else ""
-    if MARKER in text:
+    # drop EVERY prior copy of the section (up to the next "## " or EOF)
+    while MARKER in text:
         head, _, rest = text.partition(MARKER)
-        # drop the old section (up to the next "## " heading or EOF)
         tail_idx = rest.find("\n## ")
         text = head + (rest[tail_idx + 1:] if tail_idx >= 0 else "")
-    with open(scaling_md, "a") as f:
-        f.write(("\n" if text and not text.endswith("\n\n") else "")
+    with open(scaling_md, "w") as f:
+        f.write(text.rstrip("\n") + ("\n\n" if text.strip() else "")
                 + "\n".join(lines))
     print(f"wrote section to {scaling_md}")
 
