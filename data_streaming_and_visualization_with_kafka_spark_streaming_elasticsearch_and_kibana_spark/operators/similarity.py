@@ -22,6 +22,7 @@ Two paths:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-scope: pandas_udf resolves stringified hints here
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -51,6 +52,47 @@ def brute_force_topk(
     scored = corpus.select(
         F.col(id_col),
         (F.floor(cosine(F.col(vec_col), q) * p + F.lit(0.5)) / F.lit(p)).alias(
+            "cos_sim"
+        ),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Arrow-vectorized pandas-UDF twin of brute_force_topk.
+
+    Kept as the measured alternative, not the default: the JVM
+    higher-order-function path stays inside whole-stage codegen with no
+    serialization, while this one pays an Arrow batch transfer per
+    partition and computes the same cosine in numpy (BLAS matvec).
+    Parity is pinned by tests/test_similarity.py; relative timing is
+    recorded in PLANS.md — measure before choosing, and prefer this
+    shape ONLY when the per-row math outgrows what HOF expressions
+    express (e.g. matrix ops against many query vectors at once)."""
+    from pyspark.sql.types import DoubleType
+
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @F.pandas_udf(DoubleType())
+    def cos_udf(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1)) * qn
+        out = np.where(norms == 0.0, np.nan, dots / np.where(norms == 0, 1, norms))
+        return pd.Series(out)
+
+    p = float(10 ** round_to)
+    scored = corpus.select(
+        F.col(id_col),
+        (F.floor(cos_udf(F.col(vec_col)) * p + F.lit(0.5)) / F.lit(p)).alias(
             "cos_sim"
         ),
     )

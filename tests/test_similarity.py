@@ -218,3 +218,23 @@ def test_kmeans_update_component_means(spark):
     got = {(r.cid, r.pos): (r.n, r.mean) for r in rows}
     assert got[(0, 0)] == (2, 2.0) and got[(0, 1)] == (2, 4.0)
     assert got[(1, 0)] == (1, 10.0) and got[(1, 1)] == (1, 20.0)
+
+
+def test_brute_force_topk_arrow_parity(spark):
+    """The Arrow pandas-UDF cosine path must return the same top-k as
+    the JVM higher-order-function path (quantized scores, id tiebreak) —
+    the two implementations differ only in summation order, which the
+    1e-6 floor-quantize absorbs."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.readers import (
+        read_table,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    hof = similarity.brute_force_topk(emb, qvec, k=10).collect()
+    arrow = similarity.brute_force_topk_arrow(emb, qvec, k=10).collect()
+    assert [r.vec_id for r in hof] == [r.vec_id for r in arrow]
+    for h, a in zip(hof, arrow):
+        assert abs(h.cos_sim - a.cos_sim) < 1e-9
