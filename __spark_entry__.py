@@ -2287,6 +2287,78 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation (CASE inside SUM) over a
+    date-bounded fact⋈dim join — one shuffle on the month key, both
+    branch counts computed in the same map-side partial pass."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional revenue sums (promo parts'
+    share of a month's revenue). Both sums are exact integer cents, so
+    the single division is the only float op and is bit-identical across
+    engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc_cents = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc_cents).otherwise(F.lit(0))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        _q(
+            F.sum(promo) * 100.0 / F.sum(disc_cents), 6
+        ).alias("promo_share_pct"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q_tpch_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of per-brand (size, quantity) band
+    conjunctions — the OR-of-ANDs predicate Catalyst must keep join-
+    eligible (the equi-key stays conjunctive; only the residual filter
+    is disjunctive, so the join is still a broadcast hash join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    cond = b("Brand#11", 15, 1, 11) | b("Brand#12", 25, 10, 20) | b(
+        "Brand#15", 50, 20, 30
+    )
+    return j.filter(cond).agg(
+        _cents_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, 2
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL front door: the same engine through spark.sql over
     registered temp views — ANSI join + aggregate with window share-of-
@@ -2500,6 +2572,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---------------------------------------------------- beyond the cap
     "sql_surface": q_sql_surface,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+    "tpch_q12_priority_shipmode": q_tpch_q12_priority_shipmode,
+    "tpch_q14_promo_share": q_tpch_q14_promo_share,
+    "tpch_q19_disjunctive_join": q_tpch_q19_disjunctive_join,
     "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "cube_status_priority": q_cube_status_priority,
@@ -3933,6 +4008,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
+        """,
+        "tpch_q12_priority_shipmode": """
+            SELECT date_trunc('month', l_shipdate) AS ship_month,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q14_promo_share": f"""
+            SELECT {_sql_q(
+                "SUM(CASE WHEN p_type = 'PROMO' "
+                "THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT) "
+                "ELSE 0 END) * 100.0 / "
+                "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))",
+                6,
+            )} AS promo_share_pct,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate <  TIMESTAMP '1997-10-01'
+        """,
+        "tpch_q19_disjunctive_join": f"""
+            SELECT {_sql_cents_sum("l_extendedprice * (1 - l_discount)", 10000, 2)} AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size <= 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#12' AND p_size <= 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#15' AND p_size <= 50
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "tpch_q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
