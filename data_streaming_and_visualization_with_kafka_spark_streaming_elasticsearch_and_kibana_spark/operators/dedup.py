@@ -112,6 +112,33 @@ def minhash_signatures(
     return out
 
 
+def banded_buckets(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, band, bucket) exploded from signatures — the shared banding
+    step of the batch self-join AND the incremental index probe (both
+    sides MUST band identically or candidates are silently lost)."""
+    rows = num_hashes // bands
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return sig_df.select(
+        id_col,
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("sig", b * rows + 1, rows))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -136,24 +163,9 @@ def minhash_lsh_candidates(
         it are still covered by their other bands).
     Returns (id_a, id_b, est_jaccard), id_a < id_b, deduped across bands.
     """
-    rows = num_hashes // bands
     if sig_df is None:
         sig_df = minhash_signatures(df, text_col, id_col, k_shingle, num_hashes)
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sig_df.select(
-        id_col,
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * rows + 1, rows))).alias(
-                        "bucket"
-                    ),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = banded_buckets(sig_df, id_col, num_hashes, bands)
     if max_bucket_size:
         w = Window.partitionBy("band", "bucket")
         banded = (
@@ -484,3 +496,117 @@ def contamination_hits(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+# ------------------------------------------------- incremental dedup index
+def dedup_index_probe_and_extend(
+    spark,
+    batch_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dedup for INGEST: probe a persisted MinHash index
+    with a batch of new documents, then extend the index with them.
+
+    The production LLM-ingest shape: the corpus index is built once and
+    only ever APPENDED to; each arriving batch pays signature cost for
+    its own rows plus a banded join against the index — never a corpus
+    self-join. Layout under `index_path`:
+      sigs/  (id, sig)           — for est-Jaccard verification
+      bands/ (id, band, bucket)  — the probe side of the banded join
+    (at 100 TB, bands/ is bucketed by (band, bucket) so the probe is a
+    co-located join; batch signatures are tiny and broadcast).
+
+    Returns one verdict row per batch doc:
+      (id, is_dup, dup_of, est_jaccard) — dup_of = best matching index
+    doc at est_jaccard >= threshold, else NULL. Within-batch duplicates
+    are caught on the NEXT probe (the batch extends the index first at
+    its own risk) — callers needing intra-batch dedup run
+    minhash_lsh_candidates on the batch before probing.
+    """
+    import os
+
+    sigs_path = os.path.join(index_path, "sigs")
+    bands_path = os.path.join(index_path, "bands")
+    sig_b = minhash_signatures(
+        batch_docs, text_col, id_col, k_shingle, num_hashes, persist=True
+    )
+    bands_b = banded_buckets(sig_b, id_col, num_hashes, bands)
+
+    has_index = os.path.exists(os.path.join(sigs_path, "_SUCCESS"))
+    if has_index:
+        bands_i = spark.read.parquet(bands_path)
+        cand = (
+            bands_b.alias("n")
+            .join(
+                bands_i.alias("o"),
+                (F.col("n.band") == F.col("o.band"))
+                & (F.col("n.bucket") == F.col("o.bucket")),
+            )
+            .select(
+                F.col(f"n.{id_col}").alias("__new_id"),
+                F.col(f"o.{id_col}").alias("__old_id"),
+            )
+            .dropDuplicates(["__new_id", "__old_id"])
+        )
+        sig_o = spark.read.parquet(sigs_path).select(
+            F.col(id_col).alias("__old_id"), F.col("sig").alias("sig_o")
+        )
+        sig_n = sig_b.select(
+            F.col(id_col).alias("__new_id"), F.col("sig").alias("sig_n")
+        )
+        agree = F.size(
+            F.filter(
+                F.zip_with("sig_n", "sig_o", lambda x, y: x == y), lambda v: v
+            )
+        )
+        scored = (
+            cand.join(F.broadcast(sig_n), "__new_id")
+            .join(sig_o, "__old_id")
+            .select(
+                "__new_id",
+                "__old_id",
+                (agree.cast("double") / F.lit(float(num_hashes))).alias(
+                    "est_jaccard"
+                ),
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+        w = Window.partitionBy("__new_id").orderBy(
+            F.desc("est_jaccard"), F.asc("__old_id")
+        )
+        best = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+        verdicts = (
+            sig_b.select(id_col)
+            .join(best, F.col(id_col) == F.col("__new_id"), "left")
+            .select(
+                id_col,
+                F.col("__old_id").isNotNull().alias("is_dup"),
+                F.col("__old_id").alias("dup_of"),
+                "est_jaccard",
+            )
+        )
+    else:
+        verdicts = sig_b.select(
+            F.col(id_col),
+            F.lit(False).alias("is_dup"),
+            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+        )
+    # verdicts must materialize BEFORE the index extension below rewrites
+    # what their lazy plans would read
+    verdicts = verdicts.localCheckpoint()
+
+    sig_b.select(id_col, "sig").write.mode("append").parquet(sigs_path)
+    bands_b.write.mode("append").parquet(bands_path)
+    sig_b.unpersist()
+    return verdicts

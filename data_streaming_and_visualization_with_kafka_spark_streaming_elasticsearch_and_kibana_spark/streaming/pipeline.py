@@ -261,6 +261,51 @@ def rollup_refresh_sink(
     return _apply
 
 
+def dedup_ingest_sink(
+    index_path: str,
+    verdicts_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+):
+    """foreachBatch sink for streaming near-dedup at ingest: each micro-
+    batch of documents is probed against the persisted MinHash index
+    (operators.dedup.dedup_index_probe_and_extend), its verdicts
+    appended to `verdicts_path`, and the index extended with the batch —
+    new data is deduplicated against the WHOLE corpus seen so far while
+    only ever paying batch-sized signature work. The applied-batch
+    ledger makes foreachBatch's at-least-once replay a no-op."""
+    from ..operators.dedup import dedup_index_probe_and_extend
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        import os
+
+        os.makedirs(index_path, exist_ok=True)
+        ledger = os.path.join(index_path, "_APPLIED_BATCHES")
+        applied: list[int] = []
+        if os.path.exists(ledger):
+            with open(ledger) as f:
+                applied = json.load(f)
+        if batch_id in applied:
+            return
+        if batch_df.isEmpty():
+            return
+        verdicts = dedup_index_probe_and_extend(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+        )
+        verdicts.write.mode("append").parquet(verdicts_path)
+        with open(ledger, "w") as f:
+            json.dump(applied + [batch_id], f)
+
+    return _apply
+
+
 def running_totals_view(
     records: DataFrame,
     key_col: str,
