@@ -507,3 +507,44 @@ def test_dedup_ingest_sink_flags_cross_batch_near_dup(spark, tmp_dir):
     assert got[4].is_dup and got[4].dup_of == 2
     # index now holds all four docs' signatures
     assert spark.read.parquet(f"{index}/sigs").count() == 4
+
+
+def test_progress_recorder_captures_micro_batch_metrics(spark, tmp_dir):
+    """The listener must record per-micro-batch rows/duration/state
+    metrics and expose them as an aggregable DataFrame."""
+    import time
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.streaming.monitor import (
+        ProgressRecorder,
+    )
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        src = f"{tmp_dir}/src"
+        _write_events(
+            spark, src,
+            _rows(("2024-01-01T10:00:05", "a", 1.0), ("2024-01-01T10:01:00", "b", 2.0)),
+        )
+        stream = file_stream(spark, src, SCHEMA)
+        agg = pipeline.windowed_rollup(stream, "ts", ["room"], ["temp"])
+        name = f"mon_{uuid.uuid4().hex[:6]}"
+        q = pipeline.run_to_memory(agg, name, output_mode="complete")
+        q.stop()
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while time.time() < deadline and not any(
+            r[0] == name and r[2] > 0 for r in rec.records
+        ):
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(rec)
+    rows = {r[0]: r for r in rec.records if r[0] == name and r[2] > 0}
+    assert name in rows, rec.records
+    got = rows[name]
+    assert got[2] == 2          # num_input_rows
+    assert got[5] >= 2          # stateful agg kept >= 2 window-state rows
+    summary = {
+        r.query_name: r for r in rec.summary(spark).collect() if r.query_name == name
+    }
+    assert summary[name].total_rows == 2
