@@ -509,25 +509,36 @@ def dedup_index_probe_and_extend(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    batch_tag: str | None = None,
 ) -> DataFrame:
     """Incremental near-dedup for INGEST: probe a persisted MinHash index
     with a batch of new documents, then extend the index with them.
 
     The production LLM-ingest shape: the corpus index is built once and
-    only ever APPENDED to; each arriving batch pays signature cost for
-    its own rows plus a banded join against the index — never a corpus
+    only ever EXTENDED; each arriving batch pays signature cost for its
+    own rows plus a banded join against the index — never a corpus
     self-join. Layout under `index_path`:
       sigs/  (id, sig)           — for est-Jaccard verification
       bands/ (id, band, bucket)  — the probe side of the banded join
     (at 100 TB, bands/ is bucketed by (band, bucket) so the probe is a
     co-located join; batch signatures are tiny and broadcast).
 
+    Replay safety: with `batch_tag` set (the streaming sink passes the
+    micro-batch id), the extension writes land in per-batch
+    subdirectories `sigs/ingest=<tag>/` with OVERWRITE — re-running the
+    same batch rewrites its own subdirectories instead of appending
+    duplicates, and a crash that left only one of sigs/bands written is
+    healed by the replay. The probe also excludes same-id matches, so a
+    replayed batch probing an index that already contains itself does
+    not report every doc as its own duplicate. `_INDEX_READY` at the
+    index root marks that at least one batch committed BOTH tables.
+
     Returns one verdict row per batch doc:
       (id, is_dup, dup_of, est_jaccard) — dup_of = best matching index
-    doc at est_jaccard >= threshold, else NULL. Within-batch duplicates
-    are caught on the NEXT probe (the batch extends the index first at
-    its own risk) — callers needing intra-batch dedup run
-    minhash_lsh_candidates on the batch before probing.
+    doc at est_jaccard >= threshold, else NULL (typed like the id
+    column). Within-batch duplicates are caught on the NEXT probe —
+    callers needing intra-batch dedup run minhash_lsh_candidates on the
+    batch before probing.
     """
     import os
 
@@ -537,8 +548,9 @@ def dedup_index_probe_and_extend(
         batch_docs, text_col, id_col, k_shingle, num_hashes, persist=True
     )
     bands_b = banded_buckets(sig_b, id_col, num_hashes, bands)
+    id_type = dict(batch_docs.dtypes)[id_col]
 
-    has_index = os.path.exists(os.path.join(sigs_path, "_SUCCESS"))
+    has_index = os.path.exists(os.path.join(index_path, "_INDEX_READY"))
     if has_index:
         bands_i = spark.read.parquet(bands_path)
         cand = (
@@ -546,7 +558,10 @@ def dedup_index_probe_and_extend(
             .join(
                 bands_i.alias("o"),
                 (F.col("n.band") == F.col("o.band"))
-                & (F.col("n.bucket") == F.col("o.bucket")),
+                & (F.col("n.bucket") == F.col("o.bucket"))
+                # self-match exclusion: on replay the index already
+                # contains this batch — a doc must not duplicate itself
+                & (F.col(f"n.{id_col}") != F.col(f"o.{id_col}")),
             )
             .select(
                 F.col(f"n.{id_col}").alias("__new_id"),
@@ -599,14 +614,24 @@ def dedup_index_probe_and_extend(
         verdicts = sig_b.select(
             F.col(id_col),
             F.lit(False).alias("is_dup"),
-            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(None).cast(id_type).alias("dup_of"),
             F.lit(None).cast("double").alias("est_jaccard"),
         )
     # verdicts must materialize BEFORE the index extension below rewrites
     # what their lazy plans would read
     verdicts = verdicts.localCheckpoint()
 
-    sig_b.select(id_col, "sig").write.mode("append").parquet(sigs_path)
-    bands_b.write.mode("append").parquet(bands_path)
+    if batch_tag is not None:
+        # idempotent per-batch subdirectories (replay = rewrite in place)
+        sig_b.select(id_col, "sig").write.mode("overwrite").parquet(
+            os.path.join(sigs_path, f"ingest={batch_tag}")
+        )
+        bands_b.write.mode("overwrite").parquet(
+            os.path.join(bands_path, f"ingest={batch_tag}")
+        )
+    else:
+        sig_b.select(id_col, "sig").write.mode("append").parquet(sigs_path)
+        bands_b.write.mode("append").parquet(bands_path)
+    open(os.path.join(index_path, "_INDEX_READY"), "a").close()
     sig_b.unpersist()
     return verdicts

@@ -86,8 +86,11 @@ def brute_force_topk_arrow(
         m = np.stack(vs.to_numpy()).astype(np.float64)
         dots = m @ q
         norms = np.sqrt((m * m).sum(axis=1)) * qn
-        out = np.where(norms == 0.0, np.nan, dots / np.where(norms == 0, 1, norms))
-        return pd.Series(out)
+        out = dots / np.where(norms == 0, 1, norms)
+        # zero-norm → NULL (nullable Float64 → Arrow null), matching the
+        # HOF path — a bare NaN would sort ABOVE every real score in
+        # Spark's descending order and put zero vectors at rank 1
+        return pd.Series(out, dtype="Float64").mask(norms == 0.0)
 
     p = float(10 ** round_to)
     scored = corpus.select(

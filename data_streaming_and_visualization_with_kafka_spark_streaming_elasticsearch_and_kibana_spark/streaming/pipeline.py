@@ -200,7 +200,6 @@ def rollup_refresh_sink(
     from ..operators.rollup import minute_rollup_frame
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        import json
         import os
         import shutil
 
@@ -211,10 +210,7 @@ def rollup_refresh_sink(
         # batch still double-merges the days that committed; full
         # cross-day atomicity needs a table format — documented limit.)
         ledger = os.path.join(path, "_APPLIED_BATCHES")
-        applied: list[int] = []
-        if os.path.exists(ledger):
-            with open(ledger) as f:
-                applied = json.load(f)
+        applied = _ledger_applied(ledger)
         if batch_id in applied:
             return
 
@@ -255,10 +251,38 @@ def rollup_refresh_sink(
         delta.unpersist()
         # root marker: partition dirs are discoverable from here on
         open(os.path.join(path, "_SUCCESS"), "a").close()
-        with open(ledger, "w") as f:
-            json.dump(applied + [batch_id], f)
+        _ledger_mark(ledger, applied, batch_id)
 
     return _apply
+
+
+def _ledger_applied(path: str) -> list[int]:
+    """Read the applied-batch ledger (shared by the idempotent
+    foreachBatch sinks); tolerate a truncated file from a crash mid-
+    rewrite — worst case the batch re-applies, which the sinks' write
+    modes make safe."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return []
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except ValueError:
+        return []
+
+
+def _ledger_mark(path: str, applied: list[int], batch_id: int) -> None:
+    """Atomic ledger update: write-temp-then-rename so a crash never
+    leaves truncated JSON that would fail every restart."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(applied + [batch_id], f)
+    os.replace(tmp, path)
 
 
 def dedup_ingest_sink(
@@ -270,23 +294,25 @@ def dedup_ingest_sink(
 ):
     """foreachBatch sink for streaming near-dedup at ingest: each micro-
     batch of documents is probed against the persisted MinHash index
-    (operators.dedup.dedup_index_probe_and_extend), its verdicts
-    appended to `verdicts_path`, and the index extended with the batch —
-    new data is deduplicated against the WHOLE corpus seen so far while
-    only ever paying batch-sized signature work. The applied-batch
-    ledger makes foreachBatch's at-least-once replay a no-op."""
+    (operators.dedup.dedup_index_probe_and_extend), its verdicts written
+    to a per-batch subdirectory of `verdicts_path`, and the index
+    extended with the batch — new data is deduplicated against the WHOLE
+    corpus seen so far while only ever paying batch-sized signature work.
+
+    Replay safety (foreachBatch is at-least-once): the ledger fast-path
+    skips already-applied batches, and a replay that DOES re-run (crash
+    before the ledger commit) is harmless — index extension and verdicts
+    both land in per-batch directories with overwrite, and the probe
+    excludes same-id matches, so the rerun rewrites exactly the state
+    the crashed attempt left."""
     from ..operators.dedup import dedup_index_probe_and_extend
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        import json
         import os
 
         os.makedirs(index_path, exist_ok=True)
         ledger = os.path.join(index_path, "_APPLIED_BATCHES")
-        applied: list[int] = []
-        if os.path.exists(ledger):
-            with open(ledger) as f:
-                applied = json.load(f)
+        applied = _ledger_applied(ledger)
         if batch_id in applied:
             return
         if batch_df.isEmpty():
@@ -298,10 +324,12 @@ def dedup_ingest_sink(
             text_col=text_col,
             id_col=id_col,
             threshold=threshold,
+            batch_tag=str(batch_id),
         )
-        verdicts.write.mode("append").parquet(verdicts_path)
-        with open(ledger, "w") as f:
-            json.dump(applied + [batch_id], f)
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(verdicts_path, f"ingest={batch_id}")
+        )
+        _ledger_mark(ledger, applied, batch_id)
 
     return _apply
 

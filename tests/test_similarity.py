@@ -233,8 +233,15 @@ def test_brute_force_topk_arrow_parity(spark):
     qvec = list(
         emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     )
+    # include a zero vector: both paths must EXCLUDE it (NULL score, not
+    # NaN — NaN would top Spark's descending sort in the Arrow path)
+    zero = emb.sparkSession.createDataFrame(
+        [(999999, [0.0] * len(qvec))], "vec_id long, embedding array<float>"
+    )
+    emb = emb.select("vec_id", "embedding").unionByName(zero)
     hof = similarity.brute_force_topk(emb, qvec, k=10).collect()
     arrow = similarity.brute_force_topk_arrow(emb, qvec, k=10).collect()
     assert [r.vec_id for r in hof] == [r.vec_id for r in arrow]
+    assert 999999 not in {r.vec_id for r in arrow}
     for h, a in zip(hof, arrow):
         assert abs(h.cos_sim - a.cos_sim) < 1e-9

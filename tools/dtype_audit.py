@@ -35,6 +35,8 @@ FLOAT = {"float32", "float64"}
 
 
 def severity(s: str, o: str) -> str:
+    if s == "<missing>" or o == "<missing>":
+        return "BREAKS"  # column-name mismatch always fails the driver
     if (s in INT and o in FLOAT) or (s in FLOAT and o in INT):
         return "BREAKS"
     if ("datetime" in s) != ("datetime" in o):
