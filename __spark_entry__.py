@@ -40,6 +40,7 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
     dedup,
     fusion,
     multimodal,
+    quality,
     relational,
     rollup,
     sampling,
@@ -2287,6 +2288,29 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style expectations (operators.quality): five named
+    constraints over orders — nullability, key uniqueness, value range,
+    date window, and domain membership — verified in ONE aggregation
+    pass (each violation counter a map-side conditional sum; uniqueness
+    folds into the same aggregate as count − count_distinct)."""
+    o = _t(spark, sf_dir, "orders")
+    checks = [
+        quality.violation("orderkey_not_null", F.col("o_orderkey").isNull()),
+        quality.unique_violation("orderkey_unique", "o_orderkey"),
+        quality.violation("totalprice_nonneg", F.col("o_totalprice") < 0),
+        quality.violation(
+            "orderdate_in_window",
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2005-01-01").cast("timestamp")),
+        ),
+        quality.violation(
+            "status_in_domain", ~F.col("o_orderstatus").isin("F", "O", "P")
+        ),
+    ]
+    return quality.expectations_report(o, checks)
+
+
 def q_tpch_q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: conditional aggregation (CASE inside SUM) over a
     date-bounded fact⋈dim join — one shuffle on the month key, both
@@ -2572,6 +2596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---------------------------------------------------- beyond the cap
     "sql_surface": q_sql_surface,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+    "data_quality_report": q_data_quality_report,
     "tpch_q12_priority_shipmode": q_tpch_q12_priority_shipmode,
     "tpch_q14_promo_share": q_tpch_q14_promo_share,
     "tpch_q19_disjunctive_join": q_tpch_q19_disjunctive_join,
@@ -4008,6 +4033,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
+        """,
+        "data_quality_report": """
+            WITH w AS (
+                SELECT
+                    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                         AS BIGINT) AS c0,
+                    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey)
+                         AS BIGINT) AS c1,
+                    CAST(SUM(CASE WHEN (o_totalprice < 0) IS NOT FALSE
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                    CAST(SUM(CASE WHEN (o_orderdate < TIMESTAMP '1990-01-01'
+                                     OR o_orderdate >= TIMESTAMP '2005-01-01')
+                                       IS NOT FALSE
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                    CAST(SUM(CASE WHEN (o_orderstatus NOT IN ('F', 'O', 'P'))
+                                       IS NOT FALSE
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS c4
+                FROM orders
+            )
+            SELECT chk AS check, v AS n_violations, v = 0 AS passed
+            FROM w, LATERAL (VALUES
+                ('orderkey_not_null', c0),
+                ('orderkey_unique', c1),
+                ('totalprice_nonneg', c2),
+                ('orderdate_in_window', c3),
+                ('status_in_domain', c4)) t(chk, v)
         """,
         "tpch_q12_priority_shipmode": """
             SELECT date_trunc('month', l_shipdate) AS ship_month,

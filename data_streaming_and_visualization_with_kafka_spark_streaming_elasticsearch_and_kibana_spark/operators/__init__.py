@@ -3,6 +3,7 @@ from . import (  # noqa: F401
     dedup,
     fusion,
     multimodal,
+    quality,
     relational,
     rollup,
     similarity,

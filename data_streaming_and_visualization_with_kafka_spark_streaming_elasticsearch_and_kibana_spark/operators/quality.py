@@ -1,0 +1,54 @@
+"""Data-quality expectations — single-pass constraint checking.
+
+The Deequ/Great-Expectations idea reduced to its Spark-native core: a
+set of named constraints over a table is ONE aggregation pass (every
+violation counter is a conditional SUM computed map-side), unpivoted to
+a long-format report `(check, n_violations, passed)`. At 100 TB this is
+the shape that matters — k constraints cost one scan, not k scans, and
+the report is small enough to gate a pipeline step on `.collect()`.
+
+Uniqueness is the one constraint that can't be a conditional sum; it is
+expressed as `COUNT(*) - COUNT(DISTINCT key)`, which Spark plans into
+the same aggregate (two-phase with a distinct expand — still one scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def violation(name: str, predicate: Column) -> tuple[str, Column]:
+    """A named constraint; `predicate` is TRUE where the row VIOLATES it
+    (null-safe: NULL predicate counts as a violation — unknown is not
+    a pass)."""
+    bad = F.when(predicate.isNull() | predicate, 1).otherwise(0)
+    return (name, F.sum(bad).cast("long"))
+
+
+def unique_violation(name: str, *cols: str) -> tuple[str, Column]:
+    """Rows beyond the first per distinct key combination."""
+    return (
+        name,
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]))
+        .cast("long"),
+    )
+
+
+def expectations_report(
+    df: DataFrame, checks: list[tuple[str, Column]]
+) -> DataFrame:
+    """(check, n_violations, passed) — one row per constraint, one scan
+    total. Column order in the stack is the caller's check order."""
+    aggs = [expr.alias(f"__c{i}") for i, (_, expr) in enumerate(checks)]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __c{i}" for i, (name, _) in enumerate(checks)
+    )
+    return wide.select(
+        F.expr(f"stack({len(checks)}, {stack_args}) AS (check, n_violations)")
+    ).select(
+        "check",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -1,0 +1,61 @@
+"""Data-quality expectations (operators.quality): null-safe violation
+semantics and the one-scan plan guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+    quality,
+)
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.plans.explain import (
+    formatted_plan,
+)
+
+
+def _frame(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "B"), (2, None, "A"), (None, 3.0, "Z")],
+        "id long, v double, cat string",
+    )
+
+
+def test_violation_counts_and_null_semantics(spark):
+    df = _frame(spark)
+    rows = {
+        r.check: (r.n_violations, r.passed)
+        for r in quality.expectations_report(
+            df,
+            [
+                quality.violation("id_not_null", F.col("id").isNull()),
+                quality.unique_violation("id_unique", "id"),
+                # v < 0: row with v=NULL must count as a violation too
+                # (unknown is not a pass) -> -5.0 and NULL = 2
+                quality.violation("v_nonneg", F.col("v") < 0),
+                quality.violation("cat_domain", ~F.col("cat").isin("A", "B")),
+            ],
+        ).collect()
+    }
+    assert rows["id_not_null"] == (1, False)
+    # 4 rows, distinct non-null ids {1, 2} -> count-distinct ignores NULL,
+    # so 4 - 2 = 2 "extra" rows (the dup 2 and the NULL id)
+    assert rows["id_unique"] == (2, False)
+    assert rows["v_nonneg"] == (2, False)
+    assert rows["cat_domain"] == (1, False)
+
+
+def test_all_checks_share_one_scan(spark):
+    df = _frame(spark)
+    rep = quality.expectations_report(
+        df,
+        [
+            quality.violation("a", F.col("v") < 0),
+            quality.violation("b", F.col("id").isNull()),
+            quality.violation("c", ~F.col("cat").isin("A")),
+        ],
+    )
+    plan = formatted_plan(rep)
+    tree = plan.split("\n\n")[0]
+    # conditional-sum constraints fold into one aggregate over one scan
+    assert tree.count("Scan") == 1
+    assert tree.count("Exchange") == 1
