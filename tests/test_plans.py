@@ -102,3 +102,25 @@ def test_correlated_subquery_is_decorrelated(spark):
     assert "avg(l_quantity)" in plan or "avg(l2.l_quantity)" in plan.lower()
     out = df.limit(1).collect()
     assert len(out) == 1
+
+
+def test_join_strategy_hints_control_physical_plan(spark):
+    """The engine can steer Catalyst's physical join strategy per join:
+    merge → SortMergeJoin, shuffle_hash → ShuffledHashJoin, broadcast →
+    BroadcastHashJoin — the knobs that matter when AQE's default choice
+    is wrong for a known workload (e.g. pre-sorted inputs, or a build
+    side that fits memory but exceeds the broadcast threshold)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        li = readers.read_table(spark, SF, "lineitem")
+        o = readers.read_table(spark, SF, "orders")
+        cases = {
+            "merge": "SortMergeJoin",
+            "shuffle_hash": "ShuffledHashJoin",
+            "broadcast": "BroadcastHashJoin",
+        }
+        for hint, node in cases.items():
+            df = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
+            assert node in explain.formatted_plan(df), hint
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
