@@ -548,3 +548,39 @@ def test_progress_recorder_captures_micro_batch_metrics(spark, tmp_dir):
         r.query_name: r for r in rec.summary(spark).collect() if r.query_name == name
     }
     assert summary[name].total_rows == 2
+
+
+def test_windowed_rollup_on_rocksdb_state_store(spark, tmp_dir):
+    """The production state backend (SURVEY §7 Phase 4): the same
+    watermarked windowed rollup, executed with the RocksDB state store
+    provider — state spills to native sorted tables instead of the
+    JVM-heap HDFSBackedStateStore, which is what keeps executor heaps
+    flat when window/session state reaches 100 TB-scale key counts."""
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = f"{tmp_dir}/src"
+        _write_events(
+            spark, src,
+            _rows(
+                ("2024-01-01T10:00:05", "a", 1.0),
+                ("2024-01-01T10:00:55", "a", 3.0),
+                ("2024-01-01T10:01:05", "b", 5.0),
+            ),
+        )
+        stream = file_stream(spark, src, SCHEMA)
+        rolled = pipeline.windowed_rollup(stream, "ts", ["room"], ["temp"])
+        name = f"rocks_{uuid.uuid4().hex[:6]}"
+        got = {
+            (r.window_start.isoformat(), r.room): (r.temp_avg, r.n)
+            for r in _drain(spark, rolled, name, "complete").collect()
+        }
+        assert got[("2024-01-01T10:00:00", "a")] == (2.0, 2)
+        assert got[("2024-01-01T10:01:00", "b")] == (5.0, 1)
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", prior
+        )
