@@ -612,6 +612,20 @@ def q_lsh_bucket_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, qvec, planes, k=10, multiprobe=0)
 
 
+def q_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN serving (similarity.multi_query_topk): exact cosine
+    top-10 for four query vectors in ONE corpus pass — per-partition
+    BLAS matmul + local top-k inside mapInPandas (corpus never
+    shuffled), exact global top-k over the tiny candidate set. The
+    4-vector query matrix is a driver-side fetch, like _query_vec."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    )
+    queries = [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows]
+    return similarity.multi_query_topk(emb, queries, k=10)
+
+
 def q_minhash_signatures_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature pipeline verified BIT-FOR-BIT against DuckDB:
     md5 hash family (available in both engines), min taken over the hex
@@ -2588,8 +2602,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_verified": q_minhash_lsh_verified,
     "simhash_verified": q_simhash_verified,
     "dedup_clusters": q_dedup_clusters,
-    "embedding_topk_cosine": q_embedding_topk_cosine,
     "lsh_bucket_verified": q_lsh_bucket_verified,
+    "multi_query_topk": q_multi_query_topk,
     "stratified_split": q_stratified_split,
     "multimodal_image_features": q_multimodal_image_features,
     "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
@@ -2608,6 +2622,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "lang_sampling_weights": q_lang_sampling_weights,
     "rollup_accounts": q_rollup_accounts,
+    "embedding_topk_cosine": q_embedding_topk_cosine,
     "token_stats_by_lang": q_token_stats_by_lang,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "minhash_signatures_verified": q_minhash_signatures_verified,
@@ -3129,6 +3144,20 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "lsh_bucket_verified": _lsh_bucket_oracle_sql(),
+        "multi_query_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 4),
+            s AS (SELECT q.qid, e.vec_id,
+                         FLOOR(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                      q.qv) * 1000000 + 0.5)
+                           / 1000000.0 AS cos_sim
+                  FROM embeddings e, q)
+            SELECT qid AS query_id, vec_id, cos_sim FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC
+                ) AS rk FROM s
+            ) WHERE rk <= 10
+        """,
         "streaming_minute_counts": """
             SELECT date_trunc('minute', ts) AS event_ts_min, event_type,
                    COUNT(*) AS n

@@ -66,6 +66,11 @@ HEADLINE = [
     "hypertable_rollup",
     "partition_pruned_scan",
     "lsh_bucket_verified",
+    "tpch_q12_priority_shipmode",
+    "tpch_q14_promo_share",
+    "tpch_q19_disjunctive_join",
+    "data_quality_report",
+    "winnowing_fingerprints",
 ]
 
 

@@ -102,6 +102,79 @@ def brute_force_topk_arrow(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def multi_query_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k for MANY query vectors in one corpus pass —
+    batch ANN serving.
+
+    Scale shape: the query matrix is tiny and ships inside the Arrow
+    plan; each corpus partition computes ONE BLAS matmul (batch × Q) and
+    keeps only its local top-k per query, so the corpus is never
+    shuffled and the only exchange carries partitions × Q × k candidate
+    rows into the exact global top-k window. A naive crossJoin + window
+    would shuffle N×Q scored rows instead. Scores are floor-quantized
+    (1e-6) with an id tiebreak BEFORE any pruning, so local-then-global
+    selection is exact, not approximate.
+
+    Returns (query_id, vec_id, cos_sim), k rows per query."""
+    from pyspark.sql import Window
+
+    qids = [int(q[0]) for q in queries]
+    qm = np.asarray([q[1] for q in queries], dtype=np.float64)  # (Q, dim)
+    qn = np.sqrt((qm * qm).sum(axis=1))  # (Q,)
+    p = float(10 ** round_to)
+    out_schema = f"query_id long, {id_col} long, cos_sim double"
+
+    def local_topk(batches):
+        frames = []
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dots = m @ qm.T  # (batch, Q)
+            norms = np.sqrt((m * m).sum(axis=1))
+            denom = np.outer(norms, qn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom == 0, np.nan, dots / denom)
+            sims = np.floor(sims * p + 0.5) / p  # quantize BEFORE pruning
+            ids = pdf[id_col].to_numpy()
+            for qi, qid in enumerate(qids):
+                col = sims[:, qi]
+                keep = ~np.isnan(col)
+                order = np.lexsort((ids[keep], -col[keep]))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            id_col: ids[keep][order],
+                            "cos_sim": col[keep][order],
+                        }
+                    )
+                )
+        if not frames:
+            return
+        allf = pd.concat(frames, ignore_index=True)
+        # reduce the per-BATCH candidates to per-PARTITION top-k
+        allf = allf.sort_values(
+            ["query_id", "cos_sim", id_col], ascending=[True, False, True]
+        )
+        yield allf.groupby("query_id", as_index=False).head(k)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def hyperplane_bucket(vec_col, planes: np.ndarray):
     """LSH bucket id: one sign bit per random hyperplane, folded to a long.
 

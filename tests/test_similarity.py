@@ -245,3 +245,28 @@ def test_brute_force_topk_arrow_parity(spark):
     assert 999999 not in {r.vec_id for r in arrow}
     for h, a in zip(hof, arrow):
         assert abs(h.cos_sim - a.cos_sim) < 1e-9
+
+
+def test_multi_query_topk_matches_per_query_brute_force(spark):
+    """Local-then-global top-k must be EXACT: for each query vector the
+    batch operator returns the same set as the single-query brute force,
+    regardless of partitioning."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.readers import (
+        read_table,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").repartition(7)
+    qrows = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    queries = [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows]
+    batch = similarity.multi_query_topk(emb, queries, k=5)
+    got = {
+        qid: [(r.vec_id, r.cos_sim) for r in batch.filter(F.col("query_id") == qid)
+              .orderBy(F.desc("cos_sim"), F.asc("vec_id")).collect()]
+        for qid, _ in queries
+    }
+    for qid, qvec in queries:
+        solo = [
+            (r.vec_id, r.cos_sim)
+            for r in similarity.brute_force_topk(emb, qvec, k=5).collect()
+        ]
+        assert got[qid] == solo, qid
