@@ -612,6 +612,21 @@ def q_lsh_bucket_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, qvec, planes, k=10, multiprobe=0)
 
 
+def q_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → vector without an external model: feature-hashing doc
+    embeddings (similarity.hashed_doc_vectors, md5 hash family so DuckDB
+    reproduces every bucket), sparse (doc_id, pos, v) of the non-zero
+    L2-normalized components. This is the bridge that makes the
+    similarity tier self-contained — hashed vectors feed the same
+    cosine / LSH / IVF operators as the pretrained embeddings table."""
+    docs = _t(spark, sf_dir, "documents")
+    md5h = lambda t: F.conv(  # noqa: E731
+        F.substring(F.md5(t), 1, 15), 16, 10
+    ).cast("long")
+    sparse = similarity.hashed_doc_vectors(docs, dim=64, hash_expr=md5h)
+    return sparse.select("doc_id", "pos", _q(F.col("v"), 6).alias("v"))
+
+
 def q_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN serving (similarity.multi_query_topk): exact cosine
     top-10 for four query vectors in ONE corpus pass — per-partition
@@ -2623,6 +2638,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_sampling_weights": q_lang_sampling_weights,
     "rollup_accounts": q_rollup_accounts,
     "embedding_topk_cosine": q_embedding_topk_cosine,
+    "hashed_doc_vectors": q_hashed_doc_vectors,
     "token_stats_by_lang": q_token_stats_by_lang,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "minhash_signatures_verified": q_minhash_signatures_verified,
@@ -3144,6 +3160,25 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "lsh_bucket_verified": _lsh_bucket_oracle_sql(),
+        "hashed_doc_vectors": """
+            WITH t AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS tok
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       CAST(('0x' || substring(md5(tok), 1, 15))::UBIGINT
+                            % 64 AS INT) AS pos,
+                       CAST(COUNT(*) AS DOUBLE) AS c
+                FROM t WHERE tok <> '' GROUP BY 1, 2
+            ),
+            n AS (SELECT doc_id, SQRT(SUM(c * c)) AS nrm FROM b GROUP BY 1)
+            SELECT b.doc_id, b.pos,
+                   FLOOR(b.c / n.nrm * 1000000 + 0.5) / 1000000.0 AS v
+            FROM b JOIN n USING (doc_id)
+        """,
         "multi_query_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 4),
