@@ -174,6 +174,8 @@ def multi_query_topk(
     def local_topk(batches):
         frames = []
         for pdf in batches:
+            if len(pdf) == 0:  # Arrow can hand over empty batches
+                continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             dots = m @ qm.T  # (batch, Q)
             norms = np.sqrt((m * m).sum(axis=1))
