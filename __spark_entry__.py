@@ -614,6 +614,15 @@ def q_lsh_bucket_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, qvec, planes, k=10, multiprobe=0)
 
 
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampling weights REALIZED (sampling.temperature_resample):
+    per-doc copy counts for the alpha=0.5 temperature mixture —
+    deterministic stochastic rounding off the stable content hash, so
+    head languages thin and tail languages repeat, bit-reproducibly."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.temperature_resample(docs)
+
+
 def q_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text → vector without an external model: feature-hashing doc
     embeddings (similarity.hashed_doc_vectors, md5 hash family so DuckDB
@@ -2646,6 +2655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_accounts": q_rollup_accounts,
     "embedding_topk_cosine": q_embedding_topk_cosine,
     "hashed_doc_vectors": q_hashed_doc_vectors,
+    "temperature_resample": q_temperature_resample,
     "token_stats_by_lang": q_token_stats_by_lang,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "minhash_signatures_verified": q_minhash_signatures_verified,
@@ -3167,6 +3177,23 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "lsh_bucket_verified": _lsh_bucket_oracle_sql(),
+        "temperature_resample": """
+            WITH l AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+            t AS (SELECT SUM(n) AS nt FROM l),
+            e AS (SELECT lang, CAST(n AS DOUBLE) / nt AS p,
+                         SQRT(CAST(n AS DOUBLE) / nt) AS wraw
+                  FROM l, t),
+            z AS (SELECT SUM(wraw) AS z FROM e),
+            w AS (SELECT lang, (wraw / z) / p AS u FROM e, z)
+            SELECT d.doc_id, d.lang,
+                   CAST(FLOOR(u) AS BIGINT) +
+                   CASE WHEN CAST(('0x' || substring(
+                                 md5('resample:' || d.doc_id::VARCHAR),
+                                 1, 8))::UBIGINT AS DOUBLE) / 4294967296.0
+                             < u - FLOOR(u)
+                        THEN 1 ELSE 0 END AS n_copies
+            FROM documents d JOIN w USING (lang)
+        """,
         "hashed_doc_vectors": """
             WITH t AS (
                 SELECT doc_id,

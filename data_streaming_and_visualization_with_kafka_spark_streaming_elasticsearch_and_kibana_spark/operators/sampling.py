@@ -109,3 +109,67 @@ def contiguous_pack(
     return df.withColumn(
         "bin", F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("long")
     )
+
+
+def temperature_resample(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    seed: str = "resample",
+) -> DataFrame:
+    """Temperature-resampled corpus materialization: per-language copy
+    counts realizing the p^alpha sampling distribution (XLM line,
+    alpha=0.5) at the ORIGINAL corpus size.
+
+    Per-doc expected copies = w_l/p_l (the language upsample factor u):
+    every doc gets floor(u) copies plus one more iff its stable hash
+    fraction < frac(u) — deterministic stochastic rounding. Draws are
+    per-doc independent, so the realized count matches the target in
+    expectation with O(√n_l) deviation (the no-shuffle trade: hitting it
+    exactly would need a per-language rank, i.e. a sort over every
+    language partition); the assignment is bit-reproducible across
+    retries and partitionings, the same reason every sampler here hashes
+    content instead of rand(). Head languages get u < 1
+    (hash-thresholded downsample), tail languages u > 1 (integer
+    repetition + remainder draw).
+
+    One full-data pass + two broadcast-sized aggregates; returns
+    (id, lang, n_copies) with n_copies >= 0 — feed n_copies to
+    relational.repeat_rows (U2) to materialize the physical copies.
+    alpha=0.5 keeps the weight math on sqrt (IEEE-correctly-rounded in
+    every engine), the same cross-engine-exactness choice as
+    q_lang_sampling_weights."""
+    per_lang = docs.groupBy(lang_col).agg(F.count("*").alias("__n"))
+    totals = per_lang.agg(F.sum("__n").alias("__nt"))
+    p = F.col("__n").cast("double") / F.col("__nt")
+    enriched = per_lang.crossJoin(F.broadcast(totals)).withColumn(
+        "__wraw", F.sqrt(p)
+    )
+    z = enriched.agg(F.sum("__wraw").alias("__z"))
+    weights = (
+        enriched.crossJoin(F.broadcast(z))
+        .select(
+            lang_col,
+            ((F.col("__wraw") / F.col("__z")) / p).alias("__u"),
+        )
+    )
+    u = F.col("__u")
+    frac = u - F.floor(u)
+    # uniform [0,1) fraction from the stable 8-hex-char content hash
+    hfrac = (
+        F.conv(hash_hex(F.col(id_col), seed), 16, 10).cast("double")
+        / F.lit(float(HEX_SPACE))
+    )
+    return (
+        docs.select(id_col, lang_col)
+        .join(F.broadcast(weights), lang_col)
+        .select(
+            id_col,
+            lang_col,
+            (
+                F.floor(u).cast("long")
+                + F.when(hfrac < frac, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_copies"),
+        )
+    )

@@ -124,3 +124,38 @@ def test_rate_threshold_properties():
     grid = [i / 100 for i in range(101)]
     ts = [sampling.rate_threshold(r) for r in grid]
     assert ts == sorted(ts)  # monotone in the rate
+
+
+def test_temperature_resample_realizes_mixture(spark):
+    """Realized copy counts must track the p^0.5 target mixture within
+    the stochastic-rounding noise (per-doc independent draws → O(√n)
+    deviation), and be invariant to partitioning (content-hash, not
+    rand)."""
+    import math
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_resample(docs).groupBy("lang").agg(
+        F.sum("n_copies").alias("realized")
+    )
+    got = {r.lang: r.realized for r in out.collect()}
+    # targets: w_l * N with w ∝ sqrt(p)
+    p = {"big": 0.9, "small": 0.1}
+    z = sum(math.sqrt(v) for v in p.values())
+    for lang, pl in p.items():
+        n_l = 1000 * pl
+        target = math.sqrt(pl) / z * 1000
+        frac = (target / n_l) % 1.0
+        bound = 5 * math.sqrt(max(frac * (1 - frac), 0.01) * n_l) + 1
+        assert abs(got[lang] - target) <= bound, (lang, got[lang], target)
+    # head thinned, tail upsampled
+    assert got["big"] < 900 and got["small"] > 100
+    # partitioning-invariant
+    out2 = temperature_resample(docs.repartition(13)).groupBy("lang").agg(
+        F.sum("n_copies").alias("realized")
+    )
+    assert {r.lang: r.realized for r in out2.collect()} == got
