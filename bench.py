@@ -71,6 +71,9 @@ HEADLINE = [
     "tpch_q19_disjunctive_join",
     "data_quality_report",
     "winnowing_fingerprints",
+    "multi_query_topk",
+    "hashed_doc_vectors",
+    "temperature_resample",
 ]
 
 
