@@ -41,7 +41,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # test parquet stores TIMESTAMP(NANOS); Spark caps at micros — read
+        # legacy-generation test parquet stored TIMESTAMP(NANOS) — read
         # as long and convert explicitly (sources.readers.read_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")

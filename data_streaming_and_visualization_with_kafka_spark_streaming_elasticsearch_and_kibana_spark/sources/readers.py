@@ -61,17 +61,21 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-#: Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long
-#: (spark.sql.legacy.parquet.nanosAsLong) and we convert to micros here.
+#: Timestamp columns whose parquet encoding has varied across testdata
+#: generations: TIMESTAMP(NANOS) (read as long under nanosAsLong, converted
+#: below) or TIMESTAMP(MICROS)/NTZ (read natively; no conversion fires).
 NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Driver test-table loader (TESTDATA.md).
 
-    Session-independent: the test parquet stores TIMESTAMP(NANOS), which
-    Spark caps at micros — so we read nanos as long (runtime-settable
-    SQLConf) and convert explicitly below. The session timezone is pinned
+    Session-independent and encoding-agnostic: older testdata generations
+    stored `events.ts` as TIMESTAMP(NANOS) (→ read as long under the
+    legacy conf, converted to micros below); current ones store
+    TIMESTAMP(MICROS) with isAdjustedToUTC=false (→ TIMESTAMP_NTZ, left
+    as-is — downstream epoch math routes through `.cast("timestamp")`,
+    see `_epoch_sec` in __spark_entry__). The session timezone is pinned
     UTC so date_trunc semantics match the tz-naive DuckDB oracle on ANY
     caller-supplied session, not just get_spark()'s.
     """
