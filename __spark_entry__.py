@@ -800,11 +800,17 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     length ≥ 13 (k + w - 1) contributes a shared fingerprint, which is
     what makes it the standard local-similarity/contamination sketch.
     Pure higher-order array expressions — per-row O(len·w), no UDF, no
-    shuffle before the final distinct."""
+    shuffle before the final distinct. Hashes are the first 15 hex chars
+    of md5 as a BIGINT (same selected values — a prefix tie means the
+    tied VALUES are equal, so the emitted min is unchanged; the oracle
+    mirrors the exact same integers): wall time is md5-bound either way,
+    but the final distinct shuffles 8-byte longs instead of 32-char
+    strings — 4× less exchange payload at corpus scale."""
     docs = _t(spark, sf_dir, "documents")
     grams = F.expr(
         "transform(sequence(1, greatest(length(text) - 7, 1)),"
-        " i -> md5(substring(text, i, 8)))"
+        " i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 15),"
+        "               16, 10) as bigint))"
     )
     mins = F.expr(
         "transform(sequence(1, greatest(size(__grams) - 5, 1)),"
@@ -4069,7 +4075,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        list_transform(
                            generate_series(1, GREATEST(length(text) - 7, 1)),
-                           i -> md5(substr(text, i, 8))) AS grams
+                           i -> CAST(('0x' || substring(
+                                    md5(substr(text, i, 8)), 1, 15))::UBIGINT
+                                AS BIGINT)) AS grams
                 FROM documents
             )
             SELECT DISTINCT doc_id, fp FROM (
