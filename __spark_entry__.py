@@ -1008,23 +1008,13 @@ def q_lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality), so the normalizing sums are a broadcast, not a wide
     shuffle — the doc-count groupBy is the only full-data pass."""
     docs = _t(spark, sf_dir, "documents")
-    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    p = F.col("n_docs").cast("double") / F.col("n_total")
-    w_raw = F.sqrt(p)
-    totals = per_lang.agg(F.sum("n_docs").alias("n_total"))
-    enriched = per_lang.crossJoin(F.broadcast(totals)).withColumn(
-        "w_raw", w_raw
-    )
-    z = enriched.agg(F.sum("w_raw").alias("z"))
-    return (
-        enriched.crossJoin(F.broadcast(z))
-        .select(
-            "lang",
-            "n_docs",
-            _q(p, 6).alias("p"),
-            _q(F.col("w_raw") / F.col("z"), 6).alias("w"),
-            _q(F.col("w_raw") / F.col("z") / p, 6).alias("upsample"),
-        )
+    weights = sampling.temperature_weights(docs, "lang", alpha=0.5)
+    return weights.select(
+        "lang",
+        "n_docs",
+        _q(F.col("p"), 6).alias("p"),
+        _q(F.col("w"), 6).alias("w"),
+        _q(F.col("u"), 6).alias("upsample"),
     )
 
 

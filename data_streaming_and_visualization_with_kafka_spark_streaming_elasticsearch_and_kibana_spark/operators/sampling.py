@@ -111,6 +111,39 @@ def contiguous_pack(
     )
 
 
+def temperature_weights(
+    docs: DataFrame, lang_col: str = "lang", alpha: float = 0.5
+) -> DataFrame:
+    """Per-language temperature sampling weights (XLM line): corpus
+    share p, normalized weight w ∝ p^alpha, upsample factor u = w/p.
+    Returns (lang, n_docs, p, w, u) — lang-cardinality rows, so every
+    aggregate here is broadcast-sized; the doc-count groupBy is the one
+    full-data pass. alpha=0.5 routes through sqrt, which is IEEE-
+    correctly-rounded in every engine (other alphas use pow, whose
+    last-ulp libm differences can flip a downstream quantization tick —
+    fine for sampling, not for differential gates). Single source of the
+    weight math for BOTH q_lang_sampling_weights and
+    temperature_resample."""
+    per_lang = docs.groupBy(lang_col).agg(F.count("*").alias("n_docs"))
+    totals = per_lang.agg(F.sum("n_docs").alias("__nt"))
+    p = F.col("n_docs").cast("double") / F.col("__nt")
+    w_raw = F.sqrt(p) if alpha == 0.5 else F.pow(p, F.lit(alpha))
+    enriched = per_lang.crossJoin(F.broadcast(totals)).withColumn(
+        "__wraw", w_raw
+    )
+    z = enriched.agg(F.sum("__wraw").alias("__z"))
+    return (
+        enriched.crossJoin(F.broadcast(z))
+        .select(
+            lang_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            p.alias("p"),
+            (F.col("__wraw") / F.col("__z")).alias("w"),
+            ((F.col("__wraw") / F.col("__z")) / p).alias("u"),
+        )
+    )
+
+
 def temperature_resample(
     docs: DataFrame,
     lang_col: str = "lang",
@@ -120,7 +153,7 @@ def temperature_resample(
 ) -> DataFrame:
     """Temperature-resampled corpus materialization: per-language copy
     counts realizing the p^alpha sampling distribution (XLM line,
-    alpha=0.5) at the ORIGINAL corpus size.
+    alpha=0.5 default) at the ORIGINAL corpus size.
 
     Per-doc expected copies = w_l/p_l (the language upsample factor u):
     every doc gets floor(u) copies plus one more iff its stable hash
@@ -135,24 +168,13 @@ def temperature_resample(
     repetition + remainder draw).
 
     One full-data pass + two broadcast-sized aggregates; returns
-    (id, lang, n_copies) with n_copies >= 0 — feed n_copies to
-    relational.repeat_rows (U2) to materialize the physical copies.
-    alpha=0.5 keeps the weight math on sqrt (IEEE-correctly-rounded in
-    every engine), the same cross-engine-exactness choice as
-    q_lang_sampling_weights."""
-    per_lang = docs.groupBy(lang_col).agg(F.count("*").alias("__n"))
-    totals = per_lang.agg(F.sum("__n").alias("__nt"))
-    p = F.col("__n").cast("double") / F.col("__nt")
-    enriched = per_lang.crossJoin(F.broadcast(totals)).withColumn(
-        "__wraw", F.sqrt(p)
-    )
-    z = enriched.agg(F.sum("__wraw").alias("__z"))
-    weights = (
-        enriched.crossJoin(F.broadcast(z))
-        .select(
-            lang_col,
-            ((F.col("__wraw") / F.col("__z")) / p).alias("__u"),
-        )
+    (id, lang, n_copies) with n_copies >= 0. Materialize the physical
+    copies with `explode(array_repeat(lit(1), n_copies.cast("int")))` —
+    an n_copies = 0 row yields an empty array and drops out (NOT
+    sequence(1, n): Spark sequences run descending when end < start, so
+    sequence(1, 0) would emit two rows)."""
+    weights = temperature_weights(docs, lang_col, alpha).select(
+        lang_col, F.col("u").alias("__u")
     )
     u = F.col("__u")
     frac = u - F.floor(u)
