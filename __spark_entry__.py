@@ -728,10 +728,10 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (id-only self-join, capped buckets), exact-cosine verify
     >= 0.4 (the synthetic embeddings' max pairwise cosine is ~0.51, so
     the threshold sits where real pairs exist; 4 planes x 8 bands keeps
-    recall usable at that moderate similarity). Rows-only: the candidate
-    set depends on the seeded plane family; the exact-cosine verifier is
-    separately oracle-checked by embedding_cosine_pairs and the operator
-    by its planted-dup unit test."""
+    recall usable at that moderate similarity). Fully oracle-checked:
+    the DuckDB twin (_near_dup_oracle_sql) inlines all 8 seeded plane
+    families as literals and recomputes the banded buckets, capped
+    self-join, and cosine verify bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -2778,6 +2778,52 @@ def _lsh_bucket_oracle_sql() -> str:
     """
 
 
+def _near_dup_oracle_sql() -> str:
+    """DuckDB twin of q_embedding_near_dup_pairs: all 8 band families
+    (4 seeded hyperplanes each) inlined as literals, per-band sign-bit
+    buckets, capped-bucket self-join per band, pair dedup, exact-cosine
+    verify ≥ 0.4 — the full banded-LSH near-dup pipeline recomputed
+    bit-for-bit (sign margins are O(1) vs ~1e-13 cross-engine noise)."""
+    rows = ", ".join(
+        f"({b}, {i}, [{', '.join(repr(float(x)) for x in p)}]::DOUBLE[])"
+        for b in range(8)
+        for i, p in enumerate(similarity.make_planes(64, 4, 42 + b))
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pl(band, i, p) AS (VALUES {rows}),
+        bk AS (
+            SELECT e.vec_id, pl.band,
+                   CAST(SUM(CASE WHEN list_inner_product(pl.p, e.v) > 0
+                                 THEN (1::BIGINT << pl.i) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM e, pl GROUP BY e.vec_id, pl.band
+        ),
+        kept AS (
+            SELECT * FROM (
+                SELECT vec_id, band, bucket,
+                       COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+                FROM bk
+            ) WHERE bsz <= 1000
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM kept a JOIN kept b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+        ),
+        scored AS (
+            SELECT c.id_a, c.id_b,
+                   FLOOR(list_cosine_similarity(ea.v, eb.v) * 1000000 + 0.5)
+                     / 1000000.0 AS cos_sim
+            FROM cand c
+            JOIN e ea ON ea.vec_id = c.id_a
+            JOIN e eb ON eb.vec_id = c.id_b
+        )
+        SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     lang_hits = {
         lang: _stopword_hits_sql(words) for lang, words in __import__(
@@ -3173,6 +3219,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "lsh_bucket_verified": _lsh_bucket_oracle_sql(),
+        "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """
             WITH l AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
             t AS (SELECT SUM(n) AS nt FROM l),
@@ -4359,7 +4406,8 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_q("w_raw / z / p", 6)} AS upsample
             FROM e, z
         """,
-        # rows-only (non-SQL-expressible / approximate):
+        # rows-only (approximate / engine-specific by design, each with a
+        # *_verified md5- or literal-plane twin pinning its mechanism):
         #   lsh_ann_topk, ivf_ann_topk, minhash_dedup_pairs,
         #   simhash_candidates, approx_sketches
     }
