@@ -285,6 +285,51 @@ def _ledger_mark(path: str, applied: list[int], batch_id: int) -> None:
     os.replace(tmp, path)
 
 
+def quality_gate_sink(
+    good_path: str,
+    quarantine_path: str,
+    violations: list,
+):
+    """foreachBatch row-level quality gate: each micro-batch is split by
+    the named constraint predicates (operators.quality.violation
+    semantics — a NULL predicate is a violation, unknown is not a pass)
+    into accepted rows and quarantined rows, the latter annotated with
+    the list of failed checks so triage never has to re-derive WHY a row
+    was rejected. Both sides land in per-batch directories with
+    overwrite, so foreachBatch's at-least-once replay rewrites rather
+    than duplicates.
+
+    `violations`: list of (name, Column predicate TRUE-where-violated) —
+    the same predicate convention operators.quality.violation wraps into
+    aggregate counters, applied here row-wise instead."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        failed = F.array_compact(
+            F.array(
+                *[
+                    F.when(pred.isNull() | pred, F.lit(name))
+                    for name, pred in violations
+                ]
+            )
+        )
+        tagged = batch_df.withColumn("__failed", failed).persist()
+        tagged.filter(F.size("__failed") == 0).drop("__failed").write.mode(
+            "overwrite"
+        ).parquet(f"{good_path}/ingest={batch_id}")
+        (
+            tagged.filter(F.size("__failed") > 0)
+            .withColumn("failed_checks", F.col("__failed"))
+            .drop("__failed")
+            .write.mode("overwrite")
+            .parquet(f"{quarantine_path}/ingest={batch_id}")
+        )
+        tagged.unpersist()
+
+    return _apply
+
+
 def dedup_ingest_sink(
     index_path: str,
     verdicts_path: str,

@@ -584,3 +584,38 @@ def test_windowed_rollup_on_rocksdb_state_store(spark, tmp_dir):
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", prior
         )
+
+
+def test_quality_gate_sink_routes_rows_with_reasons(spark, tmp_dir):
+    """Row-level quality gate: violating rows land in quarantine with the
+    list of failed checks; clean rows pass; NULL predicates quarantine
+    (unknown is not a pass); replay of a batch id rewrites, not appends."""
+    good, bad = f"{tmp_dir}/good", f"{tmp_dir}/bad"
+    batch = spark.createDataFrame(
+        _rows(
+            ("2024-01-01T10:00:05", "a", 1.0),     # clean
+            ("2024-01-01T10:00:10", "z", -3.0),    # bad temp AND bad room
+            ("2024-01-01T10:00:20", "b", 2.0),     # clean
+        )
+        + [(None, "a", None)],                     # NULL ts and temp
+        SCHEMA,
+    )
+    sink = pipeline.quality_gate_sink(
+        good,
+        bad,
+        [
+            ("temp_nonneg", F.col("temp") < 0),
+            ("room_known", ~F.col("room").isin("a", "b")),
+            ("ts_not_null", F.col("ts").isNull()),
+        ],
+    )
+    sink(batch, 0)
+    sink(batch, 0)  # replay must rewrite, not duplicate
+    ok = spark.read.parquet(good)
+    qr = spark.read.parquet(bad)
+    assert ok.count() == 2 and set(r.room for r in ok.collect()) == {"a", "b"}
+    reasons = {tuple(sorted(r.failed_checks)) for r in qr.collect()}
+    assert reasons == {
+        ("room_known", "temp_nonneg"),
+        ("temp_nonneg", "ts_not_null"),  # NULL temp -> violation too
+    }, reasons
