@@ -42,8 +42,12 @@ def expectations_report(
     total. Column order in the stack is the caller's check order."""
     aggs = [expr.alias(f"__c{i}") for i, (_, expr) in enumerate(checks)]
     wide = df.agg(*aggs)
+    # check names are caller-supplied strings interpolated into a SQL
+    # expression — double any single quotes so a name like "o'clock"
+    # can't break (or inject into) the stack() expr
     stack_args = ", ".join(
-        f"'{name}', __c{i}" for i, (name, _) in enumerate(checks)
+        "'{}', __c{}".format(name.replace("'", "''"), i)
+        for i, (name, _) in enumerate(checks)
     )
     return wide.select(
         F.expr(f"stack({len(checks)}, {stack_args}) AS (check, n_violations)")

@@ -89,6 +89,8 @@ def brute_force_topk_arrow(
 
     @F.pandas_udf(DoubleType())
     def cos_udf(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # Arrow can hand over empty batches
+            return pd.Series([], dtype="Float64")
         m = np.stack(vs.to_numpy()).astype(np.float64)
         dots = m @ q
         norms = np.sqrt((m * m).sum(axis=1)) * qn
@@ -183,7 +185,8 @@ def multi_query_topk(
     qm = np.asarray([q[1] for q in queries], dtype=np.float64)  # (Q, dim)
     qn = np.sqrt((qm * qm).sum(axis=1))  # (Q,)
     p = float(10 ** round_to)
-    out_schema = f"query_id long, {id_col} long, cos_sim double"
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id long, {id_col} {id_type}, cos_sim double"
 
     def local_topk(batches):
         frames = []

@@ -229,6 +229,21 @@ def rollup_refresh_sink(
         days = [r[0] for r in delta.select("dt").distinct().collect()]
         for day in days:
             ddir = os.path.join(path, f"dt={day.isoformat()}")
+            retired = ddir + ".old"
+            staging = ddir + ".staging"
+            # crash recovery: a prior run may have died mid-swap. If the
+            # live dir is gone but its renamed-aside copy survives, the
+            # swap never completed — restore the copy as the committed
+            # state (the unmarked ledger will re-merge this batch). A
+            # leftover .old *alongside* a live dir means the swap DID
+            # complete and only the cleanup was lost; drop it.
+            if os.path.exists(retired):
+                if os.path.exists(ddir):
+                    shutil.rmtree(retired)
+                else:
+                    os.replace(retired, ddir)
+            if os.path.exists(staging):
+                shutil.rmtree(staging)
             merged = delta.filter(F.col("dt") == F.lit(day)).drop("dt")
             if os.path.exists(ddir):
                 merged = (
@@ -242,12 +257,16 @@ def rollup_refresh_sink(
                 )
             # stage-then-swap: never overwrite the directory a lazy plan
             # is still reading from (on HDFS/S3 this step is a commit
-            # protocol / table format; locally rename is the commit)
-            staging = ddir + ".staging"
+            # protocol / table format; locally rename is the commit).
+            # The old dir is renamed ASIDE, not rmtree'd, before the
+            # swap — so no crash window ever leaves the day with neither
+            # the old nor the new state on disk.
             merged.write.mode("overwrite").parquet(staging)
             if os.path.exists(ddir):
-                shutil.rmtree(ddir)
+                os.replace(ddir, retired)
             os.replace(staging, ddir)
+            if os.path.exists(retired):
+                shutil.rmtree(retired)
         delta.unpersist()
         # root marker: partition dirs are discoverable from here on
         open(os.path.join(path, "_SUCCESS"), "a").close()

@@ -396,28 +396,36 @@ def test_transform_with_state_running_totals(spark, tmp_dir):
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    src = f"{tmp_dir}/src"
-    batches = [
-        _rows(("2024-01-01T10:00:05", "a", 1.5), ("2024-01-01T10:00:40", "b", 2.0)),
-        _rows(("2024-01-01T10:01:50", "a", 3.25), ("2024-01-01T10:02:00", "c", 4.0)),
-    ]
-    for rows in batches:
-        _write_events(spark, src, rows)
-    stream = file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
-    view = pipeline.running_totals_view(stream, "room", "temp")
-    name = f"tws_{uuid.uuid4().hex[:6]}"
-    rows = _drain(spark, view, name, "update").collect()
-    # update mode emits one row per key per batch: latest = max n_seen
-    latest = {}
-    for r in rows:
-        if r.room not in latest or r.n_seen > latest[r.room].n_seen:
-            latest[r.room] = r
-    got = {k: (r.n_seen, r.total_cents, r.max_value) for k, r in latest.items()}
-    assert got == {
-        "a": (2, 475, 3.25),
-        "b": (1, 200, 2.0),
-        "c": (1, 400, 4.0),
-    }, got
+    try:
+        src = f"{tmp_dir}/src"
+        batches = [
+            _rows(("2024-01-01T10:00:05", "a", 1.5), ("2024-01-01T10:00:40", "b", 2.0)),
+            _rows(("2024-01-01T10:01:50", "a", 3.25), ("2024-01-01T10:02:00", "c", 4.0)),
+        ]
+        for rows in batches:
+            _write_events(spark, src, rows)
+        stream = file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+        view = pipeline.running_totals_view(stream, "room", "temp")
+        name = f"tws_{uuid.uuid4().hex[:6]}"
+        rows = _drain(spark, view, name, "update").collect()
+        # update mode emits one row per key per batch: latest = max n_seen
+        latest = {}
+        for r in rows:
+            if r.room not in latest or r.n_seen > latest[r.room].n_seen:
+                latest[r.room] = r
+        got = {k: (r.n_seen, r.total_cents, r.max_value) for k, r in latest.items()}
+        assert got == {
+            "a": (2, 475, 3.25),
+            "b": (1, 200, 2.0),
+            "c": (1, 400, 4.0),
+        }, got
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior
+            )
 
 
 def test_running_totals_view_gates_missing_protobuf(spark):
@@ -458,6 +466,40 @@ def test_rollup_refresh_sink_replay_is_idempotent(spark, tmp_dir):
     assert got.agg(F.sum("n")).head()[0] == 2
     sink(batch, 1)  # a new batch id DOES merge
     assert spark.read.parquet(mat).agg(F.sum("n")).head()[0] == 4
+
+
+def test_rollup_refresh_sink_recovers_from_mid_swap_crash(spark, tmp_dir):
+    """The day-partition swap renames the old dir ASIDE before the
+    commit; if a crash lands between that rename and os.replace, the day
+    exists only as `<ddir>.old`. On replay (the ledger was never marked)
+    the sink must restore it as the committed state and merge into it —
+    not treat the day as empty and silently drop the prior partials."""
+    import os
+    import shutil
+
+    mat = f"{tmp_dir}/mat"
+    b0 = spark.createDataFrame(
+        _rows(("2024-01-01T10:00:05", "a", 1.0), ("2024-01-01T10:00:40", "b", 2.0)),
+        SCHEMA,
+    )
+    b1 = spark.createDataFrame(_rows(("2024-01-01T10:01:10", "a", 3.0)), SCHEMA)
+    sink = pipeline.rollup_refresh_sink(mat, ts_col="ts", keys=("room",), value_col="temp")
+    sink(b0, 0)
+    ddir = os.path.join(mat, "dt=2024-01-01")
+    # simulate batch 1 crashing mid-swap: the day dir was renamed aside
+    # (it holds the pre-batch-1 state), the swap never ran, and the
+    # ledger never marked batch 1 — so the stream replays it
+    os.replace(ddir, ddir + ".old")
+    sink(b1, 1)  # replay: recovery restores .old, then merges batch 1
+    got = spark.read.parquet(mat)
+    assert got.agg(F.sum("n")).head()[0] == 3
+    assert not os.path.exists(ddir + ".old")
+    # the OTHER window: swap completed but .old cleanup was lost — the
+    # stale copy must be dropped, not restored over the live dir
+    shutil.copytree(ddir, ddir + ".old")
+    sink(spark.createDataFrame(_rows(("2024-01-01T10:02:00", "b", 1.0)), SCHEMA), 2)
+    assert spark.read.parquet(mat).agg(F.sum("n")).head()[0] == 4
+    assert not os.path.exists(ddir + ".old")
 
 
 def test_dedup_ingest_sink_flags_cross_batch_near_dup(spark, tmp_dir):
