@@ -581,7 +581,10 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN probing a PERSISTED bucket-partitioned LSH index
     (rows-only check). The index is built once per sf_dir and reused;
     the probe's `bucket IN (...)` predicate prunes partitions, so query
-    cost is O(probed buckets), not O(corpus)."""
+    cost is O(probed buckets), not O(corpus). Recall@10 vs the exact
+    oracle is MEASURED (tools/ann_recall.py; grid in PLANS.md): 0.91 at
+    2.7% scan on clustered embeddings (multiprobe=2), floor-pinned in
+    tests/test_similarity.py."""
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -760,7 +763,11 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via an IVF index (k-means coarse quantizer trained
     on a bounded sample, index partitioned by centroid id, probes prune
     partitions). Rows-only check — IVF recall is data-dependent by
-    design; the LSH twin covers the oblivious-hash path."""
+    design; the LSH twin covers the oblivious-hash path. Recall@10 vs
+    the exact oracle is MEASURED (tools/ann_recall.py; grid in
+    PLANS.md): 1.00 from nprobe=1 on clustered embeddings, 0.83 at
+    nprobe=8 on the near-random sf corpus; floor-pinned in
+    tests/test_similarity.py."""
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -439,6 +439,112 @@ def ivf_topk_from_index(
     return brute_force_topk(idx, qvec, k, id_col, vec_col)
 
 
+# ------------------------------------------- batch serving on the indexes
+def _topk_over_probed(
+    spark,
+    idx: DataFrame,
+    probes_by_query: dict[int, list[int]],
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+    part_col: str,
+) -> DataFrame:
+    """Shared core of the batch index-probe paths: join the tiny
+    (query_id, partition-key) probe table against the pruned index scan,
+    score each candidate against its query's vector JVM-side, and take
+    per-query top-k.
+
+    Scale shape: the union of probed partitions is the ONLY data read
+    (partition pruning on `part_col`); both the probe table and the
+    query-vector table broadcast; each index row appears once per query
+    that probed its partition (a vector lives in exactly one partition,
+    so no dedup shuffle is needed); the single exchange is the per-query
+    top-k window over candidate rows — the true serving cost, Σ_q
+    |probed partitions of q|, independent of corpus size."""
+    from pyspark.sql import Window
+
+    probe_rows = sorted(
+        {(int(qid), int(b)) for qid, bs in probes_by_query.items() for b in bs}
+    )
+    probe_df = spark.createDataFrame(probe_rows, f"query_id long, {part_col} long")
+    qv_df = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        "query_id long, qvec array<double>",
+    )
+    all_probed = sorted({b for _, b in probe_rows})
+    p = float(10 ** round_to)
+    scored = (
+        idx.filter(F.col(part_col).isin(all_probed))
+        .join(F.broadcast(probe_df), part_col)
+        .join(F.broadcast(qv_df), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            (
+                F.floor(cosine(F.col(vec_col), F.col("qvec")) * p + F.lit(0.5))
+                / F.lit(p)
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def lsh_multi_query_topk(
+    spark,
+    index_path: str,
+    queries: list[tuple[int, list[float]]],
+    planes: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch ANN serving against the persisted LSH index: many queries,
+    one job. Probe sets come from the same multi-probe ranking as the
+    single-query path; results match running `lsh_topk_from_index` per
+    query (pinned in tests). Returns (query_id, id, cos_sim), ≤k rows
+    per query."""
+    probes = {
+        int(qid): query_buckets(qv, planes, multiprobe) for qid, qv in queries
+    }
+    idx = spark.read.parquet(index_path)
+    return _topk_over_probed(
+        spark, idx, probes, queries, k, id_col, vec_col, round_to, "bucket"
+    )
+
+
+def ivf_multi_query_topk(
+    spark,
+    index_path: str,
+    queries: list[tuple[int, list[float]]],
+    centroids: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch ANN serving against the persisted IVF index — the IVF twin
+    of `lsh_multi_query_topk`."""
+    probes = {}
+    for qid, qv in queries:
+        d = ((centroids - np.asarray(qv, dtype=np.float64)) ** 2).sum(axis=1)
+        probes[int(qid)] = [int(i) for i in d.argsort()[:nprobe]]
+    idx = spark.read.parquet(index_path)
+    return _topk_over_probed(
+        spark, idx, probes, queries, k, id_col, vec_col, round_to, "cid"
+    )
+
+
 # ----------------------------------------------------- embedding near-dup
 def embedding_near_dup_pairs(
     corpus: DataFrame,

@@ -159,6 +159,129 @@ def test_ann_recall_vs_brute_force(spark):
     assert sum(ivf_recalls) / len(ivf_recalls) >= 0.5, ivf_recalls
 
 
+def _recall_setup(spark, tmp_dir, vecs, queries, planes):
+    """Build both persisted indexes + exact ground truth for a corpus."""
+    from tools.ann_recall import exact_sets
+
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    exact = exact_sets(spark, corpus, queries)
+    lsh_path, ivf_path = f"{tmp_dir}/lsh", f"{tmp_dir}/ivf"
+    similarity.build_lsh_index(corpus, planes, lsh_path)
+    cents = similarity.train_ivf_centroids(corpus, n_centroids=16, sample=2048)
+    similarity.build_ivf_index(corpus, cents, ivf_path)
+    corpus.unpersist()
+    return exact, lsh_path, ivf_path, cents
+
+
+def _mean_recall(rows, exact, k=10):
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    return sum(len(exact[q] & got.get(q, set())) / k for q in exact) / len(exact)
+
+
+def test_ann_recall_at_10_clustered_corpus(spark, tmp_dir):
+    """Recall@10 over 100 query vectors on a planted-cluster corpus
+    (within-cluster cosine ≈0.98 — the regime trained embeddings live
+    in), measured through the PERSISTED indexes via the batch serving
+    path. tools/ann_recall.py measured: LSH multiprobe=2 → 0.907 at
+    2.7% scan; IVF nprobe=4 → 1.000 at 42% scan (nprobe=1 already
+    1.000 at 9.2%). Floors leave noise margin; a drop is an index
+    regression. Full grid (both corpora) in PLANS.md."""
+    from tools.ann_recall import DIM as ADIM
+    from tools.ann_recall import clustered_corpus, noisy_queries
+
+    vecs = clustered_corpus()
+    queries = noisy_queries(vecs, 100, 0.10, 13)
+    planes = similarity.make_planes(ADIM, n_planes=8, seed=42)
+    exact, lsh_path, ivf_path, cents = _recall_setup(
+        spark, tmp_dir, vecs, queries, planes
+    )
+    lsh = similarity.lsh_multi_query_topk(
+        spark, lsh_path, queries, planes, 10, multiprobe=2
+    ).collect()
+    ivf = similarity.ivf_multi_query_topk(
+        spark, ivf_path, queries, cents, 10, nprobe=4
+    ).collect()
+    assert _mean_recall(lsh, exact) >= 0.85
+    assert _mean_recall(ivf, exact) >= 0.95
+
+
+def test_ann_recall_at_10_sf_embeddings(spark, tmp_dir):
+    """Same measurement on the sf0.01 embeddings table — near-random
+    vectors, the HARD regime where recall is bounded by the probe
+    budget. Measured: LSH multiprobe=16 → 0.273 at 7.8% scan; IVF
+    nprobe=8 → 0.829 at 51% scan. Floors pin regressions; the numbers
+    themselves (and why they differ from the clustered corpus) are
+    documented in PLANS.md."""
+    from tools.ann_recall import DIM as ADIM
+    from tools.ann_recall import noisy_queries
+
+    vecs = np.asarray(
+        [
+            list(r.embedding)
+            for r in spark.read.parquet(
+                "/root/testdata/sf0.01/embeddings.parquet"
+            )
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    queries = noisy_queries(vecs, 100, 0.35, 7)
+    planes = similarity.make_planes(ADIM, n_planes=8, seed=42)
+    exact, lsh_path, ivf_path, cents = _recall_setup(
+        spark, tmp_dir, vecs, queries, planes
+    )
+    lsh = similarity.lsh_multi_query_topk(
+        spark, lsh_path, queries, planes, 10, multiprobe=16
+    ).collect()
+    ivf = similarity.ivf_multi_query_topk(
+        spark, ivf_path, queries, cents, 10, nprobe=8
+    ).collect()
+    assert _mean_recall(lsh, exact) >= 0.20
+    assert _mean_recall(ivf, exact) >= 0.72
+
+
+def test_batch_probe_paths_match_single_query_paths(spark, tmp_dir):
+    """lsh_multi_query_topk / ivf_multi_query_topk are the batched twins
+    of lsh_topk_from_index / ivf_topk_from_index: per query, identical
+    (id, score) lists."""
+    corpus, vecs = _corpus(spark)
+    planes = similarity.make_planes(DIM, n_planes=4, seed=1)
+    lsh_path, ivf_path = f"{tmp_dir}/lsh", f"{tmp_dir}/ivf"
+    similarity.build_lsh_index(corpus, planes, lsh_path)
+    cents = similarity.train_ivf_centroids(corpus, n_centroids=4, sample=64)
+    similarity.build_ivf_index(corpus, cents, ivf_path)
+    queries = [(0, list(vecs[3])), (1, list(vecs[17])), (2, list(vecs[44]))]
+    lsh_batch = similarity.lsh_multi_query_topk(
+        spark, lsh_path, queries, planes, k=5, multiprobe=2
+    ).collect()
+    ivf_batch = similarity.ivf_multi_query_topk(
+        spark, ivf_path, queries, cents, k=5, nprobe=2
+    ).collect()
+    for qid, qv in queries:
+        singles = similarity.lsh_topk_from_index(
+            spark, lsh_path, qv, planes, k=5, multiprobe=2
+        ).collect()
+        batch = sorted(
+            [(r.vec_id, r.cos_sim) for r in lsh_batch if r.query_id == qid],
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert batch == [(r.vec_id, r.cos_sim) for r in singles]
+        singles = similarity.ivf_topk_from_index(
+            spark, ivf_path, qv, cents, k=5, nprobe=2
+        ).collect()
+        batch = sorted(
+            [(r.vec_id, r.cos_sim) for r in ivf_batch if r.query_id == qid],
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert batch == [(r.vec_id, r.cos_sim) for r in singles]
+
+
 def test_embedding_near_dup_pairs_finds_planted_dups(spark):
     """Plant 20 near-duplicate vector pairs (cos ~0.99) among decoys;
     the banded-LSH near-dup operator must recover almost all of them
