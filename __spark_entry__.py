@@ -1502,16 +1502,65 @@ def q_topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE quantile bucketing: orders split into 4 equal-count tiles
-    by total price (unique orderkey tiebreak makes the tile assignment a
-    deterministic total order), then per-tile stats. A global NTILE is
-    inherently a total sort — at 100 TB you'd range-partition on the
-    sort key first (Spark's global Window funnels rows through one
-    partition); for approximate tiles use percentile_approx cutpoints
-    instead (see approx_sketches)."""
+    """NTILE quantile bucketing WITHOUT the single-partition window: a
+    naive global NTILE funnels the whole table through one WindowExec
+    partition ("No Partition Defined" — the last scale-killer this
+    catalog had). Instead: range-partition on the sort key (unique
+    orderkey tiebreak → deterministic total order), rank WITHIN each
+    range partition in parallel, then add each partition's cumulative
+    row offset (a bounded driver fetch of one count per partition — the
+    same "tiny refresh unit" pattern as the rollup sink) and convert the
+    global rank to its NTILE(4) tile arithmetically. Exactly equals the
+    window NTILE — pinned by the unchanged DuckDB oracle — and every
+    stage is parallel at any scale. Approximate alternative for when
+    even one pass is too much: percentile_approx cutpoints
+    (approx_sketches)."""
     orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
-    tiled = orders.withColumn("quartile", F.ntile(4).over(w))
+    n_ranges = 8
+    # explicit cutpoints, fetched ONCE and inlined as literals: the
+    # bucket is then a pure function of the row, so the counts job and
+    # the ranking job can never disagree. (repartitionByRange is NOT
+    # usable here — its sampled bounds differ between the jobs that
+    # would compute offsets and ranks.) Cutpoint skew only unbalances
+    # bucket sizes, never correctness.
+    cuts = sorted(
+        set(
+            orders.stat.approxQuantile(
+                "o_totalprice",
+                [i / n_ranges for i in range(1, n_ranges)],
+                0.001,
+            )
+        )
+    )
+    bucket = sum(
+        (F.when(F.col("o_totalprice") > F.lit(c), 1).otherwise(0) for c in cuts),
+        F.lit(0),
+    ).alias("pid")
+    part = orders.select("o_orderkey", "o_totalprice", bucket)
+    # one row per range bucket — bounded regardless of table size
+    counts = sorted(
+        (r.pid, r.n)
+        for r in part.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    )
+    total = sum(n for _, n in counts)
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    grank = F.col("off") + F.row_number().over(w)
+    # NTILE semantics: the first (total mod 4) tiles get one extra row
+    q, rem = divmod(total, 4)
+    boundary = rem * (q + 1)
+    tile = (
+        F.when(F.lit(q) == 0, F.least(grank, F.lit(4)))
+        .when(grank <= boundary, F.ceil(grank / F.lit(q + 1)))
+        .otherwise(F.lit(rem) + F.ceil((grank - boundary) / F.lit(max(q, 1))))
+    )
+    tiled = part.join(F.broadcast(off_df), "pid").withColumn(
+        "quartile", tile.cast("int")
+    )
     return tiled.groupBy("quartile").agg(
         F.count("*").alias("n"),
         _cents_sum("o_totalprice").alias("total"),

@@ -124,3 +124,15 @@ def test_join_strategy_hints_control_physical_plan(spark):
             assert node in explain.formatted_plan(df), hint
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_order_quartiles_has_no_single_partition_window(spark):
+    """The distributed NTILE (range buckets + per-bucket ranks +
+    arithmetic tile) must never funnel the table through a partition-
+    less window — the executed plan's Window node is keyed by the range
+    bucket and no exchange is SinglePartition."""
+    df = entrymod.q_order_quartiles(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    window_lines = [l for l in plan.splitlines() if "Window" in l]
+    assert window_lines and all("pid" in l for l in window_lines), window_lines
