@@ -47,6 +47,9 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
     similarity,
     temporal,
 )
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.plans.shape import (
+    ensure_min_parallelism,
+)
 from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources import readers, sinks
 from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.streaming import (
     pipeline as streaming,
@@ -812,20 +815,34 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tied VALUES are equal, so the emitted min is unchanged; the oracle
     mirrors the exact same integers): wall time is md5-bound either way,
     but the final distinct shuffles 8-byte longs instead of 32-char
-    strings — 4× less exchange payload at corpus scale."""
-    docs = _t(spark, sf_dir, "documents")
-    grams = F.expr(
-        "transform(sequence(1, greatest(length(text) - 7, 1)),"
-        " i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 15),"
-        "               16, 10) as bigint))"
-    )
-    mins = F.expr(
-        "transform(sequence(1, greatest(size(__grams) - 5, 1)),"
-        " j -> array_min(slice(__grams, j, 6)))"
-    )
+    strings — 4× less exchange payload at corpus scale. Runs through
+    the SAME winnow mechanism (textf.char_gram_hashes + winnow_mins) as
+    the xxhash64 production twin (winnowing_fingerprints_fast) — this
+    green oracle row witnesses the shared code path."""
+    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents"))
+    grams = textf.char_gram_hashes("text", k=8, family="md5_prefix")
     return (
         docs.select("doc_id", grams.alias("__grams"))
-        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+        .select("doc_id", F.explode(textf.winnow_mins(F.col("__grams"), 6)).alias("fp"))
+        .distinct()
+    )
+
+
+def q_winnowing_fingerprints_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production winnowing: identical mechanism to
+    winnowing_fingerprints but grams hashed with engine-native xxhash64
+    instead of the md5-hex-prefix oracle family — no hex round-trip, so
+    the per-row cost drops from md5-bound to xxhash-bound (mirrors the
+    MinHash md5-verified/xxhash-production split, dedup.py). Rows-only
+    under the driver (DuckDB has no xxhash64); selected positions and
+    values are pinned against an independent reference in
+    tests/test_text.py, and the md5 twin's oracle row witnesses the
+    shared winnow_mins code path."""
+    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents"))
+    grams = textf.char_gram_hashes("text", k=8, family="xxhash64")
+    return (
+        docs.select("doc_id", grams.alias("__grams"))
+        .select("doc_id", F.explode(textf.winnow_mins(F.col("__grams"), 6)).alias("fp"))
         .distinct()
     )
 
@@ -2691,6 +2708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_features": q_multimodal_image_features,
     "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
     # ---------------------------------------------------- beyond the cap
+    "winnowing_fingerprints_fast": q_winnowing_fingerprints_fast,
     "sql_surface": q_sql_surface,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
     "data_quality_report": q_data_quality_report,

@@ -71,6 +71,7 @@ HEADLINE = [
     "tpch_q19_disjunctive_join",
     "data_quality_report",
     "winnowing_fingerprints",
+    "winnowing_fingerprints_fast",
     "multi_query_topk",
     "hashed_doc_vectors",
     "temperature_resample",

@@ -200,3 +200,62 @@ def repetition_ratio(col: Column | str, k: int = 3) -> Column:
     UDF; at corpus scale this is a narrow map over the scan."""
     sh = shingles(col, k)
     return F.lit(1.0) - F.size(F.array_distinct(sh)) / F.size(sh)
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def char_gram_hashes(
+    col: Column | str, k: int = 8, family: str = "xxhash64"
+) -> Column:
+    """array<bigint> of hashes of every char k-gram, two families with
+    the MinHash tier's split (operators/dedup.py): `xxhash64` is the
+    production path (engine-native, no hex round-trip); `md5_prefix`
+    (first 15 hex chars of md5 as BIGINT) is the oracle twin DuckDB
+    reproduces bit-for-bit. Same selected positions either way — the
+    winnowing mechanism downstream never looks inside the hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    if family == "xxhash64":
+        return F.transform(idx, lambda i: F.xxhash64(c.substr(i, F.lit(k))))
+    if family == "md5_prefix":
+        return F.transform(
+            idx,
+            lambda i: F.conv(
+                F.md5(c.substr(i, F.lit(k))).substr(1, 15), 16, 10
+            ).cast("bigint"),
+        )
+    raise ValueError(f"unknown hash family: {family!r}")
+
+
+def winnow_mins(grams: Column, window: int = 6) -> Column:
+    """Winnowing fingerprint values (Schleimer et al., SIGMOD 2003):
+    min hash of each sliding window of `window` consecutive gram
+    hashes, distinct. Guarantees any shared substring of length
+    ≥ k + window - 1 contributes a shared fingerprint. Pure array
+    expressions — per-row O(len·window), codegen, no shuffle."""
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(grams) - (window - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(grams, j, window)),
+    )
+    return F.array_distinct(mins)
+
+
+def winnow_selected(grams: Column, window: int = 6) -> Column:
+    """Winnowing with provenance: distinct (pos, fp) structs where pos
+    is the LEFTMOST minimal gram position selected by each window
+    (1-based). The positions are what local-similarity tools align on;
+    tests pin them against an independent reference."""
+    def pick(j):
+        win = F.slice(grams, j, window)
+        mn = F.array_min(win)
+        return F.struct(
+            (F.array_position(win, mn) + j.cast("long") - 1).alias("pos"),
+            mn.alias("fp"),
+        )
+
+    sel = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(grams) - (window - 1), F.lit(1))),
+        pick,
+    )
+    return F.array_distinct(sel)

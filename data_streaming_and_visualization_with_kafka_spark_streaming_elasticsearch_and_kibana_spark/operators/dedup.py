@@ -35,6 +35,7 @@ from ..functions.text import (
     shingles_from_words,
     split_words,
 )
+from ..plans.shape import ensure_min_parallelism
 
 
 # ------------------------------------------------------------------ exact
@@ -99,9 +100,12 @@ def minhash_signatures(
     """
     # explicit words projection: the split materializes once per row in
     # its own project, so the shingle transform reads array elements
-    # instead of re-splitting the text per index
+    # instead of re-splitting the text per index. The scan is byte-sized
+    # by Catalyst, so a small corpus must be spread before the 32-hash
+    # map or it runs on one core (no-op at scale — see plans/shape.py).
     out = (
-        df.select(F.col(id_col), split_words(text_col).alias("__words"))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), split_words(text_col).alias("__words"))
         .select(
             id_col, shingles_from_words(F.col("__words"), k_shingle).alias("sh")
         )
@@ -401,7 +405,9 @@ def simhash_signatures(
     pigeonhole self-join reuse it instead of re-folding every document's
     token hashes per branch."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    out = df.select(F.col(id_col), simhash64(toks).alias("sig"))
+    out = ensure_min_parallelism(df).select(
+        F.col(id_col), simhash64(toks).alias("sig")
+    )
     if persist:
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
     return out

@@ -95,3 +95,63 @@ def test_normalize_text_urls_case_whitespace(spark):
     )
     out = df.select(textf.normalize_text("t").alias("n")).head().n
     assert out == "see now please"
+
+
+def test_winnow_selected_positions_match_reference(spark):
+    """Winnowing parity: for BOTH hash families (xxhash64 production,
+    md5_prefix oracle) the selected (position, fingerprint) pairs and
+    the distinct min values must equal an independent Python reference
+    computed from the same collected gram hashes — pinning that the
+    fast path selects exactly the positions the verified mechanism
+    selects, regardless of hash family."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "abcdefghijklmnopqrstuvwxyz"),
+            (3, "aaaaaaaaaaaaaaaaaaaa"),
+            (4, "short"),
+            (5, "winnowing guarantees shared substrings share fingerprints"),
+        ],
+        "doc_id long, text string",
+    )
+    for family in ("xxhash64", "md5_prefix"):
+        grams = textf.char_gram_hashes("text", 8, family)
+        rows = docs.select(
+            "doc_id",
+            grams.alias("g"),
+            textf.winnow_selected(grams, 6).alias("sel"),
+            textf.winnow_mins(grams, 6).alias("mins"),
+        ).collect()
+        for r in rows:
+            g = list(r.g)
+            ref = []
+            for j in range(max(len(g) - 5, 1)):
+                win = g[j : j + 6]
+                mn = min(win)
+                ref.append((j + win.index(mn) + 1, mn))  # 1-based leftmost
+            ref = list(dict.fromkeys(ref))
+            assert [(s.pos, s.fp) for s in r.sel] == ref, (family, r.doc_id)
+            mins_ref = list(dict.fromkeys(mn for _, mn in ref))
+            assert list(r.mins) == mins_ref, (family, r.doc_id)
+
+
+def test_winnowing_fast_query_same_shape_as_md5_twin(spark):
+    """The xxhash64 production query must emit the same docs and a
+    comparable fingerprint density as the oracle-green md5 twin (values
+    differ by hash family; the shared winnow_mins mechanism and the
+    reference test above pin selection)."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    fast = entrymod.QUERIES["winnowing_fingerprints_fast"](spark, sf)
+    slow = entrymod.QUERIES["winnowing_fingerprints"](spark, sf)
+    f_docs = {r.doc_id: r.n for r in fast.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    s_docs = {r.doc_id: r.n for r in slow.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    assert set(f_docs) == set(s_docs)
+    # which grams win each window is a per-family random permutation, so
+    # per-doc counts vary (both are ~2n/(w+1) in expectation); corpus
+    # density must agree tightly and no doc may diverge wildly
+    total_f, total_s = sum(f_docs.values()), sum(s_docs.values())
+    assert abs(total_f - total_s) / total_s < 0.10, (total_f, total_s)
+    for d in f_docs:
+        assert 0.4 <= f_docs[d] / s_docs[d] <= 2.5, (d, f_docs[d], s_docs[d])
