@@ -1070,6 +1070,34 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL (non-fake) image decoder under the differential gate:
+    deterministic 4×4 RGB PPM images are synthesized from the documents
+    table (pixel bytes = three chained md5 digests of the text), decoded
+    by the pure-numpy `decode_image` path inside Arrow-batched
+    mapInPandas, and the Rec.601 mean luma is recomputed by DuckDB from
+    the SAME bytes via hex-digit arithmetic — a hash match proves real
+    header parsing + pixel math, not plumbing."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pix = F.concat(
+        F.unhex(F.md5("text")),
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit("x")))),
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit("y")))),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(F.lit(b"P6\n4 4\n255\n"), pix).alias("content"),
+    )
+    feats = multimodal.decode_image_features(media, fake=False)
+    return feats.select(
+        "media_id",
+        "height",
+        "width",
+        _q(F.col("mean_luma"), 6).alias("mean_luma"),
+    )
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized frame-explosion plan (one row per sampled frame)."""
     media = _docs_as_media(spark, sf_dir)
@@ -2708,6 +2736,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_features": q_multimodal_image_features,
     "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
     # ---------------------------------------------------- beyond the cap
+    "multimodal_real_decode": q_multimodal_real_decode,
     "winnowing_fingerprints_fast": q_winnowing_fingerprints_fast,
     "sql_surface": q_sql_surface,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
@@ -2796,6 +2825,14 @@ _WS_TOKENS = (
     "ELSE len(string_split_regex(trim(text), '\\s+')) END"
 )
 _NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _pix_hex_byte(pos: str) -> str:
+    """DuckDB expression: byte value at 1-based char offset `pos` of a
+    lowercase hex string named `hs` (two hex chars → strpos arithmetic)."""
+    hi = f"(strpos('0123456789abcdef', substr(hs, {pos}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr(hs, ({pos}) + 1, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
 
 
 def _sha_hex_byte(i: int) -> str:
@@ -3387,6 +3424,26 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR((b2 / 255.0) * 1000000 + 0.5) / 1000000.0 AS mean_luma,
                    sha AS content_sha
             FROM b
+        """,
+        "multimodal_real_decode": f"""
+            WITH px AS (
+                SELECT doc_id AS media_id,
+                       lower(hex(unhex(md5(text)) || unhex(md5(text || 'x'))
+                             || unhex(md5(text || 'y')))) AS hs
+                FROM documents WHERE doc_id < 200
+            ), b AS (
+                SELECT media_id,
+                       {_pix_hex_byte("(p-1)*6+1")} AS r,
+                       {_pix_hex_byte("(p-1)*6+3")} AS g,
+                       {_pix_hex_byte("(p-1)*6+5")} AS bl
+                FROM px, generate_series(1, 16) AS t(p)
+            )
+            SELECT media_id,
+                   CAST(4 AS INT) AS height,
+                   CAST(4 AS INT) AS width,
+                   {_sql_q('SUM(0.299*r + 0.587*g + 0.114*bl)/16/255', 6)}
+                       AS mean_luma
+            FROM b GROUP BY media_id
         """,
         "multimodal_frame_sample": """
             SELECT doc_id AS media_id, CAST(r.range * 30 AS INT) AS frame_idx

@@ -4,11 +4,16 @@ Media are opaque `binary` columns + a typed metadata struct; all
 transforms run as Arrow-batched `mapInPandas` so bytes never round-trip
 through Python row objects one at a time.
 
-The container has no image/audio libraries, so the actual codec step is
-STUBBED: `decode_image` raises NotImplementedError unless
-`fake=True`, in which case a deterministic fake decoder (seeded from the
-bytes) produces (height, width, mean_luma) so the Spark-side plumbing —
-schema, batching, partitioning — is fully exercised by tests.
+Codec support is two-tier. `fake=True` (default in this container) uses
+a deterministic stand-in decoder (seeded from the bytes) so the
+Spark-side plumbing — schema, batching, partitioning — is exercised
+without any imaging library. `fake=False` is REAL for the uncompressed
+formats a pure-numpy decoder can handle: binary PPM (P6) / PGM (P5),
+24-bpp uncompressed BMP, and PCM WAV headers for audio chunking —
+decode, luma stats, and nearest-neighbor resize all run vectorized
+inside the Arrow batch. Compressed formats (JPEG/PNG/MP3/…) still raise
+NotImplementedError with a clear message: that genuinely needs
+PIL/ffmpeg, which production clusters have and this container doesn't.
 """
 
 from __future__ import annotations
@@ -59,6 +64,113 @@ def attach_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
+# ------------------------------------------------------ real decoders
+def decode_image(content: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 from the uncompressed formats numpy can parse
+    without any imaging library: binary PPM (P6), binary PGM (P5, gray
+    replicated to 3 channels), and 24-bpp uncompressed bottom-up or
+    top-down BMP. Raises NotImplementedError for compressed formats
+    (JPEG/PNG need a codec library) and ValueError for corrupt input."""
+    if content[:2] in (b"P6", b"P5"):
+        return _decode_pnm(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    raise NotImplementedError(
+        "unsupported image format (pure-numpy path decodes P6/P5/24-bpp "
+        "BMP; compressed formats need PIL/opencv)"
+    )
+
+
+def _decode_pnm(content: bytes) -> np.ndarray:
+    """Binary PPM/PGM: ascii header (magic, width, height, maxval, with
+    `#` comments) then one whitespace byte and raw samples."""
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    channels = 3 if content[:2] == b"P6" else 1
+    need = width * height * channels
+    data = np.frombuffer(content, dtype=np.uint8, count=need, offset=pos)
+    img = data.reshape(height, width, channels)
+    return np.repeat(img, 3, axis=2) if channels == 1 else img
+
+
+def _decode_bmp(content: bytes) -> np.ndarray:
+    """24-bpp uncompressed BMP: BGR rows padded to 4 bytes, bottom-up
+    when the header height is positive."""
+    data_off = int.from_bytes(content[10:14], "little")
+    width = int.from_bytes(content[18:22], "little", signed=True)
+    height = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bpp uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)
+    img = rows[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]  # BGR→RGB
+    return img[::-1] if bottom_up else img
+
+
+def wav_duration_ms(content: bytes) -> int:
+    """Duration of a PCM WAV from its RIFF chunks — integer arithmetic
+    only, so chunk boundaries are bit-exact reproducible."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE container")
+    byte_rate = data_size = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        csize = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            audio_format = int.from_bytes(content[pos + 8 : pos + 10], "little")
+            if audio_format != 1:
+                raise NotImplementedError("only PCM WAV supported")
+            byte_rate = int.from_bytes(content[pos + 16 : pos + 20], "little")
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if not byte_rate or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    return data_size * 1000 // byte_rate
+
+
+def luma_mean(img: np.ndarray) -> float:
+    """Rec.601 mean luma normalized to [0, 1]."""
+    l = (
+        0.299 * img[:, :, 0].astype(np.float64)
+        + 0.587 * img[:, :, 1].astype(np.float64)
+        + 0.114 * img[:, :, 2].astype(np.float64)
+    )
+    return float(l.mean() / 255.0)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM (P6) bytes — the inverse of
+    `decode_image` for the resize path's re-encode step."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
 def _fake_decode(content: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for a real image decoder: dimensions and
     luma derived from a sha256 of the bytes. Replaces PIL/-cv2 in this
@@ -72,16 +184,19 @@ def _fake_decode(content: bytes) -> tuple[int, int, float]:
 
 def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """binary → (height, width, mean_luma, sha) via Arrow-batched
-    mapInPandas. `fake=False` requires a real imaging library.
+    mapInPandas. `fake=False` REALLY decodes P6/P5/24-bpp BMP with the
+    pure-numpy decoder (dims + Rec.601 mean luma); compressed formats
+    raise with a clear message.
     """
 
+    def _decode(b: bytes) -> tuple[int, int, float]:
+        img = decode_image(b)
+        return img.shape[0], img.shape[1], luma_mean(img)
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "real image decode requires PIL/opencv — not in this container"
-            )
+        decoder = _fake_decode if fake else _decode
         for pdf in it:
-            feats = pdf["content"].map(lambda b: _fake_decode(bytes(b or b"")))
+            feats = pdf["content"].map(lambda b: decoder(bytes(b or b"")))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -100,19 +215,20 @@ def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:
 def resize_plan(df: DataFrame, max_side: int = 32, fake: bool = True) -> DataFrame:
     """Image resize *plan*: aspect-preserving downscale to `max_side`.
 
-    The real path would decode → resample → re-encode inside the Arrow
-    batch; the stub derives source dims with the fake decoder and
-    computes target dims with INTEGER arithmetic (h·max_side // max(h,w))
-    so the result is bit-exact reproducible in any engine. Fully
-    vectorized numpy inside mapInPandas."""
+    Target dims use INTEGER arithmetic (h·max_side // max(h,w)) so the
+    result is bit-exact reproducible in any engine. `fake=False` reads
+    REAL source dims via the pure-numpy decoder (see `resize_images`
+    for the path that actually resamples pixels); the stub derives them
+    from the fake decoder. Fully vectorized numpy inside mapInPandas."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "real image resize requires PIL/opencv — not in this container"
-            )
+        def real_dims(b: bytes) -> tuple[int, int, float]:
+            img = decode_image(b)
+            return img.shape[0], img.shape[1], 0.0
+
+        decoder = _fake_decode if fake else real_dims
         for pdf in it:
-            dims = pdf["content"].map(lambda b: _fake_decode(bytes(b or b"")))
+            dims = pdf["content"].map(lambda b: decoder(bytes(b or b"")))
             h = dims.map(lambda t: t[0]).to_numpy(dtype="int64")
             w = dims.map(lambda t: t[1]).to_numpy(dtype="int64")
             longest = np.maximum(h, w)
@@ -135,6 +251,45 @@ def resize_plan(df: DataFrame, max_side: int = 32, fake: bool = True) -> DataFra
     )
 
 
+def resize_images(df: DataFrame, max_side: int = 32) -> DataFrame:
+    """REAL aspect-preserving downscale: decode (pure numpy), nearest-
+    neighbor resample (index arithmetic `floor(i·src/dst)` — no
+    interpolation library), re-encode as binary PPM. Target dims use
+    the same integer rule as `resize_plan`, so the two paths agree on
+    shape; the emitted `content` is a decodable image. Runs per Arrow
+    batch; per-image numpy fancy-indexing does the resample."""
+
+    def _resize_one(b: bytes) -> tuple[int, int, bytes]:
+        img = decode_image(b)
+        h, w = img.shape[:2]
+        longest = max(h, w)
+        if longest > max_side:
+            out_h = max(h * max_side // longest, 1)
+            out_w = max(w * max_side // longest, 1)
+            rows = np.arange(out_h) * h // out_h
+            cols = np.arange(out_w) * w // out_w
+            img = img[rows][:, cols]
+        else:
+            out_h, out_w = h, w
+        return out_h, out_w, encode_ppm(img)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf["content"].map(lambda b: _resize_one(bytes(b or b"")))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "height": out.map(lambda t: t[0]).astype("int32"),
+                    "width": out.map(lambda t: t[1]).astype("int32"),
+                    "content": out.map(lambda t: t[2]),
+                }
+            )
+
+    return df.mapInPandas(
+        _batches, "media_id long, height int, width int, content binary"
+    )
+
+
 def audio_chunk_plan(
     df: DataFrame, chunk_ms: int = 10_000, fake: bool = True
 ) -> DataFrame:
@@ -143,22 +298,21 @@ def audio_chunk_plan(
     chunk becomes one unit of downstream work, so skewed clip lengths
     can't create straggler tasks).
 
-    The real path would probe the container header for duration; the
-    stub derives a fake duration from sha256 bytes (1000 +
-    (b0·256 + b1) % 59000 ms) so chunk boundaries are bit-exact
-    reproducible. Row explosion is vectorized repeat/arange — no
-    per-row Python beyond the per-clip "decode"."""
+    `fake=False` probes REAL PCM WAV headers (`wav_duration_ms` —
+    integer arithmetic over the RIFF chunks, no audio library); the stub
+    derives a fake duration from sha256 bytes (1000 + (b0·256 + b1) %
+    59000 ms). Either way chunk boundaries are bit-exact reproducible
+    and the row explosion is vectorized repeat/arange — no per-row
+    Python beyond the per-clip header probe."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "real audio probing requires ffmpeg/librosa — not in this container"
-            )
+        def fake_ms(b: bytes) -> int:
+            d = hashlib.sha256(b).digest()
+            return 1000 + ((d[0] * 256 + d[1]) % 59000)
+
+        probe = fake_ms if fake else wav_duration_ms
         for pdf in it:
-            sha = pdf["content"].map(
-                lambda b: hashlib.sha256(bytes(b or b"")).digest()
-            )
-            dur = sha.map(lambda d: 1000 + ((d[0] * 256 + d[1]) % 59000)).to_numpy(
+            dur = pdf["content"].map(lambda b: probe(bytes(b or b""))).to_numpy(
                 dtype="int64"
             )
             n_chunks = -(-dur // chunk_ms)  # ceil div

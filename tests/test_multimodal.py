@@ -101,3 +101,156 @@ def test_audio_chunk_plan_covers_duration_exactly(spark):
         assert chunks[-1].end_ms == dur  # last chunk clipped to duration
         for c in chunks[:-1]:
             assert c.end_ms - c.start_ms == 10_000
+
+
+def _gradient_rgb(h, w):
+    import numpy as np
+
+    r = (np.arange(h * w).reshape(h, w) % 256).astype("uint8")
+    g = ((np.arange(h * w).reshape(h, w) * 7) % 256).astype("uint8")
+    b = ((np.arange(h * w).reshape(h, w) * 13) % 256).astype("uint8")
+    return np.stack([r, g, b], axis=2)
+
+
+def _ppm_bytes(img):
+    return b"P6\n# synthetic\n%d %d\n255\n" % (img.shape[1], img.shape[0]) + img.tobytes()
+
+
+def _pgm_bytes(gray):
+    return b"P5\n%d %d\n255\n" % (gray.shape[1], gray.shape[0]) + gray.tobytes()
+
+
+def _bmp_bytes(img, top_down=False):
+    """Hand-rolled 24-bpp uncompressed BMP (BGR, 4-byte padded rows)."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype="uint8")
+    bgr = img[:, :, ::-1]
+    ordered = bgr if top_down else bgr[::-1]
+    rows[:, : w * 3] = ordered.reshape(h, w * 3)
+    pix = rows.tobytes()
+    header_h = h if not top_down else -h
+    fh = b"BM" + (14 + 40 + len(pix)).to_bytes(4, "little") + b"\0\0\0\0" + (54).to_bytes(4, "little")
+    ih = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + header_h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pix).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    return fh + ih + pix
+
+
+def _wav_bytes(n_samples, rate=16000, channels=1, bits=16):
+    data = bytes(n_samples * channels * (bits // 8))
+    byte_rate = rate * channels * (bits // 8)
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    dchunk = b"data" + len(data).to_bytes(4, "little") + data
+    body = b"WAVE" + fmt + dchunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_real_decode_ppm_pgm_bmp_dims_and_luma_exact(spark):
+    """fake=False REALLY decodes: dims and Rec.601 mean luma of
+    synthesized PPM/PGM/BMP (bottom-up AND top-down) must equal the
+    numpy oracle computed directly from the source arrays."""
+    import numpy as np
+
+    img = _gradient_rgb(5, 7)
+    gray = (np.arange(30).reshape(5, 6) * 8 % 256).astype("uint8")
+    blobs = [
+        _ppm_bytes(img),
+        _pgm_bytes(gray),
+        _bmp_bytes(img),
+        _bmp_bytes(img, top_down=True),
+    ]
+    expected = [
+        (5, 7, multimodal.luma_mean(img)),
+        (5, 6, multimodal.luma_mean(np.repeat(gray[:, :, None], 3, axis=2))),
+        (5, 7, multimodal.luma_mean(img)),
+        (5, 7, multimodal.luma_mean(img)),
+    ]
+    out = {
+        r.media_id: r
+        for r in multimodal.decode_image_features(
+            _media(spark, blobs), fake=False
+        ).collect()
+    }
+    for i, (h, w, luma) in enumerate(expected):
+        assert (out[i].height, out[i].width) == (h, w), i
+        assert out[i].mean_luma == pytest.approx(luma, abs=1e-12), i
+
+
+def test_real_resize_images_nearest_neighbor_exact(spark):
+    """resize_images downscales with floor(i·src/dst) nearest-neighbor
+    indexing and re-encodes PPM: output must decode back to exactly the
+    reference-resampled array, and small images pass through intact."""
+    import numpy as np
+
+    big = _gradient_rgb(48, 20)
+    small = _gradient_rgb(6, 9)
+    out = {
+        r.media_id: r
+        for r in multimodal.resize_images(
+            _media(spark, [_ppm_bytes(big), _ppm_bytes(small)]), max_side=16
+        ).collect()
+    }
+    # big: longest=48 → out 16×(20·16//48=6)
+    assert (out[0].height, out[0].width) == (16, 6)
+    rows = np.arange(16) * 48 // 16
+    cols = np.arange(6) * 20 // 6
+    ref = big[rows][:, cols]
+    got = multimodal.decode_image(bytes(out[0].content))
+    assert np.array_equal(got, ref)
+    assert (out[1].height, out[1].width) == (6, 9)
+    assert np.array_equal(
+        multimodal.decode_image(bytes(out[1].content)), small
+    )
+    # resize_plan (dims-only) agrees with the real path on target shape
+    plan = {
+        r.media_id: r
+        for r in multimodal.resize_plan(
+            _media(spark, [_ppm_bytes(big), _ppm_bytes(small)]),
+            max_side=16,
+            fake=False,
+        ).collect()
+    }
+    assert (plan[0].height, plan[0].width) == (16, 6)
+    assert (plan[0].src_height, plan[0].src_width) == (48, 20)
+
+
+def test_real_wav_chunking_exact_boundaries(spark):
+    """fake=False probes real PCM WAV headers: 40000 samples at 16 kHz
+    = 2500 ms → chunks [0,1000),[1000,2000),[2000,2500); stereo halves
+    the duration per byte."""
+    blobs = [_wav_bytes(40000), _wav_bytes(8000, rate=8000, channels=2)]
+    assert multimodal.wav_duration_ms(blobs[0]) == 2500
+    assert multimodal.wav_duration_ms(blobs[1]) == 1000
+    out = multimodal.audio_chunk_plan(
+        _media(spark, blobs), chunk_ms=1000, fake=False
+    ).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append((r.start_ms, r.end_ms))
+    assert sorted(by_media[0]) == [(0, 1000), (1000, 2000), (2000, 2500)]
+    assert sorted(by_media[1]) == [(0, 1000)]
+
+
+def test_compressed_or_garbage_raises_with_clear_message():
+    with pytest.raises(NotImplementedError, match="PIL|opencv"):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(NotImplementedError, match="PCM|RIFF"):
+        multimodal.wav_duration_ms(b"ID3 mp3-ish")
