@@ -229,21 +229,7 @@ def rollup_refresh_sink(
         days = [r[0] for r in delta.select("dt").distinct().collect()]
         for day in days:
             ddir = os.path.join(path, f"dt={day.isoformat()}")
-            retired = ddir + ".old"
-            staging = ddir + ".staging"
-            # crash recovery: a prior run may have died mid-swap. If the
-            # live dir is gone but its renamed-aside copy survives, the
-            # swap never completed — restore the copy as the committed
-            # state (the unmarked ledger will re-merge this batch). A
-            # leftover .old *alongside* a live dir means the swap DID
-            # complete and only the cleanup was lost; drop it.
-            if os.path.exists(retired):
-                if os.path.exists(ddir):
-                    shutil.rmtree(retired)
-                else:
-                    os.replace(retired, ddir)
-            if os.path.exists(staging):
-                shutil.rmtree(staging)
+            _recover_dir_swap(ddir)
             merged = delta.filter(F.col("dt") == F.lit(day)).drop("dt")
             if os.path.exists(ddir):
                 merged = (
@@ -258,21 +244,50 @@ def rollup_refresh_sink(
             # stage-then-swap: never overwrite the directory a lazy plan
             # is still reading from (on HDFS/S3 this step is a commit
             # protocol / table format; locally rename is the commit).
-            # The old dir is renamed ASIDE, not rmtree'd, before the
-            # swap — so no crash window ever leaves the day with neither
-            # the old nor the new state on disk.
-            merged.write.mode("overwrite").parquet(staging)
-            if os.path.exists(ddir):
-                os.replace(ddir, retired)
-            os.replace(staging, ddir)
-            if os.path.exists(retired):
-                shutil.rmtree(retired)
+            merged.write.mode("overwrite").parquet(ddir + ".staging")
+            _commit_dir_swap(ddir)
         delta.unpersist()
         # root marker: partition dirs are discoverable from here on
         open(os.path.join(path, "_SUCCESS"), "a").close()
         _ledger_mark(ledger, applied, batch_id)
 
     return _apply
+
+
+def _recover_dir_swap(ddir: str) -> None:
+    """Crash recovery for the stage-then-swap commit: a prior run may
+    have died mid-swap. If the live dir is gone but its renamed-aside
+    copy survives, the swap never completed — restore the copy as the
+    committed state. A leftover `.old` ALONGSIDE a live dir means the
+    swap DID complete and only the cleanup was lost; drop it. Stale
+    staging is always discarded."""
+    import os
+    import shutil
+
+    retired, staging = ddir + ".old", ddir + ".staging"
+    if os.path.exists(retired):
+        if os.path.exists(ddir):
+            shutil.rmtree(retired)
+        else:
+            os.replace(retired, ddir)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+
+
+def _commit_dir_swap(ddir: str) -> None:
+    """Commit `<ddir>.staging` as `<ddir>`: the old dir is renamed
+    ASIDE, not rmtree'd, before the swap — so no crash window ever
+    leaves the target with neither the old nor the new state on disk
+    (`_recover_dir_swap` resolves every intermediate state)."""
+    import os
+    import shutil
+
+    retired = ddir + ".old"
+    if os.path.exists(ddir):
+        os.replace(ddir, retired)
+    os.replace(ddir + ".staging", ddir)
+    if os.path.exists(retired):
+        shutil.rmtree(retired)
 
 
 def _ledger_applied(path: str) -> list[int]:
@@ -316,13 +331,23 @@ def quality_gate_sink(
     the list of failed checks so triage never has to re-derive WHY a row
     was rejected. Both sides land in per-batch directories with
     overwrite, so foreachBatch's at-least-once replay rewrites rather
-    than duplicates.
+    than duplicates; the applied-batch ledger additionally fast-path
+    skips replays — REQUIRED once `compact_batch_dirs` runs, because a
+    replay after compaction deleted `ingest=N` would otherwise resurrect
+    the batch next to its compacted copy.
 
     `violations`: list of (name, Column predicate TRUE-where-violated) —
     the same predicate convention operators.quality.violation wraps into
     aggregate counters, applied here row-wise instead."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        os.makedirs(good_path, exist_ok=True)
+        ledger = os.path.join(good_path, "_APPLIED_BATCHES")
+        applied = _ledger_applied(ledger)
+        if batch_id in applied:
+            return
         if batch_df.isEmpty():
             return
         failed = F.array_compact(
@@ -345,8 +370,98 @@ def quality_gate_sink(
             .parquet(f"{quarantine_path}/ingest={batch_id}")
         )
         tagged.unpersist()
+        _ledger_mark(ledger, applied, batch_id)
 
     return _apply
+
+
+#: partition value holding compacted rows (real batch ids are >= 0)
+_COMPACTED = -1
+
+
+def compact_batch_dirs(
+    spark,
+    root: str,
+    min_batches: int = 2,
+    target_files: int = 1,
+) -> int:
+    """Fold accumulated per-batch `ingest=N` directories into the single
+    consolidated `ingest=-1` partition — the compaction story for the
+    foreachBatch sinks (quality gate, dedup verdicts), whose long-stream
+    failure mode is unbounded small-file growth.
+
+    Crash-safe and idempotent: the consolidated dir is committed with
+    the same rename-aside swap as the rollup sink, and carries an
+    `_INCLUDED` marker listing every batch id folded in. Any `ingest=N`
+    dir whose id is already in the marker is a leftover from a crash
+    between swap and cleanup — deleted on entry, and ignored by
+    `read_batch_dirs` in the meantime, so readers never double-count.
+    Returns the number of batch dirs folded (0 = below `min_batches`,
+    nothing touched). Run it from a scheduled maintenance job or every
+    K-th micro-batch; reading N small batch dirs is the only cost."""
+    import json
+    import os
+    import shutil
+
+    cdir = os.path.join(root, f"ingest={_COMPACTED}")
+    _recover_dir_swap(cdir)
+    included = _compacted_ids(root)
+    victims = []
+    for name in sorted(os.listdir(root) if os.path.exists(root) else []):
+        if not name.startswith("ingest="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid == _COMPACTED:
+            continue
+        if bid in included:  # leftover from a crashed cleanup
+            shutil.rmtree(os.path.join(root, name))
+        else:
+            victims.append(bid)
+    if len(victims) < min_batches:
+        return 0
+    paths = [os.path.join(root, f"ingest={b}") for b in victims]
+    if os.path.exists(cdir):
+        paths.append(cdir)
+    merged = spark.read.parquet(*paths).coalesce(target_files)
+    staging = cdir + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, "_INCLUDED"), "w") as f:
+        json.dump(sorted(included + victims), f)
+    _commit_dir_swap(cdir)
+    for b in victims:
+        shutil.rmtree(os.path.join(root, f"ingest={b}"))
+    return len(victims)
+
+
+def _compacted_ids(root: str) -> list[int]:
+    import json
+    import os
+
+    marker = os.path.join(root, f"ingest={_COMPACTED}", "_INCLUDED")
+    if not os.path.exists(marker):
+        return []
+    with open(marker) as f:
+        return json.load(f)
+
+
+def read_batch_dirs(spark, root: str) -> DataFrame:
+    """Read a per-batch sink root correctly at any point in the
+    compaction lifecycle: rows whose `ingest` id is already folded into
+    the compacted partition are excluded even if a crashed cleanup left
+    their directory behind (the one state where a naive root read would
+    double-count). The filter is on the partition column, so it prunes
+    directories, not rows."""
+    import os
+
+    df = spark.read.parquet(root)
+    leftovers = [
+        b
+        for b in _compacted_ids(root)
+        if os.path.exists(os.path.join(root, f"ingest={b}"))
+    ]
+    if leftovers:
+        df = df.filter(~F.col("ingest").isin(leftovers))
+    return df
 
 
 def dedup_ingest_sink(

@@ -661,3 +661,106 @@ def test_quality_gate_sink_routes_rows_with_reasons(spark, tmp_dir):
         ("room_known", "temp_nonneg"),
         ("temp_nonneg", "ts_not_null"),  # NULL temp -> violation too
     }, reasons
+
+
+def _gate_batches(spark):
+    mk = lambda *rows: spark.createDataFrame(_rows(*rows), SCHEMA)
+    return [
+        mk(("2024-01-01T10:00:05", "a", 1.0), ("2024-01-01T10:00:10", "x", -2.0)),
+        mk(("2024-01-01T10:01:05", "b", 2.0), ("2024-01-01T10:01:10", "a", 3.0)),
+        mk(("2024-01-01T10:02:05", "b", -1.0), ("2024-01-01T10:02:10", "a", 4.0)),
+    ]
+
+
+def _gate_sink(spark, good, bad):
+    return pipeline.quality_gate_sink(
+        good,
+        bad,
+        [
+            ("temp_nonneg", F.col("temp") < 0),
+            ("room_known", ~F.col("room").isin("a", "b")),
+        ],
+    )
+
+
+def test_compact_batch_dirs_preserves_rows_and_drops_files(spark, tmp_dir):
+    """Compaction must be invisible to readers (same rows before/after)
+    while collapsing per-batch directories into one partition with
+    fewer files; a later batch then compacts incrementally into the
+    same consolidated dir."""
+    import os
+
+    good, bad = f"{tmp_dir}/good", f"{tmp_dir}/bad"
+    sink = _gate_sink(spark, good, bad)
+    batches = _gate_batches(spark)
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+
+    def rows(df):
+        return sorted((r.room, r.temp) for r in df.collect())
+
+    def pq_files(root):
+        return [
+            os.path.join(d, f)
+            for d, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = rows(spark.read.parquet(good))
+    files_before = len(pq_files(good))
+    assert pipeline.compact_batch_dirs(spark, good) == 2
+    after = rows(pipeline.read_batch_dirs(spark, good))
+    assert after == before
+    assert len(pq_files(good)) < files_before
+    assert not os.path.exists(f"{good}/ingest=0")
+    # incremental: a third batch folds into the existing consolidated dir
+    sink(batches[2], 2)
+    assert pipeline.compact_batch_dirs(spark, good, min_batches=1) == 1
+    got = rows(pipeline.read_batch_dirs(spark, good))
+    assert got == sorted(before + [("a", 4.0)])
+    # idempotent: nothing left to fold
+    assert pipeline.compact_batch_dirs(spark, good, min_batches=1) == 0
+
+
+def test_compaction_replay_and_crash_windows_are_safe(spark, tmp_dir):
+    """(1) A foreachBatch replay of a batch id that compaction already
+    consumed must be skipped by the sink ledger, not resurrected as a
+    duplicate directory. (2) A crash between swap and cleanup leaves a
+    consumed ingest dir on disk: read_batch_dirs must exclude it and
+    the next compaction must delete it."""
+    import os
+    import shutil
+
+    good, bad = f"{tmp_dir}/good", f"{tmp_dir}/bad"
+    sink = _gate_sink(spark, good, bad)
+    batches = _gate_batches(spark)
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    baseline = sorted(
+        (r.room, r.temp) for r in spark.read.parquet(good).collect()
+    )
+    # stash a copy of ingest=1 to fake the crash leftover later
+    stash = f"{tmp_dir}/stash"
+    shutil.copytree(f"{good}/ingest=1", stash)
+    assert pipeline.compact_batch_dirs(spark, good) == 2
+    # (1) replay after compaction: ledger skips, no dir reappears
+    sink(batches[0], 0)
+    assert not os.path.exists(f"{good}/ingest=0")
+    # (2) crash leftover: consumed dir back on disk next to its
+    # compacted copy — naive root read double-counts, helper must not
+    shutil.copytree(stash, f"{good}/ingest=1")
+    naive = spark.read.parquet(good).count()
+    assert naive == len(baseline) + 2  # proves the hazard is real
+    got = sorted(
+        (r.room, r.temp)
+        for r in pipeline.read_batch_dirs(spark, good).collect()
+    )
+    assert got == baseline
+    # next compaction sweeps the leftover instead of re-folding it
+    assert pipeline.compact_batch_dirs(spark, good, min_batches=5) == 0
+    assert not os.path.exists(f"{good}/ingest=1")
+    assert sorted(
+        (r.room, r.temp)
+        for r in pipeline.read_batch_dirs(spark, good).collect()
+    ) == baseline
