@@ -1,0 +1,101 @@
+"""Driver-contract guards — fail IN-REPO before the round driver sees a
+regression.
+
+Two ways past rounds actually broke:
+  r02 — the driver regenerated /root/testdata mid-round (events.ts
+        changed NANOS→MICROS/NTZ) and the value-hash silently diverged
+        on representation, not values;
+  hypothetically — an insert above the "beyond the cap" marker in
+        __spark_entry__.QUERIES reorders the first-50 window the driver
+        hash-checks, silently swapping which queries are gated.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+#: The curated driver window: the FIRST 50 entries of QUERIES, in dict
+#: order, exactly as the driver's 50-query correctness cap consumes
+#: them. Every SURVEY §2 family is witnessed inside this block. A diff
+#: here means an accidental reorder/insert above the cap marker —
+#: rearrange the dict (new queries go AFTER the marker) or, if a swap
+#: is intentional, update this pin consciously.
+DRIVER_WINDOW = [
+    "fusion_minute_avg",
+    "multiway_join_revenue",
+    "tpch_q1_pricing_summary",
+    "correlated_subquery_q17",
+    "supplier_part_margin",
+    "decode_json_props",
+    "json_roundtrip",
+    "delimited_roundtrip",
+    "kafka_wire_pipeline",
+    "null_safe_projection",
+    "union_filtered_accounts",
+    "repeat_replay",
+    "intersect_except_users",
+    "date_histogram_daily",
+    "terms_topk_event_types",
+    "topk_orders",
+    "window_lag_delta",
+    "latest_event_per_user",
+    "grouping_sets_events",
+    "partition_pruned_scan",
+    "exact_percentiles",
+    "distinct_user_counts",
+    "semi_join_active_customers",
+    "anti_join_idle_customers",
+    "pivot_event_values",
+    "sessionize_events",
+    "asof_purchase_attribution",
+    "price_band_join",
+    "full_outer_reconciliation",
+    "scd2_user_history",
+    "cdc_merge_snapshot",
+    "funnel_conversion",
+    "streaming_minute_counts",
+    "streaming_session_rollup",
+    "streaming_enriched_counts",
+    "streaming_sliding_counts",
+    "streaming_interval_join",
+    "streaming_dedup_keys",
+    "doc_token_counts",
+    "quality_scores",
+    "lang_id_confusion",
+    "exact_dedup_docs",
+    "minhash_lsh_verified",
+    "simhash_verified",
+    "dedup_clusters",
+    "lsh_bucket_verified",
+    "multi_query_topk",
+    "stratified_split",
+    "multimodal_image_features",
+    "corpus_pipeline_end2end",
+]
+
+
+def test_driver_window_is_stable_and_fully_oracled():
+    qs = list(entrymod.queries())
+    assert len(qs) >= 50
+    assert qs[:50] == DRIVER_WINDOW, (
+        "first-50 QUERIES block changed — new entries belong AFTER the "
+        "'beyond the cap' marker"
+    )
+    oracles = entrymod.oracle_sql()
+    missing = [n for n in DRIVER_WINDOW if n not in oracles]
+    assert not missing, f"driver-window queries without oracle SQL: {missing}"
+
+
+def test_driver_window_dtypes_survive_testdata(spark):
+    """Representation audit over the driver window at sf0.001: any
+    int-vs-float / tz / object mismatch between a query and its oracle
+    breaks the driver's value-hash even when values agree — exactly how
+    a silent testdata regeneration (r02) turns a green repo red. Run
+    the full audit via tools/dtype_audit.py; this gate covers the 50
+    hash-checked entries."""
+    from tools.dtype_audit import audit
+
+    breaking = audit(spark, SF, names=DRIVER_WINDOW, verbose=False)
+    assert breaking == [], breaking

@@ -48,23 +48,28 @@ def severity(s: str, o: str) -> str:
     return "benign"
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = get_spark(shuffle_partitions=8)
+def audit(
+    spark, sf_dir: str, names: list[str] | None = None, verbose: bool = True
+) -> list[str]:
+    """Run the representation audit; returns the list of BREAKING
+    findings (empty = driver-hash-safe). Importable so the test suite
+    can gate the driver window (tests/test_driver_contract.py) with the
+    same logic the CLI uses."""
     con = duckdb.connect()
     for t in TEST_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = entrymod.oracle_sql()
-    bad = 0
+    breaking: list[str] = []
     for name, fn in entrymod.queries().items():
-        if name not in oracles:
+        if name not in oracles or (names is not None and name not in names):
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
             odf = con.sql(oracles[name]).df()
         except Exception as e:
-            print(f"ERR   {name}: {str(e)[:120]}")
-            bad += 1
+            breaking.append(f"ERR {name}: {str(e)[:120]}")
+            if verbose:
+                print(breaking[-1])
             continue
         sd = {c: str(sdf[c].dtype) for c in sdf.columns}
         od = {c: str(odf[c].dtype) for c in odf.columns}
@@ -72,10 +77,18 @@ def main() -> int:
             s, o = sd.get(c, "<missing>"), od.get(c, "<missing>")
             if s != o:
                 sev = severity(s, o)
-                print(f"{sev:6s}{name}.{c}: spark={s} duck={o}")
+                if verbose:
+                    print(f"{sev:6s}{name}.{c}: spark={s} duck={o}")
                 if sev == "BREAKS":
-                    bad += 1
-    print("CLEAN" if bad == 0 else f"{bad} BREAKING mismatches")
+                    breaking.append(f"{name}.{c}: spark={s} duck={o}")
+    return breaking
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(shuffle_partitions=8)
+    bad = audit(spark, sf_dir)
+    print("CLEAN" if not bad else f"{len(bad)} BREAKING mismatches")
     return 1 if bad else 0
 
 
