@@ -341,6 +341,55 @@ def dedup_keep_list(
     return out.withColumn("keep", F.col(id_col) == F.col("component"))
 
 
+def incremental_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Fold a batch of NEW near-dup edges into an existing (id,
+    component) table without re-clustering the corpus.
+
+    Key invariant: `labels` already collapses every known component to
+    its min id, so a new edge can only MERGE whole components (or attach
+    new ids). Map each new edge's endpoints to their current component
+    labels (unknown ids label themselves), run connected_components on
+    that COMPONENT-LEVEL graph — batch-sized, never corpus-sized — and
+    broadcast the resulting old-label → new-label mapping back over the
+    table. Work per batch is O(new edges · log merges) + one broadcast
+    relabel join; the corpus table is never self-joined. Min-label
+    convergence: old labels are min ids of their components, so the min
+    over merged labels is the min id of the merged component — identical
+    to a from-scratch recompute (pinned in tests/test_dedup.py).
+    """
+    e = new_pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    la = labels.select(F.col("id").alias("a"), F.col("component").alias("ca"))
+    lb = labels.select(F.col("id").alias("b"), F.col("component").alias("cb"))
+    ce = (
+        e.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("ca", F.col("a")).alias("a"),
+            F.coalesce("cb", F.col("b")).alias("b"),
+        )
+    )
+    merged = connected_components(ce, "a", "b")
+    mapping = merged.select(
+        F.col("id").alias("component"), F.col("component").alias("__newc")
+    )
+    updated = (
+        labels.join(F.broadcast(mapping), "component", "left")
+        .select(
+            "id", F.coalesce("__newc", F.col("component")).alias("component")
+        )
+    )
+    # nodes of the component graph that aren't existing ids = new docs
+    additions = merged.join(
+        labels.select("id"), "id", "left_anti"
+    ).select("id", "component")
+    return updated.unionByName(additions)
+
+
 # ---------------------------------------------------------------- simhash
 def _bit_masks(n_bits: int = 64) -> Column:
     """Literal array of the 64 single-bit long masks (bit 63 is the signed

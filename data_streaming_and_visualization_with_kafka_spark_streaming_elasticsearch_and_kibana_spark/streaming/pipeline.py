@@ -470,6 +470,7 @@ def dedup_ingest_sink(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    maintain_components: bool = True,
 ):
     """foreachBatch sink for streaming near-dedup at ingest: each micro-
     batch of documents is probed against the persisted MinHash index
@@ -483,8 +484,17 @@ def dedup_ingest_sink(
     before the ledger commit) is harmless — index extension and verdicts
     both land in per-batch directories with overwrite, and the probe
     excludes same-id matches, so the rerun rewrites exactly the state
-    the crashed attempt left."""
-    from ..operators.dedup import dedup_index_probe_and_extend
+    the crashed attempt left.
+
+    With `maintain_components` the sink also keeps the CLUSTER state
+    current: each batch's (new_id, dup_of) verdict edges fold into the
+    persisted (id, component) table via incremental_components — the
+    affected-component relabel, batch-sized work — so the keep-list
+    never needs a from-scratch corpus re-cluster (incremental == batch
+    recompute, pinned in tests/test_dedup.py). Re-folding the same
+    edges on replay is a no-op (merging merged components), so the
+    at-least-once contract holds without extra bookkeeping."""
+    from ..operators.dedup import dedup_index_probe_and_extend, incremental_components
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -508,6 +518,31 @@ def dedup_ingest_sink(
         verdicts.write.mode("overwrite").parquet(
             os.path.join(verdicts_path, f"ingest={batch_id}")
         )
+        if maintain_components:
+            spark = batch_df.sparkSession
+            edges = (
+                spark.read.parquet(
+                    os.path.join(verdicts_path, f"ingest={batch_id}")
+                )
+                .filter(F.col("is_dup"))
+                .select(
+                    F.col(id_col).alias("id_a"), F.col("dup_of").alias("id_b")
+                )
+            )
+            comp_dir = os.path.join(index_path, "components")
+            _recover_dir_swap(comp_dir)
+            id_type = dict(batch_df.dtypes)[id_col]
+            labels = (
+                spark.read.parquet(comp_dir)
+                if os.path.exists(comp_dir)
+                else spark.createDataFrame(
+                    [], f"id {id_type}, component {id_type}"
+                )
+            )
+            incremental_components(labels, edges).write.mode(
+                "overwrite"
+            ).parquet(comp_dir + ".staging")
+            _commit_dir_swap(comp_dir)
         _ledger_mark(ledger, applied, batch_id)
 
     return _apply

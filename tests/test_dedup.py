@@ -190,3 +190,37 @@ def test_repetition_ratio_flags_repeated_trigrams(spark):
     assert out[1] == 0.5  # ["a a a","a a a"] -> 1 distinct of 2
     assert out[2] == 0.0
     assert out[3] == 0.0  # short doc -> single whole-text shingle
+
+
+def test_incremental_components_equals_batch_recompute(spark):
+    """3-batch replay: folding each batch of edges into the running
+    (id, component) table must converge to exactly the from-scratch
+    clustering of the union — including the hard cases: a later edge
+    MERGING two established components, a brand-new node bridging two
+    components, and an intra-component edge that must be a no-op."""
+    batches = [
+        # batch 1: two separate chains + an island pair
+        [(1, 2), (2, 3), (10, 11), (20, 21)],
+        # batch 2: merge the 1-chain with the 10-chain; intra-component
+        # no-op edge; a fresh pair
+        [(3, 10), (1, 3), (30, 31)],
+        # batch 3: new node 40 bridges the 20-cluster and the 30-cluster
+        [(20, 40), (40, 30), (50, 51)],
+    ]
+    schema = "id_a long, id_b long"
+    labels = spark.createDataFrame([], "id long, component long")
+    for pairs in batches:
+        labels = dedup.incremental_components(
+            labels, spark.createDataFrame(pairs, schema)
+        ).localCheckpoint()  # materialize the running state per batch
+    all_pairs = spark.createDataFrame(
+        [p for b in batches for p in b], schema
+    )
+    full = dedup.connected_components(all_pairs)
+    got = sorted((r.id, r.component) for r in labels.collect())
+    want = sorted((r.id, r.component) for r in full.collect())
+    assert got == want
+    # spot-check the semantics, not just the equivalence
+    comp = dict(got)
+    assert comp[11] == 1 and comp[40] == 20 and comp[31] == 20
+    assert comp[50] == 50 and comp[51] == 50

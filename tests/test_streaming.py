@@ -549,6 +549,13 @@ def test_dedup_ingest_sink_flags_cross_batch_near_dup(spark, tmp_dir):
     assert got[4].is_dup and got[4].dup_of == 2
     # index now holds all four docs' signatures
     assert spark.read.parquet(f"{index}/sigs").count() == 4
+    # and the incrementally-maintained cluster table equals the batch
+    # clustering of all flagged edges: {1,3} and {2,4}
+    comp = {
+        r.id: r.component
+        for r in spark.read.parquet(f"{index}/components").collect()
+    }
+    assert comp == {1: 1, 3: 1, 2: 2, 4: 2}
 
 
 def test_progress_recorder_captures_micro_batch_metrics(spark, tmp_dir):
