@@ -2453,6 +2453,40 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.expectations_report(o, checks)
 
 
+def q_quality_gate_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.pipeline.quality_gate_sink's row routing,
+    through the SAME production tagging path (quality.tag_failures):
+    each event is annotated with the array of violated checks
+    (null-safe — an unknown predicate is a violation, not a pass), then
+    routed accepted/quarantined and rolled up per reason-combination.
+    The oracle recomputes every predicate and the array-compact fold in
+    DuckDB, so the sink's routing semantics — including multi-reason
+    rows — are hash-gated, not just unit-tested. Counts only (no float
+    sums), so the match is exact. Ref parity: the reference ships rows
+    to ES with no validation at all (kafka_to_es.py:55-69); this is the
+    gate a production ingest would put in front of that sink."""
+    ev = _t(spark, sf_dir, "events")
+    checks = [
+        ("value_in_range", (F.col("value") < 0) | (F.col("value") > 300.0)),
+        ("not_error_event", F.col("event_type") == "error"),
+        ("user_id_present", F.col("user_id").isNull()),
+    ]
+    tagged = quality.tag_failures(ev, checks)
+    return (
+        tagged.withColumn(
+            "route",
+            F.when(F.size("failed_checks") == 0, F.lit("accepted")).otherwise(
+                F.lit("quarantined")
+            ),
+        )
+        .groupBy("route", F.array_join("failed_checks", ",").alias("reason"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def q_tpch_q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: conditional aggregation (CASE inside SUM) over a
     date-bounded fact⋈dim join — one shuffle on the month key, both
@@ -2741,6 +2775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_surface": q_sql_surface,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
     "data_quality_report": q_data_quality_report,
+    "quality_gate_routing": q_quality_gate_routing,
     "tpch_q12_priority_shipmode": q_tpch_q12_priority_shipmode,
     "tpch_q14_promo_share": q_tpch_q14_promo_share,
     "tpch_q19_disjunctive_join": q_tpch_q19_disjunctive_join,
@@ -4333,6 +4368,27 @@ def oracle_sql() -> dict[str, str]:
                 ('totalprice_nonneg', c2),
                 ('orderdate_in_window', c3),
                 ('status_in_domain', c4)) t(chk, v)
+        """,
+        "quality_gate_routing": """
+            WITH tagged AS (
+                SELECT user_id,
+                       list_filter([
+                           CASE WHEN (value < 0 OR value > 300.0) IS NOT FALSE
+                                THEN 'value_in_range' END,
+                           CASE WHEN (event_type = 'error') IS NOT FALSE
+                                THEN 'not_error_event' END,
+                           CASE WHEN user_id IS NULL
+                                THEN 'user_id_present' END
+                       ], x -> x IS NOT NULL) AS failed
+                FROM events
+            )
+            SELECT CASE WHEN len(failed) = 0 THEN 'accepted'
+                        ELSE 'quarantined' END AS route,
+                   COALESCE(array_to_string(failed, ','), '') AS reason,
+                   COUNT(*) AS n_rows,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM tagged
+            GROUP BY 1, 2
         """,
         "tpch_q12_priority_shipmode": """
             SELECT date_trunc('month', l_shipdate) AS ship_month,

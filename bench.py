@@ -70,6 +70,7 @@ HEADLINE = [
     "tpch_q14_promo_share",
     "tpch_q19_disjunctive_join",
     "data_quality_report",
+    "quality_gate_routing",
     "winnowing_fingerprints",
     "winnowing_fingerprints_fast",
     "multi_query_topk",

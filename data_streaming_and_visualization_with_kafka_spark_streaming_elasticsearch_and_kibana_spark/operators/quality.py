@@ -26,6 +26,29 @@ def violation(name: str, predicate: Column) -> tuple[str, Column]:
     return (name, F.sum(bad).cast("long"))
 
 
+def tag_failures(
+    df: DataFrame,
+    violations: list[tuple[str, Column]],
+    out_col: str = "failed_checks",
+) -> DataFrame:
+    """Row-level twin of `violation`: annotate every row with the array
+    of check names it violates, same null-safe semantics (a NULL
+    predicate IS a violation — unknown is not a pass). Pure Column
+    expressions, so the tagging is map-side and whole-stage-codegen'd;
+    this is the exact production path `streaming.pipeline.
+    quality_gate_sink` routes micro-batches through, exposed for batch
+    use and for the oracle twin (`q_quality_gate_routing`)."""
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(pred.isNull() | pred, F.lit(name))
+                for name, pred in violations
+            ]
+        )
+    )
+    return df.withColumn(out_col, failed)
+
+
 def unique_violation(name: str, *cols: str) -> tuple[str, Column]:
     """Rows beyond the first per distinct key combination."""
     return (

@@ -350,15 +350,9 @@ def quality_gate_sink(
             return
         if batch_df.isEmpty():
             return
-        failed = F.array_compact(
-            F.array(
-                *[
-                    F.when(pred.isNull() | pred, F.lit(name))
-                    for name, pred in violations
-                ]
-            )
-        )
-        tagged = batch_df.withColumn("__failed", failed).persist()
+        from ..operators.quality import tag_failures
+
+        tagged = tag_failures(batch_df, violations, out_col="__failed").persist()
         tagged.filter(F.size("__failed") == 0).drop("__failed").write.mode(
             "overwrite"
         ).parquet(f"{good_path}/ingest={batch_id}")
