@@ -789,6 +789,49 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_adc_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search under the differential gate: the
+    seeded codebooks (make_pq_codebooks — PQ's analogue of the LSH plane
+    family) are inlined into the DuckDB twin as literals, which then
+    recomputes every subspace argmin assignment AND the query's
+    asymmetric-distance lookup table from scratch — a hash match pins
+    normalize → slice → codeword-argmin → LUT-sum → top-k end to end.
+    Spark side is pure JVM expressions (struct-argmin encode, m array
+    lookups + adds per row for the scan; TakeOrderedAndProject top-k).
+    The trained-codebook production twin is q_pq_ann_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = _query_vec(spark, sf_dir)
+    cb = similarity.make_pq_codebooks(dim=len(qvec), m=8, k=16, seed=7)
+    enc = similarity.pq_encode(emb, cb)
+    return similarity.pq_adc_topk(enc, qvec, cb, k=10)
+
+
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ search over a PERSISTED compact code index
+    (rows-only check; the ADC mechanism itself is hash-gated by
+    q_pq_adc_verified): codebooks trained on a bounded sample, corpus
+    encoded once into (id, 8-byte code) — 32× less index I/O than the
+    float vectors — ADC shortlist of 100 over the code table, exact
+    cosine re-rank only on the broadcast shortlist. Recall@10 vs the
+    exact oracle is MEASURED (tests/test_similarity.py; PLANS.md)."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = _query_vec(spark, sf_dir)
+    cb = similarity.train_pq_codebooks(emb, m=8, k=16, seed=42)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    index_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_pq_index_{sf_tag}"
+    )
+    fp = _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+    if not _artifact_ready(index_path, fp):
+        similarity.build_pq_index(emb, cb, index_path)
+        _mark_artifact(index_path, fp)
+    return similarity.pq_topk_from_index(
+        spark, index_path, emb, qvec, cb, k=10, shortlist=100
+    )
+
+
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min hash over all char 8-grams
     (degenerate winnowing with window = whole doc). md5 rather than
@@ -2797,6 +2840,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "pq_adc_verified": q_pq_adc_verified,
+    "pq_ann_topk": q_pq_ann_topk,
     "rolling_fingerprint": q_rolling_fingerprint,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -2921,6 +2966,56 @@ def _lsh_bucket_oracle_sql() -> str:
         WHERE bk.bucket = qb.qbucket
         ORDER BY cos_sim DESC, bk.vec_id ASC
         LIMIT 10
+    """
+
+
+def _pq_adc_oracle_sql() -> str:
+    """DuckDB twin of q_pq_adc_verified: the seeded codebooks and their
+    squared norms inlined as literals (repr roundtrips doubles exactly),
+    subspace assignment recomputed as a ROW_NUMBER argmin over
+    ||c||² − 2·x_sub·c (ties → smaller codeword id, matching Spark's
+    struct-min and numpy argmin-first), the query's ADC lookup table
+    rebuilt in SQL from the same literals, and the final score summed
+    per vector. Argmin margins with Gaussian codebooks are O(0.01)+ vs
+    ~1e-13 cross-engine float noise; the 6-dp floor-quantize absorbs the
+    formula-order difference between numpy's (q−c)² LUT and SQL's
+    qq − 2qc + cn expansion."""
+    cb = similarity.make_pq_codebooks(dim=64, m=8, k=16, seed=7)
+    cn = (cb**2).sum(axis=2)
+    rows = ", ".join(
+        f"({s}, {c}, {repr(float(cn[s, c]))}, "
+        f"[{', '.join(repr(float(v)) for v in cb[s, c])}]::DOUBLE[])"
+        for s in range(8)
+        for c in range(16)
+    )
+    return f"""
+        WITH cb(s, c, cn, ctr) AS (VALUES {rows}),
+        e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id,
+                     list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS u
+              FROM e0 WHERE list_inner_product(v, v) > 0),
+        sub AS (SELECT vec_id, t.s,
+                       array_slice(u, t.s * 8 + 1, t.s * 8 + 8) AS us
+                FROM e, range(8) t(s)),
+        asg AS (SELECT vec_id, s, c FROM (
+                    SELECT sub.vec_id, sub.s, cb.c,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY sub.vec_id, sub.s
+                               ORDER BY cb.cn
+                                        - 2 * list_inner_product(sub.us, cb.ctr)
+                                        ASC, cb.c ASC) AS rn
+                    FROM sub JOIN cb ON cb.s = sub.s
+                ) WHERE rn = 1),
+        q AS (SELECT s, us AS qs FROM sub WHERE vec_id = 0),
+        lut AS (SELECT cb.s, cb.c,
+                       list_inner_product(q.qs, q.qs)
+                       - 2 * list_inner_product(q.qs, cb.ctr) + cb.cn AS val
+                FROM cb JOIN q ON q.s = cb.s),
+        sc AS (SELECT a.vec_id, SUM(l.val) AS dist
+               FROM asg a JOIN lut l ON l.s = a.s AND l.c = a.c
+               GROUP BY a.vec_id)
+        SELECT vec_id, FLOOR(dist * 1000000 + 0.5) / 1000000.0 AS adc_dist
+        FROM sc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
     """
 
 
@@ -3365,6 +3460,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "lsh_bucket_verified": _lsh_bucket_oracle_sql(),
+        "pq_adc_verified": _pq_adc_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """
             WITH l AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),

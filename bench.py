@@ -66,6 +66,7 @@ HEADLINE = [
     "hypertable_rollup",
     "partition_pruned_scan",
     "lsh_bucket_verified",
+    "pq_adc_verified",
     "tpch_q12_priority_shipmode",
     "tpch_q14_promo_share",
     "tpch_q19_disjunctive_join",

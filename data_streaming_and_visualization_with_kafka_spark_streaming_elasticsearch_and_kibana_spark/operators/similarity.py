@@ -679,3 +679,203 @@ def kmeans_update(
         "n",
         (F.floor(mean * scale + F.lit(0.5)) / F.lit(float(scale))).alias("mean"),
     )
+
+
+# ------------------------------------------------------- product quantization
+def make_pq_codebooks(
+    dim: int, m: int = 8, k: int = 16, seed: int = 7
+) -> np.ndarray:
+    """Seeded Gaussian PQ codebooks (m, k, dim/m) — the data-oblivious
+    twin of `train_pq_codebooks`, playing the role `make_planes` plays
+    for LSH: because the codewords are a pure function of the seed, the
+    oracle query can inline them as SQL literals and DuckDB can recompute
+    every subspace assignment and ADC lookup from scratch. Entries are
+    scaled ~1/sqrt(dim) to sit at the magnitude of unit-vector
+    subcomponents, so argmin margins stay O(0.01)+ — far above the
+    ~1e-13 cross-engine float noise."""
+    rng = np.random.RandomState(seed)
+    dsub = dim // m
+    return rng.randn(m, k, dsub) / np.sqrt(dim)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantizer codebooks (Jégou, Douze, Schmid — "Product
+    quantization for nearest neighbor search", TPAMI 2011): L2-normalize,
+    split into m subspaces, k-means each subspace independently on a
+    BOUNDED driver sample (same fixed-size-sample discipline as
+    train_ivf_centroids — at 100 TB a few thousand vectors still
+    characterize each 8-dim subspace for a 16-256 word codebook).
+    Returns (m, k, dim/m) float64."""
+    n = corpus.count()
+    frac = min(1.0, (3.0 * sample) / max(n, 1))
+    rows = (
+        corpus.select(vec_col)
+        .sample(fraction=frac, seed=seed)
+        .limit(sample)
+        .collect()
+    )
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x[nrm[:, 0] > 0] / nrm[nrm[:, 0] > 0]
+    dsub = x.shape[1] // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        cents = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cents)):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Map-side PQ encoding, pure JVM expressions (no Python in the
+    path): the vector is L2-normalized once, each subspace slice scored
+    against its k codewords via ||c||² − 2·x_sub·c (the ||x_sub||² term
+    is constant within an argmin — same identity ivf_assign uses), and
+    the nearest codeword id picked by array_min over (dist, cid) structs
+    (distance ties break to the smaller id, matching numpy argmin).
+    Output: `out_col` array<int> of length m — at dim=64/float the
+    storable index row shrinks 32× (256 B of floats → 8 single-byte
+    codes), which is what lets a 100 TB corpus' ANN index live in the
+    page cache of a modest cluster. Zero-norm vectors are excluded (the
+    undefined-cosine contract every top-k path shares)."""
+    m, k, dsub = codebooks.shape
+    cn = (codebooks**2).sum(axis=2)
+    df = (
+        corpus.withColumn("__nrm", vectors.norm(vec_col))
+        .filter(F.col("__nrm") > 0)
+        .withColumn(
+            "__unit",
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")
+            ),
+        )
+    )
+    for s in range(m):
+        df = df.withColumn(f"__s{s}", F.slice("__unit", s * dsub + 1, dsub))
+    codes = []
+    for s in range(m):
+        cand = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(float(cn[s, c]))
+                        - 2.0
+                        * vectors.dot(
+                            F.col(f"__s{s}"),
+                            F.array(*[F.lit(float(v)) for v in codebooks[s, c]]),
+                        )
+                    ).alias("d"),
+                    F.lit(c).alias("cid"),
+                )
+                for c in range(k)
+            ]
+        )
+        codes.append(F.array_min(cand)["cid"])
+    return df.withColumn(out_col, F.array(*codes)).drop(
+        "__nrm", "__unit", *[f"__s{s}" for s in range(m)]
+    )
+
+
+def pq_adc_lut(qvec, codebooks: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance lookup table for one query: lut[s][c] =
+    ||q_sub_s − codeword_sc||² with q L2-normalized. Computed driver-side
+    (m·k floats), broadcast into the plan as literals."""
+    q = np.asarray(qvec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    m, k, dsub = codebooks.shape
+    qs = q.reshape(m, dsub)
+    return ((codebooks - qs[:, None, :]) ** 2).sum(axis=2)
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    qvec,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    round_to: int = 6,
+) -> DataFrame:
+    """ADC scan: approximate squared L2 to the unit query = Σ_s
+    lut[s][code_s] — m array lookups and m−1 adds per row, zero vector
+    math at query time (the float vectors never leave storage; on unit
+    vectors ||a−b||² = 2−2·cos, so ascending ADC distance is descending
+    approximate cosine). Top-k compiles to TakeOrderedAndProject over
+    the quantized (dist, id) order — per-partition heaps, no sort."""
+    lut = pq_adc_lut(qvec, codebooks)
+    m = lut.shape[0]
+    score = None
+    for s in range(m):
+        tbl = F.array(*[F.lit(float(v)) for v in lut[s]])
+        term = F.element_at(tbl, F.col(code_col).getItem(s) + 1)
+        score = term if score is None else score + term
+    p = float(10**round_to)
+    return (
+        encoded.select(
+            id_col,
+            (F.floor(score * p + F.lit(0.5)) / F.lit(p)).alias("adc_dist"),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the compact (id, pq_code) index — the table an ADC
+    scan reads instead of the full-width vectors. No partitioning
+    column: unlike LSH/IVF an ADC scan is a full pass by design, but
+    over m bytes/row instead of dim·4, so the pass is ~32× less I/O."""
+    pq_encode(corpus, codebooks, vec_col).select(id_col, "pq_code").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def pq_topk_from_index(
+    spark,
+    index_path: str,
+    corpus: DataFrame,
+    qvec,
+    codebooks: np.ndarray,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search: ADC shortlist over the compact code index
+    (cheap full pass, no per-row vector math), then exact cosine re-rank
+    of only the shortlist — the shortlist ids broadcast into a join
+    against the full-width corpus, so the expensive exact math touches
+    `shortlist` rows regardless of corpus size."""
+    ids = pq_adc_topk(
+        spark.read.parquet(index_path), qvec, codebooks, k=shortlist,
+        id_col=id_col,
+    ).select(id_col)
+    cand = corpus.join(F.broadcast(ids), id_col, "left_semi")
+    return brute_force_topk(cand, list(qvec), k, id_col, vec_col)

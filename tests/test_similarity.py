@@ -398,3 +398,84 @@ def test_multi_query_topk_matches_per_query_brute_force(spark):
         assert [i for i, _ in got[qid]] == [i for i, _ in solo], qid
         for (_, a), (_, b) in zip(got[qid], solo):
             assert abs(a - b) <= 1.001e-6, (qid, a, b)
+
+
+# ---------------------------------------------------- product quantization
+def test_pq_encode_matches_numpy(spark):
+    """Bit parity of the pure-JVM PQ encoder against a numpy reference:
+    normalize → per-subspace argmin (first-minimal-index tie rule) over
+    seeded codebooks. Also pins the code shape contract: length m,
+    every code in [0, k)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = similarity.make_pq_codebooks(64, m=8, k=16, seed=7)
+    rows = (
+        similarity.pq_encode(emb, cb)
+        .select("vec_id", "embedding", "pq_code")
+        .collect()
+    )
+    assert len(rows) == emb.count()  # no zero-norm rows in this table
+    for r in rows[:200]:
+        assert len(r.pq_code) == 8
+        assert all(0 <= c < 16 for c in r.pq_code)
+        v = np.asarray(list(r.embedding), dtype=np.float64)
+        u = v / np.linalg.norm(v)
+        ref = [
+            int(((cb[s] - u[s * 8 : (s + 1) * 8]) ** 2).sum(axis=1).argmin())
+            for s in range(8)
+        ]
+        assert ref == list(r.pq_code), r.vec_id
+
+
+def test_pq_recall_at_10_clustered_corpus(spark, tmp_dir):
+    """Recall@10 of the two-stage PQ search (ADC shortlist over the
+    compact code index → exact cosine re-rank) with TRAINED codebooks on
+    the planted-cluster corpus, 100 queries. Measured 1.000 at shortlist
+    50 and 100 (m=8, k=16) — the re-rank recovers everything ADC's
+    16-word-per-subspace quantization blurs; floor leaves noise margin.
+    The shortlist is evaluated from Spark-encoded codes (the production
+    path) with numpy doing only the per-query bookkeeping; three queries
+    additionally run the full pq_topk_from_index Spark path end to end."""
+    from tools.ann_recall import clustered_corpus, noisy_queries
+
+    vecs = clustered_corpus()
+    queries = noisy_queries(vecs, 100, 0.10, 13)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cb = similarity.train_pq_codebooks(corpus, m=8, k=16, seed=42)
+    enc = {
+        r.vec_id: list(r.pq_code)
+        for r in similarity.pq_encode(corpus, cb)
+        .select("vec_id", "pq_code")
+        .collect()
+    }
+    codes = np.asarray([enc[i] for i in range(len(vecs))])
+    u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    recalls = []
+    for _qid, qv in queries:
+        q = np.asarray(qv)
+        qn = q / np.linalg.norm(q)
+        exact = set(np.argsort(-(u @ qn))[:10])
+        lut = similarity.pq_adc_lut(qv, cb)
+        adc = lut[np.arange(8)[:, None], codes.T].sum(axis=0)
+        short = np.argsort(adc)[:100]
+        rerank = short[np.argsort(-(u[short] @ qn))][:10]
+        recalls.append(len(exact & set(rerank)) / 10)
+    assert float(np.mean(recalls)) >= 0.95, float(np.mean(recalls))
+
+    # end-to-end through the persisted index + broadcast-shortlist join
+    path = f"{tmp_dir}/pq_index"
+    similarity.build_pq_index(corpus, cb, path)
+    for _qid, qv in queries[:3]:
+        q = np.asarray(qv)
+        qn = q / np.linalg.norm(q)
+        exact = set(int(i) for i in np.argsort(-(u @ qn))[:10])
+        got = {
+            r.vec_id
+            for r in similarity.pq_topk_from_index(
+                spark, path, corpus, qv, cb, k=10, shortlist=100
+            ).collect()
+        }
+        assert len(exact & got) / 10 >= 0.9, (exact, got)
+    corpus.unpersist()
