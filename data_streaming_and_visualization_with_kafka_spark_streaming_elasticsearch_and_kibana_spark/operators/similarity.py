@@ -879,3 +879,95 @@ def pq_topk_from_index(
     ).select(id_col)
     cand = corpus.join(F.broadcast(ids), id_col, "left_semi")
     return brute_force_topk(cand, list(qvec), k, id_col, vec_col)
+
+
+def pq_multi_query_topk(
+    spark,
+    index_path: str,
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    codebooks: np.ndarray,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch two-stage PQ serving: ONE pass over the compact code index
+    scores every query's ADC distance via vectorized lookup-table
+    gathers (numpy over Arrow batches — the multi_query_topk
+    architecture, applied to 8-byte codes instead of 256-byte vectors),
+    keeping a per-partition shortlist per query, so the only exchange
+    is the tiny (partitions × shortlist × queries) candidate set. The
+    global shortlists then re-rank EXACTLY against the full-width
+    corpus through a broadcast join — per query, the expensive cosine
+    math touches `shortlist` rows, independent of corpus size.
+    Returns (query_id, id, cos_sim), ≤k rows per query; matches
+    running pq_topk_from_index per query (pinned in tests)."""
+    from pyspark.sql import Window
+
+    qids = sorted(int(qid) for qid, _ in queries)
+    by_id = {int(qid): qv for qid, qv in queries}
+    lut_stack = np.stack([pq_adc_lut(by_id[q], codebooks) for q in qids])
+    b_lut = spark.sparkContext.broadcast(lut_stack)
+    b_qids = spark.sparkContext.broadcast(qids)
+
+    def local_shortlists(batches):
+        lut = b_lut.value
+        ids_q = b_qids.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["pq_code"].to_numpy())
+            ids = pdf[id_col].to_numpy()
+            dist = np.zeros((len(ids_q), len(ids)))
+            for s in range(codes.shape[1]):
+                dist += lut[:, s, :][:, codes[:, s]]
+            for qi, qid in enumerate(ids_q):
+                top = np.argsort(dist[qi], kind="stable")[:shortlist]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        id_col: ids[top],
+                        "adc_dist": dist[qi][top],
+                    }
+                )
+
+    it = corpus.schema[id_col].dataType.simpleString() if id_col in corpus.columns else "long"
+    shorts = spark.read.parquet(index_path).mapInPandas(
+        local_shortlists, f"query_id long, {id_col} {it}, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    short_ids = (
+        shorts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", id_col)
+    )
+    qv_df = spark.createDataFrame(
+        [(q, [float(x) for x in by_id[q]]) for q in qids],
+        "query_id long, qvec array<double>",
+    )
+    p = float(10**round_to)
+    scored = (
+        corpus.join(F.broadcast(short_ids), id_col)
+        .join(F.broadcast(qv_df), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            (
+                F.floor(cosine(F.col(vec_col), F.col("qvec")) * p + F.lit(0.5))
+                / F.lit(p)
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

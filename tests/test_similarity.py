@@ -479,3 +479,35 @@ def test_pq_recall_at_10_clustered_corpus(spark, tmp_dir):
         }
         assert len(exact & got) / 10 >= 0.9, (exact, got)
     corpus.unpersist()
+
+
+def test_pq_batch_path_matches_single_query_path(spark, tmp_dir):
+    """pq_multi_query_topk (one pass, all queries) must return exactly
+    the per-query pq_topk_from_index results — same shortlists, same
+    re-ranked (id, cos_sim) sets."""
+    from tools.ann_recall import clustered_corpus, noisy_queries
+
+    vecs = clustered_corpus(n_clusters=10, per_cluster=30)
+    queries = noisy_queries(vecs, 5, 0.10, 13)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cb = similarity.train_pq_codebooks(corpus, m=8, k=16, seed=42)
+    path = f"{tmp_dir}/pq_batch_index"
+    similarity.build_pq_index(corpus, cb, path)
+    batch = similarity.pq_multi_query_topk(
+        spark, path, corpus, queries, cb, k=5, shortlist=50
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r.query_id, []).append((r.vec_id, r.cos_sim))
+    for qid, qv in queries:
+        single = [
+            (r.vec_id, r.cos_sim)
+            for r in similarity.pq_topk_from_index(
+                spark, path, corpus, qv, cb, k=5, shortlist=50
+            ).collect()
+        ]
+        assert sorted(got[qid]) == sorted(single), qid
+    corpus.unpersist()
