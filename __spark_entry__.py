@@ -2473,6 +2473,219 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the two-role dimension join — nation⋈region
+    joined TWICE (the supplier's side and the customer's side, both
+    broadcast under distinct aliases) with a disjunctive region-pair
+    filter that Catalyst keeps as a residual atop the equi-joins.
+    Cross-region trade volume by (supp_region, cust_region, year): the
+    fact table shuffles only for the final 3-key aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    r = _t(spark, sf_dir, "region")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("n_nationkey").alias("s_nkey"),
+            F.col("r_name").alias("supp_region"),
+        )
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("n_nationkey").alias("c_nkey"),
+            F.col("r_name").alias("cust_region"),
+        )
+    )
+    pair = (
+        (F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE")
+    ) | (
+        (F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a conditional share — one nation's suppliers'
+    revenue over total revenue, within a region's market for one part
+    type, by year. The numerator is a CASE inside SUM over the same
+    joined rows as the denominator (one pass, no second join), and both
+    sums are exact integer cents so only the final division is float."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_rkey")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    target = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0))
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            _q(F.sum(target) / F.sum(vol), 6).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer over one
+    quarter — fact ⋈ date-bounded orders with both selective filters
+    (returnflag, date window) pushed to the scans, customer + nation
+    broadcast, top-20 by lost revenue via TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the view-vs-scalar-max pattern — per-supplier
+    quarterly revenue aggregated once, then filtered to the maximum via
+    a broadcast scalar subquery (cross-join of one row), NOT a global
+    sort. Ties all surface (deterministic), ordered by supplier key."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _cents_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to available columns — late =
+    shipped >90 days after order date): suppliers whose line was late on
+    a multi-supplier order where EVERY other supplier shipped on time.
+    The classic correlated EXISTS + NOT EXISTS pair, expressed as one
+    per-order aggregate over the order's lineitems (count distinct
+    suppliers, count distinct late suppliers, the late supplier id) —
+    turning two correlated subqueries into a single shuffle on
+    l_orderkey, the formulation that survives 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate").cast("date") > F.date_add(
+        F.col("o_orderdate").cast("date"), 90
+    )
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.join(
+            F.broadcast(s), F.col("late_supp") == F.col("s_suppkey")
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-idle customers — acctbal above the
+    global average of positive balances (broadcast scalar subquery) AND
+    no orders since 1999 (anti join against the date-bounded orders
+    scan), counted per nation. Average compared in exact integer cents
+    so the threshold is bit-identical across engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    n = _t(spark, sf_dir, "nation")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        _cents_avg(F.col("c_acctbal"), 100, 6).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(_cents(F.col("c_acctbal"), 100) / 100.0 > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _cents_sum(F.col("c_acctbal"), 100, 2).alias("totacctbal"),
+        )
+    )
+
+
 def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style expectations (operators.quality): five named
     constraints over orders — nullability, key uniqueness, value range,
@@ -2824,6 +3037,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q19_disjunctive_join": q_tpch_q19_disjunctive_join,
     "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
+    "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+    "tpch_q8_market_share": q_tpch_q8_market_share,
+    "tpch_q10_returned_items": q_tpch_q10_returned_items,
+    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+    "tpch_q22_global_sales_opportunity": q_tpch_q22_global_sales_opportunity,
     "cube_status_priority": q_cube_status_priority,
     "hypertable_rollup": q_hypertable_rollup,
     "orc_roundtrip": q_orc_roundtrip,
@@ -4438,6 +4657,113 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
+        """,
+        "tpch_q7_volume_shipping": f"""
+            SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   {_sql_cents_sum("l_extendedprice * (1 - l_discount)", 10000, 2)} AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+                OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q8_market_share": f"""
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   {_sql_q(
+                       "SUM(CASE WHEN n2.n_name = 'NATION_2' "
+                       "THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT) "
+                       "ELSE 0 END) * 1.0 / "
+                       "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))",
+                       6,
+                   )} AS mkt_share,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q10_returned_items": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   {_sql_cents_sum("l_extendedprice * (1 - l_discount)", 10000, 2)} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q15_top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey,
+                       {_sql_cents_sum("l_extendedprice * (1 - l_discount)", 10000, 2)} AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q21_waiting_suppliers": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       COUNT(DISTINCT l_suppkey) AS n_supp,
+                       COUNT(DISTINCT CASE WHEN CAST(l_shipdate AS DATE)
+                                              > CAST(o_orderdate AS DATE) + 90
+                                           THEN l_suppkey END) AS n_late,
+                       MAX(CASE WHEN CAST(l_shipdate AS DATE)
+                                     > CAST(o_orderdate AS DATE) + 90
+                                THEN l_suppkey END) AS late_supp
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, COUNT(*) AS numwait
+            FROM per_order JOIN supplier ON late_supp = s_suppkey
+            WHERE n_supp > 1 AND n_late = 1
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s_suppkey ASC
+            LIMIT 20
+        """,
+        "tpch_q22_global_sales_opportunity": f"""
+            WITH t AS (
+                SELECT {_sql_cents_avg("c_acctbal", 100, 6)} AS avg_bal
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT n_name,
+                   COUNT(*) AS numcust,
+                   {_sql_cents_sum("c_acctbal", 100, 2)} AS totacctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            CROSS JOIN t
+            WHERE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) / 100.0 > avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY 1
         """,
         "data_quality_report": """
             WITH w AS (

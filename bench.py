@@ -70,6 +70,8 @@ HEADLINE = [
     "tpch_q12_priority_shipmode",
     "tpch_q14_promo_share",
     "tpch_q19_disjunctive_join",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
     "data_quality_report",
     "quality_gate_routing",
     "winnowing_fingerprints",
