@@ -857,9 +857,16 @@ def build_pq_index(
     ).parquet(path)
 
 
+def _as_index_df(spark, index) -> DataFrame:
+    """Accept a code index as either a parquet path or a DataFrame (the
+    latter lets streaming callers serve straight off read_batch_dirs
+    over a live pq_ingest_sink root)."""
+    return index if isinstance(index, DataFrame) else spark.read.parquet(index)
+
+
 def pq_topk_from_index(
     spark,
-    index_path: str,
+    index_path,
     corpus: DataFrame,
     qvec,
     codebooks: np.ndarray,
@@ -874,7 +881,7 @@ def pq_topk_from_index(
     against the full-width corpus, so the expensive exact math touches
     `shortlist` rows regardless of corpus size."""
     ids = pq_adc_topk(
-        spark.read.parquet(index_path), qvec, codebooks, k=shortlist,
+        _as_index_df(spark, index_path), qvec, codebooks, k=shortlist,
         id_col=id_col,
     ).select(id_col)
     cand = corpus.join(F.broadcast(ids), id_col, "left_semi")
@@ -934,7 +941,7 @@ def pq_multi_query_topk(
                 )
 
     it = corpus.schema[id_col].dataType.simpleString() if id_col in corpus.columns else "long"
-    shorts = spark.read.parquet(index_path).mapInPandas(
+    shorts = _as_index_df(spark, index_path).mapInPandas(
         local_shortlists, f"query_id long, {id_col} {it}, adc_dist double"
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -684,3 +684,45 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def pq_ingest_sink(
+    index_path: str,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """foreachBatch sink that keeps the compact PQ code index current as
+    embedding batches ingest: each micro-batch is encoded map-side
+    through the SAME production encoder the batch build uses
+    (operators.similarity.pq_encode — pure JVM struct-argmin against
+    the codebook literals) and lands as a per-batch `ingest=N`
+    directory, so ANN serving reads a fresh index (read_batch_dirs →
+    pq_multi_query_topk) without ever re-encoding the corpus. Per-batch
+    encode work is batch-sized regardless of index size — the 100 TB
+    shape. At-least-once safe like the other per-batch sinks: overwrite
+    per directory + the applied-batch ledger (REQUIRED once
+    compact_batch_dirs folds batch dirs). Codebooks are train-once
+    bounded-sample artifacts; retraining means re-encoding into a NEW
+    index root offline, never mutating the live one mid-stream."""
+    from ..operators.similarity import pq_encode
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        os.makedirs(index_path, exist_ok=True)
+        ledger = os.path.join(index_path, "_APPLIED_BATCHES")
+        applied = _ledger_applied(ledger)
+        if batch_id in applied:
+            return
+        if batch_df.isEmpty():
+            return
+        (
+            pq_encode(batch_df, codebooks, vec_col)
+            .select(id_col, "pq_code")
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/ingest={batch_id}")
+        )
+        _ledger_mark(ledger, applied, batch_id)
+
+    return _apply

@@ -771,3 +771,63 @@ def test_compaction_replay_and_crash_windows_are_safe(spark, tmp_dir):
         (r.room, r.temp)
         for r in pipeline.read_batch_dirs(spark, good).collect()
     ) == baseline
+
+
+def test_pq_ingest_sink_converges_to_batch_index(spark, tmp_dir):
+    """Streaming PQ index maintenance: after ingesting embedding batches
+    through pq_ingest_sink, the per-batch code index must hold exactly
+    the codes a from-scratch batch pq_encode of the full corpus
+    produces, serving must work straight off the live root
+    (read_batch_dirs → pq_multi_query_topk), and a replayed batch must
+    not duplicate rows (ledger fast-path)."""
+    import numpy as np
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        similarity,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(60, 16)
+    schema = "vec_id long, embedding array<double>"
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    src = f"{tmp_dir}/emb"
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    corpus = spark.createDataFrame(rows, schema)
+    cb = similarity.train_pq_codebooks(corpus, m=4, k=8, sample=60, seed=5)
+    index = f"{tmp_dir}/pq_live"
+    sink = pipeline.pq_ingest_sink(index, cb)
+    q = (
+        file_stream(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmp_dir}/ckpt_pq")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    live = pipeline.read_batch_dirs(spark, index)
+    got = {r.vec_id: list(r.pq_code) for r in live.collect()}
+    want = {
+        r.vec_id: list(r.pq_code)
+        for r in similarity.pq_encode(corpus, cb)
+        .select("vec_id", "pq_code")
+        .collect()
+    }
+    assert got == want
+
+    # replaying an applied batch is a no-op (ledger fast-path)
+    sink(spark.createDataFrame(rows[0:20], schema), 0)
+    assert pipeline.read_batch_dirs(spark, index).count() == 60
+
+    # serving straight off the live per-batch root
+    qv = rows[0][1]
+    served = similarity.pq_multi_query_topk(
+        spark, live, corpus, [(0, qv)], cb, k=5, shortlist=20
+    ).collect()
+    assert len(served) == 5
+    assert served[0].vec_id == 0 or any(r.vec_id == 0 for r in served)
