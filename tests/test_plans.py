@@ -136,3 +136,59 @@ def test_order_quartiles_has_no_single_partition_window(spark):
     assert "SinglePartition" not in plan, plan
     window_lines = [l for l in plan.splitlines() if "Window" in l]
     assert window_lines and all("pid" in l for l in window_lines), window_lines
+
+
+def test_runtime_bloom_filter_prefilters_shuffle_join(spark):
+    """Catalyst's runtime row-level filter: when a shuffle join's build
+    side carries a selective filter, the optimizer builds a bloom filter
+    from the build keys (bloom_filter_agg) and injects might_contain on
+    the probe-side scan — at 100 TB this is what keeps a fact⋈filtered-
+    dim join from shuffling fact rows that can never match. Asserts both
+    the injected plan nodes and that results are unchanged."""
+    keep = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ) == "true"
+        # thresholds sized for the tiny test tables; production defaults
+        # (10MB application side) kick in on real scans unaided
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = readers.read_table(spark, SF, "lineitem")
+        o = readers.read_table(spark, SF, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        got = {r.o_orderpriority: r.n for r in j.collect()}
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)
+    # semantics unchanged vs the plain (broadcastable) join
+    li = readers.read_table(spark, SF, "lineitem")
+    o = readers.read_table(spark, SF, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    want = {
+        r.o_orderpriority: r.n
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and sum(got.values()) > 0
