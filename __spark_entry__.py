@@ -933,6 +933,58 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Spark's Apache DataSketches HLL
+    bindings): per-day user sketches built in ONE aggregation pass, then
+    the SAME binary sketches union-merged into a global distinct
+    estimate WITHOUT rescanning events — the re-aggregable layout a
+    100 TB metrics store keeps (persist per-partition sketches; answer
+    any coarser rollup by merge, never by re-count). The global row
+    (day NULL) comes from hll_union_agg over the daily sketches, so the
+    plan re-reads k daily rows, not the fact table. Rows-only under the
+    driver (sketch estimates are implementation-defined; DuckDB's HLL
+    differs) — exact-at-low-cardinality, merge==whole, and bounded
+    relative error at high cardinality are pinned in
+    tests/test_relational.py."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+        )
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .persist()
+    )
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).select(F.lit(None).cast("timestamp").alias("day"), "est_users")
+    return per_day.unionAll(total).orderBy(F.asc_nulls_last("day"))
+
+
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): the props JSON payload is
+    parsed ONCE into a VARIANT column and typed fields are bound at
+    query time via variant_get — schema-on-read without a fixed
+    from_json schema, no UDF, no regex; the open-table-format answer to
+    evolving event payloads at 100 TB (new keys need no reload, just a
+    new extraction path). Aggregates the extracted int field per event
+    type; DuckDB's JSON operators are the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    shred = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return shred.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+
+
 def _materialized_path(sf_dir: str, tag: str) -> str:
     """Stable temp path for a per-sf_dir materialized artifact (index,
     format-converted copy); `_SUCCESS` marks a completed write."""
@@ -3109,6 +3161,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_contamination": q_ngram_contamination,
     "corpus_filter_chain": q_corpus_filter_chain,
     "approx_sketches": q_approx_sketches,
+    "sketch_distinct_rollup": q_sketch_distinct_rollup,
+    "variant_shred": q_variant_shred,
 }
 
 
@@ -4374,6 +4428,19 @@ def oracle_sql() -> dict[str, str]:
             f"'{sampling.rate_threshold(r)}' THEN 'train'"
             for lang, r in sorted(_SPLIT_RATES.items())
         )),
+        "variant_shred": """
+            WITH shred AS (
+                SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   COUNT(*) AS n_rows,
+                   COUNT(k) AS n_with_k,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(MIN(k) AS BIGINT) AS min_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k
+            FROM shred GROUP BY 1
+        """,
         "share_of_total": f"""
             WITH agg AS (
                 SELECT event_type, COUNT(*) AS n,

@@ -95,3 +95,29 @@ def test_kafka_delimited_wire_roundtrip(spark):
     wire = codecs.encode_for_kafka(df, key_col="id", wire_format="delimited", sep=";")
     back = codecs.decode_kafka_value(wire, DDL, wire_format="delimited", sep=";")
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_variant_schema_on_read_tolerates_evolution(spark):
+    """The VARIANT claim in q_variant_shred: payloads with new/missing
+    keys or malformed JSON need no schema change — extraction paths
+    bind at query time, absent paths are NULL (try_variant_get), and
+    parse failures quarantine as NULL rather than failing the job."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ('{"k": 1}',),
+            ('{"k": 2, "new_key": "later-added"}',),
+            ('{"other": true}',),
+            ("not json at all",),
+        ],
+        "props string",
+    )
+    out = df.select(
+        F.try_variant_get(F.try_parse_json("props"), "$.k", "int").alias("k"),
+        F.try_variant_get(
+            F.try_parse_json("props"), "$.new_key", "string"
+        ).alias("nk"),
+    ).collect()
+    assert [r.k for r in out] == [1, 2, None, None]
+    assert [r.nk for r in out] == [None, "later-added", None, None]

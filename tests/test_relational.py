@@ -150,3 +150,53 @@ def test_zorder2_key_bit_interleave(spark):
     ]
     # spread(3)=0b101, spread(1)=0b1 -> 0b101 | 0b10 = 7
     assert got == [7, 0x55555555, 0xAAAAAAAA, 0]
+
+
+def test_hll_sketch_rollup_merge_and_accuracy(spark):
+    """The mergeable-sketch contract behind q_sketch_distinct_rollup:
+    (1) at low cardinality the DataSketches HLL estimate is exact;
+    (2) union-merging per-group sketches loses nothing vs sketching the
+    whole (same lgK ⇒ lossless max-merge), so stored partition sketches
+    answer coarser rollups exactly as a full re-count would estimate;
+    (3) at 200k distinct the estimate stays within 5% (lgK=12 ⇒ rse
+    ≈1.6%)."""
+    df = spark.range(5000).select(
+        (F.col("id") % 97).alias("k"), (F.col("id") % 4).alias("g")
+    )
+    per_group = df.groupBy("g").agg(F.hll_sketch_agg("k").alias("sk"))
+    ests = {
+        r.g: r.est
+        for r in per_group.select(
+            "g", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
+    }
+    assert ests == {0: 97, 1: 97, 2: 97, 3: 97}
+
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).head().est
+    whole = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("est")
+    ).head().est
+    assert merged == whole == 97
+
+    big = spark.range(200_000)
+    est = big.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("id")).alias("est")
+    ).head().est
+    assert abs(est - 200_000) / 200_000 < 0.05, est
+
+    # the query's global row == direct sketch over all events (merge of
+    # the daily sketches is lossless)
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.q_sketch_distinct_rollup(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = [r.est_users for r in rows if r.day is None]
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).head().est
+    assert total == [direct]
+    assert all(r.est_users > 0 for r in rows)
