@@ -726,3 +726,60 @@ def pq_ingest_sink(
         _ledger_mark(ledger, applied, batch_id)
 
     return _apply
+
+
+def sketch_rollup_sink(
+    path: str,
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+):
+    """foreachBatch sink maintaining per-day HLL distinct-user sketches
+    over an unbounded stream: each micro-batch is sketched in one
+    aggregation, merged with the stored binary sketches via hll_union
+    (FULL OUTER on day), and committed with the crash-safe stage-swap.
+    State is ONE fixed-size sketch per day regardless of stream length
+    or cardinality — the bounded-memory answer to "daily active users"
+    where storing raw ids grows without bound and dropDuplicates state
+    grows with cardinality.
+
+    No applied-batch ledger, deliberately: HLL union is a max-merge, so
+    re-merging a replayed batch's sketch is a mathematical no-op —
+    at-least-once replay is safe by ALGEBRA here, where the sum-based
+    rollup_refresh_sink needs bookkeeping. (The stage-swap still guards
+    torn writes.) Serving: hll_sketch_estimate over the stored rows;
+    estimates equal the batch q_sketch_distinct_rollup over everything
+    ingested because same-lgK union is lossless (pinned in tests)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        day = F.date_trunc("day", F.col(ts_col).cast("timestamp")).alias(
+            "day"
+        )
+        fresh = batch_df.groupBy(day).agg(
+            F.hll_sketch_agg(id_col).alias("sk_new")
+        )
+        _recover_dir_swap(path)
+        if os.path.exists(path):
+            stored = spark.read.parquet(path).withColumnRenamed(
+                "sk", "sk_old"
+            )
+            merged = (
+                stored.join(fresh, "day", "full_outer")
+                .select(
+                    "day",
+                    F.when(F.col("sk_old").isNull(), F.col("sk_new"))
+                    .when(F.col("sk_new").isNull(), F.col("sk_old"))
+                    .otherwise(F.hll_union("sk_old", "sk_new"))
+                    .alias("sk"),
+                )
+            )
+        else:
+            merged = fresh.select("day", F.col("sk_new").alias("sk"))
+        merged.write.mode("overwrite").parquet(path + ".staging")
+        _commit_dir_swap(path)
+
+    return _apply

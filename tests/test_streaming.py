@@ -831,3 +831,68 @@ def test_pq_ingest_sink_converges_to_batch_index(spark, tmp_dir):
     ).collect()
     assert len(served) == 5
     assert served[0].vec_id == 0 or any(r.vec_id == 0 for r in served)
+
+
+def test_sketch_rollup_sink_converges_and_replay_is_algebraic_noop(
+    spark, tmp_dir
+):
+    """Streaming HLL rollup: after a 3-batch ingest the stored per-day
+    sketch estimates must equal the batch sketch over everything
+    ingested (same-lgK union is lossless), and re-applying a batch must
+    change nothing — replay safety comes from union's idempotence, not
+    a ledger."""
+    import datetime
+
+    rows = [
+        (datetime.datetime(2024, 1, 1 + (i % 3), 8, 0, 0), i % 37)
+        for i in range(300)
+    ]
+    schema = "ts timestamp, user_id long"
+    src = f"{tmp_dir}/sk_src"
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = f"{tmp_dir}/sk_store"
+    sink = pipeline.sketch_rollup_sink(store)
+    q = (
+        file_stream(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmp_dir}/ckpt_sk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    def estimates():
+        return {
+            r.day: r.est
+            for r in spark.read.parquet(store)
+            .select("day", F.hll_sketch_estimate("sk").alias("est"))
+            .collect()
+        }
+
+    got = estimates()
+    want = {
+        r.day: r.est
+        for r in spark.createDataFrame(rows, schema)
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert got == want and len(got) == 3
+    # low cardinality (37 users across 3 days) → estimates exact
+    exact = {
+        r.day: r.n
+        for r in spark.createDataFrame(rows, schema)
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact
+
+    # replaying an already-merged batch is a no-op by union idempotence
+    sink(spark.createDataFrame(rows[0:100], schema), 0)
+    assert estimates() == got
