@@ -705,7 +705,7 @@ def pq_ingest_sink(
     compact_batch_dirs folds batch dirs). Codebooks are train-once
     bounded-sample artifacts; retraining means re-encoding into a NEW
     index root offline, never mutating the live one mid-stream."""
-    from ..operators.similarity import pq_encode
+    from ..operators.similarity import pq_encode_arrow
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -718,7 +718,7 @@ def pq_ingest_sink(
         if batch_df.isEmpty():
             return
         (
-            pq_encode(batch_df, codebooks, vec_col)
+            pq_encode_arrow(batch_df, codebooks, vec_col)
             .select(id_col, "pq_code")
             .write.mode("overwrite")
             .parquet(f"{index_path}/ingest={batch_id}")

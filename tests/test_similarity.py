@@ -418,7 +418,8 @@ def test_multi_query_topk_matches_per_query_brute_force(spark):
 
 # ---------------------------------------------------- product quantization
 def test_pq_encode_matches_numpy(spark):
-    """Bit parity of the pure-JVM PQ encoder against a numpy reference:
+    """Bit parity of BOTH PQ encoders — the pure-JVM struct-argmin path
+    and the production Arrow path — against a numpy reference:
     normalize → per-subspace argmin (first-minimal-index tie rule) over
     seeded codebooks. Also pins the code shape contract: length m,
     every code in [0, k)."""
@@ -430,6 +431,13 @@ def test_pq_encode_matches_numpy(spark):
         .collect()
     )
     assert len(rows) == emb.count()  # no zero-norm rows in this table
+    arrow = {
+        r.vec_id: list(r.pq_code)
+        for r in similarity.pq_encode_arrow(emb, cb)
+        .select("vec_id", "pq_code")
+        .collect()
+    }
+    assert {r.vec_id: list(r.pq_code) for r in rows} == arrow
     for r in rows[:200]:
         assert len(r.pq_code) == 8
         assert all(0 <= c < 16 for c in r.pq_code)
