@@ -2401,6 +2401,39 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking: every document split into overlapping
+    character windows (size 200, stride 150 — 50-char overlap so no
+    boundary context is lost), one output row per chunk with its index,
+    length, and content hash. Pure expressions — sequence → explode →
+    substr — no UDTF, no Python; the chunk count per doc is
+    1 + ceil(max(len−size,0)/stride), so output size is predictable
+    (~len/stride rows per doc) and the explode is map-side. This is the
+    complement of pack_token_budget in the pretraining layout: chunking
+    slices long docs into model-window pieces, packing fills windows
+    from short ones. DuckDB recomputes every window via
+    generate_series + substr."""
+    size, stride = 200, 150
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    idx = F.sequence(
+        F.lit(0),
+        F.ceil(F.greatest(n - size, F.lit(0)) / float(stride)).cast("int"),
+    )
+    chunk = F.col("text").substr(
+        (F.col("chunk_idx") * stride + 1).cast("int"), F.lit(size)
+    )
+    return (
+        docs.select("doc_id", F.explode(idx).alias("chunk_idx"), "text")
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_hash"),
+        )
+    )
+
+
 def q_repetition_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signal: per-doc repeated-trigram
     fraction. Shingles projected once, counts + ratio derived from the
@@ -3159,6 +3192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minmax_normalize": q_minmax_normalize,
     "order_count_distribution": q_order_count_distribution,
     "value_histogram": q_value_histogram,
+    "doc_chunks": q_doc_chunks,
     "repetition_ratio_docs": q_repetition_ratio_docs,
     "ngram_contamination": q_ngram_contamination,
     "corpus_filter_chain": q_corpus_filter_chain,
@@ -4430,6 +4464,24 @@ def oracle_sql() -> dict[str, str]:
             f"'{sampling.rate_threshold(r)}' THEN 'train'"
             for lang, r in sorted(_SPLIT_RATES.items())
         )),
+        "doc_chunks": """
+            WITH ex AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(
+                           0,
+                           CAST(ceil(greatest(length(text) - 200, 0) / 150.0)
+                                AS BIGINT),
+                           1)) AS i
+                FROM documents
+            )
+            SELECT doc_id,
+                   i AS chunk_idx,
+                   CAST(length(substr(text, CAST(i * 150 + 1 AS BIGINT), 200))
+                        AS BIGINT) AS chunk_len,
+                   md5(substr(text, CAST(i * 150 + 1 AS BIGINT), 200))
+                       AS chunk_hash
+            FROM ex
+        """,
         "variant_shred": """
             WITH shred AS (
                 SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k
