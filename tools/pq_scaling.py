@@ -136,14 +136,19 @@ def main() -> None:
         "",
         f"At {int(ratio)}× rows: encode grew {en/max(e0,1e-9):.1f}×, "
         f"brute-force query {bn/max(b0,1e-9):.1f}×, PQ query "
-        f"{pn/max(p0,1e-9):.1f}× —",
-        "the crossover is already visible at 128k rows: the brute-force",
-        "pass scales with the float corpus while the two-stage PQ query",
-        "stays flat (ADC reads the ~47× smaller code table; the exact",
-        "math touches only the 100-row shortlist regardless of corpus",
-        "size). Encode is the Arrow pq_encode_arrow path (BLAS-bound;",
-        "the interpreted-HOF JVM twin measured ~5× slower at k=64",
-        "before the switch, parity-pinned in tests).",
+        f"{pn/max(p0,1e-9):.1f}×.",
+        "Honest reading: on local[32] with the corpus in page cache,",
+        "brute force and two-stage PQ wall times are within noise of",
+        "each other up to 512k rows — both are startup-dominated, and",
+        "the exact pass is a single tight codegen stage while PQ pays",
+        "two jobs (shortlist + re-rank). The PQ win here is STRUCTURAL,",
+        "not wall-clock-at-toy-scale: the scan reads a ~47× smaller",
+        "table (decisive the moment the float corpus falls out of",
+        "cache / lives on object storage), and the exact math touches",
+        "only the 100-row shortlist regardless of corpus size. Encode",
+        "is the Arrow pq_encode_arrow path (BLAS-bound; the",
+        "interpreted-HOF JVM twin measured ~5× slower before the",
+        "switch, parity-pinned in tests).",
         "",
     ]
     sc_path = os.path.join(
