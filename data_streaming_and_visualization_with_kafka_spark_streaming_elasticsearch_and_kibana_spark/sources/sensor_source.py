@@ -1,0 +1,86 @@
+"""A real connector for the reference's sensor tree: Spark 4's Python
+DataSource API (`pyspark.sql.datasource`) packaging the S1/S2 semantics
+— headerless per-room `(timestamp, value)` CSVs under `root/<room>/
+<metric>.csv`, room recovered from the path (data_collector.py:11-20)
+— as a registered `format("sensor_tree")` source.
+
+Why both this and `readers.read_sensor_tree` exist: the globbed-scan
+reader is the right production path (JVM CSV parser, pushdown), and is
+parity-pinned against this connector in tests. The connector is the
+EXTENSIBILITY story: planning happens driver-side (one InputPartition
+per room/metric file, so a 10,000-room tree reads with 10,000-way task
+parallelism), parsing happens executor-side in `read()`, and the same
+skeleton is what a genuinely custom feed (a sensor gateway's socket
+protocol, a bespoke binary layout — things no built-in reader speaks)
+would flesh out. Usage:
+
+    spark.dataSource.register(SensorTreeDataSource)
+    df = (spark.read.format("sensor_tree")
+          .option("path", root).option("metric", "co2").load())
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, room: str, path: str):
+        self.room = room
+        self.path = path
+
+
+class SensorTreeReader(DataSourceReader):
+    def __init__(self, root: str, metric: str):
+        self.root = root
+        self.metric = metric
+
+    def partitions(self):
+        """Planning: one partition per room file — the connector's split
+        enumeration, equivalent to the JVM scan's file splits. Driver
+        cost is one directory listing (bounded by room count, not row
+        count)."""
+        parts = []
+        for room in sorted(os.listdir(self.root)):
+            p = os.path.join(self.root, room, f"{self.metric}.csv")
+            if os.path.isfile(p):
+                parts.append(_FilePartition(room, p))
+        return parts
+
+    def read(self, partition):
+        """Executor-side parse of one room's series. Malformed lines
+        yield NULL fields rather than failing the task (the PERMISSIVE
+        contract the engine's other sources follow)."""
+        with open(partition.path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                ts_s, _, v_s = line.partition(",")
+                try:
+                    ts = float(ts_s)
+                except ValueError:
+                    ts = None
+                try:
+                    v = float(v_s)
+                except ValueError:
+                    v = None
+                yield (ts, v, partition.room)
+
+
+class SensorTreeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sensor_tree"
+
+    def schema(self) -> str:
+        metric = self.options.get("metric", "value")
+        return f"timestamp double, {metric} double, room string"
+
+    def reader(self, schema) -> SensorTreeReader:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("sensor_tree requires .option('path', <root>)")
+        return SensorTreeReader(root, self.options.get("metric", "value"))

@@ -3,6 +3,8 @@ delimited scans with explicit schemas."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources import (
     readers,
 )
@@ -27,3 +29,52 @@ def test_read_delimited_custom_sep_and_schema(spark, tmp_dir):
     )
     rows = sorted((r.id, r.name, r.score) for r in df.collect())
     assert rows == [(1, "alpha", 2.5), (2, "beta", None)]
+
+
+def test_sensor_tree_datasource_matches_globbed_reader(spark, tmp_dir):
+    """The Python DataSource connector (format('sensor_tree')) must
+    return exactly what the production globbed-scan reader returns —
+    same rows, same room attribution — with one task per room file
+    (partition-parallel planning), and malformed lines must yield NULLs
+    rather than fail the task."""
+    import os
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.sensor_source import (
+        SensorTreeDataSource,
+    )
+
+    root = f"{tmp_dir}/tree"
+    series = {
+        "room_a": [(1000.0, 21.5), (1060.0, 22.0)],
+        "room_b": [(1000.0, 19.0)],
+    }
+    for room, rows in series.items():
+        os.makedirs(f"{root}/{room}", exist_ok=True)
+        with open(f"{root}/{room}/co2.csv", "w") as f:
+            for ts, v in rows:
+                f.write(f"{ts},{v}\n")
+    # a malformed trailing line in one file
+    with open(f"{root}/room_b/co2.csv", "a") as f:
+        f.write("not_a_ts,not_a_value\n")
+
+    spark.dataSource.register(SensorTreeDataSource)
+    via_ds = (
+        spark.read.format("sensor_tree")
+        .option("path", root)
+        .option("metric", "co2")
+        .load()
+    )
+    assert via_ds.rdd.getNumPartitions() == 2  # one split per room file
+    got = {
+        (r.room, r.timestamp, r.co2)
+        for r in via_ds.filter(F.col("timestamp").isNotNull()).collect()
+    }
+    want = {
+        (r.room, r.timestamp, r.co2)
+        for r in readers.read_sensor_tree(spark, root, "co2")
+        .filter(F.col("timestamp").isNotNull())
+        .collect()
+    }
+    assert got == want and len(got) == 3
+    bad = via_ds.filter(F.col("timestamp").isNull()).collect()
+    assert len(bad) == 1 and bad[0].co2 is None and bad[0].room == "room_b"
