@@ -23,7 +23,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _FilePartition(InputPartition):
@@ -70,6 +75,53 @@ class SensorTreeReader(DataSourceReader):
                 yield (ts, v, partition.room)
 
 
+class SensorTreeStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector: tail the tree at LINE
+    granularity — each micro-batch reads only lines appended since the
+    committed offset `{room: lines_consumed}`. This is finer than the
+    built-in file stream (which only ingests whole new files): the
+    reference's sensors append to per-room CSVs in place, and this
+    reader models that feed directly. Offsets are checkpointed by the
+    engine, and `read(start)` re-derives the same rows for the same
+    offset on append-only files — exactly-once on replay comes from the
+    offset log, exactly like the Kafka source."""
+
+    def __init__(self, root: str, metric: str):
+        self.root = root
+        self.metric = metric
+
+    def initialOffset(self):
+        return {"consumed": {}}
+
+    def read(self, start):
+        consumed = dict(start["consumed"])
+        rows = []
+        for room in sorted(os.listdir(self.root)):
+            p = os.path.join(self.root, room, f"{self.metric}.csv")
+            if not os.path.isfile(p):
+                continue
+            with open(p) as f:
+                lines = f.read().splitlines()
+            for line in lines[consumed.get(room, 0):]:
+                if not line.strip():
+                    continue
+                ts_s, _, v_s = line.partition(",")
+                try:
+                    ts = float(ts_s)
+                except ValueError:
+                    ts = None
+                try:
+                    v = float(v_s)
+                except ValueError:
+                    v = None
+                rows.append((ts, v, room))
+            consumed[room] = len(lines)
+        return (iter(rows), {"consumed": consumed})
+
+    def commit(self, end):
+        pass  # offsets live in the checkpoint's offset log
+
+
 class SensorTreeDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -79,8 +131,18 @@ class SensorTreeDataSource(DataSource):
         metric = self.options.get("metric", "value")
         return f"timestamp double, {metric} double, room string"
 
-    def reader(self, schema) -> SensorTreeReader:
+    def _root(self) -> str:
         root = self.options.get("path")
         if not root:
             raise ValueError("sensor_tree requires .option('path', <root>)")
-        return SensorTreeReader(root, self.options.get("metric", "value"))
+        return root
+
+    def reader(self, schema) -> SensorTreeReader:
+        return SensorTreeReader(
+            self._root(), self.options.get("metric", "value")
+        )
+
+    def simpleStreamReader(self, schema) -> SensorTreeStreamReader:
+        return SensorTreeStreamReader(
+            self._root(), self.options.get("metric", "value")
+        )

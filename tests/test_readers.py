@@ -78,3 +78,60 @@ def test_sensor_tree_datasource_matches_globbed_reader(spark, tmp_dir):
     assert got == want and len(got) == 3
     bad = via_ds.filter(F.col("timestamp").isNull()).collect()
     assert len(bad) == 1 and bad[0].co2 is None and bad[0].room == "room_b"
+
+
+def test_sensor_tree_stream_tails_appended_lines(spark, tmp_dir):
+    """Streaming connector: with a shared checkpoint, a restarted query
+    must ingest ONLY lines appended since the committed offset — line-
+    granularity tailing the built-in file stream can't do (it ingests
+    whole new files, not in-place appends)."""
+    import os
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.sensor_source import (
+        SensorTreeDataSource,
+    )
+
+    root = f"{tmp_dir}/stree"
+    os.makedirs(f"{root}/r1", exist_ok=True)
+    with open(f"{root}/r1/co2.csv", "w") as f:
+        f.write("1.0,10.0\n2.0,11.0\n")
+
+    spark.dataSource.register(SensorTreeDataSource)
+    ckpt = f"{tmp_dir}/stree_ckpt"
+    out = f"{tmp_dir}/stree_out"
+
+    def run():
+        before = (
+            {r[0] for r in spark.read.parquet(out).select("__b").collect()}
+            if os.path.exists(f"{out}/_spark_metadata")
+            else set()
+        )
+        q = (
+            spark.readStream.format("sensor_tree")
+            .option("path", root)
+            .option("metric", "co2")
+            .load()
+            .withColumn("__b", F.lit(len(before)))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        df = spark.read.parquet(out).filter(~F.col("__b").isin(list(before)))
+        return {(r.timestamp, r.co2, r.room) for r in df.collect()}
+
+    first = run()
+    assert first == {(1.0, 10.0, "r1"), (2.0, 11.0, "r1")}
+
+    with open(f"{root}/r1/co2.csv", "a") as f:
+        f.write("3.0,12.0\n")
+    os.makedirs(f"{root}/r2", exist_ok=True)
+    with open(f"{root}/r2/co2.csv", "w") as f:
+        f.write("1.0,20.0\n")
+
+    second = run()
+    # same checkpoint → only the delta: the appended line + the new room
+    assert second == {(3.0, 12.0, "r1"), (1.0, 20.0, "r2")}
