@@ -1,0 +1,102 @@
+"""ES bulk-wire writer as a Spark 4 Python DataSource: the write-side
+twin of `sensor_source` completing the connector surface (batch read +
+stream read + write).
+
+`format("es_bulk_wire")` materializes EXACTLY the Elasticsearch `_bulk`
+API payload the reference ships row-by-row over HTTP
+(kafka_to_es.py:55-69): per partition, one NDJSON file of alternating
+action and document lines —
+
+    {"index": {"_index": "room-413", "_id": "413"}}
+    {"room": "413", "co2": 612.0, ...}
+
+with S8 keyed-upsert (`mapping_id` option → `_id` per row, so replaying
+the payload converges to last-write-wins per key) and S9 dynamic index
+routing (`index` option may contain `{field}` patterns resolved per
+row). Against a live cluster the payload POSTs verbatim to `/_bulk`
+(one request per partition file instead of the reference's one per
+row); in the broker-less sandbox the bytes ON DISK are the testable
+contract — tests assert action/doc line structure, routing, and doc
+ids without needing a node.
+
+Commit protocol: executors write `part-<uuid>.ndjson.tmp` and report it
+in their WriterCommitMessage; `commit()` renames all reported files to
+final names only after every task succeeded, `abort()` removes strays —
+the same stage-then-publish discipline the repo's batch sinks use, so a
+failed job never leaves half a payload looking publishable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _Staged(WriterCommitMessage):
+    tmp_path: str
+
+
+_PATTERN = re.compile(r"\{([^{}]+)\}")
+
+
+def _resolve_index(pattern: str, row: dict) -> str:
+    """S9 dynamic routing: replace `{field}` with the row's value."""
+    return _PATTERN.sub(lambda m: str(row.get(m.group(1), "")), pattern)
+
+
+class EsBulkWireWriter(DataSourceWriter):
+    def __init__(self, path: str, index: str, mapping_id: str | None):
+        self.path = path
+        self.index = index
+        self.mapping_id = mapping_id
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.ndjson.tmp")
+        with open(tmp, "w") as f:
+            for row in iterator:
+                doc = row.asDict()
+                action: dict = {"_index": _resolve_index(self.index, doc)}
+                if self.mapping_id is not None:
+                    action["_id"] = str(doc[self.mapping_id])
+                f.write(json.dumps({"index": action}, sort_keys=True))
+                f.write("\n")
+                f.write(json.dumps(doc, sort_keys=True, default=str))
+                f.write("\n")
+        return _Staged(tmp_path=tmp)
+
+    def commit(self, messages):
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp_path, m.tmp_path[: -len(".tmp")])
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class EsBulkWireDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "es_bulk_wire"
+
+    def writer(self, schema, overwrite: bool) -> EsBulkWireWriter:
+        path = self.options.get("path")
+        index = self.options.get("index")
+        if not path or not index:
+            raise ValueError(
+                "es_bulk_wire requires .option('path', ...) and "
+                ".option('index', ...)"
+            )
+        return EsBulkWireWriter(path, index, self.options.get("mapping_id"))

@@ -60,3 +60,45 @@ def test_kafka_stream_writer_builds(spark, tmp_dir):
         stream, "localhost:9092", "office-input", checkpoint=f"{tmp_dir}/ckpt"
     )
     assert w is not None  # DataStreamWriter built with kafka format + options
+
+
+def test_es_bulk_wire_writer_payload_and_routing(spark, tmp_dir):
+    """The es_bulk_wire DataSource writer must emit a valid _bulk
+    payload: alternating action/doc NDJSON lines, S9 dynamic index
+    routing from the {room} pattern, S8 keyed _id from mapping_id, and
+    tmp files published only on commit (none left behind)."""
+    import glob
+    import json
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.es_wire_sink import (
+        EsBulkWireDataSource,
+    )
+
+    spark.dataSource.register(EsBulkWireDataSource)
+    df = spark.createDataFrame(
+        [("413", 612.0), ("656", 480.5), ("413", 620.0)],
+        "room string, co2 double",
+    ).coalesce(2)
+    out = f"{tmp_dir}/bulk"
+    (
+        df.write.format("es_bulk_wire")
+        .option("path", out)
+        .option("index", "room-{room}")
+        .option("mapping_id", "room")
+        .mode("append")
+        .save()
+    )
+    files = glob.glob(f"{out}/part-*.ndjson")
+    assert files and not glob.glob(f"{out}/*.tmp")
+    lines = [
+        json.loads(ln)
+        for p in sorted(files)
+        for ln in open(p).read().splitlines()
+    ]
+    actions, docs = lines[0::2], lines[1::2]
+    assert len(actions) == len(docs) == 3
+    for a, d in zip(actions, docs):
+        assert a["index"]["_index"] == f"room-{d['room']}"
+        assert a["index"]["_id"] == d["room"]
+    assert {d["room"] for d in docs} == {"413", "656"}
+    assert sum(1 for d in docs if d["room"] == "413") == 2
