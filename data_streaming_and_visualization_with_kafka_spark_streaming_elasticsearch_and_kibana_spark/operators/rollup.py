@@ -160,3 +160,40 @@ def ensure_materialized(
     return continuous_aggregate(
         spark, raw, path, watermark, ts_col, keys, value_col, partition_col
     )
+
+
+def backfill_days(
+    spark: SparkSession,
+    raw: DataFrame,
+    path: str,
+    days: list,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    partition_col: str | None = None,
+) -> None:
+    """Repair/backfill: recompute the materialized rollup for exactly
+    `days` (a list of dates) from the raw facts and overwrite ONLY those
+    day partitions — dynamic partition overwrite, so untouched day
+    directories are neither rewritten nor read. This is the ops answer
+    to the cases the incremental refresh sink can't cover: late data
+    arriving beyond its replay window, a corrupted partition, or a
+    logic fix that invalidates specific days. The frozen watermark and
+    `_CAGG_META` are untouched — backfilled days sit below it, so the
+    history/tail disjointness argument is unaffected. Cost is
+    O(selected days' raw rows): with a day-partitioned landing table
+    (`partition_col`) the raw scan prunes to exactly those directories."""
+    ts = F.col(ts_col).cast("timestamp")
+    src = raw
+    if partition_col is not None:
+        src = src.filter(F.col(partition_col).isin(days))
+    sel = src.filter(F.to_date(ts).isin(days))
+    part = minute_rollup_frame(sel, ts_col, keys, value_col).withColumn(
+        "dt", F.to_date("minute")
+    )
+    (
+        part.write.mode("overwrite")
+        .partitionBy("dt")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
