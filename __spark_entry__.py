@@ -3027,13 +3027,18 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup: watermarked dropDuplicates on a business
-    key — the streaming twin of exact_dedup_docs. The watermark bounds
-    dedup state (keys older than the horizon are evicted), which is the
-    only way streaming dedup survives unbounded input. Projecting the
-    key columns afterward makes the result order-independent: exactly
-    the DISTINCT key set, whichever physical row won.
-    """
+    """Streaming exact dedup: dropDuplicates on a business key — the
+    streaming twin of exact_dedup_docs, emitting exactly the DISTINCT
+    key set (projecting the keys afterward makes it order-independent).
+    State honesty: global streaming DISTINCT keeps one state row per
+    distinct key FOREVER — a watermark does NOT evict dropDuplicates
+    state unless the event-time column is part of the dedup keys
+    (including it would change the semantics to per-timestamp dedup).
+    That state is bounded by key cardinality, not stream length, which
+    is the correct contract for this query; when re-emission beyond a
+    horizon is acceptable, `pipeline.dedup_within_watermark`
+    (dropDuplicatesWithinWatermark) is the state-EVICTING variant —
+    demonstrated with an eviction test in tests/test_streaming.py."""
 
     def build(stream):
         return (

@@ -783,3 +783,24 @@ def sketch_rollup_sink(
         _commit_dir_swap(path)
 
     return _apply
+
+
+def dedup_within_watermark(
+    records: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """State-EVICTING streaming dedup (dropDuplicatesWithinWatermark):
+    duplicates of a key arriving within the watermark horizon are
+    suppressed, and the key's state is dropped once the watermark
+    passes it — so state is bounded by keys-per-horizon, not total key
+    cardinality. The trade: a key recurring AFTER the horizon emits
+    again (it is not a global DISTINCT). Use this for at-least-once
+    source dedup (retries/replays land close together in event time);
+    use plain dropDuplicates — one state row per key forever, bounded
+    by cardinality not stream length — when the contract is exact
+    global DISTINCT (q_streaming_dedup_keys)."""
+    return records.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

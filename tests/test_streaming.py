@@ -896,3 +896,62 @@ def test_sketch_rollup_sink_converges_and_replay_is_algebraic_noop(
     # replaying an already-merged batch is a no-op by union idempotence
     sink(spark.createDataFrame(rows[0:100], schema), 0)
     assert estimates() == got
+
+
+def test_dedup_within_watermark_evicts_and_reemits(spark, tmp_dir):
+    """dropDuplicatesWithinWatermark semantics pinned: duplicates
+    inside the horizon are suppressed; the SAME key recurring far
+    beyond the watermark emits again (state was evicted) — exactly the
+    at-least-once-source contract, and exactly what global
+    dropDuplicates would NOT do."""
+    import datetime
+
+    schema = "ts timestamp, k string"
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    src = f"{tmp_dir}/dwsrc"
+
+    def write_batch(rows, order):
+        import glob
+        import os
+
+        before = set(glob.glob(f"{src}/part-*.parquet"))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        # the file source orders by modification time; writes land within
+        # the same mtime tick, so pin distinct mtimes to pin batch order
+        for p in set(glob.glob(f"{src}/part-*.parquet")) - before:
+            os.utime(p, (1_000_000 + order, 1_000_000 + order))
+
+    # batch 1: key A twice within minutes (dup), key B once
+    write_batch([(at(0), "A"), (at(1), "A"), (at(2), "B")], 1)
+    # batch 2 advances the watermark far past A's expiry; batch 3 runs
+    # with that watermark so its END evicts A's state (watermark
+    # propagation and eviction each lag one micro-batch); batch 4's A
+    # then finds no state and re-emits
+    write_batch([(at(600), "C")], 2)
+    write_batch([(at(605), "D")], 3)
+    write_batch([(at(610), "A")], 4)
+
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    out = pipeline.dedup_within_watermark(
+        stream, ["k"], "ts", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dw_mem")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_dir}/dw_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    rows = [(r.k, r.ts) for r in spark.table("dw_mem").collect()]
+    ks = sorted(k for k, _ in rows)
+    # A emitted TWICE (once per horizon), B/C/D once each
+    assert ks == ["A", "A", "B", "C", "D"], rows
