@@ -864,11 +864,21 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME winnow mechanism (textf.char_gram_hashes + winnow_mins) as
     the xxhash64 production twin (winnowing_fingerprints_fast) — this
     green oracle row witnesses the shared code path."""
+    return _winnow_query(spark, sf_dir, family="md5_prefix")
+
+
+def _winnow_query(spark: SparkSession, sf_dir: str, family: str) -> DataFrame:
+    """THE winnowing pipeline, hash family aside — the oracle twin and
+    the production twin MUST stay mechanism-identical (the md5 oracle
+    row is what witnesses the shared path), so both call here."""
     docs = ensure_min_parallelism(_t(spark, sf_dir, "documents"))
-    grams = textf.char_gram_hashes("text", k=8, family="md5_prefix")
+    grams = textf.char_gram_hashes("text", k=8, family=family)
     return (
         docs.select("doc_id", grams.alias("__grams"))
-        .select("doc_id", F.explode(textf.winnow_mins(F.col("__grams"), 6)).alias("fp"))
+        .select(
+            "doc_id",
+            F.explode(textf.winnow_mins(F.col("__grams"), 6)).alias("fp"),
+        )
         .distinct()
     )
 
@@ -883,13 +893,7 @@ def q_winnowing_fingerprints_fast(spark: SparkSession, sf_dir: str) -> DataFrame
     values are pinned against an independent reference in
     tests/test_text.py, and the md5 twin's oracle row witnesses the
     shared winnow_mins code path."""
-    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents"))
-    grams = textf.char_gram_hashes("text", k=8, family="xxhash64")
-    return (
-        docs.select("doc_id", grams.alias("__grams"))
-        .select("doc_id", F.explode(textf.winnow_mins(F.col("__grams"), 6)).alias("fp"))
-        .distinct()
-    )
+    return _winnow_query(spark, sf_dir, family="xxhash64")
 
 
 def q_kafka_wire_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,13 +953,12 @@ def q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative error at high cardinality are pinned in
     tests/test_relational.py."""
     ev = _t(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
-        )
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
-        .persist()
-    )
+    # no persist: the union's two branches recompute the small per-day
+    # sketch aggregate rather than pinning an uncollectable cache entry
+    # per (query, sf_dir) invocation across the multi-scale gate runs
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
     per_day = daily.select(
         "day", F.hll_sketch_estimate("sk").alias("est_users")
     )

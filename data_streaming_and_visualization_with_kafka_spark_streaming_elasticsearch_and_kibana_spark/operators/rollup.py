@@ -24,6 +24,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsutil import recover_partition_swaps
+
 
 def minute_rollup_frame(
     df: DataFrame,
@@ -103,6 +105,10 @@ def continuous_aggregate(
         tail_src.filter(ts >= F.lit(watermark)), ts_col, keys, value_col
     ).select(*cols)
     try:
+        # resolve any `dt=<day>.old`/.staging leftovers from a writer
+        # that crashed mid-swap — partition discovery would read the
+        # retired copy as a second partition and double-count the day
+        recover_partition_swaps(path)
         hist = spark.read.parquet(path).select(*cols)
     except Exception:
         # empty materialization (single-day corpus: everything is tail) —
@@ -179,10 +185,26 @@ def backfill_days(
     to the cases the incremental refresh sink can't cover: late data
     arriving beyond its replay window, a corrupted partition, or a
     logic fix that invalidates specific days. The frozen watermark and
-    `_CAGG_META` are untouched — backfilled days sit below it, so the
-    history/tail disjointness argument is unaffected. Cost is
+    `_CAGG_META` are untouched, and the function ENFORCES that every
+    requested day lies below the frozen watermark (the tail day is
+    served from raw by design — materializing it would double-count it
+    in continuous_aggregate's history ∪ tail). Cost is
     O(selected days' raw rows): with a day-partitioned landing table
     (`partition_col`) the raw scan prunes to exactly those directories."""
+    import datetime
+    import json
+
+    meta_path = os.path.join(path, "_CAGG_META")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            wm = datetime.datetime.fromisoformat(json.load(f)["watermark"])
+        bad = [d for d in days if d >= wm.date()]
+        if bad:
+            raise ValueError(
+                f"backfill_days: {bad} not below the frozen watermark "
+                f"{wm.date()} — those days are tail-only; materializing "
+                "them would double-count in the served aggregate"
+            )
     ts = F.col(ts_col).cast("timestamp")
     src = raw
     if partition_col is not None:

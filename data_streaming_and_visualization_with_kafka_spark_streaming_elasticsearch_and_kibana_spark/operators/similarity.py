@@ -978,13 +978,19 @@ def pq_multi_query_topk(
             dist = np.zeros((len(ids_q), len(ids)))
             for s in range(codes.shape[1]):
                 dist += lut[:, s, :][:, codes[:, s]]
+            # same ranking contract as the single-query pq_adc_topk:
+            # floor-quantized distance, ties broken by ascending id —
+            # raw-float ordering here would let near-equal distances
+            # (identical codes = identical distance, the near-dup case)
+            # pick different shortlist boundary rows than the SQL path
+            dq = np.floor(dist * 1e6 + 0.5) / 1e6
             for qi, qid in enumerate(ids_q):
-                top = np.argsort(dist[qi], kind="stable")[:shortlist]
+                top = np.lexsort((ids, dq[qi]))[:shortlist]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
                         id_col: ids[top],
-                        "adc_dist": dist[qi][top],
+                        "adc_dist": dq[qi][top],
                     }
                 )
 

@@ -55,10 +55,29 @@ def _resolve_index(pattern: str, row: dict) -> str:
 
 
 class EsBulkWireWriter(DataSourceWriter):
-    def __init__(self, path: str, index: str, mapping_id: str | None):
+    def __init__(
+        self,
+        path: str,
+        index: str,
+        mapping_id: str | None,
+        overwrite: bool,
+    ):
         self.path = path
         self.index = index
         self.mapping_id = mapping_id
+        # overwrite semantics, deferred to COMMIT: the prior payload's
+        # files are enumerated now (driver-side, before any task runs)
+        # and deleted only after the new files publish — a failed job
+        # leaves the old payload intact, a successful one replaces it
+        self.retire = (
+            sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".ndjson")
+            )
+            if overwrite and os.path.isdir(path)
+            else []
+        )
 
     def write(self, iterator):
         os.makedirs(self.path, exist_ok=True)
@@ -79,6 +98,9 @@ class EsBulkWireWriter(DataSourceWriter):
         for m in messages:
             if m is not None:
                 os.replace(m.tmp_path, m.tmp_path[: -len(".tmp")])
+        for old in self.retire:
+            if os.path.exists(old):
+                os.remove(old)
 
     def abort(self, messages):
         for m in messages:
@@ -99,4 +121,6 @@ class EsBulkWireDataSource(DataSource):
                 "es_bulk_wire requires .option('path', ...) and "
                 ".option('index', ...)"
             )
-        return EsBulkWireWriter(path, index, self.options.get("mapping_id"))
+        return EsBulkWireWriter(
+            path, index, self.options.get("mapping_id"), overwrite
+        )

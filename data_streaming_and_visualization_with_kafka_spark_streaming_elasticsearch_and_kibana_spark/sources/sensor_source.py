@@ -93,30 +93,62 @@ class SensorTreeStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self):
         return {"consumed": {}}
 
-    def read(self, start):
-        consumed = dict(start["consumed"])
+    def _complete_lines(self, path: str) -> list[str]:
+        """Only newline-TERMINATED lines are consumable: a micro-batch
+        firing while the sensor is mid-append must neither parse the
+        torn tail as a (wrong) reading nor advance the offset past it —
+        the completed line is picked up whole on the next batch."""
+        with open(path) as f:
+            text = f.read()
+        cut = text.rfind("\n")
+        return text[: cut + 1].splitlines() if cut >= 0 else []
+
+    @staticmethod
+    def _parse(line: str, room: str):
+        ts_s, _, v_s = line.partition(",")
+        try:
+            ts = float(ts_s)
+        except ValueError:
+            ts = None
+        try:
+            v = float(v_s)
+        except ValueError:
+            v = None
+        return (ts, v, room)
+
+    def _rows_slice(self, consumed: dict, bound: dict | None):
+        """Rows in line range [consumed[room], bound[room]) per room
+        (bound=None → to end of complete lines), plus the advanced
+        offset. Deterministic for a fixed offset pair on append-only
+        files — shared by read() (live tailing, unbounded) and
+        readBetweenOffsets() (restart replay, end-bounded)."""
+        consumed = dict(consumed)
         rows = []
         for room in sorted(os.listdir(self.root)):
             p = os.path.join(self.root, room, f"{self.metric}.csv")
             if not os.path.isfile(p):
                 continue
-            with open(p) as f:
-                lines = f.read().splitlines()
-            for line in lines[consumed.get(room, 0):]:
-                if not line.strip():
-                    continue
-                ts_s, _, v_s = line.partition(",")
-                try:
-                    ts = float(ts_s)
-                except ValueError:
-                    ts = None
-                try:
-                    v = float(v_s)
-                except ValueError:
-                    v = None
-                rows.append((ts, v, room))
-            consumed[room] = len(lines)
-        return (iter(rows), {"consumed": consumed})
+            lines = self._complete_lines(p)
+            hi = len(lines) if bound is None else bound.get(room, 0)
+            for line in lines[consumed.get(room, 0): hi]:
+                if line.strip():
+                    rows.append(self._parse(line, room))
+            consumed[room] = hi
+        return rows, {"consumed": consumed}
+
+    def read(self, start):
+        rows, end = self._rows_slice(start["consumed"], None)
+        return (iter(rows), end)
+
+    def readBetweenOffsets(self, start, end):
+        """Restart recovery: re-derive the rows of a batch whose offsets
+        were committed but whose prefetch cache is gone (crash between
+        the offset-log and commit-log writes). Bounded by the END
+        offset's line counts, not the live file length, so lines
+        appended after the crash are not leaked into the replayed
+        batch."""
+        rows, _ = self._rows_slice(start["consumed"], end["consumed"])
+        return iter(rows)
 
     def commit(self, end):
         pass  # offsets live in the checkpoint's offset log

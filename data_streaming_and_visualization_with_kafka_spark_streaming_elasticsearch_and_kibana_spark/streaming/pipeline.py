@@ -26,6 +26,12 @@ from pyspark.sql import types as T
 
 from ..functions.codecs import decode_kafka_value
 
+# stage-then-swap commit protocol — implementation shared with the
+# reader side (operators.rollup) via the package-level fsutil module
+from ..fsutil import commit_dir_swap as _commit_dir_swap
+from ..fsutil import recover_dir_swap as _recover_dir_swap
+from ..fsutil import recover_partition_swaps as _recover_partition_swaps
+
 
 def decode_stream(
     raw: DataFrame,
@@ -254,40 +260,6 @@ def rollup_refresh_sink(
     return _apply
 
 
-def _recover_dir_swap(ddir: str) -> None:
-    """Crash recovery for the stage-then-swap commit: a prior run may
-    have died mid-swap. If the live dir is gone but its renamed-aside
-    copy survives, the swap never completed — restore the copy as the
-    committed state. A leftover `.old` ALONGSIDE a live dir means the
-    swap DID complete and only the cleanup was lost; drop it. Stale
-    staging is always discarded."""
-    import os
-    import shutil
-
-    retired, staging = ddir + ".old", ddir + ".staging"
-    if os.path.exists(retired):
-        if os.path.exists(ddir):
-            shutil.rmtree(retired)
-        else:
-            os.replace(retired, ddir)
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
-
-
-def _commit_dir_swap(ddir: str) -> None:
-    """Commit `<ddir>.staging` as `<ddir>`: the old dir is renamed
-    ASIDE, not rmtree'd, before the swap — so no crash window ever
-    leaves the target with neither the old nor the new state on disk
-    (`_recover_dir_swap` resolves every intermediate state)."""
-    import os
-    import shutil
-
-    retired = ddir + ".old"
-    if os.path.exists(ddir):
-        os.replace(ddir, retired)
-    os.replace(ddir + ".staging", ddir)
-    if os.path.exists(retired):
-        shutil.rmtree(retired)
 
 
 def _ledger_applied(path: str) -> list[int]:
@@ -440,13 +412,16 @@ def _compacted_ids(root: str) -> list[int]:
 
 def read_batch_dirs(spark, root: str) -> DataFrame:
     """Read a per-batch sink root correctly at any point in the
-    compaction lifecycle: rows whose `ingest` id is already folded into
-    the compacted partition are excluded even if a crashed cleanup left
-    their directory behind (the one state where a naive root read would
-    double-count). The filter is on the partition column, so it prunes
-    directories, not rows."""
+    compaction lifecycle: a mid-swap crash's `ingest=-1.old` /
+    `.staging` leftovers are resolved FIRST (partition discovery would
+    otherwise read the retired copy as a second, type-degrading
+    partition), and rows whose `ingest` id is already folded into the
+    compacted partition are excluded even if a crashed cleanup left
+    their directory behind. The id filter is on the partition column,
+    so it prunes directories, not rows."""
     import os
 
+    _recover_partition_swaps(root)
     df = spark.read.parquet(root)
     leftovers = [
         b

@@ -135,3 +135,40 @@ def test_sensor_tree_stream_tails_appended_lines(spark, tmp_dir):
     second = run()
     # same checkpoint → only the delta: the appended line + the new room
     assert second == {(3.0, 12.0, "r1"), (1.0, 20.0, "r2")}
+
+
+def test_sensor_tree_stream_ignores_torn_lines_and_replays_offsets(
+    spark, tmp_dir
+):
+    """Two reader-level contracts: (1) a newline-less torn tail is
+    neither parsed nor consumed — the completed line is picked up whole
+    later; (2) readBetweenOffsets re-derives exactly the committed
+    batch's rows (restart recovery), bounded by the END offset even
+    after more lines landed."""
+    import os
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.sensor_source import (
+        SensorTreeStreamReader,
+    )
+
+    root = f"{tmp_dir}/torn"
+    os.makedirs(f"{root}/r1", exist_ok=True)
+    with open(f"{root}/r1/co2.csv", "w") as f:
+        f.write("1.0,10.0\n2.0,2")  # torn mid-append: no trailing newline
+
+    r = SensorTreeStreamReader(root, "co2")
+    rows1, off1 = r.read(r.initialOffset())
+    assert list(rows1) == [(1.0, 10.0, "r1")]
+    assert off1["consumed"] == {"r1": 1}  # torn line NOT consumed
+
+    with open(f"{root}/r1/co2.csv", "a") as f:
+        f.write("2.5\n")  # writer finishes the line: 2.0,22.5
+    rows2, off2 = r.read(off1)
+    assert list(rows2) == [(2.0, 22.5, "r1")]
+    assert off2["consumed"] == {"r1": 2}
+
+    # restart recovery: batch (off1 -> off2) re-derived exactly, even
+    # though a third line has landed since
+    with open(f"{root}/r1/co2.csv", "a") as f:
+        f.write("3.0,30.0\n")
+    assert list(r.readBetweenOffsets(off1, off2)) == [(2.0, 22.5, "r1")]

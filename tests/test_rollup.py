@@ -166,3 +166,20 @@ def test_backfill_days_repairs_corrupted_partition(spark, tmp_dir):
         (f, os.path.getmtime(os.path.join(path, days[1], f)))
         for f in os.listdir(os.path.join(path, days[1]))
     }
+
+
+def test_backfill_rejects_days_at_or_above_the_watermark(spark, tmp_dir):
+    """Materializing the tail day would double-count it in history ∪
+    tail; backfill_days must refuse."""
+    import pytest
+
+    ev = _events(spark)
+    path = os.path.join(tmp_dir, "cagg_guard")
+    rollup.ensure_materialized(spark, ev, path).count()
+    import json
+
+    wm = datetime.datetime.fromisoformat(
+        json.load(open(os.path.join(path, "_CAGG_META")))["watermark"]
+    )
+    with pytest.raises(ValueError, match="not below the frozen watermark"):
+        rollup.backfill_days(spark, ev, path, [wm.date()])

@@ -102,3 +102,36 @@ def test_es_bulk_wire_writer_payload_and_routing(spark, tmp_dir):
         assert a["index"]["_id"] == d["room"]
     assert {d["room"] for d in docs} == {"413", "656"}
     assert sum(1 for d in docs if d["room"] == "413") == 2
+
+
+def test_es_bulk_wire_overwrite_replaces_prior_payload(spark, tmp_dir):
+    """mode('overwrite') must retire the previous run's published files
+    (only after the new ones commit), so the directory is always ONE
+    coherent payload — append mode keeps accumulating instead."""
+    import glob
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.es_wire_sink import (
+        EsBulkWireDataSource,
+    )
+
+    spark.dataSource.register(EsBulkWireDataSource)
+    out = f"{tmp_dir}/bulk_ow"
+
+    def write(vals, mode):
+        (
+            spark.createDataFrame(vals, "room string, co2 double")
+            .coalesce(1)
+            .write.format("es_bulk_wire")
+            .option("path", out)
+            .option("index", "room-{room}")
+            .mode(mode)
+            .save()
+        )
+
+    write([("413", 1.0)], "append")
+    write([("656", 2.0)], "append")
+    assert len(glob.glob(f"{out}/part-*.ndjson")) == 2
+    write([("999", 3.0)], "overwrite")
+    files = glob.glob(f"{out}/part-*.ndjson")
+    assert len(files) == 1
+    assert '"room-999"' in open(files[0]).read()

@@ -955,3 +955,27 @@ def test_dedup_within_watermark_evicts_and_reemits(spark, tmp_dir):
     ks = sorted(k for k, _ in rows)
     # A emitted TWICE (once per horizon), B/C/D once each
     assert ks == ["A", "A", "B", "C", "D"], rows
+
+
+def test_read_batch_dirs_resolves_mid_swap_crash_leftovers(spark, tmp_dir):
+    """A compaction crash between os.replace and the .old cleanup
+    leaves `ingest=-1.old` beside `ingest=-1`; partition discovery
+    would read the retired copy as a second partition (double-counting
+    every compacted row and degrading the partition type to string).
+    read_batch_dirs must resolve the leftover first and return the
+    exact row set."""
+    import shutil
+
+    root = f"{tmp_dir}/qroot"
+    sink = pipeline.quality_gate_sink(root, f"{tmp_dir}/qquar", [])
+    df = spark.range(10).select(F.col("id").alias("v"))
+    sink(df.filter("v < 5"), 0)
+    sink(df.filter("v >= 5"), 1)
+    assert pipeline.compact_batch_dirs(spark, root, min_batches=2) == 2
+    # simulate the crash window: retired copy still on disk
+    shutil.copytree(f"{root}/ingest=-1", f"{root}/ingest=-1.old")
+    got = sorted(r.v for r in pipeline.read_batch_dirs(spark, root).collect())
+    assert got == list(range(10))
+    import os
+
+    assert not os.path.exists(f"{root}/ingest=-1.old")
