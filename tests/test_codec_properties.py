@@ -58,3 +58,52 @@ def test_delimited_roundtrip_property(spark, rows):
         .select("d.*")
     )
     assert sorted(back.collect(), key=str) == sorted(df.collect(), key=str)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\x00"
+            ),
+            min_size=1,
+            max_size=600,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_doc_chunks_cover_and_stitch_back_property(spark, texts):
+    """Chunking invariants for arbitrary text (q_doc_chunks geometry,
+    size=200/stride=150): chunk starts tile the doc with 50-char
+    overlap, and chunk0 + every later chunk's last (size−stride) slice
+    reconstructs the original text exactly — no position lost, none
+    duplicated beyond the declared overlap."""
+    size, stride = 200, 150
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # same expression pipeline as q_doc_chunks, applied to this frame
+    from pyspark.sql import functions as F
+
+    n = F.length("text")
+    idx = F.sequence(
+        F.lit(0),
+        F.ceil(F.greatest(n - size, F.lit(0)) / float(stride)).cast("int"),
+    )
+    chunk = F.col("text").substr(
+        (F.col("chunk_idx") * stride + 1).cast("int"), F.lit(size)
+    )
+    rows = (
+        df.select("doc_id", F.explode(idx).alias("chunk_idx"), "text")
+        .select("doc_id", "chunk_idx", chunk.alias("chunk"))
+        .collect()
+    )
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk
+    for i, t in enumerate(texts):
+        chunks = [by_doc[i][j] for j in sorted(by_doc[i])]
+        stitched = chunks[0] + "".join(c[size - stride:] for c in chunks[1:])
+        assert stitched == t, (len(t), [len(c) for c in chunks])
