@@ -1053,6 +1053,71 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sensor_tree_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource UNDER THE DIFFERENTIAL GATE: events
+    are materialized once as a KETI-style tree (root/<event_type>/
+    value.csv, headerless "epoch,value" lines — the reference's exact
+    on-disk layout, data_collector.py:11-20), read back through
+    format('sensor_tree') (per-room split planning, executor-side
+    parse), and aggregated per room. The oracle computes the same
+    aggregate from the ORIGINAL parquet in DuckDB, so a hash match
+    proves the connector's planning + parsing + room attribution are
+    lossless — doubles survive the text roundtrip because repr emits
+    shortest-roundtrip decimals. Room count bounds the driver-side
+    write loop (5 dirs), never row count."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.sensor_source import (
+        SensorTreeDataSource,
+    )
+
+    path = _materialized_path(sf_dir, "sensor_tree")
+    fp = _source_fingerprint(f"{sf_dir}/events.parquet")
+    if not _artifact_ready(path, fp):
+        ev = _t(spark, sf_dir, "events").select(
+            F.col("event_type").alias("room"),
+            _epoch_sec(F.col("ts")).alias("epoch"),
+            "value",
+        )
+        rooms = [r.room for r in ev.select("room").distinct().collect()]
+        for room in rooms:  # bounded by room cardinality (5), not rows
+            rdir = os.path.join(path, room)
+            os.makedirs(rdir, exist_ok=True)
+            part = (
+                ev.filter(F.col("room") == room)
+                .select(
+                    F.concat_ws(
+                        ",",
+                        F.col("epoch").cast("string"),
+                        F.col("value").cast("string"),
+                    ).alias("line")
+                )
+            )
+            staging = os.path.join(rdir, "__csv_staging")
+            part.coalesce(1).write.mode("overwrite").text(staging)
+            import glob as _glob
+            import shutil as _shutil
+
+            src = _glob.glob(os.path.join(staging, "part-*"))[0]
+            os.replace(src, os.path.join(rdir, "value.csv"))
+            _shutil.rmtree(staging)
+        _mark_artifact(path, fp)
+    spark.dataSource.register(SensorTreeDataSource)
+    tree = (
+        spark.read.format("sensor_tree")
+        .option("path", path)
+        .option("metric", "value")
+        .load()
+    )
+    return tree.groupBy("room").agg(
+        F.count(F.lit(1)).alias("n"),
+        _cents_sum("value").alias("total_value"),
+        # min/max, not SUM: epoch doubles are exact per row but a 60k-row
+        # float sum accumulates order-dependent error beyond any safe
+        # quantum; extrema are single bit-identical values
+        _q(F.min("timestamp"), 6).alias("first_epoch"),
+        _q(F.max("timestamp"), 6).alias("last_epoch"),
+    )
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source (§2.1, the landed-file twin of the Kafka JSON
     wire): orders → .json lines → read back with an EXPLICIT schema (never
@@ -3141,6 +3206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_status_priority": q_cube_status_priority,
     "hypertable_rollup": q_hypertable_rollup,
     "orc_roundtrip": q_orc_roundtrip,
+    "sensor_tree_roundtrip": q_sensor_tree_roundtrip,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "lang_sampling_weights": q_lang_sampling_weights,
     "rollup_accounts": q_rollup_accounts,
@@ -5113,6 +5179,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, COUNT(*) AS n,
                    {_sql_cents_sum("c_acctbal")} AS balance
             FROM customer GROUP BY 1
+        """,
+        "sensor_tree_roundtrip": f"""
+            SELECT event_type AS room, COUNT(*) AS n,
+                   {_sql_cents_sum("value")} AS total_value,
+                   {_sql_q("MIN(epoch(ts))", 6)} AS first_epoch,
+                   {_sql_q("MAX(epoch(ts))", 6)} AS last_epoch
+            FROM events GROUP BY 1
         """,
         "jsonl_roundtrip": f"""
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
