@@ -36,6 +36,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -108,6 +109,46 @@ class EsBulkWireWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
 
 
+class EsBulkWireStreamWriter(DataSourceStreamWriter):
+    """Streaming twin: each micro-batch's payload publishes atomically
+    as an `epoch=<batchId>` directory (tasks stage `.tmp` files; the
+    driver-side commit renames them under the epoch dir only after
+    every task succeeded, abort removes strays). At-least-once replay
+    of a batch rewrites its own epoch dir — with per-key `_id`s the ES
+    `_bulk` POST of a replayed payload converges to the same documents,
+    the same idempotence the keyed S8 sink relies on. The epoch layout
+    is the same per-batch-dir convention as the foreachBatch sinks, so
+    `compact_batch_dirs`-style maintenance applies."""
+
+    def __init__(self, path: str, index: str, mapping_id: str | None):
+        self.path = path
+        self.index = index
+        self.mapping_id = mapping_id
+
+    def write(self, iterator):
+        w = EsBulkWireWriter(self.path, self.index, self.mapping_id, False)
+        return w.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        edir = os.path.join(self.path, f"epoch={batchId}")
+        if os.path.isdir(edir):  # at-least-once replay: rewrite, not add
+            import shutil
+
+            shutil.rmtree(edir)
+        os.makedirs(edir, exist_ok=True)
+        for m in messages:
+            if m is not None:
+                final = os.path.join(
+                    edir, os.path.basename(m.tmp_path)[: -len(".tmp")]
+                )
+                os.replace(m.tmp_path, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class EsBulkWireDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -123,4 +164,16 @@ class EsBulkWireDataSource(DataSource):
             )
         return EsBulkWireWriter(
             path, index, self.options.get("mapping_id"), overwrite
+        )
+
+    def streamWriter(self, schema, overwrite: bool) -> EsBulkWireStreamWriter:
+        path = self.options.get("path")
+        index = self.options.get("index")
+        if not path or not index:
+            raise ValueError(
+                "es_bulk_wire requires .option('path', ...) and "
+                ".option('index', ...)"
+            )
+        return EsBulkWireStreamWriter(
+            path, index, self.options.get("mapping_id")
         )

@@ -135,3 +135,59 @@ def test_es_bulk_wire_overwrite_replaces_prior_payload(spark, tmp_dir):
     files = glob.glob(f"{out}/part-*.ndjson")
     assert len(files) == 1
     assert '"room-999"' in open(files[0]).read()
+
+
+def test_es_bulk_wire_stream_writer_per_epoch_payloads(spark, tmp_dir):
+    """writeStream.format('es_bulk_wire'): each micro-batch publishes
+    as an epoch=<id> directory of action/doc NDJSON pairs with keyed
+    _ids — the streaming twin of the reference's per-row HTTP loop,
+    batched per partition and committed atomically per epoch."""
+    import glob
+    import json
+    import os
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.es_wire_sink import (
+        EsBulkWireDataSource,
+    )
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.readers import (
+        file_stream,
+    )
+
+    spark.dataSource.register(EsBulkWireDataSource)
+    src = f"{tmp_dir}/es_src"
+    schema = "room string, co2 double"
+    spark.createDataFrame([("413", 1.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([("656", 2.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = f"{tmp_dir}/es_out"
+    q = (
+        file_stream(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.format("es_bulk_wire")
+        .option("path", out)
+        .option("index", "room-{room}")
+        .option("mapping_id", "room")
+        .option("checkpointLocation", f"{tmp_dir}/es_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    epochs = sorted(
+        d for d in os.listdir(out) if d.startswith("epoch=")
+    )
+    assert len(epochs) == 2
+    docs = []
+    for e in epochs:
+        for p in glob.glob(f"{out}/{e}/part-*.ndjson"):
+            lines = [json.loads(x) for x in open(p).read().splitlines()]
+            for a, d in zip(lines[0::2], lines[1::2]):
+                assert a["index"]["_index"] == f"room-{d['room']}"
+                assert a["index"]["_id"] == d["room"]
+                docs.append(d["room"])
+    assert sorted(docs) == ["413", "656"]
+    assert not glob.glob(f"{out}/**/*.tmp") and not glob.glob(f"{out}/*.tmp")
