@@ -156,6 +156,25 @@ def measure(spark, name: str, vecs: np.ndarray, queries, planes, report):
         rec, frac = recall_of(rows, exact), scan_fraction(ivf_hist, probes)
         report.append((name, "ivf", f"nprobe={npr}", rec, frac))
         print(f"{name:9s} ivf nprobe={npr:<4d} recall@{K}={rec:.3f} scan={frac:.3f}")
+
+    # PQ two-stage (trained codebooks, ADC shortlist + exact re-rank).
+    # "scan" for PQ is the exact-math fraction: shortlist/n — the ADC
+    # pass reads ALL the codes by design, but at 1/32 the bytes.
+    pq_path = f"{OUT}/{name}_pq"
+    shutil.rmtree(pq_path, ignore_errors=True)
+    cb = similarity.train_pq_codebooks(corpus, m=8, k=16, seed=42)
+    similarity.build_pq_index(corpus, cb, pq_path)
+    for shortlist in (50, 100):
+        rows = similarity.pq_multi_query_topk(
+            spark, pq_path, corpus, queries, cb, K, shortlist=shortlist
+        ).collect()
+        rec = recall_of(rows, exact)
+        frac = shortlist / n
+        report.append((name, "pq", f"shortlist={shortlist}", rec, frac))
+        print(
+            f"{name:9s} pq shortlist={shortlist:<4d} recall@{K}={rec:.3f} "
+            f"rerank_frac={frac:.3f}"
+        )
     corpus.unpersist()
     return n
 
