@@ -1053,6 +1053,28 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kafka_wire_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third wire decoder under the gate: the SAME encode→decode→
+    aggregate pipeline as kafka_wire_pipeline, but decoded through the
+    VARIANT path (codecs.variant_decode — parse once, bind each
+    declared field at query time via try_variant_get). A hash match
+    against the identical DuckDB aggregate proves schema-on-read
+    decode is lossless where the payload matches the schema; the drift
+    tolerance it adds over from_json (producer adds keys → consumer
+    unaffected; field-level type quarantine) is pinned in
+    tests/test_codecs.py."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    wire = codecs.encode_for_kafka(ev, key_col="user_id", wire_format="json")
+    ddl = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    decoded = codecs.decode_kafka_value(wire, ddl, wire_format="variant")
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _cents_sum("value").alias("total_value"),
+    )
+
+
 def q_sensor_tree_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom Python DataSource UNDER THE DIFFERENTIAL GATE: events
     are materialized once as a KETI-style tree (root/<event_type>/
@@ -3207,6 +3229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hypertable_rollup": q_hypertable_rollup,
     "orc_roundtrip": q_orc_roundtrip,
     "sensor_tree_roundtrip": q_sensor_tree_roundtrip,
+    "kafka_wire_variant": q_kafka_wire_variant,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "lang_sampling_weights": q_lang_sampling_weights,
     "rollup_accounts": q_rollup_accounts,
@@ -4031,6 +4054,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "kafka_wire_pipeline": f"""
+            SELECT event_type, COUNT(*) AS n,
+                   {_sql_cents_sum("value")} AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "kafka_wire_variant": f"""
             SELECT event_type, COUNT(*) AS n,
                    {_sql_cents_sum("value")} AS total_value
             FROM events GROUP BY event_type

@@ -72,6 +72,30 @@ def delimited_decode(
     return F.struct(*fields)
 
 
+# ------------------------------------------------------------ variant format
+def variant_decode(col: Column | str, schema: T.StructType | str) -> Column:
+    """JSON wire → VARIANT → typed struct, the schema-on-read decoder
+    (Spark 4): the payload is parsed ONCE into a VARIANT and the
+    declared fields bind at query time via try_variant_get paths —
+    so a producer adding keys never desyncs the consumer (the extra
+    keys simply aren't extracted, but remain queryable if the caller
+    also keeps the raw variant), and malformed input or a missing/
+    mistyped field quarantines as NULL instead of failing the task.
+    Same PERMISSIVE contract as json_decode/delimited_decode, making
+    the three decoders drop-in interchangeable."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    c = col if isinstance(col, Column) else F.col(col)
+    v = F.try_parse_json(c)
+    fields = [
+        F.try_variant_get(v, f"$.{f.name}", f.dataType.simpleString()).alias(
+            f.name
+        )
+        for f in schema.fields
+    ]
+    return F.struct(*fields)
+
+
 # ------------------------------------------------------------------ kafka I/O
 def encode_for_kafka(
     df: DataFrame,
@@ -109,9 +133,10 @@ def decode_kafka_value(
     missing delimited twin.
     """
     s = F.col("value").cast("string")
-    data = (
-        json_decode(s, schema)
-        if wire_format == "json"
-        else delimited_decode(s, schema, sep)
-    )
+    if wire_format == "json":
+        data = json_decode(s, schema)
+    elif wire_format == "variant":
+        data = variant_decode(s, schema)
+    else:
+        data = delimited_decode(s, schema, sep)
     return df.withColumn("data", data).select("data.*")

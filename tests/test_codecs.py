@@ -121,3 +121,30 @@ def test_variant_schema_on_read_tolerates_evolution(spark):
     ).collect()
     assert [r.k for r in out] == [1, 2, None, None]
     assert [r.nk for r in out] == [None, "later-added", None, None]
+
+
+def test_variant_decoder_drift_tolerance_vs_from_json(spark):
+    """What the VARIANT wire decoder adds over from_json: (1) a payload
+    with EXTRA keys decodes the declared fields cleanly; (2) one
+    mistyped field quarantines as NULL at FIELD level while the other
+    fields survive — from_json's PERMISSIVE mode nulls the whole row's
+    struct on such input."""
+    from pyspark.sql import functions as F
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions import (
+        codecs,
+    )
+
+    ddl = "id BIGINT, v DOUBLE"
+    df = spark.createDataFrame(
+        [
+            ('{"id": 1, "v": 2.5, "added_later": true}',),
+            ('{"id": "not_a_number", "v": 3.5}',),
+        ],
+        "s string",
+    )
+    out = df.select(codecs.variant_decode("s", ddl).alias("d")).select(
+        "d.*"
+    ).collect()
+    assert (out[0].id, out[0].v) == (1, 2.5)  # extra key: harmless
+    assert out[1].id is None and out[1].v == 3.5  # field-level quarantine
