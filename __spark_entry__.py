@@ -1053,6 +1053,41 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto a time spine (temporal.interpolate_
+    linear): per event type, the value series resampled to an hourly
+    grid over 2024-01-02 by time-weighting the two bracketing
+    observations — the resampling step an irregular sensor feed needs
+    before fusion, and the step up from LOCF. Observations are
+    pre-aggregated to one row per (type, epoch) in exact integer cents
+    so bracketing is tie-free; the DuckDB twin replays the same
+    union + IGNORE NULLS window passes and the same float weight math
+    bit-for-bit (epoch doubles are identical, so frac and the lerp
+    are too; 6-dp floor-quantize absorbs nothing but formatting)."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", _epoch_sec(F.col("ts")).alias("t")
+    ).agg((F.sum(_cents("value")) / F.lit(100.0) / F.count(F.lit(1))).alias("v"))
+    day0 = 1704153600  # 2024-01-02T00:00:00Z
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(24).select(
+                (F.lit(day0) + F.col("id") * 3600).cast("double").alias("t")
+            )
+        )
+    )
+    out = temporal.interpolate_linear(
+        obs, spine, ["event_type"], ts_col="t", value_col="v"
+    )
+    return out.select(
+        "event_type",
+        F.col("t").cast("long").alias("t"),
+        _q(F.col("value_interp"), 6).alias("value_interp"),
+    )
+
+
 def q_kafka_wire_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The third wire decoder under the gate: the SAME encode→decode→
     aggregate pipeline as kafka_wire_pipeline, but decoded through the
@@ -3230,6 +3265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orc_roundtrip": q_orc_roundtrip,
     "sensor_tree_roundtrip": q_sensor_tree_roundtrip,
     "kafka_wire_variant": q_kafka_wire_variant,
+    "interpolate_hourly": q_interpolate_hourly,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "lang_sampling_weights": q_lang_sampling_weights,
     "rollup_accounts": q_rollup_accounts,
@@ -4057,6 +4093,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    {_sql_cents_sum("value")} AS total_value
             FROM events GROUP BY event_type
+        """,
+        "interpolate_hourly": """
+            WITH obs AS (
+                SELECT event_type, epoch(ts) AS t,
+                       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0
+                           / COUNT(*) AS v
+                FROM events GROUP BY 1, 2
+            ),
+            spine AS (
+                SELECT event_type,
+                       CAST(1704153600 + 3600 * h AS DOUBLE) AS t
+                FROM (SELECT DISTINCT event_type FROM events),
+                     (SELECT unnest(range(0, 24)) AS h)
+            ),
+            u AS (
+                SELECT event_type, t, v, 1 AS is_obs FROM obs
+                UNION ALL
+                SELECT event_type, t, NULL, 0 FROM spine
+            ),
+            w AS (
+                SELECT event_type, t, is_obs,
+                    last_value(v IGNORE NULLS) OVER
+                        (PARTITION BY event_type ORDER BY t ASC, is_obs DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS v0,
+                    last_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS)
+                        OVER
+                        (PARTITION BY event_type ORDER BY t ASC, is_obs DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS t0,
+                    first_value(v IGNORE NULLS) OVER
+                        (PARTITION BY event_type ORDER BY t ASC, is_obs DESC
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS v1,
+                    first_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS)
+                        OVER
+                        (PARTITION BY event_type ORDER BY t ASC, is_obs DESC
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS t1
+                FROM u
+            )
+            SELECT event_type, CAST(t AS BIGINT) AS t,
+                   FLOOR((CASE WHEN t0 = t THEN v0
+                               WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                               THEN v0 + (v1 - v0) * (t - t0) / (t1 - t0)
+                          END) * 1000000 + 0.5) / 1000000.0 AS value_interp
+            FROM w WHERE is_obs = 0
         """,
         "kafka_wire_variant": f"""
             SELECT event_type, COUNT(*) AS n,

@@ -160,3 +160,79 @@ def date_spine(
     return days.crossJoin(F.broadcast(dims)).join(
         counts, [day_col, *dims.columns], "left"
     )
+
+
+def interpolate_linear(
+    obs: DataFrame,
+    spine: DataFrame,
+    keys: list[str],
+    ts_col: str = "t",
+    value_col: str = "value",
+    out_col: str = "value_interp",
+) -> DataFrame:
+    """Linear interpolation of irregular observations onto a target
+    spine — the resampling op an irregular sensor feed (the reference's
+    KETI data) needs before fusion/charting, and the step up from LOCF
+    (`locf` holds the last value flat; this weights the two bracketing
+    observations by time distance).
+
+    obs:   keys + ts_col (numeric, e.g. epoch seconds) + value_col,
+           UNIQUE per (keys, ts) — pre-aggregate duplicates first, or
+           the bracketing values are tie-order-nondeterministic.
+    spine: keys + ts_col target points.
+
+    Shape: one union + two window passes per key (forward pass finds
+    the observation at-or-before each spine point, backward pass the
+    one strictly after) — no range join, no per-point probe; state is
+    one row per observation ∪ spine point, partitioned by key. Spine
+    points outside the observed range yield NULL (interpolation, not
+    extrapolation); an exact-timestamp hit returns that observation
+    verbatim."""
+    u = obs.select(
+        *keys,
+        F.col(ts_col).cast("double").alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(1).alias("__is_obs"),
+    ).unionByName(
+        spine.select(
+            *keys,
+            F.col(ts_col).cast("double").alias("__t"),
+            F.lit(None).cast("double").alias("__v"),
+            F.lit(0).alias("__is_obs"),
+        )
+    )
+    # at an equal timestamp the observation sorts BEFORE the spine
+    # point, so the forward pass treats it as "at-or-before" and the
+    # backward pass (current row onward) cannot see it as "after"
+    order = [F.asc("__t"), F.desc("__is_obs")]
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("__is_obs") == 1, F.col("__t"))
+    w = (
+        u.withColumn("__v0", F.last("__v", ignorenulls=True).over(fwd))
+        .withColumn("__t0", F.last(obs_t, ignorenulls=True).over(fwd))
+        .withColumn("__v1", F.first("__v", ignorenulls=True).over(bwd))
+        .withColumn("__t1", F.first(obs_t, ignorenulls=True).over(bwd))
+        .filter(F.col("__is_obs") == 0)
+    )
+    frac = (F.col("__t") - F.col("__t0")) / (F.col("__t1") - F.col("__t0"))
+    interp = (
+        F.when(F.col("__t0") == F.col("__t"), F.col("__v0"))
+        .when(
+            F.col("__t0").isNotNull() & F.col("__t1").isNotNull(),
+            F.col("__v0") + (F.col("__v1") - F.col("__v0")) * frac,
+        )
+    )
+    return w.select(
+        *keys,
+        F.col("__t").alias(ts_col),
+        interp.alias(out_col),
+    )

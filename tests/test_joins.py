@@ -169,3 +169,36 @@ def test_date_spine_emits_zero_days(spark):
     }
     # Jan 2 has no events but MUST appear as an explicit zero bucket
     assert got == {"2024-01-01": 1, "2024-01-02": 0, "2024-01-03": 1}
+
+
+def test_interpolate_linear_matches_closed_form(spark):
+    """interpolate_linear semantics on a hand-computable series: exact
+    hits return the observation, interior points time-weight the
+    brackets, points outside the observed range are NULL (no
+    extrapolation)."""
+    from pyspark.sql import functions as F
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        temporal,
+    )
+
+    obs = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("a", 10.0, 20.0), ("a", 20.0, 0.0)],
+        "k string, t double, v double",
+    )
+    spine = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 2.5), ("a", 15.0), ("a", 20.0), ("a", 25.0)],
+        "k string, t double",
+    )
+    got = {
+        r.t: r.value_interp
+        for r in temporal.interpolate_linear(
+            obs, spine, ["k"], ts_col="t", value_col="v"
+        ).collect()
+    }
+    assert got[-5.0] is None          # before first obs
+    assert got[0.0] == 10.0           # exact hit
+    assert got[2.5] == 12.5           # 10 + (20-10)*0.25
+    assert got[15.0] == 10.0          # 20 + (0-20)*0.5
+    assert got[20.0] == 0.0           # exact hit on last
+    assert got[25.0] is None          # beyond last obs
