@@ -1053,6 +1053,50 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema: one
+    row per FK edge with the referencing row count and the orphan count
+    (rows whose key has no match in the referenced table). Each edge is
+    a left-anti-join-shaped aggregate — expressed as a left join +
+    conditional count so all edges stay independent scans; dimension
+    sides broadcast. At 100 TB this is the nightly audit that catches a
+    partial dimension load before every downstream join silently drops
+    (inner) or null-extends (outer) the orphans. NULL keys count as
+    orphans (same unknown-is-not-a-pass stance as operators.quality)."""
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for name, ft, fk, rt, rk in edges:
+        f = _t(spark, sf_dir, ft).select(F.col(fk).alias("__k"))
+        r = (
+            _t(spark, sf_dir, rt)
+            .select(F.col(rk).alias("__k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        joined = f.join(F.broadcast(r), "__k", "left")
+        parts.append(
+            joined.agg(
+                F.lit(name).alias("fk_edge"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("__hit").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_orphans"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation onto a time spine (temporal.interpolate_
     linear): per event type, the value series resampled to an hourly
@@ -3266,6 +3310,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sensor_tree_roundtrip": q_sensor_tree_roundtrip,
     "kafka_wire_variant": q_kafka_wire_variant,
     "interpolate_hourly": q_interpolate_hourly,
+    "fk_integrity_report": q_fk_integrity_report,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "lang_sampling_weights": q_lang_sampling_weights,
     "rollup_accounts": q_rollup_accounts,
@@ -4093,6 +4138,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    {_sql_cents_sum("value")} AS total_value
             FROM events GROUP BY event_type
+        """,
+        "fk_integrity_report": """
+            SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_orphans
+            FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+              ON l.l_orderkey = o.o_orderkey
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part', COUNT(*),
+                   CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+              ON l.l_partkey = p.p_partkey
+            UNION ALL
+            SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+                   CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+              ON l.l_suppkey = s.s_suppkey
+            UNION ALL
+            SELECT 'orders.o_custkey->customer', COUNT(*),
+                   CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+              ON o.o_custkey = c.c_custkey
+            UNION ALL
+            SELECT 'customer.c_nationkey->nation', COUNT(*),
+                   CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+              ON c.c_nationkey = n.n_nationkey
+            UNION ALL
+            SELECT 'supplier.s_nationkey->nation', COUNT(*),
+                   CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM supplier s LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+              ON s.s_nationkey = n.n_nationkey
+            UNION ALL
+            SELECT 'nation.n_regionkey->region', COUNT(*),
+                   CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM nation n LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+              ON n.n_regionkey = r.r_regionkey
         """,
         "interpolate_hourly": """
             WITH obs AS (
