@@ -1053,6 +1053,29 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_setsim_join_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered all-pairs set-similarity join under the
+    differential gate (dedup.setsim_prefix_join — the AllPairs/PPJoin
+    prefix filter, Bayardo et al. WWW'07): word-set Jaccard ≥ 0.5 pairs
+    over a 500-doc slice. Sets are 3-word shingles (the MinHash tier's
+    unit — word sets are too coarse on this corpus: a shared vocabulary
+    makes most word SETS near-identical, where shingle sets separate
+    true near-dups). THE POINT of the oracle pairing: Spark produces
+    pairs through the candidate-pruning prefix filter while DuckDB
+    brute-forces ALL pairs — a hash match proves the filter dropped no
+    qualifying pair (lossless pruning), not merely that both engines
+    can compute Jaccard."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(textf.shingles_from_words(words, 3)).alias(
+            "tokens"
+        ),
+    )
+    return dedup.setsim_prefix_join(toks, threshold=0.5)
+
+
 def q_fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the whole star schema: one
     row per FK edge with the referencing row count and the orphan count
@@ -3311,6 +3334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kafka_wire_variant": q_kafka_wire_variant,
     "interpolate_hourly": q_interpolate_hourly,
     "fk_integrity_report": q_fk_integrity_report,
+    "setsim_join_verified": q_setsim_join_verified,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "lang_sampling_weights": q_lang_sampling_weights,
     "rollup_accounts": q_rollup_accounts,
@@ -4138,6 +4162,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    {_sql_cents_sum("value")} AS total_value
             FROM events GROUP BY event_type
+        """,
+        "setsim_join_verified": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS words
+                FROM documents WHERE doc_id < 500
+            ),
+            d0 AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN len(words) < 3
+                                THEN [array_to_string(words, ' ')]
+                                ELSE list_transform(
+                                    generate_series(0, len(words) - 3),
+                                    i -> array_to_string(
+                                        list_slice(words, i + 1, i + 3), ' '))
+                           END) AS toks
+                FROM w
+            ),
+            d AS (SELECT * FROM d0 WHERE len(toks) > 0),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                           AS inter,
+                       CAST(len(a.toks) AS DOUBLE)
+                           + CAST(len(b.toks) AS DOUBLE) AS tot
+                FROM d a JOIN d b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   FLOOR((inter / (tot - inter)) * 1000000 + 0.5)
+                       / 1000000.0 AS jaccard
+            FROM pairs
+            WHERE inter / (tot - inter) >= 0.5
         """,
         "fk_integrity_report": """
             SELECT 'lineitem.l_orderkey->orders' AS fk_edge,

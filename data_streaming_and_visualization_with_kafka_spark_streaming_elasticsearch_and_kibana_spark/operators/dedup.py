@@ -690,3 +690,98 @@ def dedup_index_probe_and_extend(
     open(os.path.join(index_path, "_INDEX_READY"), "a").close()
     sig_b.unpersist()
     return verdicts
+
+
+# ---------------------------------------------- prefix-filtered set-sim join
+def setsim_prefix_join(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """All-pairs set-similarity join with the prefix filter (Bayardo,
+    Ma, Srikant — "Scaling Up All Pairs Similarity Search", WWW 2007;
+    the AllPairs/PPJoin family): tokens are globally ordered
+    rarest-first, each set keeps only its prefix of length
+    |s| − ceil(θ·|s|) + 1, and only sets sharing a PREFIX token become
+    candidate pairs — any pair with Jaccard ≥ θ provably shares one,
+    so the filter is lossless while candidates collapse from O(n²) to
+    pairs-sharing-a-rare-token. Candidates are then verified with the
+    exact Jaccard.
+
+    Scale shape: the rank map is vocabulary-sized (broadcast); the one
+    global window that ranks it is vocab-bounded, not corpus-bounded.
+    The candidate join carries (token, id) pairs only — prefixes, not
+    whole documents — and the verify join re-attaches the two token
+    arrays for surviving pairs alone. Input `tokens_col` must be a
+    DISTINCT-element array.
+
+    Returns (id_a, id_b, jaccard), jaccard floor-quantized. The
+    differential gate (q_setsim_join_verified) checks this against a
+    DuckDB ALL-PAIRS computation — a hash match proves the prefix
+    filter dropped no qualifying pair."""
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(id_col).alias("__id"), F.col(tokens_col).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    tok = d.select("__id", F.explode("__toks").alias("__tok"))
+    vocab = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    rank = vocab.withColumn(
+        "__rank",
+        F.row_number().over(Window.orderBy(F.asc("__df"), F.asc("__tok"))),
+    ).select("__tok", "__rank")
+    ranked = (
+        tok.join(F.broadcast(rank), "__tok")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__rank", "__tok"))
+                ),
+                lambda s: s["__tok"],
+            ).alias("__sorted")
+        )
+    )
+    n = F.size("__sorted")
+    plen = (n - F.ceil(n * F.lit(float(threshold))) + 1).cast("int")
+    pref = ranked.select(
+        "__id",
+        "__sorted",
+        F.explode(F.slice("__sorted", 1, plen)).alias("__tok"),
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "__tok")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = ranked.select(
+        F.col("__id").alias("id_a"), F.col("__sorted").alias("__ta")
+    )
+    tb = ranked.select(
+        F.col("__id").alias("id_b"), F.col("__sorted").alias("__tb")
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb")).cast("double")
+    union = (
+        F.size("__ta").cast("double") + F.size("__tb").cast("double") - inter
+    )
+    jac = inter / union
+    p = float(10**round_to)
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("__j", jac)
+        .filter(F.col("__j") >= float(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(F.col("__j") * p + F.lit(0.5)) / F.lit(p)).alias(
+                "jaccard"
+            ),
+        )
+    )
