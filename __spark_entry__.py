@@ -834,6 +834,33 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ index (rows-only; every constituent is
+    separately gated — cells by lsh/ivf partition-prune tests, codes by
+    pq_adc_verified's hash match): nearest-cell pruning reads nprobe
+    partitions of 8-byte codes, ADC shortlists, exact cosine re-ranks.
+    Multiplicative savings — the 100 TB index recipe. Recall pinned in
+    tests/test_similarity.py (≥0.9 clustered at nprobe=2)."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = _query_vec(spark, sf_dir)
+    cents = similarity.train_ivf_centroids(emb, n_centroids=16, seed=42)
+    cb = similarity.train_pq_codebooks(emb, m=8, k=16, seed=42)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    index_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivfpq_index_{sf_tag}"
+    )
+    fp = _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+    if not _artifact_ready(index_path, fp):
+        similarity.build_ivfpq_index(emb, cents, cb, index_path)
+        _mark_artifact(index_path, fp)
+    return similarity.ivfpq_topk(
+        spark, index_path, emb, qvec, cents, cb, k=10, nprobe=4,
+        shortlist=100,
+    )
+
+
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min hash over all char 8-grams
     (degenerate winnowing with window = whole doc). md5 rather than
@@ -3350,6 +3377,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "pq_adc_verified": q_pq_adc_verified,
     "pq_ann_topk": q_pq_ann_topk,
+    "ivfpq_ann_topk": q_ivfpq_ann_topk,
     "rolling_fingerprint": q_rolling_fingerprint,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,

@@ -1032,3 +1032,61 @@ def pq_multi_query_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+# ------------------------------------------------------------------- IVF-PQ
+def build_ivfpq_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """The composed index (IVF-PQ — the coarse-quantize-then-compress
+    recipe of Jégou et al. TPAMI 2011, faiss's workhorse): every vector
+    is assigned its nearest coarse centroid (ivf_assign, pure JVM) AND
+    PQ-encoded (pq_encode_arrow), and the (id, code) table is persisted
+    PARTITIONED BY cell. A probe therefore composes both savings
+    multiplicatively: partition pruning reads only nprobe cells, and
+    what it reads is 8-byte codes, not 256-byte vectors — at 100 TB the
+    difference between an index that lives in page cache and one that
+    doesn't. (Codes are over the raw vectors, not cell residuals — the
+    exact re-rank stage makes residual refinement unnecessary here.)"""
+    from ..sources.sinks import write_partitioned_parquet
+
+    enc = pq_encode_arrow(corpus, codebooks, vec_col)
+    assigned = ivf_assign(enc, centroids, vec_col)
+    write_partitioned_parquet(
+        assigned.select(id_col, "pq_code", "cid"), path, ["cid"]
+    )
+
+
+def ivfpq_topk(
+    spark,
+    index_path: str,
+    corpus: DataFrame,
+    qvec,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Three-stage IVF-PQ search: prune to the nprobe nearest cells
+    (partition filter → directory pruning), ADC-score only those cells'
+    compact codes, exact-cosine re-rank the broadcast shortlist against
+    the full-width corpus. Scan cost: (probed cells' row share) ×
+    (code bytes); exact-math cost: `shortlist` rows. Recall floors
+    pinned in tests/test_similarity.py."""
+    q = np.asarray(qvec, dtype=np.float64)
+    d = ((centroids - q) ** 2).sum(axis=1)
+    probes = [int(i) for i in d.argsort()[:nprobe]]
+    codes = spark.read.parquet(index_path).filter(F.col("cid").isin(probes))
+    ids = pq_adc_topk(
+        codes, qvec, codebooks, k=shortlist, id_col=id_col
+    ).select(id_col)
+    cand = corpus.join(F.broadcast(ids), id_col, "left_semi")
+    return brute_force_topk(cand, list(q), k, id_col, vec_col)

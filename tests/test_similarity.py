@@ -535,3 +535,48 @@ def test_pq_batch_path_matches_single_query_path(spark, tmp_dir):
         ]
         assert sorted(got[qid]) == sorted(single), qid
     corpus.unpersist()
+
+
+def test_ivfpq_composed_index_recall_and_pruning(spark, tmp_dir):
+    """The composed IVF-PQ index: cell partitions prune the scan
+    (PartitionFilters on cid), what's scanned is compact codes, the
+    exact re-rank recovers recall — ≥0.9 recall@10 on the clustered
+    corpus at nprobe=2/shortlist=50 over 10 queries."""
+    from tools.ann_recall import clustered_corpus, noisy_queries
+
+    vecs = clustered_corpus(n_clusters=20, per_cluster=40)
+    queries = noisy_queries(vecs, 10, 0.10, 13)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cents = similarity.train_ivf_centroids(
+        corpus, n_centroids=8, sample=800, seed=42
+    )
+    cb = similarity.train_pq_codebooks(corpus, m=8, k=16, seed=42)
+    path = f"{tmp_dir}/ivfpq"
+    similarity.build_ivfpq_index(corpus, cents, cb, path)
+
+    out = similarity.ivfpq_topk(
+        spark, path, corpus, queries[0][1], cents, cb, k=10, nprobe=2,
+        shortlist=50,
+    )
+    plan = formatted_plan(out)
+    assert "PartitionFilters" in plan and "cid" in plan  # cells pruned
+
+    u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    recalls = []
+    for _qid, qv in queries:
+        q = np.asarray(qv)
+        qn = q / np.linalg.norm(q)
+        exact = set(int(i) for i in np.argsort(-(u @ qn))[:10])
+        got = {
+            r.vec_id
+            for r in similarity.ivfpq_topk(
+                spark, path, corpus, qv, cents, cb, k=10, nprobe=2,
+                shortlist=50,
+            ).collect()
+        }
+        recalls.append(len(exact & got) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    corpus.unpersist()
