@@ -74,6 +74,8 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "data_quality_report",
     "quality_gate_routing",
+    "fk_integrity_report",
+    "interpolate_hourly",
     "winnowing_fingerprints",
     "winnowing_fingerprints_fast",
     "multi_query_topk",
