@@ -183,3 +183,30 @@ def test_backfill_rejects_days_at_or_above_the_watermark(spark, tmp_dir):
     )
     with pytest.raises(ValueError, match="not below the frozen watermark"):
         rollup.backfill_days(spark, ev, path, [wm.date()])
+
+
+def test_continuous_aggregate_resolves_mid_swap_leftovers(spark, tmp_dir):
+    """A refresh writer crash between os.replace and .old cleanup
+    leaves dt=<day>.old beside the live partition; partition discovery
+    would double-count the retired copy. The serving read must resolve
+    the leftover first and return the exact rollup."""
+    import json
+    import shutil
+
+    ev = _events(spark)
+    path = os.path.join(tmp_dir, "cagg_swap")
+    rollup.ensure_materialized(spark, ev, path).count()
+    days = [d for d in os.listdir(path) if d.startswith("dt=")]
+    victim = os.path.join(path, days[0])
+    shutil.copytree(victim, victim + ".old")  # simulate the crash window
+
+    wm = datetime.datetime.fromisoformat(
+        json.load(open(os.path.join(path, "_CAGG_META")))["watermark"]
+    )
+    got = rollup.continuous_aggregate(spark, ev, path, wm)
+    full = rollup.minute_rollup_frame(ev)
+    assert (
+        got.exceptAll(full).count() == 0
+        and full.exceptAll(got).count() == 0
+    )
+    assert not os.path.exists(victim + ".old")  # leftover resolved
