@@ -59,3 +59,24 @@ def test_all_checks_share_one_scan(spark):
     # conditional-sum constraints fold into one aggregate over one scan
     assert tree.count("Scan") == 1
     assert tree.count("Exchange") == 1
+
+
+def test_observation_row_accounting_costs_no_extra_scan(spark):
+    """Spark's Observation API: per-stage row accounting (rows in,
+    rows surviving a gate) piggybacks on the SAME action instead of
+    paying a second count() scan — the observability idiom the 100 TB
+    filter chains should use. Metrics land driver-side after the one
+    action."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("gate")
+    df = spark.range(1000).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum((F.col("id") % 5 == 0).cast("long")).alias("rows_pass"),
+    )
+    survivors = df.filter(F.col("id") % 5 == 0).count()
+    got = obs.get
+    assert got["rows_in"] == 1000
+    assert got["rows_pass"] == 200 == survivors
