@@ -96,12 +96,14 @@ def _cents_sum(col: F.Column | str, scale: int = 100, digits: int = 2) -> F.Colu
 
 #: SQL twins of _cents_avg/_cents_sum (DuckDB)
 def _sql_cents_avg(expr: str, scale: int = 100, digits: int = 4) -> str:
-    inner = f"AVG(CAST(ROUND({expr} * {scale}, 0) AS BIGINT)) / {scale}.0"
+    inner = f"AVG(CAST(ROUND(({expr}) * {scale}, 0) AS BIGINT)) / {scale}.0"
     return _sql_q(inner, digits)
 
 
 def _sql_cents_sum(expr: str, scale: int = 100, digits: int = 2) -> str:
-    inner = f"SUM(CAST(ROUND({expr} * {scale}, 0) AS BIGINT)) / {scale}.0"
+    # ({expr}) — callers pass additive expressions (e.g. Q9's profit);
+    # without the parens the scale would bind only to the last term
+    inner = f"SUM(CAST(ROUND(({expr}) * {scale}, 0) AS BIGINT)) / {scale}.0"
     return _sql_q(inner, digits)
 
 
@@ -3271,6 +3273,319 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: groupwise-min supplier selection. This schema has
+    no partsupp table, so lineitem is the supply evidence — a part's
+    "cost" from a supplier is the cheapest line price ever observed for
+    that (part, supplier) pair. For each mid-size STANDARD part, keep
+    the EUROPE supplier(s) whose offer hits the part's regional minimum.
+
+    The classic correlated MIN subquery is expressed as aggregate-then-
+    rejoin: one shuffle builds per-(part,supplier) offers, a second tiny
+    aggregate finds each part's floor, and the equality join back is on
+    integer cents so float noise can't split the min. Part and the
+    EUROPE supplier dimension both broadcast; the only fact-sized
+    shuffle is the offers aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "cost_cents"
+        )
+    )
+    cand = offers.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+    best = cand.groupBy(F.col("p_partkey").alias("bk")).agg(
+        F.min("cost_cents").alias("best_cents")
+    )
+    return (
+        cand.join(
+            F.broadcast(best),
+            (F.col("p_partkey") == F.col("bk"))
+            & (F.col("cost_cents") == F.col("best_cents")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            _q(F.col("cost_cents") / 100.0, 2).alias("min_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def q_tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS rewritten as a left-semi join with a
+    range residual. Orders from 1997-H1 count toward their priority
+    bucket iff at least one of their lines shipped more than 60 days
+    after the order date (this schema has no commit/receipt dates, so
+    ship-lag is the lateness predicate). The semi join deduplicates by
+    contract — no distinct pass needed — and both the order-date window
+    and the projection prune at the parquet scans."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q5_local_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q5: revenue from intra-nation trade in ASIA, per nation.
+    Six-table join where the interesting predicate is the NON-join
+    equality c_nationkey = s_nationkey — Catalyst keeps it as a residual
+    atop the supplier equi-join rather than forcing a join reorder. All
+    dimensions broadcast; lineitem and orders are the only shuffled
+    sides, and the orders year-window pushes to its scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    asia_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(asia_supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000, 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q_tpch_q9_product_type_profit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for one
+    part family. No partsupp means no ps_supplycost; the cost model is
+    half the part's retail price per unit (a fixed margin assumption the
+    oracle mirrors exactly). Profit is quantized to integer cents BEFORE
+    the sum so partial-aggregation order can't perturb the total. part
+    (name-filtered) and nation broadcast; the fact join shuffles
+    lineitem⋈orders once, then one 2-key aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%rod%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            _cents_sum(profit, 100, 2).alias("sum_profit"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value through ASIA suppliers
+    exceeds 1/1000 of the whole ASIA flow. The scalar-subquery threshold
+    becomes a single-row aggregate broadcast back over the per-part
+    rollup, and the comparison runs on integer cents (value*1000 >
+    total) so both engines decide boundary rows identically — a float
+    threshold here is exactly the kind of cross-engine coin flip the
+    cents discipline exists to kill."""
+    asia_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(asia_supp),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    val = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("long")
+        ).alias("value_cents")
+    )
+    tot = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(
+            "l_partkey", _q(F.col("value_cents") / 100.0, 2).alias("value")
+        )
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+def q_tpch_q16_supplier_part_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each surviving
+    (brand, type, size) bucket, excluding two brands and low-balance
+    suppliers. The NOT IN subquery compiles to a broadcast left-anti
+    join (null-safe by construction: s_suppkey is a key), supply
+    evidence again comes from lineitem, and the count-distinct is the
+    only fact-sized shuffle."""
+    excl = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1500)
+        .select("s_suppkey")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (~F.col("p_brand").isin("Brand#1", "Brand#2"))
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(excl),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q_tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: AMERICA suppliers who moved real volume of
+    'small *' parts in 1997 — the doubly-nested IN subqueries become a
+    chain of semi joins. shipped-quantity rollup (one shuffle on the
+    composite key) → semi join against the name-filtered part dim →
+    qty threshold → distinct supplier keys → semi join into the
+    region-filtered supplier dim. Quantities sum as longs (they are
+    integral in this corpus), so the threshold is exact."""
+    am = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "AMERICA")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    movers = (
+        shipped.join(
+            F.broadcast(small),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+    )
+    return (
+        am.join(
+            movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 # --------------------------------------------------------------------------
 #: Iteration order matters: the driver's correctness harness checks the
 #: FIRST 50 entries (observed cap, CORRECTNESS_r02). The leading block is
@@ -3429,6 +3744,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_sketches": q_approx_sketches,
     "sketch_distinct_rollup": q_sketch_distinct_rollup,
     "variant_shred": q_variant_shred,
+    # -- TPC-H completion block: with these seven the full 22-query suite
+    #    has a shape adapted to this schema (no partsupp / commitdate —
+    #    lineitem is the supply evidence; see each docstring)
+    "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+    "tpch_q4_priority_check": q_tpch_q4_priority_check,
+    "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
+    "tpch_q9_product_type_profit": q_tpch_q9_product_type_profit,
+    "tpch_q11_important_stock": q_tpch_q11_important_stock,
+    "tpch_q16_supplier_part_count": q_tpch_q16_supplier_part_count,
+    "tpch_q20_part_promotion": q_tpch_q20_part_promotion,
 }
 
 
@@ -5495,6 +5820,139 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_q("w_raw / z", 6)} AS w,
                    {_sql_q("w_raw / z / p", 6)} AS upsample
             FROM e, z
+        """,
+        "tpch_q2_min_cost_supplier": f"""
+            WITH offers AS (
+                SELECT l_partkey AS pk, l_suppkey AS sk,
+                       MIN(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                           AS cost_cents
+                FROM lineitem GROUP BY 1, 2
+            ),
+            eur AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ),
+            cand AS (
+                SELECT p_partkey, p_name, s_name, s_acctbal, n_name,
+                       cost_cents
+                FROM offers
+                JOIN part ON pk = p_partkey
+                JOIN eur ON sk = s_suppkey
+                WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+            ),
+            best AS (
+                SELECT p_partkey AS bk, MIN(cost_cents) AS best_cents
+                FROM cand GROUP BY 1
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                   {_sql_q("cost_cents / 100.0", 2)} AS min_cost
+            FROM cand JOIN best
+              ON p_partkey = bk AND cost_cents = best_cents
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "tpch_q4_priority_check": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-07-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q5_local_supplier_volume": f"""
+            SELECT n_name,
+                   {_sql_cents_sum("l_extendedprice * (1 - l_discount)", 10000, 2)} AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1
+            ORDER BY revenue DESC, n_name
+        """,
+        "tpch_q9_product_type_profit": f"""
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   {_sql_cents_sum(
+                       "l_extendedprice * (1 - l_discount)"
+                       " - 0.5 * p_retailprice * l_quantity", 100, 2
+                   )} AS sum_profit,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%rod%'
+            GROUP BY 1, 2
+            ORDER BY nation, o_year DESC
+        """,
+        "tpch_q11_important_stock": f"""
+            WITH asia AS (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'
+            ),
+            val AS (
+                SELECT l_partkey,
+                       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                      * 100, 0) AS BIGINT)) AS value_cents
+                FROM lineitem
+                WHERE l_suppkey IN (SELECT s_suppkey FROM asia)
+                GROUP BY 1
+            ),
+            tot AS (SELECT SUM(value_cents) AS total_cents FROM val)
+            SELECT l_partkey,
+                   {_sql_q("value_cents / 100.0", 2)} AS value
+            FROM val, tot
+            WHERE value_cents * 1000 > total_cents
+            ORDER BY value DESC, l_partkey
+        """,
+        "tpch_q16_supplier_part_count": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500
+              )
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q20_part_promotion": """
+            SELECT s_name, s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'
+              AND s_suppkey IN (
+                  SELECT l_suppkey
+                  FROM lineitem
+                  WHERE l_partkey IN (
+                      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+                  )
+                    AND l_shipdate >= TIMESTAMP '1997-01-01'
+                    AND l_shipdate <  TIMESTAMP '1998-01-01'
+                  GROUP BY l_partkey, l_suppkey
+                  HAVING SUM(CAST(l_quantity AS BIGINT)) > 40
+              )
+            ORDER BY s_name
         """,
         # rows-only (approximate / engine-specific by design, each with a
         # *_verified md5- or literal-plane twin pinning its mechanism):
