@@ -39,12 +39,14 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
     cdc,
     dedup,
     fusion,
+    graph,
     multimodal,
     quality,
     relational,
     rollup,
     sampling,
     similarity,
+    sketches,
     temporal,
 )
 from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.plans.shape import (
@@ -3586,6 +3588,121 @@ def q_tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (operators/sketches.py): build the
+    4×256 counter grid over events.user_id in one bounded-shuffle pass,
+    then point-query it for the exact top-20 users and report estimate
+    beside truth. The md5 hash family makes the grid deterministic, so
+    the DuckDB oracle rebuilds the IDENTICAL sketch cell-for-cell and
+    the estimates hash-match — a fully differentially-checked
+    approximate structure, not a rows-only one. CMS guarantees
+    cms_est >= exact_n; the overshoot column shows the collision cost at
+    this width."""
+    ev = _t(spark, sf_dir, "events")
+    sketch = sketches.cms_build(ev, "user_id", depth=4, width=256)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(20)
+    est = sketches.cms_estimate(sketch, top.select("user_id"), "user_id")
+    return (
+        top.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overshoot"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+    )
+
+
+def q_pagerank_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the who-follows-whom user graph (operators/
+    graph.py): edges u→v when v acts right after u in the same event
+    type's time-ordered stream, then 3 integer-unit PageRank iterations
+    (damping 85/100 as a rational, every step exact BIGINT math). The
+    DuckDB oracle unrolls the 3 iterations as CTEs and matches
+    rank_units EXACTLY — a differentially-checked iterative graph
+    algorithm, which float PageRank cannot be. Top-50 by rank."""
+    ev = _t(spark, sf_dir, "events")
+    edges = graph.consecutive_user_edges(ev)
+    pr = graph.pagerank(edges, iterations=3, damping=0.85)
+    return (
+        pr.select("node", "rank_units", _q(F.col("rank"), 6).alias("rank"))
+        .orderBy(F.desc("rank_units"), F.asc("node"))
+        .limit(50)
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf-idf keyword extraction: top-3 terms per doc by
+    tf · (N+1)/(df+1) — a log-free idf (monotone in the standard
+    ln-idf for fixed tf, and the score is a single correctly-rounded
+    IEEE division of exact integers, so the ranking is bit-identical in
+    any engine; ln would put every rank boundary one libm ulp from
+    flipping). Two narrow shuffles (doc-term counts, term doc-freqs);
+    the N scalar and the term table broadcast."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.text import (
+        split_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(split_words("text"), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = docs.agg(F.count("*").alias("nd"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                (F.col("tf") * (F.col("nd") + 1)).cast("double")
+                / (F.col("df") + 1)
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", _q(F.col("score"), 6).alias("tfidf"))
+    )
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (operators/sampling.py:
+    dsir_bucket_llr + dsir_weights): score every document by how
+    English-like its hashed-unigram profile is — the log-likelihood
+    ratio between a bag-of-words model fit on lang='en' docs and one fit
+    on the whole corpus, with 1024 md5 feature buckets. Per-bucket LLRs
+    quantize to integer micro-nats; per-doc weights are exact BIGINT
+    sums of them, so the corpus-sized aggregation is order-independent
+    and the DuckDB oracle matches weight_micro exactly. This is the
+    data-selection primitive: resample by weight downstream
+    (temperature_resample composes)."""
+    docs = _t(spark, sf_dir, "documents")
+    model = sampling.dsir_bucket_llr(
+        docs, target=F.col("lang") == "en", dim=1024
+    )
+    return sampling.dsir_weights(docs, model, dim=1024).select(
+        "doc_id",
+        "n_toks",
+        "weight_micro",
+        _q(F.col("weight"), 6).alias("weight"),
+    )
+
+
 # --------------------------------------------------------------------------
 #: Iteration order matters: the driver's correctness harness checks the
 #: FIRST 50 entries (observed cap, CORRECTNESS_r02). The leading block is
@@ -3754,6 +3871,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q11_important_stock": q_tpch_q11_important_stock,
     "tpch_q16_supplier_part_count": q_tpch_q16_supplier_part_count,
     "tpch_q20_part_promotion": q_tpch_q20_part_promotion,
+    # -- deterministic-mechanism tier: approximate/iterative structures
+    #    whose md5/integer arithmetic lets DuckDB rebuild them bit-exactly
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "pagerank_user_graph": q_pagerank_user_graph,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "dsir_importance_weights": q_dsir_importance_weights,
 }
 
 
@@ -5953,6 +6076,139 @@ def oracle_sql() -> dict[str, str]:
                   HAVING SUM(CAST(l_quantity AS BIGINT)) > 40
               )
             ORDER BY s_name
+        """,
+        "cms_heavy_hitters": """
+            WITH rows4 AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
+            cells AS (
+                SELECT r,
+                       CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)
+                                                   || ':' || r), 1, 15)
+                            )::UBIGINT % 256 AS BIGINT) AS bucket,
+                       COUNT(*) AS n
+                FROM events CROSS JOIN rows4
+                GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT user_id, COUNT(*) AS exact_n
+                FROM events GROUP BY 1
+                ORDER BY exact_n DESC, user_id ASC LIMIT 20
+            ),
+            probes AS (
+                SELECT t.user_id, t.exact_n, r,
+                       CAST(('0x' || substring(md5(CAST(t.user_id AS VARCHAR)
+                                                   || ':' || r), 1, 15)
+                            )::UBIGINT % 256 AS BIGINT) AS bucket
+                FROM top t CROSS JOIN rows4
+            )
+            SELECT p.user_id, p.exact_n,
+                   MIN(COALESCE(c.n, 0)) AS cms_est,
+                   MIN(COALESCE(c.n, 0)) - p.exact_n AS overshoot
+            FROM probes p
+            LEFT JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+            GROUP BY 1, 2
+            ORDER BY exact_n DESC, user_id ASC
+        """,
+        "pagerank_user_graph": f"""
+            WITH raw AS (
+                SELECT LAG(user_id) OVER (
+                           PARTITION BY event_type
+                           ORDER BY ts ASC, event_id ASC
+                       ) AS src,
+                       user_id AS dst
+                FROM events
+            ),
+            e AS (SELECT DISTINCT src, dst FROM raw
+                  WHERE src IS NOT NULL AND src <> dst),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            nt AS (SELECT COUNT(*) AS n FROM nodes),
+            od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+            r0 AS (SELECT node, 1000000000 // n AS ru FROM nodes, nt),
+            c1 AS (SELECT dst AS node, SUM(ru // outdeg) AS inflow
+                   FROM e JOIN r0 ON e.src = r0.node JOIN od USING (src)
+                   GROUP BY 1),
+            r1 AS (SELECT nodes.node,
+                          (85 * COALESCE(inflow, 0)) // 100
+                          + 15000000000 // (100 * n) AS ru
+                   FROM nodes LEFT JOIN c1 USING (node), nt),
+            c2 AS (SELECT dst AS node, SUM(ru // outdeg) AS inflow
+                   FROM e JOIN r1 ON e.src = r1.node JOIN od USING (src)
+                   GROUP BY 1),
+            r2 AS (SELECT nodes.node,
+                          (85 * COALESCE(inflow, 0)) // 100
+                          + 15000000000 // (100 * n) AS ru
+                   FROM nodes LEFT JOIN c2 USING (node), nt),
+            c3 AS (SELECT dst AS node, SUM(ru // outdeg) AS inflow
+                   FROM e JOIN r2 ON e.src = r2.node JOIN od USING (src)
+                   GROUP BY 1),
+            r3 AS (SELECT nodes.node,
+                          (85 * COALESCE(inflow, 0)) // 100
+                          + 15000000000 // (100 * n) AS ru
+                   FROM nodes LEFT JOIN c3 USING (node), nt)
+            SELECT node, CAST(ru AS BIGINT) AS rank_units,
+                   {_sql_q("ru / 1000000000.0", 6)} AS rank
+            FROM r3
+            ORDER BY rank_units DESC, node ASC
+            LIMIT 50
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM toks WHERE term <> '' GROUP BY 1, 2),
+            dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT COUNT(*) AS nd FROM documents),
+            s AS (
+                SELECT doc_id, term, tf,
+                       CAST(tf * (nd + 1) AS DOUBLE) / (df + 1) AS score
+                FROM tf JOIN dfq USING (term), n
+            )
+            SELECT doc_id, term, tf,
+                   {_sql_q("score", 6)} AS tfidf
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY score DESC, term ASC
+                  ) AS rk FROM s)
+            WHERE rk <= 3
+        """,
+        "dsir_importance_weights": f"""
+            WITH toks AS (
+                SELECT doc_id, lang = 'en' AS is_tgt,
+                       UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS tok
+                FROM documents
+            ),
+            tt AS (
+                SELECT doc_id, is_tgt, tok,
+                       CAST(('0x' || substring(md5(tok), 1, 15))::UBIGINT
+                            % 1024 AS BIGINT) AS bucket
+                FROM toks WHERE tok <> ''
+            ),
+            counts AS (
+                SELECT bucket, COUNT(*) AS bg_c,
+                       SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_c
+                FROM tt GROUP BY 1
+            ),
+            totals AS (SELECT SUM(bg_c) AS bg_tot, SUM(tgt_c) AS tgt_tot
+                       FROM counts),
+            model AS (
+                SELECT bucket,
+                       CAST(FLOOR(ln(
+                           (CAST(tgt_c AS DOUBLE) + 1.0)
+                           * (CAST(bg_tot AS DOUBLE) + 1024.0)
+                           / ((CAST(bg_c AS DOUBLE) + 1.0)
+                              * (CAST(tgt_tot AS DOUBLE) + 1024.0))
+                       ) * 1e6 + 0.5) AS BIGINT) AS llr_micro
+                FROM counts, totals
+            )
+            SELECT doc_id, COUNT(*) AS n_toks,
+                   CAST(SUM(llr_micro) AS BIGINT) AS weight_micro,
+                   {_sql_q("SUM(llr_micro) / 1e6", 6)} AS weight
+            FROM tt JOIN model USING (bucket)
+            GROUP BY 1
         """,
         # rows-only (approximate / engine-specific by design, each with a
         # *_verified md5- or literal-plane twin pinning its mechanism):

@@ -1,0 +1,130 @@
+"""Iterative graph analytics on DataFrames: deterministic PageRank.
+
+The dedup tier already runs one graph algorithm at scale — pointer-
+jumping connected components (operators/dedup.py) labels near-duplicate
+clusters. PageRank adds the other workhorse: importance scores over an
+edge list, used in training-data pipelines to weight documents by
+link/citation authority and to rank users/pages for sampling.
+
+Spark shape: the classic iterate-as-join loop. Each iteration is
+  contribs = edges ⋈ rank (shuffle on src) → groupBy dst (one shuffle)
+  rank'    = teleport + damping · Σ contribs
+Both shuffles key on node ids; the edge list never changes, so at
+cluster scale you'd persist it partitioned by src and every iteration
+reuses that layout (locally AQE handles it). Iterations are a fixed
+small count — each round is one job, no driver-side graph state.
+
+Determinism contract (the interesting part): ranks are carried as
+BIGINT units (1e9 = rank 1.0) and EVERY step is integer arithmetic —
+contributions divide with integer DIV, and damping is a rational
+(85/100 for d=0.85) applied as (num·x) DIV den, never a float multiply
+(0.85 has no exact binary representation; floor(0.85·x) in doubles
+disagrees with exact decimal math whenever 85·x ≡ 0 mod 100, which a
+DuckDB DECIMAL oracle would hit constantly). With no float anywhere,
+the fixed point is bit-identical in any engine and independent of
+partial-aggregation order — an iterative algorithm that is
+differentially checkable against unrolled-CTE SQL, which float
+PageRank is not.
+
+Dangling nodes (no out-edges) keep their mass out of circulation —
+ranks sum to < 1, the standard "no dangling redistribution" variant;
+relative order, which is what sampling weights consume, is unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNITS = 10**9
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-unit PageRank over a (src, dst) edge list.
+
+    Returns (node, rank_units, rank): rank_units is the exact BIGINT
+    fixed-point score, rank its 1e-9-scaled double view. Multi-edges
+    are collapsed first (an edge is a link, not a count).
+    """
+    num = int(round(damping * 100))  # damping as the rational num/100
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n_total = nodes.agg(F.count("*").alias("n_nodes"))
+
+    # teleport term: (1-d)·units/N as pure integer division
+    teleport = F.expr(f"({(100 - num) * UNITS} DIV (100 * n_nodes))")
+    rank = (
+        nodes.crossJoin(F.broadcast(n_total))
+        .select(
+            "node",
+            "n_nodes",
+            F.expr(f"{UNITS} DIV n_nodes").cast("long").alias("rank_units"),
+        )
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(rank, e.src == rank.node)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_units DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        rank = (
+            rank.select("node", "n_nodes")
+            .join(contribs, "node", "left")
+            .withColumn("inflow", F.coalesce("inflow", F.lit(0)))
+            .select(
+                "node",
+                "n_nodes",
+                (F.expr(f"({num} * inflow) DIV 100") + teleport)
+                .cast("long")
+                .alias("rank_units"),
+            )
+        )
+    return rank.select(
+        "node",
+        "rank_units",
+        (F.col("rank_units") / float(UNITS)).alias("rank"),
+    )
+
+
+def consecutive_user_edges(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    group_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Derive a directed user graph from an event stream: u → v when v
+    acts immediately after u within the same group's time-ordered
+    stream (the "who follows whom" graph). One window pass partitioned
+    by group — at scale the partition key is the group, so no global
+    sort; self-loops are dropped."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        events.select(
+            F.lag(user_col).over(w).alias("src"),
+            F.col(user_col).alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    )

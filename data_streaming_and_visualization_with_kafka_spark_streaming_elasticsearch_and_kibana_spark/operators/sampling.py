@@ -195,3 +195,116 @@ def temperature_resample(
             ).alias("n_copies"),
         )
     )
+
+
+def dsir_bucket_llr(
+    docs: DataFrame,
+    target: Column,
+    dim: int = 1024,
+    text_col: str = "text",
+    hash_expr=None,
+) -> DataFrame:
+    """Hashed-feature log-likelihood ratios for DSIR-style importance
+    resampling (Xie et al., "Data Selection for Language Models via
+    Importance Resampling", NeurIPS 2023): score how target-like a
+    document is using two hashed-unigram bag-of-words models — one fit
+    on the `target` subset, one on the full corpus — without training
+    anything.
+
+    Returns the (bucket, llr_micro) model table: for each of `dim` hash
+    buckets, the add-one-smoothed log ratio
+        ln( P_target(bucket) / P_background(bucket) )
+    quantized to integer MICRO-NATS (floor(x*1e6 + 0.5)). Per-document
+    weights then sum these integers (see dsir_weights), so the corpus-
+    sized aggregation is exact integer math — partial-aggregation order
+    cannot perturb it, and a DuckDB oracle reproduces it bit-for-bit.
+    The only float op is one ln per bucket (dim of them, not N).
+
+    Scale shape: ONE shuffle on the bucket key builds both count
+    vectors (conditional aggregation, map-side combined); the model
+    table is `dim` rows and broadcasts everywhere it's consumed.
+    """
+    from ..functions.text import split_words
+
+    h = hash_expr if hash_expr is not None else (
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    toks = docs.select(
+        target.alias("__is_tgt"),
+        F.explode(
+            F.filter(split_words(text_col), lambda t: t != "")
+        ).alias("__tok"),
+    )
+    counts = toks.groupBy(
+        F.pmod(h(F.col("__tok")), F.lit(dim)).alias("bucket")
+    ).agg(
+        F.count("*").alias("bg_c"),
+        F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("tgt_c"),
+    )
+    totals = counts.agg(
+        F.sum("bg_c").alias("bg_tot"), F.sum("tgt_c").alias("tgt_tot")
+    )
+    # add-one smoothing over the dim-bucket vocabulary; the ratio is a
+    # product/quotient of exact integer-valued doubles (< 2^52), so the
+    # double result is correctly rounded and engine-independent; ln of
+    # it may differ in the last ulp across libm builds, which the 1e-6
+    # quantization grid absorbs except on astronomically thin boundaries
+    ratio = (
+        (F.col("tgt_c") + 1.0)
+        * (F.col("bg_tot") + float(dim))
+        / ((F.col("bg_c") + 1.0) * (F.col("tgt_tot") + float(dim)))
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(F.log(ratio) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("llr_micro"),
+        )
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    model: DataFrame,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_expr=None,
+) -> DataFrame:
+    """Per-document DSIR importance weights against a dsir_bucket_llr
+    model table: explode tokens, broadcast-join the dim-row model on the
+    hashed bucket, sum the integer micro-nat scores per document. One
+    shuffle (the per-doc sum, map-side combined); weight_micro is an
+    exact BIGINT, weight its 1e-6-scaled double view. Documents whose
+    tokens look like the target subset score positive; resample by
+    softmax/top-k downstream (temperature_resample composes here)."""
+    from ..functions.text import split_words
+
+    h = hash_expr if hash_expr is not None else (
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(split_words(text_col), lambda t: t != "")
+        ).alias("__tok"),
+    )
+    return (
+        toks.select(
+            id_col, F.pmod(h(F.col("__tok")), F.lit(dim)).alias("bucket")
+        )
+        .join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("llr_micro").alias("weight_micro"),
+        )
+        .select(
+            id_col,
+            "n_toks",
+            "weight_micro",
+            (F.col("weight_micro") / 1e6).alias("weight"),
+        )
+    )

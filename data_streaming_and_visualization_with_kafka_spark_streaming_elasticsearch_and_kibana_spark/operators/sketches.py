@@ -1,0 +1,129 @@
+"""Count-min sketch: fixed-size frequency summaries with mergeable state.
+
+The reference stack answers "how often did X occur" by asking
+Elasticsearch for a terms aggregation over everything it has indexed
+(reference kafka_to_es.py:55-69 ships every row so Kibana can count
+them). At 100 TB you cannot afford an exact count table for unbounded
+key domains; a count-min sketch (Cormode & Muthukrishnan, J.Alg 2005)
+bounds the state at depth × width counters with a one-sided error
+guarantee (estimate >= true count, overshoot <= eN with probability
+1 - (1/2)^depth for width = 2/e).
+
+Spark shape, chosen for scale:
+
+- BUILD is one map-side-combinable aggregation: each key row explodes
+  into `depth` (row, bucket) cells — a constant 4× row blowup that
+  partial aggregation collapses to at most depth × width rows per
+  partition BEFORE the shuffle; the exchange then carries a bounded
+  depth × width grid no matter how many input rows there were. This is
+  the same "fixed-size mergeable state" contract as the HLL rollup in
+  relational.py — per-day / per-partition sketch tables can be summed
+  cell-wise to answer any coarser window without rescanning facts.
+- ESTIMATE broadcasts the candidate keys (heavy-hitter candidates are
+  few by definition), recomputes their cells with the same hash family,
+  joins the sketch grid on (row, bucket), and takes min() over rows —
+  one broadcast join against a <= depth × width row table.
+
+The hash family is md5-derived (row r of key k hashes
+md5(k || ':' || r)), so a DuckDB oracle can rebuild the IDENTICAL grid
+cell-for-cell — the sketch is deterministic and differentially
+checkable, unlike engine-native HLL state. All counters are BIGINTs;
+there is no float anywhere in the mechanism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_row_hash(key: Column, row: int, width: int) -> Column:
+    """Bucket of `key` in sketch row `row`: first 15 hex chars of
+    md5(key || ':' || row) as a long, mod width. DuckDB twin:
+    ('0x' || substring(md5(k || ':' || r), 1, 15))::UBIGINT % width."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(f":{row}"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build the depth × width counter grid in ONE aggregation pass.
+
+    Returns (r, bucket, n) — at most depth × width rows regardless of
+    input size. The explode is a constant-factor map-side blowup that
+    the partial hash aggregate absorbs; the shuffle payload is the
+    bounded grid, which is the property that makes this a 100 TB
+    operator (compare: exact per-key counts shuffle the key domain).
+    """
+    key = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                md5_row_hash(key, r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("cell"))
+        .groupBy(
+            F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketch grids built with the same (depth, width, hash
+    family) by cell-wise sum — the mergeability that lets per-shard /
+    per-day sketches answer global questions without a rescan."""
+    it = iter(sketches)
+    acc = next(it)
+    for s in it:
+        acc = acc.unionByName(s)
+    return acc.groupBy("r", "bucket").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the grid for each candidate key: min over the
+    depth row counters. Candidates broadcast (heavy-hitter shortlists
+    are small); the sketch side is <= depth × width rows, so this join
+    never touches the original facts."""
+    key = F.col(key_col).cast("string")
+    probes = candidates.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        md5_row_hash(key, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key_col, F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"))
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["r", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est"))
+    )

@@ -1,0 +1,82 @@
+"""Integer-unit PageRank: fixed-point sanity, determinism, edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+    graph,
+)
+
+UNITS = graph.UNITS
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_star_graph_center_dominates(spark):
+    # everyone links to node 0
+    e = _edges(spark, [(i, 0) for i in range(1, 6)])
+    pr = {r.node: r.rank_units for r in graph.pagerank(e, iterations=3).collect()}
+    assert pr[0] > pr[1]
+    # leaves are symmetric → identical ranks
+    assert len({pr[i] for i in range(1, 6)}) == 1
+
+
+def test_cycle_is_uniform(spark):
+    # a 4-cycle is rank-regular: every node keeps exactly the same score
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    ranks = {
+        r.rank_units for r in graph.pagerank(e, iterations=5).collect()
+    }
+    assert len(ranks) == 1
+    # and the value is the damped fixed point of u = 0.85u + 0.15/N
+    # (integer arithmetic loses at most a few units per iteration)
+    assert abs(next(iter(ranks)) - UNITS // 4) < 10
+
+
+def test_dangling_node_keeps_teleport_only(spark):
+    # 1 → 2; node 2 has no out-edges; nobody links to 1
+    e = _edges(spark, [(1, 2)])
+    pr = {r.node: r.rank_units for r in graph.pagerank(e, iterations=3).collect()}
+    teleport = (15 * UNITS) // (100 * 2)
+    assert pr[1] == teleport  # no inflow after iteration 1
+    assert pr[2] > pr[1]
+
+
+def test_multi_edges_collapse(spark):
+    # duplicate edges must not double a contribution
+    once = graph.pagerank(_edges(spark, [(1, 2), (2, 1)]), iterations=3)
+    dup = graph.pagerank(
+        _edges(spark, [(1, 2), (1, 2), (2, 1)]), iterations=3
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, dup.collect())
+    )
+
+
+def test_deterministic_across_partitionings(spark):
+    pairs = [(i, (i * 7) % 23) for i in range(200) if i != (i * 7) % 23]
+    a = graph.pagerank(_edges(spark, pairs), iterations=3).collect()
+    b = graph.pagerank(
+        _edges(spark, pairs).repartition(13), iterations=3
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_consecutive_user_edges_window(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "click"),
+            (2, "2024-01-01 00:00:01", 20, "click"),
+            (3, "2024-01-01 00:00:02", 10, "click"),
+            (4, "2024-01-01 00:00:00", 30, "view"),
+            (5, "2024-01-01 00:00:03", 30, "view"),  # self-loop dropped
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        map(tuple, graph.consecutive_user_edges(ev).collect())
+    )
+    assert got == [(10, 20), (20, 10)]
