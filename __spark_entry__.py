@@ -3703,6 +3703,111 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k sample: the 100 documents with the
+    smallest md5 content hash ARE a uniform random sample — one that is
+    identical across runs, retries, engines, and partition layouts,
+    which rand()-based sampling is not. This is the hash-min trick that
+    also gives mergeable distributed sampling: each partition's local
+    bottom-k union-merges to the global bottom-k, so the plan is
+    TakeOrderedAndProject (no global sort, no shuffle of the corpus).
+    Growing the corpus only replaces sample members, never perturbs the
+    selection rule."""
+    docs = _t(spark, sf_dir, "documents")
+    key = sampling.hash_hex(F.col("doc_id"), "corpus-sample")
+    return (
+        docs.select(
+            "doc_id", "lang", "source", key.alias("sample_key")
+        )
+        .orderBy(F.asc("sample_key"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (Robertson & Zaragoza 2009) for the fixed
+    query {hash, join, stream}: top-100 documents by the classic
+    k1=1.2, b=0.75 scoring. Determinism engineering: the idf argument
+    is the integer rational (2N-2df+1)/(2df+1) — algebraically equal to
+    the textbook (N-df+0.5)/(df+0.5) but computed as ONE double
+    division of exact integers; ln(·) quantizes to integer micro-nats
+    per TERM (3 lns total, not N); each (doc, term) partial score
+    floors to micro-units; per-doc totals are then exact BIGINT sums,
+    so ranking never depends on float summation order. Plan: two narrow
+    shuffles (doc lengths, term tfs), the 3-row term-stats table and
+    the corpus scalars broadcast."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.text import (
+        split_words,
+    )
+
+    terms = ["hash", "join", "stream"]
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(split_words("text"), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scalars = docs.agg(F.count("*").alias("nd")).crossJoin(
+        dl.agg(F.sum("dl").alias("tot_toks"))
+    )
+    idf = (
+        dfreq.crossJoin(F.broadcast(scalars))
+        .select(
+            "term",
+            F.floor(
+                F.log(
+                    (2 * F.col("nd") - 2 * F.col("df") + 1).cast("double")
+                    / (2 * F.col("df") + 1)
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    avgdl = F.col("tot_toks").cast("double") / F.col("nd")
+    tfw = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / avgdl))
+    )
+    parts = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            F.floor(F.col("idf_micro") * tfw + F.lit(0.5))
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    return (
+        parts.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum("score_micro").alias("bm25_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            "bm25_micro",
+            _q(F.col("bm25_micro") / 1e6, 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
 # --------------------------------------------------------------------------
 #: Iteration order matters: the driver's correctness harness checks the
 #: FIRST 50 entries (observed cap, CORRECTNESS_r02). The leading block is
@@ -3877,6 +3982,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_user_graph": q_pagerank_user_graph,
     "tfidf_top_terms": q_tfidf_top_terms,
     "dsir_importance_weights": q_dsir_importance_weights,
+    "bottomk_sample": q_bottomk_sample,
+    "bm25_search": q_bm25_search,
 }
 
 
@@ -6209,6 +6316,61 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_q("SUM(llr_micro) / 1e6", 6)} AS weight
             FROM tt JOIN model USING (bucket)
             GROUP BY 1
+        """,
+        "bottomk_sample": """
+            SELECT doc_id, lang, source,
+                   substring(md5('corpus-sample:'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS sample_key
+            FROM documents
+            ORDER BY sample_key ASC, doc_id ASC
+            LIMIT 100
+        """,
+        "bm25_search": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS term
+                FROM documents
+            ),
+            tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk
+                   WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+            dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            sc AS (SELECT (SELECT COUNT(*) FROM documents) AS nd,
+                          (SELECT SUM(dl) FROM dl) AS tot_toks),
+            idf AS (
+                SELECT term,
+                       CAST(FLOOR(ln(
+                           CAST(2 * nd - 2 * df + 1 AS DOUBLE)
+                           / (2 * df + 1)
+                       ) * 1e6 + 0.5) AS BIGINT) AS idf_micro
+                FROM dfq, sc
+            ),
+            parts AS (
+                SELECT tf.doc_id,
+                       CAST(FLOOR(
+                           idf_micro
+                           * ((tf * CAST(2.2 AS DOUBLE))
+                              / (tf + CAST(1.2 AS DOUBLE)
+                                 * (CAST(0.25 AS DOUBLE)
+                                    + CAST(0.75 AS DOUBLE)
+                                      * (dl / (CAST(tot_toks AS DOUBLE)
+                                               / nd)))))
+                           + 0.5) AS BIGINT) AS score_micro
+                FROM tf
+                JOIN dl USING (doc_id)
+                JOIN idf USING (term), sc
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_terms_hit,
+                   CAST(SUM(score_micro) AS BIGINT) AS bm25_micro,
+                   {_sql_q("SUM(score_micro) / 1e6", 6)} AS bm25
+            FROM parts
+            GROUP BY 1
+            ORDER BY bm25_micro DESC, doc_id ASC
+            LIMIT 100
         """,
         # rows-only (approximate / engine-specific by design, each with a
         # *_verified md5- or literal-plane twin pinning its mechanism):

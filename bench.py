@@ -81,6 +81,14 @@ HEADLINE = [
     "multi_query_topk",
     "hashed_doc_vectors",
     "temperature_resample",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_profit",
+    "cms_heavy_hitters",
+    "pagerank_user_graph",
+    "tfidf_top_terms",
+    "dsir_importance_weights",
+    "bottomk_sample",
+    "bm25_search",
 ]
 
 

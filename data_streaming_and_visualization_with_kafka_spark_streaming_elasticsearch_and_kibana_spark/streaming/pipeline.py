@@ -760,6 +760,60 @@ def sketch_rollup_sink(
     return _apply
 
 
+def cms_refresh_sink(
+    path: str,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+):
+    """foreachBatch sink maintaining ONE count-min sketch grid over an
+    unbounded stream: each micro-batch builds its own depth×width grid
+    (operators.sketches.cms_build — bounded shuffle, map-side combined),
+    cell-wise sums it into the stored grid, and commits with the
+    crash-safe stage-swap. Serving state is <= depth×width rows forever,
+    regardless of stream length or key cardinality — the streaming
+    answer to "how often has key X occurred, ever" without an unbounded
+    exact count table.
+
+    WITH an applied-batch ledger, deliberately — the mirror image of
+    sketch_rollup_sink's analysis: HLL union is max-based, so replays
+    are algebraically harmless there; CMS merge is SUM-based, so an
+    at-least-once replay would double-count a batch into the grid.
+    Same replay algebra as rollup_refresh_sink, same fix. Estimates
+    from the maintained grid equal a cms_build over everything ingested
+    (merge == whole, pinned in tests/test_streaming.py), so downstream
+    cms_estimate answers are identical to batch recomputation."""
+    from ..operators.sketches import cms_build
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        ledger = os.path.join(os.path.dirname(path) or ".", "_CMS_APPLIED")
+        applied = _ledger_applied(ledger)
+        if batch_id in applied:
+            return
+        if batch_df.isEmpty():
+            _ledger_mark(ledger, applied, batch_id)
+            return
+        spark = batch_df.sparkSession
+        fresh = cms_build(batch_df, key_col, depth=depth, width=width)
+        _recover_dir_swap(path)
+        if os.path.exists(path):
+            merged = (
+                spark.read.parquet(path)
+                .unionByName(fresh)
+                .groupBy("r", "bucket")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = fresh
+        merged.write.mode("overwrite").parquet(path + ".staging")
+        _commit_dir_swap(path)
+        _ledger_mark(ledger, applied, batch_id)
+
+    return _apply
+
+
 def dedup_within_watermark(
     records: DataFrame,
     keys: list[str],

@@ -979,3 +979,65 @@ def test_read_batch_dirs_resolves_mid_swap_crash_leftovers(spark, tmp_dir):
     import os
 
     assert not os.path.exists(f"{root}/ingest=-1.old")
+
+
+def test_cms_refresh_sink_merge_equals_whole_and_ledger_blocks_replay(
+    spark, tmp_dir
+):
+    """Streaming CMS maintenance: after a 3-batch ingest the stored
+    grid must equal cms_build over everything ingested (cell-wise sum
+    merge is lossless), and replaying an applied batch must change
+    nothing — here safety comes from the LEDGER, because sum-merge is
+    not idempotent (the algebraic mirror of the HLL sink's analysis)."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators.sketches import (
+        cms_build,
+    )
+
+    rows = [(i % 53,) for i in range(300)]
+    schema = "user_id long"
+    src = f"{tmp_dir}/cms_src"
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = f"{tmp_dir}/cms_store/grid"
+    sink = pipeline.cms_refresh_sink(store, "user_id", depth=4, width=64)
+    q = (
+        file_stream(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmp_dir}/ckpt_cms")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    def grid():
+        return sorted(
+            map(tuple, spark.read.parquet(store).collect())
+        )
+
+    got = grid()
+    whole = sorted(
+        map(
+            tuple,
+            cms_build(
+                spark.createDataFrame(rows, schema), "user_id", 4, 64
+            ).collect(),
+        )
+    )
+    assert got == whole
+    # mass check: each of the 4 grid rows sums to the 300 ingested rows
+    per_row = (
+        spark.read.parquet(store).groupBy("r").agg(F.sum("n").alias("s"))
+    ).collect()
+    assert {r.s for r in per_row} == {300}
+
+    # replaying batch 0 must be blocked by the ledger (sum-merge would
+    # otherwise double-count it)
+    sink(spark.createDataFrame(rows[0:100], schema), 0)
+    assert grid() == got
+    # a genuinely NEW batch id does merge
+    sink(spark.createDataFrame([(999,)], schema), 99)
+    assert grid() != got
