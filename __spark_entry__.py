@@ -3808,6 +3808,130 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event_type (operators/sketches.py:
+    kmv_build/kmv_estimate) beside the exact answer. The md5 hash family
+    makes the whole sketch deterministic, so unlike the HLL rollup
+    (engine-specific state, rows-only under the driver) this
+    distinct-count SKETCH is value-hash-checked: DuckDB recomputes the
+    same bottom-64 hashes and the same (k-1)/(h_k/2^60) estimator.
+    State is 64 longs per group, mergeable by bottom-k union (pinned in
+    tests/test_sketches.py)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = sketches.kmv_build(ev, ["event_type"], "user_id", k=64)
+    est = sketches.kmv_estimate(sk, ["event_type"], k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_ndv")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_seen",
+            _q(F.col("ndv_est"), 2).alias("ndv_est"),
+            "exact_ndv",
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table statistics for the optimizer's benefit: per
+    column of orders — row count, null count, lexicographic min/max of
+    the string form, and a KMV ndv estimate beside the exact distinct
+    count. This is the stats-collection pass a CBO consumes for join
+    ordering and broadcast decisions; at 100 TB you run it per
+    partition and merge (counts sum, min/max compare, KMV sketches
+    union — every statistic here is mergeable by construction)."""
+    o = _t(spark, sf_dir, "orders")
+    frames = []
+    for c in ["o_custkey", "o_orderstatus", "o_orderpriority"]:
+        col = o.select(F.col(c).cast("string").alias("v")).withColumn(
+            "column", F.lit(c)
+        )
+        base = col.groupBy("column").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias(
+                "n_nulls"
+            ),
+            F.min("v").alias("min_str"),
+            F.max("v").alias("max_str"),
+            F.countDistinct("v").alias("ndv_exact"),
+        )
+        sk = sketches.kmv_build(
+            col.filter(F.col("v").isNotNull()), ["column"], "v", k=64
+        )
+        est = sketches.kmv_estimate(sk, ["column"], k=64).select(
+            "column", _q(F.col("ndv_est"), 2).alias("ndv_est")
+        )
+        frames.append(base.join(est, "column"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("column")
+
+
+def q_stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum reservoir: the 20 hash-smallest docs
+    of EACH language — a uniform fixed-size sample per group that is
+    stable across runs, engines, and partition layouts (the grouped
+    variant of bottomk_sample; rand()-reservoirs are neither
+    reproducible nor mergeable). One window pass partitioned by the
+    stratum; local bottom-k merges by construction."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    key = sampling.hash_hex(F.col("doc_id"), "stratum-sample")
+    w = Window.partitionBy("lang").orderBy(F.asc("sample_key"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", key.alias("sample_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lang", "sample_key", "rk")
+    )
+
+
+def q_token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution entropy per document — the repetition /
+    diversity quality signal (low entropy = template or spam): H =
+    ln(dl) - (1/dl)·Σ c·ln(c) over term counts c. Integerized like the
+    DSIR weights: ln values quantize to micro-nats, the Σ c·lnq(c)
+    accumulates as an exact BIGINT, and the final division is integer
+    DIV — so the corpus-sized aggregation is order-independent and
+    DuckDB matches entropy_micro exactly."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.text import (
+        split_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(split_words("text"), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    lnq_c = F.floor(F.log("c") * 1e6 + F.lit(0.5)).cast("long")
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("dl"),
+        F.count("*").alias("n_unique"),
+        F.sum(F.col("c") * lnq_c).alias("s_micro"),
+    )
+    lnq_dl = F.floor(F.log("dl") * 1e6 + F.lit(0.5)).cast("long")
+    return per_doc.select(
+        "doc_id",
+        "dl",
+        "n_unique",
+        (lnq_dl - F.expr("s_micro DIV dl")).alias("entropy_micro"),
+    ).select(
+        "doc_id",
+        "dl",
+        "n_unique",
+        "entropy_micro",
+        _q(F.col("entropy_micro") / 1e6, 6).alias("entropy"),
+    )
+
+
 # --------------------------------------------------------------------------
 #: Iteration order matters: the driver's correctness harness checks the
 #: FIRST 50 entries (observed cap, CORRECTNESS_r02). The leading block is
@@ -3984,6 +4108,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_importance_weights": q_dsir_importance_weights,
     "bottomk_sample": q_bottomk_sample,
     "bm25_search": q_bm25_search,
+    "kmv_distinct_rollup": q_kmv_distinct_rollup,
+    "column_stats": q_column_stats,
+    "stratified_reservoir": q_stratified_reservoir,
+    "token_entropy_docs": q_token_entropy_docs,
 }
 
 
@@ -6371,6 +6499,124 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY bm25_micro DESC, doc_id ASC
             LIMIT 100
+        """,
+        "kmv_distinct_rollup": f"""
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       CAST(('0x' || substring(md5('kmv:'
+                                || CAST(user_id AS VARCHAR)), 1, 15)
+                            )::UBIGINT AS BIGINT) AS h
+                FROM events
+            ),
+            bk AS (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h ASC) AS rk
+                FROM h QUALIFY rk <= 64
+            ),
+            est AS (
+                SELECT event_type, COUNT(*) AS n_seen,
+                       MAX(CASE WHEN rk = 64 THEN h END) AS kth
+                FROM bk GROUP BY 1
+            )
+            SELECT e.event_type, n_seen,
+                   {_sql_q(
+                       "CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE) "
+                       "ELSE 63.0 / (kth / 1152921504606846976.0) END", 2
+                   )} AS ndv_est,
+                   x.exact_ndv
+            FROM est e
+            JOIN (SELECT event_type,
+                         COUNT(DISTINCT user_id) AS exact_ndv
+                  FROM events GROUP BY 1) x USING (event_type)
+            ORDER BY event_type
+        """,
+        "column_stats": f"""
+            WITH cols AS (
+                SELECT 'o_custkey' AS col, CAST(o_custkey AS VARCHAR) AS v
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', o_orderstatus FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', o_orderpriority FROM orders
+            ),
+            base AS (
+                SELECT col AS "column",
+                       COUNT(*) AS n_rows,
+                       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_nulls,
+                       MIN(v) AS min_str, MAX(v) AS max_str,
+                       COUNT(DISTINCT v) AS ndv_exact
+                FROM cols GROUP BY 1
+            ),
+            h AS (
+                SELECT DISTINCT col,
+                       CAST(('0x' || substring(md5('kmv:' || v), 1, 15)
+                            )::UBIGINT AS BIGINT) AS h
+                FROM cols WHERE v IS NOT NULL
+            ),
+            bk AS (
+                SELECT col, h,
+                       row_number() OVER (PARTITION BY col
+                                          ORDER BY h ASC) AS rk
+                FROM h QUALIFY rk <= 64
+            ),
+            est AS (
+                SELECT col AS "column", COUNT(*) AS n_seen,
+                       MAX(CASE WHEN rk = 64 THEN h END) AS kth
+                FROM bk GROUP BY 1
+            )
+            SELECT b."column", n_rows, n_nulls, min_str, max_str,
+                   ndv_exact,
+                   {_sql_q(
+                       "CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE) "
+                       "ELSE 63.0 / (kth / 1152921504606846976.0) END", 2
+                   )} AS ndv_est
+            FROM base b JOIN est USING ("column")
+            ORDER BY "column"
+        """,
+        "stratified_reservoir": """
+            SELECT doc_id, lang,
+                   substring(md5('stratum-sample:'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS sample_key,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY substring(md5('stratum-sample:'
+                                    || CAST(doc_id AS VARCHAR)), 1, 8) ASC,
+                                    doc_id ASC
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 20
+        """,
+        "token_entropy_docs": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS c FROM toks
+                   WHERE term <> '' GROUP BY 1, 2),
+            per_doc AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS dl,
+                       COUNT(*) AS n_unique,
+                       CAST(SUM(c * CAST(FLOOR(ln(c) * 1e6 + 0.5)
+                                         AS BIGINT)) AS BIGINT) AS s_micro
+                FROM tf GROUP BY 1
+            )
+            SELECT doc_id, dl, n_unique,
+                   CAST(FLOOR(ln(dl) * 1e6 + 0.5) AS BIGINT)
+                       - s_micro // dl AS entropy_micro,
+                   {_sql_q(
+                       "(CAST(FLOOR(ln(dl) * 1e6 + 0.5) AS BIGINT)"
+                       " - s_micro // dl) / 1e6", 6
+                   )} AS entropy
+            FROM per_doc
         """,
         # rows-only (approximate / engine-specific by design, each with a
         # *_verified md5- or literal-plane twin pinning its mechanism):

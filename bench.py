@@ -89,6 +89,8 @@ HEADLINE = [
     "dsir_importance_weights",
     "bottomk_sample",
     "bm25_search",
+    "kmv_distinct_rollup",
+    "token_entropy_docs",
 ]
 
 

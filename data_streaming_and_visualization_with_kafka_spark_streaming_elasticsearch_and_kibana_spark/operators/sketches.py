@@ -127,3 +127,85 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est"))
     )
+
+
+#: hash space of the 15-hex-char md5 prefix: 16^15 == 2^60 (exactly
+#: representable as a double, which keeps the estimator cross-engine exact)
+KMV_SPACE = 16 ** 15
+
+
+def kmv_hash(key: Column, seed: str = "kmv") -> Column:
+    """Uniform 60-bit value for KMV: first 15 hex chars of
+    md5(seed:key). DuckDB twin: ('0x' || substring(md5(...), 1, 15))
+    ::UBIGINT."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_build(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al., RANDOM 2002)
+    per group: the k smallest distinct md5 hashes of the key. Returns
+    (group..., h, rk) rows — at most k per group.
+
+    Why this exists next to the HLL rollup (relational.py): HLL state is
+    engine-specific, so its queries are rows-only under the driver; KMV
+    with an md5 family is fully deterministic — a DuckDB oracle computes
+    the SAME bottom-k and the SAME estimate, putting a distinct-count
+    SKETCH under the value-hash gate. It is also trivially mergeable:
+    bottom-k of a union == bottom-k of the merged bottom-k sets (pinned
+    in tests), so per-shard sketches roll up without rescanning.
+
+    Shape: distinct on (group, hash) — one shuffle, map-side combined —
+    then a per-group window keeps k rows. State per group is k longs."""
+    from pyspark.sql import Window
+
+    d = df.select(
+        *group_cols, kmv_hash(F.col(key_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_merge(
+    sketches_df: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Merge KMV sketch rows (same seed, any split of the data): dedup
+    hashes per group, keep the k smallest again. bottom-k is a
+    semilattice — merge of sketches == sketch of the union."""
+    from pyspark.sql import Window
+
+    d = sketches_df.select(*group_cols, "h").distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Distinct-count estimate per group from a kmv_build/kmv_merge
+    frame: exact count when the group holds fewer than k hashes, else
+    (k-1) / (h_k / SPACE) — the classic KMV estimator, computed as two
+    correctly-rounded IEEE ops so any engine agrees bit-for-bit."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("n_seen"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("kth"),
+    )
+    est = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth") / F.lit(float(KMV_SPACE)))
+    )
+    return agg.select(*group_cols, "n_seen", est.alias("ndv_est"))

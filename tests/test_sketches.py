@@ -77,3 +77,47 @@ def test_absent_key_estimates_small(spark):
     est = sketches.cms_estimate(sk, ghost, "k", depth=4, width=512).collect()
     # with 20 keys over 4×512 cells the min over 4 rows is almost surely 0
     assert est[0].cms_est == 0
+
+
+def test_kmv_estimate_exact_below_k(spark):
+    df = spark.createDataFrame([(i % 40,) for i in range(500)], "k long")
+    sk = sketches.kmv_build(df.withColumn("g", F.lit("a")), ["g"], "k", k=64)
+    est = sketches.kmv_estimate(sk, ["g"], k=64).collect()[0]
+    # 40 distinct < k=64 → the sketch IS the distinct set → exact
+    assert est.n_seen == 40 and est.ndv_est == 40.0
+
+
+def test_kmv_estimate_within_error_above_k(spark):
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], "k long")
+    sk = sketches.kmv_build(df.withColumn("g", F.lit("a")), ["g"], "k", k=64)
+    est = sketches.kmv_estimate(sk, ["g"], k=64).collect()[0].ndv_est
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 12.7%; allow 4 sigma
+    assert abs(est - n) / n < 0.5, est
+
+
+def test_kmv_merge_equals_whole(spark):
+    rows = [(i % 300,) for i in range(1000)]
+    g = lambda d: d.withColumn("g", F.lit("a"))  # noqa: E731
+    a = sketches.kmv_build(
+        g(spark.createDataFrame(rows[:400], "k long")), ["g"], "k", k=32
+    )
+    b = sketches.kmv_build(
+        g(spark.createDataFrame(rows[400:], "k long")), ["g"], "k", k=32
+    )
+    merged = sketches.kmv_merge(a.unionByName(b), ["g"], k=32)
+    whole = sketches.kmv_build(
+        g(spark.createDataFrame(rows, "k long")), ["g"], "k", k=32
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_kmv_state_is_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(3000)], "k long, g string"
+    )
+    sk = sketches.kmv_build(df, ["g"], "k", k=16)
+    per_group = sk.groupBy("g").count().collect()
+    assert all(r["count"] == 16 for r in per_group)
