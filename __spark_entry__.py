@@ -3932,6 +3932,69 @@ def q_token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front query: orders not strictly dominated on
+    (totalprice, orderdate) — no other order has BOTH a higher price
+    and a later date. The naive formulation is an inequality self-join
+    (quadratic); the classic single-window rewrite (running max of date
+    over price-descending) funnels everything through one WindowExec
+    partition. This version keeps the rewrite but distributes it with
+    the same cutpoint-bucket machinery as q_order_quartiles: price
+    levels bucket by inlined approx-quantile literals, the running max
+    runs per-bucket in parallel, and a bounded per-bucket max table
+    (≤ n_ranges rows, driver round-trip like the rollup sink's day
+    list) carries the cross-bucket prefix. Dominance ties are handled
+    strictly: equal price never dominates, equal date never dominates.
+    The DuckDB oracle uses the plain one-window rewrite — same rows."""
+    orders = _t(spark, sf_dir, "orders")
+    n_ranges = 8
+    lv = orders.groupBy(F.col("o_totalprice").alias("p")).agg(
+        F.max("o_orderdate").alias("lv_mx")
+    )
+    cuts = sorted(
+        set(
+            orders.stat.approxQuantile(
+                "o_totalprice",
+                [i / n_ranges for i in range(1, n_ranges)],
+                0.001,
+            )
+        )
+    )
+    bucket = sum(
+        (F.when(F.col("p") > F.lit(c), 1).otherwise(0) for c in cuts),
+        F.lit(0),
+    ).alias("pid")
+    lv_b = lv.select("p", "lv_mx", bucket)
+    # strictly-higher-price running max WITHIN each bucket (parallel)
+    w = Window.partitionBy("pid").orderBy(F.desc("p")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lv2 = lv_b.withColumn("mx_in", F.max("lv_mx").over(w))
+    # bounded cross-bucket carry: max level-date of every HIGHER bucket
+    bmax = {
+        r.pid: r.mx
+        for r in lv_b.groupBy("pid").agg(F.max("lv_mx").alias("mx")).collect()
+    }
+    carry_rows, run = [], None
+    for pid in sorted(bmax, reverse=True):
+        carry_rows.append((pid, run))
+        run = bmax[pid] if run is None else max(run, bmax[pid])
+    carry_df = spark.createDataFrame(
+        carry_rows, "pid int, carry timestamp"
+    )
+    thr = F.greatest(F.col("mx_in"), F.col("carry"))
+    levels = (
+        lv2.join(F.broadcast(carry_df), "pid")
+        .select("p", thr.alias("thr"))
+    )
+    return (
+        orders.join(levels, orders.o_totalprice == levels.p)
+        .filter(F.col("thr").isNull() | (F.col("thr") <= F.col("o_orderdate")))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
 # --------------------------------------------------------------------------
 #: Iteration order matters: the driver's correctness harness checks the
 #: FIRST 50 entries (observed cap, CORRECTNESS_r02). The leading block is
@@ -4112,6 +4175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_stats": q_column_stats,
     "stratified_reservoir": q_stratified_reservoir,
     "token_entropy_docs": q_token_entropy_docs,
+    "pareto_front_orders": q_pareto_front_orders,
 }
 
 
@@ -6617,6 +6681,25 @@ def oracle_sql() -> dict[str, str]:
                        " - s_micro // dl) / 1e6", 6
                    )} AS entropy
             FROM per_doc
+        """,
+        "pareto_front_orders": """
+            WITH lv AS (
+                SELECT o_totalprice AS p, MAX(o_orderdate) AS lv_mx
+                FROM orders GROUP BY 1
+            ),
+            lv2 AS (
+                SELECT p,
+                       MAX(lv_mx) OVER (
+                           ORDER BY p DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING
+                       ) AS thr
+                FROM lv
+            )
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders JOIN lv2 ON o_totalprice = p
+            WHERE thr IS NULL OR thr <= o_orderdate
+            ORDER BY o_totalprice DESC, o_orderkey ASC
         """,
         # rows-only (approximate / engine-specific by design, each with a
         # *_verified md5- or literal-plane twin pinning its mechanism):

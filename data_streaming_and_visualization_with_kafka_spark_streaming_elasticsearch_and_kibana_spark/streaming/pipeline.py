@@ -814,6 +814,48 @@ def cms_refresh_sink(
     return _apply
 
 
+def kmv_refresh_sink(
+    path: str,
+    group_cols: tuple[str, ...] = ("event_type",),
+    key_col: str = "user_id",
+    k: int = 64,
+):
+    """foreachBatch sink maintaining per-group KMV distinct sketches
+    over an unbounded stream: each micro-batch's bottom-k hash set
+    merges into the stored one (operators.sketches.kmv_merge) under the
+    crash-safe stage-swap. State is k longs per group forever.
+
+    This completes the sketch-sink replay-algebra triptych:
+    sketch_rollup_sink (HLL) is ledger-FREE because union is a
+    max-merge; cms_refresh_sink is LEDGERED because its merge is a sum;
+    KMV is ledger-free again — bottom-k over sets is a semilattice
+    (idempotent, commutative, associative), so re-merging a replayed
+    batch changes nothing. Unlike the HLL sink, the maintained state
+    here is fully deterministic (md5 family), so the batch
+    kmv_distinct_rollup oracle doubles as a check on the streamed
+    state: streamed == batch-built is pinned in tests."""
+    from ..operators.sketches import kmv_build, kmv_merge
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fresh = kmv_build(batch_df, list(group_cols), key_col, k=k)
+        _recover_dir_swap(path)
+        if os.path.exists(path):
+            fresh = kmv_merge(
+                spark.read.parquet(path).unionByName(fresh),
+                list(group_cols),
+                k=k,
+            )
+        fresh.write.mode("overwrite").parquet(path + ".staging")
+        _commit_dir_swap(path)
+
+    return _apply
+
+
 def dedup_within_watermark(
     records: DataFrame,
     keys: list[str],

@@ -1041,3 +1041,57 @@ def test_cms_refresh_sink_merge_equals_whole_and_ledger_blocks_replay(
     # a genuinely NEW batch id does merge
     sink(spark.createDataFrame([(999,)], schema), 99)
     assert grid() != got
+
+
+def test_kmv_refresh_sink_streamed_equals_batch_and_replay_is_noop(
+    spark, tmp_dir
+):
+    """Streaming KMV maintenance: after a 3-batch ingest the stored
+    per-group sketches must equal kmv_build over everything ingested,
+    and re-applying a batch must change nothing WITHOUT a ledger —
+    bottom-k set union is idempotent (the third point of the sketch
+    replay-algebra triptych: HLL max-merge, CMS sum-merge, KMV
+    set-merge)."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators.sketches import (
+        kmv_build,
+    )
+
+    rows = [(f"t{i % 2}", i % 97) for i in range(300)]
+    schema = "event_type string, user_id long"
+    src = f"{tmp_dir}/kmv_src"
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = f"{tmp_dir}/kmv_store/sk"
+    sink = pipeline.kmv_refresh_sink(store, ("event_type",), "user_id", k=32)
+    q = (
+        file_stream(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmp_dir}/ckpt_kmv")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    def state():
+        return sorted(map(tuple, spark.read.parquet(store).collect()))
+
+    got = state()
+    whole = sorted(
+        map(
+            tuple,
+            kmv_build(
+                spark.createDataFrame(rows, schema),
+                ["event_type"],
+                "user_id",
+                k=32,
+            ).collect(),
+        )
+    )
+    assert got == whole
+    # replay with no ledger: set-merge idempotence makes it a no-op
+    sink(spark.createDataFrame(rows[0:100], schema), 0)
+    assert state() == got
