@@ -3995,6 +3995,101 @@ def q_pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hierarchy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE, the Spark way: resolve depth-to-root for every
+    node of an irregular forest using pointer doubling
+    (graph.resolve_ancestors — 6 self-joins resolve any depth ≤ 64,
+    vs depth sequential steps for a naive walk). Spark has no recursive
+    CTE; this is the log-round equivalent, and the DuckDB oracle IS the
+    real WITH RECURSIVE — the differential gate proves the two
+    formulations equal. The demo forest hangs off the ranked distinct
+    users with an md5-parity parent rule (r DIV 2 or r DIV 3), so the
+    tree is irregular enough that depth requires actual traversal.
+    (The dense_rank here is demo scaffolding to mint node ids — the
+    operator itself takes any (node, parent) table.)"""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    nodes = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "r", F.dense_rank().over(W.orderBy(F.asc("user_id"))).cast("long")
+        )
+    )
+    parity = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("tree:"), F.col("r"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    parent = (
+        F.when(F.col("r") == 1, F.lit(1))
+        .when(parity == 0, F.greatest(F.lit(1), F.expr("r DIV 2")))
+        .otherwise(F.greatest(F.lit(1), F.expr("r DIV 3")))
+    )
+    par = nodes.select("user_id", "r", parent.alias("p"))
+    resolved = graph.resolve_ancestors(
+        par.select(F.col("r").alias("node"), F.col("p").alias("parent")),
+        rounds=6,
+    )
+    return (
+        par.join(resolved, par.r == resolved.node)
+        .select("user_id", "r", "depth")
+        .orderBy("r")
+    )
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, day) — the TimescaleDB
+    time_weight operator class: irregular samples weighted by how long
+    each value was current (LOCF segments between consecutive events).
+    Integer discipline throughout: durations are exact epoch-second
+    longs, values quantize to cents before multiplying, so the
+    numerator/denominator sums are exact BIGINTs and the single final
+    division is IEEE-identical in any engine. One window pass + one
+    aggregation, both keyed on (user, day)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    day = F.to_date(F.col("ts")).alias("day")
+    w = W.partitionBy("user_id", "day").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    seg = (
+        ev.select(
+            "user_id", day, "ts", "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .withColumn("nxt", F.lead("ts").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .withColumn(
+            # exact integer MICROSECONDS (the corpus has sub-second
+            # timestamps; second-granularity epochs would round
+            # differently across engines)
+            "dur",
+            F.unix_micros(F.col("nxt").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp")),
+        )
+    )
+    agg = seg.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("cents") * F.col("dur")).alias("num"),
+        F.sum("dur").alias("den"),
+    )
+    return (
+        agg.filter(F.col("den") > 0)
+        .select(
+            "user_id",
+            "day",
+            "n_segments",
+            _q(F.col("num") / F.col("den") / 100.0, 4).alias("twap"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 #: Iteration order matters: the driver's correctness harness checks the
 #: FIRST 50 entries (observed cap, CORRECTNESS_r02). The leading block is
@@ -4176,6 +4271,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_reservoir": q_stratified_reservoir,
     "token_entropy_docs": q_token_entropy_docs,
     "pareto_front_orders": q_pareto_front_orders,
+    "hierarchy_resolve": q_hierarchy_resolve,
+    "time_weighted_avg": q_time_weighted_avg,
 }
 
 
@@ -6700,6 +6797,60 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN lv2 ON o_totalprice = p
             WHERE thr IS NULL OR thr <= o_orderdate
             ORDER BY o_totalprice DESC, o_orderkey ASC
+        """,
+        "hierarchy_resolve": """
+            WITH RECURSIVE nodes AS (
+                SELECT user_id,
+                       CAST(dense_rank() OVER (ORDER BY user_id ASC)
+                            AS BIGINT) AS r
+                FROM (SELECT DISTINCT user_id FROM events)
+            ),
+            par AS (
+                SELECT user_id, r,
+                       CASE WHEN r = 1 THEN 1
+                            WHEN ('0x' || substring(md5('tree:'
+                                     || CAST(r AS VARCHAR)), 1, 15)
+                                 )::UBIGINT % 2 = 0
+                                 THEN GREATEST(1, r // 2)
+                            ELSE GREATEST(1, r // 3)
+                       END AS p
+                FROM nodes
+            ),
+            walk AS (
+                SELECT r, p AS anc,
+                       CASE WHEN p = r THEN 0 ELSE 1 END AS d
+                FROM par
+                UNION ALL
+                SELECT w.r, q.p, w.d + 1
+                FROM walk w JOIN par q ON w.anc = q.r
+                WHERE w.anc <> q.p
+            )
+            SELECT user_id, r, CAST(MAX(d) AS BIGINT) AS depth
+            FROM (SELECT par.user_id, walk.r, walk.d
+                  FROM walk JOIN par USING (r))
+            GROUP BY 1, 2
+            ORDER BY r
+        """,
+        "time_weighted_avg": f"""
+            WITH seg AS (
+                SELECT user_id, CAST(ts AS DATE) AS day,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+                       epoch_us(ts) AS t0,
+                       epoch_us(LEAD(ts) OVER (
+                           PARTITION BY user_id, CAST(ts AS DATE)
+                           ORDER BY ts ASC, event_id ASC
+                       )) AS t1
+                FROM events
+            )
+            SELECT user_id, day,
+                   COUNT(*) AS n_segments,
+                   {_sql_q(
+                       "SUM(cents * (t1 - t0)) / SUM(t1 - t0) / 100.0", 4
+                   )} AS twap
+            FROM seg
+            WHERE t1 IS NOT NULL
+            GROUP BY 1, 2
+            HAVING SUM(t1 - t0) > 0
         """,
         # rows-only (approximate / engine-specific by design, each with a
         # *_verified md5- or literal-plane twin pinning its mechanism):

@@ -91,6 +91,8 @@ HEADLINE = [
     "bm25_search",
     "kmv_distinct_rollup",
     "token_entropy_docs",
+    "time_weighted_avg",
+    "pareto_front_orders",
 ]
 
 

@@ -128,3 +128,45 @@ def consecutive_user_edges(
         )
         .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
     )
+
+
+def resolve_ancestors(
+    parents: DataFrame,
+    rounds: int = 6,
+    node: str = "node",
+    parent: str = "parent",
+) -> DataFrame:
+    """Resolve every node's ROOT and DEPTH in a forest by pointer
+    doubling — Spark has no WITH RECURSIVE, and a row-at-a-time walk
+    would take depth iterations; doubling takes ceil(log2(depth)):
+    each round joins the ancestor table with itself, so after round i
+    every node knows its 2^i-step ancestor and the summed distance.
+    Roots must self-loop (parent == node) with implicit distance 0 —
+    the saturating fixed point that makes extra rounds harmless.
+    `rounds`=6 resolves any depth <= 64.
+
+    Cost shape: `rounds` self-joins shuffling one row per node — the
+    classic log-round technique (same family as the pointer-jumping
+    connected components in dedup.py). All arithmetic is integer, so
+    the result is engine-exact and a DuckDB recursive CTE can oracle
+    it."""
+    a = parents.select(
+        F.col(node).alias("n"),
+        F.col(parent).alias("anc"),
+        F.when(F.col(parent) == F.col(node), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("d"),
+    )
+    for _ in range(rounds):
+        nxt = a.select(
+            F.col("n").alias("n2"), F.col("anc").alias("anc2"), F.col("d").alias("d2")
+        )
+        a = (
+            a.join(nxt, a.anc == nxt.n2)
+            .select("n", F.col("anc2").alias("anc"), (F.col("d") + F.col("d2")).alias("d"))
+        )
+    return a.select(
+        F.col("n").alias(node),
+        F.col("anc").alias("root"),
+        F.col("d").alias("depth"),
+    )

@@ -80,3 +80,29 @@ def test_consecutive_user_edges_window(spark):
         map(tuple, graph.consecutive_user_edges(ev).collect())
     )
     assert got == [(10, 20), (20, 10)]
+
+
+def test_resolve_ancestors_chain_and_forest(spark):
+    # two trees: a 7-deep chain rooted at 1 (needs 3 doubling rounds)
+    # and a star rooted at 100
+    pairs = [(1, 1), (2, 1), (3, 2), (4, 3), (5, 4), (6, 5), (7, 6), (8, 7)]
+    pairs += [(100, 100), (101, 100), (102, 100)]
+    par = spark.createDataFrame(pairs, "node long, parent long")
+    got = {
+        r.node: (r.root, r.depth)
+        for r in graph.resolve_ancestors(par, rounds=6).collect()
+    }
+    assert got[1] == (1, 0)
+    assert got[8] == (1, 7)
+    assert got[5] == (1, 4)
+    assert got[100] == (100, 0)
+    assert got[102] == (100, 1)
+
+
+def test_resolve_ancestors_saturates_beyond_needed_rounds(spark):
+    # extra rounds past saturation change nothing (root self-loop)
+    pairs = [(1, 1), (2, 1), (3, 2)]
+    par = spark.createDataFrame(pairs, "node long, parent long")
+    a = sorted(map(tuple, graph.resolve_ancestors(par, rounds=2).collect()))
+    b = sorted(map(tuple, graph.resolve_ancestors(par, rounds=6).collect()))
+    assert a == b

@@ -192,3 +192,49 @@ def test_runtime_bloom_filter_prefilters_shuffle_join(spark):
         .collect()
     }
     assert got == want and sum(got.values()) > 0
+
+
+def test_bottomk_sample_compiles_to_take_ordered(spark):
+    df = entrymod.q_bottomk_sample(spark, SF)
+    assert "TakeOrderedAndProject" in explain.formatted_plan(df)
+
+
+def test_cms_grid_aggregation_is_partial(spark):
+    # the depth×width grid must partial-aggregate map-side: a partial
+    # HashAggregate below the exchange and a final one above it
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        sketches,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = explain.formatted_plan(sketches.cms_build(ev, "user_id"))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_cms_estimate_broadcasts_probes(spark):
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        sketches,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sk = sketches.cms_build(ev, "user_id")
+    probes = ev.select("user_id").distinct().limit(5)
+    plan = explain.formatted_plan(
+        sketches.cms_estimate(sk, probes, "user_id")
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pareto_front_has_no_single_partition_window(spark):
+    # the skyline rewrite must keep its running-max window partitioned
+    # by the price bucket — never the whole-table WindowExec
+    df = entrymod.q_pareto_front_orders(spark, SF)
+    plan = explain.formatted_plan(df)
+    assert "Window" in plan
+    import re
+
+    for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # every window spec must name a partition column (pid)
+        assert "pid" in spec, spec
