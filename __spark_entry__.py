@@ -4005,17 +4005,39 @@ def q_hierarchy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulations equal. The demo forest hangs off the ranked distinct
     users with an md5-parity parent rule (r DIV 2 or r DIV 3), so the
     tree is irregular enough that depth requires actual traversal.
-    (The dense_rank here is demo scaffolding to mint node ids — the
-    operator itself takes any (node, parent) table.)"""
+    Node ids are minted DISTRIBUTIVELY — cutpoint buckets + per-bucket
+    row_number + bounded offsets, the same machinery as
+    q_order_quartiles — so even the scaffolding has no single-partition
+    window. (The operator itself takes any (node, parent) table.)"""
     ev = _t(spark, sf_dir, "events")
     from pyspark.sql import Window as W
 
-    nodes = (
-        ev.select("user_id")
-        .distinct()
-        .withColumn(
-            "r", F.dense_rank().over(W.orderBy(F.asc("user_id"))).cast("long")
+    us = ev.select("user_id").distinct()
+    cuts = sorted(
+        set(
+            us.stat.approxQuantile(
+                "user_id", [i / 8 for i in range(1, 8)], 0.001
+            )
         )
+    )
+    pid = sum(
+        (F.when(F.col("user_id") > F.lit(c), 1).otherwise(0) for c in cuts),
+        F.lit(0),
+    ).alias("pid")
+    part = us.select("user_id", pid)
+    offs, acc = [], 0
+    for p, n in sorted(
+        (r.pid, r.n)
+        for r in part.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    ):
+        offs.append((p, acc))
+        acc += n
+    off_df = spark.createDataFrame(offs, "pid int, off long")
+    wb = W.partitionBy("pid").orderBy(F.asc("user_id"))
+    nodes = (
+        part.join(F.broadcast(off_df), "pid")
+        .withColumn("r", (F.col("off") + F.row_number().over(wb)).cast("long"))
+        .select("user_id", "r")
     )
     parity = F.pmod(
         F.conv(
@@ -4088,6 +4110,17 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             _q(F.col("num") / F.col("den") / 100.0, 4).alias("twap"),
         )
     )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the who-follows-whom user graph
+    (graph.triangle_count over consecutive_user_edges): nodes, edges,
+    wedges, triangles as one exact-integer row. Triangles are the
+    clustering primitive — the same wedge-close join pattern a spam/
+    collusion detector runs at corpus scale. DuckDB oracle is the
+    identical canonical-edge three-way join."""
+    ev = _t(spark, sf_dir, "events")
+    return graph.triangle_count(graph.consecutive_user_edges(ev))
 
 
 # --------------------------------------------------------------------------
@@ -4273,6 +4306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pareto_front_orders": q_pareto_front_orders,
     "hierarchy_resolve": q_hierarchy_resolve,
     "time_weighted_avg": q_time_weighted_avg,
+    "triangle_count": q_triangle_count,
 }
 
 
@@ -6851,6 +6885,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE t1 IS NOT NULL
             GROUP BY 1, 2
             HAVING SUM(t1 - t0) > 0
+        """,
+        "triangle_count": """
+            WITH raw AS (
+                SELECT LAG(user_id) OVER (
+                           PARTITION BY event_type
+                           ORDER BY ts ASC, event_id ASC
+                       ) AS src,
+                       user_id AS dst
+                FROM events
+            ),
+            e AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM raw WHERE src IS NOT NULL AND src <> dst
+            ),
+            nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+            w AS (
+                SELECT e1.a, e1.b AS x, e2.b AS y
+                FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+            )
+            SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+                   (SELECT COUNT(*) FROM e) AS n_edges,
+                   (SELECT COUNT(*) FROM w) AS n_wedges,
+                   (SELECT COUNT(*) FROM w
+                    WHERE EXISTS (SELECT 1 FROM e
+                                  WHERE e.a = w.x AND e.b = w.y)
+                   ) AS n_triangles
         """,
         # rows-only (approximate / engine-specific by design, each with a
         # *_verified md5- or literal-plane twin pinning its mechanism):

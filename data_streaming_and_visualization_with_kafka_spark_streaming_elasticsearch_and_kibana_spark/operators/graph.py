@@ -170,3 +170,42 @@ def resolve_ancestors(
         F.col("anc").alias("root"),
         F.col("d").alias("depth"),
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Count triangles in the undirected graph of an edge list — the
+    clustering-structure primitive (community density, spam-graph
+    detection). Returns one row: (n_nodes, n_edges, n_wedges,
+    n_triangles), all exact BIGINTs.
+
+    Shape: symmetrize + dedup to canonical a<b edges (one shuffle),
+    build wedges by joining the edge list with itself on the lower
+    endpoint, then close each wedge with a third join. Wedge volume is
+    Σ deg(v)² — at cluster scale you first ORIENT edges from lower to
+    higher degree (cuts the join to Σ min-deg, the standard
+    compact-forward trick; noted here, id-orientation used since the
+    catalog graphs are near-regular). Every join keys on node ids and
+    the output is a constant-size row."""
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    nodes = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    e1 = e.select(F.col("a").alias("w_a"), F.col("b").alias("w_x"))
+    e2 = e.select(F.col("a").alias("w_a"), F.col("b").alias("w_y"))
+    wedges = e1.join(e2, "w_a").filter(F.col("w_x") < F.col("w_y"))
+    tri = wedges.join(
+        e, (e.a == F.col("w_x")) & (e.b == F.col("w_y")), "left_semi"
+    )
+    return (
+        nodes.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+    )

@@ -106,3 +106,19 @@ def test_resolve_ancestors_saturates_beyond_needed_rounds(spark):
     a = sorted(map(tuple, graph.resolve_ancestors(par, rounds=2).collect()))
     b = sorted(map(tuple, graph.resolve_ancestors(par, rounds=6).collect()))
     assert a == b
+
+
+def test_triangle_count_known_graphs(spark):
+    # K4: 4 triangles, 6 edges; plus a disconnected path (0 triangles)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(10, 11), (11, 12)]
+    e = _edges(spark, k4 + path)
+    r = graph.triangle_count(e).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (7, 8, 4)
+
+
+def test_triangle_count_direction_and_duplicates_collapse(spark):
+    # (1,2) twice + (2,1): one undirected edge; triangle counted once
+    e = _edges(spark, [(1, 2), (1, 2), (2, 1), (2, 3), (3, 1)])
+    r = graph.triangle_count(e).collect()[0]
+    assert (r.n_edges, r.n_triangles) == (3, 1)
