@@ -784,7 +784,15 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_ivf_index_{sf_tag}"
     )
-    fp = _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+    import hashlib
+
+    # cell assignments are argmins against THESE centroids — the sample
+    # behind them can shift with partition layout, so they are part of
+    # the artifact identity (see q_pq_ann_topk)
+    fp = (
+        _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+        + ":" + hashlib.md5(cents.tobytes()).hexdigest()
+    )
     if not _artifact_ready(index_path, fp):
         similarity.build_ivf_index(emb, cents, index_path)
         _mark_artifact(index_path, fp)
@@ -829,7 +837,15 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_pq_index_{sf_tag}"
     )
-    fp = _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+    import hashlib
+
+    # the cached codes are argmin assignments AGAINST these codebooks —
+    # a stale index with fresh codebooks would rank garbage, so the
+    # codebook bytes are part of the artifact identity
+    fp = (
+        _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+        + ":" + hashlib.md5(cb.tobytes()).hexdigest()
+    )
     if not _artifact_ready(index_path, fp):
         similarity.build_pq_index(emb, cb, index_path)
         _mark_artifact(index_path, fp)
@@ -855,7 +871,15 @@ def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_ivfpq_index_{sf_tag}"
     )
-    fp = _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+    import hashlib
+
+    # cells + codes are assignments against THESE centroids/codebooks;
+    # both belong to the artifact identity (see q_pq_ann_topk)
+    fp = (
+        _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+        + ":" + hashlib.md5(cents.tobytes()).hexdigest()
+        + ":" + hashlib.md5(cb.tobytes()).hexdigest()
+    )
     if not _artifact_ready(index_path, fp):
         similarity.build_ivfpq_index(emb, cents, cb, index_path)
         _mark_artifact(index_path, fp)
@@ -3601,7 +3625,16 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     sketch = sketches.cms_build(ev, "user_id", depth=4, width=256)
     exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
-    top = exact.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(20)
+    # the top-20 shortlist is bounded by definition — fetch it ONCE so
+    # the exact aggregation lineage doesn't execute twice (once for the
+    # probes, once for the final join)
+    top_rows = [
+        (r.user_id, r.exact_n)
+        for r in exact.orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(20)
+        .collect()
+    ]
+    top = spark.createDataFrame(top_rows, "user_id long, exact_n long")
     est = sketches.cms_estimate(sketch, top.select("user_id"), "user_id")
     return (
         top.join(est, "user_id")

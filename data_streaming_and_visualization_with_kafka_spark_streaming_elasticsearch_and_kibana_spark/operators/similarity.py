@@ -738,6 +738,12 @@ def train_pq_codebooks(
                 members = xs[assign == c]
                 if len(members):
                     cents[c] = members.mean(axis=0)
+        if len(cents) < k:
+            # fewer distinct sample vectors than codewords: cycle the
+            # trained centroids to fill the book (duplicates are valid —
+            # argmin ties break to the smaller id), instead of crashing
+            # the (m, k, dsub) assignment below
+            cents = cents[np.arange(k) % len(cents)]
         books[s] = cents
     return books
 

@@ -147,6 +147,20 @@ def kmv_hash(key: Column, seed: str = "kmv") -> Column:
     ).cast("long")
 
 
+def _bottom_k(d: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Shared rank-and-keep mechanism for kmv_build/kmv_merge: distinct
+    (group, h) rows → per-group ascending rank → keep rk <= k. One
+    place owns the tie/bound rule so build and merge cannot drift."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
+    return (
+        d.distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def kmv_build(
     df: DataFrame, group_cols: list[str], key_col: str, k: int = 64
 ) -> DataFrame:
@@ -164,15 +178,10 @@ def kmv_build(
 
     Shape: distinct on (group, hash) — one shuffle, map-side combined —
     then a per-group window keeps k rows. State per group is k longs."""
-    from pyspark.sql import Window
-
-    d = df.select(
-        *group_cols, kmv_hash(F.col(key_col)).alias("h")
-    ).distinct()
-    w = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
-    return (
-        d.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+    return _bottom_k(
+        df.select(*group_cols, kmv_hash(F.col(key_col)).alias("h")),
+        group_cols,
+        k,
     )
 
 
@@ -182,13 +191,8 @@ def kmv_merge(
     """Merge KMV sketch rows (same seed, any split of the data): dedup
     hashes per group, keep the k smallest again. bottom-k is a
     semilattice — merge of sketches == sketch of the union."""
-    from pyspark.sql import Window
-
-    d = sketches_df.select(*group_cols, "h").distinct()
-    w = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
-    return (
-        d.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+    return _bottom_k(
+        sketches_df.select(*group_cols, "h"), group_cols, k
     )
 
 

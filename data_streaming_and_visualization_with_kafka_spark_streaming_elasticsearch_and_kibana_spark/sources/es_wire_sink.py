@@ -95,10 +95,26 @@ class EsBulkWireWriter(DataSourceWriter):
                 f.write("\n")
         return _Staged(tmp_path=tmp)
 
+    def _sweep_unreferenced_tmp(self, messages) -> None:
+        """Remove .tmp files no committed/aborted task claims: a task
+        attempt that died mid-write and was RETRIED leaves its first
+        attempt's .tmp unreported (commit never renames it, abort never
+        runs because the job succeeded) — without this sweep those
+        orphans accumulate forever, unseen even by overwrite's retire
+        scan (which matches only *.ndjson)."""
+        claimed = {m.tmp_path for m in messages if m is not None}
+        if not os.path.isdir(self.path):
+            return
+        for f in os.listdir(self.path):
+            p = os.path.join(self.path, f)
+            if f.endswith(".ndjson.tmp") and p not in claimed:
+                os.remove(p)
+
     def commit(self, messages):
         for m in messages:
             if m is not None:
                 os.replace(m.tmp_path, m.tmp_path[: -len(".tmp")])
+        self._sweep_unreferenced_tmp(())
         for old in self.retire:
             if os.path.exists(old):
                 os.remove(old)
@@ -107,6 +123,7 @@ class EsBulkWireWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+        self._sweep_unreferenced_tmp(())
 
 
 class EsBulkWireStreamWriter(DataSourceStreamWriter):
@@ -129,6 +146,15 @@ class EsBulkWireStreamWriter(DataSourceStreamWriter):
         w = EsBulkWireWriter(self.path, self.index, self.mapping_id, False)
         return w.write(iterator)
 
+    def _sweep_root_tmp(self) -> None:
+        """Orphaned .tmp files in the staging root (failed-then-retried
+        task attempts that never made a commit message) are safe to
+        delete once the epoch resolves — micro-batches are sequential,
+        so nothing else can be staging here."""
+        for f in os.listdir(self.path):
+            if f.endswith(".ndjson.tmp"):
+                os.remove(os.path.join(self.path, f))
+
     def commit(self, messages, batchId: int) -> None:
         edir = os.path.join(self.path, f"epoch={batchId}")
         if os.path.isdir(edir):  # at-least-once replay: rewrite, not add
@@ -142,11 +168,13 @@ class EsBulkWireStreamWriter(DataSourceStreamWriter):
                     edir, os.path.basename(m.tmp_path)[: -len(".tmp")]
                 )
                 os.replace(m.tmp_path, final)
+        self._sweep_root_tmp()
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+        self._sweep_root_tmp()
 
 
 class EsBulkWireDataSource(DataSource):

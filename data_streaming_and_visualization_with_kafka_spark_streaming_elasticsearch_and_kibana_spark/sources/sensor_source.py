@@ -37,6 +37,23 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _parse_line(line: str, room: str):
+    """Shared line parser for the batch and stream readers — ONE copy,
+    because batch/stream row parity is a pinned contract (a parse fix
+    applied to only one would silently break it). Malformed fields
+    yield NULLs (PERMISSIVE), never a task failure."""
+    ts_s, _, v_s = line.partition(",")
+    try:
+        ts = float(ts_s)
+    except ValueError:
+        ts = None
+    try:
+        v = float(v_s)
+    except ValueError:
+        v = None
+    return (ts, v, room)
+
+
 class SensorTreeReader(DataSourceReader):
     def __init__(self, root: str, metric: str):
         self.root = root
@@ -63,16 +80,7 @@ class SensorTreeReader(DataSourceReader):
                 line = line.strip()
                 if not line:
                     continue
-                ts_s, _, v_s = line.partition(",")
-                try:
-                    ts = float(ts_s)
-                except ValueError:
-                    ts = None
-                try:
-                    v = float(v_s)
-                except ValueError:
-                    v = None
-                yield (ts, v, partition.room)
+                yield _parse_line(line, partition.room)
 
 
 class SensorTreeStreamReader(SimpleDataSourceStreamReader):
@@ -105,16 +113,7 @@ class SensorTreeStreamReader(SimpleDataSourceStreamReader):
 
     @staticmethod
     def _parse(line: str, room: str):
-        ts_s, _, v_s = line.partition(",")
-        try:
-            ts = float(ts_s)
-        except ValueError:
-            ts = None
-        try:
-            v = float(v_s)
-        except ValueError:
-            v = None
-        return (ts, v, room)
+        return _parse_line(line, room)
 
     def _rows_slice(self, consumed: dict, bound: dict | None):
         """Rows in line range [consumed[room], bound[room]) per room

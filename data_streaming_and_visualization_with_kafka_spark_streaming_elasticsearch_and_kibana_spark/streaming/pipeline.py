@@ -779,25 +779,31 @@ def cms_refresh_sink(
     sketch_rollup_sink's analysis: HLL union is max-based, so replays
     are algebraically harmless there; CMS merge is SUM-based, so an
     at-least-once replay would double-count a batch into the grid.
-    Same replay algebra as rollup_refresh_sink, same fix. Estimates
-    from the maintained grid equal a cms_build over everything ingested
-    (merge == whole, pinned in tests/test_streaming.py), so downstream
-    cms_estimate answers are identical to batch recomputation."""
+    The ledger lives INSIDE the grid directory (written into the
+    staging dir before the swap), so state and ledger commit in the
+    same atomic rename — a crash between a separate swap and ledger
+    write would otherwise replay the batch into a grid that already
+    holds it. Estimates from the maintained grid equal a cms_build
+    over everything ingested (merge == whole, pinned in
+    tests/test_streaming.py), so downstream cms_estimate answers are
+    identical to batch recomputation."""
     from ..operators.sketches import cms_build
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import json
         import os
 
-        ledger = os.path.join(os.path.dirname(path) or ".", "_CMS_APPLIED")
+        _recover_dir_swap(path)
+        ledger = os.path.join(path, "_APPLIED")
         applied = _ledger_applied(ledger)
         if batch_id in applied:
             return
         if batch_df.isEmpty():
-            _ledger_mark(ledger, applied, batch_id)
+            # nothing to merge; an empty replay is harmless, so no
+            # state swap is needed just to record the id
             return
         spark = batch_df.sparkSession
         fresh = cms_build(batch_df, key_col, depth=depth, width=width)
-        _recover_dir_swap(path)
         if os.path.exists(path):
             merged = (
                 spark.read.parquet(path)
@@ -808,8 +814,10 @@ def cms_refresh_sink(
         else:
             merged = fresh
         merged.write.mode("overwrite").parquet(path + ".staging")
+        # ledger travels with the state: same rename commits both
+        with open(os.path.join(path + ".staging", "_APPLIED"), "w") as f:
+            json.dump(applied + [batch_id], f)
         _commit_dir_swap(path)
-        _ledger_mark(ledger, applied, batch_id)
 
     return _apply
 

@@ -36,7 +36,16 @@ OUT = os.path.join(
     "relscale",
 )
 MARKER = "## Relational-core scaling (fact tables k×, dims constant)"
-TIMED = ["tpch_q1_pricing_summary", "multiway_join_revenue", "tpch_q18_large_orders"]
+TIMED = [
+    "tpch_q1_pricing_summary",
+    "multiway_join_revenue",
+    "tpch_q18_large_orders",
+    # round-4 shapes: 6-table join with a non-join residual equality
+    # (Q5) and the broadcast-part profit rollup (Q9) — fact volume
+    # multiplies while every dim stays broadcast
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_type_profit",
+]
 
 
 def build(spark, k: int) -> str:
