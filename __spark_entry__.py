@@ -4156,6 +4156,84 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(graph.consecutive_user_edges(ev))
 
 
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter binding): the same
+    front door as q_sql_surface but with the filter values bound as
+    PARAMETERS, not interpolated strings — the injection-safe prepared-
+    statement surface a serving layer uses. The binding happens at
+    parse time (`:status` / `:floor` markers), so Catalyst still sees
+    literals and pushes them to the parquet scan like any constant."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_p")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM v_orders_p
+        WHERE o_orderstatus = :status AND o_totalprice > :floor
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"status": "F", "floor": 50000.0},
+    )
+
+
+def q_regression_stats_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL-standard regression aggregates (REGR_SLOPE / REGR_INTERCEPT
+    / CORR class) per event_type: does value trend over time? Closed
+    form from five EXACT integer sums — x as seconds since the corpus
+    epoch (bounded, so x² sums fit BIGINT), y as cents — then the
+    slope/intercept/r formulas as double products OF those exact
+    integers in a pinned order: every multiply, subtract, divide, and
+    sqrt is a correctly-rounded IEEE op on identical operands, so both
+    engines produce the same bits. The aggregation itself is one
+    map-side-combinable groupBy — the same one-pass shape the builtin
+    regr_* aggregates compile to."""
+    ev = _t(spark, sf_dir, "events")
+    t0 = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t0")
+    )
+    base = (
+        ev.crossJoin(F.broadcast(t0))
+        .select(
+            "event_type",
+            (F.unix_micros(F.col("ts").cast("timestamp")) - F.col("t0"))
+            .alias("xus"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+        )
+        # integer DIV, not cast-of-division: Spark's double→long cast
+        # truncates while DuckDB's rounds — DIV/​// agree for xus >= 0
+        .select(
+            "event_type", F.expr("xus DIV 1000000").alias("x"), "y"
+        )
+    )
+    s = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    slope = cov_n / var_x
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r = cov_n / F.sqrt(var_x * var_y)
+    return s.select(
+        "event_type",
+        "n",
+        _q(slope, 8).alias("slope_cents_per_sec"),
+        _q(intercept / 100.0, 4).alias("intercept_value"),
+        _q(r, 6).alias("pearson_r"),
+    ).orderBy("event_type")
+
+
 # --------------------------------------------------------------------------
 #: Iteration order matters: the driver's correctness harness checks the
 #: FIRST 50 entries (observed cap, CORRECTNESS_r02). The leading block is
@@ -4340,6 +4418,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hierarchy_resolve": q_hierarchy_resolve,
     "time_weighted_avg": q_time_weighted_avg,
     "triangle_count": q_triangle_count,
+    "sql_parameterized": q_sql_parameterized,
+    "regression_stats_by_type": q_regression_stats_by_type,
 }
 
 
@@ -6944,6 +7024,59 @@ def oracle_sql() -> dict[str, str]:
                     WHERE EXISTS (SELECT 1 FROM e
                                   WHERE e.a = w.x AND e.b = w.y)
                    ) AS n_triangles
+        """,
+        "sql_parameterized": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "regression_stats_by_type": f"""
+            WITH t0 AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+            base AS (
+                SELECT event_type,
+                       (epoch_us(ts) - t0) // 1000000 AS x,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+                FROM events, t0
+            ),
+            s AS (
+                SELECT event_type,
+                       COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy
+                FROM base GROUP BY 1
+            )
+            SELECT event_type, n,
+                   {_sql_q(
+                       "(CAST(n AS DOUBLE) * sxy"
+                       " - CAST(sx AS DOUBLE) * sy)"
+                       " / (CAST(n AS DOUBLE) * sxx"
+                       "    - CAST(sx AS DOUBLE) * sx)", 8
+                   )} AS slope_cents_per_sec,
+                   {_sql_q(
+                       "(sy - ((CAST(n AS DOUBLE) * sxy"
+                       "        - CAST(sx AS DOUBLE) * sy)"
+                       "       / (CAST(n AS DOUBLE) * sxx"
+                       "          - CAST(sx AS DOUBLE) * sx)) * sx)"
+                       " / CAST(n AS DOUBLE) / 100.0", 4
+                   )} AS intercept_value,
+                   {_sql_q(
+                       "(CAST(n AS DOUBLE) * sxy"
+                       " - CAST(sx AS DOUBLE) * sy)"
+                       " / SQRT((CAST(n AS DOUBLE) * sxx"
+                       "         - CAST(sx AS DOUBLE) * sx)"
+                       "        * (CAST(n AS DOUBLE) * syy"
+                       "           - CAST(sy AS DOUBLE) * sy))", 6
+                   )} AS pearson_r
+            FROM s
+            ORDER BY event_type
         """,
         # rows-only (approximate / engine-specific by design, each with a
         # *_verified md5- or literal-plane twin pinning its mechanism):

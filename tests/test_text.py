@@ -155,3 +155,37 @@ def test_winnowing_fast_query_same_shape_as_md5_twin(spark):
     assert abs(total_f - total_s) / total_s < 0.10, (total_f, total_s)
     for d in f_docs:
         assert 0.4 <= f_docs[d] / s_docs[d] <= 2.5, (d, f_docs[d], s_docs[d])
+
+
+def test_chunk_udtf_matches_expression_formulation(spark):
+    """The Python UDTF chunker (API-surface demonstration) must produce
+    row-for-row what the production JVM-expression chunking
+    (q_doc_chunks) produces — same windows, same hashes — so the
+    imperative and declarative formulations are interchangeable and
+    the fast one can always be substituted."""
+    import __spark_entry__ as entrymod
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.udtfs import (
+        ChunkTextUdtf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    expr = sorted(
+        map(tuple, entrymod.q_doc_chunks(spark, sf).collect())
+    )
+    spark.udtf.register("chunk_text_udtf", ChunkTextUdtf)
+    entrymod._t(spark, sf, "documents").createOrReplaceTempView(
+        "v_docs_udtf"
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                """
+                SELECT d.doc_id, c.chunk_idx, c.chunk_len, c.chunk_hash
+                FROM v_docs_udtf d,
+                     LATERAL chunk_text_udtf(d.text) c
+                """
+            ).collect(),
+        )
+    )
+    assert got == expr and len(got) > 500
