@@ -4234,6 +4234,76 @@ def q_regression_stats_by_type(
     ).orderBy("event_type")
 
 
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick downsampling per (event_type, minute) — the
+    time-series rendering staple (a dashboard can't plot every raw
+    point; open/high/low/close preserves the envelope and endpoints of
+    each bucket). First/last are made deterministic with ascending and
+    descending row_numbers tie-broken on event_id, values quantize to
+    cents, and everything reduces in one grouped aggregation after two
+    bucket-partitioned window passes — no single-partition window, no
+    order-dependent FIRST()."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    minute = F.date_trunc("minute", F.col("ts")).alias("minute")
+    base = ev.select(
+        "event_type", minute, "ts", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    wa = W.partitionBy("event_type", "minute").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wd = W.partitionBy("event_type", "minute").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    marked = base.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    agg = marked.groupBy("event_type", "minute").agg(
+        F.count("*").alias("n"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).alias("o"),
+        F.max("cents").alias("h"),
+        F.min("cents").alias("l"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("c"),
+    )
+    return agg.select(
+        "event_type",
+        "minute",
+        "n",
+        _q(F.col("o") / 100.0, 2).alias("open"),
+        _q(F.col("h") / 100.0, 2).alias("high"),
+        _q(F.col("l") / 100.0, 2).alias("low"),
+        _q(F.col("c") / 100.0, 2).alias("close"),
+    )
+
+
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (temporal.asof_join_forward): each click
+    matched to the user's NEXT purchase at-or-after it — time-to-
+    convert analysis, the mirror of asof_purchase_attribution's
+    backward lookup. Same union+window scale shape (one shuffle on
+    user_id, no inequality join); DuckDB's ASOF LEFT JOIN with a <=
+    condition is the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purch = relational.latest_per_key(purch, ["user_id", "ts"], "event_id")
+    out = temporal.asof_join_forward(
+        clicks, purch, ["user_id"], "ts", ["event_id", "value"], rsuffix="_p"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("event_id_p").alias("next_purchase_event"),
+        F.col("value_p").alias("next_purchase_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 #: Iteration order matters: the driver's correctness harness checks the
 #: FIRST 50 entries (observed cap, CORRECTNESS_r02). The leading block is
@@ -4420,6 +4490,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "sql_parameterized": q_sql_parameterized,
     "regression_stats_by_type": q_regression_stats_by_type,
+    "ohlc_downsample": q_ohlc_downsample,
+    "asof_next_purchase": q_asof_next_purchase,
 }
 
 
@@ -7077,6 +7149,54 @@ def oracle_sql() -> dict[str, str]:
                    )} AS pearson_r
             FROM s
             ORDER BY event_type
+        """,
+        "ohlc_downsample": f"""
+            WITH base AS (
+                SELECT event_type,
+                       date_trunc('minute', ts) AS minute,
+                       ts, event_id,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+                FROM events
+            ),
+            marked AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY event_type, minute
+                           ORDER BY ts ASC, event_id ASC) AS rn_a,
+                       row_number() OVER (
+                           PARTITION BY event_type, minute
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM base
+            )
+            SELECT event_type, minute,
+                   COUNT(*) AS n,
+                   {_sql_q(
+                       "MAX(CASE WHEN rn_a = 1 THEN cents END) / 100.0", 2
+                   )} AS open,
+                   {_sql_q("MAX(cents) / 100.0", 2)} AS high,
+                   {_sql_q("MIN(cents) / 100.0", 2)} AS low,
+                   {_sql_q(
+                       "MAX(CASE WHEN rn_d = 1 THEN cents END) / 100.0", 2
+                   )} AS close
+            FROM marked
+            GROUP BY 1, 2
+        """,
+        "asof_next_purchase": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click'
+            ), purch AS (
+                SELECT user_id, ts, event_id, value FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                    FROM events WHERE event_type = 'purchase'
+                ) WHERE rn = 1
+            )
+            SELECT c.user_id, c.event_id,
+                   p.event_id AS next_purchase_event,
+                   p.value AS next_purchase_value
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts <= p.ts
         """,
         # rows-only (approximate / engine-specific by design, each with a
         # *_verified md5- or literal-plane twin pinning its mechanism):

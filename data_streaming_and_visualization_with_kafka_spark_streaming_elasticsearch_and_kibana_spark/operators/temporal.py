@@ -49,6 +49,37 @@ def asof_join(
     return out.drop("__match")
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    right_cols: list[str],
+    rsuffix: str = "_r",
+) -> DataFrame:
+    """FORWARD as-of join: for each left row, the EARLIEST right row
+    with right.ts >= left.ts within the same key group (equal ts
+    matches) — "what happened next", the mirror of asof_join's "what
+    was current". Same scale shape: one union, one shuffle, one window
+    pass per key; the frame just looks ahead instead of behind (first
+    non-null over [current, unbounded following], right rows sorting
+    AFTER left rows at equal ts so exact matches stay visible)."""
+    rstruct = F.struct(*[F.col(c) for c in right_cols]).alias("__r")
+    r = right.select(*keys, ts_col, rstruct).withColumn("__side", F.lit(2))
+    l = left.withColumn("__side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc(ts_col), F.asc("__side"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    u = u.withColumn("__match", F.first("__r", ignorenulls=True).over(w))
+    out = u.filter(F.col("__side") == 1).drop("__side", "__r")
+    for c in right_cols:
+        out = out.withColumn(f"{c}{rsuffix}", F.col(f"__match.{c}"))
+    return out.drop("__match")
+
+
 def scd2_ranges(
     df,
     key_cols: list[str],

@@ -202,3 +202,25 @@ def test_interpolate_linear_matches_closed_form(spark):
     assert got[15.0] == 10.0          # 20 + (0-20)*0.5
     assert got[20.0] == 0.0           # exact hit on last
     assert got[25.0] is None          # beyond last obs
+
+
+def test_asof_join_forward_picks_earliest_at_or_after(spark):
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 99), (2, 5)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (3, 1, "z")],
+        "k long, ts long, v string",
+    )
+    got = {
+        (r.k, r.ts): r.v_r
+        for r in asof_join_forward(
+            left, right, ["k"], "ts", ["v"]
+        ).collect()
+    }
+    # equal ts matches; next-at-or-after otherwise; no match → NULL
+    assert got == {(1, 10): "a", (1, 25): "c", (1, 99): None, (2, 5): None}
