@@ -93,6 +93,9 @@ HEADLINE = [
     "token_entropy_docs",
     "time_weighted_avg",
     "pareto_front_orders",
+    "regression_stats_by_type",
+    "ohlc_downsample",
+    "asof_next_purchase",
 ]
 
 
