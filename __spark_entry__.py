@@ -4304,6 +4304,117 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficients of the who-follows-whom
+    graph (graph.clustering_coefficients): degree, triangle membership
+    count, and 2T/(d(d-1)) — exact integers plus one IEEE division, so
+    the whole census hash-matches the DuckDB twin. The per-node view of
+    triangle_count's global census."""
+    ev = _t(spark, sf_dir, "events")
+    cc = graph.clustering_coefficients(graph.consecutive_user_edges(ev))
+    return cc.select(
+        "node",
+        "degree",
+        "n_triangles",
+        _q(F.col("coeff"), 6).alias("coeff"),
+    ).orderBy("node")
+
+
+def q_kmv_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-composed set similarity: Jaccard between every pair of
+    event types' USER SETS estimated purely from their KMV sketches
+    (union sketch by bottom-k merge + inclusion-exclusion), beside the
+    exact Jaccard — the "compare any two segments without rescanning
+    either" pattern, answered from k-long sketch state. The md5 hash
+    family keeps every estimate deterministic, so even the
+    approximation hash-matches the DuckDB twin. Pair assignment is a
+    broadcast join of the 10-row pair table against the sketch rows;
+    nothing corpus-sized moves."""
+    ev = _t(spark, sf_dir, "events")
+    k = 64
+    sk = sketches.kmv_build(ev, ["event_type"], "user_id", k=k)
+    types = sorted(
+        r.event_type for r in ev.select("event_type").distinct().collect()
+    )
+    pairs = [(a, b) for i, a in enumerate(types) for b in types[i + 1:]]
+    pairs_df = spark.createDataFrame(pairs, "ta string, tb string")
+    tagged = (
+        sk.join(
+            F.broadcast(pairs_df),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .select("ta", "tb", "h")
+    )
+    merged = sketches._bottom_k(tagged, ["ta", "tb"], k)
+    un = sketches.kmv_estimate(merged, ["ta", "tb"], k=k).select(
+        "ta", "tb", F.col("ndv_est").alias("est_union")
+    )
+    singles = sketches.kmv_estimate(sk, ["event_type"], k=k).select(
+        F.col("event_type").alias("t"), F.col("ndv_est").alias("est")
+    )
+    est = (
+        un.join(
+            F.broadcast(singles.withColumnRenamed("t", "ta")
+                        .withColumnRenamed("est", "est_a")), "ta"
+        )
+        .join(
+            F.broadcast(singles.withColumnRenamed("t", "tb")
+                        .withColumnRenamed("est", "est_b")), "tb"
+        )
+        .select(
+            "ta", "tb",
+            F.greatest(
+                F.lit(0.0),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ).alias("est_inter"),
+            "est_union",
+        )
+    )
+    users = ev.select("event_type", "user_id").distinct()
+    ua = users.select(
+        F.col("event_type").alias("ta"), F.col("user_id").alias("u")
+    )
+    ub = users.select(
+        F.col("event_type").alias("tb"), F.col("user_id").alias("u")
+    )
+    inter = (
+        ua.join(ub, "u")
+        .join(F.broadcast(pairs_df), ["ta", "tb"], "left_semi")
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = users.groupBy("event_type").agg(F.count("*").alias("n"))
+    exact = (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "ta")
+                        .withColumnRenamed("n", "n_a")), "ta"
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "tb")
+                        .withColumnRenamed("n", "n_b")), "tb"
+        )
+        .select(
+            "ta", "tb",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("exact_jaccard"),
+        )
+    )
+    return (
+        est.join(exact, ["ta", "tb"])
+        .select(
+            "ta", "tb",
+            _q(F.col("est_inter") / F.col("est_union"), 4).alias(
+                "kmv_jaccard"
+            ),
+            _q(F.col("exact_jaccard"), 4).alias("exact_jaccard"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
 # --------------------------------------------------------------------------
 #: Iteration order matters: the driver's correctness harness checks the
 #: FIRST 50 entries (observed cap, CORRECTNESS_r02). The leading block is
@@ -4492,6 +4603,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regression_stats_by_type": q_regression_stats_by_type,
     "ohlc_downsample": q_ohlc_downsample,
     "asof_next_purchase": q_asof_next_purchase,
+    "clustering_coefficients": q_clustering_coefficients,
+    "kmv_jaccard_pairs": q_kmv_jaccard_pairs,
 }
 
 
@@ -7197,6 +7310,128 @@ def oracle_sql() -> dict[str, str]:
                    p.value AS next_purchase_value
             FROM clicks c ASOF LEFT JOIN purch p
               ON c.user_id = p.user_id AND c.ts <= p.ts
+        """,
+        "clustering_coefficients": f"""
+            WITH raw AS (
+                SELECT LAG(user_id) OVER (
+                           PARTITION BY event_type
+                           ORDER BY ts ASC, event_id ASC
+                       ) AS src,
+                       user_id AS dst
+                FROM events
+            ),
+            e AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM raw WHERE src IS NOT NULL AND src <> dst
+            ),
+            deg AS (
+                SELECT node, COUNT(*) AS degree FROM (
+                    SELECT a AS node FROM e
+                    UNION ALL SELECT b FROM e
+                ) GROUP BY 1
+            ),
+            w AS (
+                SELECT e1.a, e1.b AS x, e2.b AS y
+                FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+            ),
+            closed AS (
+                SELECT * FROM w
+                WHERE EXISTS (SELECT 1 FROM e
+                              WHERE e.a = w.x AND e.b = w.y)
+            ),
+            tn AS (
+                SELECT node, COUNT(*) AS n_triangles FROM (
+                    SELECT UNNEST([a, x, y]) AS node FROM closed
+                ) GROUP BY 1
+            )
+            SELECT deg.node, degree,
+                   COALESCE(n_triangles, 0) AS n_triangles,
+                   {_sql_q(
+                       "CASE WHEN degree >= 2 THEN "
+                       "CAST(2 * COALESCE(n_triangles, 0) AS DOUBLE)"
+                       " / (degree * (degree - 1)) END", 6
+                   )} AS coeff
+            FROM deg LEFT JOIN tn USING (node)
+            ORDER BY node
+        """,
+        "kmv_jaccard_pairs": f"""
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       CAST(('0x' || substring(md5('kmv:'
+                                || CAST(user_id AS VARCHAR)), 1, 15)
+                            )::UBIGINT AS BIGINT) AS h
+                FROM events
+            ),
+            sk AS (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h ASC) AS rk
+                FROM h QUALIFY rk <= 64
+            ),
+            types AS (SELECT DISTINCT event_type FROM events),
+            pairs AS (
+                SELECT a.event_type AS ta, b.event_type AS tb
+                FROM types a JOIN types b ON a.event_type < b.event_type
+            ),
+            tagged AS (
+                SELECT DISTINCT ta, tb, h
+                FROM sk JOIN pairs
+                  ON event_type = ta OR event_type = tb
+            ),
+            merged AS (
+                SELECT ta, tb, h,
+                       row_number() OVER (PARTITION BY ta, tb
+                                          ORDER BY h ASC) AS rk
+                FROM tagged QUALIFY rk <= 64
+            ),
+            un AS (
+                SELECT ta, tb,
+                       CASE WHEN COUNT(*) < 64
+                            THEN CAST(COUNT(*) AS DOUBLE)
+                            ELSE 63.0 / (MAX(CASE WHEN rk = 64 THEN h END)
+                                         / 1152921504606846976.0) END
+                           AS est_union
+                FROM merged GROUP BY 1, 2
+            ),
+            singles AS (
+                SELECT event_type AS t,
+                       CASE WHEN COUNT(*) < 64
+                            THEN CAST(COUNT(*) AS DOUBLE)
+                            ELSE 63.0 / (MAX(CASE WHEN rk = 64 THEN h END)
+                                         / 1152921504606846976.0) END
+                           AS est
+                FROM sk GROUP BY 1
+            ),
+            est AS (
+                SELECT ta, tb,
+                       GREATEST(0.0, sa.est + sb.est - est_union)
+                           AS est_inter,
+                       est_union
+                FROM un
+                JOIN singles sa ON sa.t = ta
+                JOIN singles sb ON sb.t = tb
+            ),
+            users AS (SELECT DISTINCT event_type, user_id FROM events),
+            inter AS (
+                SELECT ta, tb, COUNT(*) AS n_inter
+                FROM users ua
+                JOIN users ub ON ua.user_id = ub.user_id
+                JOIN pairs ON ua.event_type = ta AND ub.event_type = tb
+                GROUP BY 1, 2
+            ),
+            sizes AS (SELECT event_type, COUNT(*) AS n FROM users
+                      GROUP BY 1)
+            SELECT ta, tb,
+                   {_sql_q("est_inter / est_union", 4)} AS kmv_jaccard,
+                   {_sql_q(
+                       "CAST(n_inter AS DOUBLE)"
+                       " / (na.n + nb.n - n_inter)", 4
+                   )} AS exact_jaccard
+            FROM est
+            JOIN inter USING (ta, tb)
+            JOIN sizes na ON na.event_type = ta
+            JOIN sizes nb ON nb.event_type = tb
+            ORDER BY ta, tb
         """,
         # rows-only (approximate / engine-specific by design, each with a
         # *_verified md5- or literal-plane twin pinning its mechanism):

@@ -209,3 +209,52 @@ def triangle_count(
         .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
         .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: how close a node's
+    neighborhood is to a clique — 2·T(v) / (deg(v)·(deg(v)−1)), the
+    per-node refinement of triangle_count (spam rings score high,
+    broadcast hubs score low). Returns (node, degree, n_triangles,
+    coeff) with coeff NULL for degree < 2.
+
+    Shape: the same canonical-edge wedge-close joins as
+    triangle_count, but each closed triangle (a, x, y) explodes into
+    its three member nodes and aggregates per node — one extra narrow
+    shuffle on node id. Degrees and triangle counts are exact BIGINTs;
+    the coefficient is one IEEE division of them, so any engine agrees
+    bit-for-bit."""
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    e1 = e.select(F.col("a").alias("w_a"), F.col("b").alias("w_x"))
+    e2 = e.select(F.col("a").alias("w_a"), F.col("b").alias("w_y"))
+    wedges = e1.join(e2, "w_a").filter(F.col("w_x") < F.col("w_y"))
+    closed = wedges.join(
+        e, (e.a == F.col("w_x")) & (e.b == F.col("w_y")), "left_semi"
+    )
+    tri_nodes = (
+        closed.select(
+            F.explode(F.array("w_a", "w_x", "w_y")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    out = deg.join(tri_nodes, "node", "left").withColumn(
+        "n_triangles", F.coalesce("n_triangles", F.lit(0))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        (2.0 * F.col("n_triangles"))
+        / (F.col("degree") * (F.col("degree") - 1)),
+    )
+    return out.select("node", "degree", "n_triangles", coeff.alias("coeff"))

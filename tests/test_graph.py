@@ -122,3 +122,20 @@ def test_triangle_count_direction_and_duplicates_collapse(spark):
     e = _edges(spark, [(1, 2), (1, 2), (2, 1), (2, 3), (3, 1)])
     r = graph.triangle_count(e).collect()[0]
     assert (r.n_edges, r.n_triangles) == (3, 1)
+
+
+def test_clustering_coefficients_known_graph(spark):
+    # K4 ∪ path: K4 nodes have coeff 1.0 (deg 3, 3 triangles each);
+    # the path's middle node has deg 2 and no triangle → 0.0; leaves
+    # have deg 1 → NULL
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(10, 11), (11, 12)]
+    got = {
+        r.node: (r.degree, r.n_triangles, r.coeff)
+        for r in graph.clustering_coefficients(
+            _edges(spark, k4 + path)
+        ).collect()
+    }
+    assert got[0] == (3, 3, 1.0)
+    assert got[11] == (2, 0, 0.0)
+    assert got[10] == (1, 0, None)
