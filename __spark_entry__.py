@@ -4415,6 +4415,47 @@ def q_kmv_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmi_events_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types and customer
+    market segments — the association/collocation-mining primitive
+    (which behaviors over- or under-index in which segment; the same
+    math scores word collocations in corpus analysis). PMI(x,y) =
+    ln(N·n_xy / (n_x·n_y)) from four EXACT integer counts: the ratio
+    is one double division of exact-integer products (< 2^53, so the
+    products are exact and the division correctly rounded), ln
+    quantizes to micro-nats, and the table is tiny (|types|×|segments|)
+    after one fact-sized aggregate with broadcast margins."""
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(
+        F.broadcast(c), F.col("user_id") == F.col("c_custkey")
+    ).select("event_type", F.col("c_mktsegment").alias("segment"))
+    nxy = joined.groupBy("event_type", "segment").agg(
+        F.count("*").alias("n_xy")
+    )
+    nx = joined.groupBy("event_type").agg(F.count("*").alias("n_x"))
+    ny = joined.groupBy("segment").agg(F.count("*").alias("n_y"))
+    nn = joined.agg(F.count("*").alias("n_total"))
+    ratio = (
+        (F.col("n_total") * F.col("n_xy")).cast("double")
+        / (F.col("n_x") * F.col("n_y"))
+    )
+    pmi_micro = F.floor(F.log(ratio) * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        nxy.join(F.broadcast(nx), "event_type")
+        .join(F.broadcast(ny), "segment")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "event_type",
+            "segment",
+            "n_xy",
+            pmi_micro.alias("pmi_micro"),
+            _q(pmi_micro / 1e6, 6).alias("pmi"),
+        )
+        .orderBy("event_type", "segment")
+    )
+
+
 # --------------------------------------------------------------------------
 #: Iteration order matters: the driver's correctness harness checks the
 #: FIRST 50 entries (observed cap, CORRECTNESS_r02). The leading block is
@@ -4605,6 +4646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_next_purchase": q_asof_next_purchase,
     "clustering_coefficients": q_clustering_coefficients,
     "kmv_jaccard_pairs": q_kmv_jaccard_pairs,
+    "pmi_events_segments": q_pmi_events_segments,
 }
 
 
@@ -7432,6 +7474,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.event_type = ta
             JOIN sizes nb ON nb.event_type = tb
             ORDER BY ta, tb
+        """,
+        "pmi_events_segments": f"""
+            WITH j AS (
+                SELECT event_type, c_mktsegment AS segment
+                FROM events JOIN customer ON user_id = c_custkey
+            ),
+            nxy AS (SELECT event_type, segment, COUNT(*) AS n_xy
+                    FROM j GROUP BY 1, 2),
+            nx AS (SELECT event_type, COUNT(*) AS n_x FROM j GROUP BY 1),
+            ny AS (SELECT segment, COUNT(*) AS n_y FROM j GROUP BY 1),
+            nn AS (SELECT COUNT(*) AS n_total FROM j)
+            SELECT event_type, segment, n_xy,
+                   CAST(FLOOR(ln(
+                       CAST(n_total * n_xy AS DOUBLE) / (n_x * n_y)
+                   ) * 1e6 + 0.5) AS BIGINT) AS pmi_micro,
+                   {_sql_q(
+                       "CAST(FLOOR(ln("
+                       "CAST(n_total * n_xy AS DOUBLE) / (n_x * n_y)"
+                       ") * 1e6 + 0.5) AS BIGINT) / 1e6", 6
+                   )} AS pmi
+            FROM nxy JOIN nx USING (event_type)
+            JOIN ny USING (segment), nn
+            ORDER BY event_type, segment
         """,
         # rows-only (approximate / engine-specific by design, each with a
         # *_verified md5- or literal-plane twin pinning its mechanism):
