@@ -4456,6 +4456,82 @@ def q_pmi_events_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence for the event_type × segment
+    contingency table (is behavior independent of customer segment?) —
+    the categorical hypothesis-test primitive behind feature selection
+    and A/B sanity checks. Each cell's (observed−expected)²/expected
+    contribution is computed from exact integer counts and quantized to
+    micro-units BEFORE the sum, so the statistic is an exact BIGINT sum
+    — independent of cell aggregation order in either engine. Output:
+    one row with chi2, degrees of freedom, and Cramér's V effect size.
+    """
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(
+        F.broadcast(c), F.col("user_id") == F.col("c_custkey")
+    ).select("event_type", F.col("c_mktsegment").alias("segment"))
+    nxy = joined.groupBy("event_type", "segment").agg(
+        F.count("*").alias("n_xy")
+    )
+    nx = joined.groupBy("event_type").agg(F.count("*").alias("n_x"))
+    ny = joined.groupBy("segment").agg(F.count("*").alias("n_y"))
+    nn = joined.agg(F.count("*").alias("n_total"))
+    cells = (
+        nxy.join(F.broadcast(nx), "event_type")
+        .join(F.broadcast(ny), "segment")
+        .crossJoin(F.broadcast(nn))
+    )
+    expected = (F.col("n_x") * F.col("n_y")).cast("double") / F.col(
+        "n_total"
+    )
+    diff = F.col("n_xy") - expected
+    contrib_micro = F.floor(
+        (diff * diff / expected) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    agg = cells.agg(
+        F.sum(contrib_micro).alias("chi2_micro"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("segment").alias("s"),
+        F.max("n_total").alias("n_total"),
+    )
+    chi2 = F.col("chi2_micro") / 1e6
+    dof = (F.col("r") - 1) * (F.col("s") - 1)
+    cramers_v = F.sqrt(
+        chi2
+        / (
+            F.col("n_total")
+            * F.least(F.col("r") - 1, F.col("s") - 1)
+        )
+    )
+    return agg.select(
+        "chi2_micro",
+        _q(chi2, 4).alias("chi2"),
+        dof.cast("long").alias("dof"),
+        _q(cramers_v, 6).alias("cramers_v"),
+    )
+
+
+def q_pagerank_weighted_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the who-follows-whom graph: edge weight =
+    how many times v followed u (the multi-edge count the unweighted
+    variant collapses), so frequent followers transfer proportionally
+    more mass — graph.pagerank_weighted, same exact-BIGINT contract,
+    oracled by 3 unrolled weighted CTEs. Top-50 by rank."""
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        graph.consecutive_user_edges(ev)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    pr = graph.pagerank_weighted(edges, iterations=3, damping=0.85)
+    return (
+        pr.select("node", "rank_units", _q(F.col("rank"), 6).alias("rank"))
+        .orderBy(F.desc("rank_units"), F.asc("node"))
+        .limit(50)
+    )
+
+
 # --------------------------------------------------------------------------
 #: Iteration order matters: the driver's correctness harness checks the
 #: FIRST 50 entries (observed cap, CORRECTNESS_r02). The leading block is
@@ -4647,6 +4723,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clustering_coefficients": q_clustering_coefficients,
     "kmv_jaccard_pairs": q_kmv_jaccard_pairs,
     "pmi_events_segments": q_pmi_events_segments,
+    "chi2_independence": q_chi2_independence,
+    "pagerank_weighted_graph": q_pagerank_weighted_graph,
 }
 
 
@@ -7497,6 +7575,87 @@ def oracle_sql() -> dict[str, str]:
             FROM nxy JOIN nx USING (event_type)
             JOIN ny USING (segment), nn
             ORDER BY event_type, segment
+        """,
+        "chi2_independence": f"""
+            WITH j AS (
+                SELECT event_type, c_mktsegment AS segment
+                FROM events JOIN customer ON user_id = c_custkey
+            ),
+            nxy AS (SELECT event_type, segment, COUNT(*) AS n_xy
+                    FROM j GROUP BY 1, 2),
+            nx AS (SELECT event_type, COUNT(*) AS n_x FROM j GROUP BY 1),
+            ny AS (SELECT segment, COUNT(*) AS n_y FROM j GROUP BY 1),
+            nn AS (SELECT COUNT(*) AS n_total FROM j),
+            cells AS (
+                SELECT n_xy, n_x, n_y, n_total,
+                       event_type, segment,
+                       CAST(n_x * n_y AS DOUBLE) / n_total AS expected
+                FROM nxy JOIN nx USING (event_type)
+                JOIN ny USING (segment), nn
+            ),
+            agg AS (
+                SELECT CAST(SUM(CAST(FLOOR(
+                           ((n_xy - expected) * (n_xy - expected)
+                            / expected) * 1e6 + 0.5
+                       ) AS BIGINT)) AS BIGINT) AS chi2_micro,
+                       COUNT(DISTINCT event_type) AS r,
+                       COUNT(DISTINCT segment) AS s,
+                       MAX(n_total) AS n_total
+                FROM cells
+            )
+            SELECT chi2_micro,
+                   {_sql_q("chi2_micro / 1e6", 4)} AS chi2,
+                   CAST((r - 1) * (s - 1) AS BIGINT) AS dof,
+                   {_sql_q(
+                       "SQRT(chi2_micro / 1e6"
+                       " / (n_total * LEAST(r - 1, s - 1)))", 6
+                   )} AS cramers_v
+            FROM agg
+        """,
+        "pagerank_weighted_graph": f"""
+            WITH raw AS (
+                SELECT LAG(user_id) OVER (
+                           PARTITION BY event_type
+                           ORDER BY ts ASC, event_id ASC
+                       ) AS src,
+                       user_id AS dst
+                FROM events
+            ),
+            e AS (SELECT src, dst, COUNT(*) AS w FROM raw
+                  WHERE src IS NOT NULL AND src <> dst
+                  GROUP BY 1, 2),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            nt AS (SELECT COUNT(*) AS n FROM nodes),
+            ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM e
+                   GROUP BY 1),
+            r0 AS (SELECT node, 1000000000 // n AS ru FROM nodes, nt),
+            c1 AS (SELECT dst AS node, SUM((ru * w) // wsum) AS inflow
+                   FROM e JOIN r0 ON e.src = r0.node JOIN ws USING (src)
+                   GROUP BY 1),
+            r1 AS (SELECT nodes.node,
+                          (85 * COALESCE(inflow, 0)) // 100
+                          + 15000000000 // (100 * n) AS ru
+                   FROM nodes LEFT JOIN c1 USING (node), nt),
+            c2 AS (SELECT dst AS node, SUM((ru * w) // wsum) AS inflow
+                   FROM e JOIN r1 ON e.src = r1.node JOIN ws USING (src)
+                   GROUP BY 1),
+            r2 AS (SELECT nodes.node,
+                          (85 * COALESCE(inflow, 0)) // 100
+                          + 15000000000 // (100 * n) AS ru
+                   FROM nodes LEFT JOIN c2 USING (node), nt),
+            c3 AS (SELECT dst AS node, SUM((ru * w) // wsum) AS inflow
+                   FROM e JOIN r2 ON e.src = r2.node JOIN ws USING (src)
+                   GROUP BY 1),
+            r3 AS (SELECT nodes.node,
+                          (85 * COALESCE(inflow, 0)) // 100
+                          + 15000000000 // (100 * n) AS ru
+                   FROM nodes LEFT JOIN c3 USING (node), nt)
+            SELECT node, CAST(ru AS BIGINT) AS rank_units,
+                   {_sql_q("ru / 1000000000.0", 6)} AS rank
+            FROM r3
+            ORDER BY rank_units DESC, node ASC
+            LIMIT 50
         """,
         # rows-only (approximate / engine-specific by design, each with a
         # *_verified md5- or literal-plane twin pinning its mechanism):

@@ -258,3 +258,68 @@ def clustering_coefficients(
         / (F.col("degree") * (F.col("degree") - 1)),
     )
     return out.select("node", "degree", "n_triangles", coeff.alias("coeff"))
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted integer-unit PageRank: mass flows along each edge in
+    proportion to its integer weight — contrib = (rank·w) DIV Σw(src)
+    instead of rank DIV outdeg. Same determinism contract as
+    pagerank(): every step exact BIGINT arithmetic, damping as the
+    rational num/100, so an unrolled-CTE oracle matches rank_units
+    exactly. Multi-edges should be pre-aggregated into weights (that IS
+    the weighting); rank·w stays < 2^63 for weights up to ~9×10⁹ per
+    edge at unit scale 1e9."""
+    num = int(round(damping * 100))
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    wsum = e.groupBy("src").agg(F.sum("w").alias("wsum"))
+    n_total = nodes.agg(F.count("*").alias("n_nodes"))
+    teleport = F.expr(f"({(100 - num) * UNITS} DIV (100 * n_nodes))")
+    rank = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node",
+        "n_nodes",
+        F.expr(f"{UNITS} DIV n_nodes").cast("long").alias("rank_units"),
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(rank, e.src == rank.node)
+            .join(wsum, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank_units * w) DIV wsum").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        rank = (
+            rank.select("node", "n_nodes")
+            .join(contribs, "node", "left")
+            .withColumn("inflow", F.coalesce("inflow", F.lit(0)))
+            .select(
+                "node",
+                "n_nodes",
+                (F.expr(f"({num} * inflow) DIV 100") + teleport)
+                .cast("long")
+                .alias("rank_units"),
+            )
+        )
+    return rank.select(
+        "node",
+        "rank_units",
+        (F.col("rank_units") / float(UNITS)).alias("rank"),
+    )

@@ -139,3 +139,35 @@ def test_clustering_coefficients_known_graph(spark):
     assert got[0] == (3, 3, 1.0)
     assert got[11] == (2, 0, 0.0)
     assert got[10] == (1, 0, None)
+
+
+def test_weighted_pagerank_favors_heavy_edge(spark):
+    # star: 1→3 with weight 9, 2→3 weight 1; 3→1 and 3→2 weight 1.
+    # Node 3 gets all of 1's and 2's mass either way; but 1 receives
+    # half of 3's mass (equal out-weights), so ranks split 3 > 1 = 2
+    e = spark.createDataFrame(
+        [(1, 3, 9), (2, 3, 1), (3, 1, 1), (3, 2, 1)],
+        "src long, dst long, w long",
+    )
+    pr = {r.node: r.rank_units for r in graph.pagerank_weighted(e).collect()}
+    assert pr[3] > pr[1] and pr[1] == pr[2]
+    # asymmetric out-weights: 3→1 weight 3, 3→2 weight 1 → 1 beats 2
+    e2 = spark.createDataFrame(
+        [(1, 3, 1), (2, 3, 1), (3, 1, 3), (3, 2, 1)],
+        "src long, dst long, w long",
+    )
+    pr2 = {
+        r.node: r.rank_units for r in graph.pagerank_weighted(e2).collect()
+    }
+    assert pr2[1] > pr2[2]
+
+
+def test_weighted_pagerank_uniform_weights_equal_unweighted(spark):
+    pairs = [(i, (i * 7) % 23) for i in range(100) if i != (i * 7) % 23]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    ew = e.withColumn("w", F.lit(5))  # uniform weights cancel out
+    a = sorted(map(tuple, graph.pagerank(e, iterations=3).collect()))
+    b = sorted(
+        map(tuple, graph.pagerank_weighted(ew, iterations=3).collect())
+    )
+    assert a == b
