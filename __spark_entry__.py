@@ -3592,7 +3592,11 @@ def q_tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        # ROUND-then-cast (the repo's cents discipline): Spark's
+        # cast(double→long) truncates, DuckDB's rounds half-to-even —
+        # identical only while quantities are integral. Pinning the
+        # rounding rule on BOTH sides removes the latent divergence.
+        .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("qty"))
     )
     movers = (
         shipped.join(
@@ -6921,7 +6925,7 @@ def oracle_sql() -> dict[str, str]:
                     AND l_shipdate >= TIMESTAMP '1997-01-01'
                     AND l_shipdate <  TIMESTAMP '1998-01-01'
                   GROUP BY l_partkey, l_suppkey
-                  HAVING SUM(CAST(l_quantity AS BIGINT)) > 40
+                  HAVING SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) > 40
               )
             ORDER BY s_name
         """,
@@ -7318,13 +7322,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM raw WHERE src IS NOT NULL AND src <> dst
             ),
             nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+            deg AS (
+                SELECT n, COUNT(*) AS degree FROM (
+                    SELECT a AS n FROM e UNION ALL SELECT b FROM e
+                ) GROUP BY 1
+            ),
             w AS (
                 SELECT e1.a, e1.b AS x, e2.b AS y
                 FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
             )
             SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
                    (SELECT COUNT(*) FROM e) AS n_edges,
-                   (SELECT COUNT(*) FROM w) AS n_wedges,
+                   (SELECT CAST(SUM(degree * (degree - 1) // 2) AS BIGINT)
+                    FROM deg) AS n_wedges,
                    (SELECT COUNT(*) FROM w
                     WHERE EXISTS (SELECT 1 FROM e
                                   WHERE e.a = w.x AND e.b = w.y)

@@ -180,11 +180,18 @@ def triangle_count(
     detection). Returns one row: (n_nodes, n_edges, n_wedges,
     n_triangles), all exact BIGINTs.
 
+    `n_wedges` is the standard wedge census Σ C(deg(v), 2) over ALL
+    centers, computed from the degree table — so the global clustering
+    coefficient is the textbook 3·n_triangles / n_wedges. (The
+    min-id-centered wedge JOIN below is just the triangle-closing
+    mechanism and is never reported; an earlier revision reported its
+    count, which under-counts the census.)
+
     Shape: symmetrize + dedup to canonical a<b edges (one shuffle),
-    build wedges by joining the edge list with itself on the lower
-    endpoint, then close each wedge with a third join. Wedge volume is
-    Σ deg(v)² — at cluster scale you first ORIENT edges from lower to
-    higher degree (cuts the join to Σ min-deg, the standard
+    build candidate wedges by joining the edge list with itself on the
+    lower endpoint, then close each wedge with a third join. Join
+    volume is Σ deg(v)² — at cluster scale you first ORIENT edges from
+    lower to higher degree (cuts the join to Σ min-deg, the standard
     compact-forward trick; noted here, id-orientation used since the
     catalog graphs are near-regular). Every join keys on node ids and
     the output is a constant-size row."""
@@ -197,6 +204,12 @@ def triangle_count(
         .unionByName(e.select(F.col("b").alias("n")))
         .distinct()
     )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("degree"))
+    )
     e1 = e.select(F.col("a").alias("w_a"), F.col("b").alias("w_x"))
     e2 = e.select(F.col("a").alias("w_a"), F.col("b").alias("w_y"))
     wedges = e1.join(e2, "w_a").filter(F.col("w_x") < F.col("w_y"))
@@ -206,7 +219,11 @@ def triangle_count(
     return (
         nodes.agg(F.count("*").alias("n_nodes"))
         .crossJoin(e.agg(F.count("*").alias("n_edges")))
-        .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
+        .crossJoin(
+            deg.agg(
+                F.sum(F.expr("degree * (degree - 1) DIV 2")).alias("n_wedges")
+            )
+        )
         .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
     )
 
@@ -275,13 +292,20 @@ def pagerank_weighted(
     rational num/100, so an unrolled-CTE oracle matches rank_units
     exactly. Multi-edges should be pre-aggregated into weights (that IS
     the weighting); rank·w stays < 2^63 for weights up to ~9×10⁹ per
-    edge at unit scale 1e9."""
+    edge at unit scale 1e9.
+
+    Non-positive weights are dropped up front: a src whose Σw is 0
+    would make `(rank·w) DIV wsum` NULL in Spark (silently vanishing
+    from the sum) but a division-by-zero ERROR in a DuckDB oracle —
+    divergent failure behavior. Filtering w > 0 pins one semantic
+    (zero-weight edges carry no mass and define no denominator) that
+    both engines agree on."""
     num = int(round(damping * 100))
     e = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         F.col(weight).alias("w"),
-    )
+    ).filter(F.col("w") > 0)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

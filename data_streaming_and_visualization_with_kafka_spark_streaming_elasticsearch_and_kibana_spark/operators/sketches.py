@@ -87,7 +87,14 @@ def cms_build(
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Merge sketch grids built with the same (depth, width, hash
     family) by cell-wise sum — the mergeability that lets per-shard /
-    per-day sketches answer global questions without a rescan."""
+    per-day sketches answer global questions without a rescan.
+
+    PRECONDITION: all inputs share one (depth, width). Mixed-parameter
+    grids union into a shape whose max bucket reflects the WIDEST
+    input; cms_estimate's shape tripwire then rejects probes made with
+    any narrower width, so a mixed merge cannot silently answer — but
+    the merge itself cannot distinguish two legitimate same-shape grids
+    from a mixed pair, so the caller owns the invariant."""
     it = iter(sketches)
     acc = next(it)
     for s in it:
@@ -105,8 +112,41 @@ def cms_estimate(
     """Point-query the grid for each candidate key: min over the
     depth row counters. Candidates broadcast (heavy-hitter shortlists
     are small); the sketch side is <= depth × width rows, so this join
-    never touches the original facts."""
+    never touches the original facts.
+
+    Parameter-mismatch guard: probing with a (depth, width) different
+    from the build parameters would hash probes into absent cells — the
+    left join coalesces those to 0 and min() returns a confidently
+    WRONG estimate of 0. The grid carries no metadata, but its shape
+    betrays its parameters: every nonempty build emits all rows
+    0..depth-1, and bucket ids are mod width. A broadcast scalar of
+    (max r, max bucket) is checked lazily inside the plan and
+    raise_error()s on a definite mismatch (probe depth != grid depth,
+    or grid bucket >= probe width). A mismatched but *smaller* build
+    width can escape the bucket bound by luck; with hundreds of
+    occupied cells that is vanishingly unlikely — this is a fail-fast
+    tripwire, not a proof, so still pass the build parameters."""
     key = F.col(key_col).cast("string")
+    shape = sketch.agg(
+        (F.max("r") + 1).alias("_grid_depth"),
+        F.max("bucket").alias("_grid_max_bucket"),
+    )
+    shape_ok = F.when(
+        (F.col("_grid_depth") != F.lit(depth))
+        | (F.col("_grid_max_bucket") >= F.lit(width)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"cms_estimate parameter mismatch: probing with "
+                    f"depth={depth} width={width} but the sketch grid has "
+                    f"depth="
+                ),
+                F.col("_grid_depth").cast("string"),
+                F.lit(" and max bucket "),
+                F.col("_grid_max_bucket").cast("string"),
+            )
+        ),
+    )
     probes = candidates.select(
         F.col(key_col),
         F.explode(
@@ -126,6 +166,11 @@ def cms_estimate(
         .join(sketch, ["r", "bucket"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est"))
+        .crossJoin(F.broadcast(shape))
+        .select(
+            key_col,
+            F.coalesce(shape_ok, F.col("cms_est")).alias("cms_est"),
+        )
     )
 
 

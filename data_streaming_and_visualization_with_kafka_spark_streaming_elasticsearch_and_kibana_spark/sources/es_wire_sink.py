@@ -56,6 +56,13 @@ def _resolve_index(pattern: str, row: dict) -> str:
 
 
 class EsBulkWireWriter(DataSourceWriter):
+    """Batch writer. SINGLE-WRITER-PER-PATH assumption: exactly one job
+    writes a given payload directory at a time. The post-commit orphan
+    sweep deletes every unreferenced `.ndjson.tmp` under the path, so a
+    concurrent job staging into the same directory would lose its
+    in-flight files — point concurrent jobs at distinct paths (the
+    streaming twin gets this for free via per-epoch directories)."""
+
     def __init__(
         self,
         path: str,
@@ -95,26 +102,28 @@ class EsBulkWireWriter(DataSourceWriter):
                 f.write("\n")
         return _Staged(tmp_path=tmp)
 
-    def _sweep_unreferenced_tmp(self, messages) -> None:
-        """Remove .tmp files no committed/aborted task claims: a task
+    def _sweep_orphaned_tmp(self) -> None:
+        """Remove leftover .tmp files once the job resolves: a task
         attempt that died mid-write and was RETRIED leaves its first
         attempt's .tmp unreported (commit never renames it, abort never
         runs because the job succeeded) — without this sweep those
         orphans accumulate forever, unseen even by overwrite's retire
-        scan (which matches only *.ndjson)."""
-        claimed = {m.tmp_path for m in messages if m is not None}
+        scan (which matches only *.ndjson). Runs AFTER commit has
+        renamed every claimed .tmp (and after abort has removed its
+        own), so everything still matching *.ndjson.tmp is an orphan —
+        under the single-writer-per-path assumption (see class
+        docstring)."""
         if not os.path.isdir(self.path):
             return
         for f in os.listdir(self.path):
-            p = os.path.join(self.path, f)
-            if f.endswith(".ndjson.tmp") and p not in claimed:
-                os.remove(p)
+            if f.endswith(".ndjson.tmp"):
+                os.remove(os.path.join(self.path, f))
 
     def commit(self, messages):
         for m in messages:
             if m is not None:
                 os.replace(m.tmp_path, m.tmp_path[: -len(".tmp")])
-        self._sweep_unreferenced_tmp(())
+        self._sweep_orphaned_tmp()
         for old in self.retire:
             if os.path.exists(old):
                 os.remove(old)
@@ -123,7 +132,7 @@ class EsBulkWireWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
-        self._sweep_unreferenced_tmp(())
+        self._sweep_orphaned_tmp()
 
 
 class EsBulkWireStreamWriter(DataSourceStreamWriter):

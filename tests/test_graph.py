@@ -115,6 +115,9 @@ def test_triangle_count_known_graphs(spark):
     e = _edges(spark, k4 + path)
     r = graph.triangle_count(e).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (7, 8, 4)
+    # true wedge census Σ C(deg,2): K4 nodes 4·C(3,2)=12, path center
+    # C(2,2)=1 → 13; global clustering coeff = 3T/wedges = 12/13
+    assert r.n_wedges == 13
 
 
 def test_triangle_count_direction_and_duplicates_collapse(spark):

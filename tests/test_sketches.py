@@ -79,6 +79,23 @@ def test_absent_key_estimates_small(spark):
     assert est[0].cms_est == 0
 
 
+def test_estimate_rejects_mismatched_parameters(spark):
+    # probing a depth-4/width-64 grid with the wrong parameters must
+    # FAIL FAST, not confidently return 0 (the left join would coalesce
+    # absent cells to 0 and min() would report it as an estimate)
+    import pytest
+
+    df = _keyed(spark, [f"k{i}" for i in range(200)])
+    sk = sketches.cms_build(df, "k", depth=4, width=64)
+    probe = _keyed(spark, ["k0"])
+    for depth, width in [(8, 64), (4, 32), (2, 64)]:
+        with pytest.raises(Exception, match="parameter mismatch"):
+            sketches.cms_estimate(sk, probe, "k", depth=depth, width=width).collect()
+    # matching parameters still answer
+    ok = sketches.cms_estimate(sk, probe, "k", depth=4, width=64).collect()
+    assert ok[0].cms_est >= 1
+
+
 def test_kmv_estimate_exact_below_k(spark):
     df = spark.createDataFrame([(i % 40,) for i in range(500)], "k long")
     sk = sketches.kmv_build(df.withColumn("g", F.lit("a")), ["g"], "k", k=64)
