@@ -8,12 +8,15 @@ Codec support is two-tier. `fake=True` (default in this container) uses
 a deterministic stand-in decoder (seeded from the bytes) so the
 Spark-side plumbing — schema, batching, partitioning — is exercised
 without any imaging library. `fake=False` is REAL for the uncompressed
-formats a pure-numpy decoder can handle: binary PPM (P6) / PGM (P5),
-24-bpp uncompressed BMP, and PCM WAV headers for audio chunking —
-decode, luma stats, and nearest-neighbor resize all run vectorized
-inside the Arrow batch. Compressed formats (JPEG/PNG/MP3/…) still raise
-NotImplementedError with a clear message: that genuinely needs
-PIL/ffmpeg, which production clusters have and this container doesn't.
+formats a pure-stdlib decoder can handle: binary PPM (P6) / PGM (P5),
+24-bpp uncompressed BMP, 8-bit non-interlaced PNG (stdlib `zlib`
+inflate + the five PNG filters in numpy — gray, RGB, palette,
+gray+alpha, RGBA), and PCM WAV headers for audio chunking — decode,
+luma stats, and nearest-neighbor resize all run vectorized inside the
+Arrow batch. The formats that genuinely need a codec library
+(JPEG/MP3/…, 16-bit or Adam7-interlaced PNG) still raise
+NotImplementedError with a clear message: production clusters have
+PIL/ffmpeg, this container doesn't.
 """
 
 from __future__ import annotations
@@ -66,18 +69,22 @@ def attach_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 # ------------------------------------------------------ real decoders
 def decode_image(content: bytes) -> np.ndarray:
-    """(H, W, 3) uint8 from the uncompressed formats numpy can parse
-    without any imaging library: binary PPM (P6), binary PGM (P5, gray
-    replicated to 3 channels), and 24-bpp uncompressed bottom-up or
-    top-down BMP. Raises NotImplementedError for compressed formats
-    (JPEG/PNG need a codec library) and ValueError for corrupt input."""
+    """(H, W, 3) uint8 from the formats a pure-stdlib decoder can
+    parse: binary PPM (P6), binary PGM (P5, gray replicated to 3
+    channels), 24-bpp uncompressed bottom-up or top-down BMP, and 8-bit
+    non-interlaced PNG (all five color types; alpha dropped, gray
+    replicated, palette resolved). Raises NotImplementedError for
+    formats that need a codec library (JPEG, 16-bit / interlaced PNG)
+    and ValueError for corrupt input."""
     if content[:2] in (b"P6", b"P5"):
         return _decode_pnm(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
+    if content[:8] == PNG_SIGNATURE:
+        return _decode_png(content)
     raise NotImplementedError(
-        "unsupported image format (pure-numpy path decodes P6/P5/24-bpp "
-        "BMP; compressed formats need PIL/opencv)"
+        "unsupported image format (pure-stdlib path decodes P6/P5/24-bpp "
+        "BMP/8-bit PNG; JPEG needs PIL/opencv)"
     )
 
 
@@ -129,6 +136,218 @@ def _decode_bmp(content: bytes) -> np.ndarray:
     ).reshape(height, stride)
     img = rows[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]  # BGR→RGB
     return img[::-1] if bottom_up else img
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: samples per pixel for each PNG color type (palette is 1 index/px)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(content: bytes):
+    """Yield (type, data) for each chunk; lengths are validated so a
+    truncated file raises ValueError instead of reading garbage. CRCs
+    are not verified — corruption surfaces as a zlib/shape error, and
+    a luma-stat pipeline has no use for silent-skip semantics."""
+    pos = 8
+    while pos + 8 <= len(content):
+        size = int.from_bytes(content[pos : pos + 4], "big")
+        ctype = content[pos + 4 : pos + 8]
+        if pos + 12 + size > len(content):
+            raise ValueError("truncated PNG chunk")
+        yield ctype, content[pos + 8 : pos + 8 + size]
+        if ctype == b"IEND":
+            return
+        pos += 12 + size
+    raise ValueError("PNG missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_defilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the per-scanline PNG filters (spec §9): each row carries a
+    filter-type byte, then `stride` filtered bytes. None/Up/Sub are
+    fully vectorized (Up is a uint8 add of the prior row; Sub is a
+    cumulative sum per byte lane — addition mod 256 commutes with
+    cumsum). Average and Paeth depend on the left AND upper neighbor,
+    so they are inherently sequential in x — those rows fall back to a
+    per-byte loop. Real corpora are encoded almost entirely with
+    Up/Sub/None by libpng's heuristic; at cluster scale the hot decode
+    path would be a C codec anyway (see module docstring)."""
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data is {len(raw)} bytes, expected "
+            f"{height * (stride + 1)}"
+        )
+    out = np.zeros((height, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += 1 + stride
+        prev = out[y - 1] if y else zero_row
+        if ftype == 0:  # None
+            out[y] = line
+        elif ftype == 1:  # Sub: cumsum per lane, mod 256
+            for k in range(bpp):
+                out[y, k::bpp] = np.cumsum(
+                    line[k::bpp], dtype=np.uint64
+                ).astype(np.uint8)
+        elif ftype == 2:  # Up
+            out[y] = line + prev
+        elif ftype == 3:  # Average
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return out
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → (H, W, 3) uint8 RGB, pure stdlib:
+    chunk walk, zlib inflate of the concatenated IDAT stream, the five
+    scanline filters in numpy, then color-type normalization (gray
+    replicated, palette resolved via PLTE fancy-indexing, alpha
+    DROPPED — stats/resize consume straight RGB; compositing is a
+    policy choice left to the caller). 16-bit depth and Adam7 interlace
+    raise NotImplementedError: both are rare in web corpora and need
+    either wider arithmetic or a 7-pass de-mosaic."""
+    import zlib
+
+    header = None
+    palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(content):
+        if ctype == b"IHDR":
+            header = data
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if header is None or len(header) != 13:
+        raise ValueError("PNG missing IHDR")
+    width = int.from_bytes(header[0:4], "big")
+    height = int.from_bytes(header[4:8], "big")
+    depth, color_type, _comp, _filt, interlace = header[8:13]
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color_type}")
+    if width <= 0 or height <= 0:
+        raise ValueError("bad PNG dimensions")
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    grid = _png_defilter(raw, height, width * channels, channels).reshape(
+        height, width, channels
+    )
+    if color_type == 2:  # RGB
+        return grid
+    if color_type == 6:  # RGBA → drop alpha
+        return np.ascontiguousarray(grid[:, :, :3])
+    if color_type == 0:  # gray
+        return np.repeat(grid, 3, axis=2)
+    if color_type == 4:  # gray+alpha
+        return np.repeat(grid[:, :, :1], 3, axis=2)
+    if palette is None:
+        raise ValueError("palette PNG missing PLTE")
+    return palette[grid[:, :, 0]]  # indexed
+
+
+def encode_png(
+    img: np.ndarray,
+    color_type: int = 2,
+    filters: list[int] | None = None,
+) -> bytes:
+    """(H, W[, C]) uint8 → PNG bytes, pure stdlib — the test/fixture
+    twin of `_decode_png` (and a usable sink encoding: PNG is the
+    lossless interchange format PPM is not). `filters` picks the
+    per-scanline filter type (cycled row-by-row; default all-None);
+    forward filtering is vectorized int16 arithmetic mod 256. Color
+    types: 0 gray (H,W or (H,W,1)), 2 RGB, 6 RGBA."""
+    import struct
+    import zlib
+
+    if color_type not in (0, 2, 6):
+        raise NotImplementedError(
+            f"encode_png writes gray/RGB/RGBA (got color type {color_type})"
+        )
+    want = {0: 1, 2: 3, 6: 4}[color_type]
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] != want:
+        raise ValueError(
+            f"color type {color_type} needs {want} channels, "
+            f"got {img.shape[2]}"
+        )
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    rows = img.reshape(h, w * c).astype(np.int16)
+    zero = np.zeros(w * c, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        ftype = filters[y % len(filters)] if filters else 0
+        cur = rows[y]
+        prev = rows[y - 1] if y else zero
+        left = np.concatenate([np.zeros(c, np.int16), cur[:-c]])
+        upleft = np.concatenate([np.zeros(c, np.int16), prev[:-c]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            filt = cur - ((left + prev) >> 1)
+        elif ftype == 4:
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prev),
+                np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, upleft),
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out.append(ftype)
+        out.extend((filt & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def wav_duration_ms(content: bytes) -> int:

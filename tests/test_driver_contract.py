@@ -21,15 +21,17 @@ SF = "/root/testdata/sf0.001"
 #: them. Every SURVEY §2 family is witnessed inside this block. A diff
 #: here means an accidental reorder/insert above the cap marker —
 #: rearrange the dict (new queries go AFTER the marker) or, if a swap
-#: is intentional, update this pin consciously.
+#: is intentional, update this pin consciously. r5 rotation: five
+#: redundant witnesses swapped for the deterministic-mechanism tier
+#: (cms/bm25/pagerank/kmv/png) so the driver exercises it directly.
 DRIVER_WINDOW = [
     "fusion_minute_avg",
     "multiway_join_revenue",
     "tpch_q1_pricing_summary",
     "correlated_subquery_q17",
-    "supplier_part_margin",
+    "bm25_search",
     "decode_json_props",
-    "json_roundtrip",
+    "cms_heavy_hitters",
     "delimited_roundtrip",
     "kafka_wire_pipeline",
     "null_safe_projection",
@@ -39,12 +41,12 @@ DRIVER_WINDOW = [
     "date_histogram_daily",
     "terms_topk_event_types",
     "topk_orders",
-    "window_lag_delta",
+    "pagerank_user_graph",
     "latest_event_per_user",
     "grouping_sets_events",
     "partition_pruned_scan",
     "exact_percentiles",
-    "distinct_user_counts",
+    "kmv_distinct_rollup",
     "semi_join_active_customers",
     "anti_join_idle_customers",
     "pivot_event_values",
@@ -71,7 +73,7 @@ DRIVER_WINDOW = [
     "lsh_bucket_verified",
     "multi_query_topk",
     "stratified_split",
-    "multimodal_image_features",
+    "multimodal_png_decode",
     "corpus_pipeline_end2end",
 ]
 

@@ -254,3 +254,141 @@ def test_compressed_or_garbage_raises_with_clear_message():
         multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
     with pytest.raises(NotImplementedError, match="PCM|RIFF"):
         multimodal.wav_duration_ms(b"ID3 mp3-ish")
+
+
+# ------------------------------------------------------------- PNG codec
+def _rand_img(shape, seed=0):
+    import numpy as np
+
+    return np.random.RandomState(seed).randint(0, 256, size=shape, dtype=np.uint8)
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    """encode → decode is identity for every scanline filter type and
+    every encodable color type (gray replicated, alpha dropped)."""
+    import numpy as np
+
+    for shape, ct in [((13, 9, 3), 2), ((8, 5, 4), 6), ((6, 7), 0)]:
+        img = _rand_img(shape, seed=ct)
+        want = (
+            img
+            if ct == 2
+            else (
+                img[:, :, :3]
+                if ct == 6
+                else np.repeat(img[:, :, None], 3, axis=2)
+            )
+        )
+        for filters in [None, [1], [2], [3], [4], [0, 1, 2, 3, 4]]:
+            got = multimodal.decode_image(
+                multimodal.encode_png(img, ct, filters)
+            )
+            assert got.shape == want.shape
+            assert (got == want).all(), (shape, ct, filters)
+
+
+def test_png_palette_and_gray_alpha_decode():
+    """Hand-built palette (PLTE fancy-index) and gray+alpha PNGs decode
+    to the expected RGB planes — color types encode_png doesn't write."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(t, d):
+        body = t + d
+        return (
+            struct.pack(">I", len(d))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    pal = _rand_img((16, 3), seed=1)
+    idx = np.random.RandomState(2).randint(0, 16, size=(5, 6), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(5))
+    png = (
+        multimodal.PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (multimodal.decode_image(png) == pal[idx]).all()
+
+    ga = _rand_img((4, 3, 2), seed=3)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(4))
+    png = (
+        multimodal.PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 4, 8, 4, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (
+        multimodal.decode_image(png)
+        == __import__("numpy").repeat(ga[:, :, :1], 3, axis=2)
+    ).all()
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    good = multimodal.encode_png(_rand_img((4, 4, 3)))
+
+    def rebuild_ihdr(depth=8, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 2, 0, 0, interlace)
+        body = b"IHDR" + ihdr
+        patched = (
+            good[:8]
+            + struct.pack(">I", 13)
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+            + good[8 + 12 + 13 :]
+        )
+        return patched
+
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        multimodal.decode_image(rebuild_ihdr(depth=16))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        multimodal.decode_image(rebuild_ihdr(interlace=1))
+    with pytest.raises(ValueError, match="truncated|IEND"):
+        multimodal.decode_image(good[:-8])
+    # pixel payload shorter than H*(stride+1) → shape error, not garbage
+    bad_raw = zlib.compress(b"\x00" * 10)
+
+    def chunk(t, d):
+        body = t + d
+        return (
+            struct.pack(">I", len(d))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        multimodal.PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", bad_raw)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="pixel data"):
+        multimodal.decode_image(png)
+
+
+def test_png_decode_features_in_spark(spark):
+    """PNG content flows through the same Arrow-batched feature path as
+    PPM/BMP: known 2×2 image, exact dims + luma."""
+    import numpy as np
+
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    png = multimodal.encode_png(img, 2, [4, 1])
+    out = multimodal.decode_image_features(
+        _media(spark, [png]), fake=False
+    ).collect()[0]
+    want = (0.299 + 0.587 + 0.114 + 1.0) / 4
+    assert (out.height, out.width) == (2, 2)
+    assert abs(out.mean_luma - want) < 1e-12
