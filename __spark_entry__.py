@@ -1134,13 +1134,17 @@ def q_setsim_join_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the whole star schema: one
     row per FK edge with the referencing row count and the orphan count
-    (rows whose key has no match in the referenced table). Each edge is
-    a left-anti-join-shaped aggregate — expressed as a left join +
-    conditional count so all edges stay independent scans; dimension
-    sides broadcast. At 100 TB this is the nightly audit that catches a
-    partial dimension load before every downstream join silently drops
-    (inner) or null-extends (outer) the orphans. NULL keys count as
-    orphans (same unknown-is-not-a-pass stance as operators.quality)."""
+    (rows whose key has no match in the referenced table). Edges are
+    GROUPED BY REFERENCING TABLE: each referencing table is scanned
+    once (key columns only), its edges resolved by chained broadcast
+    left joins against the distinct referenced-key sets, and ONE agg
+    emits every edge's orphan count, exploded to one row per edge — so
+    lineitem, the widest fact, is read once for its three FK edges
+    instead of once per edge (the r4 verdict's 3× fact-I/O cut). At
+    100 TB this is the nightly audit that catches a partial dimension
+    load before every downstream join silently drops (inner) or
+    null-extends (outer) the orphans. NULL keys count as orphans (same
+    unknown-is-not-a-pass stance as operators.quality)."""
     edges = [
         ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
         ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
@@ -1150,24 +1154,46 @@ def q_fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
         ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
     ]
-    parts = []
+    by_ft: dict[str, list[tuple[str, str, str, str]]] = {}
     for name, ft, fk, rt, rk in edges:
-        f = _t(spark, sf_dir, ft).select(F.col(fk).alias("__k"))
-        r = (
-            _t(spark, sf_dir, rt)
-            .select(F.col(rk).alias("__k"))
-            .distinct()
-            .withColumn("__hit", F.lit(1))
+        by_ft.setdefault(ft, []).append((name, fk, rt, rk))
+    parts = []
+    for ft, ft_edges in by_ft.items():
+        f = _t(spark, sf_dir, ft).select(
+            *[F.col(fk).alias(f"__k{i}") for i, (_, fk, _, _) in enumerate(ft_edges)]
         )
-        joined = f.join(F.broadcast(r), "__k", "left")
-        parts.append(
-            joined.agg(
-                F.lit(name).alias("fk_edge"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(
-                    F.when(F.col("__hit").isNull(), 1).otherwise(0)
-                ).cast("long").alias("n_orphans"),
+        for i, (_, _, rt, rk) in enumerate(ft_edges):
+            r = (
+                _t(spark, sf_dir, rt)
+                .select(F.col(rk).alias(f"__k{i}"))
+                .distinct()
+                .withColumn(f"__hit{i}", F.lit(1))
             )
+            f = f.join(F.broadcast(r), f"__k{i}", "left")
+        agg = f.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(F.when(F.col(f"__hit{i}").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"__o{i}")
+                for i in range(len(ft_edges))
+            ],
+        )
+        parts.append(
+            agg.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(name).alias("fk_edge"),
+                                F.col("n_rows").alias("n_rows"),
+                                F.col(f"__o{i}").alias("n_orphans"),
+                            )
+                            for i, (name, _, _, _) in enumerate(ft_edges)
+                        ]
+                    )
+                ).alias("e")
+            ).select("e.fk_edge", "e.n_rows", "e.n_orphans")
         )
     out = parts[0]
     for p in parts[1:]:

@@ -191,3 +191,125 @@ def test_es_bulk_wire_stream_writer_per_epoch_payloads(spark, tmp_dir):
                 docs.append(d["room"])
     assert sorted(docs) == ["413", "656"]
     assert not glob.glob(f"{out}/**/*.tmp") and not glob.glob(f"{out}/*.tmp")
+
+
+def test_es_bulk_wire_task_failure_publishes_nothing(spark, tmp_dir):
+    """Fault injection on the commit protocol: a task that dies AFTER
+    staging rows into its .tmp but BEFORE the job commits must leave NO
+    published .ndjson and no stray .tmp — the stage-then-publish
+    discipline means a failed job is indistinguishable from one that
+    never ran. A prior committed payload survives a failed overwrite
+    untouched (retire happens only after the new payload publishes)."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.es_wire_sink import (
+        EsBulkWireDataSource,
+    )
+
+    spark.dataSource.register(EsBulkWireDataSource)
+    out = f"{tmp_dir}/bulk_crash"
+
+    def write(df, mode="append"):
+        (
+            df.write.format("es_bulk_wire")
+            .option("path", out)
+            .option("index", "room-{room}")
+            .option("mapping_id", "room")
+            .mode(mode)
+            .save()
+        )
+
+    # a committed baseline payload that the failed overwrite must not eat
+    write(
+        spark.createDataFrame([("101", 1.0)], "room string, co2 double")
+        .coalesce(1)
+    )
+    baseline = sorted(glob.glob(f"{out}/part-*.ndjson"))
+    assert len(baseline) == 1
+    baseline_bytes = open(baseline[0]).read()
+
+    @F.udf("double")
+    def poison(v):
+        if v < 0:
+            raise RuntimeError("injected mid-write failure")
+        return v
+
+    bad = spark.createDataFrame(
+        [("413", 612.0), ("656", 480.5), ("999", -1.0)],
+        "room string, co2 double",
+    ).coalesce(1).withColumn("co2", poison("co2"))
+    try:
+        write(bad, mode="overwrite")
+        raise AssertionError("injected failure did not propagate")
+    except Exception as e:  # noqa: BLE001 — py4j wraps the RuntimeError
+        assert "injected mid-write failure" in str(e)
+
+    # nothing new published, nothing staged, baseline payload intact
+    assert sorted(glob.glob(f"{out}/part-*.ndjson")) == baseline
+    assert glob.glob(f"{out}/*.tmp") == []
+    assert open(baseline[0]).read() == baseline_bytes
+
+
+def test_es_bulk_wire_retry_after_failure_no_duplicates(spark, tmp_dir):
+    """The recovery half of the protocol: rerunning the SAME write after
+    an injected failure publishes each doc exactly once — the failed
+    attempt's staging leaks nothing into the retried payload."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.es_wire_sink import (
+        EsBulkWireDataSource,
+    )
+
+    spark.dataSource.register(EsBulkWireDataSource)
+    out = f"{tmp_dir}/bulk_retry"
+    rows = [("413", 612.0), ("656", 480.5)]
+
+    @F.udf("double")
+    def maybe_poison(v):
+        if v is None:
+            raise RuntimeError("injected failure")
+        return v
+
+    df = spark.createDataFrame(
+        rows + [(None, None)], "room string, co2 double"
+    ).coalesce(1).withColumn("co2", maybe_poison("co2"))
+    try:
+        (
+            df.write.format("es_bulk_wire")
+            .option("path", out)
+            .option("index", "office-index")
+            .option("mapping_id", "room")
+            .mode("append")
+            .save()
+        )
+        raise AssertionError("injected failure did not propagate")
+    except Exception:
+        pass
+    assert glob.glob(f"{out}/*") in ([], None) or all(
+        not p.endswith(".ndjson") for p in glob.glob(f"{out}/*")
+    )
+
+    good = spark.createDataFrame(rows, "room string, co2 double").coalesce(1)
+    (
+        good.write.format("es_bulk_wire")
+        .option("path", out)
+        .option("index", "office-index")
+        .option("mapping_id", "room")
+        .mode("append")
+        .save()
+    )
+    files = sorted(glob.glob(f"{out}/part-*.ndjson"))
+    assert files and not glob.glob(f"{out}/*.tmp")
+    lines = [
+        json.loads(ln)
+        for p in files
+        for ln in open(p).read().splitlines()
+    ]
+    docs = lines[1::2]
+    assert sorted(d["room"] for d in docs) == ["413", "656"]  # once each
