@@ -4402,6 +4402,30 @@ def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def q_clustering_weighted_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Barrat weighted clustering coefficients of the who-follows-whom
+    MULTIGRAPH (graph.clustering_coefficients_weighted): edge weight =
+    follow count, strength = summed incident traffic, coefficient =
+    Σ(w_ij+w_ih over triangles) / (s·(k−1)) — all numerators and
+    denominators exact BIGINTs, one IEEE division at the end, so the
+    DuckDB CTE twin hash-matches. Completes the weighted tier begun by
+    pagerank_weighted_graph (the r4 verdict's scope-boundary item)."""
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        graph.consecutive_user_edges(ev)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    cc = graph.clustering_coefficients_weighted(edges)
+    return cc.select(
+        "node",
+        "degree",
+        "strength",
+        "n_triangles",
+        _q(F.col("coeff_w"), 6).alias("coeff_w"),
+    ).orderBy("node")
+
+
 def q_kmv_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-composed set similarity: Jaccard between every pair of
     event types' USER SETS estimated purely from their KMV sketches
@@ -4806,6 +4830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ohlc_downsample": q_ohlc_downsample,
     "asof_next_purchase": q_asof_next_purchase,
     "clustering_coefficients": q_clustering_coefficients,
+    "clustering_weighted_graph": q_clustering_weighted_graph,
     "kmv_jaccard_pairs": q_kmv_jaccard_pairs,
     "pmi_events_segments": q_pmi_events_segments,
     "chi2_independence": q_chi2_independence,
@@ -7583,6 +7608,60 @@ def oracle_sql() -> dict[str, str]:
                        "CAST(2 * COALESCE(n_triangles, 0) AS DOUBLE)"
                        " / (degree * (degree - 1)) END", 6
                    )} AS coeff
+            FROM deg LEFT JOIN tn USING (node)
+            ORDER BY node
+        """,
+        "clustering_weighted_graph": f"""
+            WITH raw AS (
+                SELECT LAG(user_id) OVER (
+                           PARTITION BY event_type
+                           ORDER BY ts ASC, event_id ASC
+                       ) AS src,
+                       user_id AS dst
+                FROM events
+            ),
+            d AS (
+                SELECT src AS s, dst AS dd, COUNT(*) AS w
+                FROM raw WHERE src IS NOT NULL AND src <> dst
+                GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT LEAST(s, dd) AS a, GREATEST(s, dd) AS b,
+                       CAST(SUM(w) AS BIGINT) AS w
+                FROM d GROUP BY 1, 2
+            ),
+            deg AS (
+                SELECT node, COUNT(*) AS degree,
+                       CAST(SUM(w) AS BIGINT) AS strength
+                FROM (
+                    SELECT a AS node, w FROM e
+                    UNION ALL SELECT b, w FROM e
+                ) GROUP BY 1
+            ),
+            tri AS (
+                SELECT e1.a AS na, e1.b AS nx, e2.b AS ny,
+                       e1.w AS wax, e2.w AS way, e3.w AS wxy
+                FROM e e1
+                JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            contrib AS (
+                SELECT na AS node, wax + way AS c FROM tri
+                UNION ALL SELECT nx, wax + wxy FROM tri
+                UNION ALL SELECT ny, way + wxy FROM tri
+            ),
+            tn AS (
+                SELECT node, COUNT(*) AS n_triangles,
+                       CAST(SUM(c) AS BIGINT) AS tri_w
+                FROM contrib GROUP BY 1
+            )
+            SELECT deg.node, degree, strength,
+                   COALESCE(n_triangles, 0) AS n_triangles,
+                   {_sql_q(
+                       "CASE WHEN degree >= 2 THEN "
+                       "CAST(COALESCE(tri_w, 0) AS DOUBLE)"
+                       " / (strength * (degree - 1)) END", 6
+                   )} AS coeff_w
             FROM deg LEFT JOIN tn USING (node)
             ORDER BY node
         """,

@@ -99,6 +99,91 @@ HEADLINE = [
 ]
 
 
+#: the reference producer's ceiling: sleep(0.5) + synchronous flush()
+#: per row (dataframe_to_kafka.py:102,138) → 2 rows/s
+REFERENCE_PRODUCER_ROWS_PER_SEC = 2.0
+
+GOLDEN_CSV = "/root/reference/merged_sensor_data_grouped.csv"
+GOLDEN_SCHEMA = (
+    "event_ts_min timestamp, ts_min_bignt long, room string, "
+    "timestamp double, co2 double, light double, temp double, "
+    "humidity double, pir double"
+)
+
+
+def wire_replay(spark) -> dict:
+    """Throughput headline vs the reference producer: push the FULL
+    34,890-row KETI-scale golden replay through the reference's whole
+    pipeline shape — JSON encode → Kafka (key, value) wire → decode →
+    per-(room, minute) rollup → Elasticsearch `_bulk` payloads on disk
+    (the es_bulk_wire DataSource; byte-identical to what would POST to
+    `/_bulk`) — and report rows/s beside the reference's 2 rows/s
+    ceiling (`dataframe_to_kafka.py:102,138`: sleep(0.5) + synchronous
+    flush per row). This turns bench_vs_baseline into a MEASURED ratio
+    on the one quantitative number the reference publishes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions import (
+        codecs,
+    )
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources import (
+        readers,
+    )
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.es_wire_sink import (
+        EsBulkWireDataSource,
+    )
+
+    if not os.path.exists(GOLDEN_CSV):
+        return {}
+    spark.dataSource.register(EsBulkWireDataSource)
+    cols = ["room", "timestamp", "co2", "light", "temp", "humidity", "pir"]
+    src = readers.read_delimited(
+        spark, GOLDEN_CSV, schema=GOLDEN_SCHEMA
+    ).select(*cols)
+    n_rows = src.count()  # warms the scan; the timed run re-reads
+    out = tempfile.mkdtemp(prefix="wire_replay_")
+    try:
+        t0 = time.perf_counter()
+        wire = codecs.encode_for_kafka(src, key_col="room", wire_format="json")
+        ddl = (
+            "room string, timestamp double, co2 double, light double, "
+            "temp double, humidity double, pir double"
+        )
+        decoded = codecs.decode_kafka_value(wire, ddl, wire_format="json")
+        rolled = decoded.groupBy(
+            "room",
+            F.date_trunc(
+                "minute", F.timestamp_seconds(F.col("timestamp"))
+            ).cast("long").alias("ts_min"),
+        ).agg(
+            *[F.avg(c).alias(c) for c in ("co2", "light", "temp", "humidity", "pir")]
+        ).withColumn(
+            "doc_id", F.concat_ws("-", F.col("room"), F.col("ts_min"))
+        )
+        (
+            rolled.write.format("es_bulk_wire")
+            .option("path", os.path.join(out, "bulk"))
+            .option("index", "room-{room}")
+            .option("mapping_id", "doc_id")
+            .mode("append")
+            .save()
+        )
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    rps = n_rows / dt
+    return {
+        "wire_replay_rows": n_rows,
+        "wire_replay_sec": round(dt, 3),
+        "wire_replay_rows_per_sec": round(rps, 1),
+        "baseline_rows_per_sec": REFERENCE_PRODUCER_ROWS_PER_SEC,
+        "wire_vs_baseline": round(rps / REFERENCE_PRODUCER_ROWS_PER_SEC, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -119,17 +204,16 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    wire_replay(spark)  # warmup (Python DataSource worker, CSV scan)
+    payload.update(wire_replay(spark))
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -277,6 +277,109 @@ def clustering_coefficients(
     return out.select("node", "degree", "n_triangles", coeff.alias("coeff"))
 
 
+def clustering_coefficients_weighted(
+    edges: DataFrame, src: str = "src", dst: str = "dst", weight: str = "w"
+) -> DataFrame:
+    """Barrat et al. (PNAS 2004) weighted local clustering coefficient:
+
+        c_w(i) = Σ_{triangles (i,j,h)} (w_ij + w_ih) / (s_i · (k_i − 1))
+
+    (the paper's Σ over ORDERED neighbor pairs of (w_ij+w_ih)/2 — each
+    triangle appears twice, so the halves cancel; with constant weights
+    this reduces to the unweighted 2T/(k(k−1)) exactly), where s_i is
+    the node's STRENGTH (sum of incident edge weights) and
+    k_i its degree — hub nodes whose heavy edges participate in
+    triangles score higher than ones whose triangles hang off trivial
+    edges, the refinement the unweighted coefficient can't see (spam
+    rings with strong internal traffic vs incidental mutuals).
+
+    Input is a directed weighted edge list; both directions collapse
+    into one undirected edge whose weight is the SUM (u→v plus v→u
+    traffic is one relationship's intensity). Non-positive-weight edges
+    are dropped (same stance as pagerank_weighted). With integer
+    weights every numerator/denominator term is an exact BIGINT — the
+    coefficient is one IEEE division of two exact integers, so a DuckDB
+    CTE oracle agrees bit-for-bit.
+
+    Shape: same canonical wedge-close joins as clustering_coefficients
+    with the weight carried through; each closed triangle explodes into
+    its three member contributions (w_ij + w_ih at member i) and
+    aggregates per node — one extra narrow shuffle on node id. Returns
+    (node, degree, strength, n_triangles, coeff_w); coeff_w NULL for
+    degree < 2."""
+    directed = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight).alias("w")
+    ).filter((F.col("s") != F.col("d")) & (F.col("w") > 0))
+    e = (
+        directed.select(
+            F.least("s", "d").alias("a"),
+            F.greatest("s", "d").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"), "w")
+        .unionByName(e.select(F.col("b").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"), F.sum("w").alias("strength"))
+    )
+    e1 = e.select(
+        F.col("a").alias("w_a"), F.col("b").alias("w_x"), F.col("w").alias("w_ax")
+    )
+    e2 = e.select(
+        F.col("a").alias("w_a"), F.col("b").alias("w_y"), F.col("w").alias("w_ay")
+    )
+    wedges = e1.join(e2, "w_a").filter(F.col("w_x") < F.col("w_y"))
+    closed = wedges.join(
+        e.select(
+            F.col("a").alias("w_x"),
+            F.col("b").alias("w_y"),
+            F.col("w").alias("w_xy"),
+        ),
+        ["w_x", "w_y"],
+    )
+    contribs = (
+        closed.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("w_a").alias("node"),
+                        (F.col("w_ax") + F.col("w_ay")).alias("c"),
+                    ),
+                    F.struct(
+                        F.col("w_x").alias("node"),
+                        (F.col("w_ax") + F.col("w_xy")).alias("c"),
+                    ),
+                    F.struct(
+                        F.col("w_y").alias("node"),
+                        (F.col("w_ay") + F.col("w_xy")).alias("c"),
+                    ),
+                )
+            ).alias("t")
+        )
+        .groupBy(F.col("t.node").alias("node"))
+        .agg(
+            (F.count("*") ).alias("n_triangles"),
+            F.sum("t.c").alias("tri_w"),
+        )
+    )
+    out = (
+        deg.join(contribs, "node", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)))
+        .withColumn("tri_w", F.coalesce("tri_w", F.lit(0)))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.col("tri_w")
+        / (F.col("strength") * (F.col("degree") - 1)).cast("double"),
+    )
+    return out.select(
+        "node", "degree", "strength", "n_triangles", coeff.alias("coeff_w")
+    )
+
+
 def pagerank_weighted(
     edges: DataFrame,
     iterations: int = 3,

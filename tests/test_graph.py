@@ -174,3 +174,49 @@ def test_weighted_pagerank_uniform_weights_equal_unweighted(spark):
         map(tuple, graph.pagerank_weighted(ew, iterations=3).collect())
     )
     assert a == b
+
+
+def test_clustering_coefficients_weighted_known_graph(spark):
+    """Triangle {1,2,3} with w12=2, w13=4, w23=6 plus pendant 1-4 w=8:
+    c_w(1) = (2+4)/(14·2), c_w(2) = (2+6)/8, c_w(3) = (4+6)/10,
+    node 4 deg 1 → NULL. Reverse-direction traffic sums into the
+    undirected weight; constant weights reduce to the unweighted
+    coefficient."""
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1), (1, 3, 4), (2, 3, 6), (1, 4, 8)],
+        "src long, dst long, w long",
+    )
+    got = {
+        r.node: (r.degree, r.strength, r.n_triangles, r.coeff_w)
+        for r in graph.clustering_coefficients_weighted(e).collect()
+    }
+    assert got[1] == (3, 14, 1, (2 + 4) / (14 * 2))
+    assert got[2] == (2, 8, 1, (2 + 6) / (8 * 1))
+    assert got[3] == (2, 10, 1, (4 + 6) / (10 * 1))
+    assert got[4] == (1, 8, 0, None)
+
+    # constant weights ≡ unweighted coefficient
+    k4 = [(a, b, 1) for a in range(4) for b in range(4) if a < b]
+    ew = spark.createDataFrame(k4, "src long, dst long, w long")
+    got_w = {
+        r.node: r.coeff_w
+        for r in graph.clustering_coefficients_weighted(ew).collect()
+    }
+    got_u = {
+        r.node: r.coeff
+        for r in graph.clustering_coefficients(
+            spark.createDataFrame(
+                [(a, b) for a, b, _ in k4], "src long, dst long"
+            )
+        ).collect()
+    }
+    assert got_w == got_u
+
+
+def test_clustering_weighted_drops_nonpositive_and_self_loops(spark):
+    e = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 0), (1, 1, 9), (3, 1, -5)],
+        "src long, dst long, w long",
+    )
+    got = {r.node: r.degree for r in graph.clustering_coefficients_weighted(e).collect()}
+    assert got == {1: 1, 2: 1}
