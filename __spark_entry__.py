@@ -3754,8 +3754,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln-idf for fixed tf, and the score is a single correctly-rounded
     IEEE division of exact integers, so the ranking is bit-identical in
     any engine; ln would put every rank boundary one libm ulp from
-    flipping). Two narrow shuffles (doc-term counts, term doc-freqs);
-    the N scalar and the term table broadcast."""
+    flipping). Plan (audited: PLANS.md counts 5 exchanges): doc-term
+    counts, term doc-freqs, the per-doc top-3 window, and the final
+    sort; the N scalar and the term table broadcast."""
     from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.text import (
         split_words,
     )
@@ -3848,9 +3849,12 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of exact integers; ln(·) quantizes to integer micro-nats
     per TERM (3 lns total, not N); each (doc, term) partial score
     floors to micro-units; per-doc totals are then exact BIGINT sums,
-    so ranking never depends on float summation order. Plan: two narrow
-    shuffles (doc lengths, term tfs), the 3-row term-stats table and
-    the corpus scalars broadcast."""
+    so ranking never depends on float summation order. Plan (audited:
+    PLANS.md counts 9 exchanges, 4 broadcasts): the data-bearing
+    shuffles are the doc-length and per-term tf aggregations plus the
+    per-doc score sum and final top-k; the rest are the tiny term-stat/
+    scalar aggregates feeding the 4 broadcasts — every post-tokenize
+    exchange carries (doc, term)-level rows or less, never raw text."""
     from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.text import (
         split_words,
     )
