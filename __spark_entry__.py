@@ -3927,6 +3927,44 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_membership_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership sketch (operators/sketches.py bloom_build/
+    bloom_probe) completing the sketch family: CMS answers frequency,
+    KMV cardinality, Bloom MEMBERSHIP — "has this customer ever placed
+    a finished order" from a ≤4096-row bit table instead of the key
+    domain. Built over o_custkey of status-'F' orders, probed by every
+    customer; the verdict sits beside exact membership so the output
+    itself exhibits the contract (no false negatives; FPs at the
+    (1−e^{−kn/m})^k rate). The md5 bit family makes the whole sketch
+    deterministic — DuckDB rebuilds the identical bit set, so a
+    probabilistic structure is value-hash-checked, not rows-only."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    members = orders.filter(F.col("o_orderstatus") == "F")
+    sk = sketches.bloom_build(members, "o_custkey", n_hashes=4, n_bits=4096)
+    probe = sketches.bloom_probe(
+        sk,
+        customer.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        n_hashes=4,
+        n_bits=4096,
+    )
+    exact = (
+        members.select("o_custkey")
+        .distinct()
+        .withColumn("is_member", F.lit(True))
+    )
+    return (
+        probe.join(exact, "o_custkey", "left")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "might_contain",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        )
+        .orderBy("custkey")
+    )
+
+
 def q_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch per event_type (operators/sketches.py:
     kmv_build/kmv_estimate) beside the exact answer. The md5 hash family
@@ -4839,6 +4877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_events_segments": q_pmi_events_segments,
     "chi2_independence": q_chi2_independence,
     "pagerank_weighted_graph": q_pagerank_weighted_graph,
+    "bloom_membership_gate": q_bloom_membership_gate,
 }
 
 
@@ -7247,6 +7286,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY bm25_micro DESC, doc_id ASC
             LIMIT 100
+        """,
+        "bloom_membership_gate": """
+            WITH rows4 AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
+            m AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderstatus = 'F'
+            ),
+            bits AS (
+                SELECT DISTINCT
+                       CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)
+                                                   || ':' || r), 1, 15)
+                            )::UBIGINT % 4096 AS BIGINT) AS bit
+                FROM m CROSS JOIN rows4
+            ),
+            probes AS (
+                SELECT c_custkey AS custkey,
+                       CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                                                   || ':' || r), 1, 15)
+                            )::UBIGINT % 4096 AS BIGINT) AS bit
+                FROM customer CROSS JOIN rows4
+            )
+            SELECT p.custkey,
+                   COUNT(*) FILTER (WHERE b.bit IS NOT NULL) = 4
+                       AS might_contain,
+                   EXISTS (SELECT 1 FROM m WHERE m.o_custkey = p.custkey)
+                       AS is_member
+            FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+            GROUP BY 1
+            ORDER BY custkey
         """,
         "kmv_distinct_rollup": f"""
             WITH h AS (

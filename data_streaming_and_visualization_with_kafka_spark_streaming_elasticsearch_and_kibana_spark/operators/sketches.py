@@ -258,3 +258,82 @@ def kmv_estimate(
         F.lit(float(k - 1)) / (F.col("kth") / F.lit(float(KMV_SPACE)))
     )
     return agg.select(*group_cols, "n_seen", est.alias("ndv_est"))
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_hashes: int = 4,
+    n_bits: int = 4096,
+) -> DataFrame:
+    """Bloom membership sketch (Bloom, CACM 1970) as a SET-BIT table:
+    one row per distinct set bit position — at most min(n_bits,
+    n_hashes × NDV) rows whatever the input size, the same
+    bounded-state contract as the CMS grid. Completes the sketch family
+    (CMS = frequency, KMV = cardinality, Bloom = membership): the
+    "have we ever seen this key" question a 100 TB pipeline answers
+    without keeping the key domain (ingest dedup gates, FK prefilters,
+    cross-shard existence checks).
+
+    The hash family reuses `md5_row_hash` (bit r of key k =
+    md5(k || ':' || r) mod n_bits), so a DuckDB oracle rebuilds the
+    IDENTICAL bit set and the probe verdicts are value-hash checkable —
+    unlike engine-native bloom_filter_agg state. Merge = UNION +
+    distinct (bitwise OR in set form). Returns (bit) rows.
+
+    Shape: explode k cells per row, distinct — one map-side-combined
+    shuffle carrying at most the bit table."""
+    key = F.col(key_col).cast("string")
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[md5_row_hash(key, r, n_bits) for r in range(n_hashes)]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """OR together bloom bit-sets built with the same (n_hashes, n_bits,
+    family): union + distinct. Same semilattice argument as kmv_merge —
+    merge of sketches == sketch of the union (pinned in tests)."""
+    it = iter(sketches)
+    acc = next(it)
+    for s in it:
+        acc = acc.unionByName(s)
+    return acc.distinct()
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    n_hashes: int = 4,
+    n_bits: int = 4096,
+) -> DataFrame:
+    """Probe the bit table: a candidate might be a member iff ALL
+    n_hashes of its bits are set — no false negatives ever, false
+    positives at the classic (1-e^{-kn/m})^k rate. The probe explodes
+    each candidate into its k bits, broadcast-joins the bit table, and
+    requires k hits; the sketch side never exceeds n_bits rows, so this
+    is a broadcast join against a bounded table regardless of corpus
+    size. Returns (key, might_contain)."""
+    key = F.col(key_col).cast("string")
+    probes = candidates.select(
+        F.col(key_col),
+        F.explode(
+            F.array(*[md5_row_hash(key, r, n_bits) for r in range(n_hashes)])
+        ).alias("bit"),
+    )
+    hit = F.broadcast(sketch.withColumn("__set", F.lit(1)))
+    return (
+        probes.join(hit, "bit", "left")
+        .groupBy(key_col)
+        .agg(
+            (F.sum(F.coalesce(F.col("__set"), F.lit(0))) == F.lit(n_hashes))
+            .alias("might_contain")
+        )
+    )

@@ -138,3 +138,44 @@ def test_kmv_state_is_bounded(spark):
     sk = sketches.kmv_build(df, ["g"], "k", k=16)
     per_group = sk.groupBy("g").count().collect()
     assert all(r["count"] == 16 for r in per_group)
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    members = _keyed(spark, [f"m{i}" for i in range(300)])
+    others = _keyed(spark, [f"x{i}" for i in range(300)])
+    sk = sketches.bloom_build(members, "k", n_hashes=4, n_bits=4096)
+    # every member MUST pass — the bloom contract has no false negatives
+    got = {
+        r.k: r.might_contain
+        for r in sketches.bloom_probe(
+            sk, members, "k", n_hashes=4, n_bits=4096
+        ).collect()
+    }
+    assert all(got.values()) and len(got) == 300
+    # non-members pass only at the (1-e^{-kn/m})^k rate ≈ 0.4% here;
+    # allow a generous margin, but a broken AND-of-bits would be ~100%
+    fp = sum(
+        r.might_contain
+        for r in sketches.bloom_probe(
+            sk, others, "k", n_hashes=4, n_bits=4096
+        ).collect()
+    )
+    assert fp <= 15, fp
+
+
+def test_bloom_merge_equals_whole(spark):
+    rows = [f"k{i}" for i in range(400)]
+    a = sketches.bloom_build(_keyed(spark, rows[:150]), "k", 4, 2048)
+    b = sketches.bloom_build(_keyed(spark, rows[150:]), "k", 4, 2048)
+    merged = sketches.bloom_merge(a, b)
+    whole = sketches.bloom_build(_keyed(spark, rows), "k", 4, 2048)
+    diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert diff == 0
+
+
+def test_bloom_state_is_bounded(spark):
+    df = _keyed(spark, [f"key{i}" for i in range(50000)])
+    sk = sketches.bloom_build(df, "k", n_hashes=4, n_bits=1024)
+    n = sk.count()
+    assert n <= 1024
+    assert sk.filter((F.col("bit") < 0) | (F.col("bit") >= 1024)).count() == 0
