@@ -3927,6 +3927,61 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality signal (Wenzek et al., LREC
+    2020 filter corpora by LM perplexity; the unigram LM is its
+    distribution-only core): per-document mean surprisal under the
+    CORPUS unigram model, -(1/dl)·Σ ln p(t) = ln(T) − (1/dl)·Σ c_dt·
+    ln(c_t). Template/boilerplate docs score low (their tokens are
+    corpus-frequent), lexically unusual docs high — the standard keep-
+    the-middle-band pretraining filter signal.
+
+    Determinism engineering (the tfidf/entropy/BM25 discipline): ln
+    quantizes to integer micro-nats per DISTINCT CORPUS TERM (bounded
+    vocabulary, not per token), per-doc sums are exact BIGINT, the mean
+    is integer DIV — corpus-scale aggregation order cannot flip a
+    value, so DuckDB matches surprisal_micro exactly. Plan: term-count
+    agg + doc-term agg + per-doc sum (three narrow shuffles past
+    tokenize); the vocabulary count table and the corpus-total scalar
+    broadcast."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.text import (
+        split_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(split_words("text"), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    ct = toks.groupBy("term").agg(F.count("*").alias("ct"))
+    total = toks.agg(F.count("*").alias("tt"))
+    dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    lnq_ct = F.floor(F.log("ct") * 1e6 + F.lit(0.5)).cast("long")
+    per_doc = (
+        dt.join(F.broadcast(ct), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("dl"),
+            F.sum(F.col("c") * lnq_ct).alias("s_micro"),
+        )
+    )
+    lnq_tt = F.floor(F.log("tt") * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "dl",
+            (lnq_tt - F.expr("s_micro DIV dl")).alias("surprisal_micro"),
+        )
+        .withColumn(
+            "mean_surprisal",
+            _q(F.col("surprisal_micro") / 1e6, 6),
+        )
+    )
+
+
 def q_bloom_membership_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom membership sketch (operators/sketches.py bloom_build/
     bloom_probe) completing the sketch family: CMS answers frequency,
@@ -4878,6 +4933,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chi2_independence": q_chi2_independence,
     "pagerank_weighted_graph": q_pagerank_weighted_graph,
     "bloom_membership_gate": q_bloom_membership_gate,
+    "unigram_surprisal": q_unigram_surprisal,
 }
 
 
@@ -7433,6 +7489,33 @@ def oracle_sql() -> dict[str, str]:
                        " - s_micro // dl) / 1e6", 6
                    )} AS entropy
             FROM per_doc
+        """,
+        "unigram_surprisal": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS term
+                FROM documents
+            ),
+            tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+            ct AS (SELECT term, COUNT(*) AS ct FROM tk GROUP BY 1),
+            tt AS (SELECT COUNT(*) AS tt FROM tk),
+            dt AS (SELECT doc_id, term, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+            per_doc AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS dl,
+                       CAST(SUM(c * CAST(FLOOR(ln(ct) * 1e6 + 0.5)
+                                         AS BIGINT)) AS BIGINT) AS s_micro
+                FROM dt JOIN ct USING (term) GROUP BY 1
+            )
+            SELECT doc_id, dl,
+                   CAST(FLOOR(ln(tt) * 1e6 + 0.5) AS BIGINT)
+                       - s_micro // dl AS surprisal_micro,
+                   {_sql_q(
+                       "(CAST(FLOOR(ln(tt) * 1e6 + 0.5) AS BIGINT)"
+                       " - s_micro // dl) / 1e6", 6
+                   )} AS mean_surprisal
+            FROM per_doc, tt
         """,
         "pareto_front_orders": """
             WITH lv AS (

@@ -9,14 +9,14 @@ a deterministic stand-in decoder (seeded from the bytes) so the
 Spark-side plumbing — schema, batching, partitioning — is exercised
 without any imaging library. `fake=False` is REAL for the uncompressed
 formats a pure-stdlib decoder can handle: binary PPM (P6) / PGM (P5),
-24-bpp uncompressed BMP, 8-bit non-interlaced PNG (stdlib `zlib`
-inflate + the five PNG filters in numpy — gray, RGB, palette,
-gray+alpha, RGBA), and PCM WAV headers for audio chunking — decode,
+24-bpp uncompressed BMP, 8/16-bit PNG including Adam7 interlace
+(stdlib `zlib` inflate + the five PNG filters in numpy — gray, RGB,
+palette, gray+alpha, RGBA), and PCM WAV headers for audio chunking — decode,
 luma stats, and nearest-neighbor resize all run vectorized inside the
 Arrow batch. The formats that genuinely need a codec library
-(JPEG/MP3/…, 16-bit or Adam7-interlaced PNG) still raise
-NotImplementedError with a clear message: production clusters have
-PIL/ffmpeg, this container doesn't.
+(JPEG/MP3/…, sub-byte PNG depths) still raise NotImplementedError with
+a clear message: production clusters have PIL/ffmpeg, this container
+doesn't.
 """
 
 from __future__ import annotations
@@ -71,11 +71,12 @@ def attach_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
 def decode_image(content: bytes) -> np.ndarray:
     """(H, W, 3) uint8 from the formats a pure-stdlib decoder can
     parse: binary PPM (P6), binary PGM (P5, gray replicated to 3
-    channels), 24-bpp uncompressed bottom-up or top-down BMP, and 8-bit
-    non-interlaced PNG (all five color types; alpha dropped, gray
-    replicated, palette resolved). Raises NotImplementedError for
-    formats that need a codec library (JPEG, 16-bit / interlaced PNG)
-    and ValueError for corrupt input."""
+    channels), 24-bpp uncompressed bottom-up or top-down BMP, and
+    8/16-bit PNG — all five color types, Adam7 interlace included
+    (alpha dropped, gray replicated, palette resolved, 16-bit reduced
+    to the high byte). Raises NotImplementedError for formats that
+    need a codec library (JPEG; sub-byte PNG depths) and ValueError
+    for corrupt input."""
     if content[:2] in (b"P6", b"P5"):
         return _decode_pnm(content)
     if content[:2] == b"BM":
@@ -84,7 +85,7 @@ def decode_image(content: bytes) -> np.ndarray:
         return _decode_png(content)
     raise NotImplementedError(
         "unsupported image format (pure-stdlib path decodes P6/P5/24-bpp "
-        "BMP/8-bit PNG; JPEG needs PIL/opencv)"
+        "BMP/8-16-bit PNG; JPEG needs PIL/opencv)"
     )
 
 
@@ -218,15 +219,29 @@ def _png_defilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+#: Adam7 interlace passes: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
 def _decode_png(content: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG → (H, W, 3) uint8 RGB, pure stdlib:
-    chunk walk, zlib inflate of the concatenated IDAT stream, the five
-    scanline filters in numpy, then color-type normalization (gray
-    replicated, palette resolved via PLTE fancy-indexing, alpha
-    DROPPED — stats/resize consume straight RGB; compositing is a
-    policy choice left to the caller). 16-bit depth and Adam7 interlace
-    raise NotImplementedError: both are rare in web corpora and need
-    either wider arithmetic or a 7-pass de-mosaic."""
+    """8/16-bit PNG → (H, W, 3) uint8 RGB, pure stdlib: chunk walk,
+    zlib inflate of the concatenated IDAT stream, the five scanline
+    filters in numpy (per Adam7 pass when interlaced — each pass is an
+    independently filtered sub-image scattered back by strided
+    assignment), then color-type normalization (gray replicated,
+    palette resolved via PLTE fancy-indexing, alpha DROPPED —
+    stats/resize consume straight RGB; compositing is a policy choice
+    left to the caller). 16-bit samples reduce to their high byte (the
+    standard 16→8 approximation; sub-1/256 precision has no consumer in
+    this pipeline). Bit depths 1/2/4 raise NotImplementedError."""
     import zlib
 
     header = None
@@ -244,19 +259,49 @@ def _decode_png(content: bytes) -> np.ndarray:
     width = int.from_bytes(header[0:4], "big")
     height = int.from_bytes(header[4:8], "big")
     depth, color_type, _comp, _filt, interlace = header[8:13]
-    if depth != 8:
-        raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"only 8-bit/16-bit PNG supported (depth={depth})"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color_type}")
     if width <= 0 or height <= 0:
         raise ValueError("bad PNG dimensions")
     channels = _PNG_CHANNELS[color_type]
+    nbytes = depth // 8
+    bpp = channels * nbytes
     raw = zlib.decompress(bytes(idat))
-    grid = _png_defilter(raw, height, width * channels, channels).reshape(
-        height, width, channels
-    )
+
+    def to8(grid2d: np.ndarray, h: int, w: int) -> np.ndarray:
+        """(h, w*channels*nbytes) defiltered bytes → (h, w, channels)
+        uint8 (16-bit big-endian samples keep their high byte)."""
+        if nbytes == 2:
+            grid2d = grid2d.reshape(h, w * channels, 2)[:, :, 0]
+        return grid2d.reshape(h, w, channels)
+
+    if interlace == 0:
+        grid = to8(
+            _png_defilter(raw, height, width * bpp, bpp), height, width
+        )
+    else:
+        grid = np.zeros((height, width, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * bpp
+            need = ph * (stride + 1)
+            sub = _png_defilter(raw[pos : pos + need], ph, stride, bpp)
+            pos += need
+            grid[y0::dy, x0::dx] = to8(sub, ph, pw)
+        if pos != len(raw):
+            raise ValueError(
+                f"Adam7 pixel data is {len(raw)} bytes, expected {pos}"
+            )
     if color_type == 2:  # RGB
         return grid
     if color_type == 6:  # RGBA → drop alpha

@@ -349,10 +349,10 @@ def test_png_rejects_unsupported_and_corrupt():
         )
         return patched
 
-    with pytest.raises(NotImplementedError, match="8-bit"):
-        multimodal.decode_image(rebuild_ihdr(depth=16))
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        multimodal.decode_image(rebuild_ihdr(interlace=1))
+    with pytest.raises(NotImplementedError, match="8-bit/16-bit"):
+        multimodal.decode_image(rebuild_ihdr(depth=4))
+    with pytest.raises(ValueError, match="interlace"):
+        multimodal.decode_image(rebuild_ihdr(interlace=7))
     with pytest.raises(ValueError, match="truncated|IEND"):
         multimodal.decode_image(good[:-8])
     # pixel payload shorter than H*(stride+1) → shape error, not garbage
@@ -392,3 +392,74 @@ def test_png_decode_features_in_spark(spark):
     want = (0.299 + 0.587 + 0.114 + 1.0) / 4
     assert (out.height, out.width) == (2, 2)
     assert abs(out.mean_luma - want) < 1e-12
+
+
+def _chunk(t, d):
+    import struct
+    import zlib
+
+    body = t + d
+    return (
+        struct.pack(">I", len(d))
+        + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7: each of the seven passes is an independently filtered
+    sub-image; the test builds the interlaced stream by slicing the
+    source with the spec's strides (independent of the decoder's
+    scatter) and asserts the de-mosaic reproduces the image exactly —
+    including edge shapes where late passes are empty."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    for shape in [(9, 7, 3), (1, 1, 3), (3, 2, 3), (16, 16, 3)]:
+        img = _rand_img(shape, seed=shape[0])
+        h, w, c = img.shape
+        raw = bytearray()
+        for x0, y0, dx, dy in [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                raw.append(0)  # filter None
+                raw.extend(row.astype(np.uint8).tobytes())
+        png = (
+            multimodal.PNG_SIGNATURE
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        got = multimodal.decode_image(png)
+        assert got.shape == img.shape and (got == img).all(), shape
+
+
+def test_png_16bit_high_byte_decode():
+    """16-bit RGB: big-endian samples reduce to their high byte."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img16 = np.random.RandomState(5).randint(
+        0, 65536, size=(4, 3, 3), dtype=np.uint16
+    )
+    raw = bytearray()
+    for y in range(4):
+        raw.append(0)
+        raw.extend(img16[y].astype(">u2").tobytes())
+    png = (
+        multimodal.PNG_SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 4, 16, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    got = multimodal.decode_image(png)
+    assert (got == (img16 >> 8).astype(np.uint8)).all()
