@@ -96,6 +96,11 @@ HEADLINE = [
     "regression_stats_by_type",
     "ohlc_downsample",
     "asof_next_purchase",
+    # round-5 additions
+    "multimodal_png_decode",
+    "clustering_weighted_graph",
+    "bloom_membership_gate",
+    "unigram_surprisal",
 ]
 
 
