@@ -3927,6 +3927,27 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters (quality.repetition_
+    signals): duplicate-line fraction, duplicate-line CHARACTER
+    fraction, and top-bigram character coverage per document — the
+    boilerplate/keyword-stuffing signals that complement quality_scores'
+    length/stopword ratios. Exact-integer numerators, one IEEE division
+    per fraction, total-order tie-break on the top bigram — fully
+    hash-gated against the DuckDB twin."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = quality.repetition_signals(docs)
+    return sig.select(
+        "doc_id",
+        "n_lines",
+        _q(F.col("dup_line_frac"), 6).alias("dup_line_frac"),
+        _q(F.col("dup_line_char_frac"), 6).alias("dup_line_char_frac"),
+        "top_bigram",
+        "top_bigram_n",
+        _q(F.col("top_bigram_char_frac"), 6).alias("top_bigram_char_frac"),
+    )
+
+
 def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style language-model quality signal (Wenzek et al., LREC
     2020 filter corpora by LM perplexity; the unigram LM is its
@@ -4934,6 +4955,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_weighted_graph": q_pagerank_weighted_graph,
     "bloom_membership_gate": q_bloom_membership_gate,
     "unigram_surprisal": q_unigram_surprisal,
+    "doc_repetition_signals": q_doc_repetition_signals,
 }
 
 
@@ -7489,6 +7511,71 @@ def oracle_sql() -> dict[str, str]:
                        " - s_micro // dl) / 1e6", 6
                    )} AS entropy
             FROM per_doc
+        """,
+        "doc_repetition_signals": f"""
+            WITH lines AS (
+                SELECT doc_id, line FROM (
+                    SELECT doc_id,
+                           UNNEST(string_split(text, chr(10))) AS line
+                    FROM documents
+                ) WHERE trim(line) <> ''
+            ),
+            lc AS (
+                SELECT doc_id, line, COUNT(*) AS c, length(line) AS ln
+                FROM lines GROUP BY 1, 2
+            ),
+            ld AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_lines,
+                       CAST(SUM(c - 1) AS BIGINT) AS dup_lines,
+                       CAST(SUM((c - 1) * ln) AS BIGINT) AS dup_chars,
+                       CAST(SUM(c * ln) AS BIGINT) AS tot_line_chars
+                FROM lc GROUP BY 1
+            ),
+            tw AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS w,
+                       UNNEST(generate_series(1, len(
+                           string_split_regex(lower(trim(text)), '\\s+'))))
+                           AS i
+                FROM documents
+            ),
+            tk AS (SELECT doc_id, w, i FROM tw WHERE w <> ''),
+            wc AS (
+                SELECT doc_id, CAST(SUM(length(w)) AS BIGINT) AS word_chars
+                FROM tk GROUP BY 1
+            ),
+            bg AS (
+                SELECT a.doc_id, a.w AS w1, b.w AS w2, COUNT(*) AS n
+                FROM tk a JOIN tk b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                GROUP BY 1, 2, 3
+            ),
+            top AS (
+                SELECT doc_id, w1, w2, n FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY n DESC, w1 ASC, w2 ASC
+                    ) AS rk FROM bg
+                ) WHERE rk = 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(n_lines, 0) AS n_lines,
+                   {_sql_q("CAST(dup_lines AS DOUBLE) / n_lines", 6)}
+                       AS dup_line_frac,
+                   {_sql_q("CAST(dup_chars AS DOUBLE) / tot_line_chars", 6)}
+                       AS dup_line_char_frac,
+                   t.w1 || ' ' || t.w2 AS top_bigram,
+                   t.n AS top_bigram_n,
+                   {_sql_q(
+                       "CAST(t.n * (length(t.w1) + length(t.w2)) AS DOUBLE)"
+                       " / word_chars", 6
+                   )} AS top_bigram_char_frac
+            FROM documents d
+            LEFT JOIN ld USING (doc_id)
+            LEFT JOIN wc USING (doc_id)
+            LEFT JOIN top t USING (doc_id)
         """,
         "unigram_surprisal": f"""
             WITH toks AS (

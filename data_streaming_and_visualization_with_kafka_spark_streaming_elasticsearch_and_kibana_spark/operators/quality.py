@@ -79,3 +79,99 @@ def expectations_report(
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, Table A1 —
+    MassiveText's quality rules; the signals that catch boilerplate,
+    scraped nav bars, and keyword-stuffed spam that length/stopword
+    ratios miss):
+
+      * dup_line_frac       — occurrences beyond the first per distinct
+                              non-empty line / total non-empty lines
+      * dup_line_char_frac  — characters in those repeated occurrences
+                              / characters in all non-empty lines
+      * top_bigram_char_frac— characters covered by the most frequent
+                              word bigram (count × its char length) /
+                              total word characters; overlapping
+                              occurrences can push it past 1.0 — it is
+                              a repetition SIGNAL, not a partition
+
+    Every numerator/denominator is an exact BIGINT (line counts, char
+    lengths); each fraction is one IEEE division, so a DuckDB twin
+    hash-matches. The top bigram tie-breaks by (count desc, w1, w2) so
+    the winner is total-order deterministic.
+
+    Shape: one line-level and one token-level explode, each collapsed
+    by map-side-combined aggregation to per-(doc, line)/(doc, bigram)
+    rows; the per-doc rollups shuffle doc-id-keyed rows only. No
+    cross-doc state — embarrassingly parallel at 100 TB."""
+    from pyspark.sql import Window
+
+    from ..functions.text import split_words
+
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).filter(F.trim("line") != "")
+    lc = lines.groupBy(id_col, "line").agg(
+        F.count("*").alias("c"), F.length("line").alias("ln")
+    )
+    ld = lc.groupBy(id_col).agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.col("c") - 1).alias("dup_lines"),
+        F.sum((F.col("c") - 1) * F.col("ln")).alias("dup_chars"),
+        F.sum(F.col("c") * F.col("ln")).alias("tot_line_chars"),
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(split_words(text_col), lambda t: t != "")
+        ).alias("pos", "w"),
+    )
+    wchars = toks.groupBy(id_col).agg(
+        F.sum(F.length("w")).alias("word_chars")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("w").over(w))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(id_col, "w", "w2")
+        .agg(F.count("*").alias("n"))
+    )
+    rk = Window.partitionBy(id_col).orderBy(
+        F.desc("n"), F.asc("w"), F.asc("w2")
+    )
+    top = (
+        bg.withColumn("__rk", F.row_number().over(rk))
+        .filter(F.col("__rk") == 1)
+        .select(
+            id_col,
+            F.concat_ws(" ", "w", "w2").alias("top_bigram"),
+            F.col("n").alias("top_bigram_n"),
+            (F.length("w") + F.length("w2")).alias("__blen"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(ld, id_col, "left")
+        .join(wchars, id_col, "left")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            (F.col("dup_lines") / F.col("n_lines")).alias("dup_line_frac"),
+            (F.col("dup_chars") / F.col("tot_line_chars")).alias(
+                "dup_line_char_frac"
+            ),
+            "top_bigram",
+            "top_bigram_n",
+            (
+                F.col("top_bigram_n")
+                * F.col("__blen")
+                / F.col("word_chars")
+            ).alias("top_bigram_char_frac"),
+        )
+    )

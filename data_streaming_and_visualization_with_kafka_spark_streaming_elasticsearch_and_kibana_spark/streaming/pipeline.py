@@ -864,6 +864,47 @@ def kmv_refresh_sink(
     return _apply
 
 
+def bloom_refresh_sink(
+    path: str,
+    key_col: str = "user_id",
+    n_hashes: int = 4,
+    n_bits: int = 4096,
+):
+    """foreachBatch sink maintaining ONE Bloom bit-set over an
+    unbounded stream — the streaming "have we EVER seen this key" gate
+    (ingest dedup across the whole stream history, where
+    dropDuplicates state grows with cardinality and
+    dropDuplicatesWithinWatermark forgets past the horizon; the Bloom
+    answers forever in ≤ n_bits rows, trading exactness for a bounded
+    false-positive rate and keeping the no-false-negative guarantee).
+
+    Replay algebra: ledger-FREE, like the HLL and KMV sinks — bit-set
+    union is a semilattice (idempotent OR), so re-merging a replayed
+    batch is a no-op; the stage-swap alone guards torn writes. The md5
+    bit family keeps the maintained state fully deterministic, so
+    streamed state == bloom_build over everything ingested (pinned in
+    tests), and batch bloom_probe serves directly from the maintained
+    directory."""
+    from ..operators.sketches import bloom_build, bloom_merge
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fresh = bloom_build(
+            batch_df, key_col, n_hashes=n_hashes, n_bits=n_bits
+        )
+        _recover_dir_swap(path)
+        if os.path.exists(path):
+            fresh = bloom_merge(spark.read.parquet(path), fresh)
+        fresh.write.mode("overwrite").parquet(path + ".staging")
+        _commit_dir_swap(path)
+
+    return _apply
+
+
 def dedup_within_watermark(
     records: DataFrame,
     keys: list[str],

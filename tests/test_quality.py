@@ -80,3 +80,45 @@ def test_observation_row_accounting_costs_no_extra_scan(spark):
     got = obs.get
     assert got["rows_in"] == 1000
     assert got["rows_pass"] == 200 == survivors
+
+
+def test_repetition_signals_known_doc(spark):
+    """Hand-computed Gopher signals: 4 non-empty lines, 'dup' twice →
+    dup_line_frac 1/4; dup chars 3/(3+3+5+5)=3/16; tokens
+    'a b a b a' → top bigram ('a','b') n=2, chars 2·2/5."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        quality,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup\nother\n\ndup\nfinal"),
+            (2, "a b a b a"),
+            (3, "   "),  # no non-empty lines, one empty token
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in quality.repetition_signals(docs).collect()}
+    r1 = got[1]
+    assert r1.n_lines == 4
+    assert r1.dup_line_frac == 1 / 4
+    assert r1.dup_line_char_frac == 3 / 16
+    r2 = got[2]
+    assert (r2.top_bigram, r2.top_bigram_n) == ("a b", 2)
+    assert r2.top_bigram_char_frac == 2 * 2 / 5
+    r3 = got[3]
+    assert r3.n_lines == 0 and r3.dup_line_frac is None
+    assert r3.top_bigram is None
+
+
+def test_repetition_signals_tie_break_deterministic(spark):
+    """Equal-count bigrams: winner is lexicographic smallest (w1, w2)."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        quality,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "z y x w")], "doc_id long, text string"
+    )  # bigrams zy / yx / xw each once
+    r = quality.repetition_signals(docs).collect()[0]
+    assert r.top_bigram == "x w"

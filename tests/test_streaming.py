@@ -1095,3 +1095,62 @@ def test_kmv_refresh_sink_streamed_equals_batch_and_replay_is_noop(
     # replay with no ledger: set-merge idempotence makes it a no-op
     sink(spark.createDataFrame(rows[0:100], schema), 0)
     assert state() == got
+
+
+def test_bloom_refresh_sink_streamed_equals_batch_and_serves_probes(
+    spark, tmp_dir
+):
+    """Streaming Bloom maintenance: after a 3-batch ingest the stored
+    bit-set equals bloom_build over everything ingested (deterministic
+    md5 family), an un-ledgered replay is a no-op (bit-set OR is
+    idempotent — fourth point of the sketch replay-algebra family),
+    and batch bloom_probe over the maintained state honors the
+    no-false-negative contract for every ingested key."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    rows = [(i % 173,) for i in range(300)]
+    schema = "user_id long"
+    src = f"{tmp_dir}/bloom_src"
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = f"{tmp_dir}/bloom_store/sk"
+    sink = pipeline.bloom_refresh_sink(store, "user_id", 4, 2048)
+    q = (
+        file_stream(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmp_dir}/ckpt_bloom")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    def state():
+        return sorted(r.bit for r in spark.read.parquet(store).collect())
+
+    got = state()
+    whole = sorted(
+        r.bit
+        for r in bloom_build(
+            spark.createDataFrame(rows, schema), "user_id", 4, 2048
+        ).collect()
+    )
+    assert got == whole
+    # replay with no ledger: OR idempotence makes it a no-op
+    sink(spark.createDataFrame(rows[0:100], schema), 0)
+    assert state() == got
+    # serving: every ingested key must pass the probe
+    verdicts = bloom_probe(
+        spark.read.parquet(store),
+        spark.createDataFrame(rows, schema).distinct(),
+        "user_id",
+        4,
+        2048,
+    ).collect()
+    assert len(verdicts) == 173 and all(r.might_contain for r in verdicts)
