@@ -3927,6 +3927,31 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_logbucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SKETCH (operators/sketches.py logbucket_*): p50/p90/p99
+    of order-price cents per priority from DDSketch-style log buckets —
+    but with ENGINE-EXACT integer bucketing ((bit_length, next-3-bits)
+    via string-length-of-binary + shift/mask, a quantized log base
+    2^(1/8)) instead of libm ln, so the whole sketch AND its quantile
+    walk hash-match the DuckDB twin. State: ≤512 bucket rows per group
+    forever; estimates carry a ≤12.5% relative-error guarantee (exact
+    below 8). The fourth sketch: CMS frequency, KMV cardinality, Bloom
+    membership, log-bucket quantiles."""
+    orders = _t(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        _cents("o_totalprice").alias("v"),
+    )
+    sk = sketches.logbucket_build(vals, ["g"], "v")
+    est = sketches.logbucket_quantile(sk, ["g"], [0.5, 0.9, 0.99])
+    return est.select(
+        F.col("g").alias("o_orderpriority"),
+        "q",
+        "n_total",
+        F.col("est").alias("est_cents"),
+    ).orderBy("o_orderpriority", "q")
+
+
 def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText repetition filters (quality.repetition_
     signals): duplicate-line fraction, duplicate-line CHARACTER
@@ -4956,6 +4981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_membership_gate": q_bloom_membership_gate,
     "unigram_surprisal": q_unigram_surprisal,
     "doc_repetition_signals": q_doc_repetition_signals,
+    "logbucket_quantiles": q_logbucket_quantiles,
 }
 
 
@@ -7511,6 +7537,43 @@ def oracle_sql() -> dict[str, str]:
                        " - s_micro // dl) / 1e6", 6
                    )} AS entropy
             FROM per_doc
+        """,
+        "logbucket_quantiles": """
+            WITH v AS (
+                SELECT o_orderpriority AS g,
+                       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+                FROM orders
+            ),
+            b AS (
+                SELECT g,
+                       length(printf('%b', v)) * 8
+                       + ((v >> greatest(length(printf('%b', v)) - 4, 0)) & 7)
+                           AS bucket,
+                       COUNT(*) AS n
+                FROM v WHERE v >= 1 GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT g, bucket, n,
+                       SUM(n) OVER (PARTITION BY g ORDER BY bucket) AS cumn
+                FROM b
+            ),
+            tot AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n_total
+                    FROM b GROUP BY 1),
+            qs AS (SELECT UNNEST([500, 900, 990]) AS q_mille),
+            r AS (
+                SELECT g, q_mille, n_total, MIN(bucket) AS bucket
+                FROM cum JOIN tot USING (g) CROSS JOIN qs
+                WHERE cumn >= (q_mille * n_total + 999) // 1000
+                GROUP BY 1, 2, 3
+            )
+            SELECT g AS o_orderpriority,
+                   q_mille / 1000.0 AS q,
+                   n_total,
+                   CAST(CASE WHEN bucket // 8 <= 3 THEN bucket % 8
+                        ELSE ((bucket % 8) + 8) << (bucket // 8 - 4)
+                        END AS BIGINT) AS est_cents
+            FROM r
+            ORDER BY o_orderpriority, q
         """,
         "doc_repetition_signals": f"""
             WITH lines AS (

@@ -179,3 +179,68 @@ def test_bloom_state_is_bounded(spark):
     n = sk.count()
     assert n <= 1024
     assert sk.filter((F.col("bit") < 0) | (F.col("bit") >= 1024)).count() == 0
+
+
+def test_logbucket_exact_below_8_and_relative_error_guarantee(spark):
+    import random
+
+    rnd = random.Random(11)
+    vals = [rnd.randint(1, 10**9) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").withColumn(
+        "g", F.lit("a")
+    )
+    sk = sketches.logbucket_build(df, ["g"], "v")
+    qs = [0.5, 0.9, 0.99]
+    est = {
+        round(r.q, 3): r.est
+        for r in sketches.logbucket_quantile(sk, ["g"], qs).collect()
+    }
+    svals = sorted(vals)
+    for q in qs:
+        # percentile_disc convention: value at rank ceil(q·N)
+        true = svals[-(-int(q * 1000) * len(vals) // 1000) - 1]
+        e = est[q]
+        # est is the lower bound of the true value's bucket:
+        # e <= true < e·(1 + 1/8)
+        assert e <= true <= e + max(e // 8, 0) + 1, (q, e, true)
+
+    # small values are exact
+    tiny = spark.createDataFrame(
+        [(v,) for v in [1, 2, 3, 4, 5, 6, 7] * 3], "v long"
+    ).withColumn("g", F.lit("a"))
+    sk2 = sketches.logbucket_build(tiny, ["g"], "v")
+    got = {
+        round(r.q, 3): r.est
+        for r in sketches.logbucket_quantile(
+            sk2, ["g"], [0.5, 1.0]
+        ).collect()
+    }
+    assert got[0.5] == 4 and got[1.0] == 7
+
+
+def test_logbucket_merge_equals_whole_and_state_bounded(spark):
+    rows = [(i % 3000 + 1,) for i in range(9000)]
+    g = lambda d: d.withColumn("g", F.lit("a"))  # noqa: E731
+    a = sketches.logbucket_build(
+        g(spark.createDataFrame(rows[:4000], "v long")), ["g"], "v"
+    )
+    b = sketches.logbucket_build(
+        g(spark.createDataFrame(rows[4000:], "v long")), ["g"], "v"
+    )
+    merged = sketches.logbucket_merge(a.unionByName(b), ["g"])
+    whole = sketches.logbucket_build(
+        g(spark.createDataFrame(rows, "v long")), ["g"], "v"
+    )
+    diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert diff == 0
+    # 3000 distinct values collapse into <= 8*12 buckets (values < 2^12)
+    assert whole.count() <= 8 * 12
+
+
+def test_logbucket_drops_nonpositive(spark):
+    df = spark.createDataFrame(
+        [(-5,), (0,), (1,), (100,)], "v long"
+    ).withColumn("g", F.lit("a"))
+    sk = sketches.logbucket_build(df, ["g"], "v")
+    tot = sk.agg(F.sum("n")).collect()[0][0]
+    assert tot == 2
