@@ -864,6 +864,51 @@ def kmv_refresh_sink(
     return _apply
 
 
+def logbucket_refresh_sink(
+    path: str,
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+):
+    """foreachBatch sink maintaining per-group log-bucket quantile
+    sketches over an unbounded stream — streaming percentiles with
+    bounded state (≤512 bucket rows per group forever) and a relative-
+    error guarantee, where exact streaming percentiles would need the
+    full value history.
+
+    Replay algebra: LEDGERED, like cms_refresh_sink — bucket-count
+    merge is a SUM, so an at-least-once replay would double-count; the
+    ledger commits inside the staging dir so state and bookkeeping
+    swap atomically. Streamed state == batch logbucket_build over
+    everything ingested (pinned in tests), so logbucket_quantile
+    serves identical answers from the maintained directory."""
+    from ..operators.sketches import logbucket_build, logbucket_merge
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        import os
+
+        _recover_dir_swap(path)
+        ledger = os.path.join(path, "_APPLIED")
+        applied = _ledger_applied(ledger)
+        if batch_id in applied:
+            return
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fresh = logbucket_build(batch_df, list(group_cols), value_col)
+        if os.path.exists(path):
+            fresh = logbucket_merge(
+                spark.read.parquet(path).unionByName(fresh),
+                list(group_cols),
+            )
+        fresh.write.mode("overwrite").parquet(path + ".staging")
+        with open(os.path.join(path + ".staging", "_APPLIED"), "w") as f:
+            json.dump(applied + [batch_id], f)
+        _commit_dir_swap(path)
+
+    return _apply
+
+
 def bloom_refresh_sink(
     path: str,
     key_col: str = "user_id",

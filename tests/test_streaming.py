@@ -1154,3 +1154,87 @@ def test_bloom_refresh_sink_streamed_equals_batch_and_serves_probes(
         2048,
     ).collect()
     assert len(verdicts) == 173 and all(r.might_contain for r in verdicts)
+
+
+def test_logbucket_refresh_sink_streamed_equals_batch_ledger_blocks_replay(
+    spark, tmp_dir
+):
+    """Streaming quantile-sketch maintenance: stored per-group buckets
+    equal logbucket_build over everything ingested; a replayed batch id
+    is blocked by the ledger (sum-merge would double-count, same
+    algebra as the CMS sink); quantiles served from the maintained
+    state match the batch sketch's."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators.sketches import (
+        logbucket_build,
+        logbucket_quantile,
+    )
+
+    rows = [(f"t{i % 2}", (i * 37) % 5000 + 1) for i in range(300)]
+    schema = "event_type string, value long"
+    src = f"{tmp_dir}/lb_src"
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = f"{tmp_dir}/lb_store/sk"
+    sink = pipeline.logbucket_refresh_sink(store, ("event_type",), "value")
+    q = (
+        file_stream(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmp_dir}/ckpt_lb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    def state():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(store)
+                .select("event_type", "bucket", "n")
+                .collect(),
+            )
+        )
+
+    got = state()
+    whole = sorted(
+        map(
+            tuple,
+            logbucket_build(
+                spark.createDataFrame(rows, schema), ["event_type"], "value"
+            ).collect(),
+        )
+    )
+    assert got == whole
+    # ledger blocks the replayed batch id
+    sink(spark.createDataFrame(rows[0:100], schema), 0)
+    assert state() == got
+    # serving parity
+    served = sorted(
+        map(
+            tuple,
+            logbucket_quantile(
+                spark.read.parquet(store).select("event_type", "bucket", "n"),
+                ["event_type"],
+                [0.5, 0.9],
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(
+            tuple,
+            logbucket_quantile(
+                logbucket_build(
+                    spark.createDataFrame(rows, schema),
+                    ["event_type"],
+                    "value",
+                ),
+                ["event_type"],
+                [0.5, 0.9],
+            ).collect(),
+        )
+    )
+    assert served == batch
