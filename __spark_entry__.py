@@ -3952,6 +3952,85 @@ def q_logbucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority", "q")
 
 
+#: -floor(ln(0.4)·1e6 + 0.5): the stupid-backoff penalty as a LITERAL
+#: micro-nat constant, so neither engine evaluates ln(0.4) at runtime
+_BACKOFF_PENALTY_MICRO = 916291
+
+
+def q_bigram_surprisal_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram-LM surprisal with stupid backoff (Brants et al.,
+    EMNLP 2007 — the web-scale LM scoring recipe; one step up from
+    unigram_surprisal toward CCNet's KenLM filter): the LM trains on
+    the EVEN-doc_id half of the corpus and scores every document, so
+    backoff is live (odd docs contain bigrams the model never saw).
+    Per scored token: -ln[c(v,w)/c_ctx(v)] when the bigram is known,
+    else -ln[0.4·c(w)/T] (unseen unigrams count as 1). Low mean = the
+    doc's word order is predictable from the reference half; high =
+    out-of-domain or garbled.
+
+    Determinism: every ln is micro-nat-quantized per DISTINCT COUNT
+    (bounded tables), the 0.4 penalty is a literal constant, doc sums
+    are exact BIGINT, the mean is integer DIV — hash-matched by the
+    DuckDB twin. Plan: token/bigram count aggs over the training half,
+    one (v,w)-keyed join of doc bigrams against the model tables, one
+    doc-keyed rollup."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.text import (
+        split_words,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(split_words("text"), lambda t: t != "")
+        ).alias("pos", "w"),
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("v", F.lag("w").over(w_ord))
+        .filter(F.col("v").isNotNull())
+        .select("doc_id", "v", "w")
+    )
+    train_pairs = pairs.filter(F.col("doc_id") % 2 == 0)
+    train_toks = toks.filter(F.col("doc_id") % 2 == 0)
+    bg = train_pairs.groupBy("v", "w").agg(F.count("*").alias("cvw"))
+    ctx = train_pairs.groupBy("v").agg(F.count("*").alias("cv"))
+    uni = train_toks.groupBy("w").agg(F.count("*").alias("cw"))
+    tt = train_toks.agg(F.count("*").alias("tt"))
+
+    def lnq(c):
+        return F.floor(F.log(c) * 1e6 + F.lit(0.5)).cast("long")
+
+    dm = (
+        pairs.groupBy("doc_id", "v", "w").agg(F.count("*").alias("m"))
+        .join(bg, ["v", "w"], "left")
+        .join(ctx, "v", "left")
+        .join(uni, "w", "left")
+        .crossJoin(F.broadcast(tt))
+    )
+    token_micro = F.when(
+        F.col("cvw").isNotNull(), lnq(F.col("cv")) - lnq(F.col("cvw"))
+    ).otherwise(
+        lnq(F.col("tt"))
+        - lnq(F.coalesce(F.col("cw"), F.lit(1)))
+        + F.lit(_BACKOFF_PENALTY_MICRO)
+    )
+    per_doc = dm.groupBy("doc_id").agg(
+        F.sum("m").alias("n_scored"),
+        F.sum(F.col("m") * token_micro).alias("s_micro"),
+        F.sum(F.when(F.col("cvw").isNull(), F.col("m")).otherwise(0))
+        .alias("n_backoff"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_scored",
+        "n_backoff",
+        F.expr("s_micro DIV n_scored").alias("surprisal_micro"),
+        _q(F.expr("s_micro DIV n_scored") / 1e6, 6).alias("mean_surprisal"),
+    )
+
+
 def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText repetition filters (quality.repetition_
     signals): duplicate-line fraction, duplicate-line CHARACTER
@@ -4982,6 +5061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_surprisal": q_unigram_surprisal,
     "doc_repetition_signals": q_doc_repetition_signals,
     "logbucket_quantiles": q_logbucket_quantiles,
+    "bigram_surprisal_heldout": q_bigram_surprisal_heldout,
 }
 
 
@@ -7574,6 +7654,63 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS est_cents
             FROM r
             ORDER BY o_orderpriority, q
+        """,
+        "bigram_surprisal_heldout": f"""
+            WITH tw AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS w,
+                       UNNEST(generate_series(1, len(
+                           string_split_regex(lower(trim(text)), '\\s+'))))
+                           AS i
+                FROM documents
+            ),
+            tk AS (SELECT doc_id, w, i FROM tw WHERE w <> ''),
+            pairs AS (
+                SELECT a.doc_id, a.w AS v, b.w AS w
+                FROM tk a JOIN tk b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ),
+            bg AS (SELECT v, w, COUNT(*) AS cvw FROM pairs
+                   WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+            ctx AS (SELECT v, COUNT(*) AS cv FROM pairs
+                    WHERE doc_id % 2 = 0 GROUP BY 1),
+            uni AS (SELECT w, COUNT(*) AS cw FROM tk
+                    WHERE doc_id % 2 = 0 GROUP BY 1),
+            tt AS (SELECT COUNT(*) AS tt FROM tk WHERE doc_id % 2 = 0),
+            dm AS (
+                SELECT doc_id, v, w, COUNT(*) AS m FROM pairs GROUP BY 1, 2, 3
+            ),
+            scored AS (
+                SELECT dm.doc_id, dm.m,
+                       CASE WHEN bg.cvw IS NOT NULL THEN
+                           CAST(FLOOR(ln(ctx.cv) * 1e6 + 0.5) AS BIGINT)
+                           - CAST(FLOOR(ln(bg.cvw) * 1e6 + 0.5) AS BIGINT)
+                       ELSE
+                           (SELECT CAST(FLOOR(ln(tt) * 1e6 + 0.5) AS BIGINT)
+                            FROM tt)
+                           - CAST(FLOOR(ln(COALESCE(uni.cw, 1)) * 1e6 + 0.5)
+                                  AS BIGINT)
+                           + {_BACKOFF_PENALTY_MICRO}
+                       END AS micro,
+                       CASE WHEN bg.cvw IS NULL THEN dm.m ELSE 0 END AS bk
+                FROM dm
+                LEFT JOIN bg ON dm.v = bg.v AND dm.w = bg.w
+                LEFT JOIN ctx ON dm.v = ctx.v
+                LEFT JOIN uni ON dm.w = uni.w
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       CAST(SUM(m) AS BIGINT) AS n_scored,
+                       CAST(SUM(bk) AS BIGINT) AS n_backoff,
+                       CAST(SUM(m * micro) AS BIGINT) AS s_micro
+                FROM scored GROUP BY 1
+            )
+            SELECT doc_id, n_scored, n_backoff,
+                   s_micro // n_scored AS surprisal_micro,
+                   {_sql_q("(s_micro // n_scored) / 1e6", 6)}
+                       AS mean_surprisal
+            FROM per_doc
         """,
         "doc_repetition_signals": f"""
             WITH lines AS (
