@@ -92,6 +92,18 @@ def main() -> None:
         rows.setdefault("cms_build (4x256 grid)", {})[k] = timed(
             lambda: sketches.cms_build(ev, "user_id").count()
         )
+        rows.setdefault("bloom_build (4096 bits)", {})[k] = timed(
+            lambda: sketches.bloom_build(ev, "user_id").count()
+        )
+        lb_vals = ev.select(
+            "event_type",
+            (F.abs(F.col("value")) * 100 + 1).cast("long").alias("v"),
+        )
+        rows.setdefault("logbucket_build (quantiles)", {})[k] = timed(
+            lambda: sketches.logbucket_build(
+                lb_vals, ["event_type"], "v"
+            ).count()
+        )
         edges = graph.consecutive_user_edges(ev)
         rows.setdefault("pagerank 3 iters", {})[k] = timed(
             lambda: graph.pagerank(edges, iterations=3).count()
