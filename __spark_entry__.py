@@ -7902,7 +7902,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
                    (SELECT COUNT(*) FROM e) AS n_edges,
-                   (SELECT CAST(SUM(degree * (degree - 1) // 2) AS BIGINT)
+                   (SELECT CAST(COALESCE(SUM(degree * (degree - 1) // 2), 0)
+                                AS BIGINT)
                     FROM deg) AS n_wedges,
                    (SELECT COUNT(*) FROM w
                     WHERE EXISTS (SELECT 1 FROM e

@@ -221,7 +221,11 @@ def triangle_count(
         .crossJoin(e.agg(F.count("*").alias("n_edges")))
         .crossJoin(
             deg.agg(
-                F.sum(F.expr("degree * (degree - 1) DIV 2")).alias("n_wedges")
+                # coalesce: SUM over an empty degree table is NULL, but
+                # an empty graph has 0 wedges, not unknown-many
+                F.coalesce(
+                    F.sum(F.expr("degree * (degree - 1) DIV 2")), F.lit(0)
+                ).alias("n_wedges")
             )
         )
         .crossJoin(tri.agg(F.count("*").alias("n_triangles")))

@@ -312,7 +312,15 @@ def _decode_png(content: bytes) -> np.ndarray:
         return np.repeat(grid[:, :, :1], 3, axis=2)
     if palette is None:
         raise ValueError("palette PNG missing PLTE")
-    return palette[grid[:, :, 0]]  # indexed
+    idx = grid[:, :, 0]
+    if idx.size and int(idx.max()) >= len(palette):
+        # keep the documented corrupt-input contract: ValueError, not a
+        # numpy IndexError from unchecked fancy-indexing
+        raise ValueError(
+            f"palette index {int(idx.max())} out of range "
+            f"(PLTE has {len(palette)} entries)"
+        )
+    return palette[idx]  # indexed
 
 
 def encode_png(

@@ -59,11 +59,18 @@ def cms_build(
 ) -> DataFrame:
     """Build the depth × width counter grid in ONE aggregation pass.
 
-    Returns (r, bucket, n) — at most depth × width rows regardless of
-    input size. The explode is a constant-factor map-side blowup that
+    Returns (r, bucket, n): at most depth × width COUNTER rows (r >= 0)
+    plus ONE parameter-sentinel row (r = -1, bucket = width, n = depth)
+    that cms_estimate validates probes against — the grid carries its
+    own build parameters, so a mismatched probe is an error, never a
+    confident 0. The explode is a constant-factor map-side blowup that
     the partial hash aggregate absorbs; the shuffle payload is the
     bounded grid, which is the property that makes this a 100 TB
     operator (compare: exact per-key counts shuffle the key domain).
+
+    NULL keys are excluded: md5(NULL) is NULL, which would silently
+    hash to a NULL cell and probe back as 0 — an undercount the CMS
+    one-sided guarantee forbids. Count NULLs separately if they matter.
     """
     key = F.col(key_col).cast("string")
     cells = F.array(
@@ -75,31 +82,37 @@ def cms_build(
             for r in range(depth)
         ]
     )
-    return (
-        df.select(F.explode(cells).alias("cell"))
+    grid = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.explode(cells).alias("cell"))
         .groupBy(
             F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket")
         )
         .agg(F.count("*").alias("n"))
     )
+    sentinel = grid.sparkSession.createDataFrame(
+        [(-1, width, depth)], "r int, bucket long, n long"
+    )
+    return grid.unionByName(sentinel.selectExpr("r", "bucket", "CAST(n AS long) n"))
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Merge sketch grids built with the same (depth, width, hash
-    family) by cell-wise sum — the mergeability that lets per-shard /
-    per-day sketches answer global questions without a rescan.
-
-    PRECONDITION: all inputs share one (depth, width). Mixed-parameter
-    grids union into a shape whose max bucket reflects the WIDEST
-    input; cms_estimate's shape tripwire then rejects probes made with
-    any narrower width, so a mixed merge cannot silently answer — but
-    the merge itself cannot distinguish two legitimate same-shape grids
-    from a mixed pair, so the caller owns the invariant."""
+    family): counter cells (r >= 0) sum cell-wise; the parameter
+    sentinels (r = -1) dedup instead of summing. A mixed-parameter
+    merge therefore yields a grid with TWO distinct sentinel rows,
+    which cms_estimate rejects — the merge cannot silently produce an
+    answerable-but-wrong grid."""
     it = iter(sketches)
     acc = next(it)
     for s in it:
         acc = acc.unionByName(s)
-    return acc.groupBy("r", "bucket").agg(F.sum("n").alias("n"))
+    cells = (
+        acc.filter(F.col("r") >= 0)
+        .groupBy("r", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    return cells.unionByName(acc.filter(F.col("r") < 0).distinct())
 
 
 def cms_estimate(
@@ -117,33 +130,36 @@ def cms_estimate(
     Parameter-mismatch guard: probing with a (depth, width) different
     from the build parameters would hash probes into absent cells — the
     left join coalesces those to 0 and min() returns a confidently
-    WRONG estimate of 0. The grid carries no metadata, but its shape
-    betrays its parameters: every nonempty build emits all rows
-    0..depth-1, and bucket ids are mod width. A broadcast scalar of
-    (max r, max bucket) is checked lazily inside the plan and
-    raise_error()s on a definite mismatch (probe depth != grid depth,
-    or grid bucket >= probe width). A mismatched but *smaller* build
-    width can escape the bucket bound by luck; with hundreds of
-    occupied cells that is vanishingly unlikely — this is a fail-fast
-    tripwire, not a proof, so still pass the build parameters."""
+    WRONG estimate of 0. The grid carries its build parameters in the
+    r = -1 sentinel row cms_build writes (bucket = width, n = depth); a
+    broadcast scalar of the sentinel is checked lazily inside the plan
+    and raise_error()s when it disagrees with the probe parameters,
+    when it is missing (grid not built by cms_build), or when a
+    mixed-parameter merge left more than one sentinel."""
     key = F.col(key_col).cast("string")
-    shape = sketch.agg(
-        (F.max("r") + 1).alias("_grid_depth"),
-        F.max("bucket").alias("_grid_max_bucket"),
+    shape = sketch.filter(F.col("r") < 0).agg(
+        F.count("*").alias("_n_sent"),
+        F.max("bucket").alias("_grid_width"),
+        F.max("n").alias("_grid_depth"),
     )
     shape_ok = F.when(
-        (F.col("_grid_depth") != F.lit(depth))
-        | (F.col("_grid_max_bucket") >= F.lit(width)),
+        (F.col("_n_sent") != 1)
+        | (F.col("_grid_depth") != F.lit(depth))
+        | (F.col("_grid_width") != F.lit(width)),
         F.raise_error(
             F.concat(
                 F.lit(
                     f"cms_estimate parameter mismatch: probing with "
-                    f"depth={depth} width={width} but the sketch grid has "
+                    f"depth={depth} width={width} but the grid sentinel says "
                     f"depth="
                 ),
-                F.col("_grid_depth").cast("string"),
-                F.lit(" and max bucket "),
-                F.col("_grid_max_bucket").cast("string"),
+                F.coalesce(F.col("_grid_depth").cast("string"), F.lit("?")),
+                F.lit(" width="),
+                F.coalesce(F.col("_grid_width").cast("string"), F.lit("?")),
+                F.lit(" (sentinels: "),
+                F.col("_n_sent").cast("string"),
+                F.lit("; 1 expected — 0 means the grid was not built by "
+                      "cms_build, >1 means a mixed-parameter merge)"),
             )
         ),
     )
@@ -163,7 +179,7 @@ def cms_estimate(
     ).select(key_col, F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"))
     return (
         F.broadcast(probes)
-        .join(sketch, ["r", "bucket"], "left")
+        .join(sketch.filter(F.col("r") >= 0), ["r", "bucket"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est"))
         .crossJoin(F.broadcast(shape))
@@ -222,9 +238,17 @@ def kmv_build(
     in tests), so per-shard sketches roll up without rescanning.
 
     Shape: distinct on (group, hash) — one shuffle, map-side combined —
-    then a per-group window keeps k rows. State per group is k longs."""
+    then a per-group window keeps k rows. State per group is k longs.
+
+    NULL keys are excluded: kmv_hash(NULL) is NULL, and a NULL hash
+    would sort FIRST in Spark's ascending window but LAST in a DuckDB
+    oracle's — a cross-engine divergence, and either way not a value.
+    NULL contributes nothing to the distinct count, matching
+    COUNT(DISTINCT) semantics."""
     return _bottom_k(
-        df.select(*group_cols, kmv_hash(F.col(key_col)).alias("h")),
+        df.filter(F.col(key_col).isNotNull()).select(
+            *group_cols, kmv_hash(F.col(key_col)).alias("h")
+        ),
         group_cols,
         k,
     )
@@ -281,11 +305,18 @@ def bloom_build(
     unlike engine-native bloom_filter_agg state. Merge = UNION +
     distinct (bitwise OR in set form). Returns (bit) rows.
 
+    NULL keys are EXCLUDED (md5(NULL) is NULL — it would store a NULL
+    bit that no probe can match, turning an ingested NULL into a false
+    negative and breaking the contract). The pinned semantic: NULL is
+    never a member; bloom_probe answers false for it. Track NULLs with
+    an explicit counter if they matter.
+
     Shape: explode k cells per row, distinct — one map-side-combined
     shuffle carrying at most the bit table."""
     key = F.col(key_col).cast("string")
     return (
-        df.select(
+        df.filter(F.col(key_col).isNotNull())
+        .select(
             F.explode(
                 F.array(
                     *[md5_row_hash(key, r, n_bits) for r in range(n_hashes)]
@@ -320,7 +351,8 @@ def bloom_probe(
     each candidate into its k bits, broadcast-joins the bit table, and
     requires k hits; the sketch side never exceeds n_bits rows, so this
     is a broadcast join against a bounded table regardless of corpus
-    size. Returns (key, might_contain)."""
+    size. Returns (key, might_contain); a NULL candidate key answers
+    false — NULLs are never members (see bloom_build)."""
     key = F.col(key_col).cast("string")
     probes = candidates.select(
         F.col(key_col),

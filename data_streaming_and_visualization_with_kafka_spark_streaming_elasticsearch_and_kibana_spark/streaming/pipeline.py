@@ -787,7 +787,7 @@ def cms_refresh_sink(
     over everything ingested (merge == whole, pinned in
     tests/test_streaming.py), so downstream cms_estimate answers are
     identical to batch recomputation."""
-    from ..operators.sketches import cms_build
+    from ..operators.sketches import cms_build, cms_merge
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         import json
@@ -805,12 +805,9 @@ def cms_refresh_sink(
         spark = batch_df.sparkSession
         fresh = cms_build(batch_df, key_col, depth=depth, width=width)
         if os.path.exists(path):
-            merged = (
-                spark.read.parquet(path)
-                .unionByName(fresh)
-                .groupBy("r", "bucket")
-                .agg(F.sum("n").alias("n"))
-            )
+            # cms_merge (not a raw cell sum): the parameter sentinel
+            # must dedup, not double
+            merged = cms_merge(spark.read.parquet(path), fresh)
         else:
             merged = fresh
         merged.write.mode("overwrite").parquet(path + ".staging")

@@ -463,3 +463,23 @@ def test_png_16bit_high_byte_decode():
     )
     got = multimodal.decode_image(png)
     assert (got == (img16 >> 8).astype(np.uint8)).all()
+
+
+def test_png_palette_index_out_of_range_is_value_error():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pal = np.zeros((4, 3), dtype=np.uint8)  # only indices 0..3 valid
+    idx = np.array([[0, 1], [2, 9]], dtype=np.uint8)  # 9 out of range
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    png = (
+        multimodal.PNG_SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        multimodal.decode_image(png)

@@ -46,17 +46,21 @@ def test_heavy_hitter_exact_at_generous_width(spark):
 def test_grid_is_bounded(spark):
     df = _keyed(spark, [f"key{i}" for i in range(5000)])
     sk = sketches.cms_build(df, "k", depth=4, width=32)
-    assert sk.count() <= 4 * 32
-    # every cell row id is in range
-    bad = sk.filter(
-        (F.col("r") < 0)
-        | (F.col("r") >= 4)
-        | (F.col("bucket") < 0)
-        | (F.col("bucket") >= 32)
+    cells = sk.filter(F.col("r") >= 0)
+    assert cells.count() <= 4 * 32
+    # every counter cell is in range
+    bad = cells.filter(
+        (F.col("r") >= 4) | (F.col("bucket") < 0) | (F.col("bucket") >= 32)
     ).count()
     assert bad == 0
-    # total mass conserved: each row of the grid sums to N
-    per_row = {r.r: r.s for r in sk.groupBy("r").agg(F.sum("n").alias("s")).collect()}
+    # exactly one parameter sentinel carrying (width, depth)
+    sent = sk.filter(F.col("r") < 0).collect()
+    assert len(sent) == 1 and (sent[0].bucket, sent[0].n) == (32, 4)
+    # total mass conserved: each counter row of the grid sums to N
+    per_row = {
+        r.r: r.s
+        for r in cells.groupBy("r").agg(F.sum("n").alias("s")).collect()
+    }
     assert set(per_row.values()) == {5000}
 
 
@@ -88,9 +92,22 @@ def test_estimate_rejects_mismatched_parameters(spark):
     df = _keyed(spark, [f"k{i}" for i in range(200)])
     sk = sketches.cms_build(df, "k", depth=4, width=64)
     probe = _keyed(spark, ["k0"])
-    for depth, width in [(8, 64), (4, 32), (2, 64)]:
+    # narrower AND WIDER probe widths must both be rejected — the wider
+    # case is the one a shape heuristic can never catch (all grid
+    # buckets < build width < probe width)
+    for depth, width in [(8, 64), (4, 32), (2, 64), (4, 128)]:
         with pytest.raises(Exception, match="parameter mismatch"):
             sketches.cms_estimate(sk, probe, "k", depth=depth, width=width).collect()
+    # a sentinel-less grid (not built by cms_build) is rejected too
+    with pytest.raises(Exception, match="parameter mismatch"):
+        sketches.cms_estimate(
+            sk.filter(F.col("r") >= 0), probe, "k", depth=4, width=64
+        ).collect()
+    # a mixed-parameter merge leaves two sentinels -> rejected
+    other = sketches.cms_build(df, "k", depth=4, width=128)
+    mixed = sketches.cms_merge(sk, other)
+    with pytest.raises(Exception, match="parameter mismatch"):
+        sketches.cms_estimate(mixed, probe, "k", depth=4, width=64).collect()
     # matching parameters still answer
     ok = sketches.cms_estimate(sk, probe, "k", depth=4, width=64).collect()
     assert ok[0].cms_est >= 1
@@ -244,3 +261,32 @@ def test_logbucket_drops_nonpositive(spark):
     sk = sketches.logbucket_build(df, ["g"], "v")
     tot = sk.agg(F.sum("n")).collect()[0][0]
     assert tot == 2
+
+
+def test_null_keys_excluded_from_all_sketches(spark):
+    """NULL keys must not poison any sketch: md5(NULL)=NULL would store
+    an unmatchable bit (bloom false negative), a NULL CMS cell
+    (undercount), or a NULL KMV hash (sorts FIRST in Spark, LAST in
+    DuckDB — cross-engine divergence). The pinned semantic: NULLs are
+    excluded everywhere; a NULL bloom probe answers false."""
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "k string"
+    )
+    # bloom: no NULL bit rows; NULL probe answers false, members true
+    bsk = sketches.bloom_build(df, "k", 4, 1024)
+    assert bsk.filter(F.col("bit").isNull()).count() == 0
+    got = {
+        r.k: r.might_contain
+        for r in sketches.bloom_probe(bsk, df.distinct(), "k", 4, 1024).collect()
+    }
+    assert got["a"] and got["b"] and got[None] is False
+    # cms: no NULL cells; mass = non-null rows only
+    csk = sketches.cms_build(df, "k", depth=4, width=64)
+    assert csk.filter(F.col("bucket").isNull()).count() == 0
+    mass = csk.filter(F.col("r") == 0).agg(F.sum("n")).collect()[0][0]
+    assert mass == 2
+    # kmv: no NULL hashes; estimate counts non-null distinct only
+    ksk = sketches.kmv_build(df.withColumn("g", F.lit("a")), ["g"], "k", k=8)
+    assert ksk.filter(F.col("h").isNull()).count() == 0
+    est = sketches.kmv_estimate(ksk, ["g"], k=8).collect()[0]
+    assert est.n_seen == 2

@@ -1028,9 +1028,13 @@ def test_cms_refresh_sink_merge_equals_whole_and_ledger_blocks_replay(
         )
     )
     assert got == whole
-    # mass check: each of the 4 grid rows sums to the 300 ingested rows
+    # mass check: each of the 4 COUNTER rows sums to the 300 ingested
+    # rows (r = -1 is the parameter sentinel, not mass)
     per_row = (
-        spark.read.parquet(store).groupBy("r").agg(F.sum("n").alias("s"))
+        spark.read.parquet(store)
+        .filter(F.col("r") >= 0)
+        .groupBy("r")
+        .agg(F.sum("n").alias("s"))
     ).collect()
     assert {r.s for r in per_row} == {300}
 
