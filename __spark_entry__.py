@@ -4031,6 +4031,48 @@ def q_bigram_surprisal_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_window_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percentiles with BOUNDED state: the log-bucket
+    quantile sketch maintained per (10-minute window, event_type) as a
+    Structured-Streaming aggregation driven to completion — state is
+    ≤512 bucket counters per group however many events a window holds,
+    where exact streaming percentiles would buffer every value. The
+    quantile walk runs batch-side over the drained grid (window
+    functions aren't streamable; the sketch aggregation is). p50/p90 of
+    positive value cents; the engine-exact integer bucketing means the
+    DuckDB twin replays the identical grid AND walk — an oracled
+    streaming approximate-percentile, which engine-native
+    approx_percentile state can never be."""
+
+    def build(stream):
+        vals = stream.select(
+            (F.floor(_epoch_sec(F.col("ts")) / 600) * 600)
+            .cast("long")
+            .alias("w10"),
+            "event_type",
+            _cents("value").alias("v"),
+        )
+        return sketches.logbucket_build(vals, ["w10", "event_type"], "v")
+
+    grid = _run_event_stream_query(
+        spark, sf_dir, "stream_lb_quantiles_mem", build
+    )
+    # break lineage off the memory-sink view: the quantile walk self-
+    # joins the grid (cumsum side ⋈ totals side), and two derivations
+    # of one MemoryPlan view trip Spark's conflicting-reference check.
+    # The grid is sketch-bounded (≤512 rows per group), so an eager
+    # localCheckpoint is a few KB of executor memory, not a spill.
+    grid = grid.localCheckpoint(eager=True)
+    est = sketches.logbucket_quantile(grid, ["w10", "event_type"], [0.5, 0.9])
+    return est.select(
+        "w10",
+        "event_type",
+        "q",
+        "n_total",
+        F.col("est").alias("est_cents"),
+    ).orderBy("w10", "event_type", "q")
+
+
 def q_doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText repetition filters (quality.repetition_
     signals): duplicate-line fraction, duplicate-line CHARACTER
@@ -5062,6 +5104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_signals": q_doc_repetition_signals,
     "logbucket_quantiles": q_logbucket_quantiles,
     "bigram_surprisal_heldout": q_bigram_surprisal_heldout,
+    "streaming_window_quantiles": q_streaming_window_quantiles,
 }
 
 
@@ -7711,6 +7754,46 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_q("(s_micro // n_scored) / 1e6", 6)}
                        AS mean_surprisal
             FROM per_doc
+        """,
+        "streaming_window_quantiles": """
+            WITH v AS (
+                SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS w10,
+                       event_type,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                FROM events
+            ),
+            b AS (
+                SELECT w10, event_type,
+                       length(printf('%b', v)) * 8
+                       + ((v >> greatest(length(printf('%b', v)) - 4, 0)) & 7)
+                           AS bucket,
+                       COUNT(*) AS n
+                FROM v WHERE v >= 1 GROUP BY 1, 2, 3
+            ),
+            cum AS (
+                SELECT w10, event_type, bucket, n,
+                       SUM(n) OVER (PARTITION BY w10, event_type
+                                    ORDER BY bucket) AS cumn
+                FROM b
+            ),
+            tot AS (SELECT w10, event_type, CAST(SUM(n) AS BIGINT) AS n_total
+                    FROM b GROUP BY 1, 2),
+            qs AS (SELECT UNNEST([500, 900]) AS q_mille),
+            r AS (
+                SELECT w10, event_type, q_mille, n_total,
+                       MIN(bucket) AS bucket
+                FROM cum JOIN tot USING (w10, event_type) CROSS JOIN qs
+                WHERE cumn >= (q_mille * n_total + 999) // 1000
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT w10, event_type,
+                   q_mille / 1000.0 AS q,
+                   n_total,
+                   CAST(CASE WHEN bucket // 8 <= 3 THEN bucket % 8
+                        ELSE ((bucket % 8) + 8) << (bucket // 8 - 4)
+                        END AS BIGINT) AS est_cents
+            FROM r
+            ORDER BY w10, event_type, q
         """,
         "doc_repetition_signals": f"""
             WITH lines AS (

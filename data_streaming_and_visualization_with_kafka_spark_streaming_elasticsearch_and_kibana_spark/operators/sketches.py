@@ -452,8 +452,15 @@ def logbucket_quantile(
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = sketch.withColumn("cumn", F.sum("n").over(w))
-    tot = sketch.groupBy(*group_cols).agg(F.sum("n").alias("n_total"))
+    # alias the two derivations of the same frame: some sources (e.g.
+    # a streaming memory-sink view) hit Spark's conflicting-reference
+    # self-join error without distinct lineage roots
+    cum = sketch.alias("__lbq_cum").withColumn("cumn", F.sum("n").over(w))
+    tot = (
+        sketch.alias("__lbq_tot")
+        .groupBy(*group_cols)
+        .agg(F.sum("n").alias("n_total"))
+    )
     qdf = cum.sparkSession.createDataFrame(
         [(int(round(q * 1000)),) for q in qs], "q_mille long"
     )
