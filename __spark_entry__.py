@@ -4031,6 +4031,49 @@ def q_bigram_surprisal_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the who-follows-whom graph
+    (graph.label_propagation): synchronous LPA with the random
+    tie-break replaced by smallest-label — a total order that makes 3
+    rounds a pure function of the graph, oracled by 3 unrolled
+    count-argmax CTEs. Returns every node's community label."""
+    ev = _t(spark, sf_dir, "events")
+    edges = graph.consecutive_user_edges(ev)
+    return graph.label_propagation(edges, iterations=3).orderBy("node")
+
+
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit for release/training-data gates: k-anonymity of
+    the customer table under the quasi-identifier (nation, market
+    segment) — a record is k-anonymous when at least k−1 others share
+    its QI tuple (Sweeney 2002). For k ∈ {2, 5, 10}: how many QI
+    equivalence classes fall below k, how many ROWS those classes hold
+    (the suppression cost of publishing at that k), and the smallest
+    class size. One QI group-by feeds all three k's (the
+    one-scan-many-constraints shape of operators/quality.py); exact
+    integer counts throughout."""
+    cust = _t(spark, sf_dir, "customer")
+    groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("gsz")
+    )
+    ks = spark.createDataFrame([(2,), (5,), (10,)], "k long")
+    return (
+        groups.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum(F.when(F.col("gsz") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("classes_below_k"),
+            F.sum(F.when(F.col("gsz") < F.col("k"), F.col("gsz")).otherwise(0))
+            .cast("long")
+            .alias("rows_below_k"),
+            F.min("gsz").alias("min_class_size"),
+        )
+        .orderBy("k")
+    )
+
+
 def q_streaming_window_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming percentiles with BOUNDED state: the log-bucket
     quantile sketch maintained per (10-minute window, event_type) as a
@@ -5105,6 +5148,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logbucket_quantiles": q_logbucket_quantiles,
     "bigram_surprisal_heldout": q_bigram_surprisal_heldout,
     "streaming_window_quantiles": q_streaming_window_quantiles,
+    "k_anonymity_report": q_k_anonymity_report,
+    "label_propagation_communities": q_label_propagation_communities,
 }
 
 
@@ -7754,6 +7799,81 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_q("(s_micro // n_scored) / 1e6", 6)}
                        AS mean_surprisal
             FROM per_doc
+        """,
+        "label_propagation_communities": """
+            WITH raw AS (
+                SELECT LAG(user_id) OVER (
+                           PARTITION BY event_type
+                           ORDER BY ts ASC, event_id ASC
+                       ) AS src,
+                       user_id AS dst
+                FROM events
+            ),
+            e AS (
+                SELECT DISTINCT src AS a, dst AS b
+                FROM raw WHERE src IS NOT NULL AND src <> dst
+            ),
+            nbr AS (
+                SELECT DISTINCT a, b FROM (
+                    SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+                )
+            ),
+            l0 AS (SELECT DISTINCT a AS node, a AS label FROM nbr),
+            l1 AS (
+                SELECT node, label FROM (
+                    SELECT n.a AS node, l.label,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY n.a
+                               ORDER BY COUNT(*) DESC, l.label ASC
+                           ) AS rk
+                    FROM nbr n JOIN l0 l ON n.b = l.node
+                    GROUP BY n.a, l.label
+                )
+                WHERE rk = 1
+            ),
+            l2 AS (
+                SELECT node, label FROM (
+                    SELECT n.a AS node, l.label,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY n.a
+                               ORDER BY COUNT(*) DESC, l.label ASC
+                           ) AS rk
+                    FROM nbr n JOIN l1 l ON n.b = l.node
+                    GROUP BY n.a, l.label
+                )
+                WHERE rk = 1
+            ),
+            l3 AS (
+                SELECT node, label FROM (
+                    SELECT n.a AS node, l.label,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY n.a
+                               ORDER BY COUNT(*) DESC, l.label ASC
+                           ) AS rk
+                    FROM nbr n JOIN l2 l ON n.b = l.node
+                    GROUP BY n.a, l.label
+                )
+                WHERE rk = 1
+            ),
+            dummy AS (SELECT 1)
+            SELECT node, label FROM l3 ORDER BY node
+        """,
+        "k_anonymity_report": """
+            WITH g AS (
+                SELECT c_nationkey, c_mktsegment, COUNT(*) AS gsz
+                FROM customer GROUP BY 1, 2
+            ),
+            ks AS (SELECT UNNEST([2, 5, 10]) AS k)
+            SELECT k,
+                   COUNT(*) AS n_classes,
+                   CAST(SUM(CASE WHEN gsz < k THEN 1 ELSE 0 END) AS BIGINT)
+                       AS classes_below_k,
+                   CAST(SUM(CASE WHEN gsz < k THEN gsz ELSE 0 END) AS BIGINT)
+                       AS rows_below_k,
+                   CAST(MIN(gsz) AS BIGINT) AS min_class_size
+            FROM g CROSS JOIN ks
+            GROUP BY k
+            ORDER BY k
         """,
         "streaming_window_quantiles": """
             WITH v AS (

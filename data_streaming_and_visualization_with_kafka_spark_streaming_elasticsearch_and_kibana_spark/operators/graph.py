@@ -454,3 +454,52 @@ def pagerank_weighted(
         "rank_units",
         (F.col("rank_units") / float(UNITS)).alias("rank"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al., Phys. Rev. E 2007) made DETERMINISTIC: every node starts
+    labeled with its own id; each round it adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label — an
+    explicit total order, where the paper's random tie-break makes
+    every run (and every engine) disagree. A fixed iteration count
+    makes the output a pure function of the graph (synchronous LPA can
+    oscillate on bipartite structures; bounded rounds sidestep
+    convergence detection, which would need a driver-side loop test).
+
+    Shape: per round, one join (neighbor labels), one count aggregation
+    per (node, label), one window to pick the argmax — all keyed on
+    node ids, the same iterate-as-join discipline as pagerank().
+    Isolated nodes never appear (an edge list has no degree-0 nodes).
+    Returns (node, label) — equal labels = same community."""
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    nbr = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    nodes = nbr.select(F.col("a").alias("node")).distinct()
+    lbl = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    for _ in range(iterations):
+        counts = (
+            nbr.join(lbl, nbr.b == lbl.node)
+            .select(F.col("a").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        lbl = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("node", "label")
+        )
+    return lbl

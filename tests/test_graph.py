@@ -220,3 +220,29 @@ def test_clustering_weighted_drops_nonpositive_and_self_loops(spark):
     )
     got = {r.node: r.degree for r in graph.clustering_coefficients_weighted(e).collect()}
     assert got == {1: 1, 2: 1}
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    """Two K4 cliques joined by one bridge edge: after 3 rounds each
+    clique converges to its minimum id; the bridge does not merge
+    them (a single cross-edge never outvotes 3 in-clique neighbors)."""
+    k4a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k4b = [(a + 10, b + 10) for a, b in k4a]
+    e = _edges(spark, k4a + k4b + [(3, 10)])
+    got = {r.node: r.label for r in graph.label_propagation(e).collect()}
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    pairs = [(i, (i * 11) % 29) for i in range(120) if i != (i * 11) % 29]
+    a = sorted(map(tuple, graph.label_propagation(_edges(spark, pairs)).collect()))
+    b = sorted(
+        map(
+            tuple,
+            graph.label_propagation(
+                _edges(spark, pairs).repartition(13)
+            ).collect(),
+        )
+    )
+    assert a == b
