@@ -4042,6 +4042,36 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     return graph.label_propagation(edges, iterations=3).orderBy("node")
 
 
+def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from sketches ALONE (sketches.
+    cms_join_cardinality): |orders ⋈ BUILDING-segment customers| on
+    custkey, estimated by the CMS inner product (min over rows of
+    Σ nA·nB — an upper bound tightening with width) beside the exact
+    join count — the what-a-CBO-asks-before-running-the-join number,
+    computed from two 4×256 grids without touching either table again.
+    The md5 family makes both grids and the product walk
+    engine-deterministic, so the DuckDB twin hash-matches estimate AND
+    overshoot."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    segc = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    ska = sketches.cms_build(orders, "o_custkey", depth=4, width=256)
+    skb = sketches.cms_build(segc, "c_custkey", depth=4, width=256)
+    est = sketches.cms_join_cardinality(ska, skb)
+    exact = (
+        orders.join(segc, orders.o_custkey == segc.c_custkey)
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "join_size_est",
+        "exact_join_size",
+        (F.col("join_size_est") - F.col("exact_join_size")).alias("overshoot"),
+    )
+
+
 def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy audit for release/training-data gates: k-anonymity of
     the customer table under the quasi-identifier (nation, market
@@ -5150,6 +5180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_window_quantiles": q_streaming_window_quantiles,
     "k_anonymity_report": q_k_anonymity_report,
     "label_propagation_communities": q_label_propagation_communities,
+    "cms_join_cardinality": q_cms_join_cardinality,
 }
 
 
@@ -7857,6 +7888,49 @@ def oracle_sql() -> dict[str, str]:
             ),
             dummy AS (SELECT 1)
             SELECT node, label FROM l3 ORDER BY node
+        """,
+        "cms_join_cardinality": """
+            WITH rows4 AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
+            ca AS (
+                SELECT r,
+                       CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)
+                                                   || ':' || r), 1, 15)
+                            )::UBIGINT % 256 AS BIGINT) AS bucket,
+                       COUNT(*) AS na
+                FROM orders CROSS JOIN rows4
+                GROUP BY 1, 2
+            ),
+            cb AS (
+                SELECT r,
+                       CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                                                   || ':' || r), 1, 15)
+                            )::UBIGINT % 256 AS BIGINT) AS bucket,
+                       COUNT(*) AS nb
+                FROM customer CROSS JOIN rows4
+                WHERE c_mktsegment = 'BUILDING'
+                GROUP BY 1, 2
+            ),
+            prods AS (
+                SELECT ca.r, SUM(ca.na * cb.nb) AS ip
+                FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket
+                GROUP BY 1
+            ),
+            per_row AS (
+                SELECT rows4.r, COALESCE(ip, 0) AS ip
+                FROM rows4 LEFT JOIN prods ON rows4.r = prods.r
+            ),
+            est AS (SELECT CAST(MIN(ip) AS BIGINT) AS join_size_est
+                    FROM per_row),
+            ex AS (
+                SELECT COUNT(*) AS exact_join_size
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+            )
+            SELECT join_size_est,
+                   CAST(exact_join_size AS BIGINT) AS exact_join_size,
+                   CAST(join_size_est - exact_join_size AS BIGINT)
+                       AS overshoot
+            FROM est, ex
         """,
         "k_anonymity_report": """
             WITH g AS (

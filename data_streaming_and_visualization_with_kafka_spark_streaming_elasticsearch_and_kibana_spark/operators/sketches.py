@@ -481,3 +481,78 @@ def logbucket_quantile(
         "n_total",
         logbucket_lo(F.col("bucket")).alias("est"),
     )
+
+
+def cms_join_cardinality(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Equi-join SIZE estimate from two CMS grids — the inner-product
+    estimator (Alon-Gilbert-Matias-Szegedy lineage; Cormode &
+    Muthukrishnan §4.2): per sketch row r, Σ_bucket nA·nB
+    overestimates Σ_key fA(k)·fB(k) = |A ⋈ B| by exactly the
+    collision cross-terms, so MIN over the depth rows is a one-sided
+    upper bound that tightens with width. This is what a cost-based
+    optimizer wants BEFORE running the join — both sides summarized in
+    depth×width counters, the estimate computed from grid⋈grid without
+    touching either table.
+
+    Both grids must share (depth, width, family): validated against
+    the parameter sentinels (fail-fast, like cms_estimate). Returns
+    one row (join_size_est)."""
+    sa = a.filter(F.col("r") < 0).agg(
+        F.count("*").alias("_ns_a"),
+        F.max("bucket").alias("_w_a"),
+        F.max("n").alias("_d_a"),
+    )
+    sb = b.filter(F.col("r") < 0).agg(
+        F.count("*").alias("_ns_b"),
+        F.max("bucket").alias("_w_b"),
+        F.max("n").alias("_d_b"),
+    )
+    mismatch = F.when(
+        (F.col("_ns_a") != 1)
+        | (F.col("_ns_b") != 1)
+        | (F.col("_w_a") != F.col("_w_b"))
+        | (F.col("_d_a") != F.col("_d_b")),
+        F.raise_error(
+            F.concat(
+                F.lit("cms_join_cardinality parameter mismatch: grids say "
+                      "width/depth "),
+                F.coalesce(F.col("_w_a").cast("string"), F.lit("?")),
+                F.lit("/"),
+                F.coalesce(F.col("_d_a").cast("string"), F.lit("?")),
+                F.lit(" vs "),
+                F.coalesce(F.col("_w_b").cast("string"), F.lit("?")),
+                F.lit("/"),
+                F.coalesce(F.col("_d_b").cast("string"), F.lit("?")),
+            )
+        ),
+    )
+    ca = a.filter(F.col("r") >= 0).select(
+        "r", "bucket", F.col("n").alias("na")
+    )
+    cb = b.filter(F.col("r") >= 0).select(
+        "r", "bucket", F.col("n").alias("nb")
+    )
+    # a row with NO colliding buckets has inner product 0 — it must
+    # participate in the min as 0, not vanish from it (vanishing would
+    # inflate the bound exactly when the sketches prove disjointness)
+    prods = (
+        ca.join(cb, ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("ip"))
+    )
+    per_row = (
+        ca.select("r")
+        .distinct()
+        .join(prods, "r", "left")
+        .select(F.coalesce("ip", F.lit(0)).alias("ip"))
+    )
+    return (
+        per_row.agg(F.min("ip").alias("join_size_est"))
+        .crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .select(
+            F.coalesce(
+                mismatch, F.coalesce(F.col("join_size_est"), F.lit(0))
+            ).alias("join_size_est")
+        )
+    )

@@ -290,3 +290,36 @@ def test_null_keys_excluded_from_all_sketches(spark):
     assert ksk.filter(F.col("h").isNull()).count() == 0
     est = sketches.kmv_estimate(ksk, ["g"], k=8).collect()[0]
     assert est.n_seen == 2
+
+
+def test_cms_join_cardinality_upper_bound_and_mismatch(spark):
+    import pytest
+
+    # A: keys 0..99 each 3x; B: keys 50..149 each 2x
+    # exact join size = 50 overlapping keys * 3 * 2 = 300
+    a_rows = [(k,) for k in range(100) for _ in range(3)]
+    b_rows = [(k,) for k in range(50, 150) for _ in range(2)]
+    A = spark.createDataFrame(a_rows, "k long")
+    B = spark.createDataFrame(b_rows, "k long")
+    ska = sketches.cms_build(A, "k", depth=4, width=512)
+    skb = sketches.cms_build(B, "k", depth=4, width=512)
+    est = sketches.cms_join_cardinality(ska, skb).collect()[0].join_size_est
+    # one-sided: never under; with 150 keys over 512 buckets, collisions
+    # are few — the bound should be close
+    assert 300 <= est <= 450, est
+    # mismatched widths fail fast instead of silently answering
+    skw = sketches.cms_build(B, "k", depth=4, width=256)
+    with pytest.raises(Exception, match="parameter mismatch"):
+        sketches.cms_join_cardinality(ska, skw).collect()
+    # disjoint key sets -> estimate collapses toward 0 collisions only
+    C = spark.createDataFrame([(k,) for k in range(10000, 10100)], "k long")
+    skc = sketches.cms_build(C, "k", depth=4, width=512)
+    est0 = sketches.cms_join_cardinality(ska, skc).collect()[0].join_size_est
+    # min over rows includes zero-collision rows as 0 — with 4 rows and
+    # few collisions, at least one row should prove near-disjointness
+    assert est0 <= 60, est0
+    # fully empty B sketch -> estimate 0
+    empty = sketches.cms_build(
+        spark.createDataFrame([], "k long"), "k", depth=4, width=512
+    )
+    assert sketches.cms_join_cardinality(ska, empty).collect()[0].join_size_est == 0
