@@ -4072,6 +4072,96 @@ def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companion privacy audit to k-anonymity: l-DIVERSITY
+    (Machanavajjhala et al., ICDE 2006) — a QI class is l-diverse when
+    its SENSITIVE attribute takes at least l distinct values, the
+    defense k-anonymity lacks against homogeneity attacks (a class of
+    k identical balances reveals every member's balance). QI =
+    (nation, segment); sensitive = account-balance sign band
+    (negative / low / high). Per l in {2, 3}: classes below l and
+    their row exposure. Same one-scan shape as the k report."""
+    cust = _t(spark, sf_dir, "customer")
+    banded = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("band"),
+    )
+    classes = banded.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("gsz"),
+        F.count_distinct("band").alias("ndv_sensitive"),
+    )
+    ls = spark.createDataFrame([(2,), (3,)], "l long")
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("ndv_sensitive") < F.col("l"), 1).otherwise(0))
+            .cast("long")
+            .alias("classes_below_l"),
+            F.sum(
+                F.when(F.col("ndv_sensitive") < F.col("l"), F.col("gsz"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_exposed"),
+        )
+        .orderBy("l")
+    )
+
+
+def q_daily_churn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period churn from the event stream: for each day d,
+    how many of its active users are absent on d+1 (churned), beside
+    the retained count and the exact churn ratio — the
+    subscription-health twin of the cohort-retention triangle (daily
+    grain because the synthetic corpus spans weeks, not years; the
+    operator is grain-agnostic). One distinct (user, day) frame
+    self-joined against the next day; both sides are day-keyed
+    aggregates, so the join carries active-user sets, not events."""
+    ev = _t(spark, sf_dir, "events")
+    um = ev.select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("m"),
+        "user_id",
+    ).distinct()
+    nxt = um.select(
+        (F.col("m") - F.expr("INTERVAL 1 DAY")).alias("m"),
+        F.col("user_id").alias("u2"),
+    )
+    marked = um.join(
+        nxt, (um.m == nxt.m) & (um.user_id == nxt.u2), "left"
+    ).select(um.m.alias("m"), um.user_id, "u2")
+    months = um.select("m").distinct()
+    last = months.agg(F.max("m").alias("last_m"))
+    return (
+        marked.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(F.when(F.col("u2").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("churned"),
+        )
+        .crossJoin(F.broadcast(last))
+        # the final month has no next month: churn there is undefined,
+        # not 100%
+        .filter(F.col("m") < F.col("last_m"))
+        .select(
+            F.col("m").cast("date").alias("month"),
+            "active_users",
+            "churned",
+            (F.col("active_users") - F.col("churned")).alias("retained"),
+            _q(F.col("churned") / F.col("active_users"), 6).alias(
+                "churn_rate"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
 def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy audit for release/training-data gates: k-anonymity of
     the customer table under the quasi-identifier (nation, market
@@ -5181,6 +5271,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity_report": q_k_anonymity_report,
     "label_propagation_communities": q_label_propagation_communities,
     "cms_join_cardinality": q_cms_join_cardinality,
+    "l_diversity_report": q_l_diversity_report,
+    "daily_churn_rates": q_daily_churn_rates,
 }
 
 
@@ -7931,6 +8023,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(join_size_est - exact_join_size AS BIGINT)
                        AS overshoot
             FROM est, ex
+        """,
+        "l_diversity_report": """
+            WITH banded AS (
+                SELECT c_nationkey, c_mktsegment,
+                       CASE WHEN c_acctbal < 0 THEN 'neg'
+                            WHEN c_acctbal < 5000 THEN 'low'
+                            ELSE 'high' END AS band
+                FROM customer
+            ),
+            cls AS (
+                SELECT c_nationkey, c_mktsegment,
+                       COUNT(*) AS gsz,
+                       COUNT(DISTINCT band) AS ndv_sensitive
+                FROM banded GROUP BY 1, 2
+            ),
+            ls AS (SELECT UNNEST([2, 3]) AS l)
+            SELECT l,
+                   COUNT(*) AS n_classes,
+                   CAST(SUM(CASE WHEN ndv_sensitive < l THEN 1 ELSE 0 END)
+                        AS BIGINT) AS classes_below_l,
+                   CAST(SUM(CASE WHEN ndv_sensitive < l THEN gsz ELSE 0 END)
+                        AS BIGINT) AS rows_exposed
+            FROM cls CROSS JOIN ls
+            GROUP BY l
+            ORDER BY l
+        """,
+        "daily_churn_rates": f"""
+            WITH um AS (
+                SELECT DISTINCT date_trunc('day', ts) AS m, user_id
+                FROM events
+            ),
+            marked AS (
+                SELECT a.m, a.user_id,
+                       (b.user_id IS NOT NULL) AS retained
+                FROM um a
+                LEFT JOIN um b
+                  ON b.m = a.m + INTERVAL 1 DAY AND b.user_id = a.user_id
+            ),
+            agg AS (
+                SELECT m,
+                       COUNT(*) AS active_users,
+                       CAST(SUM(CASE WHEN retained THEN 0 ELSE 1 END)
+                            AS BIGINT) AS churned
+                FROM marked GROUP BY 1
+            )
+            SELECT CAST(m AS DATE) AS month,
+                   active_users,
+                   churned,
+                   CAST(active_users - churned AS BIGINT) AS retained,
+                   {_sql_q("CAST(churned AS DOUBLE) / active_users", 6)}
+                       AS churn_rate
+            FROM agg
+            WHERE m < (SELECT MAX(m) FROM um)
+            ORDER BY month
         """,
         "k_anonymity_report": """
             WITH g AS (
