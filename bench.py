@@ -101,6 +101,13 @@ HEADLINE = [
     "clustering_weighted_graph",
     "bloom_membership_gate",
     "unigram_surprisal",
+    "bigram_surprisal_heldout",
+    "doc_repetition_signals",
+    "logbucket_quantiles",
+    "streaming_window_quantiles",
+    "label_propagation_communities",
+    "cms_join_cardinality",
+    "daily_churn_rates",
 ]
 
 
