@@ -2539,6 +2539,90 @@ def q_corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline UPGRADED with the round-5 filter tier, as
+    one lazy plan: benchmark exclusion → length/quality gate →
+    Gopher repetition gates (dup-line fraction ≤ 0.3, top-bigram char
+    coverage ≤ 0.12) → unigram-LM surprisal band (keep the middle:
+    3.395–3.420 nats — drop both boilerplate-predictable and garbled
+    tails, the CCNet recipe) → exact dedup → n-gram decontamination →
+    stratified split. Every gate is the already-hash-gated operator;
+    the composition stays declarative so Catalyst prunes text as soon
+    as the last text-derived expression is computed. Band thresholds
+    are fixed literals (production would pick per-language percentile
+    bands from a stats pass — the logbucket sketch serves exactly
+    that)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter((F.col("doc_id") % 50) != 0)
+    scored = corpus.select(
+        "doc_id",
+        "lang",
+        "text",
+        textf.whitespace_token_count("text").alias("n_tokens"),
+        textf.quality_score("text").alias("quality"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 10) & (F.col("quality") >= 0.5)
+    )
+    rep = quality.repetition_signals(corpus).select(
+        "doc_id", "dup_line_frac", "top_bigram_char_frac"
+    )
+    kept = kept.join(rep, "doc_id", "left").filter(
+        (F.coalesce("dup_line_frac", F.lit(0.0)) <= 0.3)
+        & (F.coalesce("top_bigram_char_frac", F.lit(0.0)) <= 0.12)
+    )
+    # unigram surprisal, LM = the full documents table (deterministic
+    # reference distribution; same construction as q_unigram_surprisal)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(textf.split_words("text"), lambda t: t != "")
+        ).alias("term"),
+    )
+    ct = toks.groupBy("term").agg(F.count("*").alias("ct"))
+    total = toks.agg(F.count("*").alias("tt"))
+    dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    lnq_ct = F.floor(F.log("ct") * 1e6 + F.lit(0.5)).cast("long")
+    lnq_tt = F.floor(F.log("tt") * 1e6 + F.lit(0.5)).cast("long")
+    sur = (
+        dt.join(F.broadcast(ct), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("dl"),
+            F.sum(F.col("c") * lnq_ct).alias("s_micro"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (lnq_tt - F.expr("s_micro DIV dl")).alias("surprisal_micro"),
+        )
+    )
+    kept = kept.join(sur, "doc_id").filter(
+        F.col("surprisal_micro").between(3_395_000, 3_420_000)
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        kept.withColumn(
+            "fingerprint", textf.normalized_fingerprint("text")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    hits = dedup.contamination_hits(docs, (F.col("doc_id") % 50) == 0)
+    clean = deduped.join(hits, "doc_id", "left_anti")
+    out = sampling.hash_split(
+        clean, "doc_id", _SPLIT_RATES, stratum_col="lang"
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        _q(F.col("quality"), 6).alias("quality"),
+        "surprisal_micro",
+        "split",
+    )
+
+
 def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share-of-total (the dashboard percentage column): per-type event
     count and spend as fractions of the corpus total via an empty-frame
