@@ -4234,7 +4234,7 @@ def q_daily_churn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         # not 100%
         .filter(F.col("m") < F.col("last_m"))
         .select(
-            F.col("m").cast("date").alias("month"),
+            F.col("m").cast("date").alias("day"),
             "active_users",
             "churned",
             (F.col("active_users") - F.col("churned")).alias("retained"),
@@ -4242,7 +4242,7 @@ def q_daily_churn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "churn_rate"
             ),
         )
-        .orderBy("month")
+        .orderBy("day")
     )
 
 
@@ -5357,6 +5357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_join_cardinality": q_cms_join_cardinality,
     "l_diversity_report": q_l_diversity_report,
     "daily_churn_rates": q_daily_churn_rates,
+    "corpus_pipeline_v2": q_corpus_pipeline_v2,
 }
 
 
@@ -8152,7 +8153,7 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS churned
                 FROM marked GROUP BY 1
             )
-            SELECT CAST(m AS DATE) AS month,
+            SELECT CAST(m AS DATE) AS day,
                    active_users,
                    churned,
                    CAST(active_users - churned AS BIGINT) AS retained,
@@ -8160,8 +8161,167 @@ def oracle_sql() -> dict[str, str]:
                        AS churn_rate
             FROM agg
             WHERE m < (SELECT MAX(m) FROM um)
-            ORDER BY month
+            ORDER BY day
         """,
+        "corpus_pipeline_v2": f"""
+            WITH corpus AS (
+                SELECT * FROM documents WHERE doc_id % 50 != 0
+            ), m AS (
+                SELECT doc_id, lang, text,
+                       {_WS_TOKENS} AS n_tokens,
+                       length(text) AS nc,
+                       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                           AS npunct,
+                       length(regexp_replace(text, '\\s+', '', 'g'))
+                           AS nc_nospace
+                FROM corpus
+            ), r AS (
+                SELECT doc_id, lang, text, n_tokens,
+                       LEAST(nc / 200.0, 1.0) AS len_score,
+                       LEAST((CASE WHEN nc = 0 THEN 0.0
+                                   ELSE CAST(npunct AS DOUBLE) / nc END)
+                             * 2.0, 1.0) AS noise_penalty,
+                       CASE WHEN n_tokens = 0 THEN 0.0
+                            ELSE CAST(nc_nospace AS DOUBLE) / n_tokens
+                       END AS wl
+                FROM m
+            ), q AS (
+                SELECT doc_id, lang, text, n_tokens,
+                       FLOOR((len_score * 0.5
+                              + (CASE WHEN wl >= 3.0 AND wl <= 8.0
+                                      THEN 1.0 ELSE 0.5 END) * 0.3
+                              + (1.0 - noise_penalty) * 0.2) * 1000000
+                             + 0.5) / 1000000.0 AS quality
+                FROM r
+            ), kept0 AS (
+                SELECT * FROM q
+                WHERE n_tokens >= 10 AND quality >= 0.5
+            ), linesR AS (
+                SELECT doc_id, line FROM (
+                    SELECT doc_id,
+                           UNNEST(string_split(text, chr(10))) AS line
+                    FROM corpus
+                ) WHERE trim(line) <> ''
+            ), lcR AS (
+                SELECT doc_id, line, COUNT(*) AS c, length(line) AS ln
+                FROM linesR GROUP BY 1, 2
+            ), ldR AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_lines,
+                       CAST(SUM(c - 1) AS BIGINT) AS dup_lines
+                FROM lcR GROUP BY 1
+            ), twR AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS w,
+                       UNNEST(generate_series(1, len(
+                           string_split_regex(lower(trim(text)), '\\s+'))))
+                           AS i
+                FROM corpus
+            ), tkR AS (SELECT doc_id, w, i FROM twR WHERE w <> ''),
+            wcR AS (
+                SELECT doc_id, CAST(SUM(length(w)) AS BIGINT) AS word_chars
+                FROM tkR GROUP BY 1
+            ), bgR AS (
+                SELECT a.doc_id, a.w AS w1, b.w AS w2, COUNT(*) AS n
+                FROM tkR a JOIN tkR b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                GROUP BY 1, 2, 3
+            ), topR AS (
+                SELECT doc_id, w1, w2, n FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY n DESC, w1 ASC, w2 ASC
+                    ) AS rk FROM bgR
+                ) WHERE rk = 1
+            ), rep AS (
+                SELECT d.doc_id,
+                       {_sql_q("CAST(dup_lines AS DOUBLE) / n_lines", 6)}
+                           AS dup_line_frac,
+                       {_sql_q(
+                           "CAST(t.n * (length(t.w1) + length(t.w2))"
+                           " AS DOUBLE) / word_chars", 6
+                       )} AS top_bigram_char_frac
+                FROM corpus d
+                LEFT JOIN ldR USING (doc_id)
+                LEFT JOIN wcR USING (doc_id)
+                LEFT JOIN topR t USING (doc_id)
+            ), kept1 AS (
+                SELECT k.* FROM kept0 k LEFT JOIN rep USING (doc_id)
+                WHERE COALESCE(dup_line_frac, 0) <= 0.3
+                  AND COALESCE(top_bigram_char_frac, 0) <= 0.12
+            ), toksS AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS term
+                FROM documents
+            ), tkS AS (SELECT doc_id, term FROM toksS WHERE term <> ''),
+            ctS AS (SELECT term, COUNT(*) AS ct FROM tkS GROUP BY 1),
+            ttS AS (SELECT COUNT(*) AS tt FROM tkS),
+            dtS AS (
+                SELECT doc_id, term, COUNT(*) AS c FROM tkS GROUP BY 1, 2
+            ), per_docS AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS dl,
+                       CAST(SUM(c * CAST(FLOOR(ln(ct) * 1e6 + 0.5)
+                                         AS BIGINT)) AS BIGINT) AS s_micro
+                FROM dtS JOIN ctS USING (term) GROUP BY 1
+            ), sur AS (
+                SELECT doc_id,
+                       CAST(FLOOR(ln(tt) * 1e6 + 0.5) AS BIGINT)
+                           - s_micro // dl AS surprisal_micro
+                FROM per_docS, ttS
+            ), kept2 AS (
+                SELECT k.*, s.surprisal_micro
+                FROM kept1 k JOIN sur s USING (doc_id)
+                WHERE s.surprisal_micro BETWEEN 3395000 AND 3420000
+            ), dd AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY md5({_NORM_TEXT})
+                    ORDER BY doc_id
+                ) AS rn
+                FROM kept2
+            ), deduped AS (
+                SELECT * FROM dd WHERE rn = 1
+            ), wS AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+')
+                           AS words
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) < 3
+                            THEN [array_to_string(words, ' ')]
+                            ELSE list_transform(
+                                generate_series(0, len(words) - 3),
+                                i -> array_to_string(
+                                    list_slice(words, i + 1, i + 3), ' '))
+                       END AS shingles
+                FROM wS
+            ), ex AS (
+                SELECT doc_id, unnest(list_distinct(shingles)) AS gram
+                FROM sh
+            ), bench AS (
+                SELECT DISTINCT gram FROM ex WHERE doc_id % 50 = 0
+            ), contaminated AS (
+                SELECT DISTINCT t.doc_id
+                FROM (SELECT * FROM ex WHERE doc_id % 50 != 0) t
+                JOIN bench b USING (gram)
+            ), clean AS (
+                SELECT * FROM deduped
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+            )
+            SELECT doc_id, lang, n_tokens,
+                   FLOOR(quality * 1000000 + 0.5) / 1000000.0 AS quality,
+                   surprisal_micro,
+                   CASE {{arms}} ELSE 'holdout' END AS split
+            FROM clean
+        """.replace("{arms}", " ".join(
+            f"WHEN lang = '{lang}' AND "
+            f"substring(md5('split:' || doc_id::VARCHAR), 1, 8) < "
+            f"'{sampling.rate_threshold(r)}' THEN 'train'"
+            for lang, r in sorted(_SPLIT_RATES.items())
+        )),
         "k_anonymity_report": """
             WITH g AS (
                 SELECT c_nationkey, c_mktsegment, COUNT(*) AS gsz

@@ -216,19 +216,25 @@ def triangle_count(
     tri = wedges.join(
         e, (e.a == F.col("w_x")) & (e.b == F.col("w_y")), "left_semi"
     )
+    # each crossJoin side is a single-row global aggregate; the explicit
+    # broadcast keeps the plan a BroadcastNestedLoopJoin of scalars even
+    # with AQE off (AQE would broadcast them anyway, but the plan-audit
+    # config disables it and must not degrade to a shuffled BNLJ)
     return (
         nodes.agg(F.count("*").alias("n_nodes"))
-        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(F.broadcast(e.agg(F.count("*").alias("n_edges"))))
         .crossJoin(
-            deg.agg(
-                # coalesce: SUM over an empty degree table is NULL, but
-                # an empty graph has 0 wedges, not unknown-many
-                F.coalesce(
-                    F.sum(F.expr("degree * (degree - 1) DIV 2")), F.lit(0)
-                ).alias("n_wedges")
+            F.broadcast(
+                deg.agg(
+                    # coalesce: SUM over an empty degree table is NULL, but
+                    # an empty graph has 0 wedges, not unknown-many
+                    F.coalesce(
+                        F.sum(F.expr("degree * (degree - 1) DIV 2")), F.lit(0)
+                    ).alias("n_wedges")
+                )
             )
         )
-        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+        .crossJoin(F.broadcast(tri.agg(F.count("*").alias("n_triangles"))))
     )
 
 

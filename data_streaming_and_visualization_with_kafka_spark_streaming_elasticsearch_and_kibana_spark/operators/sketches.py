@@ -135,7 +135,17 @@ def cms_estimate(
     broadcast scalar of the sentinel is checked lazily inside the plan
     and raise_error()s when it disagrees with the probe parameters,
     when it is missing (grid not built by cms_build), or when a
-    mixed-parameter merge left more than one sentinel."""
+    mixed-parameter merge left more than one sentinel.
+
+    STATE-FORMAT NOTE: the sentinel row was introduced after the first
+    persisted-state format (grids written by early cms_refresh_sink
+    runs carry counter cells only). Those legacy grids are rejected
+    here BY DESIGN — a sentinel-less grid is indistinguishable from a
+    frame that was never built by cms_build, and accepting it would
+    reopen the silent-zero failure mode this guard exists to close.
+    Migrate legacy state once with `cms_add_sentinel(grid, depth,
+    width)` (below), asserting the parameters you know it was built
+    with."""
     key = F.col(key_col).cast("string")
     shape = sketch.filter(F.col("r") < 0).agg(
         F.count("*").alias("_n_sent"),
@@ -188,6 +198,40 @@ def cms_estimate(
             F.coalesce(shape_ok, F.col("cms_est")).alias("cms_est"),
         )
     )
+
+
+def cms_add_sentinel(sketch: DataFrame, depth: int, width: int) -> DataFrame:
+    """One-line migration for legacy persisted grids (pre-sentinel
+    state format): append the r = -1 parameter sentinel cms_build now
+    writes, asserting the (depth, width) the grid is KNOWN to have been
+    built with. Refuses a grid that already carries any sentinel —
+    re-stamping an already-stamped (or mixed-merge) grid would paper
+    over exactly the mismatch the sentinel detects."""
+    spark = sketch.sparkSession
+    stamped = F.broadcast(
+        sketch.agg(
+            F.sum(F.when(F.col("r") < 0, 1).otherwise(0)).alias("_n_sent")
+        )
+    )
+    sentinel = (
+        spark.range(1)
+        .crossJoin(stamped)
+        .select(
+            F.when(
+                F.col("_n_sent") > 0,
+                F.raise_error(
+                    F.lit(
+                        "cms_add_sentinel: grid already carries a parameter "
+                        "sentinel — migration is for legacy sentinel-less "
+                        "state only"
+                    ),
+                ),
+            ).otherwise(F.lit(-1)).cast("int").alias("r"),
+            F.lit(width).cast("long").alias("bucket"),
+            F.lit(depth).cast("long").alias("n"),
+        )
+    )
+    return sketch.unionByName(sentinel)
 
 
 #: hash space of the 15-hex-char md5 prefix: 16^15 == 2^60 (exactly
@@ -312,9 +356,15 @@ def bloom_build(
     an explicit counter if they matter.
 
     Shape: explode k cells per row, distinct — one map-side-combined
-    shuffle carrying at most the bit table."""
+    shuffle carrying at most the bit table. Like cms_build, the table
+    carries its own build parameters: one NEGATIVE sentinel row
+    (bit = -(n_bits·1024 + n_hashes), outside the valid [0, n_bits)
+    domain) that bloom_probe validates against, so a mismatched-
+    parameter probe fails fast instead of silently returning false
+    negatives — the exact failure mode the CMS sentinel closes."""
+    assert 0 < n_hashes < 1024, "sentinel encoding assumes n_hashes < 1024"
     key = F.col(key_col).cast("string")
-    return (
+    bits = (
         df.filter(F.col(key_col).isNotNull())
         .select(
             F.explode(
@@ -325,12 +375,65 @@ def bloom_build(
         )
         .distinct()
     )
+    sentinel = df.sparkSession.createDataFrame(
+        [(_bloom_sentinel(n_hashes, n_bits),)], "bit long"
+    )
+    return bits.unionByName(sentinel)
+
+
+def _bloom_sentinel(n_hashes: int, n_bits: int) -> int:
+    """Parameter sentinel value for a bloom bit table: negative (so it
+    can never collide with a real bit, which is always in [0, n_bits))
+    and injective over (n_bits, n_hashes) for n_hashes < 1024."""
+    return -(n_bits * 1024 + n_hashes)
+
+
+def bloom_add_sentinel(
+    sketch: DataFrame, n_hashes: int, n_bits: int
+) -> DataFrame:
+    """One-line migration for legacy persisted bit tables (pre-sentinel
+    state format, e.g. dirs written by early bloom_refresh_sink runs):
+    append the parameter sentinel, asserting the (n_hashes, n_bits) the
+    table is KNOWN to have been built with. A table that already has
+    any sentinel is refused — re-stamping would mask the mismatch the
+    sentinel detects. (A legacy dir merged via bloom_merge with any
+    freshly-built sketch of the same parameters is migrated for free:
+    the fresh side contributes the sentinel.)"""
+    spark = sketch.sparkSession
+    stamped = F.broadcast(
+        sketch.agg(
+            F.sum(F.when(F.col("bit") < 0, 1).otherwise(0)).alias("_n_sent")
+        )
+    )
+    sentinel = (
+        spark.range(1)
+        .crossJoin(stamped)
+        .select(
+            F.when(
+                F.col("_n_sent") > 0,
+                F.raise_error(
+                    F.lit(
+                        "bloom_add_sentinel: bit table already carries a "
+                        "parameter sentinel — migration is for legacy "
+                        "sentinel-less state only"
+                    ),
+                ),
+            )
+            .otherwise(F.lit(_bloom_sentinel(n_hashes, n_bits)))
+            .cast("long")
+            .alias("bit")
+        )
+    )
+    return sketch.unionByName(sentinel)
 
 
 def bloom_merge(*sketches: DataFrame) -> DataFrame:
     """OR together bloom bit-sets built with the same (n_hashes, n_bits,
     family): union + distinct. Same semilattice argument as kmv_merge —
-    merge of sketches == sketch of the union (pinned in tests)."""
+    merge of sketches == sketch of the union (pinned in tests).
+    Identical parameter sentinels dedup to one; a mixed-parameter merge
+    leaves TWO distinct sentinels, which bloom_probe rejects — the
+    merge cannot silently produce an answerable-but-wrong table."""
     it = iter(sketches)
     acc = next(it)
     for s in it:
@@ -345,28 +448,73 @@ def bloom_probe(
     n_hashes: int = 4,
     n_bits: int = 4096,
 ) -> DataFrame:
-    """Probe the bit table: a candidate might be a member iff ALL
-    n_hashes of its bits are set — no false negatives ever, false
-    positives at the classic (1-e^{-kn/m})^k rate. The probe explodes
-    each candidate into its k bits, broadcast-joins the bit table, and
-    requires k hits; the sketch side never exceeds n_bits rows, so this
-    is a broadcast join against a bounded table regardless of corpus
-    size. Returns (key, might_contain); a NULL candidate key answers
-    false — NULLs are never members (see bloom_build)."""
+    """Probe the bit table: a candidate might be a member iff ALL its
+    probe bits are set — no false negatives ever, false positives at
+    the classic (1-e^{-kn/m})^k rate. The probe explodes each candidate
+    into its k bits, broadcast-joins the bit table, and requires EVERY
+    probe row to hit (min over the per-row hit flags), so the verdict
+    is duplicate-safe: a key appearing N times in `candidates` yields
+    N·k probe rows that all hit iff the key's bits are set — the
+    count-based alternative (sum == k) would see N·k ≠ k and return a
+    FALSE NEGATIVE for a true member, breaking the contract for
+    natural uses like probing a raw (unduplicated) event stream.
+    The sketch side never exceeds n_bits (+1 sentinel) rows, so this is
+    a broadcast join against a bounded table regardless of corpus size.
+    Returns (key, might_contain); a NULL candidate key answers false —
+    NULLs are never members (see bloom_build).
+
+    Parameter guard: the bit table's sentinel (see bloom_build) must
+    agree with (n_hashes, n_bits) here, else the probe would hash into
+    the wrong bit positions and answer false for true members; the
+    check raise_error()s on mismatch, on a missing sentinel (table not
+    built by bloom_build — migrate legacy state with
+    bloom_add_sentinel), and on >1 sentinel (mixed-parameter merge)."""
     key = F.col(key_col).cast("string")
+    expect = _bloom_sentinel(n_hashes, n_bits)
+    shape = sketch.filter(F.col("bit") < 0).agg(
+        F.count("*").alias("_n_sent"),
+        F.max("bit").alias("_sent"),
+    )
+    shape_ok = F.when(
+        (F.col("_n_sent") != 1) | (F.col("_sent") != F.lit(expect)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"bloom_probe parameter mismatch: probing with "
+                    f"n_hashes={n_hashes} n_bits={n_bits} (sentinel {expect}) "
+                    f"but the bit table carries sentinel "
+                ),
+                F.coalesce(F.col("_sent").cast("string"), F.lit("<none>")),
+                F.lit(" (count "),
+                F.col("_n_sent").cast("string"),
+                F.lit("; 1 expected — 0 means the table was not built by "
+                      "bloom_build (bloom_add_sentinel migrates legacy "
+                      "state), >1 means a mixed-parameter merge)"),
+            )
+        ),
+    )
     probes = candidates.select(
         F.col(key_col),
         F.explode(
             F.array(*[md5_row_hash(key, r, n_bits) for r in range(n_hashes)])
         ).alias("bit"),
     )
-    hit = F.broadcast(sketch.withColumn("__set", F.lit(1)))
+    hit = F.broadcast(
+        sketch.filter(F.col("bit") >= 0).withColumn("__set", F.lit(1))
+    )
     return (
         probes.join(hit, "bit", "left")
         .groupBy(key_col)
         .agg(
-            (F.sum(F.coalesce(F.col("__set"), F.lit(0))) == F.lit(n_hashes))
+            (F.min(F.coalesce(F.col("__set"), F.lit(0))) == F.lit(1))
             .alias("might_contain")
+        )
+        .crossJoin(F.broadcast(shape))
+        .select(
+            key_col,
+            F.coalesce(shape_ok, F.col("might_contain")).alias(
+                "might_contain"
+            ),
         )
     )
 

@@ -193,9 +193,69 @@ def test_bloom_merge_equals_whole(spark):
 def test_bloom_state_is_bounded(spark):
     df = _keyed(spark, [f"key{i}" for i in range(50000)])
     sk = sketches.bloom_build(df, "k", n_hashes=4, n_bits=1024)
-    n = sk.count()
-    assert n <= 1024
-    assert sk.filter((F.col("bit") < 0) | (F.col("bit") >= 1024)).count() == 0
+    bits = sk.filter(F.col("bit") >= 0)
+    assert bits.count() <= 1024
+    assert bits.filter(F.col("bit") >= 1024).count() == 0
+    # exactly one parameter sentinel, encoding (n_bits, n_hashes)
+    sent = sk.filter(F.col("bit") < 0).collect()
+    assert len(sent) == 1 and sent[0].bit == -(1024 * 1024 + 4)
+
+
+def test_bloom_probe_is_duplicate_safe(spark):
+    # a true member duplicated in `candidates` must still answer True:
+    # the verdict is min-over-hits, not a count that a duplicate inflates
+    members = _keyed(spark, [f"m{i}" for i in range(50)])
+    sk = sketches.bloom_build(members, "k", n_hashes=4, n_bits=4096)
+    dup = _keyed(spark, ["m0", "m0", "m0", "zz-not-a-member"])
+    got = {
+        r.k: r.might_contain
+        for r in sketches.bloom_probe(sk, dup, "k", 4, 4096).collect()
+    }
+    assert got["m0"] is True
+    assert got["zz-not-a-member"] is False
+
+
+def test_bloom_probe_rejects_mismatched_parameters(spark):
+    import pytest
+
+    members = _keyed(spark, [f"m{i}" for i in range(50)])
+    sk = sketches.bloom_build(members, "k", n_hashes=4, n_bits=2048)
+    probe = _keyed(spark, ["m0"])
+    for nh, nb in [(4, 4096), (2, 2048), (8, 1024)]:
+        with pytest.raises(Exception, match="parameter mismatch"):
+            sketches.bloom_probe(sk, probe, "k", nh, nb).collect()
+    # a sentinel-less table (not built by bloom_build) is rejected too
+    legacy = sk.filter(F.col("bit") >= 0)
+    with pytest.raises(Exception, match="parameter mismatch"):
+        sketches.bloom_probe(legacy, probe, "k", 4, 2048).collect()
+    # ... and bloom_add_sentinel migrates it back into service
+    migrated = sketches.bloom_add_sentinel(legacy, 4, 2048)
+    ok = sketches.bloom_probe(migrated, probe, "k", 4, 2048).collect()
+    assert ok[0].might_contain is True
+    # re-stamping an already-stamped table is refused
+    with pytest.raises(Exception, match="already carries"):
+        sketches.bloom_add_sentinel(sk, 4, 2048).collect()
+    # mixed-parameter merge leaves two sentinels -> rejected
+    other = sketches.bloom_build(members, "k", n_hashes=4, n_bits=4096)
+    mixed = sketches.bloom_merge(sk, other)
+    with pytest.raises(Exception, match="parameter mismatch"):
+        sketches.bloom_probe(mixed, probe, "k", 4, 2048).collect()
+
+
+def test_cms_add_sentinel_migrates_legacy_grid(spark):
+    import pytest
+
+    df = _keyed(spark, [f"k{i}" for i in range(100)])
+    sk = sketches.cms_build(df, "k", depth=4, width=64)
+    legacy = sk.filter(F.col("r") >= 0)  # pre-sentinel state format
+    probe = _keyed(spark, ["k0"])
+    with pytest.raises(Exception, match="parameter mismatch"):
+        sketches.cms_estimate(legacy, probe, "k", 4, 64).collect()
+    migrated = sketches.cms_add_sentinel(legacy, depth=4, width=64)
+    est = sketches.cms_estimate(migrated, probe, "k", 4, 64).collect()
+    assert est[0].cms_est >= 1
+    with pytest.raises(Exception, match="already carries"):
+        sketches.cms_add_sentinel(sk, depth=4, width=64).collect()
 
 
 def test_logbucket_exact_below_8_and_relative_error_guarantee(spark):
