@@ -5173,10 +5173,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kafka_wire_pipeline": q_kafka_wire_pipeline,
     "null_safe_projection": q_null_safe_projection,
     "union_filtered_accounts": q_union_filtered_accounts,
-    "repeat_replay": q_repeat_replay,
+    "bloom_membership_gate": q_bloom_membership_gate,
     "intersect_except_users": q_intersect_except_users,
     "date_histogram_daily": q_date_histogram_daily,
-    "terms_topk_event_types": q_terms_topk_event_types,
+    "cms_join_cardinality": q_cms_join_cardinality,
     "topk_orders": q_topk_orders,
     "pagerank_user_graph": q_pagerank_user_graph,
     "latest_event_per_user": q_latest_event_per_user,
@@ -5185,7 +5185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_percentiles": q_exact_percentiles,
     "kmv_distinct_rollup": q_kmv_distinct_rollup,
     "semi_join_active_customers": q_semi_join_active_customers,
-    "anti_join_idle_customers": q_anti_join_idle_customers,
+    "label_propagation_communities": q_label_propagation_communities,
     "pivot_event_values": q_pivot_event_values,
     "sessionize_events": q_sessionize_events,
     "asof_purchase_attribution": q_asof_purchase_attribution,
@@ -5200,10 +5200,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_enriched_counts": q_streaming_enriched_counts,
     "streaming_sliding_counts": q_streaming_sliding_counts,
     "streaming_interval_join": q_streaming_interval_join,
-    "streaming_dedup_keys": q_streaming_dedup_keys,
+    "streaming_window_quantiles": q_streaming_window_quantiles,
     # -- LLM training-data pipeline, one per family
     "doc_token_counts": q_doc_token_counts,
-    "quality_scores": q_quality_scores,
+    "unigram_surprisal": q_unigram_surprisal,
     "lang_id_confusion": q_lang_id_confusion,
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_lsh_verified": q_minhash_lsh_verified,
@@ -5218,6 +5218,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotated out of the driver window in r5 (families witnessed by
     # kafka_wire_pipeline / tpch aggs / sessionize / kmv / png-decode):
     "json_roundtrip": q_json_roundtrip,
+    # rotated out of the driver window in r6 (families witnessed by
+    # union/intersect set ops, date_histogram/topk aggs, semi-join,
+    # streaming_* block incl. window_quantiles, doc_token/lang_id/bm25):
+    "repeat_replay": q_repeat_replay,
+    "terms_topk_event_types": q_terms_topk_event_types,
+    "anti_join_idle_customers": q_anti_join_idle_customers,
+    "streaming_dedup_keys": q_streaming_dedup_keys,
+    "quality_scores": q_quality_scores,
     "supplier_part_margin": q_supplier_part_margin,
     "window_lag_delta": q_window_lag_delta,
     "distinct_user_counts": q_distinct_user_counts,
@@ -5346,15 +5354,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_events_segments": q_pmi_events_segments,
     "chi2_independence": q_chi2_independence,
     "pagerank_weighted_graph": q_pagerank_weighted_graph,
-    "bloom_membership_gate": q_bloom_membership_gate,
-    "unigram_surprisal": q_unigram_surprisal,
     "doc_repetition_signals": q_doc_repetition_signals,
     "logbucket_quantiles": q_logbucket_quantiles,
     "bigram_surprisal_heldout": q_bigram_surprisal_heldout,
-    "streaming_window_quantiles": q_streaming_window_quantiles,
     "k_anonymity_report": q_k_anonymity_report,
-    "label_propagation_communities": q_label_propagation_communities,
-    "cms_join_cardinality": q_cms_join_cardinality,
     "l_diversity_report": q_l_diversity_report,
     "daily_churn_rates": q_daily_churn_rates,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,

@@ -209,11 +209,18 @@ def main() -> None:
         except Exception:
             pass
 
+    # median-of-3 per query: single-shot timing made round-over-round
+    # deltas indistinguishable from scheduler/GC jitter (two rounds of
+    # forensics on phantom regressions); the median kills that noise
+    # class while keeping the run under a few minutes
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(sorted(samples)[1], 3)
 
     total = round(sum(times.values()), 3)
     payload = {

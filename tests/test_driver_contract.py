@@ -36,10 +36,10 @@ DRIVER_WINDOW = [
     "kafka_wire_pipeline",
     "null_safe_projection",
     "union_filtered_accounts",
-    "repeat_replay",
+    "bloom_membership_gate",
     "intersect_except_users",
     "date_histogram_daily",
-    "terms_topk_event_types",
+    "cms_join_cardinality",
     "topk_orders",
     "pagerank_user_graph",
     "latest_event_per_user",
@@ -48,7 +48,7 @@ DRIVER_WINDOW = [
     "exact_percentiles",
     "kmv_distinct_rollup",
     "semi_join_active_customers",
-    "anti_join_idle_customers",
+    "label_propagation_communities",
     "pivot_event_values",
     "sessionize_events",
     "asof_purchase_attribution",
@@ -62,9 +62,9 @@ DRIVER_WINDOW = [
     "streaming_enriched_counts",
     "streaming_sliding_counts",
     "streaming_interval_join",
-    "streaming_dedup_keys",
+    "streaming_window_quantiles",
     "doc_token_counts",
-    "quality_scores",
+    "unigram_surprisal",
     "lang_id_confusion",
     "exact_dedup_docs",
     "minhash_lsh_verified",
