@@ -1520,6 +1520,85 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-stdlib baseline JPEG decoder under the differential
+    gate — Huffman entropy decode, dequantization, float IDCT, 4:2:0
+    chroma upsampling, restart-marker handling, and JFIF YCbCr→RGB all
+    proven, not just plumbing. Deterministic 32×16 4:2:0 JPEGs are
+    authored per document from md5(text): each of the 8 luma blocks is
+    a DC level (byte-derived) plus a fixed AC(0,1) coefficient — so
+    the AC run-length path and the column-cosine IDCT are exercised in
+    every block — and each 16×16 MCU carries solid Cb/Cr blocks
+    (byte-derived), with restart_interval=1 so the two MCUs are
+    separated by a real RST marker. The decode is exactly predictable:
+    Y(row, col) = base + k(col%8) with k the eight AC(0,1) cosine
+    values, chroma constant per MCU, RGB = floor(Y + c·(C−128) + 0.5)
+    clamped — so DuckDB recomputes the Rec.601 luma from the SAME md5
+    bytes with the cosine constants inlined as literals (the
+    LSH-planes pattern). The luma is reported as the INTEGER milli-sum
+    Σ(299R+587G+114B) over all 512 pixels — the float mean can land
+    exactly on a micro-quantization half-boundary (observed at sf0.01:
+    0.3544125), where Spark's and DuckDB's last-ulp disagreement flips
+    the tick; the BIGINT sum has no boundary to sit on. A hash match
+    proves the full compressed-format path end to end. Ref: the
+    reference ships crawled images as opaque blobs; real corpora are
+    majority-JPEG."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.unhex(F.md5("text")).alias("content"),
+    )
+
+    def _to_jpeg(it):
+        import numpy as _np
+
+        def author(b: bytes) -> bytes:
+            m = bytes(b)
+            qt = _np.full((8, 8), 16, _np.int64)
+            qt[0, 0] = 8
+            qt[0, 1] = 8
+            yb = _np.zeros((2, 4, 8, 8), _np.int32)
+            for by in range(2):
+                for bx in range(4):
+                    yb[by, bx, 0, 0] = 32 + (m[by * 4 + bx] % 192) - 128
+                    yb[by, bx, 0, 1] = 6  # AC(0,1): dequant 6*8 = 48
+            cbb = _np.zeros((1, 2, 8, 8), _np.int32)
+            crb = _np.zeros((1, 2, 8, 8), _np.int32)
+            for cx in range(2):
+                cbb[0, cx, 0, 0] = 32 + (m[8 + cx] % 192) - 128
+                crb[0, cx, 0, 0] = 32 + (m[10 + cx] % 192) - 128
+            return multimodal.encode_jpeg_from_coeffs(
+                [yb, cbb, crb],
+                [qt],
+                32,
+                16,
+                [(2, 2), (1, 1), (1, 1)],
+                restart_interval=1,
+            )
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = pdf["content"].map(author)
+            yield pdf
+
+    jpeg_media = media.mapInPandas(
+        _to_jpeg, "media_id long, kind string, content binary"
+    )
+    feats = multimodal.decode_image_features(jpeg_media, fake=False)
+    # mean_luma = Σ(0.299R+0.587G+0.114B)/512/255 in float64; scaling
+    # back by 512·255·1000 reconstructs the exact BIGINT milli-sum
+    # (accumulated float error ≲1e-7 ≪ 0.5, so round() is exact)
+    return feats.select(
+        "media_id",
+        "height",
+        "width",
+        F.round(F.col("mean_luma") * (512 * 255 * 1000))
+        .cast("long")
+        .alias("luma_milli"),
+    )
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized frame-explosion plan (one row per sampled frame)."""
     media = _docs_as_media(spark, sf_dir)
@@ -5231,6 +5310,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_user_counts": q_distinct_user_counts,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_real_decode": q_multimodal_real_decode,
+    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "winnowing_fingerprints_fast": q_winnowing_fingerprints_fast,
     "sql_surface": q_sql_surface,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
@@ -5384,6 +5464,20 @@ def _pix_hex_byte(pos: str) -> str:
     hi = f"(strpos('0123456789abcdef', substr(hs, {pos}, 1)) - 1)"
     lo = f"(strpos('0123456789abcdef', substr(hs, ({pos}) + 1, 1)) - 1)"
     return f"({hi} * 16 + {lo})"
+
+
+def _jpeg_k_case() -> str:
+    """DuckDB CASE mapping column index `j` to the AC(0,1) cosine term
+    of the JPEG fixture: k_j = (48/4)·C(1)·C(0)·cos((2j+1)π/16) =
+    (12/√2)·cos((2j+1)π/16), inlined as full-precision literals (the
+    LSH-planes pattern) so the oracle reproduces the IDCT exactly."""
+    import math
+
+    arms = " ".join(
+        f"WHEN {j} THEN {12.0 / math.sqrt(2.0) * math.cos((2 * j + 1) * math.pi / 16.0)!r}"
+        for j in range(8)
+    )
+    return f"CASE j {arms} END"
 
 
 def _sha_hex_byte(i: int) -> str:
@@ -6067,6 +6161,43 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_q('SUM(0.299*r + 0.587*g + 0.114*bl)/20/255', 6)}
                        AS mean_luma
             FROM b GROUP BY media_id
+        """,
+        "multimodal_jpeg_decode": f"""
+            WITH px AS (
+                SELECT doc_id AS media_id, md5(text) AS hs
+                FROM documents WHERE doc_id < 200
+            ), cell AS (
+                -- one row per (luma block row by, block col bx, column j):
+                -- 8 image rows each; Y = base + k_j from AC(0,1), chroma
+                -- solid per 16x16 MCU (cx = bx // 2)
+                SELECT media_id,
+                       32 + ({_pix_hex_byte("(by*4+bx)*2+1")} % 192)
+                           + ({_jpeg_k_case()}) AS yv,
+                       32 + ({_pix_hex_byte("(8 + bx//2)*2+1")} % 192) AS cb,
+                       32 + ({_pix_hex_byte("(10 + bx//2)*2+1")} % 192) AS cr
+                FROM px,
+                     generate_series(0, 1) AS t1(by),
+                     generate_series(0, 3) AS t2(bx),
+                     generate_series(0, 7) AS t3(j)
+            ), rgb AS (
+                SELECT media_id,
+                       LEAST(255, GREATEST(0,
+                           FLOOR(yv + 1.402 * (cr - 128) + 0.5))) AS r,
+                       LEAST(255, GREATEST(0,
+                           FLOOR(yv - 0.344136 * (cb - 128)
+                                    - 0.714136 * (cr - 128) + 0.5))) AS g,
+                       LEAST(255, GREATEST(0,
+                           FLOOR(yv + 1.772 * (cb - 128) + 0.5))) AS bl
+                FROM cell
+            )
+            SELECT media_id,
+                   CAST(16 AS INT) AS height,
+                   CAST(32 AS INT) AS width,
+                   CAST(SUM(8 * (299 * CAST(r AS BIGINT)
+                                 + 587 * CAST(g AS BIGINT)
+                                 + 114 * CAST(bl AS BIGINT))) AS BIGINT)
+                       AS luma_milli
+            FROM rgb GROUP BY media_id
         """,
         "multimodal_frame_sample": """
             SELECT doc_id AS media_id, CAST(r.range * 30 AS INT) AS frame_idx

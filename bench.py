@@ -96,7 +96,8 @@ HEADLINE = [
     "regression_stats_by_type",
     "ohlc_downsample",
     "asof_next_purchase",
-    # round-5 additions
+    # round-5/6 additions
+    "multimodal_jpeg_decode",
     "multimodal_png_decode",
     "clustering_weighted_graph",
     "bloom_membership_gate",
@@ -108,6 +109,7 @@ HEADLINE = [
     "label_propagation_communities",
     "cms_join_cardinality",
     "daily_churn_rates",
+    "corpus_pipeline_v2",
 ]
 
 

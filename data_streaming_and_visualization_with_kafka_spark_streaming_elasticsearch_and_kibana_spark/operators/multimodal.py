@@ -71,21 +71,26 @@ def attach_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
 def decode_image(content: bytes) -> np.ndarray:
     """(H, W, 3) uint8 from the formats a pure-stdlib decoder can
     parse: binary PPM (P6), binary PGM (P5, gray replicated to 3
-    channels), 24-bpp uncompressed bottom-up or top-down BMP, and
+    channels), 24-bpp uncompressed bottom-up or top-down BMP,
     8/16-bit PNG — all five color types, Adam7 interlace included
     (alpha dropped, gray replicated, palette resolved, 16-bit reduced
-    to the high byte). Raises NotImplementedError for formats that
-    need a codec library (JPEG; sub-byte PNG depths) and ValueError
-    for corrupt input."""
+    to the high byte) — and BASELINE SEQUENTIAL JPEG (SOF0/SOF1:
+    Huffman entropy decode incl. restart markers, dequantization,
+    float 8×8 IDCT, chroma upsampling for any integer sampling
+    factors, JFIF YCbCr→RGB). Raises NotImplementedError for formats
+    that need a codec library (progressive/arithmetic/12-bit JPEG;
+    sub-byte PNG depths) and ValueError for corrupt input."""
     if content[:2] in (b"P6", b"P5"):
         return _decode_pnm(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
     if content[:8] == PNG_SIGNATURE:
         return _decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        return _decode_jpeg(content)
     raise NotImplementedError(
         "unsupported image format (pure-stdlib path decodes P6/P5/24-bpp "
-        "BMP/8-16-bit PNG; JPEG needs PIL/opencv)"
+        "BMP/8-16-bit PNG/baseline JPEG)"
     )
 
 
@@ -400,6 +405,580 @@ def encode_png(
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(bytes(out), 6))
         + chunk(b"IEND", b"")
+    )
+
+
+# ----------------------------------------------------- baseline JPEG
+# Pure stdlib+numpy baseline sequential JPEG (the public ITU-T T.81
+# spec; reference `upload_image.py`-class pipelines ship crawled JPEGs
+# as opaque blobs — this closes the majority format of real image
+# corpora the same way round 5's PNG decoder closed lossless
+# interchange). Decoder: marker walk → DQT/DHT/SOF0/DRI → Huffman
+# entropy decode (byte destuffing, restart intervals, DC prediction)
+# → dequant → vectorized float 8×8 IDCT over all blocks of a
+# component at once → integer-factor chroma upsample → JFIF
+# YCbCr→RGB with floor(x+0.5) rounding (chosen over banker's so a SQL
+# oracle can reproduce the exact pixels). Encoder: the inverse path
+# with canonical fixed-length Huffman tables (all DC codes 4 bits,
+# all AC codes 8 bits — valid per spec, carried in DHT, so any
+# decoder reads them; nothing is recalled from Annex K by memory).
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """Raster index for each zigzag position, generated from the walk
+    rule (odd antidiagonals run down, even run up) instead of a typed-in
+    table a transposition typo could corrupt."""
+    order = []
+    for d in range(15):
+        rng = range(max(0, d - 7), min(d, 7) + 1)
+        for i in (rng if d % 2 else reversed(rng)):
+            order.append(i * 8 + (d - i))
+    return np.array(order, dtype=np.int64)
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+#: M[u, x] = C(u)/2 · cos((2x+1)uπ/16); IDCT: Mᵀ F M, FDCT: M f Mᵀ
+_DCT_M = np.cos(
+    (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16
+) / 2
+_DCT_M[0] /= np.sqrt(2)
+
+
+class _BitReader:
+    """MSB-first bit reader over destuffed entropy-coded bytes."""
+
+    def __init__(self, data: bytes):
+        self.bits = (
+            np.unpackbits(np.frombuffer(data, np.uint8)).tolist()
+            if data
+            else []
+        )
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("JPEG entropy data truncated")
+        b = self.bits[self.pos]
+        self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_table(bits: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman decode map {(length, code): symbol} from the
+    DHT (counts-per-length, symbols) wire form."""
+    table = {}
+    code = 0
+    it = iter(symbols)
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = next(it)
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map the s received magnitude bits to a signed
+    coefficient value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_jpeg_block(
+    reader: _BitReader, dc_tab: dict, ac_tab: dict, pred: int
+) -> tuple[np.ndarray, int]:
+    """One 8×8 block of QUANTIZED coefficients in zigzag order, plus
+    the updated DC predictor."""
+    zz = np.zeros(64, np.int32)
+    s = _huff_decode(reader, dc_tab)
+    pred += _extend(reader.receive(s), s) if s else 0
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run overflows block")
+        zz[k] = _extend(reader.receive(s), s)
+        k += 1
+    return zz, pred
+
+
+def _jpeg_entropy_chunks(content: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split the entropy-coded data starting at `pos` into destuffed
+    chunks, one per restart interval (RST markers are chunk
+    boundaries). Returns (chunks, position of the terminating marker's
+    0xFF)."""
+    chunks: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(content)
+    while i < n:
+        b = content[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = content[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed 0xFF data byte
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: restart boundary
+            chunks.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # real marker: end of scan
+            break
+    chunks.append(bytes(cur))
+    return chunks, i
+
+
+def _parse_jpeg(content: bytes) -> dict:
+    """Walk the marker stream and Huffman-decode the single baseline
+    scan. Returns {"width", "height", "components": [(id, h, v, qtab)],
+    "coeffs": [per-component (by, bx, 8, 8) QUANTIZED int blocks]} —
+    the pre-IDCT state, exposed so tests can pin the lossless entropy
+    layer bit-for-bit against the encoder's coefficients."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    pos = 2
+    n = len(content)
+    while pos < n:
+        if content[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        while pos < n and content[pos] == 0xFF:
+            pos += 1  # fill bytes
+        marker = content[pos]
+        pos += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(content[pos : pos + 2], "big")
+        seg = content[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:  # 16-bit entries
+                    vals = np.frombuffer(
+                        seg[i : i + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    i += 128
+                else:
+                    vals = np.frombuffer(
+                        seg[i : i + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    i += 64
+                tab = np.zeros(64, np.int64)
+                tab[_ZIGZAG] = vals  # DQT stores zigzag order
+                qtabs[tq] = tab.reshape(8, 8)
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError(
+                    f"only 8-bit JPEG supported (precision {precision})"
+                )
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * c]))
+            frame = (width, height, comps)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                nsym = sum(bits)
+                symbols = list(seg[i + 17 : i + 17 + nsym])
+                (ac_tabs if tc else dc_tabs)[th] = _huff_table(
+                    bits, symbols
+                )
+                i += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG supported "
+                f"(SOF marker 0xFF{marker:02X} is progressive/"
+                "arithmetic/hierarchical)"
+            )
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_tabs = {}
+            for c in range(ns):
+                cid = seg[1 + 2 * c]
+                td, ta = seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15
+                scan_tabs[cid] = (td, ta)
+            chunks, pos = _jpeg_entropy_chunks(content, pos)
+            scan = (scan_tabs, chunks)
+        # else: APPn / COM / DNL — skip
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    width, height, comps = frame
+    scan_tabs, chunks = scan
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    coeffs = [
+        np.zeros((mcus_y * v, mcus_x * h, 8, 8), np.int32)
+        for _, h, v, _ in comps
+    ]
+    preds = [0] * len(comps)
+    chunk_i = 0
+    reader = _BitReader(chunks[0])
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            chunk_i += 1
+            if chunk_i >= len(chunks):
+                raise ValueError("JPEG missing restart marker")
+            reader = _BitReader(chunks[chunk_i])
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (cid, h, v, _tq) in enumerate(comps):
+            td, ta = scan_tabs[cid]
+            for by in range(v):
+                for bx in range(h):
+                    zz, preds[ci] = _decode_jpeg_block(
+                        reader, dc_tabs[td], ac_tabs[ta], preds[ci]
+                    )
+                    blk = np.zeros(64, np.int32)
+                    blk[_ZIGZAG] = zz
+                    coeffs[ci][my * v + by, mx * h + bx] = blk.reshape(
+                        8, 8
+                    )
+    return {
+        "width": width,
+        "height": height,
+        "components": [
+            (cid, h, v, qtabs[tq]) for cid, h, v, tq in comps
+        ],
+        "coeffs": coeffs,
+    }
+
+
+def _decode_jpeg(content: bytes) -> np.ndarray:
+    """Baseline JPEG → (H, W, 3) uint8 RGB. Component planes stay
+    float through IDCT and color conversion; the single rounding step
+    is floor(x+0.5) on the final RGB (documented so differential
+    oracles can reproduce pixels exactly)."""
+    p = _parse_jpeg(content)
+    width, height = p["width"], p["height"]
+    hmax = max(h for _, h, _, _ in p["components"])
+    vmax = max(v for _, _, v, _ in p["components"])
+    planes = []
+    for (cid, h, v, qtab), blocks in zip(p["components"], p["coeffs"]):
+        deq = blocks.astype(np.float64) * qtab[None, None]
+        # vectorized IDCT over every block of the component at once
+        spatial = np.einsum("ux,nmuv,vy->nmxy", _DCT_M, deq, _DCT_M) + 128.0
+        by, bx = blocks.shape[:2]
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        plane = np.clip(plane, 0.0, 255.0)
+        if vmax % v or hmax % h:
+            raise NotImplementedError(
+                f"non-integer chroma upsample ratio ({hmax}/{h}, {vmax}/{v})"
+            )
+        plane = np.repeat(
+            np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1
+        )
+        planes.append(plane[:height, :width])
+    if len(planes) == 1:
+        g = np.floor(planes[0] + 0.5).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        raise NotImplementedError(
+            f"{len(planes)}-component JPEG not supported (expect 1 or 3)"
+        )
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+#: fixed-length canonical Huffman tables the encoder emits via DHT:
+#: DC categories 0..11 as 4-bit codes (12 < 2⁴), AC (run,size) symbols
+#: EOB, ZRL, and run 0..15 × size 1..10 as 8-bit codes (162 < 2⁸) —
+#: prefix-free by construction, all-ones code never assigned
+_ENC_DC_SYMBOLS = list(range(12))
+_ENC_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_CODES = {sym: (i, 4) for i, sym in enumerate(_ENC_DC_SYMBOLS)}
+_ENC_AC_CODES = {sym: (i, 8) for i, sym in enumerate(_ENC_AC_SYMBOLS)}
+
+#: linear base quant table (1 + 2·(u+v)) scaled by the classic quality
+#: mapping (scale 5000/q below 50 else 200−2q); quality 100 → all ones
+_JPEG_BASE_QTAB = 1 + 2 * (
+    np.arange(8)[:, None] + np.arange(8)[None, :]
+)
+
+
+def jpeg_quality_qtab(quality: int) -> np.ndarray:
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((_JPEG_BASE_QTAB * scale + 50) // 100, 1, 255).astype(
+        np.int64
+    )
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:
+            self.write(1, 1)  # pad with ones per spec
+
+
+def _encode_jpeg_block(
+    bw: _BitWriter, blk: np.ndarray, pred: int
+) -> int:
+    """Entropy-code one 8×8 block of QUANTIZED coefficients (natural
+    order); returns the new DC predictor."""
+    zz = blk.reshape(64)[_ZIGZAG]
+    diff = int(zz[0]) - pred
+    s = int(abs(diff)).bit_length()
+    code, ln = _ENC_DC_CODES[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _ENC_AC_CODES[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        if s > 10:
+            raise ValueError(f"AC coefficient {v} exceeds size 10")
+        code, ln = _ENC_AC_CODES[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = _ENC_AC_CODES[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg_from_coeffs(
+    comp_blocks: list[np.ndarray],
+    qtabs: list[np.ndarray],
+    width: int,
+    height: int,
+    sampling: list[tuple[int, int]],
+    restart_interval: int = 0,
+) -> bytes:
+    """Serialize QUANTIZED coefficient blocks into a complete baseline
+    JFIF stream — the deterministic fixture author for the decoder's
+    differential gate (the entropy layer is lossless, so the decoder
+    must reproduce these exact coefficients), and the shared back half
+    of `encode_jpeg`.
+
+    comp_blocks[i]: (blocks_y, blocks_x, 8, 8) int array for component
+    i (1 = grayscale, 3 = YCbCr); qtabs: one 8×8 table per distinct
+    slot used (component 0 → table 0, components 1,2 → table
+    min(1, len(qtabs)-1)); sampling: (h, v) factor per component."""
+    import struct
+
+    ncomp = len(comp_blocks)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT (zigzag order on the wire)
+    for tq, tab in enumerate(qtabs):
+        zz = np.asarray(tab, np.int64).reshape(64)[_ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 3 + 64)
+        out += bytes([tq]) + bytes(int(v) for v in zz)
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp)
+    out += struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        h, v = sampling[ci]
+        tq = 0 if ci == 0 else min(1, len(qtabs) - 1)
+        out += bytes([ci + 1, (h << 4) | v, tq])
+    # DHT: one DC + one AC table shared by all components
+    for tc, (bits, symbols) in enumerate(
+        [(_ENC_DC_BITS, _ENC_DC_SYMBOLS), (_ENC_AC_BITS, _ENC_AC_SYMBOLS)]
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(symbols))
+        out += bytes([tc << 4]) + bytes(bits) + bytes(symbols)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp)
+    out += bytes([ncomp])
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    out += b"\x00\x3f\x00"
+    # interleaved entropy-coded scan
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            out += bytes(
+                [0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)]
+            )
+            bw = _BitWriter()
+            preds = [0] * ncomp
+        my, mx = divmod(mcu, mcus_x)
+        for ci in range(ncomp):
+            h, v = sampling[ci]
+            for by in range(v):
+                for bx in range(h):
+                    preds[ci] = _encode_jpeg_block(
+                        bw,
+                        comp_blocks[ci][my * v + by, mx * h + bx],
+                        preds[ci],
+                    )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _plane_to_blocks(
+    plane: np.ndarray, blocks_y: int, blocks_x: int
+) -> np.ndarray:
+    """Float plane → (blocks_y, blocks_x, 8, 8), edge-replicated out to
+    the block grid."""
+    h, w = plane.shape
+    padded = np.pad(
+        plane,
+        ((0, blocks_y * 8 - h), (0, blocks_x * 8 - w)),
+        mode="edge",
+    )
+    return (
+        padded.reshape(blocks_y, 8, blocks_x, 8).transpose(0, 2, 1, 3)
+    )
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    sampling: tuple[int, int] = (1, 1),
+) -> bytes:
+    """(H, W, 3) uint8 RGB → baseline JFIF bytes, pure stdlib+numpy:
+    JFIF RGB→YCbCr, box-filter chroma subsampling by the (h, v) luma
+    `sampling` factors, float FDCT, quality-scaled quantization
+    (round-half-away), fixed-length canonical Huffman tables. The
+    test/fixture twin of `_decode_jpeg`, exactly as `encode_png` is
+    for `_decode_png`; quality 100 → all-ones tables, so the only loss
+    is FDCT/quantizer rounding (roundtrip error bounds pinned in
+    tests)."""
+    img = np.asarray(img, np.float64)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_jpeg expects (H, W, 3) RGB")
+    h_img, w_img = img.shape[:2]
+    r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    sh, sv = sampling
+    mcus_x = -(-w_img // (8 * sh))
+    mcus_y = -(-h_img // (8 * sv))
+
+    def subsample(p: np.ndarray) -> np.ndarray:
+        if sh == 1 and sv == 1:
+            return p
+        hh = -(-p.shape[0] // sv) * sv
+        ww = -(-p.shape[1] // sh) * sh
+        p = np.pad(
+            p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge"
+        )
+        return p.reshape(hh // sv, sv, ww // sh, sh).mean(axis=(1, 3))
+
+    qt_l = jpeg_quality_qtab(quality).astype(np.float64)
+    qt_c = qt_l
+    comp_blocks = []
+    for plane, (ch, cv), qt in [
+        (y, (sh, sv), qt_l),
+        (subsample(cb), (1, 1), qt_c),
+        (subsample(cr), (1, 1), qt_c),
+    ]:
+        blocks = _plane_to_blocks(
+            plane - 128.0, mcus_y * cv, mcus_x * ch
+        )
+        fdct = np.einsum("ux,nmxy,vy->nmuv", _DCT_M, blocks, _DCT_M)
+        scaled = fdct / qt[None, None]
+        quant = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+            np.int32
+        )
+        comp_blocks.append(quant)
+    return encode_jpeg_from_coeffs(
+        comp_blocks,
+        [qt_l.astype(np.int64)],
+        w_img,
+        h_img,
+        [(sh, sv), (1, 1), (1, 1)],
     )
 
 

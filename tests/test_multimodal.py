@@ -250,8 +250,12 @@ def test_real_wav_chunking_exact_boundaries(spark):
 
 
 def test_compressed_or_garbage_raises_with_clear_message():
-    with pytest.raises(NotImplementedError, match="PIL|opencv"):
+    # truncated JPEG-ish bytes hit the real JPEG path and fail on
+    # structure (no SOF/SOS), not with a format-unsupported message
+    with pytest.raises(ValueError, match="SOF|marker|truncated"):
         multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(NotImplementedError, match="baseline"):
+        multimodal.decode_image(b"GIF89a not-supported")
     with pytest.raises(NotImplementedError, match="PCM|RIFF"):
         multimodal.wav_duration_ms(b"ID3 mp3-ish")
 
@@ -483,3 +487,197 @@ def test_png_palette_index_out_of_range_is_value_error():
     )
     with pytest.raises(ValueError, match="palette index"):
         multimodal.decode_image(png)
+
+
+# ------------------------------------------------------------ JPEG codec
+def test_jpeg_roundtrip_quality_100_tight_error_bound():
+    """All-ones quant tables (quality 100): the only loss is FDCT/
+    quantizer rounding, whose IDCT image is bounded by a few counts."""
+    import numpy as np
+
+    img = _rand_img((24, 40, 3), seed=7)
+    enc = multimodal.encode_jpeg(img, quality=100, sampling=(1, 1))
+    dec = multimodal.decode_image(enc)
+    assert dec.shape == (24, 40, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 4 and err.mean() <= 1.0
+
+
+def test_jpeg_entropy_layer_is_bit_exact():
+    """Huffman + byte stuffing + DC prediction are LOSSLESS: the
+    decoder must return the exact quantized coefficients the encoder
+    wrote, for arbitrary coefficient blocks and 4:2:0 interleaving."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    yb = np.clip(rng.randint(-900, 900, (2, 4, 8, 8)), -1023, 1023).astype(
+        np.int32
+    )
+    cb = np.clip(rng.randint(-200, 200, (1, 2, 8, 8)), -1023, 1023).astype(
+        np.int32
+    )
+    cr = np.clip(rng.randint(-200, 200, (1, 2, 8, 8)), -1023, 1023).astype(
+        np.int32
+    )
+    qt = np.full((8, 8), 5, np.int64)
+    fix = multimodal.encode_jpeg_from_coeffs(
+        [yb, cb, cr], [qt], 32, 16, [(2, 2), (1, 1), (1, 1)]
+    )
+    p = multimodal._parse_jpeg(fix)
+    assert p["width"] == 32 and p["height"] == 16
+    for got, want in zip(p["coeffs"], [yb, cb, cr]):
+        assert np.array_equal(got, want)
+
+
+def test_jpeg_restart_markers_reset_dc_prediction():
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    blocks = np.clip(rng.randint(-500, 500, (1, 6, 8, 8)), -1023, 1023).astype(
+        np.int32
+    )
+    qt = np.ones((8, 8), np.int64)
+    with_rst = multimodal.encode_jpeg_from_coeffs(
+        [blocks], [qt], 48, 8, [(1, 1)], restart_interval=2
+    )
+    without = multimodal.encode_jpeg_from_coeffs(
+        [blocks], [qt], 48, 8, [(1, 1)]
+    )
+    assert b"\xff\xd0" in with_rst or b"\xff\xd1" in with_rst
+    pa = multimodal._parse_jpeg(with_rst)
+    pb = multimodal._parse_jpeg(without)
+    assert np.array_equal(pa["coeffs"][0], blocks)
+    assert np.array_equal(pb["coeffs"][0], blocks)
+    # decoded pixels identical with or without restart intervals
+    assert np.array_equal(
+        multimodal.decode_image(with_rst), multimodal.decode_image(without)
+    )
+
+
+def test_jpeg_solid_blocks_decode_to_exact_dc_levels():
+    """A DC-only block with quant step 8 decodes to exactly DC+128 —
+    the closed-form IDCT of a uniform block (the property the
+    multimodal_jpeg_decode oracle builds on)."""
+    import numpy as np
+
+    d = np.zeros((1, 2, 8, 8), np.int32)
+    d[0, 0, 0, 0] = 37
+    d[0, 1, 0, 0] = -96
+    qt = np.full((8, 8), 8, np.int64)
+    fix = multimodal.encode_jpeg_from_coeffs([d], [qt], 16, 8, [(1, 1)])
+    img = multimodal.decode_image(fix)
+    assert (img[:, :8] == 37 + 128).all()
+    assert (img[:, 8:] == -96 + 128).all()
+    assert (img[:, :, 0] == img[:, :, 1]).all()  # gray replicated
+
+
+def test_jpeg_chroma_subsampling_color_conversion_exact():
+    """Solid Y/Cb/Cr 4:2:0 MCU: upsampled chroma is constant, so each
+    pixel must equal the closed-form JFIF YCbCr->RGB with floor(x+.5)."""
+    import numpy as np
+
+    yb = np.zeros((2, 2, 8, 8), np.int32)
+    yb[:, :, 0, 0] = 52  # Y = 180
+    cbb = np.zeros((1, 1, 8, 8), np.int32)
+    cbb[0, 0, 0, 0] = -28  # Cb = 100
+    crb = np.zeros((1, 1, 8, 8), np.int32)
+    crb[0, 0, 0, 0] = 62  # Cr = 190
+    qt = np.full((8, 8), 8, np.int64)
+    fix = multimodal.encode_jpeg_from_coeffs(
+        [yb, cbb, crb], [qt], 16, 16, [(2, 2), (1, 1), (1, 1)]
+    )
+    img = multimodal.decode_image(fix)
+    y, cb, cr = 180.0, 100.0, 190.0
+
+    def px(v):
+        return int(min(255, max(0, np.floor(v + 0.5))))
+
+    exp = (
+        px(y + 1.402 * (cr - 128)),
+        px(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        px(y + 1.772 * (cb - 128)),
+    )
+    assert img.shape == (16, 16, 3)
+    assert set(map(tuple, img.reshape(-1, 3))) == {exp}
+
+
+def test_jpeg_422_and_smooth_roundtrip():
+    import numpy as np
+
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    smooth = np.stack(
+        [
+            (xx + yy) % 180 + 30,
+            (2 * xx) % 180 + 30,
+            (3 * yy) % 180 + 30,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    for sampling in [(1, 1), (2, 1), (1, 2), (2, 2)]:
+        enc = multimodal.encode_jpeg(smooth, quality=95, sampling=sampling)
+        dec = multimodal.decode_image(enc)
+        assert dec.shape == smooth.shape
+        # luma within a few counts on smooth content; chroma softer
+        luma_err = np.abs(
+            multimodal.luma_mean(dec) - multimodal.luma_mean(smooth)
+        )
+        assert luma_err < 0.01, (sampling, luma_err)
+
+
+def test_jpeg_odd_dimensions_pad_and_crop():
+    import numpy as np
+
+    img = _rand_img((13, 21, 3), seed=3)
+    enc = multimodal.encode_jpeg(img, quality=100, sampling=(2, 2))
+    dec = multimodal.decode_image(enc)
+    assert dec.shape == (13, 21, 3)
+
+
+def test_jpeg_rejects_progressive_and_truncation():
+    import numpy as np
+
+    blocks = np.zeros((1, 1, 8, 8), np.int32)
+    qt = np.ones((8, 8), np.int64)
+    fix = multimodal.encode_jpeg_from_coeffs([blocks], [qt], 8, 8, [(1, 1)])
+    with pytest.raises(NotImplementedError, match="baseline"):
+        multimodal.decode_image(fix.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError, match="SOF|SOS|truncated|marker"):
+        multimodal.decode_image(fix[:20])
+
+
+def test_jpeg_zigzag_matches_spec_table():
+    """The generated zigzag walk must equal the T.81 table (typed here
+    from the spec as an independent witness)."""
+    import numpy as np
+
+    spec = [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert multimodal._ZIGZAG.tolist() == spec
+
+
+def test_jpeg_decode_features_in_spark(spark):
+    """The JPEG path through Arrow-batched decode_image_features: dims
+    + luma of per-row authored JPEGs, end to end in a real plan."""
+    import numpy as np
+
+    rows = []
+    for i in range(6):
+        rng = np.random.RandomState(i)
+        img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        rows.append((i, "image", bytearray(multimodal.encode_jpeg(img, 100))))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+    got = {
+        r.media_id: (r.height, r.width)
+        for r in multimodal.decode_image_features(media, fake=False).collect()
+    }
+    assert got == {i: (16, 16) for i in range(6)}
