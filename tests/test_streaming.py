@@ -635,6 +635,104 @@ def test_windowed_rollup_on_rocksdb_state_store(spark, tmp_dir):
         )
 
 
+def test_streaming_sketch_quantiles_on_rocksdb_state_store(spark, tmp_dir):
+    """The round-5 flagship STATEFUL query shape (bounded-state
+    streaming quantiles: logbucket_build as a watermarked streaming
+    aggregation) under the PRODUCTION state backend — RocksDB native
+    state instead of the JVM-heap HDFSBackedStateStore. At 100 TB the
+    (window, group, bucket) key count is what breaks heap-backed state;
+    the sketch bounds it to <=512 buckets per group and RocksDB keeps
+    it off-heap. Asserts streamed==batch AND captures the state
+    operator's numRowsTotal to pin the bounded-state claim; the
+    measured state-size/init-cost note lives in PLANS.md."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators.sketches import (
+        logbucket_build,
+        logbucket_quantile,
+    )
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = f"{tmp_dir}/src"
+        rows = _rows(
+            *[
+                (
+                    f"2024-01-01T10:{m:02d}:{s_:02d}",
+                    f"t{i % 3}",
+                    float((i * 37) % 500 + 1),
+                )
+                for i, (m, s_) in enumerate(
+                    (i // 10, (i * 7) % 60) for i in range(120)
+                )
+            ]
+        )
+        _write_events(spark, src, rows[:60])
+        _write_events(spark, src, rows[60:])
+        stream = file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+        vals = stream.withWatermark("ts", "10 minutes").select(
+            F.window("ts", "10 minutes").start.alias("w10"),
+            F.col("room").alias("event_type"),
+            F.col("temp").cast("long").alias("v"),
+        )
+        grid = logbucket_build(vals, ["w10", "event_type"], "v")
+        name = f"rocks_lb_{uuid.uuid4().hex[:6]}"
+        q = pipeline.run_to_memory(grid, name, output_mode="complete")
+        prog = q.lastProgress
+        q.stop()
+        streamed = sorted(
+            map(tuple, spark.table(name).collect())
+        )
+        batch_vals = spark.createDataFrame(rows, SCHEMA).select(
+            F.window("ts", "10 minutes").start.alias("w10"),
+            F.col("room").alias("event_type"),
+            F.col("temp").cast("long").alias("v"),
+        )
+        whole = sorted(
+            map(
+                tuple,
+                logbucket_build(batch_vals, ["w10", "event_type"], "v").collect(),
+            )
+        )
+        assert streamed == whole
+        # bounded state: rows in the store <= groups x 512 buckets
+        ops = (prog or {}).get("stateOperators") or []
+        if ops:  # progress is best-effort on availableNow termination
+            n_groups = len({(r[0], r[1]) for r in whole})
+            assert ops[0]["numRowsTotal"] <= n_groups * 512
+        # quantile serving off the drained grid matches the batch walk.
+        # localCheckpoint breaks lineage off the MemoryPlan view: the
+        # walk self-joins the grid and two derivations of one memory
+        # view trip the conflicting-reference check (same carve-out as
+        # q_streaming_window_quantiles); the grid is sketch-bounded so
+        # this is a few KB, not a spill.
+        served = sorted(
+            map(
+                tuple,
+                logbucket_quantile(
+                    spark.table(name).localCheckpoint(eager=True),
+                    ["w10", "event_type"],
+                    [0.5, 0.9],
+                ).collect(),
+            )
+        )
+        batch_q = sorted(
+            map(
+                tuple,
+                logbucket_quantile(
+                    logbucket_build(batch_vals, ["w10", "event_type"], "v"),
+                    ["w10", "event_type"],
+                    [0.5, 0.9],
+                ).collect(),
+            )
+        )
+        assert served == batch_q
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+
 def test_quality_gate_sink_routes_rows_with_reasons(spark, tmp_dir):
     """Row-level quality gate: violating rows land in quarantine with the
     list of failed checks; clean rows pass; NULL predicates quarantine
