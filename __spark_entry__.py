@@ -4205,6 +4205,25 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     return graph.label_propagation(edges, iterations=3).orderBy("node")
 
 
+def q_label_propagation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted LPA (graph.label_propagation_weighted) on the
+    who-follows-whom graph with edge weight = follow count (the
+    multi-edge count the unweighted variant collapses) — completing
+    the weighted twin set beside pagerank_weighted and
+    clustering_weighted. Deterministic: weight-sum argmax with
+    smallest-label tie-break, 3 fixed rounds, exact BIGINT weight
+    sums; oracled by 3 unrolled weighted count-argmax CTEs."""
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        graph.consecutive_user_edges(ev)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    return graph.label_propagation_weighted(edges, iterations=3).orderBy(
+        "node"
+    )
+
+
 def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-size estimation from sketches ALONE (sketches.
     cms_join_cardinality): |orders ⋈ BUILDING-segment customers| on
@@ -5441,6 +5460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "l_diversity_report": q_l_diversity_report,
     "daily_churn_rates": q_daily_churn_rates,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
+    "label_propagation_weighted": q_label_propagation_weighted,
 }
 
 
@@ -8191,6 +8211,66 @@ def oracle_sql() -> dict[str, str]:
                            ROW_NUMBER() OVER (
                                PARTITION BY n.a
                                ORDER BY COUNT(*) DESC, l.label ASC
+                           ) AS rk
+                    FROM nbr n JOIN l2 l ON n.b = l.node
+                    GROUP BY n.a, l.label
+                )
+                WHERE rk = 1
+            ),
+            dummy AS (SELECT 1)
+            SELECT node, label FROM l3 ORDER BY node
+        """,
+        "label_propagation_weighted": """
+            WITH raw AS (
+                SELECT LAG(user_id) OVER (
+                           PARTITION BY event_type
+                           ORDER BY ts ASC, event_id ASC
+                       ) AS src,
+                       user_id AS dst
+                FROM events
+            ),
+            de AS (
+                SELECT src AS a, dst AS b, CAST(COUNT(*) AS BIGINT) AS wt
+                FROM raw WHERE src IS NOT NULL AND src <> dst
+                GROUP BY 1, 2
+            ),
+            nbr AS (
+                SELECT a, b, CAST(SUM(wt) AS BIGINT) AS wt FROM (
+                    SELECT a, b, wt FROM de
+                    UNION ALL SELECT b, a, wt FROM de
+                ) GROUP BY 1, 2
+            ),
+            l0 AS (SELECT DISTINCT a AS node, a AS label FROM nbr),
+            l1 AS (
+                SELECT node, label FROM (
+                    SELECT n.a AS node, l.label,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY n.a
+                               ORDER BY SUM(n.wt) DESC, l.label ASC
+                           ) AS rk
+                    FROM nbr n JOIN l0 l ON n.b = l.node
+                    GROUP BY n.a, l.label
+                )
+                WHERE rk = 1
+            ),
+            l2 AS (
+                SELECT node, label FROM (
+                    SELECT n.a AS node, l.label,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY n.a
+                               ORDER BY SUM(n.wt) DESC, l.label ASC
+                           ) AS rk
+                    FROM nbr n JOIN l1 l ON n.b = l.node
+                    GROUP BY n.a, l.label
+                )
+                WHERE rk = 1
+            ),
+            l3 AS (
+                SELECT node, label FROM (
+                    SELECT n.a AS node, l.label,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY n.a
+                               ORDER BY SUM(n.wt) DESC, l.label ASC
                            ) AS rk
                     FROM nbr n JOIN l2 l ON n.b = l.node
                     GROUP BY n.a, l.label

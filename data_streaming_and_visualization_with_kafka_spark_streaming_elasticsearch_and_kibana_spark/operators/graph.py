@@ -509,3 +509,61 @@ def label_propagation(
             .select("node", "label")
         )
     return lbl
+
+
+def label_propagation_weighted(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted label propagation — the weighted twin the PageRank and
+    clustering families already have: a node adopts the label with the
+    largest SUM OF EDGE WEIGHTS among its neighbors (Raghavan et al.'s
+    extension; a frequent contact outvotes many one-off ones), ties
+    still broken by smallest label, fixed `iterations` rounds. With
+    all weights 1 this reduces exactly to label_propagation (pinned in
+    tests). Weights must be positive integers for the exact-BIGINT
+    contract (same stance as pagerank_weighted: non-positive weights
+    are dropped, not propagated); the undirected neighbor weight is
+    the SUM of both directions' weights, so a↔b multi-edges reinforce.
+
+    Shape: identical iterate-as-join discipline — per round one
+    neighbor join, one (node, label) weight-sum aggregation, one
+    window argmax, all keyed on node ids. Returns (node, label)."""
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(
+            F.col(src).alias("a"),
+            F.col(dst).alias("b"),
+            F.col(weight).cast("long").alias("wt"),
+        )
+        .filter((F.col("a") != F.col("b")) & (F.col("wt") > 0))
+    )
+    nbr = (
+        e.unionByName(
+            e.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), "wt"
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("wt").alias("wt"))
+    )
+    nodes = nbr.select(F.col("a").alias("node")).distinct()
+    lbl = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iterations):
+        counts = (
+            nbr.join(lbl, nbr.b == lbl.node)
+            .select(F.col("a").alias("node"), "label", "wt")
+            .groupBy("node", "label")
+            .agg(F.sum("wt").alias("cnt"))
+        )
+        lbl = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("node", "label")
+        )
+    return lbl

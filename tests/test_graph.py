@@ -246,3 +246,53 @@ def test_label_propagation_deterministic_across_partitionings(spark):
         )
     )
     assert a == b
+
+
+def test_weighted_lpa_reduces_to_unweighted_on_constant_weights(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)],
+        "src long, dst long",
+    )
+    w1 = edges.withColumn("w", F.lit(1))
+    got = sorted(
+        map(tuple, graph.label_propagation_weighted(w1, iterations=3).collect())
+    )
+    want = sorted(
+        map(tuple, graph.label_propagation(edges, iterations=3).collect())
+    )
+    assert got == want
+
+
+def test_weighted_lpa_heavy_edge_outvotes_light_ones(spark):
+    """Node 10 has two light neighbors labeled 1,2 and one heavy
+    neighbor labeled 3 (weight 5): after one round it must adopt 3 —
+    the weighted argmax the unweighted variant cannot express."""
+    edges = spark.createDataFrame(
+        [(10, 1, 1), (10, 2, 1), (10, 3, 5)], "src long, dst long, w long"
+    )
+    got = {
+        r.node: r.label
+        for r in graph.label_propagation_weighted(edges, iterations=1).collect()
+    }
+    assert got[10] == 3
+    # unweighted would tie-break to the SMALLEST neighbor label (1)
+    unw = {
+        r.node: r.label
+        for r in graph.label_propagation(
+            edges.select("src", "dst"), iterations=1
+        ).collect()
+    }
+    assert unw[10] == 1
+
+
+def test_weighted_lpa_drops_nonpositive_weights(spark):
+    edges = spark.createDataFrame(
+        [(10, 3, 5), (10, 4, 0), (10, 5, -2), (3, 10, 1)],
+        "src long, dst long, w long",
+    )
+    lbl = {
+        r.node: r.label
+        for r in graph.label_propagation_weighted(edges, iterations=1).collect()
+    }
+    # nodes 4 and 5 only touch 10 via non-positive edges: excluded
+    assert set(lbl) == {10, 3}
