@@ -246,7 +246,10 @@ def _decode_png(content: bytes) -> np.ndarray:
     stats/resize consume straight RGB; compositing is a policy choice
     left to the caller). 16-bit samples reduce to their high byte (the
     standard 16→8 approximation; sub-1/256 precision has no consumer in
-    this pipeline). Bit depths 1/2/4 raise NotImplementedError."""
+    this pipeline). Sub-byte depths (1/2/4-bit gray and palette, spec
+    §7.2: MSB-first packed samples, scanlines byte-padded) unpack via
+    np.unpackbits; gray samples scale by the exact left-bit-replication
+    factor 255/(2^d−1), i.e. 255, 85, or 17."""
     import zlib
 
     header = None
@@ -264,31 +267,51 @@ def _decode_png(content: bytes) -> np.ndarray:
     width = int.from_bytes(header[0:4], "big")
     height = int.from_bytes(header[4:8], "big")
     depth, color_type, _comp, _filt, interlace = header[8:13]
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"only 8-bit/16-bit PNG supported (depth={depth})"
-        )
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad PNG bit depth {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color_type}")
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"sub-byte depth {depth} is only valid for gray/palette "
+            f"(color type {color_type})"
+        )
     if width <= 0 or height <= 0:
         raise ValueError("bad PNG dimensions")
     channels = _PNG_CHANNELS[color_type]
-    nbytes = depth // 8
-    bpp = channels * nbytes
+    # filter delta distance: whole bytes per pixel, min 1 (spec §9.2)
+    bpp = max(1, channels * depth // 8)
     raw = zlib.decompress(bytes(idat))
 
+    def row_stride(w: int) -> int:
+        return (w * channels * depth + 7) // 8
+
     def to8(grid2d: np.ndarray, h: int, w: int) -> np.ndarray:
-        """(h, w*channels*nbytes) defiltered bytes → (h, w, channels)
-        uint8 (16-bit big-endian samples keep their high byte)."""
-        if nbytes == 2:
-            grid2d = grid2d.reshape(h, w * channels, 2)[:, :, 0]
+        """(h, stride) defiltered bytes → (h, w, channels) uint8
+        (16-bit big-endian samples keep their high byte; sub-byte
+        samples unpack MSB-first and drop the pad bits)."""
+        if depth == 16:
+            return grid2d.reshape(h, w * channels, 2)[:, :, 0].reshape(
+                h, w, channels
+            )
+        if depth < 8:
+            bits = np.unpackbits(grid2d, axis=1)[:, : w * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            vals = (
+                (bits.reshape(h, w, depth) * weights)
+                .sum(axis=2)
+                .astype(np.uint8)
+            )
+            return vals[:, :, None]
         return grid2d.reshape(h, w, channels)
 
     if interlace == 0:
         grid = to8(
-            _png_defilter(raw, height, width * bpp, bpp), height, width
+            _png_defilter(raw, height, row_stride(width), bpp),
+            height,
+            width,
         )
     else:
         grid = np.zeros((height, width, channels), dtype=np.uint8)
@@ -298,7 +321,7 @@ def _decode_png(content: bytes) -> np.ndarray:
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            stride = pw * bpp
+            stride = row_stride(pw)
             need = ph * (stride + 1)
             sub = _png_defilter(raw[pos : pos + need], ph, stride, bpp)
             pos += need
@@ -312,6 +335,8 @@ def _decode_png(content: bytes) -> np.ndarray:
     if color_type == 6:  # RGBA → drop alpha
         return np.ascontiguousarray(grid[:, :, :3])
     if color_type == 0:  # gray
+        if depth < 8:  # exact left-bit-replication sample scaling
+            grid = grid * np.uint8(255 // ((1 << depth) - 1))
         return np.repeat(grid, 3, axis=2)
     if color_type == 4:  # gray+alpha
         return np.repeat(grid[:, :, :1], 3, axis=2)

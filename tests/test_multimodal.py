@@ -353,8 +353,12 @@ def test_png_rejects_unsupported_and_corrupt():
         )
         return patched
 
-    with pytest.raises(NotImplementedError, match="8-bit/16-bit"):
+    # sub-byte depths are now decoded for gray/palette; combined with
+    # RGB (color type 2) they are INVALID per spec §11.2.2 — ValueError
+    with pytest.raises(ValueError, match="gray/palette"):
         multimodal.decode_image(rebuild_ihdr(depth=4))
+    with pytest.raises(ValueError, match="bit depth"):
+        multimodal.decode_image(rebuild_ihdr(depth=3))
     with pytest.raises(ValueError, match="interlace"):
         multimodal.decode_image(rebuild_ihdr(interlace=7))
     with pytest.raises(ValueError, match="truncated|IEND"):
@@ -681,3 +685,89 @@ def test_jpeg_decode_features_in_spark(spark):
         for r in multimodal.decode_image_features(media, fake=False).collect()
     }
     assert got == {i: (16, 16) for i in range(6)}
+
+
+# ------------------------------------------------- sub-byte PNG depths
+def _pack_row_bits(vals, depth):
+    import numpy as np
+
+    bits = []
+    for v in vals:
+        bits.extend([(int(v) >> (depth - 1 - i)) & 1 for i in range(depth)])
+    while len(bits) % 8:
+        bits.append(0)
+    return np.packbits(np.array(bits, np.uint8)).tobytes()
+
+
+def _sub_byte_png(w, h, depth, color_type, rows, plte=None, interlace=0):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = multimodal.PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte.tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(rows)) + _chunk(b"IEND", b"")
+
+
+def test_png_sub_byte_gray_depths_exact_scaling():
+    """1/2/4-bit gray: MSB-first unpack, pad bits dropped (odd width),
+    exact left-bit-replication scaling 255/85/17."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    for depth in (1, 2, 4):
+        w, h = 11, 5
+        img = rng.randint(0, 1 << depth, (h, w))
+        raw = b"".join(
+            b"\x00" + _pack_row_bits(img[y], depth) for y in range(h)
+        )
+        got = multimodal.decode_image(_sub_byte_png(w, h, depth, 0, raw))
+        scale = 255 // ((1 << depth) - 1)
+        assert (got[:, :, 0] == img * scale).all(), depth
+        assert (got[:, :, 0] == got[:, :, 1]).all()
+
+
+def test_png_sub_byte_palette_and_filters():
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (4, 7))
+    raw = b"".join(b"\x00" + _pack_row_bits(idx[y], 4) for y in range(4))
+    got = multimodal.decode_image(_sub_byte_png(7, 4, 4, 3, raw, pal))
+    assert (got == pal[idx]).all()
+    # Up filter on packed 1-bit rows (filters act on BYTES, spec §9)
+    img = rng.randint(0, 2, (3, 16))
+    rows = [_pack_row_bits(img[y], 1) for y in range(3)]
+    raw = b"\x00" + rows[0]
+    for y in (1, 2):
+        prev = np.frombuffer(rows[y - 1], np.uint8)
+        cur = np.frombuffer(rows[y], np.uint8)
+        raw += b"\x02" + ((cur - prev) & 0xFF).astype(np.uint8).tobytes()
+    got = multimodal.decode_image(_sub_byte_png(16, 3, 1, 0, raw))
+    assert (got[:, :, 0] == img * 255).all()
+
+
+def test_png_sub_byte_adam7_interlaced():
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    w, h, depth = 9, 6, 2
+    img = rng.randint(0, 4, (h, w))
+    raw = bytearray()
+    for x0, y0, dx, dy in multimodal._ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + _pack_row_bits(row, depth)
+    got = multimodal.decode_image(
+        _sub_byte_png(w, h, depth, 0, bytes(raw), interlace=1)
+    )
+    assert (got[:, :, 0] == img * 85).all()
+
+
+def test_png_sub_byte_rgb_is_invalid_not_unimplemented():
+    with pytest.raises(ValueError, match="gray/palette"):
+        multimodal.decode_image(_sub_byte_png(4, 4, 4, 2, b"\x00" * 12))
