@@ -110,6 +110,7 @@ HEADLINE = [
     "cms_join_cardinality",
     "daily_churn_rates",
     "corpus_pipeline_v2",
+    "label_propagation_weighted",
 ]
 
 
