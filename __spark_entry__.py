@@ -4224,6 +4224,67 @@ def q_label_propagation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style URL filtering over the corpus: extract
+    every URL host (functions/text.extract_domains), roll up per-domain
+    document and URL counts, reduce each host to its registered domain
+    (last-two-labels baseline), and mark blocklisted domains — the
+    per-domain statistics a crawl-curation pipeline gates on before
+    text ever reaches quality scoring. The corpus has no URLs, so
+    deterministic synthetic ones are appended per doc (the pii_scrub
+    fixture pattern): two hosts derived from doc_id, giving a
+    ~21-domain rollup whose counts DuckDB recomputes exactly. The
+    blocklist membership compiles to a literal IN predicate — no join,
+    no shuffle beyond the one domain rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see https://w"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" and http://mirror.example"),
+        ((F.col("doc_id") + 3) % 7).cast("string"),
+        F.lit(".org/x?q=1"),
+    )
+    blocked = ["example2.com", "example5.org"]
+    dom = docs.select(
+        "doc_id", F.explode(textf.extract_domains(aug)).alias("domain")
+    )
+    return (
+        dom.groupBy("domain")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+        .select(
+            "domain",
+            textf.registered_domain(F.col("domain")).alias("base_domain"),
+            "n_docs",
+            "n_urls",
+        )
+        .withColumn("blocked", F.col("base_domain").isin(blocked))
+        .orderBy("domain")
+    )
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher rule set (operators/quality.gopher_rules):
+    seven published document-quality filters — word-count band,
+    mean-word-length band, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, minimum stopwords — evaluated
+    in one scan with every verdict an INTEGER comparison on exact
+    counts (symbols·10 ≤ words, not a float ratio), so the seven
+    booleans and the final gate hash-match any engine bit-for-bit.
+    Completes the quality tier beside quality_score (composite
+    heuristic) and doc_repetition_signals (the repetition rules from
+    the same paper)."""
+    docs = _t(spark, sf_dir, "documents")
+    return quality.gopher_rules(docs).orderBy("doc_id")
+
+
 def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-size estimation from sketches ALONE (sketches.
     cms_join_cardinality): |orders ⋈ BUILDING-segment customers| on
@@ -5461,6 +5522,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_churn_rates": q_daily_churn_rates,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
     "label_propagation_weighted": q_label_propagation_weighted,
+    "gopher_quality_rules": q_gopher_quality_rules,
+    "domain_blocklist_stats": q_domain_blocklist_stats,
 }
 
 
@@ -8219,6 +8282,97 @@ def oracle_sql() -> dict[str, str]:
             ),
             dummy AS (SELECT 1)
             SELECT node, label FROM l3 ORDER BY node
+        """,
+        "domain_blocklist_stats": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' see https://w' || CAST(doc_id % 3 AS VARCHAR)
+                            || '.example' || CAST(doc_id % 7 AS VARCHAR)
+                            || '.com/p/' || CAST(doc_id AS VARCHAR)
+                            || ' and http://mirror.example'
+                            || CAST((doc_id + 3) % 7 AS VARCHAR)
+                            || '.org/x?q=1' AS t
+                FROM documents
+            ), dom AS (
+                SELECT doc_id,
+                       lower(UNNEST(regexp_extract_all(
+                           t, 'https?://([^/:?#\\s]+)', 1))) AS domain
+                FROM aug
+            ), agg AS (
+                SELECT domain,
+                       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                       CAST(COUNT(*) AS BIGINT) AS n_urls
+                FROM dom GROUP BY 1
+            )
+            SELECT domain,
+                   regexp_extract(domain, '([^.]+\\.[^.]+)$', 1)
+                       AS base_domain,
+                   n_docs,
+                   n_urls,
+                   regexp_extract(domain, '([^.]+\\.[^.]+)$', 1)
+                       IN ('example2.com', 'example5.org') AS blocked
+            FROM agg ORDER BY domain
+        """,
+        "gopher_quality_rules": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       {_WS_TOKENS} AS n_words,
+                       CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                            AS BIGINT) AS n_chars_nospace,
+                       CAST(len(regexp_extract_all(text, '#'))
+                            + len(regexp_extract_all(text, '\\.\\.\\.'))
+                            AS BIGINT) AS n_symbols,
+                       CAST(len(list_filter(
+                           string_split_regex(lower(trim(text)), '\\s+'),
+                           w -> regexp_matches(w, '[a-z]')
+                       )) AS BIGINT) AS n_alpha_words,
+                       {_stopword_hits_sql(textf.STOPWORDS["en"])}
+                           AS n_stopword_hits
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, line FROM (
+                    SELECT doc_id,
+                           UNNEST(string_split(text, chr(10))) AS line
+                    FROM documents
+                ) WHERE trim(line) <> ''
+            ), lagg AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_lines,
+                       CAST(SUM(CASE WHEN regexp_matches(
+                                ltrim(line), '^[-*•]') THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_bullet_lines,
+                       CAST(SUM(CASE WHEN regexp_matches(
+                                rtrim(line), '\\.\\.\\.$') THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_ellipsis_lines
+                FROM lines GROUP BY 1
+            ), j AS (
+                SELECT b.*,
+                       COALESCE(n_lines, 0) AS n_lines,
+                       COALESCE(n_bullet_lines, 0) AS n_bullet_lines,
+                       COALESCE(n_ellipsis_lines, 0) AS n_ellipsis_lines
+                FROM base b LEFT JOIN lagg USING (doc_id)
+            )
+            SELECT *,
+                   n_words BETWEEN 50 AND 100000 AS ok_word_count,
+                   n_chars_nospace >= 3 * n_words
+                       AND n_chars_nospace <= 10 * n_words
+                       AS ok_mean_word_len,
+                   n_symbols * 10 <= n_words AS ok_symbol_ratio,
+                   n_bullet_lines * 10 <= 9 * n_lines AS ok_bullet_lines,
+                   n_ellipsis_lines * 10 <= 3 * n_lines
+                       AS ok_ellipsis_lines,
+                   n_alpha_words * 5 >= 4 * n_words AS ok_alpha_words,
+                   n_stopword_hits >= 2 AS ok_stopwords,
+                   (n_words BETWEEN 50 AND 100000)
+                       AND n_chars_nospace >= 3 * n_words
+                       AND n_chars_nospace <= 10 * n_words
+                       AND n_symbols * 10 <= n_words
+                       AND n_bullet_lines * 10 <= 9 * n_lines
+                       AND n_ellipsis_lines * 10 <= 3 * n_lines
+                       AND n_alpha_words * 5 >= 4 * n_words
+                       AND n_stopword_hits >= 2
+                       AS passes_gopher
+            FROM j ORDER BY doc_id
         """,
         "label_propagation_weighted": """
             WITH raw AS (

@@ -111,6 +111,8 @@ HEADLINE = [
     "daily_churn_rates",
     "corpus_pipeline_v2",
     "label_propagation_weighted",
+    "gopher_quality_rules",
+    "domain_blocklist_stats",
 ]
 
 

@@ -259,3 +259,27 @@ def winnow_selected(grams: Column, window: int = 6) -> Column:
         pick,
     )
     return F.array_distinct(sel)
+
+
+#: host part of a URL: scheme '//' then everything up to /, :, ?, # or space
+DOMAIN_RE = r"https?://([^/:?#\s]+)"
+
+
+def extract_domains(col: Column | str) -> Column:
+    """All URL hosts in the text, lowercased, as an array — the CCNet/
+    RefinedWeb URL-filtering primitive (per-domain corpus stats and
+    blocklist gates start from exactly this extraction). Pure Column
+    expression: regexp_extract_all keeps group 1 of DOMAIN_RE; DuckDB's
+    regexp_extract_all(text, ..., 1) is the literal twin."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.regexp_extract_all(c, F.lit(DOMAIN_RE), 1), F.lower
+    )
+
+
+def registered_domain(host: Column) -> Column:
+    """Last two labels of a hostname ('cdn.assets.example.com' →
+    'example.com') — the blocklist grain. A public-suffix list would
+    refine multi-label TLDs; two labels is the deterministic,
+    dependency-free baseline and is stated as such."""
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)

@@ -175,3 +175,100 @@ def repetition_signals(
             ).alias("top_bigram_char_frac"),
         )
     )
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, Table A1
+    — the MassiveText filters; public recipe) as ONE pass of integer
+    arithmetic: word count band, mean-word-length band, symbol-to-word
+    ratio, bullet-start and ellipsis-end line fractions, alphabetic-
+    word fraction, and the minimum-stopword rule. Every verdict is an
+    INTEGER comparison on exact counts (e.g. `symbols·10 ≤ n_words`
+    instead of `symbols/n_words ≤ 0.1`), so there is no float
+    boundary anywhere — any engine reproduces the booleans bit-for-bit,
+    which is what lets DuckDB hash-gate a seven-rule quality filter.
+
+    Thresholds (the published ones, denominators scaled away):
+      words 50..100,000 · mean word length 3..10 · symbol ratio ≤ 0.1
+      (# + '...') · bullet lines ≤ 90% · ellipsis lines ≤ 30% ·
+      alphabetic words ≥ 80% · ≥ 2 English stopword hits
+
+    Shape: one narrow map for the token/char/symbol counts plus one
+    line-level explode collapsed map-side to per-doc line counters,
+    joined on doc id. No cross-doc state — embarrassingly parallel;
+    the rules gate 100 TB corpora at scan cost.
+
+    Returns the exact counters, the 7 rule booleans, and
+    `passes_gopher` (their AND)."""
+    from ..functions.text import (
+        STOPWORDS,
+        split_words,
+        stopword_hits,
+        whitespace_token_count,
+    )
+
+    t = F.col(text_col)
+    words = F.filter(split_words(text_col), lambda w: w != "")
+    base = docs.select(
+        F.col(id_col),
+        whitespace_token_count(t).alias("n_words"),
+        F.length(F.regexp_replace(t, r"\s+", "")).alias("n_chars_nospace"),
+        (
+            F.regexp_count(t, F.lit("#"))
+            + F.regexp_count(t, F.lit(r"\.\.\."))
+        ).cast("long").alias("n_symbols"),
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+        .cast("long")
+        .alias("n_alpha_words"),
+        stopword_hits(t, STOPWORDS["en"]).alias("n_stopword_hits"),
+    )
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.split(t, "\n")).alias("line"),
+    ).filter(F.trim("line") != "")
+    lagg = lines.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            F.when(F.ltrim(F.col("line")).rlike(r"^[-*•]"), 1).otherwise(0)
+        ).cast("long").alias("n_bullet_lines"),
+        F.sum(
+            F.when(F.rtrim(F.col("line")).rlike(r"\.\.\.$"), 1).otherwise(0)
+        ).cast("long").alias("n_ellipsis_lines"),
+    )
+    j = base.join(lagg, id_col, "left").select(
+        id_col,
+        "n_words",
+        "n_chars_nospace",
+        "n_symbols",
+        "n_alpha_words",
+        "n_stopword_hits",
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_bullet_lines", F.lit(0)).alias("n_bullet_lines"),
+        F.coalesce("n_ellipsis_lines", F.lit(0)).alias("n_ellipsis_lines"),
+    )
+    ok_words = F.col("n_words").between(50, 100_000)
+    ok_mwl = (
+        (F.col("n_chars_nospace") >= 3 * F.col("n_words"))
+        & (F.col("n_chars_nospace") <= 10 * F.col("n_words"))
+    )
+    ok_symbol = F.col("n_symbols") * 10 <= F.col("n_words")
+    ok_bullet = F.col("n_bullet_lines") * 10 <= 9 * F.col("n_lines")
+    ok_ellipsis = F.col("n_ellipsis_lines") * 10 <= 3 * F.col("n_lines")
+    ok_alpha = F.col("n_alpha_words") * 5 >= 4 * F.col("n_words")
+    ok_stop = F.col("n_stopword_hits") >= 2
+    return j.select(
+        "*",
+        ok_words.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        ok_bullet.alias("ok_bullet_lines"),
+        ok_ellipsis.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (
+            ok_words & ok_mwl & ok_symbol & ok_bullet & ok_ellipsis
+            & ok_alpha & ok_stop
+        ).alias("passes_gopher"),
+    )

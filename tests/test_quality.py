@@ -122,3 +122,36 @@ def test_repetition_signals_tie_break_deterministic(spark):
     )  # bigrams zy / yx / xw each once
     r = quality.repetition_signals(docs).collect()[0]
     assert r.top_bigram == "x w"
+
+
+def test_gopher_rules_integer_exact_verdicts(spark):
+    """Hand-built docs hitting each rule boundary: the verdicts are
+    integer comparisons, so boundary cases are exact (50 words passes,
+    49 fails; symbol ratio exactly 0.1 passes)."""
+    good = "the quick brown fox and the lazy dog is of note to all " * 5
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "short of the to and is"),               # < 50 words
+        (3, good + " ##### " + "# " * 20),           # symbol-heavy
+        (4, "\n".join(["- bullet line of the to"] * 10)),  # all bullets
+        (5, good.replace("the", "zzz").replace("of", "qqq")
+             .replace("to", "xxx").replace("and", "www")
+             .replace("is", "vvv")),                 # no stopwords
+    ]
+    out = {
+        r.doc_id: r
+        for r in quality.gopher_rules(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1].passes_gopher
+    assert not out[2].ok_word_count and not out[2].passes_gopher
+    assert not out[3].ok_symbol_ratio
+    assert not out[4].ok_bullet_lines
+    assert not out[5].ok_stopwords
+    # boundary: exactly 50 words of sane shape passes the count rule
+    fifty = "the fox and dog ran " * 10  # 50 words
+    r50 = quality.gopher_rules(
+        spark.createDataFrame([(9, fifty)], "doc_id long, text string")
+    ).collect()[0]
+    assert r50.n_words == 50 and r50.ok_word_count

@@ -189,3 +189,34 @@ def test_chunk_udtf_matches_expression_formulation(spark):
         )
     )
     assert got == expr and len(got) > 500
+
+
+def test_extract_domains_and_registered_domain(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see https://CDN.Assets.Example.COM/x and "
+                "http://a.org:8080/p?q=1 plus https://b.co.uk/"),
+            (2, "no urls here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.doms
+        for r in df.select(
+            "doc_id", textf.extract_domains("text").alias("doms")
+        ).collect()
+    }
+    assert got[1] == ["cdn.assets.example.com", "a.org", "b.co.uk"]
+    assert got[2] == []
+    base = (
+        df.filter(F.col("doc_id") == 1)
+        .select(
+            F.transform(
+                textf.extract_domains("text"),
+                lambda d: textf.registered_domain(d),
+            ).alias("b")
+        )
+        .collect()[0]
+        .b
+    )
+    assert base == ["example.com", "a.org", "co.uk"]
