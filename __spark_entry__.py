@@ -4003,6 +4003,28 @@ def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS order sampling (sampling.weighted_bottomk): 10 docs per
+    language, inclusion probability proportional to document length —
+    the weighted companion of bottomk_sample for building
+    length-balanced eval/train subsets. The priority u/w is one IEEE
+    division of exactly-represented integers (md5-60-bit u, integer
+    char weight), so DuckDB computes the bit-identical key and the
+    sample hash-matches — a WEIGHTED random sample under the value-hash
+    gate, which rand()-based sampling can never be."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.weighted_bottomk(
+        docs.select("doc_id", "lang", F.col("n_chars")),
+        ["lang"],
+        "doc_id",
+        "n_chars",
+        k=10,
+    )
+    return out.select(
+        "lang", "rk", "doc_id", "n_chars", "priority"
+    ).orderBy("lang", "rk")
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 retrieval (Robertson & Zaragoza 2009) for the fixed
     query {hash, join, stream}: top-100 documents by the classic
@@ -5524,6 +5546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_propagation_weighted": q_label_propagation_weighted,
     "gopher_quality_rules": q_gopher_quality_rules,
     "domain_blocklist_stats": q_domain_blocklist_stats,
+    "weighted_pps_sample": q_weighted_pps_sample,
 }
 
 
@@ -8282,6 +8305,25 @@ def oracle_sql() -> dict[str, str]:
             ),
             dummy AS (SELECT 1)
             SELECT node, label FROM l3 ORDER BY node
+        """,
+        "weighted_pps_sample": """
+            WITH pr AS (
+                SELECT lang, doc_id, n_chars,
+                       CAST(('0x' || substring(md5('wpps:'
+                                || CAST(doc_id AS VARCHAR)), 1, 15)
+                            )::UBIGINT AS DOUBLE)
+                           / CAST(n_chars AS DOUBLE) AS priority
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            ), rk AS (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY priority ASC, doc_id ASC
+                       ) AS rk
+                FROM pr
+            )
+            SELECT lang, CAST(rk AS INT) AS rk, doc_id, n_chars, priority
+            FROM rk WHERE rk <= 10 ORDER BY lang, rk
         """,
         "domain_blocklist_stats": """
             WITH aug AS (

@@ -113,6 +113,7 @@ HEADLINE = [
     "label_propagation_weighted",
     "gopher_quality_rules",
     "domain_blocklist_stats",
+    "weighted_pps_sample",
 ]
 
 

@@ -308,3 +308,60 @@ def dsir_weights(
             (F.col("weight_micro") / 1e6).alias("weight"),
         )
     )
+
+
+def weighted_bottomk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wpps",
+) -> DataFrame:
+    """Weighted probability-proportional-to-size ORDER sampling
+    (Ohlsson's sequential Poisson / Rosén's priority sampling, public
+    survey-sampling technique): each row gets priority u/w with u
+    uniform and w its positive weight; the k smallest priorities per
+    group form a without-replacement PPS sample — heavier rows sort
+    earlier and are proportionally more likely to be kept.
+
+    Determinism engineering, same contract as bottomk/kmv: u is the
+    md5-derived 60-bit integer of (seed, id), and the sort key is ONE
+    IEEE double division of two exactly-represented integers — both
+    the int→double rounding and the division are correctly rounded, so
+    ANY engine computes the bit-identical key and the sample is a pure
+    function of (ids, weights, seed): stable across runs, retries,
+    partition layouts, and engines, which rand()-weighted sampling is
+    not. Ties (identical doubles) break by id.
+
+    Shape: one narrow map + one per-group window keeping k rows — the
+    shuffle carries (group, id, weight, key) only, never payloads;
+    mergeable like bottom-k (per-shard bottom-k union-merges to the
+    global sample). Non-positive/NULL weights are EXCLUDED (a zero
+    weight must never be sampled; u/0 would be +inf anyway, but the
+    explicit filter keeps the contract visible)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.asc("priority"), F.asc(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(
+            "priority",
+            h.cast("double") / F.col(weight_col).cast("double"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

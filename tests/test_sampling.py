@@ -159,3 +159,51 @@ def test_temperature_resample_realizes_mixture(spark):
         F.sum("n_copies").alias("realized")
     )
     assert {r.lang: r.realized for r in out2.collect()} == got
+
+
+def test_weighted_bottomk_is_deterministic_and_layout_invariant(spark):
+    rows = [(i, f"g{i % 4}", (i * 13) % 50 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+    a = sorted(
+        map(
+            tuple,
+            sampling.weighted_bottomk(df, ["g"], "id", "w", k=5)
+            .select("g", "rk", "id")
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            sampling.weighted_bottomk(
+                df.repartition(13), ["g"], "id", "w", k=5
+            )
+            .select("g", "rk", "id")
+            .collect(),
+        )
+    )
+    assert a == b and len(a) == 20
+
+
+def test_weighted_bottomk_prefers_heavy_rows(spark):
+    """In each of 100 groups: one row with weight 10_000 vs nine with
+    weight 1. PPS order sampling keeps the k=1 smallest u/w, so the
+    heavy row must win the overwhelming majority of groups (its
+    priority is ~10^4 smaller in expectation)."""
+    rows = []
+    for g in range(100):
+        rows.append((g * 10, f"g{g}", 10_000))
+        rows.extend((g * 10 + j, f"g{g}", 1) for j in range(1, 10))
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+    kept = sampling.weighted_bottomk(df, ["g"], "id", "w", k=1).collect()
+    heavy_wins = sum(1 for r in kept if r.id % 10 == 0)
+    assert len(kept) == 100 and heavy_wins >= 95, heavy_wins
+
+
+def test_weighted_bottomk_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, "g", 5), (2, "g", 0), (3, "g", -1), (4, "g", None)],
+        "id long, g string, w long",
+    )
+    kept = sampling.weighted_bottomk(df, ["g"], "id", "w", k=10).collect()
+    assert sorted(r.id for r in kept) == [1]
