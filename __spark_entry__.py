@@ -2659,7 +2659,7 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     ct = toks.groupBy("term").agg(F.count("*").alias("ct"))
-    total = toks.agg(F.count("*").alias("tt"))
+    total = ct.agg(F.sum("ct").alias("tt"))  # Σ vocab, not a 3rd scan
     dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
     lnq_ct = F.floor(F.log("ct") * 1e6 + F.lit(0.5)).cast("long")
     lnq_tt = F.floor(F.log("tt") * 1e6 + F.lit(0.5)).cast("long")
@@ -4177,18 +4177,31 @@ def q_bigram_surprisal_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("v").isNotNull())
         .select("doc_id", "v", "w")
     )
-    train_pairs = pairs.filter(F.col("doc_id") % 2 == 0)
     train_toks = toks.filter(F.col("doc_id") % 2 == 0)
-    bg = train_pairs.groupBy("v", "w").agg(F.count("*").alias("cvw"))
-    ctx = train_pairs.groupBy("v").agg(F.count("*").alias("cv"))
+    # r6 shuffle diet: the context table rolls up from the BOUNDED
+    # bigram table (|bigram vocab| rows) instead of re-aggregating the
+    # pair stream, and the corpus total rolls up from the unigram
+    # table instead of a fresh tokenize scan — identical integers
+    # (Σ of partial counts). The training-half filter still pushes
+    # below the (doc, v, w) aggregate (Catalyst, correctly: the modulo
+    # filter is cheaper than materializing the unfiltered aggregate),
+    # so the even-doc branch keeps its own scan; at cluster scale the
+    # (doc, v, w) table would persist once and serve both.
+    dvw = pairs.groupBy("doc_id", "v", "w").agg(F.count("*").alias("m"))
+    bg = (
+        dvw.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("v", "w")
+        .agg(F.sum("m").alias("cvw"))
+    )
+    ctx = bg.groupBy("v").agg(F.sum("cvw").alias("cv"))
     uni = train_toks.groupBy("w").agg(F.count("*").alias("cw"))
-    tt = train_toks.agg(F.count("*").alias("tt"))
+    tt = uni.agg(F.sum("cw").alias("tt"))
 
     def lnq(c):
         return F.floor(F.log(c) * 1e6 + F.lit(0.5)).cast("long")
 
     dm = (
-        pairs.groupBy("doc_id", "v", "w").agg(F.count("*").alias("m"))
+        dvw
         .join(bg, ["v", "w"], "left")
         .join(ctx, "v", "left")
         .join(uni, "w", "left")
@@ -4550,9 +4563,16 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term"
         ),
     )
-    ct = toks.groupBy("term").agg(F.count("*").alias("ct"))
-    total = toks.agg(F.count("*").alias("tt"))
+    # ONE tokenize pass (r6): the (doc, term) aggregation is the only
+    # consumer of the full-text explode; the vocab table and the corpus
+    # total both derive from ITS bounded output (Σ over doc-term rows /
+    # Σ over vocab rows — identical integers), and Spark's
+    # ReuseExchange collapses the shared (doc_id, term) aggregate so
+    # `documents` is scanned once. At 100 TB the text explode dominates
+    # everything downstream; this was 3 scans in r5.
     dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    ct = dt.groupBy("term").agg(F.sum("c").alias("ct"))
+    total = ct.agg(F.sum("ct").alias("tt"))
     lnq_ct = F.floor(F.log("ct") * 1e6 + F.lit(0.5)).cast("long")
     per_doc = (
         dt.join(F.broadcast(ct), "term")
