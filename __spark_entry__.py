@@ -4428,7 +4428,11 @@ def q_daily_churn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         # not 100%
         .filter(F.col("m") < F.col("last_m"))
         .select(
-            F.col("m").cast("date").alias("day"),
+            # timestamp (midnight), NOT date: a DATE column round-trips
+            # as python objects vs DuckDB datetime64 and breaks the
+            # driver's value-hash on representation (dtype audit, r6) —
+            # every driver-green time bucket in the catalog is timestamp
+            F.col("m").alias("day"),
             "active_users",
             "churned",
             (F.col("active_users") - F.col("churned")).alias("retained"),
@@ -8583,7 +8587,7 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS churned
                 FROM marked GROUP BY 1
             )
-            SELECT CAST(m AS DATE) AS day,
+            SELECT m AS day,
                    active_users,
                    churned,
                    CAST(active_users - churned AS BIGINT) AS retained,
