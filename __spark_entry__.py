@@ -4936,7 +4936,10 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.filter(F.col("den") > 0)
         .select(
             "user_id",
-            "day",
+            # timestamp (midnight), not DATE: date columns round-trip as
+            # python objects vs the oracle's datetime64 and break the
+            # value-hash on representation (dtype audit, r6)
+            F.col("day").cast("timestamp").alias("day"),
             "n_segments",
             _q(F.col("num") / F.col("den") / 100.0, 4).alias("twap"),
         )
@@ -8959,7 +8962,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "time_weighted_avg": f"""
             WITH seg AS (
-                SELECT user_id, CAST(ts AS DATE) AS day,
+                SELECT user_id, date_trunc('day', ts) AS day,
                        CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
                        epoch_us(ts) AS t0,
                        epoch_us(LEAD(ts) OVER (
