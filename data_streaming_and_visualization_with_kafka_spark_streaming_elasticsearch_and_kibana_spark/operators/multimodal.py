@@ -7,16 +7,17 @@ through Python row objects one at a time.
 Codec support is two-tier. `fake=True` (default in this container) uses
 a deterministic stand-in decoder (seeded from the bytes) so the
 Spark-side plumbing — schema, batching, partitioning — is exercised
-without any imaging library. `fake=False` is REAL for the uncompressed
-formats a pure-stdlib decoder can handle: binary PPM (P6) / PGM (P5),
-24-bpp uncompressed BMP, 8/16-bit PNG including Adam7 interlace
-(stdlib `zlib` inflate + the five PNG filters in numpy — gray, RGB,
-palette, gray+alpha, RGBA), and PCM WAV headers for audio chunking — decode,
-luma stats, and nearest-neighbor resize all run vectorized inside the
-Arrow batch. The formats that genuinely need a codec library
-(JPEG/MP3/…, sub-byte PNG depths) still raise NotImplementedError with
-a clear message: production clusters have PIL/ffmpeg, this container
-doesn't.
+without any imaging library. `fake=False` is REAL, pure stdlib+numpy:
+binary PPM (P6) / PGM (P5), 24-bpp uncompressed BMP, PNG at every
+spec depth (1/2/4/8/16-bit, all five color types, Adam7 interlace;
+stdlib `zlib` inflate + the five scanline filters in numpy), BASELINE
+SEQUENTIAL JPEG (Huffman + restart markers + dequant + float IDCT +
+chroma upsample + JFIF YCbCr→RGB, with `encode_jpeg` as the fixture/
+roundtrip twin), and PCM WAV headers for audio chunking — decode, luma
+stats, and nearest-neighbor resize all run vectorized inside the Arrow
+batch. What still raises NotImplementedError is genuinely out of this
+scope (progressive/arithmetic/12-bit JPEG, MP3/video codecs):
+production clusters have PIL/ffmpeg, this container doesn't.
 """
 
 from __future__ import annotations
@@ -471,49 +472,84 @@ _DCT_M[0] /= np.sqrt(2)
 
 
 class _BitReader:
-    """MSB-first bit reader over destuffed entropy-coded bytes."""
+    """MSB-first bit reader over destuffed entropy-coded bytes: a
+    chunked accumulator refilled a byte at a time (not a per-bit list —
+    a 500 KB crawled JPEG is ~4M entropy bits, and materializing them
+    individually made decode cost explode; the accumulator keeps the
+    per-symbol work to a few shifts)."""
+
+    __slots__ = ("data", "n", "pos", "acc", "nbits")
 
     def __init__(self, data: bytes):
-        self.bits = (
-            np.unpackbits(np.frombuffer(data, np.uint8)).tolist()
-            if data
-            else []
-        )
+        self.data = data
+        self.n = len(data)
         self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos >= self.n:
+                raise ValueError("JPEG entropy data truncated")
+            self.acc = ((self.acc << 8) | self.data[self.pos]) & 0xFFFFFF
+            self.pos += 1
+            self.nbits += 8
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.bits):
-            raise ValueError("JPEG entropy data truncated")
-        b = self.bits[self.pos]
-        self.pos += 1
-        return b
+        self._fill(1)
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        self._fill(n)
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def bits_left(self) -> int:
+        return self.nbits + 8 * (self.n - self.pos)
 
 
-def _huff_table(bits: list[int], symbols: list[int]) -> dict:
-    """Canonical Huffman decode map {(length, code): symbol} from the
-    DHT (counts-per-length, symbols) wire form."""
-    table = {}
+class _HuffTable:
+    """Canonical Huffman decode tables from the DHT wire form: an
+    8-bit-peek fast path (one lookup resolves any code of length ≤ 8 —
+    every code this repo's encoder emits, and the overwhelming bulk of
+    libjpeg-style optimized tables) with a (length, code) dict walk for
+    longer codes."""
+
+    __slots__ = ("by_code", "fast")
+
+    def __init__(self, bits: list[int], symbols: list[int]):
+        self.by_code: dict[tuple[int, int], int] = {}
+        self.fast: list[tuple[int, int] | None] = [None] * 256
+        code = 0
+        it = iter(symbols)
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                sym = next(it)
+                self.by_code[(length, code)] = sym
+                if length <= 8:
+                    lo = code << (8 - length)
+                    for i in range(lo, lo + (1 << (8 - length))):
+                        self.fast[i] = (sym, length)
+                code += 1
+            code <<= 1
+
+
+def _huff_decode(reader: _BitReader, table: _HuffTable) -> int:
+    if reader.bits_left() >= 8:
+        reader._fill(8)
+        peek = (reader.acc >> (reader.nbits - 8)) & 0xFF
+        hit = table.fast[peek]
+        if hit is not None:
+            reader.nbits -= hit[1]
+            return hit[0]
     code = 0
-    it = iter(symbols)
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = next(it)
-            code += 1
-        code <<= 1
-    return table
-
-
-def _huff_decode(reader: _BitReader, table: dict) -> int:
-    code = 0
+    by_code = table.by_code
     for length in range(1, 17):
         code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
+        sym = by_code.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid JPEG Huffman code")
@@ -526,7 +562,7 @@ def _extend(v: int, s: int) -> int:
 
 
 def _decode_jpeg_block(
-    reader: _BitReader, dc_tab: dict, ac_tab: dict, pred: int
+    reader: _BitReader, dc_tab: _HuffTable, ac_tab: _HuffTable, pred: int
 ) -> tuple[np.ndarray, int]:
     """One 8×8 block of QUANTIZED coefficients in zigzag order, plus
     the updated DC predictor."""
@@ -589,8 +625,8 @@ def _parse_jpeg(content: bytes) -> dict:
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
-    dc_tabs: dict[int, dict] = {}
-    ac_tabs: dict[int, dict] = {}
+    dc_tabs: dict[int, _HuffTable] = {}
+    ac_tabs: dict[int, _HuffTable] = {}
     frame = None
     restart_interval = 0
     scan = None
@@ -601,13 +637,22 @@ def _parse_jpeg(content: bytes) -> dict:
             raise ValueError(f"expected marker at offset {pos}")
         while pos < n and content[pos] == 0xFF:
             pos += 1  # fill bytes
+        if pos >= n:  # stream ends mid-marker (truncated at fill bytes)
+            raise ValueError("truncated JPEG (stream ends inside a marker)")
         marker = content[pos]
         pos += 1
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG (marker without a length)")
         seg_len = int.from_bytes(content[pos : pos + 2], "big")
+        if seg_len < 2 or pos + seg_len > n:
+            raise ValueError(
+                f"truncated JPEG segment (marker 0xFF{marker:02X}, "
+                f"declared {seg_len} bytes)"
+            )
         seg = content[pos + 2 : pos + seg_len]
         pos += seg_len
         if marker == 0xDB:  # DQT
@@ -650,7 +695,7 @@ def _parse_jpeg(content: bytes) -> dict:
                 bits = list(seg[i + 1 : i + 17])
                 nsym = sum(bits)
                 symbols = list(seg[i + 17 : i + 17 + nsym])
-                (ac_tabs if tc else dc_tabs)[th] = _huff_table(
+                (ac_tabs if tc else dc_tabs)[th] = _HuffTable(
                     bits, symbols
                 )
                 i += 17 + nsym
@@ -667,6 +712,15 @@ def _parse_jpeg(content: bytes) -> dict:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # spec-legal but rare: baseline files MAY split into one
+                # non-interleaved scan per component — an honest gate,
+                # not a crash (a KeyError here would escape the
+                # documented ValueError/NotImplementedError contract)
+                raise NotImplementedError(
+                    f"non-interleaved JPEG scans not supported (SOS has "
+                    f"{ns} of {len(frame[2])} frame components)"
+                )
             scan_tabs = {}
             for c in range(ns):
                 cid = seg[1 + 2 * c]

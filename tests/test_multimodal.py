@@ -771,3 +771,44 @@ def test_png_sub_byte_adam7_interlaced():
 def test_png_sub_byte_rgb_is_invalid_not_unimplemented():
     with pytest.raises(ValueError, match="gray/palette"):
         multimodal.decode_image(_sub_byte_png(4, 4, 4, 2, b"\x00" * 12))
+
+
+def test_jpeg_truncation_and_noninterleaved_are_classified_errors():
+    """Corrupt input is ValueError, out-of-scope-but-legal input is
+    NotImplementedError — never a raw IndexError/KeyError escaping the
+    decode_image contract (code-review r6 finding)."""
+    import numpy as np
+
+    with pytest.raises(ValueError, match="truncated|SOF|SOS"):
+        multimodal.decode_image(b"\xff\xd8\xff")  # ends at a fill byte
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_image(b"\xff\xd8\xff\xdb")  # marker, no length
+    blocks = np.zeros((1, 1, 8, 8), np.int32)
+    qt = np.ones((8, 8), np.int64)
+    good = multimodal.encode_jpeg_from_coeffs([blocks] * 3, [qt], 8, 8,
+                                              [(1, 1)] * 3)
+    # rewrite SOS to claim 1 of 3 components (non-interleaved scan)
+    i = good.index(b"\xff\xda")
+    bad = (good[:i] + b"\xff\xda" + (4).to_bytes(2, "big") + b"\x01\x00"
+           + b"\x00\x3f\x00" + good[i + 14:])
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        multimodal.decode_image(bad)
+
+
+def test_jpeg_decode_speed_is_not_per_bit():
+    """The chunked bit reader + 8-bit fast Huffman table must keep a
+    busy 256x256 image (~all-AC blocks) well under a second — the
+    per-bit-list reader this replaced took multiple seconds here and
+    made real-corpus JPEGs intractable."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (256, 256, 3)).astype(np.uint8)
+    enc = multimodal.encode_jpeg(img, quality=90, sampling=(2, 2))
+    t0 = time.perf_counter()
+    dec = multimodal.decode_image(enc)
+    dt = time.perf_counter() - t0
+    assert dec.shape == (256, 256, 3)
+    assert dt < 2.0, f"JPEG decode too slow: {dt:.2f}s"

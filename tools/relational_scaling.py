@@ -167,7 +167,8 @@ def main() -> None:
     k0, k1 = ks[0], ks[-1]
     lines = [
         "",
-        "## Relational/graph tier at 10× (sf1-equivalent, "
+        f"## Relational/graph tier at {k1}× "
+        f"({'sf1-equivalent, ' if k1 == 10 else ''}"
         "tools/relational_scaling.py)",
         "",
         "Entity-growing replication of the sf0.1 NON-document tables:",
@@ -192,7 +193,8 @@ def main() -> None:
         )
     lines += [
         "",
-        "`growth vs corpus` = (time at k=10 / time at k=1) ÷ 10:",
+        f"`growth vs corpus` = (time at k={k1} / time at k={k0}) ÷ "
+        f"{k1 // k0 if k1 % k0 == 0 else k1 / k0}:",
         "1.0 = perfectly linear, <1 = sublinear (fixed overheads — JVM,",
         "planning, store init — amortizing over real work), >1 =",
         "superlinear (a scale bottleneck).",
