@@ -537,6 +537,61 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop DECISION on top of near-dup clustering: every
+    document joins its connected component (singletons keep their own
+    id — a doc with no near-dups is its own cluster), and each cluster
+    elects the representative to KEEP by highest quality score with
+    doc_id as the total-order tie-break — the curation policy real
+    pipelines apply (keep the best-written copy, not the first-crawled
+    one, cf. the dedup discussions in Gopher/RefinedWeb). Output is one
+    row per cluster: size, kept doc, its quality. Shape: the pairwise
+    edges and pointer-jumping components of dedup_clusters, one
+    broadcast-joinable quality table, one per-cluster window argmax —
+    nothing beyond id-keyed shuffles past the text scans."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.array_distinct(split_words("text")).alias("toks")
+    )
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    n_common = F.size(F.array_intersect("ta", "tb"))
+    union_sz = F.size("ta") + F.size("tb") - n_common
+    pairs = (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .filter(n_common.cast("double") / union_sz >= 0.6)
+        .select("id_a", "id_b")
+    )
+    comps = dedup.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    scored = docs.select(
+        "doc_id", textf.quality_score("text").alias("quality")
+    )
+    full = scored.join(comps, "doc_id", "left").select(
+        "doc_id",
+        "quality",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        full.withColumn("__rk", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("__rk") == 1, F.col("doc_id"))).alias(
+                "keep_id"
+            ),
+            F.max(F.when(F.col("__rk") == 1, F.col("quality"))).alias(
+                "kept_quality"
+            ),
+        )
+        .orderBy("component")
+    )
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact tier: top-20 most similar pairs
     within a bounded id range. (At corpus scale the LSH-bucketed index
@@ -5574,6 +5629,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality_rules": q_gopher_quality_rules,
     "domain_blocklist_stats": q_domain_blocklist_stats,
     "weighted_pps_sample": q_weighted_pps_sample,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 
@@ -6001,6 +6057,75 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(label) AS component
             FROM reach GROUP BY id
+        """,
+        "dedup_keep_best": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+                FROM documents
+            ), p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+                WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                      / (len(a.toks) + len(b.toks)
+                         - len(list_intersect(a.toks, b.toks))) >= 0.6
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM p
+                UNION SELECT id_b, id_a FROM p
+            ), reach AS (
+                WITH RECURSIVE r(id, label) AS (
+                    SELECT a, a FROM edges
+                    UNION
+                    SELECT e.b, r.label FROM r JOIN edges e ON e.a = r.id
+                ) SELECT * FROM r
+            ), comp AS (
+                SELECT id AS doc_id, MIN(label) AS component
+                FROM reach GROUP BY id
+            ), m AS (
+                SELECT doc_id,
+                       length(text) AS nc,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS nw,
+                       len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                           AS npunct,
+                       length(regexp_replace(text, '\s+', '', 'g'))
+                           AS nc_nospace
+                FROM documents
+            ), r2 AS (
+                SELECT doc_id,
+                       LEAST(nc / 200.0, 1.0) AS len_score,
+                       LEAST((CASE WHEN nc = 0 THEN 0.0
+                                   ELSE CAST(npunct AS DOUBLE) / nc END)
+                             * 2.0, 1.0) AS noise_penalty,
+                       CASE WHEN nw = 0 THEN 0.0
+                            ELSE CAST(nc_nospace AS DOUBLE) / nw
+                       END AS wl
+                FROM m
+            ), q AS (
+                SELECT doc_id,
+                       FLOOR((len_score * 0.5
+                              + (CASE WHEN wl >= 3.0 AND wl <= 8.0
+                                      THEN 1.0 ELSE 0.5 END) * 0.3
+                              + (1.0 - noise_penalty) * 0.2) * 1000000
+                             + 0.5) / 1000000.0 AS quality
+                FROM r2
+            ), assigned AS (
+                SELECT q.doc_id, q.quality,
+                       COALESCE(comp.component, q.doc_id) AS component
+                FROM q LEFT JOIN comp USING (doc_id)
+            ), ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY component
+                           ORDER BY quality DESC, doc_id ASC
+                       ) AS rk
+                FROM assigned
+            )
+            SELECT component,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   MAX(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+                   MAX(CASE WHEN rk = 1 THEN quality END) AS kept_quality
+            FROM ranked GROUP BY component ORDER BY component
         """,
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -114,6 +114,7 @@ HEADLINE = [
     "gopher_quality_rules",
     "domain_blocklist_stats",
     "weighted_pps_sample",
+    "dedup_keep_best",
 ]
 
 

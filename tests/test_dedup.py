@@ -224,3 +224,42 @@ def test_incremental_components_equals_batch_recompute(spark):
     comp = dict(got)
     assert comp[11] == 1 and comp[40] == 20 and comp[31] == 20
     assert comp[50] == 50 and comp[51] == 50
+
+
+def test_keep_best_policy_shape(spark):
+    """The keep/drop election: clusters keep their highest-quality
+    member (doc_id tie-break), singletons are their own component —
+    exercised through connected_components + a window argmax, the
+    same composition q_dedup_keep_best gates."""
+    from pyspark.sql import Window
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.2), (11, 0.1), (99, 0.7)],
+        "doc_id long, quality double",
+    )
+    comps = dedup.connected_components(edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    full = quality.join(comps, "doc_id", "left").select(
+        "doc_id",
+        "quality",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    kept = {
+        r.component: r.doc_id
+        for r in full.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie at 0.9 -> smaller doc_id (2) kept
+    assert kept[1] == 2
+    # cluster {10,11}: higher quality (10) kept
+    assert kept[10] == 10
+    # singleton 99 keeps itself
+    assert kept[99] == 99
