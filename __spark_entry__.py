@@ -4360,6 +4360,77 @@ def q_domain_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (the fastText-recipe feature class,
+    Joulin et al. 2017; char n-grams beat word lists on short/noisy
+    text): an add-one multinomial model per language TRAINS on the
+    even-doc half of the labeled corpus and classifies every document
+    by log-likelihood — score(d, l) = Σ_g m_g·ln(c_{l,g}+1) −
+    M_d·ln(T_l + V) — so held-out docs exercise the smoothing path.
+    Output is the label-vs-prediction confusion matrix, the quality
+    gate for routing by detected language. Determinism: the tfidf/
+    surprisal discipline — ln micro-quantized per DISTINCT count
+    (bounded (lang, gram) table), doc sums exact BIGINT, argmax
+    tie-break by language asc; DuckDB replays the identical model.
+    Shape: one gram explode; the profile/totals tables are bounded by
+    |langs|×|alphabet³| and broadcast; per-doc work is (doc, gram)-
+    keyed — embarrassingly parallel at corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(textf.char_trigrams("text")).alias("g"),
+    )
+    train = grams.filter(F.col("doc_id") % 2 == 0)
+    prof = train.groupBy(F.col("true_lang").alias("cand"), "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tl = prof.groupBy("cand").agg(F.sum("c").alias("tl"))
+    v = prof.agg(F.countDistinct("g").alias("v"))
+    langs = prof.select("cand").distinct()
+    dg = grams.groupBy("doc_id", "true_lang", "g").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    lnq_c1 = F.floor(
+        F.log(F.coalesce(F.col("c"), F.lit(0)) + 1) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    per = (
+        dg.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(prof), ["cand", "g"], "left")
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(
+            F.sum(F.col("m") * lnq_c1).alias("s_micro"),
+            F.sum("m").alias("mm"),
+        )
+    )
+    lnq_tv = F.floor(
+        F.log(F.col("tl") + F.col("v")) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        per.join(F.broadcast(tl), "cand")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (F.col("s_micro") - F.col("mm") * lnq_tv).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cand")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .groupBy(
+            F.col("true_lang").alias("lang"),
+            F.col("cand").alias("pred_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
 def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Gopher rule set (operators/quality.gopher_rules):
     seven published document-quality filters — word-count band,
@@ -5630,6 +5701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_blocklist_stats": q_domain_blocklist_stats,
     "weighted_pps_sample": q_weighted_pps_sample,
     "dedup_keep_best": q_dedup_keep_best,
+    "langid_trigram": q_langid_trigram,
 }
 
 
@@ -8506,6 +8578,60 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(domain, '([^.]+\\.[^.]+)$', 1)
                        IN ('example2.com', 'example5.org') AS blocked
             FROM agg ORDER BY domain
+        """,
+        "langid_trigram": """
+            WITH g0 AS (
+                SELECT doc_id, lang,
+                       UNNEST(list_transform(
+                           generate_series(1,
+                               length(lower(trim(text))) - 2),
+                           i -> substring(lower(trim(text)), i, 3))) AS g
+                FROM documents
+                WHERE length(lower(trim(text))) >= 3
+            ),
+            prof AS (
+                SELECT lang AS cand, g, CAST(COUNT(*) AS BIGINT) AS c
+                FROM g0 WHERE doc_id % 2 = 0 GROUP BY 1, 2
+            ),
+            tl AS (
+                SELECT cand, CAST(SUM(c) AS BIGINT) AS tl
+                FROM prof GROUP BY 1
+            ),
+            vv AS (SELECT COUNT(DISTINCT g) AS v FROM prof),
+            langs AS (SELECT DISTINCT cand FROM prof),
+            dg AS (
+                SELECT doc_id, lang, g, CAST(COUNT(*) AS BIGINT) AS m
+                FROM g0 GROUP BY 1, 2, 3
+            ),
+            per AS (
+                SELECT d.doc_id, d.lang, l.cand,
+                       CAST(SUM(m * CAST(FLOOR(
+                           ln(COALESCE(p.c, 0) + 1) * 1e6 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS s_micro,
+                       CAST(SUM(m) AS BIGINT) AS mm
+                FROM dg d
+                CROSS JOIN langs l
+                LEFT JOIN prof p ON p.cand = l.cand AND p.g = d.g
+                GROUP BY 1, 2, 3
+            ),
+            sc AS (
+                SELECT per.doc_id, per.lang, per.cand,
+                       s_micro - mm * CAST(FLOOR(
+                           ln(tl + v) * 1e6 + 0.5) AS BIGINT) AS score
+                FROM per JOIN tl USING (cand), vv
+            ),
+            pick AS (
+                SELECT doc_id, lang, cand,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, cand ASC
+                       ) AS rk
+                FROM sc
+            )
+            SELECT lang, cand AS pred_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM pick WHERE rk = 1
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "gopher_quality_rules": f"""
             WITH base AS (

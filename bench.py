@@ -115,6 +115,7 @@ HEADLINE = [
     "domain_blocklist_stats",
     "weighted_pps_sample",
     "dedup_keep_best",
+    "langid_trigram",
 ]
 
 

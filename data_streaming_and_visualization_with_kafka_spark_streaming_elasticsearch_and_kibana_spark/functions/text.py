@@ -283,3 +283,21 @@ def registered_domain(host: Column) -> Column:
     refine multi-label TLDs; two labels is the deterministic,
     dependency-free baseline and is stated as such."""
     return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def char_trigrams(col: Column | str) -> Column:
+    """All overlapping character 3-grams of lower(trim(text)) as an
+    array — the fastText-style language-ID feature (char n-grams beat
+    word lists on short/noisy text). Pure Column expression:
+    Column.substr accepts Column offsets, so the gram walk is a
+    transform over 1..len-2 with no UDF. DuckDB twin:
+    list_transform(generate_series(1, length(t) - 2),
+    i -> substring(t, i, 3))."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.lower(F.trim(c))
+    n = F.length(t)
+    return F.when(n < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3))
+        )
+    )

@@ -220,3 +220,19 @@ def test_extract_domains_and_registered_domain(spark):
         .b
     )
     assert base == ["example.com", "a.org", "co.uk"]
+
+
+def test_char_trigrams_walk_and_short_text(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello ab"), (2, "ab"), (3, "   "), (4, "abc")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", textf.char_trigrams("text").alias("g")
+        ).collect()
+    }
+    assert got[1] == ["hel", "ell", "llo", "lo ", "o a", " ab"]
+    assert got[2] == [] and got[3] == []
+    assert got[4] == ["abc"]
