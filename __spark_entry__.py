@@ -4381,16 +4381,32 @@ def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("true_lang"),
         F.explode(textf.char_trigrams("text")).alias("g"),
     )
-    train = grams.filter(F.col("doc_id") % 2 == 0)
-    prof = train.groupBy(F.col("true_lang").alias("cand"), "g").agg(
-        F.count(F.lit(1)).alias("c")
+    # ONE gram explode feeds everything: the (doc, gram) aggregate is
+    # the only consumer of the full-text walk; the per-language profile
+    # is its even-half rollup (identical integers — Σ of partial
+    # counts) and the totals/vocab/lang tables roll up from the
+    # BOUNDED profile, so no model table re-scans the corpus (the
+    # surprisal-LM scan-diet discipline, r6)
+    dg = grams.groupBy("doc_id", "true_lang", "g").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    # materialize the (doc, gram) table ONCE: per-consumer column
+    # pruning gives each derived model table a differently-shaped
+    # aggregate, so ReuseExchange cannot collapse them and every table
+    # would re-run the full-text gram explode (5 corpus scans audited).
+    # The localCheckpoint is the "persist the tokenized intermediate"
+    # pattern (streaming_window_quantiles does the same for its grid);
+    # at cluster scale this table persists to storage and the corpus is
+    # tokenized exactly once.
+    dg = dg.localCheckpoint(eager=True)
+    prof = (
+        dg.filter(F.col("doc_id") % 2 == 0)
+        .groupBy(F.col("true_lang").alias("cand"), "g")
+        .agg(F.sum("m").alias("c"))
     )
     tl = prof.groupBy("cand").agg(F.sum("c").alias("tl"))
     v = prof.agg(F.countDistinct("g").alias("v"))
     langs = prof.select("cand").distinct()
-    dg = grams.groupBy("doc_id", "true_lang", "g").agg(
-        F.count(F.lit(1)).alias("m")
-    )
     lnq_c1 = F.floor(
         F.log(F.coalesce(F.col("c"), F.lit(0)) + 1) * 1e6 + F.lit(0.5)
     ).cast("long")
