@@ -295,17 +295,25 @@ def char_trigrams(col: Column | str, pre_normalized: bool = False) -> Column:
     i -> substring(t, i, 3)).
 
     PERFORMANCE: an expression captured inside a higher-order-function
-    lambda is re-evaluated per element, so embedding lower(trim(text))
-    here makes the walk O(n²) per document (re-normalize the whole
-    text at every position — measured 7.2s → 4.7s at sf0.1 when
-    hoisted; the rest is the linear explode). Project the normalized text ONCE and pass
-    `pre_normalized=True` on the hot path; the default keeps the
-    convenient-but-quadratic form for short strings."""
+    lambda is re-evaluated per element, so naively embedding
+    lower(trim(text)) in the per-position substr makes the walk O(n²)
+    per document (measured 7.2s → 4.7s at sf0.1 fixed; the rest is the
+    linear explode). Both paths here are O(n): `pre_normalized=True`
+    skips normalization entirely (the caller projected it once), and
+    the default binds the normalized text as a lambda variable via the
+    single-element-array transform — the same once-per-row guarantee
+    `shingles()` uses."""
     c = F.col(col) if isinstance(col, str) else col
-    t = c if pre_normalized else F.lower(F.trim(c))
-    n = F.length(t)
-    return F.when(n < 3, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3))
+
+    def walk(t: Column) -> Column:
+        n = F.length(t)
+        return F.when(n < 3, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: t.substr(i, F.lit(3)),
+            )
         )
-    )
+
+    if pre_normalized:
+        return walk(c)
+    return F.element_at(F.transform(F.array(F.lower(F.trim(c))), walk), 1)
