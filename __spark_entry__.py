@@ -5133,6 +5133,49 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging with ZERO float boundaries:
+    an event is an outlier when |v − μ| > 3σ, evaluated as the exact
+    integer inequality n·(n·v − S)² > 9·n·(n·Σv² − S²) over cent
+    values (cross-multiply the rational mean and variance instead of
+    computing them — the comparison is exact BIGINT arithmetic, so no
+    engine can disagree on a boundary event, where a float z-score at
+    2.9999999 vs 3.0000001 flips rows between engines). Population
+    variance (σ² = E[v²] − E[v]²), the common monitoring convention.
+    Output: per event type, group size and the outlier events. Shape:
+    one aggregate pass for (n, S, Σv²) broadcast back over the events —
+    the classic two-pass outlier scan, both passes map-side-combined.
+    The cross-multiplied terms square n·v, which overflows BIGINT once
+    groups reach ~10⁶ rows of 10⁷-cent values, so the comparison runs
+    in DECIMAL(38,0) (Spark) / HUGEINT (the DuckDB twin) — exact
+    through sf1000-class group sizes."""
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_id", "event_type", _cents("value").alias("v")
+    ).filter(F.col("v").isNotNull())
+    stats = vals.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = d(F.col("n")) * d(F.col("v")) - d(F.col("s"))  # n·(v−μ), ×n
+    nvar = d(F.col("n")) * d(F.col("s2")) - d(F.col("s")) * d(
+        F.col("s")
+    )  # n²·σ²
+    return (
+        vals.join(F.broadcast(stats), "event_type")
+        .filter(dev * dev > 9 * nvar)
+        .select(
+            "event_type",
+            "n",
+            "event_id",
+            (F.col("v") / 100.0).alias("value"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
 def q_regression_stats_by_type(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5729,6 +5772,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_pps_sample": q_weighted_pps_sample,
     "dedup_keep_best": q_dedup_keep_best,
     "langid_trigram": q_langid_trigram,
+    "outlier_events_zscore": q_outlier_events_zscore,
 }
 
 
@@ -8605,6 +8649,27 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(domain, '([^.]+\\.[^.]+)$', 1)
                        IN ('example2.com', 'example5.org') AS blocked
             FROM agg ORDER BY domain
+        """,
+        "outlier_events_zscore": """
+            WITH vals AS (
+                SELECT event_id, event_type,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL
+            ), stats AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(v) AS BIGINT) AS s,
+                       CAST(SUM(v * v) AS BIGINT) AS s2
+                FROM vals GROUP BY 1
+            )
+            SELECT v.event_type, st.n, v.event_id,
+                   v.v / 100.0 AS value
+            FROM vals v JOIN stats st USING (event_type)
+            WHERE (st.n::HUGEINT * v.v - st.s)
+                  * (st.n::HUGEINT * v.v - st.s)
+                  > 9 * (st.n::HUGEINT * st.s2
+                         - st.s::HUGEINT * st.s)
+            ORDER BY event_type, event_id
         """,
         "langid_trigram": """
             WITH g0 AS (

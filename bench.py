@@ -116,6 +116,7 @@ HEADLINE = [
     "weighted_pps_sample",
     "dedup_keep_best",
     "langid_trigram",
+    "outlier_events_zscore",
 ]
 
 

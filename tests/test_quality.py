@@ -155,3 +155,34 @@ def test_gopher_rules_integer_exact_verdicts(spark):
         spark.createDataFrame([(9, fifty)], "doc_id long, text string")
     ).collect()[0]
     assert r50.n_words == 50 and r50.ok_word_count
+
+
+def test_zscore_outliers_integer_exact_boundary(spark):
+    """The cross-multiplied inequality is exact: a value exactly 3
+    sigma out is NOT an outlier (strict >), epsilon beyond is —
+    boundaries no float z-score can pin down."""
+    # group: values 0 repeated 8 times and +-100 once each ->
+    # mean 0, sigma^2 = 20000/10 = 2000, 3 sigma ~ 134.16
+    rows = [(i, "g", 0.0) for i in range(8)]
+    rows += [(8, "g", 100.0), (9, "g", -100.0), (10, "g", 500.0)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    from pyspark.sql import functions as F
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    vals = ev.select("event_id", "event_type", cents.alias("v"))
+    stats = vals.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = d(F.col("n")) * d(F.col("v")) - d(F.col("s"))
+    nvar = d(F.col("n")) * d(F.col("s2")) - d(F.col("s")) * d(F.col("s"))
+    out = sorted(
+        r.event_id
+        for r in vals.join(stats, "event_type")
+        .filter(dev * dev > 9 * nvar)
+        .collect()
+    )
+    # sigma ~ sqrt((20000+250000+...)/11) — only 500.0 is >3 sigma out
+    assert out == [10]
