@@ -196,3 +196,115 @@ def test_png_adam7_property(h, w, seed):
     )
     got = multimodal.decode_image(png)
     assert got.shape == img.shape and (got == img).all()
+
+
+# ------------------------------------------------- image codec properties
+# No Spark involved: the JPEG/PNG codecs are pure numpy, so hypothesis
+# can afford real example counts.
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (  # noqa: E402
+    multimodal,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([(1, 1), (2, 1), (1, 2), (2, 2)]),
+    st.integers(1, 40),
+    st.integers(1, 40),
+)
+def test_jpeg_entropy_layer_bit_exact_property(seed, sampling, bw, bh):
+    """For ANY quantized coefficient blocks and sampling mode, the
+    entropy layer (Huffman + stuffing + DC prediction) is lossless:
+    decode(encode(coeffs)) == coeffs exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    sh, sv = sampling
+    # luma grid must tile the MCU grid implied by the sampling factors
+    mcus_x, mcus_y = bw, bh
+    y = np.clip(
+        rng.randint(-1023, 1024, (mcus_y * sv, mcus_x * sh, 8, 8)),
+        -1023,
+        1023,
+    ).astype(np.int32)
+    cb = rng.randint(-300, 300, (mcus_y, mcus_x, 8, 8)).astype(np.int32)
+    cr = rng.randint(-300, 300, (mcus_y, mcus_x, 8, 8)).astype(np.int32)
+    qt = np.ones((8, 8), np.int64)
+    fix = multimodal.encode_jpeg_from_coeffs(
+        [y, cb, cr],
+        [qt],
+        mcus_x * sh * 8,
+        mcus_y * sv * 8,
+        [(sh, sv), (1, 1), (1, 1)],
+        restart_interval=rng.choice([0, 1, 3]),
+    )
+    p = multimodal._parse_jpeg(fix)
+    for got, want in zip(p["coeffs"], [y, cb, cr]):
+        assert (got == want).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(3, 33),
+    st.integers(3, 25),
+)
+def test_jpeg_q100_roundtrip_error_bound_property(seed, w, h):
+    """Quality-100 (all-ones tables) roundtrip error is bounded by
+    FDCT/quantizer rounding for ANY image and dimensions (incl. the
+    pad-and-crop path for non-multiple-of-8 sizes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    dec = multimodal.decode_image(multimodal.encode_jpeg(img, quality=100))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([1, 2, 4]),
+    st.integers(1, 30),
+    st.integers(1, 12),
+)
+def test_png_sub_byte_roundtrip_property(seed, depth, w, h):
+    """Hand-packed sub-byte gray PNGs decode to exactly the source
+    samples times the left-bit-replication factor, for any dims
+    (pad-bit handling) and depth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 1 << depth, (h, w))
+    rows = bytearray()
+    for yy in range(h):
+        bits = []
+        for v in img[yy]:
+            bits.extend(
+                [(int(v) >> (depth - 1 - i)) & 1 for i in range(depth)]
+            )
+        while len(bits) % 8:
+            bits.append(0)
+        rows += b"\x00" + np.packbits(np.array(bits, np.uint8)).tobytes()
+
+    def chunk(t, d):
+        body = t + d
+        return (
+            struct.pack(">I", len(d))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        multimodal.PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + chunk(b"IEND", b"")
+    )
+    got = multimodal.decode_image(png)
+    assert (got[:, :, 0] == img * (255 // ((1 << depth) - 1))).all()
