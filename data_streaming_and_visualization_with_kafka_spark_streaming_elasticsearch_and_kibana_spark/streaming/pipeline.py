@@ -906,6 +906,72 @@ def logbucket_refresh_sink(
     return _apply
 
 
+def stats_refresh_sink(
+    path: str,
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+):
+    """foreachBatch sink maintaining per-group MOMENT STATISTICS
+    (n, Σv, Σv²) in integer cents over an unbounded stream — the model
+    the integer-exact z-score outlier gate (q_outlier_events_zscore)
+    serves: a live anomaly monitor flags each incoming batch against
+    statistics accumulated over the WHOLE stream history, with state
+    bounded at one row per group forever. Completes the maintained-
+    model family: CMS (frequency), KMV (cardinality), Bloom
+    (membership), log-bucket (quantiles), moments (mean/variance).
+
+    Replay algebra: LEDGERED, like cms/logbucket — moment merge is a
+    SUM, so an at-least-once replay would double-count; the ledger
+    commits inside the staging dir so state and bookkeeping swap
+    atomically. Streamed state == the batch aggregate over everything
+    ingested (pinned in tests), so the outlier inequality
+    n·(n·v − S)² > 9·n·(n·Σv² − S²) answers identically from the
+    maintained directory."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        import os
+
+        from pyspark.sql import functions as F
+
+        _recover_dir_swap(path)
+        ledger = os.path.join(path, "_APPLIED")
+        applied = _ledger_applied(ledger)
+        if batch_id in applied:
+            return
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        v = F.round(F.col(value_col) * 100).cast("long")
+        fresh = (
+            batch_df.filter(F.col(value_col).isNotNull())
+            .select(*group_cols, v.alias("__v"))
+            .groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("__v").alias("s"),
+                F.sum(F.col("__v") * F.col("__v")).alias("s2"),
+            )
+        )
+        if os.path.exists(path):
+            fresh = (
+                spark.read.parquet(path)
+                .unionByName(fresh)
+                .groupBy(*group_cols)
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("s").alias("s"),
+                    F.sum("s2").alias("s2"),
+                )
+            )
+        fresh.write.mode("overwrite").parquet(path + ".staging")
+        with open(os.path.join(path + ".staging", "_APPLIED"), "w") as f:
+            json.dump(applied + [batch_id], f)
+        _commit_dir_swap(path)
+
+    return _apply
+
+
 def bloom_refresh_sink(
     path: str,
     key_col: str = "user_id",

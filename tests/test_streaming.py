@@ -1340,3 +1340,79 @@ def test_logbucket_refresh_sink_streamed_equals_batch_ledger_blocks_replay(
         )
     )
     assert served == batch
+
+
+def test_stats_refresh_sink_streamed_equals_batch_and_serves_outliers(
+    spark, tmp_dir
+):
+    """Maintained moment statistics == one batch aggregate over
+    everything ingested; the ledger blocks a replayed batch id; and the
+    integer-exact z-score inequality served from the maintained state
+    flags exactly the rows the batch two-pass flags."""
+    rows = [("t%d" % (i % 2), float((i * 37) % 500) / 10) for i in range(300)]
+    rows.append(("t0", 5000.0))  # a clear outlier in t0
+    schema = "event_type string, value double"
+    src = f"{tmp_dir}/st_src"
+    for lo, hi in ((0, 100), (100, 200), (200, 301)):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = f"{tmp_dir}/st_store/stats"
+    sink = pipeline.stats_refresh_sink(store, ("event_type",), "value")
+    q = (
+        file_stream(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmp_dir}/ckpt_st")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    whole = spark.createDataFrame(rows, schema)
+    cents = F.round(F.col("value") * 100).cast("long")
+    batch_stats = sorted(
+        map(
+            tuple,
+            whole.select("event_type", cents.alias("v"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("s"),
+                F.sum(F.col("v") * F.col("v")).alias("s2"),
+            )
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(store)
+            .select("event_type", "n", "s", "s2")
+            .collect(),
+        )
+    )
+    assert got == batch_stats
+    # replayed batch id is a no-op
+    sink(spark.createDataFrame(rows[0:100], schema), 0)
+    assert sorted(
+        map(
+            tuple,
+            spark.read.parquet(store)
+            .select("event_type", "n", "s", "s2")
+            .collect(),
+        )
+    ) == batch_stats
+    # serve the outlier gate from the maintained state
+    stats = spark.read.parquet(store)
+    vals = whole.select("event_type", cents.alias("v"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = d(F.col("n")) * d(F.col("v")) - d(F.col("s"))
+    nvar = d(F.col("n")) * d(F.col("s2")) - d(F.col("s")) * d(F.col("s"))
+    flagged = (
+        vals.join(F.broadcast(stats), "event_type")
+        .filter(dev * dev > 9 * nvar)
+        .collect()
+    )
+    assert any(r.v == 500000 for r in flagged)  # the planted outlier
