@@ -5176,6 +5176,54 @@ def q_outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_burst_detection_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series burst detection: a minute is a BURST for an event
+    type when its event count exceeds the trailing hour's mean by 3
+    trailing standard deviations — the rate-spike monitor beside the
+    global z-score gate (outlier_events_zscore), with the same
+    zero-float-boundary construction: over the w preceding minutes
+    (ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING — the current minute
+    never contaminates its own baseline), the verdict is the exact
+    integer inequality (w·c − S)² > 9·(w·Q − S²) with S=Σcounts,
+    Q=Σcounts² as BIGINT window sums (counts are small; the squares
+    stay far under 2⁶³ at any minute-grain rate), evaluated only where
+    the trailing window is fully populated and c > mean (spikes, not
+    droughts). One minute-grain aggregate + one window pass, both
+    keyed on event_type — the streaming-adjacent shape (the same
+    verdict serves from stats_refresh_sink state at ingest time)."""
+    ev = _t(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type",
+        F.date_trunc("minute", F.col("ts").cast("timestamp")).alias(
+            "minute"
+        ),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(-60, -1)
+    )
+    trail = per_min.select(
+        "event_type",
+        "minute",
+        "c",
+        F.count(F.lit(1)).over(w).alias("wn"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("q"),
+    )
+    dev = F.col("wn") * F.col("c") - F.col("s")
+    nvar = F.col("wn") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        trail.filter(
+            (F.col("wn") == 60)
+            & (dev > 0)
+            & (dev * dev > 9 * nvar)
+        )
+        .select("event_type", "minute", "c", "wn", "s")
+        .orderBy("event_type", "minute")
+    )
+
+
 def q_regression_stats_by_type(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5773,6 +5821,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "langid_trigram": q_langid_trigram,
     "outlier_events_zscore": q_outlier_events_zscore,
+    "burst_detection_minutes": q_burst_detection_minutes,
 }
 
 
@@ -8649,6 +8698,30 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(domain, '([^.]+\\.[^.]+)$', 1)
                        IN ('example2.com', 'example5.org') AS blocked
             FROM agg ORDER BY domain
+        """,
+        "burst_detection_minutes": """
+            WITH pm AS (
+                SELECT event_type,
+                       date_trunc('minute', ts) AS minute,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2
+            ), tr AS (
+                SELECT event_type, minute, c,
+                       CAST(COUNT(*) OVER w AS BIGINT) AS wn,
+                       CAST(SUM(c) OVER w AS BIGINT) AS s,
+                       CAST(SUM(c * c) OVER w AS BIGINT) AS q
+                FROM pm
+                WINDOW w AS (
+                    PARTITION BY event_type ORDER BY minute
+                    ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING
+                )
+            )
+            SELECT event_type, minute, c, wn, s
+            FROM tr
+            WHERE wn = 60
+              AND (wn * c - s) > 0
+              AND (wn * c - s) * (wn * c - s) > 9 * (wn * q - s * s)
+            ORDER BY event_type, minute
         """,
         "outlier_events_zscore": """
             WITH vals AS (

@@ -117,6 +117,7 @@ HEADLINE = [
     "dedup_keep_best",
     "langid_trigram",
     "outlier_events_zscore",
+    "burst_detection_minutes",
 ]
 
 

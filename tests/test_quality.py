@@ -186,3 +186,42 @@ def test_zscore_outliers_integer_exact_boundary(spark):
     )
     # sigma ~ sqrt((20000+250000+...)/11) — only 500.0 is >3 sigma out
     assert out == [10]
+
+
+def test_burst_detection_flags_planted_spike(spark):
+    """62 quiet minutes at ~constant rate, then one 50x spike: only the
+    spike minute is flagged, and only once its trailing 60-row window
+    is fully populated — via the same integer cross-multiplied
+    inequality as the z-score gate, over window sums."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = []
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    for m in range(62):
+        n = 5 + (m % 2)  # mild 5/6 alternation -> small variance
+        for i in range(n):
+            rows.append((base + dt.timedelta(minutes=m), "t", float(i)))
+    for i in range(300):  # minute 62: the burst
+        rows.append((base + dt.timedelta(minutes=62), "t", float(i)))
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    pm = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("minute").rowsBetween(-60, -1)
+    tr = pm.select(
+        "minute", "c",
+        F.count(F.lit(1)).over(w).alias("wn"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("q"),
+    )
+    dev = F.col("wn") * F.col("c") - F.col("s")
+    nvar = F.col("wn") * F.col("q") - F.col("s") * F.col("s")
+    flagged = (
+        tr.filter((F.col("wn") == 60) & (dev > 0) & (dev * dev > 9 * nvar))
+        .select("minute")
+        .collect()
+    )
+    assert [r.minute.minute + 60 * r.minute.hour for r in flagged] == [62]
