@@ -5176,6 +5176,66 @@ def q_outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the classic recency/frequency/monetary
+    customer grid) with fully deterministic quartiles: each purchase
+    user gets rank-based quartile codes computed as the INTEGER
+    formula least(4, (rank−1)·4 DIV N + 1) over total-ordered ranks
+    (metric, then user_id — no NTILE boundary ties, no float
+    percentile edges an engine could flip). Recency anchors at the
+    corpus max event day (integer epoch-day arithmetic, NTZ-safe).
+    The three rank windows run over the per-user AGGREGATE — users ≪
+    events, the same post-aggregation-smallness argument as
+    share_of_total — so the global windows never touch event-level
+    rows. Output: per user, the raw metrics and the 111..444 segment
+    code (1 = best quartile on each axis)."""
+    ev = _t(spark, sf_dir, "events")
+    day = (F.floor(_epoch_sec(F.col("ts")) / 86400)).cast("long")
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", day.alias("d"), _cents("value").alias("v"))
+        .groupBy("user_id")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("v").alias("monetary_cents"),
+        )
+    )
+    anchor = ev.agg(F.max(day).alias("anchor_d"))
+    base = pu.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (F.col("anchor_d") - F.col("last_d")).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    n = base.agg(F.count(F.lit(1)).alias("n_users"))
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
+
+    def quart(rank_col):
+        return F.least(
+            F.lit(4),
+            F.expr(f"({rank_col} - 1) * 4 DIV n_users") + 1,
+        )
+
+    ranked = (
+        base.withColumn("__rr", F.row_number().over(wr))
+        .withColumn("__rf", F.row_number().over(wf))
+        .withColumn("__rm", F.row_number().over(wm))
+        .crossJoin(F.broadcast(n))
+    )
+    return ranked.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (
+            quart("__rr") * 100 + quart("__rf") * 10 + quart("__rm")
+        ).alias("rfm"),
+    ).orderBy("user_id")
+
+
 def q_burst_detection_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series burst detection: a minute is a BURST for an event
     type when its event count exceeds the trailing hour's mean by 3
@@ -5822,6 +5882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_trigram": q_langid_trigram,
     "outlier_events_zscore": q_outlier_events_zscore,
     "burst_detection_minutes": q_burst_detection_minutes,
+    "rfm_segments": q_rfm_segments,
 }
 
 
@@ -8698,6 +8759,48 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(domain, '([^.]+\\.[^.]+)$', 1)
                        IN ('example2.com', 'example5.org') AS blocked
             FROM agg ORDER BY domain
+        """,
+        "rfm_segments": """
+            WITH pu AS (
+                SELECT user_id,
+                       MAX(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT))
+                           AS last_d,
+                       CAST(COUNT(*) AS BIGINT) AS frequency,
+                       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                            AS BIGINT) AS monetary_cents
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY 1
+            ),
+            anchor AS (
+                SELECT MAX(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT))
+                           AS anchor_d
+                FROM events
+            ),
+            base AS (
+                SELECT user_id,
+                       anchor_d - last_d AS recency_days,
+                       frequency, monetary_cents
+                FROM pu, anchor
+            ),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM base),
+            ranked AS (
+                SELECT base.*,
+                       ROW_NUMBER() OVER (
+                           ORDER BY recency_days ASC, user_id ASC) AS rr,
+                       ROW_NUMBER() OVER (
+                           ORDER BY frequency DESC, user_id ASC) AS rf,
+                       ROW_NUMBER() OVER (
+                           ORDER BY monetary_cents DESC, user_id ASC) AS rm,
+                       n_users
+                FROM base, n
+            )
+            SELECT user_id, recency_days, frequency, monetary_cents,
+                   CAST(
+                       LEAST(4, (rr - 1) * 4 // n_users + 1) * 100
+                       + LEAST(4, (rf - 1) * 4 // n_users + 1) * 10
+                       + LEAST(4, (rm - 1) * 4 // n_users + 1)
+                   AS BIGINT) AS rfm
+            FROM ranked ORDER BY user_id
         """,
         "burst_detection_minutes": """
             WITH pm AS (

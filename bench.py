@@ -118,6 +118,7 @@ HEADLINE = [
     "langid_trigram",
     "outlier_events_zscore",
     "burst_detection_minutes",
+    "rfm_segments",
 ]
 
 
