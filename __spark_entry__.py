@@ -5176,6 +5176,47 @@ def q_outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch attribution — the complement of the as-of (last-
+    touch) model: every purchase credits the user's EARLIEST click at
+    or before it, the acquisition-channel convention where last-touch
+    is the conversion-channel one. Shape: the first touch per user is
+    one min() aggregate (no window over events), broadcast back against
+    purchases — at 100 TB this is an aggregate + a user-keyed join,
+    strictly cheaper than the as-of union+window. Integer epoch-second
+    time-to-convert; purchases before any click stay NULL-attributed
+    (LEFT join: unattributed conversions are a real cohort, not
+    droppable rows)."""
+    ev = _t(spark, sf_dir, "events")
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(_epoch_sec(F.col("ts")).cast("long")).alias("ft_sec"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        _epoch_sec(F.col("ts")).cast("long").alias("p_sec"),
+        _cents("value").alias("cents"),
+    )
+    return (
+        purchases.join(first_click, "user_id", "left")
+        .select(
+            "user_id",
+            "event_id",
+            F.when(
+                F.col("ft_sec") <= F.col("p_sec"), F.col("ft_sec")
+            ).alias("first_touch_sec"),
+            F.when(
+                F.col("ft_sec") <= F.col("p_sec"),
+                F.col("p_sec") - F.col("ft_sec"),
+            ).alias("secs_to_convert"),
+            "cents",
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (the classic recency/frequency/monetary
     customer grid) with fully deterministic quartiles: each purchase
@@ -5883,6 +5924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "outlier_events_zscore": q_outlier_events_zscore,
     "burst_detection_minutes": q_burst_detection_minutes,
     "rfm_segments": q_rfm_segments,
+    "first_touch_attribution": q_first_touch_attribution,
 }
 
 
@@ -8759,6 +8801,28 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(domain, '([^.]+\\.[^.]+)$', 1)
                        IN ('example2.com', 'example5.org') AS blocked
             FROM agg ORDER BY domain
+        """,
+        "first_touch_attribution": """
+            WITH fc AS (
+                SELECT user_id,
+                       CAST(FLOOR(MIN(epoch(ts))) AS BIGINT) AS ft_sec
+                FROM events WHERE event_type = 'click'
+                GROUP BY 1
+            ),
+            p AS (
+                SELECT user_id, event_id,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS p_sec,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.user_id, p.event_id,
+                   CASE WHEN fc.ft_sec <= p.p_sec THEN fc.ft_sec END
+                       AS first_touch_sec,
+                   CASE WHEN fc.ft_sec <= p.p_sec
+                        THEN p.p_sec - fc.ft_sec END AS secs_to_convert,
+                   p.cents
+            FROM p LEFT JOIN fc USING (user_id)
+            ORDER BY event_id
         """,
         "rfm_segments": """
             WITH pu AS (

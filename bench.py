@@ -119,6 +119,7 @@ HEADLINE = [
     "outlier_events_zscore",
     "burst_detection_minutes",
     "rfm_segments",
+    "first_touch_attribution",
 ]
 
 

@@ -49,9 +49,21 @@ TIMED = [
     "minhash_dedup_pairs",
     "simhash_candidates",
     "corpus_pipeline_end2end",
+    # round-6 document operators
+    "gopher_quality_rules",
+    "langid_trigram",
+    "dedup_keep_best",
 ]
-#: pure narrow-map queries, timed via the noop sink (see main loop)
-MAP_ONLY = {"doc_token_counts", "quality_scores"}
+#: queries whose .count() Catalyst can prune into near-no-ops (narrow
+#: maps, and aggregates whose expensive agg expressions — text-derived
+#: quality/verdict columns — drop out when only the count is needed):
+#: timed via the noop sink, which materializes EVERY column
+MAP_ONLY = {
+    "doc_token_counts",
+    "quality_scores",
+    "gopher_quality_rules",
+    "dedup_keep_best",
+}
 
 
 def build_corpus(spark, k: int) -> str:
