@@ -5176,6 +5176,41 @@ def q_outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral Markov chain: P(next event type | current)
+    from consecutive events in each user's time-ordered stream — the
+    transition matrix behind next-action prediction, funnel design,
+    and synthetic-stream QA (a generator is validated by matching this
+    matrix). Exact integer transition counts; the row-stochastic
+    probability is ONE IEEE division of them micro-quantized, so the
+    matrix hash-matches cross-engine. Shape: one lag window per user
+    (user-partitioned — no global sort) + one (from, to) count; the
+    matrix is |types|² rows however large the stream."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        _q(
+            F.col("n").cast("double") / F.sum("n").over(wrow), 6
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
 def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIRST-touch attribution — the complement of the as-of (last-
     touch) model: every purchase credits the user's EARLIEST click at
@@ -5925,6 +5960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burst_detection_minutes": q_burst_detection_minutes,
     "rfm_segments": q_rfm_segments,
     "first_touch_attribution": q_first_touch_attribution,
+    "event_transition_matrix": q_event_transition_matrix,
 }
 
 
@@ -8801,6 +8837,28 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(domain, '([^.]+\\.[^.]+)$', 1)
                        IN ('example2.com', 'example5.org') AS blocked
             FROM agg ORDER BY domain
+        """,
+        "event_transition_matrix": f"""
+            WITH pr AS (
+                SELECT LAG(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                       ) AS from_type,
+                       event_type AS to_type
+                FROM events
+            ),
+            cnt AS (
+                SELECT from_type, to_type,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM pr WHERE from_type IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   {_sql_q(
+                       "CAST(n AS DOUBLE)"
+                       " / SUM(n) OVER (PARTITION BY from_type)", 6
+                   )} AS p
+            FROM cnt ORDER BY from_type, to_type
         """,
         "first_touch_attribution": """
             WITH fc AS (

@@ -120,6 +120,7 @@ HEADLINE = [
     "burst_detection_minutes",
     "rfm_segments",
     "first_touch_attribution",
+    "event_transition_matrix",
 ]
 
 
