@@ -5176,6 +5176,55 @@ def q_outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law leading-digit audit of order totals — the classic
+    fabricated-data forensic (natural multi-scale amounts follow
+    P(d) = log₁₀(1+1/d); synthetic or manipulated figures usually
+    don't): per digit 1–9, the observed count beside the Benford
+    expectation and the χ² contribution. Determinism: the leading
+    digit comes from the INTEGER part's string form (no float log10
+    whose ulp could misclassify a power-of-ten boundary), expectations
+    are the 9 log₁₀ literals micro-quantized once, and the χ²
+    contribution is micro-quantized after one IEEE expression — so the
+    audit hash-matches cross-engine. One scan, 9-row output."""
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    total = obs.agg(F.sum("observed").alias("n_total"))
+    import math
+
+    benford = spark.createDataFrame(
+        [
+            (d, math.floor(math.log10(1 + 1 / d) * 1e6 + 0.5) / 1e6)
+            for d in range(1, 10)
+        ],
+        "d int, p_benford double",
+    )
+    exp = F.col("n_total") * F.col("p_benford")
+    obs0 = F.coalesce("observed", F.lit(0))
+    chi = (obs0 - exp) * (obs0 - exp) / exp
+    return (
+        F.broadcast(benford)
+        .join(obs, "d", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "d",
+            obs0.alias("observed"),
+            "p_benford",
+            _q(exp, 4).alias("expected"),
+            _q(chi, 6).alias("chi2_contrib"),
+        )
+        .orderBy("d")
+    )
+
+
 def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral Markov chain: P(next event type | current)
     from consecutive events in each user's time-ordered stream — the
@@ -5961,6 +6010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_segments": q_rfm_segments,
     "first_touch_attribution": q_first_touch_attribution,
     "event_transition_matrix": q_event_transition_matrix,
+    "benford_digit_audit": q_benford_digit_audit,
 }
 
 
@@ -8837,6 +8887,39 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(domain, '([^.]+\\.[^.]+)$', 1)
                        IN ('example2.com', 'example5.org') AS blocked
             FROM agg ORDER BY domain
+        """,
+        "benford_digit_audit": f"""
+            WITH obs AS (
+                SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice)
+                                AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                           AS d,
+                       CAST(COUNT(*) AS BIGINT) AS observed
+                FROM orders WHERE o_totalprice >= 1
+                GROUP BY 1
+            ),
+            tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_total
+                    FROM obs),
+            benford AS (
+                SELECT UNNEST(generate_series(1, 9)) AS d
+            ),
+            b2 AS (
+                SELECT d,
+                       FLOOR(log10(1 + 1.0 / d) * 1e6 + 0.5) / 1e6
+                           AS p_benford
+                FROM benford
+            )
+            SELECT b2.d,
+                   COALESCE(obs.observed, 0) AS observed,
+                   b2.p_benford,
+                   {_sql_q("n_total * p_benford", 4)} AS expected,
+                   {_sql_q(
+                       "(COALESCE(obs.observed, 0) - n_total * p_benford)"
+                       " * (COALESCE(obs.observed, 0)"
+                       "    - n_total * p_benford)"
+                       " / (n_total * p_benford)", 6
+                   )} AS chi2_contrib
+            FROM b2 LEFT JOIN obs USING (d), tot
+            ORDER BY b2.d
         """,
         "event_transition_matrix": f"""
             WITH pr AS (

@@ -121,6 +121,7 @@ HEADLINE = [
     "rfm_segments",
     "first_touch_attribution",
     "event_transition_matrix",
+    "benford_digit_audit",
 ]
 
 
