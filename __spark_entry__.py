@@ -5176,6 +5176,87 @@ def q_outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spend_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent rollup (the drill-down percentage
+    column every BI tool renders): ROLLUP(region, nation) over order
+    spend, each row carrying its share of its PARENT level — nations
+    against their region, regions against the grand total, the total
+    against itself. Exact integer cents throughout; each share is one
+    micro-quantized IEEE division of exact sums, and the parent totals
+    come from the SAME rollup output self-joined at the coarser level
+    (grouping_id distinguishes levels) — no second scan of the facts.
+    Dimension joins broadcast; the rollup shuffles |regions×nations|
+    partial rows after map-side combine."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    facts = (
+        orders.select("o_custkey", _cents("o_totalprice").alias("c"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    rolled = facts.rollup("r_name", "n_name").agg(
+        F.sum("c").alias("spend_c"),
+        F.grouping_id().alias("gid"),
+    )
+    regions = rolled.filter(F.col("gid") == 1).select(
+        F.col("r_name").alias("pr"), F.col("spend_c").alias("parent_c")
+    )
+    grand = rolled.filter(F.col("gid") == 3).select(
+        F.col("spend_c").alias("grand_c")
+    )
+    nations = (
+        rolled.filter(F.col("gid") == 0)
+        .join(F.broadcast(regions), F.col("r_name") == F.col("pr"))
+        .select(
+            F.lit("nation").alias("level"),
+            "r_name",
+            "n_name",
+            "spend_c",
+            _q(F.col("spend_c") / F.col("parent_c"), 6).alias(
+                "share_of_parent"
+            ),
+        )
+    )
+    region_rows = (
+        rolled.filter(F.col("gid") == 1)
+        .crossJoin(F.broadcast(grand))
+        .select(
+            F.lit("region").alias("level"),
+            "r_name",
+            F.lit(None).cast("string").alias("n_name"),
+            "spend_c",
+            _q(F.col("spend_c") / F.col("grand_c"), 6).alias(
+                "share_of_parent"
+            ),
+        )
+    )
+    total_row = (
+        rolled.filter(F.col("gid") == 3)
+        .select(
+            F.lit("total").alias("level"),
+            F.lit(None).cast("string").alias("r_name"),
+            F.lit(None).cast("string").alias("n_name"),
+            "spend_c",
+            F.lit(1.0).alias("share_of_parent"),
+        )
+    )
+    return nations.unionByName(region_rows).unionByName(total_row).orderBy(
+        "level", "r_name", "n_name"
+    )
+
+
 def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law leading-digit audit of order totals — the classic
     fabricated-data forensic (natural multi-scale amounts follow
@@ -6011,6 +6092,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_touch_attribution": q_first_touch_attribution,
     "event_transition_matrix": q_event_transition_matrix,
     "benford_digit_audit": q_benford_digit_audit,
+    "spend_share_hierarchy": q_spend_share_hierarchy,
 }
 
 
@@ -8887,6 +8969,40 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(domain, '([^.]+\\.[^.]+)$', 1)
                        IN ('example2.com', 'example5.org') AS blocked
             FROM agg ORDER BY domain
+        """,
+        "spend_share_hierarchy": f"""
+            WITH f AS (
+                SELECT r.r_name, n.n_name,
+                       CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS c
+                FROM orders o
+                JOIN customer cu ON o.o_custkey = cu.c_custkey
+                JOIN nation n ON cu.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+            ),
+            rolled AS (
+                SELECT r_name, n_name,
+                       CAST(SUM(c) AS BIGINT) AS spend_c,
+                       GROUPING(r_name, n_name) AS gid
+                FROM f GROUP BY ROLLUP (r_name, n_name)
+            ),
+            regions AS (
+                SELECT r_name AS pr, spend_c AS parent_c
+                FROM rolled WHERE gid = 1
+            ),
+            grand AS (SELECT spend_c AS grand_c FROM rolled WHERE gid = 3)
+            SELECT 'nation' AS level, ro.r_name, ro.n_name, ro.spend_c,
+                   {_sql_q("CAST(ro.spend_c AS DOUBLE) / parent_c", 6)}
+                       AS share_of_parent
+            FROM rolled ro JOIN regions ON ro.r_name = regions.pr
+            WHERE ro.gid = 0
+            UNION ALL
+            SELECT 'region', r_name, NULL, spend_c,
+                   {_sql_q("CAST(spend_c AS DOUBLE) / grand_c", 6)}
+            FROM rolled, grand WHERE gid = 1
+            UNION ALL
+            SELECT 'total', NULL, NULL, spend_c, 1.0
+            FROM rolled WHERE gid = 3
+            ORDER BY level, r_name, n_name
         """,
         "benford_digit_audit": f"""
             WITH obs AS (

@@ -122,6 +122,7 @@ HEADLINE = [
     "first_touch_attribution",
     "event_transition_matrix",
     "benford_digit_audit",
+    "spend_share_hierarchy",
 ]
 
 
