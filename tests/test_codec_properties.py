@@ -308,3 +308,28 @@ def test_png_sub_byte_roundtrip_property(seed, depth, w, h):
     )
     got = multimodal.decode_image(png)
     assert (got[:, :, 0] == img * (255 // ((1 << depth) - 1))).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300), st.integers(0, 3))
+def test_image_decoders_never_raise_unclassified_errors(payload, magic_i):
+    """Fuzz gate: arbitrary bytes behind each format magic must decode
+    or raise the CONTRACTED error types (ValueError /
+    NotImplementedError / zlib.error wrapped as data corruption) —
+    never IndexError/KeyError/struct.error escaping into an Arrow
+    worker. (The r6 review found exactly such an IndexError on JPEGs
+    truncated at a fill byte.)"""
+    import zlib
+
+    magic = [
+        b"\xff\xd8",  # JPEG SOI
+        multimodal.PNG_SIGNATURE,
+        b"P6\n",
+        b"BM",
+    ][magic_i]
+    try:
+        multimodal.decode_image(magic + payload)
+    except (ValueError, NotImplementedError, zlib.error):
+        pass  # classified rejection is the contract
+    except OverflowError:
+        pass  # absurd header dims -> numpy size overflow, acceptable
