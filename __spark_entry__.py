@@ -5176,6 +5176,68 @@ def q_outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type — the robust-statistics
+    companion of the outlier gates: clamp values below the discrete
+    p05 (and above the p95) to those bounds, then average — the
+    tail-insensitive center a monitoring dashboard should trend.
+    Exact construction end to end: ranks are total-ordered integers
+    (cents, then event_id), the bound ranks are the integer formula
+    ceil(q·N) = (q·N + 99) DIV 100, the bounds are the cent VALUES at
+    those ranks (discrete percentiles — no interpolation floats), the
+    clamp is integer least/greatest, and the mean is one
+    micro-quantized division of an exact sum. Shape: one rank window
+    per type + a 2-row-per-group bound table broadcast back; windows
+    are event_type-partitioned, never global."""
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type", "event_id", _cents("value").alias("v")
+    ).filter(F.col("v").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("v"), F.asc("event_id")
+    )
+    ranked = vals.withColumn("__r", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    lo_r = F.expr("(5 * __n + 99) DIV 100")
+    hi_r = F.expr("(95 * __n + 99) DIV 100")
+    bounds = (
+        ranked.filter(
+            (F.col("__r") == lo_r) | (F.col("__r") == hi_r)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("v").alias("p05_cents"),
+            F.max("v").alias("p95_cents"),
+        )
+    )
+    return (
+        vals.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("p05_cents").alias("p05_cents"),
+            F.max("p95_cents").alias("p95_cents"),
+            F.sum(
+                F.greatest(
+                    F.col("p05_cents"),
+                    F.least(F.col("p95_cents"), F.col("v")),
+                )
+            ).alias("wsum"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "p05_cents",
+            "p95_cents",
+            _q(F.col("wsum") / F.col("n") / 100.0, 4).alias(
+                "winsorized_mean"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_spend_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical share-of-parent rollup (the drill-down percentage
     column every BI tool renders): ROLLUP(region, nation) over order
@@ -6093,6 +6155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transition_matrix": q_event_transition_matrix,
     "benford_digit_audit": q_benford_digit_audit,
     "spend_share_hierarchy": q_spend_share_hierarchy,
+    "winsorized_stats": q_winsorized_stats,
 }
 
 
@@ -8969,6 +9032,41 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(domain, '([^.]+\\.[^.]+)$', 1)
                        IN ('example2.com', 'example5.org') AS blocked
             FROM agg ORDER BY domain
+        """,
+        "winsorized_stats": f"""
+            WITH vals AS (
+                SELECT event_type, event_id,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL
+            ),
+            ranked AS (
+                SELECT event_type, v,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY v ASC, event_id ASC) AS r,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM vals
+            ),
+            bounds AS (
+                SELECT event_type,
+                       CAST(MIN(v) AS BIGINT) AS p05_cents,
+                       CAST(MAX(v) AS BIGINT) AS p95_cents
+                FROM ranked
+                WHERE r = (5 * n + 99) // 100
+                   OR r = (95 * n + 99) // 100
+                GROUP BY 1
+            )
+            SELECT v.event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   MAX(b.p05_cents) AS p05_cents,
+                   MAX(b.p95_cents) AS p95_cents,
+                   {_sql_q(
+                       "SUM(GREATEST(b.p05_cents,"
+                       " LEAST(b.p95_cents, v.v)))"
+                       " / COUNT(*) / 100.0", 4
+                   )} AS winsorized_mean
+            FROM vals v JOIN bounds b USING (event_type)
+            GROUP BY 1 ORDER BY 1
         """,
         "spend_share_hierarchy": f"""
             WITH f AS (

@@ -123,6 +123,7 @@ HEADLINE = [
     "event_transition_matrix",
     "benford_digit_audit",
     "spend_share_hierarchy",
+    "winsorized_stats",
 ]
 
 
