@@ -147,6 +147,13 @@ def cms_estimate(
     width)` (below), asserting the parameters you know it was built
     with."""
     key = F.col(key_col).cast("string")
+    # materialize the bounded grid ONCE: the sentinel guard is a second
+    # plan branch over `sketch`, and without this the whole upstream
+    # build (a full fact-table scan when the caller passes
+    # cms_build(...) unmaterialized) runs once per branch — measured 2×
+    # the probe time at sf0.1 (r7 guard-cost audit). The grid is
+    # <= depth×width+1 rows, so the checkpoint is O(grid), not O(facts).
+    sketch = sketch.localCheckpoint(eager=False)
     shape = sketch.filter(F.col("r") < 0).agg(
         F.count("*").alias("_n_sent"),
         F.max("bucket").alias("_grid_width"),
@@ -471,6 +478,12 @@ def bloom_probe(
     bloom_add_sentinel), and on >1 sentinel (mixed-parameter merge)."""
     key = F.col(key_col).cast("string")
     expect = _bloom_sentinel(n_hashes, n_bits)
+    # materialize the bounded bit table ONCE — the sentinel guard and
+    # the hit broadcast are separate plan branches, and an
+    # unmaterialized bloom_build(...) upstream would run its full
+    # member scan per branch (measured 2× probe time at sf0.1, r7).
+    # The table is <= n_bits+1 rows: O(bits) checkpoint, O(facts) saved.
+    sketch = sketch.localCheckpoint(eager=False)
     shape = sketch.filter(F.col("bit") < 0).agg(
         F.count("*").alias("_n_sent"),
         F.max("bit").alias("_sent"),
@@ -645,6 +658,13 @@ def cms_join_cardinality(a: DataFrame, b: DataFrame) -> DataFrame:
     Both grids must share (depth, width, family): validated against
     the parameter sentinels (fail-fast, like cms_estimate). Returns
     one row (join_size_est)."""
+    # materialize each bounded grid ONCE: `a` feeds THREE plan branches
+    # (its sentinel guard, the inner-product join, and the per-row
+    # domain) and `b` two — unmaterialized cms_build inputs re-scan
+    # their fact tables per branch (the r7 guard-cost audit measured
+    # this as the whole +29% regression). Grids are depth×width+1 rows.
+    a = a.localCheckpoint(eager=False)
+    b = b.localCheckpoint(eager=False)
     sa = a.filter(F.col("r") < 0).agg(
         F.count("*").alias("_ns_a"),
         F.max("bucket").alias("_w_a"),
