@@ -16,6 +16,7 @@ Integral sums, window deltas and counts are exact and left raw.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -538,28 +539,56 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The keep/drop DECISION on top of near-dup clustering: every
-    document joins its connected component (singletons keep their own
-    id — a doc with no near-dups is its own cluster), and each cluster
-    elects the representative to KEEP by highest quality score with
-    doc_id as the total-order tie-break — the curation policy real
-    pipelines apply (keep the best-written copy, not the first-crawled
-    one, cf. the dedup discussions in Gopher/RefinedWeb). Output is one
-    row per cluster: size, kept doc, its quality. Shape: the pairwise
-    edges and pointer-jumping components of dedup_clusters, one
-    broadcast-joinable quality table, one per-cluster window argmax —
-    nothing beyond id-keyed shuffles past the text scans."""
+    """The keep/drop DECISION on top of near-dup clustering, composed
+    over the REAL MinHash-LSH candidate generator (not an adjacency
+    stand-in): md5-family signatures (reproducible in DuckDB) feed the
+    production banding/bucketing/self-join path
+    (dedup.minhash_lsh_candidates), candidates are verified with exact
+    shingle-set Jaccard >= 0.6, verified pairs become connected
+    components (pointer-jumping min-label), and each cluster elects the
+    representative to KEEP by highest quality score with doc_id as the
+    total-order tie-break — the curation policy real pipelines apply
+    (keep the best-written copy, not the first-crawled one, cf. the
+    dedup discussions in Gopher/RefinedWeb). Singletons keep their own
+    id: a doc with no verified near-dups is its own cluster. Output is
+    one row per cluster: size, kept doc, its quality. Shape: the
+    shingle table materializes ONCE (localCheckpoint) and serves the
+    signature, verify-a, and verify-b branches; the banded self-join
+    carries (band, bucket, id) only; everything past the text scan is
+    id-keyed — the full LSH→verify→cluster→elect chain of a production
+    dedup pass, differentially checked end-to-end."""
     docs = _t(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", F.array_distinct(split_words("text")).alias("toks")
+    words = docs.select("doc_id", split_words("text").alias("__w"))
+    sh = words.select(
+        "doc_id", textf.shingles_from_words(F.col("__w"), 3).alias("sh")
+    ).localCheckpoint(eager=False)
+    families = F.sequence(F.lit(0), F.lit(3))
+    sig_df = sh.select(
+        "doc_id",
+        F.transform(
+            families,
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.md5(F.concat(i.cast("string"), F.lit(" "), s)),
+                )
+            ),
+        ).alias("sig"),
     )
-    a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
-    b = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
-    n_common = F.size(F.array_intersect("ta", "tb"))
-    union_sz = F.size("ta") + F.size("tb") - n_common
+    cands = dedup.minhash_lsh_candidates(
+        docs,
+        sig_df=sig_df,
+        num_hashes=4,
+        bands=2,
+        max_bucket_size=None,
+        with_est=False,
+    )
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = (
-        a.join(b, F.col("id_b") == F.col("id_a") + 1)
-        .filter(n_common.cast("double") / union_sz >= 0.6)
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .filter(dedup.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.6)
         .select("id_a", "id_b")
     )
     comps = dedup.connected_components(pairs).select(
@@ -2718,8 +2747,13 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
     lnq_ct = F.floor(F.log("ct") * 1e6 + F.lit(0.5)).cast("long")
     lnq_tt = F.floor(F.log("tt") * 1e6 + F.lit(0.5)).cast("long")
+    # no hard broadcast hint on the vocab table (r7): ct grows with
+    # corpus vocabulary, so AQE is the size guard — it auto-broadcasts
+    # while ct fits the threshold (the measured plan at every tested
+    # SF) and falls back to a term-keyed shuffle join at web-crawl
+    # vocab instead of overflowing a forced broadcast
     sur = (
-        dt.join(F.broadcast(ct), "term")
+        dt.join(ct, "term")
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("dl"),
@@ -4415,43 +4449,73 @@ def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("true_lang").alias("cand"), "g")
         .agg(F.sum("m").alias("c"))
     )
-    tl = prof.groupBy("cand").agg(F.sum("c").alias("tl"))
-    v = prof.agg(F.countDistinct("g").alias("v"))
-    langs = prof.select("cand").distinct()
+    # ONE-PASS scoring (r7): the per-language profile pivots into a
+    # per-gram score VECTOR (langs ascending), broadcast once, and every
+    # language is scored with |langs| aggregate expressions in a single
+    # (doc, gram) pass — no crossJoin row multiplication (previously the
+    # (doc, gram) table grew ×|langs| before aggregating) and no per-doc
+    # window (argmax = array_position of the max over the ascending-lang
+    # vector, so first-max == tie-break by language asc, identical to
+    # the old row_number ordering).  The model fetches (lang list,
+    # per-lang ln(T_l+V) constants) are bounded driver pulls of
+    # |langs|+1 rows — the model is broadcast-sized by construction.
     lnq_c1 = F.floor(
-        F.log(F.coalesce(F.col("c"), F.lit(0)) + 1) * 1e6 + F.lit(0.5)
+        F.log(F.col("c") + 1) * 1e6 + F.lit(0.5)
     ).cast("long")
-    per = (
-        dg.crossJoin(F.broadcast(langs))
-        .join(F.broadcast(prof), ["cand", "g"], "left")
-        .groupBy("doc_id", "true_lang", "cand")
+    tl = prof.groupBy("cand").agg(F.sum("c").alias("tl"))
+    n_vocab = prof.agg(F.countDistinct("g").alias("v")).collect()[0]["v"]
+    tv_rows = tl.collect()
+    langs = sorted(r["cand"] for r in tv_rows)
+    lnq_tv = {
+        r["cand"]: int(math.floor(math.log(r["tl"] + n_vocab) * 1e6 + 0.5))
+        for r in tv_rows
+    }
+    gp = (
+        prof.select("g", "cand", lnq_c1.alias("lq"))
+        .groupBy("g")
         .agg(
-            F.sum(F.col("m") * lnq_c1).alias("s_micro"),
+            F.map_from_entries(
+                F.collect_list(F.struct("cand", "lq"))
+            ).alias("mp")
+        )
+        .select(
+            "g",
+            F.array(
+                *[F.coalesce(F.col("mp")[lang], F.lit(0)) for lang in langs]
+            ).alias("vec"),
+        )
+    )
+    # unseen grams (held-out docs) left-join to null → each element
+    # coalesces to ln(0+1)=0 micro-quantized — identical smoothing to
+    # the old per-(cand,g) left join
+    per = (
+        dg.join(F.broadcast(gp), "g", "left")
+        .groupBy("doc_id", "true_lang")
+        .agg(
+            *[
+                F.sum(
+                    F.col("m") * F.coalesce(F.col("vec")[i], F.lit(0))
+                ).alias(f"__s{i}")
+                for i in range(len(langs))
+            ],
             F.sum("m").alias("mm"),
         )
     )
-    lnq_tv = F.floor(
-        F.log(F.col("tl") + F.col("v")) * 1e6 + F.lit(0.5)
-    ).cast("long")
-    scored = (
-        per.join(F.broadcast(tl), "cand")
-        .crossJoin(F.broadcast(v))
-        .select(
-            "doc_id",
-            "true_lang",
-            "cand",
-            (F.col("s_micro") - F.col("mm") * lnq_tv).alias("score"),
-        )
+    scores = F.array(
+        *[
+            F.col(f"__s{i}") - F.col("mm") * F.lit(lnq_tv[lang])
+            for i, lang in enumerate(langs)
+        ]
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("score"), F.asc("cand")
+    pred = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]),
+        F.array_position(scores, F.array_max(scores)).cast("int"),
     )
     return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
+        per.select("doc_id", "true_lang", pred.alias("pred"))
         .groupBy(
             F.col("true_lang").alias("lang"),
-            F.col("cand").alias("pred_lang"),
+            F.col("pred").alias("pred_lang"),
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "pred_lang")
@@ -4707,8 +4771,9 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     is integer DIV — corpus-scale aggregation order cannot flip a
     value, so DuckDB matches surprisal_micro exactly. Plan: term-count
     agg + doc-term agg + per-doc sum (three narrow shuffles past
-    tokenize); the vocabulary count table and the corpus-total scalar
-    broadcast."""
+    tokenize); the corpus-total scalar broadcasts, and the
+    vocabulary-count join is AQE-sized (auto-broadcast while small,
+    term-keyed shuffle at unbounded vocab — the r7 size guard)."""
     from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.text import (
         split_words,
     )
@@ -4731,8 +4796,11 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = dt.groupBy("term").agg(F.sum("c").alias("ct"))
     total = ct.agg(F.sum("ct").alias("tt"))
     lnq_ct = F.floor(F.log("ct") * 1e6 + F.lit(0.5)).cast("long")
+    # no hard broadcast hint (r7): AQE broadcasts the vocab table while
+    # it fits and shuffle-joins on term beyond that — ct is
+    # vocabulary-sized, which grows with the corpus
     per_doc = (
-        dt.join(F.broadcast(ct), "term")
+        dt.join(ct, "term")
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("dl"),
@@ -5444,6 +5512,47 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dist_rank(
+    df: DataFrame,
+    key: str,
+    tie: str,
+    out: str,
+    cuts: list[float],
+) -> DataFrame:
+    """Global row_number() over (key ASC, tie ASC) WITHOUT the
+    single-partition window (the scale-killer Spark warns about as
+    "WindowExec: No Partition Defined"): pre-fetched approx-quantile
+    cutpoints — inlined as literals so the bucket is a pure function of
+    the row — range-bucket the rows, each bucket ranks in parallel, and
+    each bucket's cumulative row offset (a bounded driver fetch of ONE
+    count per bucket) converts local rank to global. Equal keys always
+    share a bucket (strict > against each cutpoint), so the composed
+    order is the exact total order. Same cutpoint-bucket +
+    bounded-carry machinery as order_quartiles / pareto_front_orders."""
+    spark = df.sparkSession
+    cuts = sorted(set(cuts))
+    pid = sum(
+        (F.when(F.col(key) > F.lit(c), 1).otherwise(0) for c in cuts),
+        F.lit(0),
+    )
+    part = df.withColumn("__pid", pid)
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in part.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for p, n_rows in counts:
+        offsets.append((p, acc))
+        acc += n_rows
+    off = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(F.asc(key), F.asc(tie))
+    return (
+        part.join(F.broadcast(off), "__pid")
+        .withColumn(out, F.col("__off") + F.row_number().over(w))
+        .drop("__pid", "__off")
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (the classic recency/frequency/monetary
     customer grid) with fully deterministic quartiles: each purchase
@@ -5452,11 +5561,16 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (metric, then user_id — no NTILE boundary ties, no float
     percentile edges an engine could flip). Recency anchors at the
     corpus max event day (integer epoch-day arithmetic, NTZ-safe).
-    The three rank windows run over the per-user AGGREGATE — users ≪
-    events, the same post-aggregation-smallness argument as
-    share_of_total — so the global windows never touch event-level
-    rows. Output: per user, the raw metrics and the 111..444 segment
-    code (1 = best quartile on each axis)."""
+    The three global ranks are DISTRIBUTED (r7: this was the catalog's
+    only remaining single-partition WindowExec, ×3): the per-user
+    aggregate materializes once (localCheckpoint — events scan once),
+    one approxQuantile pass fetches cutpoints for all three sort keys,
+    and _dist_rank range-buckets + offset-carries each rank in
+    parallel — identical ranks (the unchanged oracle pins it), no
+    "No Partition Defined" stage at any scale. Descending axes rank on
+    the negated metric so one ascending helper serves all three.
+    Output: per user, the raw metrics and the 111..444 segment code
+    (1 = best quartile on each axis)."""
     ev = _t(spark, sf_dir, "events")
     day = (F.floor(_epoch_sec(F.col("ts")) / 86400)).cast("long")
     pu = (
@@ -5470,16 +5584,27 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     anchor = ev.agg(F.max(day).alias("anchor_d"))
-    base = pu.crossJoin(F.broadcast(anchor)).select(
-        "user_id",
-        (F.col("anchor_d") - F.col("last_d")).alias("recency_days"),
-        "frequency",
-        "monetary_cents",
+    base = (
+        pu.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            (F.col("anchor_d") - F.col("last_d")).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+            (-F.col("frequency")).alias("__nf"),
+            (-F.col("monetary_cents")).alias("__nm"),
+        )
+        .localCheckpoint(eager=False)
     )
+    cr, cf, cm = base.stat.approxQuantile(
+        ["recency_days", "__nf", "__nm"],
+        [i / 8 for i in range(1, 8)],
+        0.001,
+    )
+    ranked = _dist_rank(base, "recency_days", "user_id", "__rr", cr)
+    ranked = _dist_rank(ranked, "__nf", "user_id", "__rf", cf)
+    ranked = _dist_rank(ranked, "__nm", "user_id", "__rm", cm)
     n = base.agg(F.count(F.lit(1)).alias("n_users"))
-    wr = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-    wm = Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
 
     def quart(rank_col):
         return F.least(
@@ -5487,21 +5612,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({rank_col} - 1) * 4 DIV n_users") + 1,
         )
 
-    ranked = (
-        base.withColumn("__rr", F.row_number().over(wr))
-        .withColumn("__rf", F.row_number().over(wf))
-        .withColumn("__rm", F.row_number().over(wm))
-        .crossJoin(F.broadcast(n))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            (
+                quart("__rr") * 100 + quart("__rf") * 10 + quart("__rm")
+            ).alias("rfm"),
+        )
+        .orderBy("user_id")
     )
-    return ranked.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        (
-            quart("__rr") * 100 + quart("__rf") * 10 + quart("__rm")
-        ).alias("rfm"),
-    ).orderBy("user_id")
 
 
 def q_burst_detection_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5953,19 +6076,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kafka_wire_pipeline": q_kafka_wire_pipeline,
     "null_safe_projection": q_null_safe_projection,
     "union_filtered_accounts": q_union_filtered_accounts,
-    "bloom_membership_gate": q_bloom_membership_gate,
-    "intersect_except_users": q_intersect_except_users,
+    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+    "corpus_pipeline_v2": q_corpus_pipeline_v2,
     "date_histogram_daily": q_date_histogram_daily,
-    "cms_join_cardinality": q_cms_join_cardinality,
+    "label_propagation_weighted": q_label_propagation_weighted,
     "topk_orders": q_topk_orders,
-    "pagerank_user_graph": q_pagerank_user_graph,
+    "gopher_quality_rules": q_gopher_quality_rules,
     "latest_event_per_user": q_latest_event_per_user,
-    "grouping_sets_events": q_grouping_sets_events,
+    "langid_trigram": q_langid_trigram,
     "partition_pruned_scan": q_partition_pruned_scan,
-    "exact_percentiles": q_exact_percentiles,
+    "dedup_keep_best": q_dedup_keep_best,
     "kmv_distinct_rollup": q_kmv_distinct_rollup,
     "semi_join_active_customers": q_semi_join_active_customers,
-    "label_propagation_communities": q_label_propagation_communities,
+    "weighted_pps_sample": q_weighted_pps_sample,
     "pivot_event_values": q_pivot_event_values,
     "sessionize_events": q_sessionize_events,
     "asof_purchase_attribution": q_asof_purchase_attribution,
@@ -5980,11 +6103,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_enriched_counts": q_streaming_enriched_counts,
     "streaming_sliding_counts": q_streaming_sliding_counts,
     "streaming_interval_join": q_streaming_interval_join,
-    "streaming_window_quantiles": q_streaming_window_quantiles,
+    "daily_churn_rates": q_daily_churn_rates,
     # -- LLM training-data pipeline, one per family
     "doc_token_counts": q_doc_token_counts,
-    "unigram_surprisal": q_unigram_surprisal,
-    "lang_id_confusion": q_lang_id_confusion,
+    "domain_blocklist_stats": q_domain_blocklist_stats,
+    "l_diversity_report": q_l_diversity_report,
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_lsh_verified": q_minhash_lsh_verified,
     "simhash_verified": q_simhash_verified,
@@ -6002,6 +6125,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # union/intersect set ops, date_histogram/topk aggs, semi-join,
     # streaming_* block incl. window_quantiles, doc_token/lang_id/bm25):
     "repeat_replay": q_repeat_replay,
+    # rotated out of the driver window in r7 (families still witnessed:
+    # sketches by cms_heavy_hitters/kmv_distinct_rollup, graph by
+    # label_propagation_weighted, set ops by union_filtered_accounts,
+    # aggs by date_histogram/pivot/tpch_q1, streaming by the five
+    # in-window streaming_* entries, langid by langid_trigram, LM
+    # scoring by corpus_pipeline_v2):
+    "bloom_membership_gate": q_bloom_membership_gate,
+    "cms_join_cardinality": q_cms_join_cardinality,
+    "intersect_except_users": q_intersect_except_users,
+    "pagerank_user_graph": q_pagerank_user_graph,
+    "grouping_sets_events": q_grouping_sets_events,
+    "exact_percentiles": q_exact_percentiles,
+    "label_propagation_communities": q_label_propagation_communities,
+    "streaming_window_quantiles": q_streaming_window_quantiles,
+    "unigram_surprisal": q_unigram_surprisal,
+    "lang_id_confusion": q_lang_id_confusion,
     "terms_topk_event_types": q_terms_topk_event_types,
     "anti_join_idle_customers": q_anti_join_idle_customers,
     "streaming_dedup_keys": q_streaming_dedup_keys,
@@ -6011,7 +6150,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_user_counts": q_distinct_user_counts,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_real_decode": q_multimodal_real_decode,
-    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "winnowing_fingerprints_fast": q_winnowing_fingerprints_fast,
     "sql_surface": q_sql_surface,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
@@ -6139,15 +6277,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logbucket_quantiles": q_logbucket_quantiles,
     "bigram_surprisal_heldout": q_bigram_surprisal_heldout,
     "k_anonymity_report": q_k_anonymity_report,
-    "l_diversity_report": q_l_diversity_report,
-    "daily_churn_rates": q_daily_churn_rates,
-    "corpus_pipeline_v2": q_corpus_pipeline_v2,
-    "label_propagation_weighted": q_label_propagation_weighted,
-    "gopher_quality_rules": q_gopher_quality_rules,
-    "domain_blocklist_stats": q_domain_blocklist_stats,
-    "weighted_pps_sample": q_weighted_pps_sample,
-    "dedup_keep_best": q_dedup_keep_best,
-    "langid_trigram": q_langid_trigram,
     "outlier_events_zscore": q_outlier_events_zscore,
     "burst_detection_minutes": q_burst_detection_minutes,
     "rfm_segments": q_rfm_segments,
@@ -6585,16 +6714,44 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY id
         """,
         "dedup_keep_best": r"""
-            WITH t AS (
+            WITH w AS (
                 SELECT doc_id,
-                       list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+                       string_split_regex(lower(trim(text)), '\s+') AS words
                 FROM documents
+            ), shg AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) < 3
+                            THEN [array_to_string(words, ' ')]
+                            ELSE list_transform(
+                                generate_series(0, len(words) - 3),
+                                i -> array_to_string(
+                                    list_slice(words, i + 1, i + 3), ' '))
+                       END AS sh
+                FROM w
+            ), s AS (
+                SELECT doc_id,
+                       list_transform([0, 1, 2, 3],
+                           i -> list_min(list_transform(sh,
+                               x -> md5(i::VARCHAR || ' ' || x)))) AS sig
+                FROM shg
+            ), bnd AS (
+                SELECT doc_id, r.range AS band,
+                       sig[CAST(r.range * 2 + 1 AS INT)] || ',' ||
+                       sig[CAST(r.range * 2 + 2 AS INT)] AS bucket
+                FROM s, range(2) r
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+                FROM bnd a
+                JOIN bnd b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                           AND a.doc_id < b2.doc_id
             ), p AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
-                WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
-                      / (len(a.toks) + len(b.toks)
-                         - len(list_intersect(a.toks, b.toks))) >= 0.6
+                SELECT id_a, id_b
+                FROM cand
+                JOIN shg sa ON sa.doc_id = cand.id_a
+                JOIN shg sb ON sb.doc_id = cand.id_b
+                WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                      / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
+                         - len(list_intersect(sa.sh, sb.sh))) >= 0.6
             ), edges AS (
                 SELECT id_a AS a, id_b AS b FROM p
                 UNION SELECT id_b, id_a FROM p

@@ -710,35 +710,41 @@ def setsim_prefix_join(
     pairs-sharing-a-rare-token. Candidates are then verified with the
     exact Jaccard.
 
-    Scale shape: the rank map is vocabulary-sized (broadcast); the one
-    global window that ranks it is vocab-bounded, not corpus-bounded.
-    The candidate join carries (token, id) pairs only — prefixes, not
-    whole documents — and the verify join re-attaches the two token
-    arrays for surviving pairs alone. Input `tokens_col` must be a
+    Scale shape (r7): the global token order is (document-frequency
+    asc, token asc) — applied by sorting each doc's (df, token)
+    structs directly, so there is NO global rank window (the r6 shape
+    ranked the vocabulary through a single-partition row_number) and
+    NO separate rank table. The df join is left to AQE: at bounded
+    vocab it auto-broadcasts (the measured plan at every tested SF);
+    at web-crawl vocab (10⁸+ tokens) it falls back to a shuffle join
+    on the token key instead of overflowing a hard broadcast hint —
+    the count-based guard the hard hint could not give. The candidate
+    join carries (token, id) pairs only — prefixes, not whole
+    documents — and the verify join re-attaches the two token arrays
+    for surviving pairs alone. Input `tokens_col` must be a
     DISTINCT-element array.
 
     Returns (id_a, id_b, jaccard), jaccard floor-quantized. The
     differential gate (q_setsim_join_verified) checks this against a
     DuckDB ALL-PAIRS computation — a hash match proves the prefix
     filter dropped no qualifying pair."""
-    from pyspark.sql import Window
-
     d = docs.select(
         F.col(id_col).alias("__id"), F.col(tokens_col).alias("__toks")
     ).filter(F.size("__toks") > 0)
     tok = d.select("__id", F.explode("__toks").alias("__tok"))
     vocab = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
-    rank = vocab.withColumn(
-        "__rank",
-        F.row_number().over(Window.orderBy(F.asc("__df"), F.asc("__tok"))),
-    ).select("__tok", "__rank")
+    # (df, token) IS the rarest-first total order — sorting the structs
+    # gives the identical prefix order the r6 global row_number rank
+    # produced, without a single-partition window or a rank table.
+    # No broadcast hint on vocab: AQE broadcasts while it fits and
+    # shuffle-joins on __tok beyond that (vocab grows with the corpus).
     ranked = (
-        tok.join(F.broadcast(rank), "__tok")
+        tok.join(vocab, "__tok")
         .groupBy("__id")
         .agg(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("__rank", "__tok"))
+                    F.collect_list(F.struct("__df", "__tok"))
                 ),
                 lambda s: s["__tok"],
             ).alias("__sorted")

@@ -24,6 +24,14 @@ SF = "/root/testdata/sf0.001"
 #: is intentional, update this pin consciously. r5 rotation: five
 #: redundant witnesses swapped for the deterministic-mechanism tier
 #: (cms/bm25/pagerank/kmv/png) so the driver exercises it directly.
+#: r7 rotation (per the QUERIES.md schedule): ten redundant witnesses
+#: (bloom gate, cms join-cardinality, intersect/except, pagerank,
+#: grouping sets, exact percentiles, LPA-unweighted, streaming window
+#: quantiles, unigram surprisal, lang_id_confusion — every family
+#: still witnessed in-window) swapped for the r6 additions the driver
+#: has never hash-checked (jpeg decode, corpus v2, weighted LPA,
+#: gopher rules, langid, dedup keep-best, PPS sample, domain
+#: blocklist, l-diversity, daily churn).
 DRIVER_WINDOW = [
     "fusion_minute_avg",
     "multiway_join_revenue",
@@ -36,19 +44,19 @@ DRIVER_WINDOW = [
     "kafka_wire_pipeline",
     "null_safe_projection",
     "union_filtered_accounts",
-    "bloom_membership_gate",
-    "intersect_except_users",
+    "multimodal_jpeg_decode",
+    "corpus_pipeline_v2",
     "date_histogram_daily",
-    "cms_join_cardinality",
+    "label_propagation_weighted",
     "topk_orders",
-    "pagerank_user_graph",
+    "gopher_quality_rules",
     "latest_event_per_user",
-    "grouping_sets_events",
+    "langid_trigram",
     "partition_pruned_scan",
-    "exact_percentiles",
+    "dedup_keep_best",
     "kmv_distinct_rollup",
     "semi_join_active_customers",
-    "label_propagation_communities",
+    "weighted_pps_sample",
     "pivot_event_values",
     "sessionize_events",
     "asof_purchase_attribution",
@@ -62,10 +70,10 @@ DRIVER_WINDOW = [
     "streaming_enriched_counts",
     "streaming_sliding_counts",
     "streaming_interval_join",
-    "streaming_window_quantiles",
+    "daily_churn_rates",
     "doc_token_counts",
-    "unigram_surprisal",
-    "lang_id_confusion",
+    "domain_blocklist_stats",
+    "l_diversity_report",
     "exact_dedup_docs",
     "minhash_lsh_verified",
     "simhash_verified",

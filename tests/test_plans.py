@@ -238,3 +238,47 @@ def test_pareto_front_has_no_single_partition_window(spark):
         spec = m.group(1)
         # every window spec must name a partition column (pid)
         assert "pid" in spec, spec
+
+
+def test_rfm_segments_has_no_single_partition_window(spark):
+    # r7: the three global quartile ranks are distributed via the
+    # cutpoint-bucket + offset-carry machinery (_dist_rank) — every
+    # window spec in the plan must be partitioned (by __pid), never a
+    # whole-table "No Partition Defined" WindowExec
+    import re
+
+    df = entrymod.q_rfm_segments(spark, SF)
+    plan = explain.formatted_plan(df)
+    specs = re.findall(
+        r"windowspecdefinition\(([^)]*)\)", plan
+    )
+    assert specs, "expected partitioned window specs in the rfm plan"
+    for spec in specs:
+        assert "__pid" in spec, spec
+
+
+def test_setsim_prefix_join_has_no_global_rank_window(spark):
+    # r7 vocab guard: the rarest-first order comes from sorting each
+    # doc's (df, token) structs — the vocabulary must NOT pass through
+    # a global row_number window (single partition, vocab-sized), and
+    # the df join must carry no hard broadcast hint (AQE sizes it)
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        dedup,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("toks"),
+        )
+    )
+    df = dedup.setsim_prefix_join(
+        docs, tokens_col="toks", id_col="doc_id", threshold=0.5
+    )
+    plan = explain.formatted_plan(df)
+    assert "windowspecdefinition" not in plan
+    # logical-plan check: no ResolvedHint/broadcast hint on the df join
+    assert "UnresolvedHint" not in df._jdf.queryExecution().logical().toString()
+    assert "hints=[broadcast]" not in df._jdf.queryExecution().optimizedPlan().toString()
