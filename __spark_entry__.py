@@ -3290,10 +3290,17 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped >90 days after order date): suppliers whose line was late on
     a multi-supplier order where EVERY other supplier shipped on time.
     The classic correlated EXISTS + NOT EXISTS pair, expressed as one
-    per-order aggregate over the order's lineitems (count distinct
-    suppliers, count distinct late suppliers, the late supplier id) —
-    turning two correlated subqueries into a single shuffle on
-    l_orderkey, the formulation that survives 100 TB."""
+    per-order aggregate over the order's lineitems — turning two
+    correlated subqueries into a single shuffle on l_orderkey. r7: the
+    distinct supplier counts are collect_set sizes, not
+    count_distinct × 2 — the dual-distinct formulation planned an
+    Expand (every joined lineitem duplicated per distinct group) plus
+    TWO full-data exchanges ((okey, skey, late, gid) then okey), the
+    measured 0.50×-linear grower in the 10× table. collect_set
+    partial-aggregates map-side with dedup, so the one exchange
+    carries per-order supplier sets bounded by suppliers-per-order
+    (~7 in TPC-H whatever the corpus size) — the formulation that
+    survives 100 TB."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
@@ -3304,8 +3311,10 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+            F.size(
+                F.collect_set(F.when(late, F.col("l_suppkey")))
+            ).alias("n_late"),
             F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
@@ -5512,12 +5521,24 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cut_bucket(key: str, cuts: list[float]):
+    """Range-bucket id for `key` against sorted distinct cutpoints:
+    strict > per cutpoint, so equal keys always share a bucket — the
+    pure-function bucketing _dist_rank and its callers must agree on."""
+    cuts = sorted(set(cuts))
+    return sum(
+        (F.when(F.col(key) > F.lit(c), 1).otherwise(0) for c in cuts),
+        F.lit(0),
+    )
+
+
 def _dist_rank(
     df: DataFrame,
     key: str,
     tie: str,
     out: str,
     cuts: list[float],
+    counts: dict[int, int] | None = None,
 ) -> DataFrame:
     """Global row_number() over (key ASC, tie ASC) WITHOUT the
     single-partition window (the scale-killer Spark warns about as
@@ -5528,18 +5549,22 @@ def _dist_rank(
     count per bucket) converts local rank to global. Equal keys always
     share a bucket (strict > against each cutpoint), so the composed
     order is the exact total order. Same cutpoint-bucket +
-    bounded-carry machinery as order_quartiles / pareto_front_orders."""
+    bounded-carry machinery as order_quartiles / pareto_front_orders.
+
+    `counts` (optional): precomputed {bucket_id: row_count} — lets the
+    caller fetch the bucket histograms for SEVERAL ranks in one
+    aggregate job (q_rfm_segments groups once over its three pid
+    columns jointly) instead of one count job per rank."""
     spark = df.sparkSession
-    cuts = sorted(set(cuts))
-    pid = sum(
-        (F.when(F.col(key) > F.lit(c), 1).otherwise(0) for c in cuts),
-        F.lit(0),
-    )
-    part = df.withColumn("__pid", pid)
-    counts = sorted(
-        (r["__pid"], r["n"])
-        for r in part.groupBy("__pid").agg(F.count("*").alias("n")).collect()
-    )
+    part = df.withColumn("__pid", _cut_bucket(key, cuts))
+    if counts is None:
+        counts = {
+            r["__pid"]: r["n"]
+            for r in part.groupBy("__pid")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    counts = sorted(counts.items())
     offsets, acc = [], 0
     for p, n_rows in counts:
         offsets.append((p, acc))
@@ -5601,9 +5626,32 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         [i / 8 for i in range(1, 8)],
         0.001,
     )
-    ranked = _dist_rank(base, "recency_days", "user_id", "__rr", cr)
-    ranked = _dist_rank(ranked, "__nf", "user_id", "__rf", cf)
-    ranked = _dist_rank(ranked, "__nm", "user_id", "__rm", cm)
+    # ONE joint histogram job feeds all three bucket-offset maps: the
+    # (pid_r, pid_f, pid_m) group-by is <= 8^3 rows however many users
+    # exist, and each rank's marginal falls out driver-side — vs one
+    # count job per _dist_rank call (3 jobs -> 1)
+    hist = (
+        base.select(
+            _cut_bucket("recency_days", cr).alias("__pr"),
+            _cut_bucket("__nf", cf).alias("__pf"),
+            _cut_bucket("__nm", cm).alias("__pm"),
+        )
+        .groupBy("__pr", "__pf", "__pm")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    marg_r: dict[int, int] = {}
+    marg_f: dict[int, int] = {}
+    marg_m: dict[int, int] = {}
+    n_users = 0
+    for r in hist:
+        marg_r[r["__pr"]] = marg_r.get(r["__pr"], 0) + r["n"]
+        marg_f[r["__pf"]] = marg_f.get(r["__pf"], 0) + r["n"]
+        marg_m[r["__pm"]] = marg_m.get(r["__pm"], 0) + r["n"]
+        n_users += r["n"]
+    ranked = _dist_rank(base, "recency_days", "user_id", "__rr", cr, marg_r)
+    ranked = _dist_rank(ranked, "__nf", "user_id", "__rf", cf, marg_f)
+    ranked = _dist_rank(ranked, "__nm", "user_id", "__rm", cm, marg_m)
     n = base.agg(F.count(F.lit(1)).alias("n_users"))
 
     def quart(rank_col):
@@ -6063,6 +6111,118 @@ def q_pagerank_weighted_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: each backed by a DuckDB oracle. Everything after #50 remains runnable
 #: and unit-tested; rows-only entries (ANN indexes, sketches) sit there
 #: by design.
+def q_passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document PASSAGE-level exact dedup (operators/dedup.py:
+    passage_dedup — the window-fingerprint recipe of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL
+    2022): every 20-word passage across the corpus is md5-
+    fingerprinted, the global first occurrence (smallest (doc_id,
+    position)) is elected keeper per fingerprint, and each document is
+    RECONSTRUCTED from its kept passages in order — span-level dedup
+    whole-document fingerprints (exact_dedup_docs) can never do, and
+    the step real curation pipelines run between near-dup clustering
+    and packing. Output per doc: passage counts, duplicate-passage
+    count, surviving word count, and the rebuilt text (hash-compared
+    end to end, so the oracle proves the reconstruction byte-exact).
+    Shape: one explode to (doc, pos, passage), one fp-keyed min-struct
+    election, one fp-keyed verdict join reusing that partitioning, one
+    doc-keyed rebuild via array_sort — no windows, no collects,
+    nothing quadratic; shuffle volume is the tokenized corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.passage_dedup(
+        docs, text_col="text", id_col="doc_id", window_words=20
+    ).orderBy("doc_id")
+
+
+def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (Xie et al., NeurIPS
+    2023: upweight domains where the proxy model's EXCESS loss is
+    high), with the repo's unigram-surprisal signal standing in for
+    proxy-model loss: per source domain, the mean per-doc surprisal
+    under the corpus unigram LM; a domain's excess = its mean minus
+    the corpus-wide mean; sampling weights ∝ max(0, excess),
+    normalized to parts-per-million — domains whose text the
+    reference distribution finds surprising get more sampling mass,
+    boilerplate-heavy domains get less. The entire chain is integer
+    fixed-point: surprisal_micro is the established integer-exact
+    construction, domain means are BIGINT sums with integer DIV,
+    excess is a BIGINT difference, and the ppm normalization is
+    integer multiply-then-DIV — no float crosses an aggregation, so
+    DuckDB reproduces every weight bit-for-bit (the clamped-linear
+    variant of DoReMi's exponentiated update, chosen for cross-engine
+    exactness). All-equal degenerate corpora fall back to uniform ppm.
+    Shape: the surprisal pipeline's three narrow shuffles + one
+    |domains|-row aggregate; the domain table is bounded, the scalar
+    corpus mean broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(textf.split_words("text"), lambda t: t != "")
+        ).alias("term"),
+    )
+    dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    ct = dt.groupBy("term").agg(F.sum("c").alias("ct"))
+    total = ct.agg(F.sum("ct").alias("tt"))
+    lnq_ct = F.floor(F.log("ct") * 1e6 + F.lit(0.5)).cast("long")
+    lnq_tt = F.floor(F.log("tt") * 1e6 + F.lit(0.5)).cast("long")
+    per_doc = (
+        dt.join(ct, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("dl"),
+            F.sum(F.col("c") * lnq_ct).alias("s_micro"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "dl",
+            (lnq_tt - F.expr("s_micro DIV dl")).alias("sur_micro"),
+        )
+    )
+    by_src = (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+            F.sum("sur_micro").alias("__sum_sur"),
+        )
+        .withColumn(
+            "avg_surprisal_micro", F.expr("__sum_sur DIV n_docs")
+        )
+    )
+    corpus = per_doc.agg(
+        F.count("*").alias("__n_all"), F.sum("sur_micro").alias("__s_all")
+    ).select(F.expr("__s_all DIV __n_all").alias("__corpus_avg"))
+    excess = by_src.crossJoin(F.broadcast(corpus)).withColumn(
+        "excess_micro", F.col("avg_surprisal_micro") - F.col("__corpus_avg")
+    )
+    pos_total = excess.agg(
+        F.sum(F.greatest(F.col("excess_micro"), F.lit(0))).alias("__pos"),
+        F.count("*").alias("__n_src"),
+    )
+    return (
+        excess.crossJoin(F.broadcast(pos_total))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "avg_surprisal_micro",
+            "excess_micro",
+            F.when(
+                F.col("__pos") > 0,
+                F.expr(
+                    "(greatest(excess_micro, 0) * 1000000) DIV __pos"
+                ),
+            )
+            .otherwise(F.expr("1000000 DIV __n_src"))
+            .alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -6285,6 +6445,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benford_digit_audit": q_benford_digit_audit,
     "spend_share_hierarchy": q_spend_share_hierarchy,
     "winsorized_stats": q_winsorized_stats,
+    # -- r7 additions: span-level dedup + domain mixture reweighting
+    "passage_dedup_stats": q_passage_dedup_stats,
+    "doremi_domain_weights": q_doremi_domain_weights,
 }
 
 
@@ -10489,6 +10652,107 @@ def oracle_sql() -> dict[str, str]:
             FROM r3
             ORDER BY rank_units DESC, node ASC
             LIMIT 50
+        """,
+        "passage_dedup_stats": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS words
+                FROM documents
+            ), chpos AS (
+                SELECT doc_id, words,
+                       UNNEST(generate_series(
+                           0,
+                           CAST(greatest(ceil(len(words) / 20.0), 1)
+                                AS BIGINT) - 1)) AS pos
+                FROM w
+            ), ch AS (
+                SELECT doc_id, pos,
+                       array_to_string(
+                           list_slice(words,
+                                      CAST(pos * 20 + 1 AS BIGINT),
+                                      CAST(pos * 20 + 20 AS BIGINT)),
+                           ' ') AS passage
+                FROM chpos
+            ), fp AS (
+                SELECT doc_id, pos, passage, md5(passage) AS f FROM ch
+            ), ranked AS (
+                SELECT doc_id, pos, passage,
+                       row_number() OVER (
+                           PARTITION BY f ORDER BY doc_id, pos
+                       ) AS rn
+                FROM fp
+            ), agg AS (
+                SELECT doc_id,
+                       COUNT(*) AS n_passages,
+                       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_dup_passages,
+                       COALESCE(
+                           string_agg(
+                               CASE WHEN rn = 1 THEN passage END,
+                               ' ' ORDER BY pos),
+                           '') AS kept_text
+                FROM ranked GROUP BY doc_id
+            )
+            SELECT doc_id, n_passages, n_dup_passages,
+                   CAST(CASE WHEN kept_text = '' THEN 0
+                             ELSE len(string_split(kept_text, ' '))
+                        END AS BIGINT) AS kept_words,
+                   kept_text
+            FROM agg ORDER BY doc_id
+        """,
+        "doremi_domain_weights": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(trim(text)), '\s+'))
+                           AS term
+                FROM documents
+            ),
+            tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+            ct AS (SELECT term, COUNT(*) AS ct FROM tk GROUP BY 1),
+            tt AS (SELECT COUNT(*) AS tt FROM tk),
+            dt AS (SELECT doc_id, term, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+            per_doc AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS dl,
+                       CAST(FLOOR(ln(tt) * 1e6 + 0.5) AS BIGINT)
+                       - CAST(SUM(c * CAST(FLOOR(ln(ct) * 1e6 + 0.5)
+                                           AS BIGINT)) AS BIGINT)
+                         // CAST(SUM(c) AS BIGINT) AS sur_micro
+                FROM dt JOIN ct USING (term), tt GROUP BY doc_id, tt
+            ),
+            by_src AS (
+                SELECT source,
+                       COUNT(*) AS n_docs,
+                       CAST(SUM(dl) AS BIGINT) AS total_tokens,
+                       CAST(SUM(sur_micro) AS BIGINT)
+                           // COUNT(*) AS avg_surprisal_micro
+                FROM per_doc JOIN documents USING (doc_id)
+                GROUP BY source
+            ),
+            corpus AS (
+                SELECT CAST(SUM(sur_micro) AS BIGINT) // COUNT(*)
+                           AS corpus_avg
+                FROM per_doc
+            ),
+            ex AS (
+                SELECT source, n_docs, total_tokens, avg_surprisal_micro,
+                       avg_surprisal_micro - corpus_avg AS excess_micro
+                FROM by_src, corpus
+            ),
+            pt AS (
+                SELECT CAST(SUM(greatest(excess_micro, 0)) AS BIGINT)
+                           AS pos_total,
+                       COUNT(*) AS n_src
+                FROM ex
+            )
+            SELECT source, n_docs, total_tokens, avg_surprisal_micro,
+                   CAST(excess_micro AS BIGINT) AS excess_micro,
+                   CAST(CASE WHEN pos_total > 0
+                             THEN (greatest(excess_micro, 0) * 1000000)
+                                  // pos_total
+                             ELSE 1000000 // n_src
+                        END AS BIGINT) AS weight_ppm
+            FROM ex, pt ORDER BY source
         """,
         # rows-only (approximate / engine-specific by design, each with a
         # *_verified md5- or literal-plane twin pinning its mechanism):

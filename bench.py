@@ -124,6 +124,9 @@ HEADLINE = [
     "benford_digit_audit",
     "spend_share_hierarchy",
     "winsorized_stats",
+    # round-7 additions
+    "passage_dedup_stats",
+    "doremi_domain_weights",
 ]
 
 

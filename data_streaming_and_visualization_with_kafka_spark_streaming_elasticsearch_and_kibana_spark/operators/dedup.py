@@ -791,3 +791,92 @@ def setsim_prefix_join(
             ),
         )
     )
+
+
+def passage_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 20,
+) -> DataFrame:
+    """Cross-document PASSAGE-level exact dedup (the window-fingerprint
+    recipe of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022 — deduplicate repeated spans ACROSS
+    documents, not just whole-document copies): each document's word
+    stream splits into consecutive `window_words`-word passages, every
+    passage is fingerprinted (md5 of the space-joined window), and for
+    each fingerprint the single GLOBAL first occurrence — smallest
+    (doc_id, position) — is elected the keeper; all other occurrences
+    are duplicates. Returns one row per document:
+
+      (doc_id, n_passages, n_dup_passages, kept_words, kept_text)
+
+    where kept_text is the document reconstructed from its kept
+    passages in order — the output a curation pipeline actually writes
+    back to the corpus.
+
+    Scale shape: one explode to (doc, pos, passage) — the corpus's
+    word volume, nothing quadratic; the keeper election is ONE
+    fingerprint-keyed aggregate (min over a (doc_id, pos) struct,
+    map-side combinable); the verdict join is fingerprint-keyed
+    (reusing the aggregate's partitioning); the reconstruction is one
+    doc-keyed aggregate ordering kept passages by position via
+    array_sort on (pos, passage) structs — no window functions, no
+    driver collects, every exchange keyed on fp or doc id. At 100 TB
+    this is the standard passage-dedup shape: shuffle volume is the
+    tokenized corpus, state is bounded per key."""
+    from ..functions.text import split_words
+
+    words = docs.select(
+        F.col(id_col).alias("__id"), split_words(text_col).alias("__w")
+    )
+    n_chunks = F.ceil(F.size("__w") / F.lit(window_words)).cast("int")
+    chunks = words.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice("__w", i * window_words + 1, window_words),
+                ),
+            )
+        ).alias("__pos", "__passage"),
+    )
+    fp = chunks.withColumn("__fp", F.md5("__passage"))
+    first = fp.groupBy("__fp").agg(
+        F.min(F.struct("__id", "__pos")).alias("__first")
+    )
+    flagged = fp.join(first, "__fp").withColumn(
+        "__is_dup",
+        (F.col("__first.__id") != F.col("__id"))
+        | (F.col("__first.__pos") != F.col("__pos")),
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    ~F.col("__is_dup"),
+                    F.struct("__pos", "__passage"),
+                )
+            )
+        ),
+        lambda s: s["__passage"],
+    )
+    return (
+        flagged.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.col("__is_dup").cast("long")).alias("n_dup_passages"),
+            F.concat_ws(" ", kept_sorted).alias("kept_text"),
+        )
+        .withColumn(
+            "kept_words",
+            F.when(F.col("kept_text") == "", F.lit(0)).otherwise(
+                F.size(F.split("kept_text", " "))
+            ).cast("long"),
+        )
+        .select(
+            id_col, "n_passages", "n_dup_passages", "kept_words", "kept_text"
+        )
+    )

@@ -263,3 +263,46 @@ def test_keep_best_policy_shape(spark):
     assert kept[10] == 10
     # singleton 99 keeps itself
     assert kept[99] == 99
+
+
+def test_passage_dedup_elects_global_first_and_reconstructs(spark):
+    # doc 1: passages A B (window=3 words each); doc 2 repeats A then
+    # unique C; doc 3 is entirely doc 1's passage A. First occurrence
+    # (smallest doc_id, pos) keeps; all later copies drop.
+    A = "alpha beta gamma"
+    B = "delta epsilon zeta"
+    C = "eta theta iota"
+    docs = spark.createDataFrame(
+        [(1, f"{A} {B}"), (2, f"{A} {C}"), (3, A)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.passage_dedup(
+            docs, text_col="text", id_col="doc_id", window_words=3
+        ).collect()
+    }
+    assert out[1].n_passages == 2 and out[1].n_dup_passages == 0
+    assert out[1].kept_text == f"{A} {B}"
+    # doc 2: its copy of A is a duplicate (doc 1 pos 0 came first),
+    # C survives — reconstruction keeps order
+    assert out[2].n_passages == 2 and out[2].n_dup_passages == 1
+    assert out[2].kept_text == C
+    assert out[2].kept_words == 3
+    # doc 3 loses everything
+    assert out[3].n_passages == 1 and out[3].n_dup_passages == 1
+    assert out[3].kept_text == "" and out[3].kept_words == 0
+
+
+def test_passage_dedup_within_doc_repetition(spark):
+    # the SAME passage repeated inside one document dedups to its
+    # first position too (pos breaks the tie when doc_id is equal)
+    A = "one two three"
+    docs = spark.createDataFrame(
+        [(7, f"{A} {A}")], "doc_id long, text string"
+    )
+    r = dedup.passage_dedup(
+        docs, text_col="text", id_col="doc_id", window_words=3
+    ).collect()[0]
+    assert r.n_passages == 2 and r.n_dup_passages == 1
+    assert r.kept_text == A
