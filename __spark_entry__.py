@@ -6223,6 +6223,89 @@ def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Poisson(1) CDF cutoffs scaled to the 60-bit md5-prefix domain and
+#: FLOORED to integers in Python — inlined as literals in both engines,
+#: so the replica weights are a pure integer comparison on the hash
+#: (no float boundary). Tail capped at w=5 (P(X>5|λ=1) ≈ 5.9e-4).
+_POIS1_CUT = [
+    math.floor(
+        sum(math.exp(-1.0) / math.factorial(j) for j in range(k + 1))
+        * (1 << 60)
+    )
+    for k in range(5)
+]
+
+
+def q_bootstrap_ci_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap CI for the mean order value — the
+    ONLY bootstrap that works at 100 TB (resampling n rows from n is
+    impossible without global coordination; Poisson(1) weights per row
+    per replica are iid-equivalent and embarrassingly parallel — the
+    streaming-bootstrap construction of Chamandy et al., "Estimating
+    uncertainty for massive data streams", Google 2012). Engine-exact
+    everywhere a classical bootstrap would use an RNG: replica b's
+    weight for a row is Poisson(1) sampled by comparing the row's
+    60-bit md5 prefix against PRE-FLOORED integer CDF cutoffs
+    (_POIS1_CUT literals — identical in the DuckDB twin), so the
+    'randomness' is a pure function of (order key, replica id). All 32
+    replicas accumulate in ONE aggregate pass (64 conditional-sum
+    expressions — the langid one-pass discipline, no ×32 row
+    explosion); replica means are exact integer micro-cents (DECIMAL38
+    multiply, integer DIV); the 95% band is the DISCRETE 2nd/31st
+    order statistic of the 32 sorted replica means (the
+    winsorized_stats rank discipline — no interpolation, no float
+    percentile edges). Output: one row — n_orders, the point mean, the
+    CI bounds and width, all in micro-cents."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    B = 32
+
+    def w(b: int):
+        u = F.conv(
+            F.substring(F.md5(F.concat(F.col("k"), F.lit(f":{b}"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        expr = F.lit(5)
+        for wt in range(4, -1, -1):
+            expr = F.when(u < F.lit(_POIS1_CUT[wt]), F.lit(wt)).otherwise(
+                expr
+            )
+        return expr
+
+    aggs = []
+    for b in range(B):
+        wb = w(b)
+        aggs.append(F.sum(wb * F.col("cents")).alias(f"__s{b}"))
+        aggs.append(F.sum(wb).alias(f"__n{b}"))
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("__tot"),
+        *aggs,
+    )
+    # exact floor(s·1e6 / n) in pure BIGINT via the split identity —
+    # no DECIMAL division (whose result-scale rounding could flip the
+    # last micro digit vs DuckDB's exact HUGEINT //) and no overflow
+    # until n approaches 9e12 rows per replica
+    mean_micro = lambda s, n: F.expr(  # noqa: E731
+        f"({s} DIV {n}) * 1000000 + (({s} % {n}) * 1000000) DIV {n}"
+    )
+    means = F.array_sort(
+        F.array(*[mean_micro(f"__s{b}", f"__n{b}") for b in range(B)])
+    )
+    return agg.select(
+        "n_orders",
+        mean_micro("__tot", "n_orders").alias("point_mean_micro"),
+        F.element_at(means, 2).alias("ci_lo_micro"),
+        F.element_at(means, B - 1).alias("ci_hi_micro"),
+        (F.element_at(means, B - 1) - F.element_at(means, 2)).alias(
+            "ci_width_micro"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -6446,8 +6529,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spend_share_hierarchy": q_spend_share_hierarchy,
     "winsorized_stats": q_winsorized_stats,
     # -- r7 additions: span-level dedup + domain mixture reweighting
+    #    + deterministic distributed bootstrap
     "passage_dedup_stats": q_passage_dedup_stats,
     "doremi_domain_weights": q_doremi_domain_weights,
+    "bootstrap_ci_means": q_bootstrap_ci_means,
 }
 
 
@@ -6651,7 +6736,63 @@ def oracle_sql() -> dict[str, str]:
         "{BAL}": _sql_cents_sum("c_acctbal"),
         "{TOT}": _sql_cents_sum("o_totalprice"),
     }
+    def _bootstrap_sql(n_rep: int = 32) -> str:
+        """DuckDB twin of q_bootstrap_ci_means: the same _POIS1_CUT
+        integer cutoffs inlined, the same 60-bit md5-prefix uniform,
+        the same split-identity integer mean — generated per replica
+        the way the LSH-plane oracles inline their literals."""
+
+        def u(b: int) -> str:
+            return (
+                f"CAST(('0x' || substring(md5(k || ':{b}'), 1, 15))"
+                f"::UBIGINT AS BIGINT)"
+            )
+
+        def w(b: int) -> str:
+            arms = " ".join(
+                f"WHEN {u(b)} < {_POIS1_CUT[wt]} THEN {wt}"
+                for wt in range(5)
+            )
+            return f"(CASE {arms} ELSE 5 END)"
+
+        def mean(s: str, n: str) -> str:
+            return (
+                f"CAST(({s} // {n}) * 1000000"
+                f" + (({s} % {n}) * 1000000) // {n} AS BIGINT)"
+            )
+
+        sums = ", ".join(
+            f"CAST(SUM({w(b)} * cents) AS BIGINT) AS s{b}, "
+            f"CAST(SUM({w(b)}) AS BIGINT) AS n{b}"
+            for b in range(n_rep)
+        )
+        means = ", ".join(
+            mean(f"s{b}", f"n{b}") for b in range(n_rep)
+        )
+        return f"""
+            WITH o AS (
+                SELECT CAST(o_orderkey AS VARCHAR) AS k,
+                       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+                FROM orders
+            ), agg AS (
+                SELECT COUNT(*) AS n_orders,
+                       CAST(SUM(cents) AS BIGINT) AS tot,
+                       {sums}
+                FROM o
+            ), m AS (
+                SELECT n_orders, tot, list_sort([{means}]) AS ms
+                FROM agg
+            )
+            SELECT n_orders,
+                   {mean("tot", "n_orders")} AS point_mean_micro,
+                   ms[2] AS ci_lo_micro,
+                   ms[{n_rep - 1}] AS ci_hi_micro,
+                   ms[{n_rep - 1}] - ms[2] AS ci_width_micro
+            FROM m
+        """
+
     oracles = {
+        "bootstrap_ci_means": _bootstrap_sql(32),
         "fusion_minute_avg": """
             SELECT date_trunc('minute', ts) AS event_ts_min,
                    CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ts_min_bignt,

@@ -127,6 +127,7 @@ HEADLINE = [
     # round-7 additions
     "passage_dedup_stats",
     "doremi_domain_weights",
+    "bootstrap_ci_means",
 ]
 
 
