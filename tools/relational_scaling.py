@@ -62,6 +62,9 @@ TIMED = [
     "tpch_q7_volume_shipping",
     "tpch_q9_product_type_profit",
     "tpch_q21_waiting_suppliers",
+    # r7: the 32-replica one-pass bootstrap — 64 conditional md5 sums
+    # over the fact table; should scale like the pure aggregates
+    "bootstrap_ci_means",
 ]
 
 SYMLINKED = (

@@ -53,6 +53,9 @@ TIMED = [
     "gopher_quality_rules",
     "langid_trigram",
     "dedup_keep_best",
+    # round-7 document operators
+    "passage_dedup_stats",
+    "doremi_domain_weights",
 ]
 #: queries whose .count() Catalyst can prune into near-no-ops (narrow
 #: maps, and aggregates whose expensive agg expressions — text-derived
@@ -63,6 +66,9 @@ MAP_ONLY = {
     "quality_scores",
     "gopher_quality_rules",
     "dedup_keep_best",
+    # a bare .count() would let Catalyst drop the kept_text rebuild
+    # (array_sort + concat_ws agg expressions) — the noop sink forces it
+    "passage_dedup_stats",
 }
 
 
