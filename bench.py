@@ -128,6 +128,7 @@ HEADLINE = [
     "passage_dedup_stats",
     "doremi_domain_weights",
     "bootstrap_ci_means",
+    "kcore_user_graph",
 ]
 
 

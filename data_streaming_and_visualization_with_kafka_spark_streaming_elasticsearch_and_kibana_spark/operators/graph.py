@@ -110,24 +110,35 @@ def consecutive_user_edges(
     user_col: str = "user_id",
     group_col: str = "event_type",
     tiebreak_col: str = "event_id",
+    max_gap_s: int | None = None,
 ) -> DataFrame:
     """Derive a directed user graph from an event stream: u → v when v
     acts immediately after u within the same group's time-ordered
     stream (the "who follows whom" graph). One window pass partitioned
     by group — at scale the partition key is the group, so no global
-    sort; self-loops are dropped."""
+    sort; self-loops are dropped.
+
+    `max_gap_s` (optional): keep an edge only when the two events are
+    within this many seconds — the SPARSE interaction graph (actual
+    temporal proximity, not mere stream adjacency) that density-
+    sensitive algorithms like k-core need; unset preserves the
+    original dense adjacency graph the PageRank/LPA queries pin."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     )
-    return (
-        events.select(
-            F.lag(user_col).over(w).alias("src"),
-            F.col(user_col).alias("dst"),
-        )
-        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
-    )
+    # gap compared in exact integer MICROSECONDS (unix_micros == DuckDB
+    # epoch_us on naive-UTC ts) — no float boundary an engine can flip
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    out = events.select(
+        F.lag(user_col).over(w).alias("src"),
+        F.col(user_col).alias("dst"),
+        (us - F.lag(us).over(w)).alias("__gap_us"),
+    ).filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    if max_gap_s is not None:
+        out = out.filter(F.col("__gap_us") <= max_gap_s * 1_000_000)
+    return out.drop("__gap_us")
 
 
 def resolve_ancestors(
@@ -567,3 +578,74 @@ def label_propagation_weighted(
             .select("node", "label")
         )
     return lbl
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman, "Network
+    structure and minimum degree", Social Networks 1983; the standard
+    distributed formulation — see also Montresor et al., "Distributed
+    k-core decomposition", PODC 2011): repeatedly delete every node
+    whose degree in the surviving induced subgraph is < k until a
+    fixed point. What survives is the maximal subgraph where everyone
+    has >= k neighbors — the dense backbone that filters out tendrils
+    and one-off interactions (spam/bot cores, community scaffolds).
+
+    Semantics: the graph is SIMPLIFIED first — undirected, multi-edges
+    collapsed, self-loops dropped — so degree means distinct
+    neighbors. Peeling converges in at most the graph's degeneracy
+    ordering depth; `max_rounds` caps the loop (extra rounds after the
+    fixed point are no-ops, the resolve_ancestors saturation
+    argument), and the loop early-exits when a round removes nothing
+    (one bounded driver count per round). Returns (node, core_degree)
+    for the surviving nodes — core_degree is the node's degree INSIDE
+    the core, >= k by construction.
+
+    Cost shape per round: one alive-filtered edge join (node-id keyed,
+    both sides shuffle on id) + one degree aggregate; the alive set
+    localCheckpoints each round so lineage stays flat and the next
+    round scans materialized ids, not the whole peeling history. At
+    100 TB the edge table dominates; rounds are degeneracy-bounded
+    (tens for real social graphs), each a pair of id-keyed shuffles."""
+    ue = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = ue.select(F.col("a").alias("node"), F.col("b").alias("o")).unionByName(
+        ue.select(F.col("b").alias("node"), F.col("a").alias("o"))
+    )
+    alive = sym.select("node").distinct().localCheckpoint(eager=False)
+    n_alive = alive.count()
+    for _ in range(max_rounds):
+        deg = (
+            sym.join(alive, "node")
+            .join(alive.select(F.col("node").alias("o")), "o")
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        nxt = (
+            deg.filter(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        n_nxt = nxt.count()
+        alive = nxt
+        if n_nxt == n_alive:
+            break
+        n_alive = n_nxt
+    return (
+        sym.join(alive, "node")
+        .join(alive.select(F.col("node").alias("o")), "o")
+        .groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+    )

@@ -296,3 +296,41 @@ def test_weighted_lpa_drops_nonpositive_weights(spark):
     }
     # nodes 4 and 5 only touch 10 via non-positive edges: excluded
     assert set(lbl) == {10, 3}
+
+
+def test_kcore_peels_cascade_and_keeps_clique(spark):
+    # K4 on {1,2,3,4} plus a chain 4-5-6: the 3-core is exactly the K4
+    # — 5 and 6 peel (degree < 3), and peeling 6 then 5 must CASCADE
+    # (5's degree drops when 6 goes). Multi-edges and direction must
+    # not inflate degrees: every edge appears twice, some reversed.
+    base = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(
+        base + [(b, a) for a, b in base], "src long, dst long"
+    )
+    rows = {r.node: r.core_degree for r in graph.kcore(edges, k=3).collect()}
+    assert rows == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_empty_when_k_exceeds_density(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    assert graph.kcore(edges, k=3).count() == 0  # triangle degrees are 2
+    assert graph.kcore(edges, k=2).count() == 3  # the triangle IS a 2-core
+
+
+def test_consecutive_user_edges_gap_filter(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 100, "a"),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 30), 200, "a"),   # 30s after
+        (3, dt.datetime(2024, 1, 1, 0, 5, 0), 300, "a"),    # 270s after
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    dense = graph.consecutive_user_edges(ev)
+    sparse = graph.consecutive_user_edges(ev, max_gap_s=60)
+    assert dense.count() == 2
+    assert [(r.src, r.dst) for r in sparse.collect()] == [(100, 200)]
