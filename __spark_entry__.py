@@ -6330,6 +6330,103 @@ def q_kcore_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore(edges, k=3, max_rounds=20).orderBy("node")
 
 
+def q_mann_whitney_value_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann–Whitney U test for a purchase-value shift between weekend
+    and weekday traffic (Mann & Whitney 1947 — THE nonparametric
+    two-sample location test; what an experimentation platform runs
+    when value distributions are heavy-tailed and a t-test's mean is
+    the wrong summary). Everything rank-based and engine-exact:
+
+    - the combined sample is ranked by (cents, event_id) through
+      _dist_rank — the cutpoint-bucket distributed ranker, NO
+      single-partition window over corpus-scale rows;
+    - tie handling is exact integer MIDRANKS, doubled to stay in
+      BIGINT: for a tie group occupying ranks [lo, hi], each member's
+      doubled midrank is lo + hi (== 2·(lo+hi)/2), computed from the
+      per-value min/max of the strict total-order ranks — no /2, no
+      float;
+    - 2·U₁ = 2·R₁ − n₁(n₁+1) in BIGINT; the identity
+      2U₁ + 2U₂ == 2·n₁·n₂ is emitted as a checked column;
+    - the rank-biserial effect size r = (U₁−U₂)/(n₁n₂) is reported in
+      exact integer micro units via the split-division identity.
+
+    Output: one row — group sizes, doubled U statistics, the doubled
+    rank sums they derive from, and effect_micro. DuckDB replays the
+    identical construction with its own rank() min/max per value."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        _cents("value").alias("cents"),
+        (
+            F.dayofweek(F.col("ts").cast("timestamp")).isin(1, 7)
+        ).alias("is_weekend"),
+    )
+    cuts = base.stat.approxQuantile(
+        "cents", [i / 8 for i in range(1, 8)], 0.001
+    )
+    ranked = _dist_rank(
+        base, "cents", "event_id", "__rk", [float(c) for c in cuts]
+    )
+    vr = ranked.groupBy("cents").agg(
+        F.min("__rk").alias("__lo"), F.max("__rk").alias("__hi")
+    )
+    # doubled midrank = lo + hi per value; AQE sizes the value-domain
+    # join (bounded by the price grid, not the corpus)
+    sums = (
+        ranked.join(vr, "cents")
+        .groupBy("is_weekend")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("__lo") + F.col("__hi")).alias("r2"),
+        )
+    )
+    a = sums.filter(F.col("is_weekend")).select(
+        F.col("n").alias("n_weekend"), F.col("r2").alias("r2_weekend")
+    )
+    b = sums.filter(~F.col("is_weekend")).select(
+        F.col("n").alias("n_weekday"), F.col("r2").alias("r2_weekday")
+    )
+    j = a.crossJoin(b).select(
+        "n_weekend",
+        "n_weekday",
+        "r2_weekend",
+        "r2_weekday",
+        (
+            F.col("r2_weekend") - F.col("n_weekend") * (F.col("n_weekend") + 1)
+        ).alias("u2_weekend"),
+        (
+            F.col("r2_weekday") - F.col("n_weekday") * (F.col("n_weekday") + 1)
+        ).alias("u2_weekday"),
+    )
+    du = F.col("u2_weekend") - F.col("u2_weekday")
+    nn2 = 2 * F.col("n_weekend") * F.col("n_weekday")
+    return j.select(
+        "n_weekend",
+        "n_weekday",
+        "r2_weekend",
+        "r2_weekday",
+        "u2_weekend",
+        "u2_weekday",
+        (F.col("u2_weekend") + F.col("u2_weekday") == nn2).alias(
+            "u_identity_ok"
+        ),
+        # sign·floor(|du|·1e6 / nn2): Spark DIV truncates toward zero
+        # and DuckDB // floors — they disagree on negatives, so the
+        # division runs on |du| (where truncate == floor) and the sign
+        # re-applies after, identically in both engines
+        F.expr(
+            "CASE WHEN u2_weekend >= u2_weekday THEN 1 ELSE -1 END"
+            " * (abs(u2_weekend - u2_weekday)"
+            "      DIV (2 * n_weekend * n_weekday) * 1000000"
+            "    + (abs(u2_weekend - u2_weekday)"
+            "         % (2 * n_weekend * n_weekday)) * 1000000"
+            "      DIV (2 * n_weekend * n_weekday))"
+        ).alias("effect_micro"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -6558,6 +6655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doremi_domain_weights": q_doremi_domain_weights,
     "bootstrap_ci_means": q_bootstrap_ci_means,
     "kcore_user_graph": q_kcore_user_graph,
+    "mann_whitney_value_shift": q_mann_whitney_value_shift,
 }
 
 
@@ -6865,6 +6963,49 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     oracles = {
+        "mann_whitney_value_shift": r"""
+            WITH p AS (
+                SELECT event_id,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+                       dayofweek(ts) IN (0, 6) AS is_weekend
+                FROM events WHERE event_type = 'purchase'
+            ), r AS (
+                SELECT *, row_number() OVER (ORDER BY cents, event_id)
+                           AS rk
+                FROM p
+            ), vr AS (
+                SELECT cents, MIN(rk) AS lo, MAX(rk) AS hi
+                FROM r GROUP BY cents
+            ), s AS (
+                SELECT is_weekend, COUNT(*) AS n,
+                       CAST(SUM(lo + hi) AS BIGINT) AS r2
+                FROM r JOIN vr USING (cents) GROUP BY is_weekend
+            ), j AS (
+                SELECT a.n AS n_weekend, b.n AS n_weekday,
+                       a.r2 AS r2_weekend, b.r2 AS r2_weekday,
+                       a.r2 - a.n * (a.n + 1) AS u2_weekend,
+                       b.r2 - b.n * (b.n + 1) AS u2_weekday
+                FROM (SELECT * FROM s WHERE is_weekend) a,
+                     (SELECT * FROM s WHERE NOT is_weekend) b
+            )
+            SELECT CAST(n_weekend AS BIGINT) AS n_weekend,
+                   CAST(n_weekday AS BIGINT) AS n_weekday,
+                   r2_weekend, r2_weekday,
+                   CAST(u2_weekend AS BIGINT) AS u2_weekend,
+                   CAST(u2_weekday AS BIGINT) AS u2_weekday,
+                   (u2_weekend + u2_weekday
+                    = 2 * n_weekend * n_weekday) AS u_identity_ok,
+                   CAST(
+                       CASE WHEN u2_weekend >= u2_weekday
+                            THEN 1 ELSE -1 END
+                       * (abs(u2_weekend - u2_weekday)
+                              // (2 * n_weekend * n_weekday) * 1000000
+                          + (abs(u2_weekend - u2_weekday)
+                              % (2 * n_weekend * n_weekday)) * 1000000
+                              // (2 * n_weekend * n_weekday))
+                   AS BIGINT) AS effect_micro
+            FROM j
+        """,
         "kcore_user_graph": _kcore_sql(3, 20),
         "bootstrap_ci_means": _bootstrap_sql(32),
         "fusion_minute_avg": """

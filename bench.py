@@ -129,6 +129,7 @@ HEADLINE = [
     "doremi_domain_weights",
     "bootstrap_ci_means",
     "kcore_user_graph",
+    "mann_whitney_value_shift",
 ]
 
 

@@ -333,3 +333,49 @@ def test_image_decoders_never_raise_unclassified_errors(payload, magic_i):
         pass  # classified rejection is the contract
     except OverflowError:
         pass  # absurd header dims -> numpy size overflow, acceptable
+
+
+WORD = st.sampled_from(["alpha", "beta", "gamma", "delta", "zeta", "eta"])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(WORD, min_size=1, max_size=12), min_size=1, max_size=6
+    )
+)
+def test_passage_dedup_differential_property(spark, docs_words):
+    """Differential property: dedup.passage_dedup over random small-pool
+    corpora equals a pure-Python replay of the same election — global
+    first (doc_id, pos) keeps each distinct passage, reconstruction
+    preserves order, counts agree."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        dedup,
+    )
+
+    W = 3
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    # pure-Python oracle
+    expected = {}
+    seen: set[str] = set()
+    for i, ws in enumerate(docs_words):
+        chunks = [
+            " ".join(ws[p : p + W]) for p in range(0, len(ws), W)
+        ] or [""]
+        kept = []
+        dups = 0
+        for c in chunks:
+            if c in seen:
+                dups += 1
+            else:
+                seen.add(c)
+                kept.append(c)
+        expected[i] = (len(chunks), dups, " ".join(kept))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_passages, r.n_dup_passages, r.kept_text)
+        for r in dedup.passage_dedup(
+            df, text_col="text", id_col="doc_id", window_words=W
+        ).collect()
+    }
+    assert got == expected
