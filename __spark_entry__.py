@@ -6427,6 +6427,50 @@ def q_mann_whitney_value_shift(
     )
 
 
+def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of per-customer spend — the
+    standard inequality metric (Gini 1912, via the rank-sum identity
+    G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted x), the
+    how-concentrated-is-my-corpus number that data pipelines run on
+    spend, token counts, and shard sizes alike. Engine-exact: spend is
+    BIGINT cents, the global ascending rank comes from _dist_rank
+    (cutpoint buckets + offset carry — no single-partition window over
+    the customer table), and the final ratio
+    (2·Σrx − (n+1)·Σx)·10⁶ / (n·Σx) is one DECIMAL(38,0) integral
+    divide (Spark `div` on decimals floors and returns BIGINT; DuckDB
+    replays it in native HUGEINT) — the numerator is nonnegative by
+    the sorted-rank construction, so truncate == floor in both
+    engines. Output: one row — n_customers, total_cents,
+    gini_micro ∈ [0, 1e6)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("cents")
+    )
+    cuts = per_cust.stat.approxQuantile(
+        "cents", [i / 8 for i in range(1, 8)], 0.001
+    )
+    ranked = _dist_rank(
+        per_cust, "cents", "o_custkey", "__rk", [float(c) for c in cuts]
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("__rk") * F.col("cents")).alias("__srx"),
+    )
+    # nested floor-div: floor(floor(a/n)/t) == floor(a/(n·t)) for
+    # positive integers — keeps every intermediate inside DECIMAL(38,0)
+    return agg.select(
+        "n_customers",
+        "total_cents",
+        F.expr(
+            "CAST((2 * __srx - (n_customers + 1) * total_cents)"
+            " AS DECIMAL(38,0)) * 1000000"
+            " div CAST(n_customers AS DECIMAL(38,0))"
+            " div CAST(total_cents AS DECIMAL(38,0))"
+        ).alias("gini_micro"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -6656,6 +6700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bootstrap_ci_means": q_bootstrap_ci_means,
     "kcore_user_graph": q_kcore_user_graph,
     "mann_whitney_value_shift": q_mann_whitney_value_shift,
+    "gini_customer_spend": q_gini_customer_spend,
 }
 
 
@@ -6963,6 +7008,30 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     oracles = {
+        "gini_customer_spend": """
+            WITH pc AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY o_custkey
+            ), r AS (
+                SELECT cents,
+                       row_number() OVER (ORDER BY cents, o_custkey)
+                           AS rk
+                FROM pc
+            ), agg AS (
+                SELECT COUNT(*) AS n_customers,
+                       SUM(cents) AS total_cents,
+                       SUM(rk * cents) AS srx
+                FROM r
+            )
+            SELECT CAST(n_customers AS BIGINT) AS n_customers,
+                   CAST(total_cents AS BIGINT) AS total_cents,
+                   CAST((2 * srx - (n_customers + 1) * total_cents)
+                        * 1000000 // n_customers // total_cents
+                   AS BIGINT) AS gini_micro
+            FROM agg
+        """,
         "mann_whitney_value_shift": r"""
             WITH p AS (
                 SELECT event_id,

@@ -130,6 +130,7 @@ HEADLINE = [
     "bootstrap_ci_means",
     "kcore_user_graph",
     "mann_whitney_value_shift",
+    "gini_customer_spend",
 ]
 
 

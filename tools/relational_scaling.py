@@ -65,6 +65,10 @@ TIMED = [
     # r7: the 32-replica one-pass bootstrap — 64 conditional md5 sums
     # over the fact table; should scale like the pure aggregates
     "bootstrap_ci_means",
+    # r7 late additions: temporal-graph peeling + rank-machinery stats
+    "kcore_user_graph",
+    "mann_whitney_value_shift",
+    "gini_customer_spend",
 ]
 
 SYMLINKED = (
