@@ -5578,6 +5578,109 @@ def _dist_rank(
     )
 
 
+def _dist_cumsum(
+    df: DataFrame,
+    key: str,
+    tie: str,
+    cols: list[str],
+    cuts: list[float],
+) -> DataFrame:
+    """Distributed RUNNING TOTALS over the global (key ASC, tie ASC)
+    order — the prefix-sum sibling of _dist_rank, same cutpoint-bucket
+    + bounded-carry machinery: rows range-bucket on pre-fetched
+    cutpoints (pure function of the row), each bucket computes its
+    local running sums in a PARTITIONED window, and each bucket's
+    starting offset per column (one bounded driver fetch of one sum
+    per bucket) lifts local to global. Equal keys share a bucket
+    (strict > per cutpoint), so the composed order is the exact total
+    order. Adds `cum_<col>` for each input col. This is what ECDFs,
+    Lorenz curves, and KS statistics need at corpus scale — a running
+    sum with NO single-partition WindowExec."""
+    spark = df.sparkSession
+    part = df.withColumn("__pid", _cut_bucket(key, cuts))
+    btots = sorted(
+        (r["__pid"], r)
+        for r in part.groupBy("__pid")
+        .agg(*[F.sum(c).alias(c) for c in cols])
+        .collect()
+    )
+    offsets, acc = [], {c: 0 for c in cols}
+    for p, r in btots:
+        offsets.append(tuple([p] + [acc[c] for c in cols]))
+        for c in cols:
+            acc[c] += r[c] or 0
+    off_schema = "__pid int, " + ", ".join(
+        f"__off_{c} long" for c in cols
+    )
+    off = spark.createDataFrame(offsets, off_schema)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.asc(key), F.asc(tie))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = part.join(F.broadcast(off), "__pid")
+    for c in cols:
+        out = out.withColumn(
+            f"cum_{c}", F.col(f"__off_{c}") + F.sum(c).over(w)
+        )
+    return out.drop("__pid", *[f"__off_{c}" for c in cols])
+
+
+def q_ks_test_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov two-sample test between purchase and click
+    value distributions — the nonparametric WHOLE-DISTRIBUTION test
+    beside Mann–Whitney's location test: D = max_v |F₁(v) − F₂(v)|
+    over the pooled value domain. Everything integer:
+    D·n₁·n₂ = max_v |n₂·C₁(v) − n₁·C₂(v)| where C_g(v) is group g's
+    cumulative count — computed by _dist_cumsum over the DISTINCT
+    value domain (per-value group counts first, so the prefix sums run
+    over the bounded price grid, not the event stream; the running
+    totals come from bucket-partitioned windows + a bounded offset
+    carry, never a single-partition WindowExec). Output: one row —
+    group sizes, the integer D numerator, and d_micro = floor(D·10⁶)
+    via the split-division identity. DuckDB replays the identical
+    integer construction with its own window cumsum."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        _cents("value").alias("cents"),
+        (F.col("event_type") == "purchase").alias("is_p"),
+    )
+    per_v = base.groupBy("cents").agg(
+        F.sum(F.col("is_p").cast("long")).alias("c1"),
+        F.sum((~F.col("is_p")).cast("long")).alias("c2"),
+    )
+    cuts = per_v.stat.approxQuantile(
+        "cents", [i / 8 for i in range(1, 8)], 0.001
+    )
+    cum = _dist_cumsum(
+        per_v, "cents", "cents", ["c1", "c2"], [float(c) for c in cuts]
+    )
+    # D's numerator needs n1/n2, the FINAL cumulative counts — one
+    # bounded driver fetch (two longs) keeps the max a single aggregate
+    n1, n2 = (
+        base.agg(
+            F.sum(F.col("is_p").cast("long")),
+            F.sum((~F.col("is_p")).cast("long")),
+        ).collect()[0]
+    )
+    d = cum.agg(
+        F.max(
+            F.abs(F.lit(n2) * F.col("cum_c1") - F.lit(n1) * F.col("cum_c2"))
+        ).alias("d_num")
+    )
+    return d.select(
+        F.lit(n1).alias("n_purchase"),
+        F.lit(n2).alias("n_click"),
+        "d_num",
+        F.expr(
+            f"d_num DIV ({n1}L * {n2}L) * 1000000"
+            f" + (d_num % ({n1}L * {n2}L)) * 1000000 DIV ({n1}L * {n2}L)"
+        ).alias("d_micro"),
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (the classic recency/frequency/monetary
     customer grid) with fully deterministic quartiles: each purchase
@@ -6701,6 +6804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore_user_graph": q_kcore_user_graph,
     "mann_whitney_value_shift": q_mann_whitney_value_shift,
     "gini_customer_spend": q_gini_customer_spend,
+    "ks_test_value_shift": q_ks_test_value_shift,
 }
 
 
@@ -7008,6 +7112,43 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     oracles = {
+        "ks_test_value_shift": """
+            WITH base AS (
+                SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+                       event_type = 'purchase' AS is_p
+                FROM events
+                WHERE event_type IN ('purchase', 'click')
+            ), per_v AS (
+                SELECT cents,
+                       CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c1,
+                       CAST(SUM(CASE WHEN is_p THEN 0 ELSE 1 END)
+                            AS BIGINT) AS c2
+                FROM base GROUP BY cents
+            ), cum AS (
+                SELECT cents,
+                       SUM(c1) OVER (ORDER BY cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_c1,
+                       SUM(c2) OVER (ORDER BY cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_c2
+                FROM per_v
+            ), nn AS (
+                SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                       CAST(SUM(c2) AS BIGINT) AS n2
+                FROM per_v
+            ), d AS (
+                SELECT MAX(abs(n2 * cum_c1 - n1 * cum_c2)) AS d_num
+                FROM cum, nn
+            )
+            SELECT n1 AS n_purchase, n2 AS n_click,
+                   CAST(d_num AS BIGINT) AS d_num,
+                   CAST(d_num // (n1 * n2) * 1000000
+                        + (d_num % (n1 * n2)) * 1000000 // (n1 * n2)
+                   AS BIGINT) AS d_micro
+            FROM d, nn
+        """,
         "gini_customer_spend": """
             WITH pc AS (
                 SELECT o_custkey,

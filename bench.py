@@ -131,6 +131,7 @@ HEADLINE = [
     "kcore_user_graph",
     "mann_whitney_value_shift",
     "gini_customer_spend",
+    "ks_test_value_shift",
 ]
 
 
