@@ -6574,6 +6574,88 @@ def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third leg of the privacy-audit triad (with
+    k_anonymity_report and l_diversity_report): t-CLOSENESS (Li,
+    Li & Venkatasubramanian, ICDE 2007) — a QI class leaks when its
+    SENSITIVE-attribute distribution diverges from the table-wide one
+    (l-diversity misses skew: a class that is 99% 'neg' is 'diverse'
+    but tells an attacker almost everything). Distance is the ordinal
+    Earth-Mover's Distance of the paper:
+    EMD = (1/(m-1))·Σᵢ |Σ_{j≤i}(p_j − q_j)| over the m=3 ordered
+    balance bands (neg < low < high — the l_diversity_report bands,
+    deliberately shared). Integer-exact: with class counts Aᵢ
+    (cumulative) over N_c rows and global Bᵢ over N_g, the i-th term
+    is |Aᵢ·N_g − Bᵢ·N_c| and EMD_micro = Σ·10⁶ / ((m−1)·N_c·N_g) via
+    the split-division identity — no float ever; with m = 3 the two
+    prefixes are plain conditional sums, no window. Output per
+    threshold t ∈ {0.10, 0.15, 0.25}: classes whose EMD exceeds t,
+    their row exposure, and the worst class EMD — the
+    publish-at-this-t suppression cost, same shape as the k/l
+    reports."""
+    cust = _t(spark, sf_dir, "customer")
+    banded = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") < 5000, 1)
+        .otherwise(2)
+        .alias("band"),
+    )
+    cls = banded.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum((F.col("band") <= 0).cast("long")).alias("a1"),
+        F.sum((F.col("band") <= 1).cast("long")).alias("a2"),
+    )
+    glob = banded.agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum((F.col("band") <= 0).cast("long")).alias("b1"),
+        F.sum((F.col("band") <= 1).cast("long")).alias("b2"),
+    )
+    num = F.abs(
+        F.col("a1") * F.col("ng") - F.col("b1") * F.col("nc")
+    ) + F.abs(F.col("a2") * F.col("ng") - F.col("b2") * F.col("nc"))
+    emd = cls.crossJoin(F.broadcast(glob)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "nc",
+        num.alias("__num"),
+        (F.lit(2) * F.col("nc") * F.col("ng")).alias("__den"),
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "nc",
+        F.expr(
+            "__num DIV __den * 1000000"
+            " + (__num % __den) * 1000000 DIV __den"
+        ).alias("emd_micro"),
+    )
+    ts = spark.createDataFrame(
+        [(100000,), (150000,), (250000,)], "t_micro long"
+    )
+    return (
+        emd.crossJoin(F.broadcast(ts))
+        .groupBy("t_micro")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(
+                F.when(F.col("emd_micro") > F.col("t_micro"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("classes_above_t"),
+            F.sum(
+                F.when(
+                    F.col("emd_micro") > F.col("t_micro"), F.col("nc")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_exposed"),
+            F.max("emd_micro").alias("max_emd_micro"),
+        )
+        .orderBy("t_micro")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -6805,6 +6887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mann_whitney_value_shift": q_mann_whitney_value_shift,
     "gini_customer_spend": q_gini_customer_spend,
     "ks_test_value_shift": q_ks_test_value_shift,
+    "t_closeness_report": q_t_closeness_report,
 }
 
 
@@ -7112,6 +7195,48 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     oracles = {
+        "t_closeness_report": """
+            WITH banded AS (
+                SELECT c_nationkey, c_mktsegment,
+                       CASE WHEN c_acctbal < 0 THEN 0
+                            WHEN c_acctbal < 5000 THEN 1
+                            ELSE 2 END AS band
+                FROM customer
+            ), cls AS (
+                SELECT c_nationkey, c_mktsegment,
+                       COUNT(*) AS nc,
+                       CAST(SUM(CASE WHEN band <= 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS a1,
+                       CAST(SUM(CASE WHEN band <= 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS a2
+                FROM banded GROUP BY c_nationkey, c_mktsegment
+            ), gl AS (
+                SELECT COUNT(*) AS ng,
+                       CAST(SUM(CASE WHEN band <= 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b1,
+                       CAST(SUM(CASE WHEN band <= 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b2
+                FROM banded
+            ), emd AS (
+                SELECT nc,
+                       (abs(a1 * ng - b1 * nc) + abs(a2 * ng - b2 * nc))
+                           // (2 * nc * ng) * 1000000
+                       + ((abs(a1 * ng - b1 * nc) + abs(a2 * ng - b2 * nc))
+                           % (2 * nc * ng)) * 1000000 // (2 * nc * ng)
+                           AS emd_micro
+                FROM cls, gl
+            )
+            SELECT t_micro,
+                   COUNT(*) AS n_classes,
+                   CAST(SUM(CASE WHEN emd_micro > t_micro THEN 1 ELSE 0 END)
+                        AS BIGINT) AS classes_above_t,
+                   CAST(SUM(CASE WHEN emd_micro > t_micro THEN nc ELSE 0 END)
+                        AS BIGINT) AS rows_exposed,
+                   CAST(MAX(emd_micro) AS BIGINT) AS max_emd_micro
+            FROM emd,
+                 (SELECT UNNEST([100000, 150000, 250000]) AS t_micro)
+            GROUP BY t_micro ORDER BY t_micro
+        """,
         "ks_test_value_shift": """
             WITH base AS (
                 SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,

@@ -132,6 +132,7 @@ HEADLINE = [
     "mann_whitney_value_shift",
     "gini_customer_spend",
     "ks_test_value_shift",
+    "t_closeness_report",
 ]
 
 
