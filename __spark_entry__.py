@@ -5671,8 +5671,8 @@ def q_ks_test_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d_num")
     )
     return d.select(
-        F.lit(n1).alias("n_purchase"),
-        F.lit(n2).alias("n_click"),
+        F.lit(n1).cast("long").alias("n_purchase"),
+        F.lit(n2).cast("long").alias("n_click"),
         "d_num",
         F.expr(
             f"d_num DIV ({n1}L * {n2}L) * 1000000"
