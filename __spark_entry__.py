@@ -6656,6 +6656,70 @@ def q_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_rollup_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental view maintenance for a distributive rollup — the
+    way a 100 TB per-customer aggregate stays fresh WITHOUT rescanning
+    history (the classic delta-propagation result: Griffin & Libkin,
+    SIGMOD 1995; every streaming 'upsert the rollup' pipeline is this
+    pattern): the maintained state is (sum, count) partials per
+    customer built from the pre-cutoff base ONCE; a change batch then
+    applies as pure partial-aggregate algebra — INSERTS (orders at or
+    after the 1999-01-01 cutoff) contribute (+cents, +1) and UPDATES
+    (a deterministic 'price correction' doubling every pre-cutoff
+    order with o_orderkey % 97 == 0) contribute a RETRACTION
+    (−old, −1) plus a re-insert (+new, +1) — negative partials, the
+    part naive 'just re-add it' maintenance gets wrong. One
+    unionByName + one re-aggregation over the DELTA-sized batch; the
+    base never rescans. The DuckDB oracle computes the FINAL state
+    directly from the corrected full table, so a hash match proves the
+    delta algebra (including retractions) exactly equals
+    recomputation. Output per customer: n_orders, total_cents, and
+    the integer mean via the split-division identity."""
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01").cast("timestamp")
+    cents = _cents("o_totalprice")
+    corrected = F.col("o_orderkey") % 97 == 0
+    base = (
+        o.filter(F.col("o_orderdate") < cut)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(cents).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    inserts = o.filter(F.col("o_orderdate") >= cut).select(
+        "o_custkey", cents.alias("s"), F.lit(1).cast("long").alias("n")
+    )
+    upd_src = o.filter((F.col("o_orderdate") < cut) & corrected)
+    retract = upd_src.select(
+        "o_custkey", (-cents).alias("s"), F.lit(-1).cast("long").alias("n")
+    )
+    reinsert = upd_src.select(
+        "o_custkey",
+        (cents * 2).alias("s"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    maintained = (
+        base.unionByName(inserts)
+        .unionByName(retract)
+        .unionByName(reinsert)
+        .groupBy("o_custkey")
+        .agg(F.sum("s").alias("total_cents"), F.sum("n").alias("n_orders"))
+        .filter(F.col("n_orders") > 0)
+    )
+    return maintained.select(
+        F.col("o_custkey").alias("custkey"),
+        "n_orders",
+        "total_cents",
+        F.expr(
+            "total_cents DIV n_orders * 1000000"
+            " + (total_cents % n_orders) * 1000000 DIV n_orders"
+        ).alias("mean_micro"),
+    ).orderBy("custkey")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -6888,6 +6952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gini_customer_spend": q_gini_customer_spend,
     "ks_test_value_shift": q_ks_test_value_shift,
     "t_closeness_report": q_t_closeness_report,
+    "incremental_rollup_maintenance": q_incremental_rollup_maintenance,
 }
 
 
@@ -7195,6 +7260,31 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     oracles = {
+        "incremental_rollup_maintenance": """
+            WITH corrected AS (
+                SELECT o_custkey,
+                       CASE WHEN o_orderdate < TIMESTAMP '1999-01-01'
+                                 AND o_orderkey % 97 = 0
+                            THEN 2 * CAST(ROUND(o_totalprice * 100, 0)
+                                          AS BIGINT)
+                            ELSE CAST(ROUND(o_totalprice * 100, 0)
+                                      AS BIGINT)
+                       END AS cents
+                FROM orders
+            ), agg AS (
+                SELECT o_custkey AS custkey,
+                       COUNT(*) AS n_orders,
+                       CAST(SUM(cents) AS BIGINT) AS total_cents
+                FROM corrected GROUP BY o_custkey
+            )
+            SELECT custkey,
+                   CAST(n_orders AS BIGINT) AS n_orders,
+                   total_cents,
+                   CAST(total_cents // n_orders * 1000000
+                        + (total_cents % n_orders) * 1000000 // n_orders
+                   AS BIGINT) AS mean_micro
+            FROM agg ORDER BY custkey
+        """,
         "t_closeness_report": """
             WITH banded AS (
                 SELECT c_nationkey, c_mktsegment,

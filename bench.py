@@ -133,6 +133,7 @@ HEADLINE = [
     "gini_customer_spend",
     "ks_test_value_shift",
     "t_closeness_report",
+    "incremental_rollup_maintenance",
 ]
 
 
