@@ -6720,6 +6720,67 @@ def q_incremental_rollup_maintenance(
     ).orderBy("custkey")
 
 
+def q_streaming_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the passage-level dedup (passage_dedup_stats):
+    documents arrive as a file stream, each explodes into its 20-word
+    passages map-side, and a stateful dropDuplicates on the passage
+    fingerprint emits each DISTINCT passage exactly once — the
+    ingest-time shape of span dedup (state = one row per distinct
+    fingerprint, bounded by CONTENT diversity, not stream length — the
+    same contract as streaming_dedup_keys, with
+    dropDuplicatesWithinWatermark as the evicting variant when
+    re-emission beyond a horizon is tolerable). Only the fingerprint
+    projects into the sink, so the output is order-independent and the
+    DuckDB twin is simply the batch DISTINCT over the same chunking —
+    streamed == batch, differentially proven. Output: the distinct
+    fingerprints with their passage word counts (a pure function of
+    the passage content, so identical whichever copy survives the
+    dedup — deterministic even though dropDuplicates keeps an
+    arbitrary row)."""
+    import shutil
+    import tempfile
+
+    name = "stream_passage_dedup_mem"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    spark.catalog.dropTempView(name)
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    stage = tempfile.mkdtemp(prefix="stream_docs_")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        os.symlink(f"{sf_dir}/documents.parquet", f"{stage}/documents.parquet")
+        batch_schema = spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).schema
+        stream = readers.file_stream(spark, stage, batch_schema)
+        words = F.split(F.trim(F.lower("text")), r"\s+")
+        n_chunks = F.ceil(F.size(words) / F.lit(20)).cast("int")
+        passages = stream.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(words, i * 20 + 1, 20)
+                    ),
+                )
+            ).alias("passage")
+        ).select(
+            F.md5("passage").alias("fp"),
+            F.when(F.col("passage") == "", F.lit(0))
+            .otherwise(F.size(F.split("passage", " ")))
+            .cast("long")
+            .alias("n_words"),
+        )
+        deduped = passages.dropDuplicates(["fp"])
+        q = streaming.run_to_memory(deduped, name, output_mode="append")
+        q.stop()
+        return spark.table(name).orderBy("fp")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -6953,6 +7014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_test_value_shift": q_ks_test_value_shift,
     "t_closeness_report": q_t_closeness_report,
     "incremental_rollup_maintenance": q_incremental_rollup_maintenance,
+    "streaming_passage_dedup": q_streaming_passage_dedup,
 }
 
 
@@ -7260,6 +7322,32 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     oracles = {
+        "streaming_passage_dedup": r"""
+            WITH w AS (
+                SELECT string_split_regex(lower(trim(text)), '\s+')
+                           AS words
+                FROM documents
+            ), chpos AS (
+                SELECT words,
+                       UNNEST(generate_series(
+                           0,
+                           CAST(greatest(ceil(len(words) / 20.0), 1)
+                                AS BIGINT) - 1)) AS pos
+                FROM w
+            ), ch AS (
+                SELECT array_to_string(
+                           list_slice(words,
+                                      CAST(pos * 20 + 1 AS BIGINT),
+                                      CAST(pos * 20 + 20 AS BIGINT)),
+                           ' ') AS passage
+                FROM chpos
+            )
+            SELECT DISTINCT md5(passage) AS fp,
+                   CAST(CASE WHEN passage = '' THEN 0
+                             ELSE len(string_split(passage, ' '))
+                        END AS BIGINT) AS n_words
+            FROM ch ORDER BY fp
+        """,
         "incremental_rollup_maintenance": """
             WITH corrected AS (
                 SELECT o_custkey,

@@ -134,6 +134,7 @@ HEADLINE = [
     "ks_test_value_shift",
     "t_closeness_report",
     "incremental_rollup_maintenance",
+    "streaming_passage_dedup",
 ]
 
 
