@@ -6781,6 +6781,127 @@ def q_streaming_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve behind gini_customer_spend, at decile
+    resolution: customers sort ascending by spend, and each decile
+    boundary reports the cumulative share of total spend held by the
+    bottom d/10 of customers — the what-fraction-holds-what curve
+    (bottom 50% holds X%, top 10% holds 1−Y%) that the scalar Gini
+    summarizes. Machinery reuse on purpose: _dist_rank gives the
+    global ascending rank and _dist_cumsum the running spend total
+    over the SAME cutpoint buckets — no single-partition window
+    anywhere — and the boundary rows (rank == floor(d·n/10)) filter
+    map-side against a broadcast scalar n. share_micro is the exact
+    split division. Output: 10 rows (decile, boundary_rank,
+    cum_cents, share_micro)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("cents")
+    )
+    cuts = [
+        float(c)
+        for c in per_cust.stat.approxQuantile(
+            "cents", [i / 8 for i in range(1, 8)], 0.001
+        )
+    ]
+    ranked = _dist_rank(per_cust, "cents", "o_custkey", "__rk", cuts)
+    cum = _dist_cumsum(ranked, "cents", "o_custkey", ["cents"], cuts)
+    tot = per_cust.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("cents").alias("__tot")
+    )
+    # the 10 boundary ranks (floor(d·n/10)) form a 10-row broadcast —
+    # the decile rows filter out of the ranked table in one tiny join
+    bounds = tot.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+        "__n",
+        "__tot",
+    ).select(
+        F.col("decile").cast("long").alias("decile"),
+        F.expr("CAST(decile AS BIGINT) * __n DIV 10").alias("__rk"),
+        "__tot",
+    )
+    return (
+        cum.join(F.broadcast(bounds), "__rk")
+        .select(
+            "decile",
+            F.col("__rk").alias("boundary_rank"),
+            F.col("cum_cents"),
+            F.expr(
+                "cum_cents DIV __tot * 1000000"
+                " + (cum_cents % __tot) * 1000000 DIV __tot"
+            ).alias("share_micro"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight skew diagnostic a join on o_custkey needs BEFORE
+    it runs at 100 TB (the decide-whether-to-salt number; AQE's skew
+    split fires on partition sizes, but the per-KEY histogram is what
+    tells you WHICH keys to salt and how much): per join key, the row
+    count; reported as one row — key cardinality, total rows, the max
+    and p99-by-rank key weights, and two exact skew ratios in micro
+    units (max·n_keys/total == how many times the heaviest key
+    exceeds the mean; top-1% share == mass in the heaviest 1% of
+    keys). The p99 boundary and top-1% mass come from the SAME
+    _dist_rank/_dist_cumsum machinery over per-key counts DESCENDING
+    (ranked on the negated count, the rfm trick) — everything integer,
+    so the DuckDB twin hash-matches."""
+    o = _t(spark, sf_dir, "orders")
+    per_key = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("o_custkey", "c", (-F.col("c")).alias("__nc"))
+    )
+    cuts = [
+        float(x)
+        for x in per_key.stat.approxQuantile(
+            "__nc", [i / 8 for i in range(1, 8)], 0.001
+        )
+    ]
+    ranked = _dist_rank(per_key, "__nc", "o_custkey", "__rk", cuts)
+    cum = _dist_cumsum(ranked, "__nc", "o_custkey", ["c"], cuts)
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("c").alias("__t"),
+        F.max("c").alias("__mx"),
+    )
+    top1 = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("__rk")
+            == F.greatest(
+                F.lit(1).cast("long"),
+                (F.col("__k") / F.lit(100)).cast("long"),
+            )
+        )
+        .select(
+            F.col("__k").alias("n_keys"),
+            F.col("__t").alias("total_rows"),
+            F.col("__mx").alias("max_key_rows"),
+            F.col("c").alias("p99_key_rows"),
+            F.col("cum_c").alias("top1pct_rows"),
+        )
+    )
+    return top1.select(
+        "n_keys",
+        "total_rows",
+        "max_key_rows",
+        "p99_key_rows",
+        "top1pct_rows",
+        F.expr(
+            "max_key_rows * n_keys DIV total_rows * 1000000"
+            " + (max_key_rows * n_keys % total_rows) * 1000000"
+            "   DIV total_rows"
+        ).alias("max_over_mean_micro"),
+        F.expr(
+            "top1pct_rows DIV total_rows * 1000000"
+            " + (top1pct_rows % total_rows) * 1000000 DIV total_rows"
+        ).alias("top1pct_share_micro"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -7015,6 +7136,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_closeness_report": q_t_closeness_report,
     "incremental_rollup_maintenance": q_incremental_rollup_maintenance,
     "streaming_passage_dedup": q_streaming_passage_dedup,
+    "lorenz_deciles": q_lorenz_deciles,
+    "join_skew_report": q_join_skew_report,
 }
 
 
@@ -7322,6 +7445,70 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     oracles = {
+        "lorenz_deciles": """
+            WITH pc AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY o_custkey
+            ), r AS (
+                SELECT cents,
+                       row_number() OVER (ORDER BY cents, o_custkey)
+                           AS rk
+                FROM pc
+            ), cm AS (
+                SELECT rk,
+                       SUM(cents) OVER (ORDER BY rk
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_cents
+                FROM r
+            ), t AS (
+                SELECT COUNT(*) AS n, SUM(cents) AS tot FROM pc
+            ), b AS (
+                SELECT d AS decile, (d * n) // 10 AS rk, tot
+                FROM t, (SELECT UNNEST(generate_series(1, 10)) AS d)
+            )
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(b.rk AS BIGINT) AS boundary_rank,
+                   CAST(cum_cents AS BIGINT) AS cum_cents,
+                   CAST(cum_cents // tot * 1000000
+                        + (cum_cents % tot) * 1000000 // tot
+                   AS BIGINT) AS share_micro
+            FROM b JOIN cm ON b.rk = cm.rk
+            ORDER BY decile
+        """,
+        "join_skew_report": """
+            WITH pk AS (
+                SELECT o_custkey, COUNT(*) AS c
+                FROM orders GROUP BY o_custkey
+            ), r AS (
+                SELECT o_custkey, c,
+                       row_number() OVER (ORDER BY c DESC, o_custkey)
+                           AS rk
+                FROM pk
+            ), cm AS (
+                SELECT rk, c,
+                       SUM(c) OVER (ORDER BY rk
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_c
+                FROM r
+            ), t AS (
+                SELECT COUNT(*) AS k, SUM(c) AS tt, MAX(c) AS mx
+                FROM pk
+            )
+            SELECT CAST(k AS BIGINT) AS n_keys,
+                   CAST(tt AS BIGINT) AS total_rows,
+                   CAST(mx AS BIGINT) AS max_key_rows,
+                   CAST(c AS BIGINT) AS p99_key_rows,
+                   CAST(cum_c AS BIGINT) AS top1pct_rows,
+                   CAST(mx * k // tt * 1000000
+                        + (mx * k % tt) * 1000000 // tt
+                   AS BIGINT) AS max_over_mean_micro,
+                   CAST(cum_c // tt * 1000000
+                        + (cum_c % tt) * 1000000 // tt
+                   AS BIGINT) AS top1pct_share_micro
+            FROM cm, t WHERE rk = greatest(1, k // 100)
+        """,
         "streaming_passage_dedup": r"""
             WITH w AS (
                 SELECT string_split_regex(lower(trim(text)), '\s+')

@@ -135,6 +135,8 @@ HEADLINE = [
     "t_closeness_report",
     "incremental_rollup_maintenance",
     "streaming_passage_dedup",
+    "lorenz_deciles",
+    "join_skew_report",
 ]
 
 
