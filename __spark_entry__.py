@@ -6902,6 +6902,77 @@ def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift monitor (Page 1954 — the sequential test behind
+    industrial change detection; burst_detection_minutes catches
+    SPIKES against a trailing window, CUSUM catches the slow
+    persistent drift a spike detector never sees): per event type over
+    its minute-count series, S_t = max(0, S_{t−1} + (x_t − μ − λ)).
+    The recursion LOOKS unexpressible in SQL, but the classical
+    identity S_t = C_t − min_{j≤t} C_j (C = cumulative deviations)
+    folds it into two PARTITIONED window passes — a per-type cumsum
+    and a per-type running min — so the whole monitor is one plan with
+    no recursion and no single-partition window (partitions are event
+    types; rows per partition are bounded by the TIME GRAIN, the
+    hypertable/burst precedent). Integer-exact: deviations scale by
+    n_minutes (n·x_t − T − n·λ with λ = 1 event/minute allowance), so
+    μ never becomes a float. Output per type: the drift SUPREMUM in
+    n-scaled units and micro-events, the minute it peaked (earliest
+    tie), and the series length — ≈0 supremum == stationary, which is
+    itself the finding on this corpus; the oracle proves the identity
+    machinery either way."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type",
+        F.date_trunc("minute", F.col("ts").cast("timestamp")).alias(
+            "minute"
+        ),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    t = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("tot")
+    )
+    d = m.join(t, "event_type").withColumn(
+        "dev",
+        F.col("n") * F.col("x") - F.col("tot") - F.col("n"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the running min INCLUDES the current row and folds in C_0 = 0
+    # (the least(0, ·)): S_t = C_t − min_{0≤j≤t} C_j is the classical
+    # reflection identity for max(0, S_{t−1} + d_t) and is ≥ 0 by
+    # construction — an exclusive frame would let S go negative on a
+    # first-step drop
+    s = (
+        d.withColumn("cum", F.sum("dev").over(wc))
+        .withColumn(
+            "su",
+            F.col("cum")
+            - F.least(F.lit(0).cast("long"), F.min("cum").over(wc)),
+        )
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.desc("su"), F.asc("minute")
+    )
+    return (
+        s.withColumn("__rk", F.row_number().over(wbest))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_minutes"),
+            F.col("su").alias("max_s_units"),
+            F.expr(
+                "max_s_units DIV n * 1000000"
+                " + max_s_units % n * 1000000 DIV n"
+            ).alias("max_s_micro"),
+            F.col("minute").alias("peak_minute"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -7138,6 +7209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_passage_dedup": q_streaming_passage_dedup,
     "lorenz_deciles": q_lorenz_deciles,
     "join_skew_report": q_join_skew_report,
+    "cusum_drift_profile": q_cusum_drift_profile,
 }
 
 
@@ -7445,6 +7517,46 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     oracles = {
+        "cusum_drift_profile": """
+            WITH m AS (
+                SELECT event_type, date_trunc('minute', ts) AS minute,
+                       COUNT(*) AS x
+                FROM events GROUP BY 1, 2
+            ), t AS (
+                SELECT event_type, COUNT(*) AS n, SUM(x) AS tot
+                FROM m GROUP BY 1
+            ), d AS (
+                SELECT m.event_type, minute,
+                       n * x - tot - n AS dev, n
+                FROM m JOIN t USING (event_type)
+            ), c AS (
+                SELECT *, SUM(dev) OVER (PARTITION BY event_type
+                            ORDER BY minute
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+                FROM d
+            ), s AS (
+                SELECT *,
+                       cum - least(0, MIN(cum) OVER (
+                           PARTITION BY event_type ORDER BY minute
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)) AS su
+                FROM c
+            ), best AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY su DESC, minute ASC) AS rk
+                FROM s
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_minutes,
+                   CAST(su AS BIGINT) AS max_s_units,
+                   CAST(su // n * 1000000
+                        + su % n * 1000000 // n AS BIGINT)
+                       AS max_s_micro,
+                   minute AS peak_minute
+            FROM best WHERE rk = 1 ORDER BY event_type
+        """,
         "lorenz_deciles": """
             WITH pc AS (
                 SELECT o_custkey,

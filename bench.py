@@ -137,6 +137,7 @@ HEADLINE = [
     "streaming_passage_dedup",
     "lorenz_deciles",
     "join_skew_report",
+    "cusum_drift_profile",
 ]
 
 
