@@ -6973,6 +6973,69 @@ def q_cusum_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_concurrency_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak-load census over the sessionized stream: how many user
+    sessions were simultaneously open at the busiest moment — the
+    classic sweep-line (+1 at session start, −1 after session end,
+    running sum = concurrency), which at corpus scale is a GLOBAL
+    ordered prefix sum and therefore runs through _dist_cumsum
+    (cutpoint buckets + bounded offset carry, no single-partition
+    window). Sessions are the sessionize_events construction (1800 s
+    gap). Order determinism without a global sort: the sweep key is
+    sec·2 + phase (starts before ends within a second, so
+    back-to-back sessions at the same boundary second count as
+    overlapping — closed intervals); within one (second, phase) all
+    deltas share a sign, so the running max is invariant to intra-tie
+    order and the peak + its earliest second are exact. Output: one
+    row — n_sessions, peak_concurrent, peak_second (epoch)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = _epoch_sec("ts") - F.lag(_epoch_sec("ts")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    sess = (
+        ev.withColumn(
+            "session_id",
+            F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(_epoch_sec("ts").cast("long")).alias("s_sec"),
+            F.max(_epoch_sec("ts").cast("long")).alias("e_sec"),
+        )
+    )
+    bounds = sess.select(
+        (F.col("s_sec") * 2).alias("key"),
+        "user_id",
+        F.lit(1).cast("long").alias("delta"),
+    ).unionByName(
+        sess.select(
+            (F.col("e_sec") * 2 + 1).alias("key"),
+            "user_id",
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    cuts = [
+        float(c)
+        for c in bounds.stat.approxQuantile(
+            "key", [i / 8 for i in range(1, 8)], 0.001
+        )
+    ]
+    cum = _dist_cumsum(bounds, "key", "user_id", ["delta"], cuts)
+    tot = cum.agg(
+        F.max("cum_delta").alias("__peak"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_delta") == F.col("__peak"))
+        .groupBy("n_sessions", F.col("__peak").alias("peak_concurrent"))
+        .agg((F.min("key") / 2).cast("long").alias("peak_second"))
+        .select("n_sessions", "peak_concurrent", "peak_second")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -7210,6 +7273,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lorenz_deciles": q_lorenz_deciles,
     "join_skew_report": q_join_skew_report,
     "cusum_drift_profile": q_cusum_drift_profile,
+    "session_concurrency_profile": q_session_concurrency_profile,
 }
 
 
@@ -7517,6 +7581,47 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     oracles = {
+        "session_concurrency_profile": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                              OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800.0
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC,
+                             event_id ASC)
+            ), s AS (
+                SELECT user_id,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+                       SUM(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g
+            ), sess AS (
+                SELECT user_id, sid,
+                       MIN(sec) AS s_sec, MAX(sec) AS e_sec
+                FROM s GROUP BY user_id, sid
+            ), b AS (
+                SELECT s_sec * 2 AS key, 1 AS delta FROM sess
+                UNION ALL
+                SELECT e_sec * 2 + 1, -1 FROM sess
+            ), c AS (
+                SELECT key, delta,
+                       SUM(delta) OVER (ORDER BY key
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+                FROM b
+            ), t AS (
+                SELECT MAX(cum) AS peak,
+                       CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
+                FROM c
+            )
+            SELECT n_sessions,
+                   CAST(peak AS BIGINT) AS peak_concurrent,
+                   CAST(MIN(key) / 2 AS BIGINT) AS peak_second
+            FROM c, t WHERE cum = peak
+            GROUP BY n_sessions, peak
+        """,
         "cusum_drift_profile": """
             WITH m AS (
                 SELECT event_type, date_trunc('minute', ts) AS minute,

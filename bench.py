@@ -138,6 +138,7 @@ HEADLINE = [
     "lorenz_deciles",
     "join_skew_report",
     "cusum_drift_profile",
+    "session_concurrency_profile",
 ]
 
 
