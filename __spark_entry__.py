@@ -7036,6 +7036,135 @@ def q_session_concurrency_profile(
     )
 
 
+def q_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distance over the 60 s temporal-proximity
+    user graph (graph.bfs_hops — frontier relaxation, the Pregel
+    canonical example as DataFrame joins): from the best-connected
+    user (max distinct-neighbor degree, smallest id on ties — a
+    deterministic source both engines compute identically), how many
+    hops to every reachable user. The missing shortest-path primitive
+    beside PageRank/LPA/triangles/k-core; what a pipeline runs to
+    measure reach, diameter bounds, and influence radius. BFS levels
+    are monotone, so rounds past convergence are no-ops — the kcore
+    saturation argument — and the DuckDB twin unrolls the same rounds
+    as MATERIALIZED CTEs over the identical simplified undirected
+    graph. Integer-exact by construction (hops are counts). Shape per
+    round: one frontier⋈edges id-keyed join + one min() aggregate;
+    the source election is one degree aggregate + a 1-row driver
+    fetch. Output: (node, hop), node-ordered."""
+    ev = _t(spark, sf_dir, "events")
+    edges = graph.consecutive_user_edges(ev, max_gap_s=60)
+    ue = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = ue.select(
+        F.col("a").alias("node"), F.col("b").alias("o")
+    ).unionByName(ue.select(F.col("b").alias("node"), F.col("a").alias("o")))
+    src_row = (
+        sym.groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("node"))
+        .first()
+    )
+    return graph.bfs_hops(edges, int(src_row["node"]), max_rounds=15).orderBy(
+        "node"
+    )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the 60 s temporal-proximity user graph
+    (graph.degree_assortativity — Newman, PRL 2002): the Pearson
+    correlation of endpoint degrees across edges, THE one-number
+    mixing summary (hubs-to-hubs positive, hub-and-spoke negative) a
+    graph pipeline checks before sampling or partitioning. Exact
+    construction: simplified undirected graph, distinct-neighbor
+    degrees, both edge orientations — which makes Σx == Σy exactly,
+    so r collapses to the single rational
+    (M·Σxy − Σx²ᵗᵒᵗ)/(M·Σx² − Σx²ᵗᵒᵗ); numerator and denominator are
+    emitted as exact BIGINTs and r_micro is ONE micro-quantized IEEE
+    division (the house one-float contract). Shape: one degree
+    aggregate + two node-id-keyed joins + one scalar aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    edges = graph.consecutive_user_edges(ev, max_gap_s=60)
+    return graph.degree_assortativity(edges)
+
+
+def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased parts (the
+    Agrawal-Srikant Apriori setting, SIGMOD 1993 — restricted to the
+    pairwise rules that matter in practice): for every pair of parts
+    appearing in the same order, support / confidence (both
+    directions) / lift from exact integer counts. The
+    recommender-adjacent primitive beside event_cooccurrence (which
+    pairs event TYPES per user; this pairs ITEMS per basket with the
+    full rule metrics). Scale contract: the pair explosion is the
+    orderkey-keyed self-join of the DISTINCT (order, part) list —
+    pairs per order are C(w,2) with w = basket width, bounded by the
+    order's line count (≤7 in TPC-H-shaped data), so the blow-up is a
+    small constant × lineitem, never quadratic in the table; per-part
+    counts broadcast back onto the bounded pair table. Determinism:
+    counts are BIGINT; support/confidence/lift are integer
+    micro-units via DIV (the split-division identity is unnecessary —
+    one multiply then DIV stays far inside BIGINT). Output: the 25
+    most frequent pairs (count desc, part ids asc) with
+    support_micro, conf_a_to_b/conf_b_to_a, and lift_micro scaled by
+    10⁶."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = op.select("ok").distinct().count()
+    per_part = op.groupBy("pk").agg(F.count("*").alias("c_part"))
+    a = op.select("ok", F.col("pk").alias("pa"))
+    b = op.select("ok", F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("c_pair"))
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(per_part.withColumnRenamed("pk", "pa")).withColumnRenamed(
+                "c_part", "c_a"
+            ),
+            "pa",
+        )
+        .join(
+            F.broadcast(per_part.withColumnRenamed("pk", "pb")).withColumnRenamed(
+                "c_part", "c_b"
+            ),
+            "pb",
+        )
+    )
+    m = 1_000_000
+    return (
+        enriched.select(
+            "pa",
+            "pb",
+            "c_pair",
+            "c_a",
+            "c_b",
+            F.expr(f"c_pair * {m} div {n_orders}").alias("support_micro"),
+            F.expr(f"c_pair * {m} div c_a").alias("conf_a_to_b"),
+            F.expr(f"c_pair * {m} div c_b").alias("conf_b_to_a"),
+            F.expr(
+                # DECIMAL(38,0): c_pair·N·10⁶ can pass 2⁶³ once baskets
+                # reach web scale; the DuckDB twin runs it in HUGEINT
+                f"CAST(c_pair AS DECIMAL(38,0)) * {n_orders} * {m}"
+                " div CAST(c_a * c_b AS DECIMAL(38,0))"
+            ).alias("lift_micro"),
+        )
+        .orderBy(F.desc("c_pair"), F.asc("pa"), F.asc("pb"))
+        .limit(25)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -7274,6 +7403,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_skew_report": q_join_skew_report,
     "cusum_drift_profile": q_cusum_drift_profile,
     "session_concurrency_profile": q_session_concurrency_profile,
+    "bfs_hop_distance": q_bfs_hop_distance,
+    "degree_assortativity": q_degree_assortativity,
+    "market_basket_rules": q_market_basket_rules,
 }
 
 
@@ -7580,7 +7712,117 @@ def oracle_sql() -> dict[str, str]:
         )
         return "".join(parts)
 
+    _PROX_GRAPH = """
+            WITH raw AS (
+                SELECT LAG(user_id) OVER (
+                           PARTITION BY event_type
+                           ORDER BY ts ASC, event_id ASC
+                       ) AS src,
+                       LAG(epoch_us(ts)) OVER (
+                           PARTITION BY event_type
+                           ORDER BY ts ASC, event_id ASC
+                       ) AS pus,
+                       user_id AS dst,
+                       epoch_us(ts) AS us
+                FROM events
+            ),
+            ue AS (SELECT DISTINCT least(src, dst) AS a,
+                                   greatest(src, dst) AS b
+                   FROM raw WHERE src IS NOT NULL AND src <> dst
+                     AND us - pus <= 60000000),
+            sym AS MATERIALIZED (SELECT a AS node, b AS o FROM ue
+                    UNION ALL SELECT b, a FROM ue)"""
+
+    def _bfs_sql(rounds: int = 15) -> str:
+        """DuckDB twin of q_bfs_hop_distance: the same simplified
+        undirected 60 s proximity graph, the same deterministic source
+        election (max degree, min node id), and the frontier loop
+        unrolled as `rounds` MATERIALIZED CTEs — extra rounds past
+        convergence are no-ops (BFS levels are monotone, the kcore
+        saturation argument)."""
+        parts = [
+            _PROX_GRAPH,
+            """,
+            d0 AS MATERIALIZED (
+                SELECT node, 0 AS hop FROM (
+                    SELECT node, COUNT(*) AS c FROM sym GROUP BY node)
+                ORDER BY c DESC, node ASC LIMIT 1)""",
+        ]
+        for i in range(1, rounds + 1):
+            parts.append(
+                f""",
+            d{i} AS MATERIALIZED (
+                SELECT node, MIN(hop) AS hop FROM (
+                    SELECT node, hop FROM d{i - 1}
+                    UNION ALL
+                    SELECT s.o, d.hop + 1 FROM sym s
+                    JOIN d{i - 1} d ON s.node = d.node)
+                GROUP BY node)"""
+            )
+        parts.append(
+            f"""
+            SELECT node, CAST(hop AS INT) AS hop
+            FROM d{rounds} ORDER BY node"""
+        )
+        return "".join(parts)
+
     oracles = {
+        "bfs_hop_distance": _bfs_sql(15),
+        "degree_assortativity": _PROX_GRAPH
+        + """,
+            deg AS MATERIALIZED (
+                SELECT node, COUNT(*) AS deg FROM sym GROUP BY node),
+            p AS (
+                SELECT dx.deg AS x, dy.deg AS y
+                FROM sym s
+                JOIN deg dx ON s.node = dx.node
+                JOIN deg dy ON s.o = dy.node
+            ),
+            agg AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS m2,
+                       CAST(SUM(x) AS HUGEINT) AS sx,
+                       CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                       CAST(SUM(x * y) AS HUGEINT) AS sxy
+                FROM p
+            )
+            SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+                   CAST(m2 * sxy - sx * sx AS BIGINT) AS num,
+                   CAST(m2 * sxx - sx * sx AS BIGINT) AS den,
+                   CASE WHEN m2 * sxx = sx * sx THEN CAST(0 AS BIGINT)
+                        ELSE CAST(FLOOR(
+                            CAST(CAST(m2 * sxy - sx * sx AS BIGINT) AS DOUBLE)
+                          / CAST(CAST(m2 * sxx - sx * sx AS BIGINT) AS DOUBLE)
+                          * 1000000) AS BIGINT)
+                   END AS r_micro
+            FROM agg
+        """,
+        "market_basket_rules": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem
+            ),
+            n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
+            pp AS (SELECT pk, COUNT(*) AS c_part FROM op GROUP BY pk),
+            pairs AS (
+                SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS c_pair
+                FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY a.pk, b.pk
+            )
+            SELECT pa, pb, c_pair,
+                   ca.c_part AS c_a, cb.c_part AS c_b,
+                   c_pair * 1000000 // n_orders AS support_micro,
+                   c_pair * 1000000 // ca.c_part AS conf_a_to_b,
+                   c_pair * 1000000 // cb.c_part AS conf_b_to_a,
+                   CAST(CAST(c_pair AS HUGEINT) * n_orders * 1000000
+                        // (CAST(ca.c_part AS HUGEINT) * cb.c_part)
+                        AS BIGINT) AS lift_micro
+            FROM pairs
+            JOIN pp ca ON pairs.pa = ca.pk
+            JOIN pp cb ON pairs.pb = cb.pk
+            CROSS JOIN n
+            ORDER BY c_pair DESC, pa ASC, pb ASC
+            LIMIT 25
+        """,
         "session_concurrency_profile": """
             WITH g AS (
                 SELECT user_id, ts, event_id,

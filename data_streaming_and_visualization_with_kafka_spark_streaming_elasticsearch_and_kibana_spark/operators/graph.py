@@ -649,3 +649,146 @@ def kcore(
         .groupBy("node")
         .agg(F.count("*").alias("core_degree"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 15,
+) -> DataFrame:
+    """Single-source BFS hop distance — the missing shortest-path
+    primitive beside PageRank (importance), LPA (communities),
+    triangles (clustering), and k-core (density): which nodes can the
+    source reach, and in how many hops (unweighted shortest path =
+    BFS level). The distributed formulation is frontier relaxation
+    (Pregel/GraphX's canonical example, re-expressed as DataFrame
+    joins): dist₀ = {source: 0}; each round extends the settled set by
+    one hop — candidates = neighbors(dist) at hop+1, then a min()
+    aggregate keeps the earliest hop per node. BFS levels are
+    monotone, so a settled node's hop never changes (min() is a no-op
+    on it) and extra rounds past convergence are no-ops — the same
+    saturation argument that makes kcore/resolve_ancestors oracle-able
+    by a fixed unrolled-CTE depth.
+
+    Semantics: undirected simplified graph (multi-edges collapsed,
+    self-loops dropped), matching kcore. Integer-exact by construction
+    (hops are counts) — differentially checkable against an unrolled
+    SQL twin.
+
+    Cost shape per round: one frontier-filtered edge join (node-id
+    keyed) + one min() aggregate; dist localCheckpoints each round so
+    lineage stays flat. Early-exits when a round settles nothing (one
+    bounded driver count per round). At 100 TB the per-round cost is
+    |frontier ⋈ edges| — the standard BFS bound; rounds are bounded by
+    graph diameter (small-world graphs: tens)."""
+    spark = edges.sparkSession
+    ue = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = ue.select(
+        F.col("a").alias("node"), F.col("b").alias("o")
+    ).unionByName(ue.select(F.col("b").alias("node"), F.col("a").alias("o")))
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "node long, hop int"
+    ).localCheckpoint(eager=False)
+    n_settled = 1
+    for _ in range(max_rounds):
+        cand = (
+            sym.join(dist, "node")
+            .select(F.col("o").alias("node"), (F.col("hop") + 1).alias("hop"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        n_next = dist.count()
+        if n_next == n_settled:
+            break
+        n_settled = n_next
+    return dist
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman, "Assortative mixing
+    in networks", PRL 2002): the Pearson correlation of endpoint
+    degrees over all edges — positive when hubs attach to hubs
+    (social networks), negative when hubs attach to leaves
+    (hub-and-spoke infrastructure). THE one-number summary of a
+    graph's mixing structure, and a standard sanity check before
+    sampling or partitioning a graph at scale.
+
+    Construction: simplified undirected graph (kcore's contract);
+    per-node distinct-neighbor degrees from one aggregate; each edge
+    contributes BOTH orientations (x=deg(u),y=deg(v)) and (y,x) — the
+    standard undirected convention, which also makes Σx == Σy and
+    Σx² == Σy², so r = (M·Σxy − Σx·Σy) / (M·Σx² − (Σx)²) is a single
+    exact-BIGINT rational: numerator and denominator are emitted
+    exactly, and r_micro is ONE micro-quantized IEEE division of them
+    (degrees are bounded by max-degree, so the sums stay far inside
+    BIGINT at any graph size; the division is the only float, the
+    house one-IEEE-expression contract).
+
+    Cost shape: one degree aggregate + two node-id-keyed broadcast-able
+    joins of the degree table onto the edge list + one scalar
+    aggregate. At 100 TB the degree table is |V| rows — shuffle-join
+    it on node id; everything else is map-side."""
+    ue = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = ue.select(
+        F.col("a").alias("node"), F.col("b").alias("o")
+    ).unionByName(ue.select(F.col("b").alias("node"), F.col("a").alias("o")))
+    deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    # both orientations: join deg onto each end of the symmetrized list
+    pairs = (
+        sym.join(deg, "node")
+        .select(F.col("o").alias("node"), F.col("deg").alias("x"))
+        .join(deg, "node")
+        .select("x", F.col("deg").alias("y"))
+    )
+    agg = pairs.agg(
+        F.count("*").alias("m2"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # M·Σxy − (Σx)² can pass 2⁶³ on web-scale graphs — intermediates run
+    # in DECIMAL(38,0) (the DuckDB twin uses HUGEINT), results land in
+    # BIGINT (far inside it for any graph whose degree table fits a rack)
+    return agg.select(
+        F.expr("CAST(m2 / 2 AS BIGINT)").alias("n_edges"),
+        F.expr(
+            "CAST(CAST(m2 AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)"
+        ).alias("num"),
+        F.expr(
+            "CAST(CAST(m2 AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)"
+        ).alias("den"),
+        F.expr(
+            "CASE WHEN CAST(m2 AS DECIMAL(38,0)) * sxx"
+            "        = CAST(sx AS DECIMAL(38,0)) * sx THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(FLOOR(CAST(CAST(CAST(m2 AS DECIMAL(38,0)) * sxy"
+            "   - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT) AS DOUBLE)"
+            "  / CAST(CAST(CAST(m2 AS DECIMAL(38,0)) * sxx"
+            "   - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT) AS DOUBLE)"
+            "  * 1000000) AS BIGINT) END"
+        ).alias("r_micro"),
+    )

@@ -334,3 +334,49 @@ def test_consecutive_user_edges_gap_filter(spark):
     sparse = graph.consecutive_user_edges(ev, max_gap_s=60)
     assert dense.count() == 2
     assert [(r.src, r.dst) for r in sparse.collect()] == [(100, 200)]
+
+
+def test_bfs_hops_path_graph_levels(spark):
+    # 0-1-2-3 path: hops are exactly the level numbers
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    hops = {r.node: r.hop for r in graph.bfs_hops(e, 0).collect()}
+    assert hops == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_hops_unreachable_nodes_absent(spark):
+    # two components: BFS from 0 never reaches the 10-11 island
+    e = _edges(spark, [(0, 1), (10, 11)])
+    hops = {r.node: r.hop for r in graph.bfs_hops(e, 0).collect()}
+    assert hops == {0: 0, 1: 1}
+
+
+def test_bfs_hops_min_over_multiple_paths(spark):
+    # diamond: 0→(1,2)→3 plus a long detour 0-4-5-3; hop(3) is the min
+    e = _edges(
+        spark, [(0, 1), (0, 2), (1, 3), (2, 3), (0, 4), (4, 5), (5, 3)]
+    )
+    hops = {r.node: r.hop for r in graph.bfs_hops(e, 0).collect()}
+    assert hops[3] == 2 and hops[5] == 2 and hops[4] == 1
+
+
+def test_bfs_hops_direction_ignored(spark):
+    # edge direction must not matter (undirected contract)
+    e = _edges(spark, [(1, 0), (2, 1)])
+    hops = {r.node: r.hop for r in graph.bfs_hops(e, 0).collect()}
+    assert hops == {0: 0, 1: 1, 2: 2}
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    # star: hub degree 5 pairs with leaf degree 1 → perfectly
+    # disassortative, r = -1 (r_micro = -1000000)
+    e = _edges(spark, [(0, i) for i in range(1, 6)])
+    row = graph.degree_assortativity(e).collect()[0]
+    assert row.n_edges == 5
+    assert row.r_micro == -1000000
+
+
+def test_degree_assortativity_regular_graph_degenerate(spark):
+    # cycle: every degree is 2 → zero variance → defined-as-zero branch
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    row = graph.degree_assortativity(e).collect()[0]
+    assert row.den == 0 and row.r_micro == 0
