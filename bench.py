@@ -139,6 +139,9 @@ HEADLINE = [
     "join_skew_report",
     "cusum_drift_profile",
     "session_concurrency_profile",
+    "bfs_hop_distance",
+    "degree_assortativity",
+    "market_basket_rules",
 ]
 
 
