@@ -7165,6 +7165,152 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_acf_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the per-minute global event-count
+    series at lags 1..10 — THE first diagnostic a time-series pipeline
+    runs (seasonality shows as peaks at the period, burstiness as slow
+    decay, white noise as ≈0 everywhere), complementing
+    burst_detection_minutes (spikes) and cusum_drift_profile (drift).
+    The series is the CALENDAR minute grid [min_minute, max_minute]
+    with unobserved minutes counting 0 — and the whole computation
+    runs WITHOUT materializing the grid: zero-count minutes contribute
+    nothing to Σx_t·x_{t+k} (product has a zero factor) and enter the
+    centered moments only through closed-form boundary corrections, so
+    r_k = num_k/den with
+      num_k = n²·P_k − n·T·(A_k + B_k) + (n−k)·T²
+      den   = n²·Sxx − n·T²
+    where P_k = Σ x_t·x_{t+k} over OBSERVED pairs, A_k/B_k = T minus
+    the observed mass in the last/first k calendar minutes, all exact
+    BIGINTs (deviations are n-scaled, the cusum trick, so the mean
+    never becomes a float). r_micro is ONE floor-quantized IEEE
+    division per lag (the assortativity contract). Intermediates run
+    in DECIMAL(38,0) — the DuckDB twin uses HUGEINT — with honest
+    headroom: n ~ 10⁶ calendar minutes and per-minute counts ~ 10⁷
+    keep n²·P ~ 10³⁴ < 10³⁸. Shape: the observed-minute table is
+    TIME-GRAIN-bounded (the hypertable/burst/cusum precedent, rows =
+    minutes not events); the pair term is a minute-idx-keyed self-join
+    fanned ×10 by a broadcast lag dimension; everything else is one
+    scalar aggregate. Output: (lag, n_pairs, num, den, r_micro),
+    lag-ordered."""
+    ev = _t(spark, sf_dir, "events")
+    m = (
+        ev.select(
+            F.floor(_epoch_sec("ts") / 60).cast("long").alias("idx")
+        )
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    scal = m.agg(
+        (F.max("idx") - F.min("idx") + 1).alias("n"),
+        F.sum("x").alias("t"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.min("idx").alias("lo"),
+        F.max("idx").alias("hi"),
+    )
+    lags = spark.range(1, 11).select(F.col("id").cast("long").alias("lag"))
+    pairs = (
+        m.crossJoin(F.broadcast(lags))
+        .select("lag", (F.col("idx") + F.col("lag")).alias("jidx"), F.col("x").alias("xa"))
+        .join(m.select(F.col("idx").alias("jidx"), F.col("x").alias("xb")), "jidx")
+        .groupBy("lag")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("p"))
+    )
+    tails = (
+        m.crossJoin(F.broadcast(lags))
+        .crossJoin(F.broadcast(scal))
+        .groupBy("lag")
+        .agg(
+            F.sum(
+                F.when(F.col("idx") > F.col("hi") - F.col("lag"), F.col("x")).otherwise(F.lit(0))
+            ).alias("tail_a"),
+            F.sum(
+                F.when(F.col("idx") < F.col("lo") + F.col("lag"), F.col("x")).otherwise(F.lit(0))
+            ).alias("tail_b"),
+        )
+    )
+    out = (
+        lags.join(pairs, "lag", "left")
+        .join(tails, "lag", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "lag",
+            (F.col("n") - F.col("lag")).alias("n_pairs"),
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * n * COALESCE(p, 0)"
+                " - CAST(n AS DECIMAL(38,0)) * t"
+                "   * (2 * t - COALESCE(tail_a, 0) - COALESCE(tail_b, 0))"
+                " + CAST(n - lag AS DECIMAL(38,0)) * t * t AS BIGINT)"
+            ).alias("num"),
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * n * sxx"
+                " - CAST(n AS DECIMAL(38,0)) * t * t AS BIGINT)"
+            ).alias("den"),
+        )
+        .withColumn(
+            "r_micro",
+            F.expr(
+                "CASE WHEN den = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+                "      * 1000000) AS BIGINT) END"
+            ),
+        )
+        .orderBy("lag")
+    )
+    return out
+
+
+def q_calendar_seasonality_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calendar seasonality profile of the event stream: the
+    hour-of-day (24 slots) and day-of-week (7 slots) activity
+    distributions with each slot's share of total traffic and its
+    index against a flat baseline (10⁶ = exactly uniform) — what a
+    capacity planner or a dashboard's "busiest hours" panel computes,
+    and the descriptive companion to acf_minute_counts (ACF detects
+    the period, this names it). Engine-portability: BOTH slots derive
+    from integer epoch arithmetic — hour = epoch_sec div 3600 mod 24,
+    dow = (epoch_sec div 86400 + 4) mod 7 with 0 = Sunday (1970-01-01
+    was a Thursday) — never from calendar functions, because Spark's
+    dayofweek is 1=Sunday while DuckDB's dow is 0=Sunday; the integer
+    form is identical everywhere and exact. share/index are integer
+    micro-units via DIV. Shape: two map-side classifiable aggregates
+    over events (31 output rows), no joins, no windows — trivially
+    100 TB-safe. Output: (dim, slot, n_events, share_micro,
+    index_micro), dim/slot-ordered."""
+    ev = _t(spark, sf_dir, "events")
+    slots = ev.select(
+        F.floor(_epoch_sec("ts")).cast("long").alias("s")
+    ).select(
+        F.expr("s div 3600 % 24").alias("hour_slot"),
+        F.expr("(s div 86400 + 4) % 7").alias("dow_slot"),
+    )
+    hour = slots.groupBy(F.col("hour_slot").alias("slot")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(F.lit("hour").alias("dim"), "slot", "n_events")
+    dow = slots.groupBy(F.col("dow_slot").alias("slot")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(F.lit("dow").alias("dim"), "slot", "n_events")
+    both = hour.unionByName(dow)
+    tot = both.filter(F.col("dim") == "hour").agg(
+        F.sum("n_events").alias("tot")
+    )
+    return (
+        both.crossJoin(F.broadcast(tot))
+        .select(
+            "dim",
+            "slot",
+            "n_events",
+            F.expr("n_events * 1000000 div tot").alias("share_micro"),
+            F.expr(
+                "n_events * (CASE WHEN dim = 'hour' THEN 24 ELSE 7 END)"
+                " * 1000000 div tot"
+            ).alias("index_micro"),
+        )
+        .orderBy("dim", "slot")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -7406,6 +7552,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_hop_distance": q_bfs_hop_distance,
     "degree_assortativity": q_degree_assortativity,
     "market_basket_rules": q_market_basket_rules,
+    "acf_minute_counts": q_acf_minute_counts,
+    "calendar_seasonality_profile": q_calendar_seasonality_profile,
 }
 
 
@@ -7767,6 +7915,83 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     oracles = {
+        "acf_minute_counts": """
+            WITH m AS MATERIALIZED (
+                SELECT CAST(FLOOR(epoch(ts) / 60) AS BIGINT) AS idx,
+                       COUNT(*) AS x
+                FROM events GROUP BY 1
+            ),
+            scal AS (
+                SELECT CAST(MAX(idx) - MIN(idx) + 1 AS HUGEINT) AS n,
+                       CAST(SUM(x) AS HUGEINT) AS t,
+                       CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                       MIN(idx) AS lo, MAX(idx) AS hi
+                FROM m
+            ),
+            lags AS (SELECT UNNEST(generate_series(1, 10)) AS lag),
+            pairs AS (
+                SELECT l.lag, CAST(SUM(a.x * b.x) AS HUGEINT) AS p
+                FROM m a CROSS JOIN lags l
+                JOIN m b ON b.idx = a.idx + l.lag
+                GROUP BY 1
+            ),
+            tails AS (
+                SELECT l.lag,
+                       CAST(SUM(CASE WHEN m.idx > s.hi - l.lag
+                                     THEN m.x ELSE 0 END) AS HUGEINT)
+                           AS tail_a,
+                       CAST(SUM(CASE WHEN m.idx < s.lo + l.lag
+                                     THEN m.x ELSE 0 END) AS HUGEINT)
+                           AS tail_b
+                FROM m CROSS JOIN lags l CROSS JOIN scal s
+                GROUP BY 1
+            ),
+            o AS (
+                SELECT l.lag,
+                       CAST(s.n - l.lag AS BIGINT) AS n_pairs,
+                       CAST(s.n * s.n * COALESCE(p.p, 0)
+                            - s.n * s.t
+                              * (2 * s.t - COALESCE(t.tail_a, 0)
+                                 - COALESCE(t.tail_b, 0))
+                            + (s.n - l.lag) * s.t * s.t AS BIGINT) AS num,
+                       CAST(s.n * s.n * s.sxx - s.n * s.t * s.t AS BIGINT)
+                           AS den
+                FROM lags l
+                LEFT JOIN pairs p ON l.lag = p.lag
+                LEFT JOIN tails t ON l.lag = t.lag
+                CROSS JOIN scal s
+            )
+            SELECT lag, n_pairs, num, den,
+                   CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(FLOOR(CAST(num AS DOUBLE)
+                             / CAST(den AS DOUBLE) * 1000000) AS BIGINT)
+                   END AS r_micro
+            FROM o ORDER BY lag
+        """,
+        "calendar_seasonality_profile": """
+            WITH s AS (
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS s FROM events
+            ),
+            hour AS (
+                SELECT 'hour' AS dim, s // 3600 % 24 AS slot,
+                       COUNT(*) AS n_events
+                FROM s GROUP BY 2
+            ),
+            dow AS (
+                SELECT 'dow' AS dim, (s // 86400 + 4) % 7 AS slot,
+                       COUNT(*) AS n_events
+                FROM s GROUP BY 2
+            ),
+            hd AS (SELECT * FROM hour UNION ALL SELECT * FROM dow),
+            tot AS (SELECT SUM(n_events) AS tot FROM hd
+                    WHERE dim = 'hour')
+            SELECT dim, slot, n_events,
+                   n_events * 1000000 // tot AS share_micro,
+                   n_events * (CASE WHEN dim = 'hour' THEN 24 ELSE 7 END)
+                       * 1000000 // tot AS index_micro
+            FROM hd CROSS JOIN tot
+            ORDER BY dim, slot
+        """,
         "bfs_hop_distance": _bfs_sql(15),
         "degree_assortativity": _PROX_GRAPH
         + """,
