@@ -7050,30 +7050,14 @@ def q_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     as MATERIALIZED CTEs over the identical simplified undirected
     graph. Integer-exact by construction (hops are counts). Shape per
     round: one frontier⋈edges id-keyed join + one min() aggregate;
-    the source election is one degree aggregate + a 1-row driver
-    fetch. Output: (node, hop), node-ordered."""
+    the source election happens INSIDE bfs_hops (source=None) on the
+    already-simplified graph — one degree aggregate + a 1-row driver
+    fetch, no duplicate simplification, and an empty proximity graph
+    yields an empty frame instead of a None dereference. Output:
+    (node, hop), node-ordered."""
     ev = _t(spark, sf_dir, "events")
     edges = graph.consecutive_user_edges(ev, max_gap_s=60)
-    ue = (
-        edges.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    sym = ue.select(
-        F.col("a").alias("node"), F.col("b").alias("o")
-    ).unionByName(ue.select(F.col("b").alias("node"), F.col("a").alias("o")))
-    src_row = (
-        sym.groupBy("node")
-        .agg(F.count("*").alias("deg"))
-        .orderBy(F.desc("deg"), F.asc("node"))
-        .first()
-    )
-    return graph.bfs_hops(edges, int(src_row["node"]), max_rounds=15).orderBy(
-        "node"
-    )
+    return graph.bfs_hops(edges, max_rounds=15).orderBy("node")
 
 
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7085,10 +7069,13 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction: simplified undirected graph, distinct-neighbor
     degrees, both edge orientations — which makes Σx == Σy exactly,
     so r collapses to the single rational
-    (M·Σxy − Σx²ᵗᵒᵗ)/(M·Σx² − Σx²ᵗᵒᵗ); numerator and denominator are
-    emitted as exact BIGINTs and r_micro is ONE micro-quantized IEEE
-    division (the house one-float contract). Shape: one degree
-    aggregate + two node-id-keyed joins + one scalar aggregate."""
+    (M·Σxy − Σx²ᵗᵒᵗ)/(M·Σx² − Σx²ᵗᵒᵗ); the Σ-products accumulate in
+    DECIMAL(38,0) (hub-heavy graphs push them past 2⁶³ — the DuckDB
+    twin uses HUGEINT), num/den leave as the correctly-rounded DOUBLE
+    of the same exact integer (bit-identical across engines), and
+    r_micro is ONE micro-quantized IEEE division (the house one-float
+    contract). Shape: one degree aggregate + two node-id-keyed joins
+    + one scalar aggregate."""
     ev = _t(spark, sf_dir, "events")
     edges = graph.consecutive_user_edges(ev, max_gap_s=60)
     return graph.degree_assortativity(edges)
@@ -7106,8 +7093,13 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey-keyed self-join of the DISTINCT (order, part) list —
     pairs per order are C(w,2) with w = basket width, bounded by the
     order's line count (≤7 in TPC-H-shaped data), so the blow-up is a
-    small constant × lineitem, never quadratic in the table; per-part
-    counts broadcast back onto the bounded pair table. Determinism:
+    small constant × lineitem, never quadratic in the table; the
+    per-part count table is |parts| rows — UNBOUNDED at web scale, so
+    its joins carry no broadcast hint (AQE broadcasts while it is
+    small, shuffles on pk once it is not — the vocabulary-join
+    contract at operators/dedup.py:739). n_orders is a 1-row
+    aggregate crossJoin-broadcast onto the pair table, not a separate
+    driver action re-running the distinct lineage. Determinism:
     counts are BIGINT; support/confidence/lift are integer
     micro-units via DIV (the split-division identity is unnecessary —
     one multiply then DIV stays far inside BIGINT). Output: the 25
@@ -7115,10 +7107,14 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     support_micro, conf_a_to_b/conf_b_to_a, and lift_micro scaled by
     10⁶."""
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    n_orders = op.select("ok").distinct().count()
+    op = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = op.agg(F.count_distinct("ok").alias("n_orders"))
     per_part = op.groupBy("pk").agg(F.count("*").alias("c_part"))
     a = op.select("ok", F.col("pk").alias("pa"))
     b = op.select("ok", F.col("pk").alias("pb"))
@@ -7128,19 +7124,21 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("c_pair"))
     )
+    # no broadcast hint: per_part is |parts| rows (unbounded); AQE picks
     enriched = (
         pairs.join(
-            F.broadcast(per_part.withColumnRenamed("pk", "pa")).withColumnRenamed(
+            per_part.withColumnRenamed("pk", "pa").withColumnRenamed(
                 "c_part", "c_a"
             ),
             "pa",
         )
         .join(
-            F.broadcast(per_part.withColumnRenamed("pk", "pb")).withColumnRenamed(
+            per_part.withColumnRenamed("pk", "pb").withColumnRenamed(
                 "c_part", "c_b"
             ),
             "pb",
         )
+        .crossJoin(F.broadcast(n))
     )
     m = 1_000_000
     return (
@@ -7150,13 +7148,13 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_pair",
             "c_a",
             "c_b",
-            F.expr(f"c_pair * {m} div {n_orders}").alias("support_micro"),
+            F.expr(f"c_pair * {m} div n_orders").alias("support_micro"),
             F.expr(f"c_pair * {m} div c_a").alias("conf_a_to_b"),
             F.expr(f"c_pair * {m} div c_b").alias("conf_b_to_a"),
             F.expr(
                 # DECIMAL(38,0): c_pair·N·10⁶ can pass 2⁶³ once baskets
                 # reach web scale; the DuckDB twin runs it in HUGEINT
-                f"CAST(c_pair AS DECIMAL(38,0)) * {n_orders} * {m}"
+                f"CAST(c_pair AS DECIMAL(38,0)) * n_orders * {m}"
                 " div CAST(c_a * c_b AS DECIMAL(38,0))"
             ).alias("lift_micro"),
         )
@@ -7181,12 +7179,17 @@ def q_acf_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       den   = n²·Sxx − n·T²
     where P_k = Σ x_t·x_{t+k} over OBSERVED pairs, A_k/B_k = T minus
     the observed mass in the last/first k calendar minutes, all exact
-    BIGINTs (deviations are n-scaled, the cusum trick, so the mean
-    never becomes a float). r_micro is ONE floor-quantized IEEE
-    division per lag (the assortativity contract). Intermediates run
-    in DECIMAL(38,0) — the DuckDB twin uses HUGEINT — with honest
-    headroom: n ~ 10⁶ calendar minutes and per-minute counts ~ 10⁷
-    keep n²·P ~ 10³⁴ < 10³⁸. Shape: the observed-minute table is
+    integers (deviations are n-scaled, the cusum trick, so the mean
+    never becomes a float). EVERY product and sum that can leave
+    BIGINT runs in DECIMAL(38,0) from the first multiply — P_k and
+    Sxx accumulate as DECIMAL, never as a BIGINT sum that would throw
+    under ANSI once per-minute counts ~10⁷ × n ~10⁶ push P past 2⁶³
+    — and the DuckDB twin mirrors with HUGEINT. num/den (~n²·P, up
+    to ~10³⁴ ≪ 10³⁸) are emitted as the correctly-rounded DOUBLE of
+    the exact decimal value: both engines round the SAME integer, so
+    the doubles are bit-identical and hash-stable. r_micro is ONE
+    floor-quantized IEEE division per lag (the assortativity
+    contract). Shape: the observed-minute table is
     TIME-GRAIN-bounded (the hypertable/burst/cusum precedent, rows =
     minutes not events); the pair term is a minute-idx-keyed self-join
     fanned ×10 by a broadcast lag dimension; everything else is one
@@ -7203,7 +7206,7 @@ def q_acf_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scal = m.agg(
         (F.max("idx") - F.min("idx") + 1).alias("n"),
         F.sum("x").alias("t"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
         F.min("idx").alias("lo"),
         F.max("idx").alias("hi"),
     )
@@ -7213,7 +7216,7 @@ def q_acf_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lag", (F.col("idx") + F.col("lag")).alias("jidx"), F.col("x").alias("xa"))
         .join(m.select(F.col("idx").alias("jidx"), F.col("x").alias("xb")), "jidx")
         .groupBy("lag")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("p"))
+        .agg(F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("p"))
     )
     tails = (
         m.crossJoin(F.broadcast(lags))
@@ -7239,19 +7242,18 @@ def q_acf_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(CAST(n AS DECIMAL(38,0)) * n * COALESCE(p, 0)"
                 " - CAST(n AS DECIMAL(38,0)) * t"
                 "   * (2 * t - COALESCE(tail_a, 0) - COALESCE(tail_b, 0))"
-                " + CAST(n - lag AS DECIMAL(38,0)) * t * t AS BIGINT)"
+                " + CAST(n - lag AS DECIMAL(38,0)) * t * t AS DOUBLE)"
             ).alias("num"),
             F.expr(
                 "CAST(CAST(n AS DECIMAL(38,0)) * n * sxx"
-                " - CAST(n AS DECIMAL(38,0)) * t * t AS BIGINT)"
+                " - CAST(n AS DECIMAL(38,0)) * t * t AS DOUBLE)"
             ).alias("den"),
         )
         .withColumn(
             "r_micro",
             F.expr(
-                "CASE WHEN den = 0 THEN CAST(0 AS BIGINT)"
-                " ELSE CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
-                "      * 1000000) AS BIGINT) END"
+                "CASE WHEN den = 0.0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(FLOOR(num / den * 1000000) AS BIGINT) END"
             ),
         )
         .orderBy("lag")
@@ -7311,6 +7313,184 @@ def q_calendar_seasonality_profile(
     )
 
 
+def q_spearman_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order value and order date
+    (are basket sizes drifting over time?) — the robust, outlier-immune
+    correlation a warehouse reaches for before fitting anything, and
+    the rank-space sibling of regression_stats_by_type's Pearson.
+    Tie-corrected via AVERAGE ranks, kept integer-exact by doubling:
+    rank2 = 2·avg_rank = 2·minrank + (ties−1), an integer for every
+    tie group. The global ranks NEVER pass through a single-partition
+    window: each variable's rank2 comes from its DISTINCT-VALUE table
+    (per-value counts; minrank = inclusive prefix count − count + 1),
+    whose running totals ride _dist_cumsum (cutpoint-bucket + bounded
+    offset carry), then join back value-keyed — no hint, the value
+    tables are unbounded and AQE sizes them. Products of rank2 values
+    reach ~4n² (past 2⁶³ near ~10⁹ rows), so Σxy/Σxx/Σyy accumulate
+    in DECIMAL(38,0) — the DuckDB twin uses HUGEINT — and num/denx/
+    deny leave as correctly-rounded DOUBLEs of the same exact integers
+    (bit-identical across engines). rho_micro is ONE IEEE expression:
+    floor(num/sqrt(denx·deny)·10⁶) (sqrt is IEEE-correctly-rounded on
+    both engines). Σx and n are emitted for audit: with rank2 ranks,
+    Σ rank2 = n(n+1) exactly — both engines must agree. Output: one
+    row (n, sum_rank2, num, denx, deny, rho_micro)."""
+    o = _t(spark, sf_dir, "orders").select(
+        _cents("o_totalprice").alias("pv"),
+        _epoch_sec("o_orderdate").cast("long").alias("dv"),
+    )
+
+    def rank2_table(col: str) -> DataFrame:
+        per_v = o.groupBy(col).agg(F.count("*").alias("c"))
+        cuts = per_v.stat.approxQuantile(
+            col, [i / 8 for i in range(1, 8)], 0.001
+        )
+        cum = _dist_cumsum(
+            per_v, col, col, ["c"], [float(x) for x in cuts]
+        )
+        # avg-rank doubled: 2·(cum − c + 1) + (c − 1) = 2·cum − c + 1
+        return cum.select(
+            col,
+            (2 * F.col("cum_c") - F.col("c") + 1).alias(f"r2_{col}"),
+        )
+
+    ranked = o.join(rank2_table("pv"), "pv").join(rank2_table("dv"), "dv")
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("r2_pv").alias("sx"),
+        F.sum("r2_dv").alias("sy"),
+        F.sum(
+            F.col("r2_pv").cast("decimal(38,0)") * F.col("r2_pv")
+        ).alias("sxx"),
+        F.sum(
+            F.col("r2_dv").cast("decimal(38,0)") * F.col("r2_dv")
+        ).alias("syy"),
+        F.sum(
+            F.col("r2_pv").cast("decimal(38,0)") * F.col("r2_dv")
+        ).alias("sxy"),
+    )
+    return agg.select(
+        "n",
+        F.col("sx").alias("sum_rank2"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        ).alias("num"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+        ).alias("denx"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * syy"
+            " - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        ).alias("deny"),
+        F.expr(
+            "CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx"
+            "        = CAST(sx AS DECIMAL(38,0)) * sx"
+            "     OR CAST(n AS DECIMAL(38,0)) * syy"
+            "        = CAST(sy AS DECIMAL(38,0)) * sy"
+            " THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(FLOOR("
+            "   CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+            "        - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            " / SQRT(CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+            "             - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+            "      * CAST(CAST(n AS DECIMAL(38,0)) * syy"
+            "             - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))"
+            " * 1000000) AS BIGINT) END"
+        ).alias("rho_micro"),
+    )
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of customer spend
+    within each market segment — THE concentration number an analyst
+    computes before trusting a segment aggregate (HHI → 10⁶ means one
+    whale owns the segment; → 10⁶/k means k equal customers). Exact
+    integer construction: spend in cents (BIGINT), per-customer shares
+    squared as HHI = Σ s_i² / S² computed in DECIMAL(38,0) — customer
+    spend² at web scale passes 2⁶³ — and hhi_micro = the integer
+    DIV of 10⁶·Σ s_i² by S² (both exact decimals; the DuckDB twin
+    runs HUGEINT). Shape: one (segment, customer) aggregate, one
+    segment aggregate — two map-side-combining shuffles on bounded
+    keys, no windows, no joins beyond the broadcast-able customer dim
+    at the front. Output per segment: customers, total_cents,
+    top_share_micro (largest single share) and hhi_micro."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.select("o_custkey", _cents("o_totalprice").alias("cents"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum("cents").alias("s"))
+    )
+    seg = spend.groupBy("c_mktsegment").agg(
+        F.count("*").alias("customers"),
+        F.sum("s").alias("total_cents"),
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("ss2"),
+        F.max("s").alias("smax"),
+    )
+    return seg.select(
+        F.col("c_mktsegment").alias("segment"),
+        "customers",
+        "total_cents",
+        F.expr(
+            "CAST(CAST(smax AS DECIMAL(38,0)) * 1000000"
+            " div CAST(total_cents AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("top_share_micro"),
+        F.expr(
+            "CAST(ss2 * 1000000 div (CAST(total_cents AS DECIMAL(38,0))"
+            " * total_cents) AS BIGINT)"
+        ).alias("hhi_micro"),
+    ).orderBy("segment")
+
+
+def q_rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of the engine's two retrieval modalities — BM25 text search (query
+    {hash, join, stream}) and embedding cosine ANN (query vector 0) —
+    the standard hybrid-search combiner every RAG/serving stack runs:
+    score(d) = Σ_lists 1/(60 + rank_d). Integer-exact: contributions
+    are 10⁶ DIV (60 + rank) per list (missing from a list → 0), so the
+    fused ordering never touches a float; ranks come from row_number
+    over the two TOP-100 SHORTLISTS (bounded 100-row tables — the
+    single-partition window is on a limit-100 result, never the
+    corpus; the expensive parts are the bm25/cosine pipelines, both
+    already scale-shaped). doc_id ≡ vec_id in the corpus contract
+    (documents and embeddings are row-aligned). Output: top-25 fused
+    (doc_id, r_text, r_vec, rrf_micro), absent-list ranks emitted as
+    0 so the schema stays BIGINT end-to-end."""
+    bm = q_bm25_search(spark, sf_dir).select("doc_id", "bm25_micro")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = _query_vec(spark, sf_dir)
+    cos = similarity.brute_force_topk(emb, qvec, k=100).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    )
+    bmr = bm.withColumn(
+        "r_text",
+        F.row_number().over(
+            Window.orderBy(F.desc("bm25_micro"), F.asc("doc_id"))
+        ),
+    )
+    cosr = cos.withColumn(
+        "r_vec",
+        F.row_number().over(
+            Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        ),
+    )
+    fused = bmr.join(cosr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("r_text", F.lit(0)).cast("long").alias("r_text"),
+        F.coalesce("r_vec", F.lit(0)).cast("long").alias("r_vec"),
+        (
+            F.coalesce(
+                F.expr("1000000 div (60 + r_text)"), F.lit(0)
+            )
+            + F.coalesce(F.expr("1000000 div (60 + r_vec)"), F.lit(0))
+        ).cast("long").alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(25)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -7324,19 +7504,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kafka_wire_pipeline": q_kafka_wire_pipeline,
     "null_safe_projection": q_null_safe_projection,
     "union_filtered_accounts": q_union_filtered_accounts,
-    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
-    "corpus_pipeline_v2": q_corpus_pipeline_v2,
+    "outlier_events_zscore": q_outlier_events_zscore,
+    "burst_detection_minutes": q_burst_detection_minutes,
     "date_histogram_daily": q_date_histogram_daily,
-    "label_propagation_weighted": q_label_propagation_weighted,
+    "rfm_segments": q_rfm_segments,
     "topk_orders": q_topk_orders,
-    "gopher_quality_rules": q_gopher_quality_rules,
+    "first_touch_attribution": q_first_touch_attribution,
     "latest_event_per_user": q_latest_event_per_user,
-    "langid_trigram": q_langid_trigram,
+    "event_transition_matrix": q_event_transition_matrix,
     "partition_pruned_scan": q_partition_pruned_scan,
-    "dedup_keep_best": q_dedup_keep_best,
+    "benford_digit_audit": q_benford_digit_audit,
     "kmv_distinct_rollup": q_kmv_distinct_rollup,
     "semi_join_active_customers": q_semi_join_active_customers,
-    "weighted_pps_sample": q_weighted_pps_sample,
+    "spend_share_hierarchy": q_spend_share_hierarchy,
     "pivot_event_values": q_pivot_event_values,
     "sessionize_events": q_sessionize_events,
     "asof_purchase_attribution": q_asof_purchase_attribution,
@@ -7351,11 +7531,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_enriched_counts": q_streaming_enriched_counts,
     "streaming_sliding_counts": q_streaming_sliding_counts,
     "streaming_interval_join": q_streaming_interval_join,
-    "daily_churn_rates": q_daily_churn_rates,
+    "winsorized_stats": q_winsorized_stats,
     # -- LLM training-data pipeline, one per family
     "doc_token_counts": q_doc_token_counts,
-    "domain_blocklist_stats": q_domain_blocklist_stats,
-    "l_diversity_report": q_l_diversity_report,
+    "setsim_join_verified": q_setsim_join_verified,
+    "k_anonymity_report": q_k_anonymity_report,
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_lsh_verified": q_minhash_lsh_verified,
     "simhash_verified": q_simhash_verified,
@@ -7374,11 +7554,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming_* block incl. window_quantiles, doc_token/lang_id/bm25):
     "repeat_replay": q_repeat_replay,
     # rotated out of the driver window in r7 (families still witnessed:
-    # sketches by cms_heavy_hitters/kmv_distinct_rollup, graph by
-    # label_propagation_weighted, set ops by union_filtered_accounts,
-    # aggs by date_histogram/pivot/tpch_q1, streaming by the five
-    # in-window streaming_* entries, langid by langid_trigram, LM
-    # scoring by corpus_pipeline_v2):
+    # sketches by cms_heavy_hitters/kmv_distinct_rollup, set ops by
+    # union_filtered_accounts, aggs by date_histogram/pivot/tpch_q1,
+    # streaming by the five in-window streaming_* entries):
     "bloom_membership_gate": q_bloom_membership_gate,
     "cms_join_cardinality": q_cms_join_cardinality,
     "intersect_except_users": q_intersect_except_users,
@@ -7389,6 +7567,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_window_quantiles": q_streaming_window_quantiles,
     "unigram_surprisal": q_unigram_surprisal,
     "lang_id_confusion": q_lang_id_confusion,
+    # rotated out of the driver window in r8, all driver-witnessed in r7
+    # (families still witnessed: multimodal by multimodal_png_decode,
+    # quality/LM scoring by corpus_pipeline_end2end, dedup by the four
+    # in-window dedup entries + setsim_join_verified, sampling by
+    # stratified_split, privacy by k_anonymity_report; graph/langid are
+    # r9 slate members — kcore_user_graph re-witnesses graph there):
+    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+    "corpus_pipeline_v2": q_corpus_pipeline_v2,
+    "label_propagation_weighted": q_label_propagation_weighted,
+    "gopher_quality_rules": q_gopher_quality_rules,
+    "langid_trigram": q_langid_trigram,
+    "dedup_keep_best": q_dedup_keep_best,
+    "weighted_pps_sample": q_weighted_pps_sample,
+    "domain_blocklist_stats": q_domain_blocklist_stats,
+    "l_diversity_report": q_l_diversity_report,
+    "daily_churn_rates": q_daily_churn_rates,
     "terms_topk_event_types": q_terms_topk_event_types,
     "anti_join_idle_customers": q_anti_join_idle_customers,
     "streaming_dedup_keys": q_streaming_dedup_keys,
@@ -7421,7 +7615,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kafka_wire_variant": q_kafka_wire_variant,
     "interpolate_hourly": q_interpolate_hourly,
     "fk_integrity_report": q_fk_integrity_report,
-    "setsim_join_verified": q_setsim_join_verified,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "lang_sampling_weights": q_lang_sampling_weights,
     "rollup_accounts": q_rollup_accounts,
@@ -7524,15 +7717,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_signals": q_doc_repetition_signals,
     "logbucket_quantiles": q_logbucket_quantiles,
     "bigram_surprisal_heldout": q_bigram_surprisal_heldout,
-    "k_anonymity_report": q_k_anonymity_report,
-    "outlier_events_zscore": q_outlier_events_zscore,
-    "burst_detection_minutes": q_burst_detection_minutes,
-    "rfm_segments": q_rfm_segments,
-    "first_touch_attribution": q_first_touch_attribution,
-    "event_transition_matrix": q_event_transition_matrix,
-    "benford_digit_audit": q_benford_digit_audit,
-    "spend_share_hierarchy": q_spend_share_hierarchy,
-    "winsorized_stats": q_winsorized_stats,
     # -- r7 additions: span-level dedup + domain mixture reweighting
     #    + deterministic distributed bootstrap
     "passage_dedup_stats": q_passage_dedup_stats,
@@ -7554,6 +7738,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_basket_rules": q_market_basket_rules,
     "acf_minute_counts": q_acf_minute_counts,
     "calendar_seasonality_profile": q_calendar_seasonality_profile,
+    # -- r8 additions: rank-space statistics + concentration audit
+    #    + hybrid-retrieval fusion
+    "spearman_price_date": q_spearman_price_date,
+    "hhi_concentration": q_hhi_concentration,
+    "rrf_fusion_search": q_rrf_fusion_search,
 }
 
 
@@ -7743,6 +7932,47 @@ def _near_dup_oracle_sql() -> str:
     """
 
 
+#: the Okapi BM25 CTE chain (query {hash, join, stream}), shared by the
+#: bm25_search oracle and the RRF fusion oracle — one definition so the
+#: two can never drift
+_BM25_CTES = """toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS term
+                FROM documents
+            ),
+            tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk
+                   WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+            dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            sc AS (SELECT (SELECT COUNT(*) FROM documents) AS nd,
+                          (SELECT SUM(dl) FROM dl) AS tot_toks),
+            idf AS (
+                SELECT term,
+                       CAST(FLOOR(ln(
+                           CAST(2 * nd - 2 * df + 1 AS DOUBLE)
+                           / (2 * df + 1)
+                       ) * 1e6 + 0.5) AS BIGINT) AS idf_micro
+                FROM dfq, sc
+            ),
+            parts AS (
+                SELECT tf.doc_id,
+                       CAST(FLOOR(
+                           idf_micro
+                           * ((tf * CAST(2.2 AS DOUBLE))
+                              / (tf + CAST(1.2 AS DOUBLE)
+                                 * (CAST(0.25 AS DOUBLE)
+                                    + CAST(0.75 AS DOUBLE)
+                                      * (dl / (CAST(tot_toks AS DOUBLE)
+                                               / nd)))))
+                           + 0.5) AS BIGINT) AS score_micro
+                FROM tf
+                JOIN dl USING (doc_id)
+                JOIN idf USING (term), sc
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     lang_hits = {
         lang: _stopword_hits_sql(words) for lang, words in __import__(
@@ -7924,13 +8154,13 @@ def oracle_sql() -> dict[str, str]:
             scal AS (
                 SELECT CAST(MAX(idx) - MIN(idx) + 1 AS HUGEINT) AS n,
                        CAST(SUM(x) AS HUGEINT) AS t,
-                       CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx,
                        MIN(idx) AS lo, MAX(idx) AS hi
                 FROM m
             ),
             lags AS (SELECT UNNEST(generate_series(1, 10)) AS lag),
             pairs AS (
-                SELECT l.lag, CAST(SUM(a.x * b.x) AS HUGEINT) AS p
+                SELECT l.lag, SUM(CAST(a.x AS HUGEINT) * b.x) AS p
                 FROM m a CROSS JOIN lags l
                 JOIN m b ON b.idx = a.idx + l.lag
                 GROUP BY 1
@@ -7953,8 +8183,8 @@ def oracle_sql() -> dict[str, str]:
                             - s.n * s.t
                               * (2 * s.t - COALESCE(t.tail_a, 0)
                                  - COALESCE(t.tail_b, 0))
-                            + (s.n - l.lag) * s.t * s.t AS BIGINT) AS num,
-                       CAST(s.n * s.n * s.sxx - s.n * s.t * s.t AS BIGINT)
+                            + (s.n - l.lag) * s.t * s.t AS DOUBLE) AS num,
+                       CAST(s.n * s.n * s.sxx - s.n * s.t * s.t AS DOUBLE)
                            AS den
                 FROM lags l
                 LEFT JOIN pairs p ON l.lag = p.lag
@@ -7962,9 +8192,8 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN scal s
             )
             SELECT lag, n_pairs, num, den,
-                   CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
-                        ELSE CAST(FLOOR(CAST(num AS DOUBLE)
-                             / CAST(den AS DOUBLE) * 1000000) AS BIGINT)
+                   CASE WHEN den = 0.0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(FLOOR(num / den * 1000000) AS BIGINT)
                    END AS r_micro
             FROM o ORDER BY lag
         """,
@@ -8006,17 +8235,17 @@ def oracle_sql() -> dict[str, str]:
             agg AS (
                 SELECT CAST(COUNT(*) AS HUGEINT) AS m2,
                        CAST(SUM(x) AS HUGEINT) AS sx,
-                       CAST(SUM(x * x) AS HUGEINT) AS sxx,
-                       CAST(SUM(x * y) AS HUGEINT) AS sxy
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy
                 FROM p
             )
             SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
-                   CAST(m2 * sxy - sx * sx AS BIGINT) AS num,
-                   CAST(m2 * sxx - sx * sx AS BIGINT) AS den,
+                   CAST(m2 * sxy - sx * sx AS DOUBLE) AS num,
+                   CAST(m2 * sxx - sx * sx AS DOUBLE) AS den,
                    CASE WHEN m2 * sxx = sx * sx THEN CAST(0 AS BIGINT)
                         ELSE CAST(FLOOR(
-                            CAST(CAST(m2 * sxy - sx * sx AS BIGINT) AS DOUBLE)
-                          / CAST(CAST(m2 * sxx - sx * sx AS BIGINT) AS DOUBLE)
+                            CAST(m2 * sxy - sx * sx AS DOUBLE)
+                          / CAST(m2 * sxx - sx * sx AS DOUBLE)
                           * 1000000) AS BIGINT)
                    END AS r_micro
             FROM agg
@@ -8047,6 +8276,122 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN n
             ORDER BY c_pair DESC, pa ASC, pb ASC
             LIMIT 25
+        """,
+        "spearman_price_date": """
+            WITH o AS (
+                SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS pv,
+                       CAST(epoch(o_orderdate) AS BIGINT) AS dv
+                FROM orders
+            ),
+            rx AS (
+                SELECT pv,
+                       2 * SUM(c) OVER (ORDER BY pv) - c + 1 AS r2_pv
+                FROM (SELECT pv, COUNT(*) AS c FROM o GROUP BY pv)
+            ),
+            ry AS (
+                SELECT dv,
+                       2 * SUM(c) OVER (ORDER BY dv) - c + 1 AS r2_dv
+                FROM (SELECT dv, COUNT(*) AS c FROM o GROUP BY dv)
+            ),
+            j AS (
+                SELECT rx.r2_pv AS x, ry.r2_dv AS y
+                FROM o JOIN rx USING (pv) JOIN ry USING (dv)
+            ),
+            agg AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(x) AS HUGEINT) AS sx,
+                       CAST(SUM(y) AS HUGEINT) AS sy,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                       SUM(CAST(y AS HUGEINT) * y) AS syy,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy
+                FROM j
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(sx AS BIGINT) AS sum_rank2,
+                   CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                   CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+                   CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+                   CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy
+                        THEN CAST(0 AS BIGINT)
+                        ELSE CAST(FLOOR(
+                            CAST(n * sxy - sx * sy AS DOUBLE)
+                          / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE))
+                          * 1000000) AS BIGINT)
+                   END AS rho_micro
+            FROM agg
+        """,
+        "rrf_fusion_search": f"""
+            WITH {_BM25_CTES},
+            bm AS (
+                SELECT doc_id, CAST(SUM(score_micro) AS BIGINT)
+                           AS bm25_micro
+                FROM parts GROUP BY 1
+                ORDER BY bm25_micro DESC, doc_id ASC LIMIT 100
+            ),
+            bmr AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY bm25_micro DESC,
+                                          doc_id ASC) AS r_text
+                FROM bm
+            ),
+            q AS (SELECT embedding::DOUBLE[] AS qe
+                  FROM embeddings WHERE vec_id = 0),
+            cs AS (
+                SELECT e.vec_id AS doc_id,
+                       FLOOR(list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.qe) * 1000000 + 0.5)
+                           / 1000000.0 AS cos_sim
+                FROM embeddings e, q
+            ),
+            cos100 AS (
+                SELECT doc_id, cos_sim FROM cs
+                WHERE cos_sim IS NOT NULL
+                ORDER BY cos_sim DESC, doc_id ASC LIMIT 100
+            ),
+            cosr AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY cos_sim DESC,
+                                          doc_id ASC) AS r_vec
+                FROM cos100
+            ),
+            fused AS (
+                SELECT COALESCE(bmr.doc_id, cosr.doc_id) AS doc_id,
+                       COALESCE(r_text, 0) AS r_text,
+                       COALESCE(r_vec, 0) AS r_vec,
+                       COALESCE(1000000 // (60 + r_text), 0)
+                       + COALESCE(1000000 // (60 + r_vec), 0)
+                           AS rrf_micro
+                FROM bmr FULL OUTER JOIN cosr ON bmr.doc_id = cosr.doc_id
+            )
+            SELECT doc_id, r_text, r_vec,
+                   CAST(rrf_micro AS BIGINT) AS rrf_micro
+            FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 25
+        """,
+        "hhi_concentration": """
+            WITH spend AS (
+                SELECT c.c_mktsegment, o.o_custkey,
+                       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                           AS s
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_mktsegment, o.o_custkey
+            ),
+            seg AS (
+                SELECT c_mktsegment AS segment,
+                       COUNT(*) AS customers,
+                       CAST(SUM(s) AS BIGINT) AS total_cents,
+                       SUM(CAST(s AS HUGEINT) * s) AS ss2,
+                       MAX(s) AS smax
+                FROM spend GROUP BY c_mktsegment
+            )
+            SELECT segment, customers, total_cents,
+                   CAST(CAST(smax AS HUGEINT) * 1000000
+                        // CAST(total_cents AS HUGEINT) AS BIGINT)
+                       AS top_share_micro,
+                   CAST(ss2 * 1000000 // (CAST(total_cents AS HUGEINT)
+                        * total_cents) AS BIGINT) AS hhi_micro
+            FROM seg ORDER BY segment
         """,
         "session_concurrency_profile": """
             WITH g AS (
@@ -10700,42 +11045,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "bm25_search": f"""
-            WITH toks AS (
-                SELECT doc_id,
-                       UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
-                           AS term
-                FROM documents
-            ),
-            tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-            dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
-            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk
-                   WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2),
-            dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-            sc AS (SELECT (SELECT COUNT(*) FROM documents) AS nd,
-                          (SELECT SUM(dl) FROM dl) AS tot_toks),
-            idf AS (
-                SELECT term,
-                       CAST(FLOOR(ln(
-                           CAST(2 * nd - 2 * df + 1 AS DOUBLE)
-                           / (2 * df + 1)
-                       ) * 1e6 + 0.5) AS BIGINT) AS idf_micro
-                FROM dfq, sc
-            ),
-            parts AS (
-                SELECT tf.doc_id,
-                       CAST(FLOOR(
-                           idf_micro
-                           * ((tf * CAST(2.2 AS DOUBLE))
-                              / (tf + CAST(1.2 AS DOUBLE)
-                                 * (CAST(0.25 AS DOUBLE)
-                                    + CAST(0.75 AS DOUBLE)
-                                      * (dl / (CAST(tot_toks AS DOUBLE)
-                                               / nd)))))
-                           + 0.5) AS BIGINT) AS score_micro
-                FROM tf
-                JOIN dl USING (doc_id)
-                JOIN idf USING (term), sc
-            )
+            WITH {_BM25_CTES}
             SELECT doc_id,
                    COUNT(*) AS n_terms_hit,
                    CAST(SUM(score_micro) AS BIGINT) AS bm25_micro,

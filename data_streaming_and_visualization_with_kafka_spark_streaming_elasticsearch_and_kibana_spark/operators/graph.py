@@ -33,6 +33,8 @@ relative order, which is what sampling weights consume, is unaffected.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -653,7 +655,7 @@ def kcore(
 
 def bfs_hops(
     edges: DataFrame,
-    source: int,
+    source: int | None = None,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 15,
@@ -675,7 +677,18 @@ def bfs_hops(
     Semantics: undirected simplified graph (multi-edges collapsed,
     self-loops dropped), matching kcore. Integer-exact by construction
     (hops are counts) — differentially checkable against an unrolled
-    SQL twin.
+    SQL twin. `source=None` elects the best-connected node (max
+    distinct-neighbor degree, smallest id on ties) from the SAME
+    simplified graph — one degree aggregate + a 1-row driver fetch,
+    so callers never rebuild the simplification just to pick a
+    source; an empty edge list yields an empty (node, hop) frame.
+
+    Unlike kcore, BFS has no saturation-by-depth guarantee: if round
+    max_rounds still settles new nodes, nodes further away are
+    silently absent from "every reachable node", and an unrolled
+    oracle of the same depth cannot detect it — so that condition is
+    surfaced as a RuntimeWarning (the per-round count is already paid
+    for the early-exit).
 
     Cost shape per round: one frontier-filtered edge join (node-id
     keyed) + one min() aggregate; dist localCheckpoints each round so
@@ -696,10 +709,21 @@ def bfs_hops(
     sym = ue.select(
         F.col("a").alias("node"), F.col("b").alias("o")
     ).unionByName(ue.select(F.col("b").alias("node"), F.col("a").alias("o")))
+    if source is None:
+        src_row = (
+            sym.groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .orderBy(F.desc("deg"), F.asc("node"))
+            .first()
+        )
+        if src_row is None:  # empty graph — nothing reachable
+            return spark.createDataFrame([], "node long, hop int")
+        source = int(src_row["node"])
     dist = spark.createDataFrame(
         [(int(source), 0)], "node long, hop int"
     ).localCheckpoint(eager=False)
     n_settled = 1
+    converged = False
     for _ in range(max_rounds):
         cand = (
             sym.join(dist, "node")
@@ -713,8 +737,16 @@ def bfs_hops(
         )
         n_next = dist.count()
         if n_next == n_settled:
+            converged = True
             break
         n_settled = n_next
+    if not converged:
+        warnings.warn(
+            f"bfs_hops: round {max_rounds} still settled new nodes — "
+            "nodes beyond that depth are absent; raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return dist
 
 
@@ -734,11 +766,15 @@ def degree_assortativity(
     contributes BOTH orientations (x=deg(u),y=deg(v)) and (y,x) — the
     standard undirected convention, which also makes Σx == Σy and
     Σx² == Σy², so r = (M·Σxy − Σx·Σy) / (M·Σx² − (Σx)²) is a single
-    exact-BIGINT rational: numerator and denominator are emitted
-    exactly, and r_micro is ONE micro-quantized IEEE division of them
-    (degrees are bounded by max-degree, so the sums stay far inside
-    BIGINT at any graph size; the division is the only float, the
-    house one-IEEE-expression contract).
+    exact-integer rational. Σxy and Σx² are Σ over 2|E| orientations
+    of deg(u)·deg(v) and can pass 2⁶³ on hub-heavy web-scale graphs
+    (max degree 10⁶ over 10⁹ orientations → ~10²¹), so they
+    accumulate in DECIMAL(38,0) from the first product — never a
+    BIGINT sum that would throw under ANSI — mirroring the DuckDB
+    twin's HUGEINT. num/den are emitted as the correctly-rounded
+    DOUBLE of the exact decimal value (both engines round the SAME
+    integer → bit-identical), and r_micro is ONE micro-quantized IEEE
+    division of them (the house one-IEEE-expression contract).
 
     Cost shape: one degree aggregate + two node-id-keyed broadcast-able
     joins of the degree table onto the edge list + one scalar
@@ -766,29 +802,31 @@ def degree_assortativity(
     agg = pairs.agg(
         F.count("*").alias("m2"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
     )
-    # M·Σxy − (Σx)² can pass 2⁶³ on web-scale graphs — intermediates run
-    # in DECIMAL(38,0) (the DuckDB twin uses HUGEINT), results land in
-    # BIGINT (far inside it for any graph whose degree table fits a rack)
+    # the Σ-products accumulate in DECIMAL(38,0) (the DuckDB twin uses
+    # HUGEINT) and num/den leave as the correctly-rounded DOUBLE of the
+    # exact decimal — identical across engines because both round the
+    # same integer; r_micro is the single IEEE division
     return agg.select(
         F.expr("CAST(m2 / 2 AS BIGINT)").alias("n_edges"),
         F.expr(
             "CAST(CAST(m2 AS DECIMAL(38,0)) * sxy"
-            " - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)"
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
         ).alias("num"),
         F.expr(
             "CAST(CAST(m2 AS DECIMAL(38,0)) * sxx"
-            " - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT)"
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
         ).alias("den"),
         F.expr(
             "CASE WHEN CAST(m2 AS DECIMAL(38,0)) * sxx"
             "        = CAST(sx AS DECIMAL(38,0)) * sx THEN CAST(0 AS BIGINT)"
-            " ELSE CAST(FLOOR(CAST(CAST(CAST(m2 AS DECIMAL(38,0)) * sxy"
-            "   - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT) AS DOUBLE)"
-            "  / CAST(CAST(CAST(m2 AS DECIMAL(38,0)) * sxx"
-            "   - CAST(sx AS DECIMAL(38,0)) * sx AS BIGINT) AS DOUBLE)"
+            " ELSE CAST(FLOOR("
+            "   CAST(CAST(m2 AS DECIMAL(38,0)) * sxy"
+            "        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+            " / CAST(CAST(m2 AS DECIMAL(38,0)) * sxx"
+            "        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
             "  * 1000000) AS BIGINT) END"
         ).alias("r_micro"),
     )

@@ -32,6 +32,16 @@ SF = "/root/testdata/sf0.001"
 #: has never hash-checked (jpeg decode, corpus v2, weighted LPA,
 #: gopher rules, langid, dedup keep-best, PPS sample, domain
 #: blocklist, l-diversity, daily churn).
+#: r8 rotation (the QUERIES.md schedule's named slate): the ten
+#: r7-witnessed entries rotate out (multimodal still witnessed by
+#: png-decode, quality/LM scoring by corpus_pipeline_end2end, dedup
+#: by its four in-window entries + setsim, sampling by
+#: stratified_split, privacy by k_anonymity; graph/langid re-witness
+#: in r9 via kcore per the schedule) for the never-hash-checked
+#: analytics tier: outlier z-score, burst detection, rfm segments,
+#: first-touch attribution, event transition matrix, benford audit,
+#: spend share hierarchy, winsorized stats, setsim_join_verified,
+#: k_anonymity_report.
 DRIVER_WINDOW = [
     "fusion_minute_avg",
     "multiway_join_revenue",
@@ -44,19 +54,19 @@ DRIVER_WINDOW = [
     "kafka_wire_pipeline",
     "null_safe_projection",
     "union_filtered_accounts",
-    "multimodal_jpeg_decode",
-    "corpus_pipeline_v2",
+    "outlier_events_zscore",
+    "burst_detection_minutes",
     "date_histogram_daily",
-    "label_propagation_weighted",
+    "rfm_segments",
     "topk_orders",
-    "gopher_quality_rules",
+    "first_touch_attribution",
     "latest_event_per_user",
-    "langid_trigram",
+    "event_transition_matrix",
     "partition_pruned_scan",
-    "dedup_keep_best",
+    "benford_digit_audit",
     "kmv_distinct_rollup",
     "semi_join_active_customers",
-    "weighted_pps_sample",
+    "spend_share_hierarchy",
     "pivot_event_values",
     "sessionize_events",
     "asof_purchase_attribution",
@@ -70,10 +80,10 @@ DRIVER_WINDOW = [
     "streaming_enriched_counts",
     "streaming_sliding_counts",
     "streaming_interval_join",
-    "daily_churn_rates",
+    "winsorized_stats",
     "doc_token_counts",
-    "domain_blocklist_stats",
-    "l_diversity_report",
+    "setsim_join_verified",
+    "k_anonymity_report",
     "exact_dedup_docs",
     "minhash_lsh_verified",
     "simhash_verified",

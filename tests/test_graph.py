@@ -366,6 +366,47 @@ def test_bfs_hops_direction_ignored(spark):
     assert hops == {0: 0, 1: 1, 2: 2}
 
 
+def test_bfs_hops_elects_max_degree_source(spark):
+    # source=None: node 1 has the highest distinct-neighbor degree (3)
+    # → elected as hop-0 root
+    e = _edges(spark, [(1, 0), (1, 2), (1, 3), (3, 4)])
+    hops = {r.node: r.hop for r in graph.bfs_hops(e).collect()}
+    assert hops == {1: 0, 0: 1, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_hops_empty_graph_returns_empty(spark):
+    # self-loops simplify away → empty graph → empty frame, no crash
+    e = _edges(spark, [(7, 7)])
+    out = graph.bfs_hops(e)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "hop"]
+
+
+def test_bfs_hops_warns_when_truncated(spark):
+    # 6-node path with max_rounds=3: round 3 still settles node 3, so
+    # nodes 4-5 are silently absent — the RuntimeWarning must fire
+    import warnings as w
+
+    e = _edges(spark, [(i, i + 1) for i in range(5)])
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        hops = {
+            r.node: r.hop
+            for r in graph.bfs_hops(e, 0, max_rounds=3).collect()
+        }
+    assert hops == {0: 0, 1: 1, 2: 2, 3: 3}
+    assert any(
+        issubclass(c.category, RuntimeWarning)
+        and "settled new nodes" in str(c.message)
+        for c in caught
+    )
+    # converged runs stay silent
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        graph.bfs_hops(e, 0, max_rounds=15).collect()
+    assert not [c for c in caught if issubclass(c.category, RuntimeWarning)]
+
+
 def test_degree_assortativity_star_is_negative(spark):
     # star: hub degree 5 pairs with leaf degree 1 → perfectly
     # disassortative, r = -1 (r_micro = -1000000)

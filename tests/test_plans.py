@@ -282,3 +282,30 @@ def test_setsim_prefix_join_has_no_global_rank_window(spark):
     # logical-plan check: no ResolvedHint/broadcast hint on the df join
     assert "UnresolvedHint" not in df._jdf.queryExecution().logical().toString()
     assert "hints=[broadcast]" not in df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_no_hard_broadcast_on_unbounded_count_tables():
+    # r8 guard (VERDICT r7 #1): a groupBy-count table over an unbounded
+    # key domain (per-part counts, vocabulary df counts, per-doc counts)
+    # must never carry a hard F.broadcast hint — AQE decides while the
+    # table is small; a hard hint OOMs once the catalog/vocab grows.
+    # Source-level grep across the engine entry and the dedup operators.
+    import inspect
+    import re
+
+    import __spark_entry__ as em
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        dedup,
+    )
+
+    forbidden = re.compile(
+        r"F\.broadcast\(\s*(per_part|per_doc_df|vocab|dfreq_tbl|df_counts)"
+    )
+    for mod in (em, dedup):
+        src = inspect.getsource(mod)
+        hit = forbidden.search(src)
+        assert hit is None, f"hard broadcast on count table: {hit.group(0)}"
+    # and market_basket's only hint is the 1-row n_orders aggregate
+    src = inspect.getsource(em.q_market_basket_rules)
+    hints = re.findall(r"F\.broadcast\((\w+)", src)
+    assert hints == ["n"], hints

@@ -69,6 +69,9 @@ TIMED = [
     "kcore_user_graph",
     "mann_whitney_value_shift",
     "gini_customer_spend",
+    # r8: the sweep-line peak-load census (distributed prefix sum over
+    # session boundary events) — the last r7 stats op without a row here
+    "session_concurrency_profile",
 ]
 
 SYMLINKED = (

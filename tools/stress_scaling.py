@@ -56,6 +56,9 @@ TIMED = [
     # round-7 document operators
     "passage_dedup_stats",
     "doremi_domain_weights",
+    # r8: the streaming twin of passage dedup — micro-batch file-stream
+    # driven to completion, bounded per-batch state
+    "streaming_passage_dedup",
 ]
 #: queries whose .count() Catalyst can prune into near-no-ops (narrow
 #: maps, and aggregates whose expensive agg expressions — text-derived
