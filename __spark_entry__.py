@@ -7491,6 +7491,208 @@ def q_rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(25)
 
 
+def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimate of user lifetime (Kaplan & Meier,
+    JASA 1958) — the right-censoring-aware retention curve a growth
+    team actually needs (naive churn rates are biased by users who
+    simply haven't churned YET). Lifetime = whole days between a
+    user's first and last event; a user whose last event is ≥ 8 days
+    before the corpus max day is an observed churn (death), anyone
+    more recent is CENSORED at their current lifetime. At each
+    distinct lifetime t: n_t = users still at risk (lifetime ≥ t),
+    d_t = churns at t, and S(t) = Π_{s≤t} (1 − d_s/n_s).
+    Determinism: n/d/c are exact integers; each step's ln((n−d)/n)
+    quantizes to integer micro-nats BEFORE the cumulative sum (the
+    langid/bm25 house pattern — the sum is then exact), and s_micro
+    is floor(exp(Σ)/1e-6) — one exp per row of identical inputs.
+    Scale shape: one per-user aggregate (events scan), then EVERYTHING
+    runs on the DAY-GRAIN lifetime table (bounded by the calendar,
+    like hypertable/burst/cusum); both running totals (at-risk suffix
+    counts via N − exclusive prefix, and the log-survival prefix) ride
+    _dist_cumsum — no single-partition WindowExec. Output per distinct
+    lifetime: (t_days, n_risk, d_churned, c_censored, s_micro),
+    t-ordered."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(F.min(_epoch_sec("ts")) / 86400).cast("long").alias("d0"),
+        F.floor(F.max(_epoch_sec("ts")) / 86400).cast("long").alias("d1"),
+    )
+    horizon = per_user.agg(F.max("d1").alias("dmax"))
+    lt = per_user.crossJoin(F.broadcast(horizon)).select(
+        (F.col("d1") - F.col("d0")).alias("t"),
+        (F.col("d1") < F.col("dmax") - 7).cast("long").alias("is_churn"),
+    )
+    per_t = lt.groupBy("t").agg(
+        F.sum("is_churn").alias("d"),
+        F.sum(1 - F.col("is_churn")).alias("c"),
+    )
+    n_total = lt.count()
+    cuts = per_t.stat.approxQuantile("t", [i / 8 for i in range(1, 8)], 0.001)
+    cum = _dist_cumsum(
+        per_t, "t", "t", ["d", "c"], [float(x) for x in cuts]
+    )
+    # at-risk = everyone not already dead/censored at smaller t:
+    # N − exclusive-prefix(d+c) = N − (inclusive − own)
+    base = cum.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.lit(n_total) - (F.col("cum_d") + F.col("cum_c"))
+            + F.col("d") + F.col("c")
+        ).alias("n_risk"),
+    )
+    # per-step log-factor in integer micro-nats; steps with d=0 are 0
+    step = base.withColumn(
+        "l_micro",
+        F.when(F.col("d") == 0, F.lit(0)).otherwise(
+            F.floor(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk")
+                )
+                * 1e6
+                + F.lit(0.5)
+            ).cast("long")
+        ),
+    )
+    cuts2 = step.stat.approxQuantile("t", [i / 8 for i in range(1, 8)], 0.001)
+    surv = _dist_cumsum(
+        step, "t", "t", ["l_micro"], [float(x) for x in cuts2]
+    )
+    return surv.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_churned"),
+        F.col("c").alias("c_censored"),
+        F.floor(F.exp(F.col("cum_l_micro") / 1e6) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("s_micro"),
+    ).orderBy("t_days")
+
+
+def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the T7 tier above the
+    inner interval join: every purchase emits, matched to same-user
+    clicks in the preceding 30 minutes, or with a NULL click once the
+    watermark PROVES no match can still arrive (the null side is what
+    makes outer joins the hard case: it's a watermark-gated negative).
+    Bounded-replay determinism: outer nulls only emit when a LATER
+    batch advances the watermark past the purchase, so a replay that
+    ends exactly at the data would leave the tail's negatives stuck in
+    state — the runner stages two far-future sentinel rows that PASS
+    THE SIDE FILTERS (a sentinel that only exists upstream of the
+    filters never reaches the EventTimeWatermark nodes and moves
+    nothing — measured: the watermark stayed at corpus-max − 2 h and
+    the last 2 h of purchases never flushed): a click under an
+    impossible user advances the click-side watermark and a purchase
+    under another impossible user advances the purchase side (the
+    global watermark is the MIN across both sides, so both must move).
+    Watermarks update at end-of-batch and eviction runs in the
+    following no-data micro-batch availableNow appends, which flushes
+    every real pending null; the sentinel purchase itself sits 10 h
+    past the final 8 h watermark, so its own null can never emit and
+    the sentinels contribute zero output rows. The
+    memory-sink result then equals the batch left interval join the
+    oracle runs (click_id coalesced to −1 so the schema stays BIGINT).
+    At 100 TB the same topology runs on Kafka with the watermark
+    advanced by live traffic instead of a sentinel; state stays
+    bounded by the 2 h watermark × arrival rate."""
+    import shutil
+    import tempfile
+
+    name = "stream_left_outer_mem"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    spark.catalog.dropTempView(name)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    stage = tempfile.mkdtemp(prefix="stream_louter_")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+        batch_schema = batch.schema
+        ts_type = batch_schema["ts"].dataType.simpleString()
+        max_ts = batch.agg(F.max("ts")).collect()[0][0]
+        data_mtime = os.stat(f"{sf_dir}/events.parquet").st_mtime
+        if ts_type == "bigint":  # raw nanos
+            sentinel_ts = int(max_ts) + 10 * 3600 * 10**9
+        else:
+            import datetime as _dt
+
+            sentinel_ts = max_ts + _dt.timedelta(hours=10)
+        # both sides must advance: the global watermark is the MIN of
+        # the per-side watermarks; impossible user ids keep the
+        # sentinels from ever matching or emitting
+        sent = spark.createDataFrame(
+            [
+                (int(-1), sentinel_ts, int(-1), "click", 0.0, None),
+                (int(-2), sentinel_ts, int(-2), "purchase", 0.0, None),
+            ],
+            batch_schema,
+        )
+        # the staged corpus is FLAT files (the events symlink resolves
+        # to a single parquet file) and the file source does not recurse
+        # into nested directories — write the sentinel to a scratch dir
+        # and move its part file in flat
+        scratch = tempfile.mkdtemp(prefix="stream_louter_wm_")
+        sent.coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(
+            f for f in os.listdir(scratch)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        sent_path = f"{stage}/zz_wm.parquet"
+        shutil.move(os.path.join(scratch, part), sent_path)
+        shutil.rmtree(scratch, ignore_errors=True)
+        # mtime-stamp the sentinel strictly after the data so the file
+        # source (oldest-first) never reorders it ahead
+        os.utime(sent_path, (data_mtime + 3600, data_mtime + 3600))
+
+        stream = readers.file_stream(
+            spark, stage, batch_schema, max_files_per_trigger=1
+        )
+        if ts_type == "bigint":
+            stream = stream.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+        else:
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        purchases = stream.filter(
+            F.col("event_type") == "purchase"
+        ).select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        joined = purchases.withWatermark("p_ts", "2 hours").join(
+            clicks.withWatermark("c_ts", "2 hours"),
+            F.expr(
+                "p_user = c_user AND "
+                "c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"
+            ),
+            "left_outer",
+        )
+        out = joined.select(
+            "purchase_id",
+            F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+            F.col("p_user").alias("user_id"),
+        )
+        q = streaming.run_to_memory(out, name, output_mode="append")
+        q.stop()
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -7743,6 +7945,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spearman_price_date": q_spearman_price_date,
     "hhi_concentration": q_hhi_concentration,
     "rrf_fusion_search": q_rrf_fusion_search,
+    "kaplan_meier_churn": q_kaplan_meier_churn,
+    "streaming_left_outer_join": q_streaming_left_outer_join,
 }
 
 
@@ -8367,6 +8571,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, r_text, r_vec,
                    CAST(rrf_micro AS BIGINT) AS rrf_micro
             FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 25
+        """,
+        "kaplan_meier_churn": """
+            WITH pu AS (
+                SELECT user_id,
+                       CAST(FLOOR(epoch(MIN(ts)) / 86400) AS BIGINT) AS d0,
+                       CAST(FLOOR(epoch(MAX(ts)) / 86400) AS BIGINT) AS d1
+                FROM events GROUP BY user_id
+            ),
+            h AS (SELECT MAX(d1) AS dmax FROM pu),
+            lt AS (
+                SELECT d1 - d0 AS t,
+                       CASE WHEN d1 < dmax - 7 THEN 1 ELSE 0 END
+                           AS is_churn
+                FROM pu, h
+            ),
+            per_t AS (
+                SELECT t, CAST(SUM(is_churn) AS BIGINT) AS d,
+                       CAST(SUM(1 - is_churn) AS BIGINT) AS c
+                FROM lt GROUP BY t
+            ),
+            n AS (SELECT COUNT(*) AS nt FROM lt),
+            cum AS (
+                SELECT t, d, c,
+                       CAST(nt - SUM(d + c) OVER (ORDER BY t) + d + c
+                            AS BIGINT) AS n_risk
+                FROM per_t, n
+            ),
+            step AS (
+                SELECT t, d, c, n_risk,
+                       CASE WHEN d = 0 THEN 0
+                            ELSE CAST(FLOOR(ln(
+                                CAST(n_risk - d AS DOUBLE) / n_risk)
+                                * 1e6 + 0.5) AS BIGINT) END AS l_micro
+                FROM cum
+            ),
+            surv AS (
+                SELECT t, n_risk, d, c,
+                       SUM(l_micro) OVER (ORDER BY t) AS ll
+                FROM step
+            )
+            SELECT t AS t_days, n_risk, d AS d_churned, c AS c_censored,
+                   CAST(FLOOR(exp(ll / 1e6) * 1e6 + 0.5) AS BIGINT)
+                       AS s_micro
+            FROM surv ORDER BY t_days
+        """,
+        "streaming_left_outer_join": """
+            WITH p AS (
+                SELECT user_id, event_id AS purchase_id, ts AS p_ts
+                FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT user_id, event_id AS click_id, ts AS c_ts
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT p.purchase_id,
+                   COALESCE(c.click_id, -1) AS click_id,
+                   p.user_id
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id
+             AND c.c_ts BETWEEN p.p_ts - INTERVAL 30 MINUTE AND p.p_ts
         """,
         "hhi_concentration": """
             WITH spend AS (

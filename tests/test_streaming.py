@@ -1416,3 +1416,70 @@ def test_stats_refresh_sink_streamed_equals_batch_and_serves_outliers(
         .collect()
     )
     assert any(r.v == 500000 for r in flagged)  # the planted outlier
+
+
+def test_streaming_left_outer_join_flushes_tail_nulls(spark):
+    """The watermark-gated negatives: purchases in the final 2h window
+    can only emit their NULL row if something later advances the
+    watermark — the sentinel mechanism must flush ALL of them, so the
+    streaming result equals the batch left interval join exactly."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    got = em.q_streaming_left_outer_join(spark, sf)
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = (
+        p.join(
+            c,
+            F.expr(
+                "p_user = c_user AND "
+                "c_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"
+            ),
+            "left_outer",
+        )
+        .select(
+            "purchase_id",
+            F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+            F.col("p_user").alias("user_id"),
+        )
+    )
+    gs = sorted(map(tuple, got.collect()))
+    ws = sorted(map(tuple, want.collect()))
+    assert gs == ws
+    # the tail purchases (inside the final watermark window) DID flush
+    max_p = p.agg(F.max("p_ts")).collect()[0][0]
+    tail_ids = {
+        r.purchase_id
+        for r in p.filter(
+            F.col("p_ts") > F.lit(max_p) - F.expr("INTERVAL 2 HOURS")
+        ).collect()
+    }
+    assert tail_ids and tail_ids <= {t[0] for t in gs}
+    # sentinels contribute nothing
+    assert all(t[0] >= 0 for t in gs)
+
+
+def test_kaplan_meier_survival_is_monotone_nonincreasing(spark):
+    import __spark_entry__ as em
+
+    rows = em.q_kaplan_meier_churn(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected at least one lifetime row"
+    s = [r.s_micro for r in rows]
+    assert all(a >= b for a, b in zip(s, s[1:]))
+    assert all(0 <= x <= 1_000_000 for x in s)
+    # risk set shrinks as lifetimes grow; counts reconcile
+    n = [r.n_risk for r in rows]
+    assert all(a > b for a, b in zip(n, n[1:]))
+    assert n[0] == sum(r.d_churned + r.c_censored for r in rows)
