@@ -7313,6 +7313,120 @@ def q_calendar_seasonality_profile(
     )
 
 
+def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-verified near-dup pairs over the oracle-able
+    MinHash-LSH candidate chain — the dedup axis Jaccard MISSES: when a
+    document is embedded inside a larger one (quote farms, boilerplate
+    wrappers, concatenated crawls), J = |A∩B|/|A∪B| dilutes toward 0
+    while containment C = |A∩B|/min(|A|,|B|) stays ≈1 (Broder's
+    resemblance-vs-containment distinction, SEQUENCES 1997; the Lee et
+    al. dedup recipe checks both). Same scale shape as dedup_keep_best:
+    one shingle table (localCheckpoint — text scanned once), 4 md5
+    minhashes → 2 banded buckets → id-only self-join candidates, exact
+    containment verify ≥ 0.5 on the distinct-shingle sets re-attached
+    AFTER candidate dedup. DuckDB replays the identical md5 signatures,
+    banding, and verify. Output: (id_a, id_b, n_common, cont_micro),
+    pair-ordered."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", split_words("text").alias("__w"))
+    sh = words.select(
+        "doc_id", textf.shingles_from_words(F.col("__w"), 3).alias("sh")
+    ).localCheckpoint(eager=False)
+    families = F.sequence(F.lit(0), F.lit(3))
+    sig_df = sh.select(
+        "doc_id",
+        F.transform(
+            families,
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.md5(F.concat(i.cast("string"), F.lit(" "), s)),
+                )
+            ),
+        ).alias("sig"),
+    )
+    cands = dedup.minhash_lsh_candidates(
+        docs,
+        sig_df=sig_df,
+        num_hashes=4,
+        bands=2,
+        max_bucket_size=None,
+        with_est=False,
+    )
+    ds = sh.select("doc_id", F.array_distinct("sh").alias("dsh"))
+    sh_a = ds.select(F.col("doc_id").alias("id_a"), F.col("dsh").alias("sa"))
+    sh_b = ds.select(F.col("doc_id").alias("id_b"), F.col("dsh").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb"))
+    mins = F.least(F.size("sa"), F.size("sb"))
+    return (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_common.cast("long").alias("n_common"),
+            mins.cast("long").alias("__min"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.expr("n_common * 1000000 div __min").alias("cont_micro"),
+        )
+        .filter(F.col("cont_micro") >= 500000)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_revenue_coverage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p revenue coverage: how many customers does it take to cover
+    50% / 80% / 90% / 99% of total spend — THE whale-census number
+    behind every "top N customers drive X%" slide, and the discrete
+    companion to lorenz_deciles (that one fixes population deciles and
+    reports share; this fixes the share and reports the head count).
+    Exact integers end-to-end: spend in cents, customers ordered by
+    (spend DESC, custkey ASC) via the NEGATED-key _dist_cumsum
+    (cutpoint-bucket + bounded carry, no single-partition window), and
+    the coverage test is cum_cents·100 ≥ p·total_cents in BIGINT — no
+    division at all. Output per threshold: (pct, customers_needed,
+    covered_cents), pct-ordered; the count is the FIRST prefix
+    crossing, i.e. MIN over qualifying prefix ranks."""
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("s"))
+        .select("o_custkey", "s", (-F.col("s")).alias("__ns"))
+        # four consumers (quantiles, cumsum offsets, rank offsets, join)
+        # — materialize the per-customer aggregate once
+        .localCheckpoint(eager=False)
+    )
+    cuts = spend.stat.approxQuantile(
+        "__ns", [i / 8 for i in range(1, 8)], 0.001
+    )
+    cum = _dist_cumsum(
+        spend, "__ns", "o_custkey", ["s"], [float(c) for c in cuts]
+    )
+    ranked = _dist_rank(spend, "__ns", "o_custkey", "rk", [float(c) for c in cuts])
+    j = cum.join(ranked.select("o_custkey", "rk"), "o_custkey")
+    total = spend.agg(F.sum("s").alias("tot"))
+    th = spark.createDataFrame([(50,), (80,), (90,), (99,)], "pct int")
+    hits = (
+        j.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("cum_s") * 100 >= F.col("pct") * F.col("tot"))
+        .groupBy("pct")
+        .agg(
+            F.min("rk").alias("customers_needed"),
+            F.min_by("cum_s", "rk").alias("covered_cents"),
+        )
+    )
+    return hits.select(
+        F.col("pct").cast("long").alias("pct"),
+        "customers_needed",
+        "covered_cents",
+    ).orderBy("pct")
+
+
 def q_spearman_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between order value and order date
     (are basket sizes drifting over time?) — the robust, outlier-immune
@@ -7947,6 +8061,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rrf_fusion_search": q_rrf_fusion_search,
     "kaplan_meier_churn": q_kaplan_meier_churn,
     "streaming_left_outer_join": q_streaming_left_outer_join,
+    "containment_dup_pairs": q_containment_dup_pairs,
+    "revenue_coverage_counts": q_revenue_coverage_counts,
 }
 
 
@@ -8571,6 +8687,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, r_text, r_vec,
                    CAST(rrf_micro AS BIGINT) AS rrf_micro
             FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 25
+        """,
+        "containment_dup_pairs": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS words
+                FROM documents
+            ), shg AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) < 3
+                            THEN [array_to_string(words, ' ')]
+                            ELSE list_transform(
+                                generate_series(0, len(words) - 3),
+                                i -> array_to_string(
+                                    list_slice(words, i + 1, i + 3), ' '))
+                       END AS sh
+                FROM w
+            ), s AS (
+                SELECT doc_id,
+                       list_transform([0, 1, 2, 3],
+                           i -> list_min(list_transform(sh,
+                               x -> md5(i::VARCHAR || ' ' || x)))) AS sig
+                FROM shg
+            ), bnd AS (
+                SELECT doc_id, r.range AS band,
+                       sig[CAST(r.range * 2 + 1 AS INT)] || ',' ||
+                       sig[CAST(r.range * 2 + 2 AS INT)] AS bucket
+                FROM s, range(2) r
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+                FROM bnd a
+                JOIN bnd b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                           AND a.doc_id < b2.doc_id
+            ), v AS (
+                SELECT id_a, id_b,
+                       CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
+                           AS n_common,
+                       CAST(LEAST(len(list_distinct(sa.sh)),
+                                  len(list_distinct(sb.sh))) AS BIGINT)
+                           AS mn
+                FROM cand
+                JOIN shg sa ON sa.doc_id = cand.id_a
+                JOIN shg sb ON sb.doc_id = cand.id_b
+            )
+            SELECT id_a, id_b, n_common,
+                   n_common * 1000000 // mn AS cont_micro
+            FROM v
+            WHERE n_common * 1000000 // mn >= 500000
+            ORDER BY id_a, id_b
+        """,
+        "revenue_coverage_counts": """
+            WITH spend AS (
+                SELECT o_custkey,
+                       SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                           AS s
+                FROM orders GROUP BY o_custkey
+            ),
+            cum AS (
+                SELECT o_custkey, s,
+                       SUM(s) OVER (ORDER BY s DESC, o_custkey ASC)
+                           AS cum_s,
+                       ROW_NUMBER() OVER (ORDER BY s DESC, o_custkey ASC)
+                           AS rk
+                FROM spend
+            ),
+            tot AS (SELECT SUM(s) AS tot FROM spend),
+            th AS (SELECT UNNEST([50, 80, 90, 99]) AS pct)
+            SELECT CAST(pct AS BIGINT) AS pct,
+                   CAST(MIN(rk) AS BIGINT) AS customers_needed,
+                   CAST(ARG_MIN(cum_s, rk) AS BIGINT) AS covered_cents
+            FROM cum, tot, th
+            WHERE cum_s * 100 >= pct * tot
+            GROUP BY pct ORDER BY pct
         """,
         "kaplan_meier_churn": """
             WITH pu AS (
