@@ -1757,6 +1757,31 @@ def q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- streaming
+def _stage_stream_files(stage: str, src: str, name: str) -> float:
+    """Symlink a parquet table into a file-stream staging dir as FLAT
+    files. The file source does NOT recurse into nested directories
+    (measured: a directory-shaped table streams zero rows, silently),
+    so a Spark-written table (directory of part files) links file by
+    file while a single-file table links once. Returns the newest
+    source mtime so callers can stamp sentinel files strictly after
+    the data."""
+    newest = 0.0
+    if os.path.isdir(src):
+        n = 0
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                tgt = os.path.join(src, f)
+                os.symlink(tgt, os.path.join(stage, f"{name}_{n}.parquet"))
+                newest = max(newest, os.stat(tgt).st_mtime)
+                n += 1
+        if n == 0:
+            raise ValueError(f"no parquet part files under {src}")
+    else:
+        os.symlink(src, os.path.join(stage, f"{name}.parquet"))
+        newest = os.stat(src).st_mtime
+    return newest
+
+
 def _run_event_stream_query(
     spark: SparkSession, sf_dir: str, name: str, build, output_mode: str = "complete"
 ) -> DataFrame:
@@ -1794,7 +1819,7 @@ def _run_event_stream_query(
         # bounded replay: 1.3s vs 1.8s at 32). Size this ≈ micro-batch
         # volume / healthy-partition size in production, not per-core.
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+        _stage_stream_files(stage, f"{sf_dir}/events.parquet", "events")
         batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         stream = readers.file_stream(spark, stage, batch_schema)
         # normalize ts to TIMESTAMP (LTZ, session=UTC) whatever the file
@@ -6749,7 +6774,7 @@ def q_streaming_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="stream_docs_")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        os.symlink(f"{sf_dir}/documents.parquet", f"{stage}/documents.parquet")
+        _stage_stream_files(stage, f"{sf_dir}/documents.parquet", "documents")
         batch_schema = spark.read.parquet(
             f"{sf_dir}/documents.parquet"
         ).schema
@@ -7427,6 +7452,71 @@ def q_revenue_coverage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pct")
 
 
+def q_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction (Liben-Nowell & Kleinberg, CIKM
+    2003 — the baseline every link-prediction paper reports first) over
+    the 60 s temporal-proximity user graph: the top-20 NON-adjacent
+    pairs by shared-neighbor count, with the Jaccard-normalized score
+    cn/(deg_a + deg_b − cn) in integer micro-units. Construction:
+    simplified undirected graph (the kcore/assortativity contract),
+    wedge enumeration as the node-keyed self-join of the symmetrized
+    edge list (cost Σ deg(m)² — the SAME wedge bound triangle_count
+    and clustering_coefficients pay; at web scale the standard hub
+    mitigations — degree-capped middles, rarest-first orientation —
+    apply identically), existing edges removed by a left-anti join on
+    the simplified edge list, degrees re-attached by two node-keyed
+    joins. Everything is exact integers; ordering (cn DESC, a, b) is
+    total. The gap is 300 s (vs the 60 s bfs/assortativity graph) so
+    the wedge set is non-trivial at every test scale. Output:
+    (a, b, common_n, deg_a, deg_b, jacc_micro)."""
+    ev = _t(spark, sf_dir, "events")
+    edges = graph.consecutive_user_edges(ev, max_gap_s=300)
+    ue = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = ue.select(
+        F.col("a").alias("node"), F.col("b").alias("o")
+    ).unionByName(ue.select(F.col("b").alias("node"), F.col("a").alias("o")))
+    deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    x = sym.select("node", F.col("o").alias("pa"))
+    y = sym.select("node", F.col("o").alias("pb"))
+    wedges = (
+        x.join(y, "node")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(F.count("*").alias("common_n"))
+    )
+    nonedge = wedges.join(ue, ["a", "b"], "left_anti")
+    return (
+        nonedge.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "common_n",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "common_n * 1000000 div (deg_a + deg_b - common_n)"
+            ).alias("jacc_micro"),
+        )
+        .orderBy(F.desc("common_n"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
 def q_spearman_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between order value and order date
     (are basket sizes drifting over time?) — the robust, outlier-immune
@@ -7726,12 +7816,13 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="stream_louter_")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+        data_mtime = _stage_stream_files(
+            stage, f"{sf_dir}/events.parquet", "events"
+        )
         batch = spark.read.parquet(f"{sf_dir}/events.parquet")
         batch_schema = batch.schema
         ts_type = batch_schema["ts"].dataType.simpleString()
         max_ts = batch.agg(F.max("ts")).collect()[0][0]
-        data_mtime = os.stat(f"{sf_dir}/events.parquet").st_mtime
         if ts_type == "bigint":  # raw nanos
             sentinel_ts = int(max_ts) + 10 * 3600 * 10**9
         else:
@@ -8063,6 +8154,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_left_outer_join": q_streaming_left_outer_join,
     "containment_dup_pairs": q_containment_dup_pairs,
     "revenue_coverage_counts": q_revenue_coverage_counts,
+    "link_prediction_cn": q_link_prediction_cn,
 }
 
 
@@ -8410,7 +8502,10 @@ def oracle_sql() -> dict[str, str]:
         )
         return "".join(parts)
 
-    _PROX_GRAPH = """
+    def _prox_graph_sql(gap_s: int = 60) -> str:
+        """Simplified undirected temporal-proximity user graph as a CTE
+        prefix (raw → ue → sym), parameterized by the max gap."""
+        return f"""
             WITH raw AS (
                 SELECT LAG(user_id) OVER (
                            PARTITION BY event_type
@@ -8427,9 +8522,11 @@ def oracle_sql() -> dict[str, str]:
             ue AS (SELECT DISTINCT least(src, dst) AS a,
                                    greatest(src, dst) AS b
                    FROM raw WHERE src IS NOT NULL AND src <> dst
-                     AND us - pus <= 60000000),
+                     AND us - pus <= {gap_s * 1_000_000}),
             sym AS MATERIALIZED (SELECT a AS node, b AS o FROM ue
                     UNION ALL SELECT b, a FROM ue)"""
+
+    _PROX_GRAPH = _prox_graph_sql(60)
 
     def _bfs_sql(rounds: int = 15) -> str:
         """DuckDB twin of q_bfs_hop_distance: the same simplified
@@ -8687,6 +8784,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, r_text, r_vec,
                    CAST(rrf_micro AS BIGINT) AS rrf_micro
             FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT 25
+        """,
+        "link_prediction_cn": _prox_graph_sql(300)
+        + """,
+            deg AS (
+                SELECT node, COUNT(*) AS deg FROM sym GROUP BY node),
+            wedge AS (
+                SELECT x.o AS a, y.o AS b, COUNT(*) AS common_n
+                FROM sym x JOIN sym y ON x.node = y.node AND x.o < y.o
+                GROUP BY x.o, y.o
+            ),
+            nonedge AS (
+                SELECT w.a, w.b, w.common_n FROM wedge w
+                LEFT JOIN ue e ON e.a = w.a AND e.b = w.b
+                WHERE e.a IS NULL
+            )
+            SELECT n.a, n.b, n.common_n,
+                   da.deg AS deg_a, db.deg AS deg_b,
+                   n.common_n * 1000000
+                       // (da.deg + db.deg - n.common_n) AS jacc_micro
+            FROM nonedge n
+            JOIN deg da ON da.node = n.a
+            JOIN deg db ON db.node = n.b
+            ORDER BY n.common_n DESC, n.a ASC, n.b ASC
+            LIMIT 20
         """,
         "containment_dup_pairs": r"""
             WITH w AS (

@@ -142,6 +142,17 @@ HEADLINE = [
     "bfs_hop_distance",
     "degree_assortativity",
     "market_basket_rules",
+    "acf_minute_counts",
+    "calendar_seasonality_profile",
+    # round-8 additions
+    "spearman_price_date",
+    "hhi_concentration",
+    "rrf_fusion_search",
+    "kaplan_meier_churn",
+    "streaming_left_outer_join",
+    "containment_dup_pairs",
+    "revenue_coverage_counts",
+    "link_prediction_cn",
 ]
 
 
@@ -265,8 +276,12 @@ def main() -> None:
     # full name→median map lands in BENCH_FULL.json beside the repo for
     # the judge.  keymap: qK == HEADLINE[K-1]; BENCH_FULL.json carries
     # the explicit mapping too.
+    # 2-decimal positional values: at 123 queries the 3-dp line passed
+    # the 2,000-char capture buffer (measured 1,890 at 114 → ~2,007 at
+    # 123); centisecond precision keeps ~130 chars of headroom and the
+    # full 3-dp name→median map still lands in BENCH_FULL.json
     short = {
-        f"q{i + 1}": times[name] for i, name in enumerate(HEADLINE)
+        f"q{i + 1}": round(times[name], 2) for i, name in enumerate(HEADLINE)
     }
     payload = {
         "metric": "headline_queries_total",
@@ -274,7 +289,7 @@ def main() -> None:
         "unit": "sec",
         "queries": short,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "key": "qK=HEADLINE[K-1]; names in BENCH_FULL.json",
+        "key": "qK=HEADLINE[K-1]",
     }
     # wire_replay must never cost us the headline numbers already
     # measured above — any failure inside it degrades to a note.

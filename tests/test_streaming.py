@@ -1483,3 +1483,39 @@ def test_kaplan_meier_survival_is_monotone_nonincreasing(spark):
     n = [r.n_risk for r in rows]
     assert all(a > b for a, b in zip(n, n[1:]))
     assert n[0] == sum(r.d_churned + r.c_censored for r in rows)
+
+
+def test_stage_stream_files_handles_directory_tables(spark, tmp_path):
+    """Directory-shaped parquet tables (Spark-written part files) must
+    stream ALL rows: the file source does not recurse, so the staging
+    helper links part files flat. A flat single-file table still works."""
+    import os
+
+    import __spark_entry__ as em
+
+    src = str(tmp_path / "tbl.parquet")
+    spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(
+        2
+    ).write.parquet(src)
+    assert os.path.isdir(src)
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    em._stage_stream_files(stage, src, "tbl")
+    flat = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    assert len(flat) >= 2 and all(
+        not os.path.isdir(os.path.join(stage, f)) or os.path.islink(
+            os.path.join(stage, f)
+        )
+        for f in flat
+    )
+    got = (
+        spark.readStream.schema("id long, v long")
+        .parquet(stage)
+        .writeStream.format("memory")
+        .queryName("stage_dir_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    got.awaitTermination()
+    assert spark.table("stage_dir_tbl").count() == 100

@@ -165,6 +165,16 @@ def main() -> None:
                 row.setdefault("out_rows", {})[name] = out_rows
         results[k] = row
         print(json.dumps({"k": k, **row}))
+        # no silent caps: a timed query returning zero rows is almost
+        # certainly reading nothing (e.g. a staging path that missed the
+        # directory-shaped corpus) — fail the run rather than shipping a
+        # flat-line scaling row
+        empty = [n for n, r in row["out_rows"].items() if r == 0]
+        if empty:
+            raise SystemExit(
+                f"zero output rows at k={k} for {empty} — "
+                "harness/staging bug, not a measurement"
+            )
 
     lines = [
         "# SCALING — corpus-growth behavior of the document operators",
