@@ -7517,6 +7517,52 @@ def q_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation over the hourly event-count
+    series: predict count(t) = count(t − 24 h) and score it — THE
+    baseline every capacity/forecast model must beat before it ships
+    (Hyndman & Athanasopoulos, fpp3 §5.2), and the eval-side companion
+    to acf/calendar (those detect seasonality; this measures how much
+    of the signal the seasonal repeat already explains). The series is
+    the CALENDAR hour grid with unobserved hours = 0 — built
+    explicitly via spark.range over the span, which is TIME-GRAIN-
+    bounded (hours in the corpus window; at 100 TB still thousands of
+    rows — the hypertable/burst contract), so the lag join never
+    silently skips empty hours. Exact integers: counts are BIGINT,
+    |err| sums exact, mae_micro = Σ|e|·10⁶ DIV n; the squared-error
+    sum runs in DECIMAL(38,0) (HUGEINT twin) and rmse_micro is the
+    single IEEE sqrt of the exact mean, floor-quantized. Output: one
+    row (n_hours, sum_abs_err, mae_micro, rmse_micro)."""
+    ev = _t(spark, sf_dir, "events")
+    per_h = ev.select(
+        F.floor(_epoch_sec("ts") / 3600).cast("long").alias("h")
+    ).groupBy("h").agg(F.count(F.lit(1)).alias("x"))
+    span = per_h.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    ).collect()[0]
+    lo, hi = int(span["lo"]), int(span["hi"])
+    grid = spark.range(lo, hi + 1).select(F.col("id").alias("h"))
+    filled = grid.join(per_h, "h", "left").select(
+        "h", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    pred = filled.select(
+        (F.col("h") + 24).alias("h"), F.col("x").alias("p")
+    )
+    scored = (
+        filled.join(pred, "h")
+        .select((F.col("x") - F.col("p")).alias("e"))
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.abs("e")).alias("sum_abs_err"),
+        F.expr("SUM(ABS(e)) * 1000000 div COUNT(1)").alias("mae_micro"),
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(SUM(CAST(e AS DECIMAL(38,0)) * e)"
+            " AS DOUBLE) / COUNT(1)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("rmse_micro"),
+    )
+
+
 def q_spearman_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between order value and order date
     (are basket sizes drifting over time?) — the robust, outlier-immune
@@ -8155,6 +8201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_dup_pairs": q_containment_dup_pairs,
     "revenue_coverage_counts": q_revenue_coverage_counts,
     "link_prediction_cn": q_link_prediction_cn,
+    "seasonal_naive_eval": q_seasonal_naive_eval,
 }
 
 
@@ -8808,6 +8855,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg db ON db.node = n.b
             ORDER BY n.common_n DESC, n.a ASC, n.b ASC
             LIMIT 20
+        """,
+        "seasonal_naive_eval": """
+            WITH per_h AS (
+                SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+                       COUNT(*) AS x
+                FROM events GROUP BY 1
+            ),
+            span AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM per_h),
+            grid AS (
+                SELECT UNNEST(generate_series(lo, hi)) AS h FROM span
+            ),
+            filled AS (
+                SELECT g.h, COALESCE(p.x, 0) AS x
+                FROM grid g LEFT JOIN per_h p ON p.h = g.h
+            ),
+            scored AS (
+                SELECT a.x - b.x AS e
+                FROM filled a JOIN filled b ON a.h = b.h + 24
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(SUM(ABS(e)) AS BIGINT) AS sum_abs_err,
+                   CAST(SUM(ABS(e)) * 1000000 // COUNT(*) AS BIGINT)
+                       AS mae_micro,
+                   CAST(FLOOR(SQRT(
+                       CAST(SUM(CAST(e AS HUGEINT) * e) AS DOUBLE)
+                       / COUNT(*)) * 1000000 + 0.5) AS BIGINT)
+                       AS rmse_micro
+            FROM scored
         """,
         "containment_dup_pairs": r"""
             WITH w AS (

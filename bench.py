@@ -153,6 +153,7 @@ HEADLINE = [
     "containment_dup_pairs",
     "revenue_coverage_counts",
     "link_prediction_cn",
+    "seasonal_naive_eval",
 ]
 
 
