@@ -7517,6 +7517,229 @@ def q_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_windowed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregations (Spark 3.4+ multiple-
+    stateful-operator support, exercised here on 4.x): hourly tumbling
+    windowed counts per event type, then a SECOND stateful aggregate
+    over the same event-time window electing each hour's dominant
+    type — the "trending now" panel every ops dashboard runs, and the
+    streaming shape (window agg → window agg) that used to require a
+    foreachBatch detour. Determinism: the election is
+    min(struct(−cnt, type)) — highest count, ties to the smallest
+    type — an exact integer/string order; final counts only emit when
+    the watermark closes the hour, so the bounded replay needs the
+    in-band far-future sentinel (the left-outer-join mechanism; the
+    sentinel's own window never closes, so it contributes no rows) and
+    then equals the batch per-hour argmax the oracle runs. State:
+    2 h watermark bounds both stores; rows are (window, type)-grain.
+    Output: (ws, top_type, top_cnt), window-start-ordered."""
+    import shutil
+    import tempfile
+
+    name = "stream_windowed_top1_mem"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    spark.catalog.dropTempView(name)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    stage = tempfile.mkdtemp(prefix="stream_wtop1_")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        _stage_stream_files(stage, f"{sf_dir}/events.parquet", "events")
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+        batch_schema = batch.schema
+        ts_type = batch_schema["ts"].dataType.simpleString()
+        max_ts = batch.agg(F.max("ts")).collect()[0][0]
+        if ts_type == "bigint":  # raw nanos
+            sentinel_ts = int(max_ts) + 10 * 3600 * 10**9
+        else:
+            import datetime as _dt
+
+            sentinel_ts = max_ts + _dt.timedelta(hours=10)
+        sent = spark.createDataFrame(
+            [(int(-1), sentinel_ts, int(-1), "__wm__", 0.0, None)],
+            batch_schema,
+        )
+        scratch = tempfile.mkdtemp(prefix="stream_wtop1_wm_")
+        sent.coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(
+            f for f in os.listdir(scratch)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        shutil.move(os.path.join(scratch, part), f"{stage}/zz_wm.parquet")
+        shutil.rmtree(scratch, ignore_errors=True)
+
+        stream = readers.file_stream(spark, stage, batch_schema)
+        if ts_type == "bigint":
+            stream = stream.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+        else:
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        counts = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        top1 = counts.groupBy("window").agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"),
+                    F.col("event_type").alias("et"),
+                )
+            ).alias("top")
+        )
+        out = top1.select(
+            F.col("window.start").cast("long").alias("ws"),
+            F.col("top.et").alias("top_type"),
+            (-F.col("top.nc")).cast("long").alias("top_cnt"),
+        )
+        q = streaming.run_to_memory(out, name, output_mode="append")
+        q.stop()
+        return spark.table(name).orderBy("ws")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily event-count series (Theil
+    1950 / Sen 1968): the median over all pairwise slopes — the trend
+    estimator that shrugs off the outlier days a least-squares line
+    chases (29% breakdown point), i.e. the robust companion to
+    regression_stats_by_type and the trend-side sibling of
+    cusum_drift_profile. Scale shape: everything past the one
+    events-scan aggregate lives on the DAY-GRAIN calendar grid
+    (hypertable/burst contract — rows = days), so the pairwise stage
+    is calendar²-bounded (10 years → ~6.6M integer pairs), never
+    corpus-sized. Engine-exact: slopes quantize to integer micro-units
+    as (Δcount·10⁶) div Δdays BEFORE the median (both engines truncate
+    integer division toward zero — verified), and the median over the
+    quantized multiset rides the distinct-value + _dist_cumsum
+    machinery (the KS construction): doubled median = value at prefix
+    rank ⌈n/2⌉ plus value at ⌊n/2⌋+1, so even counts never divide.
+    n_pairs = m(m−1)/2 is derived from the grid size, not a second
+    action. Output: one row (n_days, n_pairs, median_slope_x2_micro)."""
+    ev = _t(spark, sf_dir, "events")
+    per_d = ev.select(
+        F.floor(_epoch_sec("ts") / 86400).cast("long").alias("d")
+    ).groupBy("d").agg(F.count(F.lit(1)).alias("x"))
+    span = per_d.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).collect()[0]
+    lo, hi = int(span["lo"]), int(span["hi"])
+    m = hi - lo + 1
+    n_pairs = m * (m - 1) // 2
+    grid = spark.range(0, m).select(F.col("id").alias("t"))
+    filled = (
+        grid.join(
+            per_d.select((F.col("d") - F.lit(lo)).alias("t"), "x"), "t", "left"
+        )
+        .select("t", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a = filled.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = filled.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    slopes = (
+        a.join(b, F.col("tb") > F.col("ta"))
+        .select(F.expr("(xb - xa) * 1000000 div (tb - ta)").alias("sm"))
+    )
+    per_s = slopes.groupBy("sm").agg(F.count(F.lit(1)).alias("c"))
+    cuts = per_s.stat.approxQuantile("sm", [i / 8 for i in range(1, 8)], 0.001)
+    cum = _dist_cumsum(per_s, "sm", "sm", ["c"], [float(x) for x in cuts])
+    lower = (n_pairs + 1) // 2
+    upper = n_pairs // 2 + 1
+    lo_v = cum.filter(F.col("cum_c") >= lower).agg(
+        F.min("sm").alias("mlo")
+    )
+    hi_v = cum.filter(F.col("cum_c") >= upper).agg(
+        F.min("sm").alias("mhi")
+    )
+    return (
+        lo_v.crossJoin(hi_v)
+        .select(
+            F.lit(m).cast("long").alias("n_days"),
+            F.lit(n_pairs).cast("long").alias("n_pairs"),
+            (F.col("mlo") + F.col("mhi")).alias("median_slope_x2_micro"),
+        )
+    )
+
+
+def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic for the weekend-vs-weekday
+    purchase-value shift (Welch, Biometrika 1947) — the PARAMETRIC
+    member of the engine's two-sample battery (Mann–Whitney tests
+    ranks, KS tests the whole distribution; Welch tests means without
+    the equal-variance lie Student's t tells) plus the
+    Welch–Satterthwaite effective degrees of freedom. Engine-exact
+    construction: per-group n, Σx, Σx² in cents accumulate exactly
+    (Σx² in DECIMAL(38,0) — cents² at web scale passes 2⁶³; HUGEINT
+    twin); the n-scaled corrected sums of squares
+    ssq_g = n_g·Σx² − (Σx)² are emitted as correctly-rounded DOUBLEs
+    of the exact integers (the assortativity/ACF contract), and
+    t_milli / df_milli are single IEEE expressions over those exact
+    inputs, floor-quantized at 10³ (t = Δmean/√(v₁/n₁+v₂/n₂) with
+    v_g = ssq_g/(n_g²(n_g−1)) — algebra arranged so every division
+    input is one of the exact sums). Shape: ONE map-side-combining
+    aggregate over purchases — no joins, no windows; trivially
+    100 TB-safe. Output: one row (n_we, n_wd, sum_we, sum_wd, ssq_we,
+    ssq_wd, t_milli, df_milli)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") == "purchase").select(
+        _cents("value").alias("x"),
+        F.dayofweek(F.col("ts").cast("timestamp"))
+        .isin(1, 7)
+        .cast("long")
+        .alias("we"),
+    )
+    agg = base.agg(
+        F.sum("we").alias("n1"),
+        F.sum(1 - F.col("we")).alias("n2"),
+        F.sum(F.col("we") * F.col("x")).alias("s1"),
+        F.sum((1 - F.col("we")) * F.col("x")).alias("s2"),
+        F.sum(
+            F.col("we") * F.col("x").cast("decimal(38,0)") * F.col("x")
+        ).alias("q1"),
+        F.sum(
+            (1 - F.col("we"))
+            * F.col("x").cast("decimal(38,0)")
+            * F.col("x")
+        ).alias("q2"),
+    )
+    # vg/ng = ssq_g / (n_g^2 (n_g - 1)); one IEEE expression per output
+    v_over_n = (
+        "(CAST(CAST(n{g} AS DECIMAL(38,0)) * q{g}"
+        " - CAST(s{g} AS DECIMAL(38,0)) * s{g} AS DOUBLE)"
+        " / (CAST(n{g} AS DOUBLE) * n{g} * (n{g} - 1)))"
+    )
+    a = v_over_n.format(g=1)
+    b = v_over_n.format(g=2)
+    return agg.select(
+        F.col("n1").alias("n_we"),
+        F.col("n2").alias("n_wd"),
+        F.col("s1").alias("sum_we"),
+        F.col("s2").alias("sum_wd"),
+        F.expr(
+            "CAST(CAST(n1 AS DECIMAL(38,0)) * q1"
+            " - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)"
+        ).alias("ssq_we"),
+        F.expr(
+            "CAST(CAST(n2 AS DECIMAL(38,0)) * q2"
+            " - CAST(s2 AS DECIMAL(38,0)) * s2 AS DOUBLE)"
+        ).alias("ssq_wd"),
+        F.expr(
+            f"CAST(FLOOR((CAST(s1 AS DOUBLE) / n1"
+            f" - CAST(s2 AS DOUBLE) / n2)"
+            f" / SQRT({a} + {b}) * 1000 + 0.5) AS BIGINT)"
+        ).alias("t_milli"),
+        F.expr(
+            f"CAST(FLOOR(({a} + {b}) * ({a} + {b})"
+            f" / ({a} * {a} / (n1 - 1) + {b} * {b} / (n2 - 1))"
+            f" * 1000 + 0.5) AS BIGINT)"
+        ).alias("df_milli"),
+    )
+
+
 def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast evaluation over the hourly event-count
     series: predict count(t) = count(t − 24 h) and score it — THE
@@ -8202,6 +8425,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_coverage_counts": q_revenue_coverage_counts,
     "link_prediction_cn": q_link_prediction_cn,
     "seasonal_naive_eval": q_seasonal_naive_eval,
+    "welch_t_test": q_welch_t_test,
+    "theil_sen_daily_trend": q_theil_sen_daily_trend,
+    "streaming_windowed_top1": q_streaming_windowed_top1,
 }
 
 
@@ -8855,6 +9081,100 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg db ON db.node = n.b
             ORDER BY n.common_n DESC, n.a ASC, n.b ASC
             LIMIT 20
+        """,
+        "streaming_windowed_top1": """
+            WITH c AS (
+                SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)
+                           AS ws,
+                       event_type, COUNT(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT ws, event_type, cnt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY ws
+                           ORDER BY cnt DESC, event_type ASC) AS rn
+                FROM c
+            )
+            SELECT ws, event_type AS top_type, cnt AS top_cnt
+            FROM r WHERE rn = 1 ORDER BY ws
+        """,
+        "theil_sen_daily_trend": """
+            WITH per_d AS (
+                SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+                       COUNT(*) AS x
+                FROM events GROUP BY 1
+            ),
+            span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM per_d),
+            grid AS (
+                SELECT UNNEST(generate_series(0, hi - lo)) AS t, lo
+                FROM span
+            ),
+            filled AS (
+                SELECT g.t, COALESCE(p.x, 0) AS x
+                FROM grid g LEFT JOIN per_d p ON p.d = g.t + g.lo
+            ),
+            sl AS (
+                SELECT (b.x - a.x) * 1000000 // (b.t - a.t) AS sm
+                FROM filled a JOIN filled b ON b.t > a.t
+            ),
+            n AS (SELECT COUNT(*) AS np FROM sl),
+            per_s AS (SELECT sm, COUNT(*) AS c FROM sl GROUP BY sm),
+            cum AS (
+                SELECT sm, SUM(c) OVER (ORDER BY sm) AS cum_c FROM per_s
+            ),
+            lo_v AS (
+                SELECT MIN(sm) AS mlo FROM cum, n
+                WHERE cum_c >= (np + 1) // 2
+            ),
+            hi_v AS (
+                SELECT MIN(sm) AS mhi FROM cum, n
+                WHERE cum_c >= np // 2 + 1
+            )
+            SELECT CAST(hi - lo + 1 AS BIGINT) AS n_days,
+                   CAST(np AS BIGINT) AS n_pairs,
+                   CAST(mlo + mhi AS BIGINT) AS median_slope_x2_micro
+            FROM span, n, lo_v, hi_v
+        """,
+        "welch_t_test": """
+            WITH p AS (
+                SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+                       CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0
+                       END AS we
+                FROM events WHERE event_type = 'purchase'
+            ),
+            agg AS (
+                SELECT CAST(SUM(we) AS BIGINT) AS n1,
+                       CAST(SUM(1 - we) AS BIGINT) AS n2,
+                       CAST(SUM(we * x) AS BIGINT) AS s1,
+                       CAST(SUM((1 - we) * x) AS BIGINT) AS s2,
+                       SUM(we * CAST(x AS HUGEINT) * x) AS q1,
+                       SUM((1 - we) * CAST(x AS HUGEINT) * x) AS q2
+                FROM p
+            ),
+            d AS (
+                SELECT n1, n2, s1, s2,
+                       CAST(n1 * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                           AS ssq1,
+                       CAST(n2 * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+                           AS ssq2
+                FROM agg
+            ),
+            v AS (
+                SELECT *,
+                       ssq1 / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)) AS a,
+                       ssq2 / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)) AS b
+                FROM d
+            )
+            SELECT n1 AS n_we, n2 AS n_wd, s1 AS sum_we, s2 AS sum_wd,
+                   ssq1 AS ssq_we, ssq2 AS ssq_wd,
+                   CAST(FLOOR((CAST(s1 AS DOUBLE) / n1
+                               - CAST(s2 AS DOUBLE) / n2)
+                        / SQRT(a + b) * 1000 + 0.5) AS BIGINT) AS t_milli,
+                   CAST(FLOOR((a + b) * (a + b)
+                        / (a * a / (n1 - 1) + b * b / (n2 - 1))
+                        * 1000 + 0.5) AS BIGINT) AS df_milli
+            FROM v
         """,
         "seasonal_naive_eval": """
             WITH per_h AS (

@@ -154,6 +154,9 @@ HEADLINE = [
     "revenue_coverage_counts",
     "link_prediction_cn",
     "seasonal_naive_eval",
+    "welch_t_test",
+    "theil_sen_daily_trend",
+    "streaming_windowed_top1",
 ]
 
 
