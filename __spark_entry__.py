@@ -7665,6 +7665,89 @@ def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changepoint_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best changepoint of the per-minute event-count series —
+    the first step of binary segmentation (Scott & Knott 1974; the
+    standard changepoint recursion): the calendar-minute split k that
+    minimizes total within-segment SSE, equivalently maximizes
+    f(k) = S_L²/n_L + S_R²/n_R (S = segment count sums over the
+    CALENDAR grid with empty minutes = 0, n = calendar lengths). The
+    location complement to cusum_drift_profile (that one scores drift
+    magnitude; this names WHERE to cut). Grid-free like acf: S_L only
+    changes at observed minutes and f is CONVEX in n_L between them,
+    so the maximum over each zero-run lands at its endpoints — the
+    candidate set is each observed minute and the minute before the
+    next observed one (2·|observed| candidates, never the raw grid).
+    Prefix sums ride _dist_cumsum; the successor minute comes from a
+    rank self-join (rank+1), not a global lead() window. Exactness:
+    the objective is evaluated as ONE identically-ordered IEEE
+    expression over exact integer inputs (DECIMAL-accumulated
+    products; both engines round the same integers → identical
+    doubles — the assortativity contract), and the argmax is a
+    max(struct(f, −k)) with ties to the smaller minute. Output: one
+    row (split_minute, n_left, sum_left, n_right, sum_right,
+    gain_micro) — gain_micro = floor((f_best/f_single − 1)·10⁶)
+    against the no-split baseline T²/N."""
+    ev = _t(spark, sf_dir, "events")
+    m = (
+        ev.select(F.floor(_epoch_sec("ts") / 60).cast("long").alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    span = m.agg(
+        F.min("idx").alias("lo"),
+        F.max("idx").alias("hi"),
+        F.sum("x").alias("t"),
+    ).collect()[0]
+    lo, hi, t_total = int(span["lo"]), int(span["hi"]), int(span["t"])
+    n_total = hi - lo + 1
+    cuts = m.stat.approxQuantile("idx", [i / 8 for i in range(1, 8)], 0.001)
+    cum = _dist_cumsum(m, "idx", "idx", ["x"], [float(c) for c in cuts])
+    rk = _dist_rank(cum, "idx", "idx", "r", [float(c) for c in cuts])
+    succ = rk.select((F.col("r") - 1).alias("r"), F.col("idx").alias("nxt"))
+    cand = (
+        rk.join(succ, "r", "left")
+        .select(
+            "idx",
+            "cum_x",
+            F.coalesce(F.col("nxt") - 1, F.lit(hi)).alias("run_end"),
+        )
+        .select(
+            F.explode(
+                F.array_distinct(F.array("idx", "run_end"))
+            ).alias("k"),
+            F.col("cum_x").alias("s_l"),
+        )
+        .filter(F.col("k") < F.lit(hi))  # right segment must be non-empty
+    )
+    f_expr = (
+        "(CAST(CAST(s_l AS DECIMAL(38,0)) * s_l"
+        f" * ({n_total}L - (k - {lo}L + 1)) AS DOUBLE)"
+        f" + CAST(CAST({t_total}L - s_l AS DECIMAL(38,0))"
+        f" * ({t_total}L - s_l) * (k - {lo}L + 1) AS DOUBLE))"
+        f" / (CAST(k - {lo}L + 1 AS DOUBLE)"
+        f" * ({n_total}L - (k - {lo}L + 1)))"
+    )
+    best = cand.select(
+        F.struct(
+            F.expr(f_expr).alias("f"), (-F.col("k")).alias("nk"),
+            F.col("s_l").alias("s_l"),
+        ).alias("c")
+    ).agg(F.max("c").alias("b"))
+    base = float(t_total) * t_total / n_total
+    return best.select(
+        (-F.col("b.nk")).alias("split_minute"),
+        (-F.col("b.nk") - F.lit(lo) + 1).alias("n_left"),
+        F.col("b.s_l").alias("sum_left"),
+        (F.lit(n_total) + F.col("b.nk") + F.lit(lo) - 1).alias("n_right"),
+        (F.lit(t_total) - F.col("b.s_l")).alias("sum_right"),
+        F.expr(
+            f"CAST(FLOOR((b.f / {base!r} - 1) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("gain_micro"),
+    )
+
+
 def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t statistic for the weekend-vs-weekday
     purchase-value shift (Welch, Biometrika 1947) — the PARAMETRIC
@@ -8428,6 +8511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "welch_t_test": q_welch_t_test,
     "theil_sen_daily_trend": q_theil_sen_daily_trend,
     "streaming_windowed_top1": q_streaming_windowed_top1,
+    "changepoint_best_split": q_changepoint_best_split,
 }
 
 
@@ -9098,6 +9182,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ws, event_type AS top_type, cnt AS top_cnt
             FROM r WHERE rn = 1 ORDER BY ws
+        """,
+        "changepoint_best_split": """
+            WITH m AS (
+                SELECT CAST(FLOOR(epoch(ts) / 60) AS BIGINT) AS idx,
+                       COUNT(*) AS x
+                FROM events GROUP BY 1
+            ),
+            span AS (
+                SELECT MIN(idx) AS lo, MAX(idx) AS hi,
+                       CAST(SUM(x) AS BIGINT) AS t,
+                       MAX(idx) - MIN(idx) + 1 AS n
+                FROM m
+            ),
+            cum AS (
+                SELECT idx,
+                       CAST(SUM(x) OVER (ORDER BY idx) AS BIGINT) AS s_l,
+                       LEAD(idx) OVER (ORDER BY idx) AS nxt
+                FROM m
+            ),
+            cand AS (
+                SELECT c.idx AS k, c.s_l FROM cum c, span WHERE c.idx < hi
+                UNION
+                SELECT COALESCE(c.nxt - 1, s.hi) AS k, c.s_l
+                FROM cum c, span s WHERE COALESCE(c.nxt - 1, s.hi) < s.hi
+            ),
+            f AS (
+                SELECT k, s_l, lo, n, t,
+                       (CAST(CAST(s_l AS HUGEINT) * s_l
+                             * (n - (k - lo + 1)) AS DOUBLE)
+                        + CAST(CAST(t - s_l AS HUGEINT) * (t - s_l)
+                               * (k - lo + 1) AS DOUBLE))
+                       / (CAST(k - lo + 1 AS DOUBLE) * (n - (k - lo + 1)))
+                           AS fv
+                FROM cand, span
+            ),
+            best AS (SELECT * FROM f ORDER BY fv DESC, k ASC LIMIT 1)
+            SELECT k AS split_minute,
+                   CAST(k - lo + 1 AS BIGINT) AS n_left,
+                   s_l AS sum_left,
+                   CAST(n - (k - lo + 1) AS BIGINT) AS n_right,
+                   CAST(t - s_l AS BIGINT) AS sum_right,
+                   CAST(FLOOR((fv / (CAST(t AS DOUBLE) * t / n) - 1)
+                        * 1000000 + 0.5) AS BIGINT) AS gain_micro
+            FROM best
         """,
         "theil_sen_daily_trend": """
             WITH per_d AS (

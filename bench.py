@@ -157,6 +157,7 @@ HEADLINE = [
     "welch_t_test",
     "theil_sen_daily_trend",
     "streaming_windowed_top1",
+    "changepoint_best_split",
 ]
 
 
