@@ -309,3 +309,23 @@ def test_no_hard_broadcast_on_unbounded_count_tables():
     src = inspect.getsource(em.q_market_basket_rules)
     hints = re.findall(r"F\.broadcast\((\w+)", src)
     assert hints == ["n"], hints
+
+
+def test_r8_rank_machinery_queries_have_no_global_window(spark):
+    # spearman / kaplan-meier / revenue-coverage / theil-sen /
+    # changepoint all ride _dist_rank/_dist_cumsum — every window spec
+    # in their plans must be partitioned (__pid), never a whole-table
+    # "No Partition Defined" WindowExec. (rrf's 100-row shortlist
+    # windows are exempt by boundedness and deliberately not listed.)
+    import re
+
+    for q in (
+        entrymod.q_spearman_price_date,
+        entrymod.q_kaplan_meier_churn,
+        entrymod.q_revenue_coverage_counts,
+        entrymod.q_theil_sen_daily_trend,
+        entrymod.q_changepoint_best_split,
+    ):
+        plan = explain.formatted_plan(q(spark, SF))
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "__pid" in spec, f"{q.__name__}: {spec}"
