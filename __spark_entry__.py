@@ -1683,6 +1683,68 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-stdlib GIF decoder under the differential gate — the
+    full palette-format path: 8×8 palette images are synthesized from
+    the documents table (indices = four chained md5 digests, JVM-side),
+    packed into REAL interlaced GIF89a files inside Arrow-batched
+    mapInPandas (variable-width LZW incl. the giflib one-early width
+    rule, ≤255-byte sub-blocks, 4-pass interlace), decoded back by
+    `multimodal.decode_image` (header walk → LZW → de-interlace →
+    palette resolve) and reduced to the Rec.601 integer luma milli-sum
+    (the JPEG lesson: no float mean to sit on a quantization
+    boundary). The palette is the closed-form (i, 255−i, 37·i mod 256),
+    so DuckDB recomputes the luma from the SAME md5 bytes with pure
+    hex-digit arithmetic — a hash match proves LZW, interlace, and
+    palette resolution end to end."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pix = F.concat(
+        F.unhex(F.md5("text")),
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit("x")))),
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit("y")))),
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit("z")))),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        pix.alias("content"),
+    )
+
+    def _to_gif(it):
+        import numpy as _np
+
+        i = _np.arange(256, dtype=_np.int64)
+        pal = _np.stack(
+            [i, 255 - i, (i * 37) % 256], axis=1
+        ).astype(_np.uint8)
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = pdf["content"].map(
+                lambda b: multimodal.encode_gif(
+                    _np.frombuffer(bytes(b), _np.uint8, 64).reshape(8, 8),
+                    pal,
+                    interlace=True,
+                )
+            )
+            yield pdf
+
+    gif_media = media.mapInPandas(
+        _to_gif, "media_id long, kind string, content binary"
+    )
+    feats = multimodal.decode_image_features(gif_media, fake=False)
+    # mean_luma = Σ(0.299R+0.587G+0.114B)/64/255; scaling back by
+    # 64·255·1000 reconstructs the exact BIGINT milli-sum (accumulated
+    # float error ≲1e-8 ≪ 0.5, so round() is exact)
+    return feats.select(
+        "media_id",
+        "height",
+        "width",
+        F.round(F.col("mean_luma") * (64 * 255 * 1000))
+        .cast("long")
+        .alias("luma_milli"),
+    )
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized frame-explosion plan (one row per sampled frame)."""
     media = _docs_as_media(spark, sf_dir)
@@ -8512,6 +8574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen_daily_trend": q_theil_sen_daily_trend,
     "streaming_windowed_top1": q_streaming_windowed_top1,
     "changepoint_best_split": q_changepoint_best_split,
+    "multimodal_gif_decode": q_multimodal_gif_decode,
 }
 
 
@@ -10445,6 +10508,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 AS INT) AS width,
                    {_sql_q('SUM(0.299*r + 0.587*g + 0.114*bl)/20/255', 6)}
                        AS mean_luma
+            FROM b GROUP BY media_id
+        """,
+        "multimodal_gif_decode": f"""
+            WITH px AS (
+                SELECT doc_id AS media_id,
+                       lower(hex(unhex(md5(text)) || unhex(md5(text || 'x'))
+                             || unhex(md5(text || 'y'))
+                             || unhex(md5(text || 'z')))) AS hs
+                FROM documents WHERE doc_id < 200
+            ), b AS (
+                SELECT media_id, {_pix_hex_byte("(p-1)*2+1")} AS i
+                FROM px, generate_series(1, 64) AS t(p)
+            )
+            SELECT media_id,
+                   CAST(8 AS INT) AS height,
+                   CAST(8 AS INT) AS width,
+                   CAST(SUM(299 * i + 587 * (255 - i)
+                            + 114 * ((i * 37) % 256)) AS BIGINT)
+                       AS luma_milli
             FROM b GROUP BY media_id
         """,
         "multimodal_jpeg_decode": f"""

@@ -158,6 +158,7 @@ HEADLINE = [
     "theil_sen_daily_trend",
     "streaming_windowed_top1",
     "changepoint_best_split",
+    "multimodal_gif_decode",
 ]
 
 

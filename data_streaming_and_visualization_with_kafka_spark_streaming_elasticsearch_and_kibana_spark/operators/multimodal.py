@@ -13,7 +13,10 @@ spec depth (1/2/4/8/16-bit, all five color types, Adam7 interlace;
 stdlib `zlib` inflate + the five scanline filters in numpy), BASELINE
 SEQUENTIAL JPEG (Huffman + restart markers + dequant + float IDCT +
 chroma upsample + JFIF YCbCr→RGB, with `encode_jpeg` as the fixture/
-roundtrip twin), and PCM WAV headers for audio chunking — decode, luma
+roundtrip twin), GIF87a/89a (full variable-width LZW incl. 12-bit
+table resets, sub-block framing, 4-pass interlace, extension-block
+skip, with `encode_gif` as the twin), and PCM WAV headers for audio
+chunking — decode, luma
 stats, and nearest-neighbor resize all run vectorized inside the Arrow
 batch. What still raises NotImplementedError is genuinely out of this
 scope (progressive/arithmetic/12-bit JPEG, MP3/video codecs):
@@ -89,9 +92,11 @@ def decode_image(content: bytes) -> np.ndarray:
         return _decode_png(content)
     if content[:2] == b"\xff\xd8":
         return _decode_jpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(content)
     raise NotImplementedError(
         "unsupported image format (pure-stdlib path decodes P6/P5/24-bpp "
-        "BMP/8-16-bit PNG/baseline JPEG)"
+        "BMP/8-16-bit PNG/baseline JPEG/GIF)"
     )
 
 
@@ -1110,6 +1115,258 @@ def _fake_decode(content: bytes) -> tuple[int, int, float]:
     width = 1 + h[1] % 64
     mean_luma = h[2] / 255.0
     return height, width, mean_luma
+
+
+# ------------------------------------------------------------- GIF codec
+#: GIF87a/89a, pure stdlib+numpy: single-frame palette images with the
+#: full LZW variable-width code stream (9→12-bit growth, clear-code
+#: table resets), ≤255-byte sub-block framing, Adam-style 4-pass
+#: interlace, and GIF89a extension-block skipping. The web's
+#: second-most-common legacy raster format; crawled corpora carry it.
+
+
+def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable code width starting at
+    min_code_size+1, LSB-first bit packing, CLEAR emitted first and on
+    table overflow at 4096, EOI last."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh()
+    out_bits.append((clear, width))
+    w = b""
+    for byte in data:
+        k = bytes([byte])
+        wk = w + k
+        if wk in table:
+            w = wk
+            continue
+        out_bits.append((table[w], width))
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4096:
+            out_bits.append((clear, width))
+            table, next_code, width = fresh()
+        w = k
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((eoi, width))
+    # LSB-first pack
+    buf = bytearray()
+    acc = 0
+    nbits = 0
+    for code, cw in out_bits:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """Inverse of _gif_lzw_encode; raises ValueError on corrupt
+    streams (bad code, missing EOI, wrong pixel count)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit cursor
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            raise ValueError("GIF: LZW stream truncated")
+        v = 0
+        for i in range(width):
+            byte = data[(pos + i) >> 3]
+            if (byte >> ((pos + i) & 7)) & 1:
+                v |= 1 << i
+        pos += width
+        return v
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        code = read(width)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF: first code not in table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF: code out of range")
+        out += entry
+        prev = entry
+        # one EARLY relative to the table length (the giflib rule): the
+        # first post-clear code stores no entry, so the decoder's table
+        # lags the encoder's next_code by exactly one — the encoder
+        # widens after its add makes next_code == 1<<width, which is
+        # this table's (1<<width) - 1
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        if len(out) > n_expected:
+            raise ValueError("GIF: more pixels than image descriptor")
+    if len(out) != n_expected:
+        raise ValueError(
+            f"GIF: decoded {len(out)} pixels, descriptor says {n_expected}"
+        )
+    return bytes(out)
+
+
+#: interlace passes: (start row, step) in pass order (GIF spec appendix E)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+) -> bytes:
+    """(H, W) uint8 palette indices + (256, 3) uint8 palette → GIF89a
+    bytes — the fixture/roundtrip twin of `_decode_gif` and a usable
+    palette-image sink encoding."""
+    import struct
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError("encode_gif wants (H, W) palette indices")
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.shape != (256, 3):
+        raise ValueError("encode_gif wants a full (256, 3) palette")
+    h, w = idx.shape
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global color table, 8 bits, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += pal.tobytes()
+    # image descriptor at (0, 0), no local table
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    if interlace:
+        rows = [r for start, step in _GIF_INTERLACE for r in range(start, h, step)]
+        payload = idx[rows].tobytes()
+    else:
+        payload = idx.tobytes()
+    out.append(8)  # LZW minimum code size
+    stream = _gif_lzw_encode(payload, 8)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def _decode_gif(content: bytes) -> np.ndarray:
+    """GIF87a/89a → (H, W, 3) uint8: header + logical screen
+    descriptor, global/local color tables, GIF89a extension blocks
+    skipped, sub-block reassembly, LZW decode, interlace reorder,
+    palette resolution. First image frame only (animation = frame 1,
+    the still-image contract); raises ValueError on corrupt input."""
+    import struct
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(content) < 13:
+        raise ValueError("GIF: truncated logical screen descriptor")
+    _, _, packed, _, _ = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            content[pos : pos + 3 * n], np.uint8
+        ).reshape(-1, 3)
+        if len(gct) != n:
+            raise ValueError("GIF: truncated global color table")
+        pos += 3 * n
+    while pos < len(content):
+        b0 = content[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while pos < len(content) and content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+        left, top, w, h, flags = struct.unpack(
+            "<HHHHB", content[pos + 1 : pos + 10]
+        )
+        pos += 10
+        pal = gct
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            pal = np.frombuffer(
+                content[pos : pos + 3 * n], np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF: image has no color table")
+        if pos >= len(content):
+            raise ValueError("GIF: missing LZW minimum code size")
+        min_code = content[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"GIF: bad LZW minimum code size {min_code}")
+        stream = bytearray()
+        while True:
+            if pos >= len(content):
+                raise ValueError("GIF: unterminated image data")
+            n = content[pos]
+            pos += 1
+            if n == 0:
+                break
+            stream += content[pos : pos + n]
+            pos += n
+        raw = _gif_lzw_decode(bytes(stream), min_code, w * h)
+        idx = np.frombuffer(raw, np.uint8).reshape(h, w)
+        if flags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = [
+                r for start, step in _GIF_INTERLACE for r in range(start, h, step)
+            ]
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF: palette index out of range")
+        return pal[idx]
+    raise ValueError("GIF: no image descriptor before trailer")
 
 
 def decode_image_features(df: DataFrame, fake: bool = True) -> DataFrame:

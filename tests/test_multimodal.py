@@ -812,3 +812,89 @@ def test_jpeg_decode_speed_is_not_per_bit():
     dt = time.perf_counter() - t0
     assert dec.shape == (256, 256, 3)
     assert dt < 2.0, f"JPEG decode too slow: {dt:.2f}s"
+
+
+# ------------------------------------------------------------------ GIF
+def _gif_pal():
+    import numpy as np
+
+    i = np.arange(256, dtype=np.int64)
+    return np.stack([i, 255 - i, (i * 37) % 256], axis=1).astype(np.uint8)
+
+
+def test_gif_roundtrip_plain_and_interlaced():
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    pal = _gif_pal()
+    for shape in [(1, 1), (5, 4), (17, 13), (64, 64), (100, 3)]:
+        for interlace in (False, True):
+            idx = rng.randint(0, 256, shape).astype(np.uint8)
+            enc = multimodal.encode_gif(idx, pal, interlace=interlace)
+            assert enc[:6] == b"GIF89a" and enc[-1:] == b"\x3b"
+            out = multimodal.decode_image(enc)
+            assert out.shape == (*shape, 3)
+            assert (out == pal[idx]).all(), (shape, interlace)
+
+
+def test_gif_lzw_width_growth_and_table_reset():
+    """A 200x200 random image pushes the code table through every
+    width (9->12 bits) and past 4096 entries, forcing the in-stream
+    CLEAR/reset path; a long-run image exercises the code==len(table)
+    (KwKwK) special case."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    pal = _gif_pal()
+    idx = rng.randint(0, 256, (200, 200)).astype(np.uint8)
+    assert (multimodal.decode_image(multimodal.encode_gif(idx, pal))
+            == pal[idx]).all()
+    runs = np.tile(np.arange(4, dtype=np.uint8), (300, 75))
+    assert (
+        multimodal.decode_image(multimodal.encode_gif(runs, pal, True))
+        == pal[runs]
+    ).all()
+
+
+def test_gif_extension_blocks_are_skipped():
+    """GIF89a graphic-control + comment extensions before the image
+    descriptor must be walked over, not choked on (real-world GIFs
+    carry them; our encoder doesn't write them)."""
+    import numpy as np
+
+    pal = _gif_pal()
+    idx = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    enc = multimodal.encode_gif(idx, pal)
+    head_len = 13 + 768  # header + LSD + global color table
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    comment = b"\x21\xfe\x05hello\x00"
+    spliced = enc[:head_len] + gce + comment + enc[head_len:]
+    assert (multimodal.decode_image(spliced) == pal[idx]).all()
+
+
+def test_gif_corrupt_inputs_raise_value_error():
+    import numpy as np
+    import pytest as _pt
+
+    pal = _gif_pal()
+    idx = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    enc = multimodal.encode_gif(idx, pal)
+    with _pt.raises(ValueError):  # bad signature (not NotImplemented:
+        multimodal._decode_gif(b"GIF00a" + enc[6:])
+    with _pt.raises(ValueError):  # truncated mid-stream
+        multimodal.decode_image(enc[: len(enc) // 2])
+    with _pt.raises(ValueError):  # descriptor lies about dimensions
+        import struct
+
+        hacked = bytearray(enc)
+        # image descriptor starts after header+LSD+GCT; w at +5
+        off = 13 + 768
+        hacked[off + 5 : off + 7] = struct.pack("<H", 4)  # w 8 -> 4
+        multimodal.decode_image(bytes(hacked))
+    with _pt.raises(ValueError):  # unterminated image data
+        multimodal.decode_image(enc[:-2])
+
+
+def test_gif_unknown_format_still_raises_not_implemented():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"RIFFxxxxWEBPVP8 ")
