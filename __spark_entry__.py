@@ -1745,6 +1745,50 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM WAV sample analysis under the differential gate — the
+    audio analog of the PNG/JPEG/GIF codec gates: 32 little-endian
+    int16 samples are synthesized per document from four chained md5
+    digests, wrapped into real RIFF/WAVE containers
+    (multimodal.encode_wav) inside Arrow-batched mapInPandas, then the
+    chunk walker + sample reader (multimodal.wav_pcm_features)
+    recovers them and reduces to the integer silence/clipping gate
+    trio: zero crossings (sign-flip count, sign = s ≥ 0), energy
+    (Σ s², exact BIGINT), and peak |s|. DuckDB recomputes everything
+    from the SAME md5 hex digits with two's-complement arithmetic —
+    a hash match proves the RIFF walk, word alignment, int16 LE
+    decode, and the feature math end to end."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pcm = F.concat(
+        F.unhex(F.md5("text")),
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit("x")))),
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit("y")))),
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit("z")))),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        pcm.alias("content"),
+    )
+
+    def _to_wav(it):
+        import numpy as _np
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = pdf["content"].map(
+                lambda b: multimodal.encode_wav(
+                    _np.frombuffer(bytes(b), "<i2", 32)
+                )
+            )
+            yield pdf
+
+    wav_media = media.mapInPandas(
+        _to_wav, "media_id long, kind string, content binary"
+    )
+    return multimodal.audio_pcm_features(wav_media).orderBy("media_id")
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized frame-explosion plan (one row per sampled frame)."""
     media = _docs_as_media(spark, sf_dir)
@@ -8575,6 +8619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_windowed_top1": q_streaming_windowed_top1,
     "changepoint_best_split": q_changepoint_best_split,
     "multimodal_gif_decode": q_multimodal_gif_decode,
+    "multimodal_wav_features": q_multimodal_wav_features,
 }
 
 
@@ -10509,6 +10554,40 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_q('SUM(0.299*r + 0.587*g + 0.114*bl)/20/255', 6)}
                        AS mean_luma
             FROM b GROUP BY media_id
+        """,
+        "multimodal_wav_features": f"""
+            WITH px AS (
+                SELECT doc_id AS media_id,
+                       lower(hex(unhex(md5(text)) || unhex(md5(text || 'x'))
+                             || unhex(md5(text || 'y'))
+                             || unhex(md5(text || 'z')))) AS hs
+                FROM documents WHERE doc_id < 200
+            ), smp AS (
+                SELECT media_id, j,
+                       CASE WHEN {_pix_hex_byte("j*4+3")} >= 128
+                            THEN {_pix_hex_byte("j*4+3")} * 256
+                                 + {_pix_hex_byte("j*4+1")} - 65536
+                            ELSE {_pix_hex_byte("j*4+3")} * 256
+                                 + {_pix_hex_byte("j*4+1")}
+                       END AS s
+                FROM px, generate_series(0, 31) AS t(j)
+            ), zc AS (
+                SELECT a.media_id,
+                       SUM(CASE WHEN (a.s >= 0) <> (b.s >= 0)
+                                THEN 1 ELSE 0 END) AS z
+                FROM smp a JOIN smp b
+                  ON b.media_id = a.media_id AND b.j = a.j + 1
+                GROUP BY a.media_id
+            )
+            SELECT s.media_id,
+                   CAST(COUNT(*) AS INT) AS n_samples,
+                   CAST(MAX(z.z) AS INT) AS zero_crossings,
+                   CAST(SUM(CAST(s.s AS BIGINT) * s.s) AS BIGINT)
+                       AS energy,
+                   CAST(MAX(ABS(s.s)) AS INT) AS peak
+            FROM smp s JOIN zc z ON z.media_id = s.media_id
+            GROUP BY s.media_id
+            ORDER BY s.media_id
         """,
         "multimodal_gif_decode": f"""
             WITH px AS (

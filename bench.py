@@ -159,6 +159,7 @@ HEADLINE = [
     "streaming_windowed_top1",
     "changepoint_best_split",
     "multimodal_gif_decode",
+    "multimodal_wav_features",
 ]
 
 

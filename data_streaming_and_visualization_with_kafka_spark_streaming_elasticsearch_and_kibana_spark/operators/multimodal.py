@@ -1066,6 +1066,97 @@ def encode_jpeg(
     )
 
 
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """mono int16 PCM → RIFF/WAVE bytes — the fixture/roundtrip twin of
+    `wav_pcm_features` (and a usable sink encoding for audio chunks)."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim != 1:
+        raise ValueError("encode_wav wants a 1-D int16 sample array")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    if len(data) % 2:  # RIFF chunks are word-aligned
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_pcm_features(content: bytes) -> tuple[int, int, int, int]:
+    """REAL sample-level features from a PCM16 WAV: (n_samples,
+    zero_crossings, energy, peak) — the integer-exact trio every audio
+    data pipeline computes before filtering (silence/clipping gates,
+    voice-activity heuristics). Walks the RIFF chunks (word-aligned,
+    unknown chunks skipped), requires PCM (format 1) 16-bit, reads the
+    interleaved samples vectorized; zero crossings count sign flips
+    with sign(x) = x >= 0, energy = Σ s² (exact int64), peak =
+    max |s|. Raises NotImplementedError for non-PCM/non-16-bit and
+    ValueError for corrupt containers."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE container")
+    pos = 12
+    fmt_ok = False
+    data: bytes | None = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("WAV: truncated chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV: short fmt chunk")
+            audio_format = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_format != 1:
+                raise NotImplementedError("only PCM WAV supported")
+            if bits != 16:
+                raise NotImplementedError("only 16-bit PCM supported")
+            fmt_ok = True
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # word alignment
+    if not fmt_ok or data is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    s = np.frombuffer(data[: len(data) // 2 * 2], "<i2").astype(np.int64)
+    if len(s) == 0:
+        return 0, 0, 0, 0
+    nonneg = s >= 0
+    zc = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+    return len(s), zc, int((s * s).sum()), int(np.abs(s).max())
+
+
+def audio_pcm_features(df: DataFrame) -> DataFrame:
+    """binary WAV column → (n_samples, zero_crossings, energy, peak)
+    via Arrow-batched mapInPandas — the sample-level sibling of the
+    header-probing duration plan."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["content"].map(
+                lambda b: wav_pcm_features(bytes(b))
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": feats.map(lambda t: t[0]),
+                    "zero_crossings": feats.map(lambda t: t[1]),
+                    "energy": feats.map(lambda t: t[2]),
+                    "peak": feats.map(lambda t: t[3]),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        "media_id long, n_samples int, zero_crossings int, "
+        "energy long, peak int",
+    )
+
+
 def wav_duration_ms(content: bytes) -> int:
     """Duration of a PCM WAV from its RIFF chunks — integer arithmetic
     only, so chunk boundaries are bit-exact reproducible."""

@@ -898,3 +898,53 @@ def test_gif_corrupt_inputs_raise_value_error():
 def test_gif_unknown_format_still_raises_not_implemented():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"RIFFxxxxWEBPVP8 ")
+
+
+# ------------------------------------------------------------------ WAV PCM
+def test_wav_pcm_features_roundtrip_matches_numpy():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for n in (0, 1, 2, 33, 1000):
+        s = rng.randint(-32768, 32768, n).astype("<i2")
+        wav = multimodal.encode_wav(s, rate=8000)
+        ns, zc, energy, peak = multimodal.wav_pcm_features(wav)
+        s64 = s.astype(np.int64)
+        nonneg = s64 >= 0
+        assert ns == n
+        assert zc == int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+        assert energy == int((s64 * s64).sum())
+        assert peak == (int(np.abs(s64).max()) if n else 0)
+
+
+def test_wav_pcm_features_walks_unknown_chunks_and_odd_padding():
+    """A LIST chunk with an odd size before the data chunk exercises
+    word-aligned chunk skipping — real recorders emit these."""
+    import numpy as np
+    import struct
+
+    s = np.array([100, -200, 300], dtype="<i2")
+    wav = bytearray(multimodal.encode_wav(s))
+    # splice an odd-sized junk chunk right after "WAVE"
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    out = bytes(wav[:12]) + junk + bytes(wav[12:])
+    out = out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+    assert multimodal.wav_pcm_features(out)[0] == 3
+
+
+def test_wav_pcm_features_contracts():
+    import numpy as np
+    import struct
+
+    with pytest.raises(NotImplementedError):  # not RIFF
+        multimodal.wav_pcm_features(b"OggS" + b"\x00" * 40)
+    s = np.array([1, 2], dtype="<i2")
+    wav = bytearray(multimodal.encode_wav(s))
+    # format 1 -> 3 (IEEE float): politely rejected, not mis-decoded
+    fmt_off = wav.index(b"fmt ") + 8
+    hacked = bytearray(wav)
+    hacked[fmt_off : fmt_off + 2] = struct.pack("<H", 3)
+    with pytest.raises(NotImplementedError):
+        multimodal.wav_pcm_features(bytes(hacked))
+    with pytest.raises(ValueError):  # truncated data chunk
+        multimodal.wav_pcm_features(bytes(wav[:-3]))
