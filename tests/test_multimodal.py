@@ -254,8 +254,12 @@ def test_compressed_or_garbage_raises_with_clear_message():
     # structure (no SOF/SOS), not with a format-unsupported message
     with pytest.raises(ValueError, match="SOF|marker|truncated"):
         multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
-    with pytest.raises(NotImplementedError, match="baseline"):
-        multimodal.decode_image(b"GIF89a not-supported")
+    # GIF is a SUPPORTED format since r8: garbage behind its signature
+    # hits the real decoder and fails on structure, not support
+    with pytest.raises(ValueError, match="GIF"):
+        multimodal.decode_image(b"GIF89a not-a-real-gif")
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        multimodal.decode_image(b"WEBPnope definitely-unsupported")
     with pytest.raises(NotImplementedError, match="PCM|RIFF"):
         multimodal.wav_duration_ms(b"ID3 mp3-ish")
 
