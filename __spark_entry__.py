@@ -7975,6 +7975,123 @@ def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization DISTORTION observability — the number an
+    ANN operator watches to know when to retrain codebooks (recall
+    decays silently; reconstruction error is the leading indicator;
+    Jégou et al., TPAMI 2011 §V): per subspace, the count, sum, and
+    max of per-vector quantization error ||x_sub − c_nearest||² over
+    the L2-normalized corpus, for the SAME seeded codebooks the
+    serving path uses (make_pq_codebooks(64, 8, 16, seed=7) — the
+    pq_adc_verified family). Pure JVM expressions: the nearest-
+    codeword distance is min_c(||c||² − 2·x_sub·c) + ||x_sub||² (the
+    pq_encode identity plus the restored constant), each per-vector
+    error floor-quantizes to micro BEFORE the sum (order-independent
+    BIGINT, the house contract; argmin margins are O(0.01) vs ~1e-13
+    cross-engine float noise). DuckDB recomputes from the codebooks
+    inlined as literals. Output: (subspace, n_vecs, sum_dist_micro,
+    max_dist_micro), subspace-ordered."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.make_pq_codebooks(dim=64, m=8, k=16, seed=7)
+    cn = (cb**2).sum(axis=2)
+    df = (
+        emb.withColumn(
+            "__nrm", F.sqrt(vectors_dot(F.col("embedding"), F.col("embedding")))
+        )
+        .filter(F.col("__nrm") > 0)
+        .withColumn(
+            "__unit",
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") / F.col("__nrm"),
+            ),
+        )
+    )
+    per_s = []
+    for s in range(8):
+        xsub = F.slice("__unit", s * 8 + 1, 8)
+        xx = vectors_dot(xsub, xsub)
+        mind = F.array_min(
+            F.array(
+                *[
+                    F.lit(float(cn[s, c]))
+                    - 2.0
+                    * vectors_dot(
+                        xsub,
+                        F.array(*[F.lit(float(v)) for v in cb[s, c]]),
+                    )
+                    for c in range(16)
+                ]
+            )
+        )
+        per_s.append(
+            F.struct(
+                F.lit(s).alias("subspace"),
+                F.floor((mind + xx) * 1e6 + F.lit(0.5))
+                .cast("long")
+                .alias("q"),
+            )
+        )
+    exploded = df.select(F.explode(F.array(*per_s)).alias("e")).select(
+        "e.subspace", "e.q"
+    )
+    return (
+        exploded.groupBy("subspace")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("q").alias("sum_dist_micro"),
+            F.max("q").alias("max_dist_micro"),
+        )
+        .orderBy("subspace")
+    )
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search for the fixed bigram phrase
+    "data stream" — the retrieval tier BM25's bag-of-words cannot
+    express (a phrase is an ADJACENCY constraint, the classic
+    positional-inverted-index workload; Manning et al., IIR §2.4).
+    Construction: one posexplode builds the positional posting list
+    (doc, term, pos) for JUST the phrase's terms (the term filter
+    prunes before the shuffle — at 100 TB the posting list for two
+    terms is a sliver of the corpus); the phrase match is the
+    (doc, pos+1) equi-join of the two term lists — adjacency as a
+    join key, no UDFs, no regex over raw text for the MATCHING step
+    (a regexp count would miss overlapping/tokenization subtleties
+    the index must own). phrase_tf = exact match count per doc;
+    output is scored by (phrase_tf DESC, doc_id ASC), top-50, with
+    first_pos as the snippet anchor. DuckDB replays the identical
+    posting-list join. Tokenization = the engine-wide split_words
+    (lower + whitespace), so the differential gate also pins the
+    tokenizer's position semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(split_words("text"), lambda t: t != "")
+        ).alias("pos", "term"),
+    ).filter(F.col("term").isin("data", "stream"))
+    a = toks.filter(F.col("term") == "data").select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = toks.filter(F.col("term") == "stream").select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    hits = a.join(
+        b,
+        (a["doc_id"] == b["doc_id"]) & (F.col("pb") == F.col("pa") + 1),
+    ).select(a["doc_id"].alias("doc_id"), "pa")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("phrase_tf"),
+            F.min("pa").alias("first_pos"),
+        )
+        .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 def q_spearman_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between order value and order date
     (are basket sizes drifting over time?) — the robust, outlier-immune
@@ -8620,6 +8737,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "changepoint_best_split": q_changepoint_best_split,
     "multimodal_gif_decode": q_multimodal_gif_decode,
     "multimodal_wav_features": q_multimodal_wav_features,
+    "phrase_search": q_phrase_search,
+    "pq_distortion_report": q_pq_distortion_report,
 }
 
 
@@ -8760,6 +8879,44 @@ def _pq_adc_oracle_sql() -> str:
                GROUP BY a.vec_id)
         SELECT vec_id, FLOOR(dist * 1000000 + 0.5) / 1000000.0 AS adc_dist
         FROM sc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+    """
+
+
+def _pq_distortion_oracle_sql() -> str:
+    """DuckDB twin of q_pq_distortion_report: same codebook literals as
+    the ADC oracle; per (vector, subspace) the nearest-codeword error
+    min_c(cn − 2·x_sub·c) + x_sub·x_sub floor-quantizes to micro BEFORE
+    the per-subspace sum (order-independent BIGINT; argmin margins are
+    O(0.01) vs ~1e-13 cross-engine noise, the pq_adc contract)."""
+    cb = similarity.make_pq_codebooks(dim=64, m=8, k=16, seed=7)
+    cn = (cb**2).sum(axis=2)
+    rows = ", ".join(
+        f"({s}, {c}, {repr(float(cn[s, c]))}, "
+        f"[{', '.join(repr(float(v)) for v in cb[s, c])}]::DOUBLE[])"
+        for s in range(8)
+        for c in range(16)
+    )
+    return f"""
+        WITH cb(s, c, cn, ctr) AS (VALUES {rows}),
+        e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id,
+                     list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS u
+              FROM e0 WHERE list_inner_product(v, v) > 0),
+        sub AS (SELECT vec_id, t.s,
+                       array_slice(u, t.s * 8 + 1, t.s * 8 + 8) AS us
+                FROM e, range(8) t(s)),
+        d AS (SELECT sub.vec_id, sub.s,
+                     MIN(cb.cn - 2 * list_inner_product(sub.us, cb.ctr))
+                         + list_inner_product(sub.us, sub.us) AS dist
+              FROM sub JOIN cb ON cb.s = sub.s
+              GROUP BY sub.vec_id, sub.s, sub.us),
+        q AS (SELECT s, CAST(FLOOR(dist * 1000000 + 0.5) AS BIGINT) AS q
+              FROM d)
+        SELECT s AS subspace,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(q) AS BIGINT) AS sum_dist_micro,
+               CAST(MAX(q) AS BIGINT) AS max_dist_micro
+        FROM q GROUP BY s ORDER BY s
     """
 
 
@@ -10419,6 +10576,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_bucket_verified": _lsh_bucket_oracle_sql(),
         "pq_adc_verified": _pq_adc_oracle_sql(),
+        "pq_distortion_report": _pq_distortion_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """
             WITH l AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
@@ -10554,6 +10712,33 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_q('SUM(0.299*r + 0.587*g + 0.114*bl)/20/255', 6)}
                        AS mean_luma
             FROM b GROUP BY media_id
+        """,
+        "phrase_search": r"""
+            WITH toks AS (
+                SELECT doc_id, term, pos - 1 AS pos
+                FROM (
+                    SELECT doc_id,
+                           UNNEST(string_split_regex(lower(trim(text)),
+                                                     '\s+')) AS term,
+                           UNNEST(generate_series(1,
+                               len(string_split_regex(lower(trim(text)),
+                                                      '\s+')))) AS pos
+                    FROM documents
+                )
+                WHERE term IN ('data', 'stream')
+            ),
+            hits AS (
+                SELECT a.doc_id, a.pos AS pa
+                FROM toks a JOIN toks b
+                  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                WHERE a.term = 'data' AND b.term = 'stream'
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS phrase_tf,
+                   CAST(MIN(pa) AS INT) AS first_pos
+            FROM hits GROUP BY doc_id
+            ORDER BY phrase_tf DESC, doc_id ASC
+            LIMIT 50
         """,
         "multimodal_wav_features": f"""
             WITH px AS (

@@ -160,6 +160,8 @@ HEADLINE = [
     "changepoint_best_split",
     "multimodal_gif_decode",
     "multimodal_wav_features",
+    "phrase_search",
+    "pq_distortion_report",
 ]
 
 
