@@ -8092,6 +8092,51 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (NEAR/k) search — "hash" within 5 tokens of "join",
+    either order: the query operator between bag-of-words BM25 and
+    exact phrase adjacency (Manning et al., IIR §2.4.2's positional
+    postings algorithm), what legal/code search calls NEAR and what
+    reranking features call minimum token distance. Same scale shape
+    as phrase_search: the positional posting list is built for JUST
+    the two terms (filter before the shuffle), pairs come from a
+    doc-keyed equi-join with the |Δpos| ≤ 5 band predicate (per-doc
+    term frequencies are bounded, so the join is posting-list-sized,
+    never corpus²), and per doc the report carries the pair count and
+    the MINIMUM absolute distance (the rerank feature). Output:
+    top-50 by (n_pairs DESC, min_dist ASC, doc_id ASC)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(split_words("text"), lambda t: t != "")
+        ).alias("pos", "term"),
+    ).filter(F.col("term").isin("hash", "join"))
+    a = toks.filter(F.col("term") == "hash").select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = toks.filter(F.col("term") == "join").select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    pairs = a.join(
+        b,
+        (a["doc_id"] == b["doc_id"])
+        & (F.abs(F.col("pa") - F.col("pb")) <= 5),
+    ).select(
+        a["doc_id"].alias("doc_id"),
+        F.abs(F.col("pa") - F.col("pb")).alias("d"),
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("d").alias("min_dist"),
+        )
+        .orderBy(F.desc("n_pairs"), F.asc("min_dist"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 def q_spearman_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between order value and order date
     (are basket sizes drifting over time?) — the robust, outlier-immune
@@ -8739,6 +8784,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_wav_features": q_multimodal_wav_features,
     "phrase_search": q_phrase_search,
     "pq_distortion_report": q_pq_distortion_report,
+    "proximity_search": q_proximity_search,
 }
 
 
@@ -10712,6 +10758,34 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_q('SUM(0.299*r + 0.587*g + 0.114*bl)/20/255', 6)}
                        AS mean_luma
             FROM b GROUP BY media_id
+        """,
+        "proximity_search": r"""
+            WITH toks AS (
+                SELECT doc_id, term, pos - 1 AS pos
+                FROM (
+                    SELECT doc_id,
+                           UNNEST(string_split_regex(lower(trim(text)),
+                                                     '\s+')) AS term,
+                           UNNEST(generate_series(1,
+                               len(string_split_regex(lower(trim(text)),
+                                                      '\s+')))) AS pos
+                    FROM documents
+                )
+                WHERE term IN ('hash', 'join')
+            ),
+            pairs AS (
+                SELECT a.doc_id, ABS(a.pos - b.pos) AS d
+                FROM toks a JOIN toks b
+                  ON b.doc_id = a.doc_id
+                 AND ABS(a.pos - b.pos) <= 5
+                WHERE a.term = 'hash' AND b.term = 'join'
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(MIN(d) AS INT) AS min_dist
+            FROM pairs GROUP BY doc_id
+            ORDER BY n_pairs DESC, min_dist ASC, doc_id ASC
+            LIMIT 50
         """,
         "phrase_search": r"""
             WITH toks AS (

@@ -162,6 +162,7 @@ HEADLINE = [
     "multimodal_wav_features",
     "phrase_search",
     "pq_distortion_report",
+    "proximity_search",
 ]
 
 
