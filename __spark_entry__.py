@@ -8092,6 +8092,98 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_activity_correlation_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the per-event-type DAILY
+    count series — the signal-coupling panel (do errors spike with
+    logins? do purchases track clicks?) every ops/growth dashboard
+    keeps, and the multivariate companion to acf (self-coupling) and
+    welch/mann-whitney (two-group location). Series live on the
+    calendar-day grid with missing days = 0, WITHOUT materializing the
+    grid (the acf trick): zero days add nothing to Σx, Σx², or Σxy, so
+    only n = calendar length enters the moments. Everything exact:
+    per-type Σx / DECIMAL-accumulated Σx² from one (type, day) table,
+    cross-moments Σx_a·x_b from its day-keyed self-join (per-day rows
+    are bounded by |event types|, so the self-join is day-grain-sized),
+    num and the two variance terms emitted as correctly-rounded
+    DOUBLEs of exact integers, r_micro = ONE IEEE expression per pair.
+    Output: (type_a, type_b, n_days, num, r_micro) for a < b,
+    pair-ordered."""
+    ev = _t(spark, sf_dir, "events")
+    td = (
+        ev.select(
+            "event_type",
+            F.floor(_epoch_sec("ts") / 86400).cast("long").alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    span = td.agg(
+        (F.max("d") - F.min("d") + 1).alias("n")
+    )
+    per_t = td.groupBy("event_type").agg(
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
+    )
+    a = td.select(
+        F.col("event_type").alias("type_a"), "d", F.col("x").alias("xa")
+    )
+    b = td.select(
+        F.col("event_type").alias("type_b"), "d", F.col("x").alias("xb")
+    )
+    cross = (
+        a.join(b, "d")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                F.col("xa").cast("decimal(38,0)") * F.col("xb")
+            ).alias("p")
+        )
+    )
+    pa = per_t.select(
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("sa"),
+        F.col("q").alias("qa"),
+    )
+    pb = per_t.select(
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("sb"),
+        F.col("q").alias("qb"),
+    )
+    j = (
+        cross.join(pa, "type_a")
+        .join(pb, "type_b")
+        .crossJoin(F.broadcast(span))
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * p"
+            " - CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)"
+        ).alias("num"),
+        F.expr(
+            "CASE WHEN CAST(n AS DECIMAL(38,0)) * qa"
+            "        = CAST(sa AS DECIMAL(38,0)) * sa"
+            "     OR CAST(n AS DECIMAL(38,0)) * qb"
+            "        = CAST(sb AS DECIMAL(38,0)) * sb"
+            " THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(FLOOR("
+            "   CAST(CAST(n AS DECIMAL(38,0)) * p"
+            "        - CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)"
+            " / SQRT(CAST(CAST(n AS DECIMAL(38,0)) * qa"
+            "             - CAST(sa AS DECIMAL(38,0)) * sa AS DOUBLE)"
+            "      * CAST(CAST(n AS DECIMAL(38,0)) * qb"
+            "             - CAST(sb AS DECIMAL(38,0)) * sb AS DOUBLE))"
+            " * 1000000 + 0.5) AS BIGINT) END"
+        ).alias("r_micro"),
+    ).orderBy("type_a", "type_b")
+
+
 def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity (NEAR/k) search — "hash" within 5 tokens of "join",
     either order: the query operator between bag-of-words BM25 and
@@ -8785,6 +8877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search": q_phrase_search,
     "pq_distortion_report": q_pq_distortion_report,
     "proximity_search": q_proximity_search,
+    "activity_correlation_matrix": q_activity_correlation_matrix,
 }
 
 
@@ -10758,6 +10851,48 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_q('SUM(0.299*r + 0.587*g + 0.114*bl)/20/255', 6)}
                        AS mean_luma
             FROM b GROUP BY media_id
+        """,
+        "activity_correlation_matrix": """
+            WITH td AS (
+                SELECT event_type,
+                       CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+                       COUNT(*) AS x
+                FROM events GROUP BY 1, 2
+            ),
+            span AS (SELECT MAX(d) - MIN(d) + 1 AS n FROM td),
+            per_t AS (
+                SELECT event_type, CAST(SUM(x) AS BIGINT) AS s,
+                       SUM(CAST(x AS HUGEINT) * x) AS q
+                FROM td GROUP BY 1
+            ),
+            cm AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       SUM(CAST(a.x AS HUGEINT) * b.x) AS p
+                FROM td a JOIN td b
+                  ON a.d = b.d AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+                   CAST(n * p - CAST(pa.s AS HUGEINT) * pb.s AS DOUBLE)
+                       AS num,
+                   CASE WHEN n * pa.q = CAST(pa.s AS HUGEINT) * pa.s
+                          OR n * pb.q = CAST(pb.s AS HUGEINT) * pb.s
+                        THEN CAST(0 AS BIGINT)
+                        ELSE CAST(FLOOR(
+                            CAST(n * p - CAST(pa.s AS HUGEINT) * pb.s
+                                 AS DOUBLE)
+                          / SQRT(CAST(n * pa.q
+                                      - CAST(pa.s AS HUGEINT) * pa.s
+                                      AS DOUBLE)
+                               * CAST(n * pb.q
+                                      - CAST(pb.s AS HUGEINT) * pb.s
+                                      AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT) END AS r_micro
+            FROM cm
+            JOIN per_t pa ON pa.event_type = cm.type_a
+            JOIN per_t pb ON pb.event_type = cm.type_b
+            CROSS JOIN span
+            ORDER BY type_a, type_b
         """,
         "proximity_search": r"""
             WITH toks AS (

@@ -163,6 +163,7 @@ HEADLINE = [
     "phrase_search",
     "pq_distortion_report",
     "proximity_search",
+    "activity_correlation_matrix",
 ]
 
 
