@@ -7653,7 +7653,9 @@ def q_streaming_windowed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="stream_wtop1_")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        _stage_stream_files(stage, f"{sf_dir}/events.parquet", "events")
+        data_mtime = _stage_stream_files(
+            stage, f"{sf_dir}/events.parquet", "events"
+        )
         batch = spark.read.parquet(f"{sf_dir}/events.parquet")
         batch_schema = batch.schema
         ts_type = batch_schema["ts"].dataType.simpleString()
@@ -7674,8 +7676,16 @@ def q_streaming_windowed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
             f for f in os.listdir(scratch)
             if f.endswith(".parquet") and not f.startswith(".")
         )
-        shutil.move(os.path.join(scratch, part), f"{stage}/zz_wm.parquet")
+        sent_path = f"{stage}/zz_wm.parquet"
+        shutil.move(os.path.join(scratch, part), sent_path)
         shutil.rmtree(scratch, ignore_errors=True)
+        # mtime-stamp the sentinel strictly after the data (the
+        # left-outer-join discipline): today the single availableNow
+        # batch ingests everything at once, but if batching is ever
+        # introduced the file source orders oldest-first — a sentinel
+        # landing in an EARLIER batch would jump the watermark to
+        # max+8h and silently drop every real event as late data
+        os.utime(sent_path, (data_mtime + 3600, data_mtime + 3600))
 
         stream = readers.file_stream(spark, stage, batch_schema)
         if ts_type == "bigint":

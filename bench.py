@@ -304,17 +304,22 @@ def main() -> None:
     }
     # wire_replay must never cost us the headline numbers already
     # measured above — any failure inside it degrades to a note.
-    # Protocol: 1 warmup + best-of-3 measured. The path's cost is
-    # dominated by Python DataSource worker + Arrow codec warm-up that
-    # takes >1 repetition to saturate (r7 forensics, PLANS.md): a
-    # single measured call reported anywhere from 15.3k to 17.9k
-    # rows/s on an idle JVM while the steady state is ~20k; best-of-3
-    # reports the throughput the path actually sustains.
+    # Protocol: 1 warmup + median-of-3 measured, the SAME statistic as
+    # every headline query median (r8 briefly reported best-of-3, which
+    # inflates the number and weakens round-over-round comparability —
+    # reverted). The warmup call absorbs the Python DataSource worker +
+    # Arrow codec cold start (r7 forensics, PLANS.md); the best run is
+    # reported alongside for the saturation story, never as the headline.
     try:
         wire_replay(spark)  # warmup (Python DataSource worker, CSV scan)
         runs = [wire_replay(spark) for _ in range(3)]
-        payload.update(
-            max(runs, key=lambda r: r.get("wire_replay_rows_per_sec", 0))
+        ordered = sorted(
+            runs, key=lambda r: r.get("wire_replay_rows_per_sec", 0)
+        )
+        median_run = ordered[1]
+        payload.update(median_run)
+        payload["wire_replay_best_rows_per_sec"] = ordered[-1].get(
+            "wire_replay_rows_per_sec", 0
         )
     except Exception as e:  # noqa: BLE001
         payload["wire_replay_error"] = str(e)[:200]
@@ -327,6 +332,21 @@ def main() -> None:
     except OSError:
         pass
     line = json.dumps(payload, separators=(",", ":"))
+    # Precision ladder: wide medians (a 100+s streaming query) can push
+    # the 2-dp line past the driver's 2,000-char capture buffer. Losing
+    # a decimal place is strictly better than losing the per-query map,
+    # so degrade 2dp → 1dp → 0dp before the drop-everything fallback
+    # (full 3-dp numbers always live in BENCH_FULL.json regardless).
+    for ndp in (1, 0):
+        if len(line) <= 1950:
+            break
+        payload["queries"] = {
+            f"q{i + 1}": (
+                int(round(times[name])) if ndp == 0 else round(times[name], ndp)
+            )
+            for i, name in enumerate(HEADLINE)
+        }
+        line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1950:  # belt-and-braces: never overflow the buffer
         payload["queries"] = {"n": len(times)}
         payload["key"] = "per-query times in BENCH_FULL.json"

@@ -741,12 +741,25 @@ def bfs_hops(
             break
         n_settled = n_next
     if not converged:
-        warnings.warn(
-            f"bfs_hops: round {max_rounds} still settled new nodes — "
-            "nodes beyond that depth are absent; raise max_rounds",
-            RuntimeWarning,
-            stacklevel=2,
+        # the final allowed round may have settled the LAST frontier —
+        # then nothing is missing and the warning would be a false
+        # positive. One extra probe (anti-join of the would-be next
+        # frontier against the settled set) decides: warn only when
+        # another round would actually add nodes.
+        would_add = (
+            sym.join(dist, "node")
+            .select(F.col("o").alias("node"))
+            .join(dist.select("node"), "node", "left_anti")
+            .limit(1)
+            .count()
         )
+        if would_add > 0:
+            warnings.warn(
+                f"bfs_hops: round {max_rounds} still settled new nodes — "
+                "nodes beyond that depth are absent; raise max_rounds",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return dist
 
 
