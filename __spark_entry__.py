@@ -7565,15 +7565,18 @@ def q_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs by shared-neighbor count, with the Jaccard-normalized score
     cn/(deg_a + deg_b − cn) in integer micro-units. Construction:
     simplified undirected graph (the kcore/assortativity contract),
-    wedge enumeration as the node-keyed self-join of the symmetrized
-    edge list (cost Σ deg(m)² — the SAME wedge bound triangle_count
-    and clustering_coefficients pay; at web scale the standard hub
-    mitigations — degree-capped middles, rarest-first orientation —
-    apply identically), existing edges removed by a left-anti join on
-    the simplified edge list, degrees re-attached by two node-keyed
-    joins. Everything is exact integers; ordering (cn DESC, a, b) is
-    total. The gap is 300 s (vs the 60 s bfs/assortativity graph) so
-    the wedge set is non-trivial at every test scale. Output:
+    wedge enumeration via graph.common_neighbor_counts — the HUB-SAFE
+    census: exact CN is inherently Σ C(deg(m), 2) output rows (every
+    wedge counts, so degree orientation — the triangle_count fix —
+    does not apply), but the self-join is block-decomposed so a hub's
+    pair generation spreads over ⌈deg/4096⌉ join keys instead of
+    landing on the one reducer that owns its node id; low-degree
+    centers degenerate to the plain join with zero replication.
+    Existing edges removed by a left-anti join on the simplified edge
+    list, degrees re-attached by two node-keyed joins. Everything is
+    exact integers; ordering (cn DESC, a, b) is total. The gap is
+    300 s (vs the 60 s bfs/assortativity graph) so the wedge set is
+    non-trivial at every test scale. Output:
     (a, b, common_n, deg_a, deg_b, jacc_micro)."""
     ev = _t(spark, sf_dir, "events")
     edges = graph.consecutive_user_edges(ev, max_gap_s=300)
@@ -7590,14 +7593,7 @@ def q_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("node"), F.col("b").alias("o")
     ).unionByName(ue.select(F.col("b").alias("node"), F.col("a").alias("o")))
     deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
-    x = sym.select("node", F.col("o").alias("pa"))
-    y = sym.select("node", F.col("o").alias("pb"))
-    wedges = (
-        x.join(y, "node")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
-        .agg(F.count("*").alias("common_n"))
-    )
+    wedges = graph.common_neighbor_counts(ue, src="a", dst="b")
     nonedge = wedges.join(ue, ["a", "b"], "left_anti")
     return (
         nonedge.join(

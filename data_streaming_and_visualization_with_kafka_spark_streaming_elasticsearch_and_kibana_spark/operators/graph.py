@@ -185,6 +185,80 @@ def resolve_ancestors(
     )
 
 
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Simplify a directed edge list to canonical undirected edges:
+    (a, b) with a < b, self-loops dropped, multi-edges collapsed —
+    the shared first step of every wedge-family operator."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _degree_oriented(
+    e: DataFrame, deg: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Orient each canonical edge (a, b) from its lower-(degree, id)
+    endpoint to the higher one — the compact-forward orientation
+    (Latapy 2008; Cohen's MapReduce triangles 2009) that turns the
+    wedge self-join's Σ deg(v)² bound into Σ outdeg(v)², with
+    outdeg(v) ≤ O(√m) on ANY graph (a node keeps an out-edge only
+    toward neighbors of equal-or-higher degree, and there can be at
+    most 2√m nodes of degree ≥ √m). On a hub-and-spoke graph the hub
+    — deg(hub)² wedge rows under id-orientation — ends up with
+    out-degree ≈ 0: its wedges are enumerated from the low-degree
+    leaves instead, each contributing O(1).
+
+    `e` is the canonical (a, b) edge table; `deg` is (node, degree)
+    over the same simplification. Returns (u, v, dv): the edge
+    oriented u→v with (deg(u), u) < (deg(v), v), carrying v's degree
+    so wedge enumeration can order endpoint pairs by the SAME total
+    order without re-joining degrees. `keep` columns of `e` (edge
+    payloads like weights) pass through unchanged — the edge is the
+    same edge whichever way it points."""
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    return ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("dv"),
+        *[F.col(c) for c in keep],
+    )
+
+
+def _oriented_closed_wedges(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Enumerate each triangle of the canonical edge set EXACTLY once
+    as (u, w_x, w_y): u is the triangle's minimum node under the
+    (degree, id) total order, and (w_x, w_y) its other two corners in
+    that same order. Mechanism: degree-orient the edges, self-join the
+    out-adjacency on the low-degree end u (cost Σ outdeg(u)², the
+    compact-forward bound), order each wedge's endpoints by (dv, v),
+    and keep wedges whose closing edge exists in the oriented table —
+    which it does iff x—y are adjacent, since orientation preserves
+    exactly the (lower → higher) direction the wedge ordering asks
+    for."""
+    o = _degree_oriented(e, deg).localCheckpoint(eager=False)
+    o1 = o.select("u", F.col("v").alias("w_x"), F.col("dv").alias("_dx"))
+    o2 = o.select("u", F.col("v").alias("w_y"), F.col("dv").alias("_dy"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("_dx") < F.col("_dy"))
+        | ((F.col("_dx") == F.col("_dy")) & (F.col("w_x") < F.col("w_y")))
+    )
+    return wedges.join(
+        o.select(F.col("u").alias("w_x"), F.col("v").alias("w_y")),
+        ["w_x", "w_y"],
+        "left_semi",
+    ).select("u", "w_x", "w_y")
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -201,34 +275,28 @@ def triangle_count(
     count, which under-counts the census.)
 
     Shape: symmetrize + dedup to canonical a<b edges (one shuffle),
-    build candidate wedges by joining the edge list with itself on the
-    lower endpoint, then close each wedge with a third join. Join
-    volume is Σ deg(v)² — at cluster scale you first ORIENT edges from
-    lower to higher degree (cuts the join to Σ min-deg, the standard
-    compact-forward trick; noted here, id-orientation used since the
-    catalog graphs are near-regular). Every join keys on node ids and
-    the output is a constant-size row."""
-    e = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("a"),
-        F.greatest(F.col(src), F.col(dst)).alias("b"),
-    ).filter(F.col("a") != F.col("b")).distinct()
+    DEGREE-ORIENT them (lower-(degree, id) endpoint → higher, see
+    _degree_oriented), self-join the out-adjacency on the low-degree
+    end, and close each wedge with a semi-join against the oriented
+    edges. Join volume is Σ outdeg(v)² with outdeg ≤ O(√m) — the
+    compact-forward bound — vs the Σ deg(v)² an id-oriented wedge
+    join pays (a single 10⁶-degree hub: 10¹² wedge rows from one key
+    there, ~0 here; measured in tools/graph_sketch_scaling.py's
+    hub-graph row). Every join keys on node ids and the output is a
+    constant-size row."""
+    e = _canonical_edges(edges, src, dst)
     nodes = (
         e.select(F.col("a").alias("n"))
         .unionByName(e.select(F.col("b").alias("n")))
         .distinct()
     )
     deg = (
-        e.select(F.col("a").alias("n"))
-        .unionByName(e.select(F.col("b").alias("n")))
-        .groupBy("n")
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
-    e1 = e.select(F.col("a").alias("w_a"), F.col("b").alias("w_x"))
-    e2 = e.select(F.col("a").alias("w_a"), F.col("b").alias("w_y"))
-    wedges = e1.join(e2, "w_a").filter(F.col("w_x") < F.col("w_y"))
-    tri = wedges.join(
-        e, (e.a == F.col("w_x")) & (e.b == F.col("w_y")), "left_semi"
-    )
+    tri = _oriented_closed_wedges(e, deg)
     # each crossJoin side is a single-row global aggregate; the explicit
     # broadcast keeps the plan a BroadcastNestedLoopJoin of scalars even
     # with AQE off (AQE would broadcast them anyway, but the plan-audit
@@ -260,31 +328,25 @@ def clustering_coefficients(
     broadcast hubs score low). Returns (node, degree, n_triangles,
     coeff) with coeff NULL for degree < 2.
 
-    Shape: the same canonical-edge wedge-close joins as
-    triangle_count, but each closed triangle (a, x, y) explodes into
-    its three member nodes and aggregates per node — one extra narrow
+    Shape: the same degree-oriented wedge-close joins as
+    triangle_count (Σ outdeg² ≤ O(m^1.5) total work — the
+    compact-forward bound, not the Σ deg² an id-oriented join pays on
+    hub graphs), but each closed triangle (u, x, y) explodes into its
+    three member nodes and aggregates per node — one extra narrow
     shuffle on node id. Degrees and triangle counts are exact BIGINTs;
     the coefficient is one IEEE division of them, so any engine agrees
     bit-for-bit."""
-    e = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("a"),
-        F.greatest(F.col(src), F.col(dst)).alias("b"),
-    ).filter(F.col("a") != F.col("b")).distinct()
+    e = _canonical_edges(edges, src, dst)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
-    e1 = e.select(F.col("a").alias("w_a"), F.col("b").alias("w_x"))
-    e2 = e.select(F.col("a").alias("w_a"), F.col("b").alias("w_y"))
-    wedges = e1.join(e2, "w_a").filter(F.col("w_x") < F.col("w_y"))
-    closed = wedges.join(
-        e, (e.a == F.col("w_x")) & (e.b == F.col("w_y")), "left_semi"
-    )
+    closed = _oriented_closed_wedges(e, deg)
     tri_nodes = (
         closed.select(
-            F.explode(F.array("w_a", "w_x", "w_y")).alias("node")
+            F.explode(F.array("u", "w_x", "w_y")).alias("node")
         )
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
@@ -298,6 +360,102 @@ def clustering_coefficients(
         / (F.col("degree") * (F.col("degree") - 1)),
     )
     return out.select("node", "degree", "n_triangles", coeff.alias("coeff"))
+
+
+def common_neighbor_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    block_size: int = 4096,
+) -> DataFrame:
+    """Common-neighbor counts for every unordered node pair with at
+    least one shared neighbor — the enumeration core of
+    common-neighbors / Jaccard / Adamic-Adar link prediction. Returns
+    (a, b, common_n) with a < b; pairs include ADJACENT ones (callers
+    anti-join the edge list to keep only link-prediction candidates).
+
+    Exact CN is inherently a full wedge census — every wedge
+    (x, m, y) contributes one count, so Σ C(deg(m), 2) output rows
+    are unavoidable and degree orientation does NOT apply (orientation
+    changes which endpoint ENUMERATES a wedge, which is enough for
+    triangle counting where one witness suffices, but CN must count
+    every center — see _degree_oriented for the triangle-side story).
+    What CAN be fixed is the skew: a naive self-join on the center
+    puts ALL of a hub's C(deg, 2) pair generation on the single
+    reducer that owns its key — a 10⁶-degree node is 5·10¹¹ rows from
+    one task. This implementation BLOCK-DECOMPOSES each center's
+    neighbor set: neighbors hash into G = ⌈deg/block_size⌉ buckets,
+    the left side replicates each neighbor to the block range
+    [own..G-1], and the join keys on (center, target_block) — so a
+    hub's pair generation spreads over G ≈ deg/B join keys of
+    ≤ deg·B work each, while shuffle volume grows only by the
+    replication factor ≈ deg/(2B) ≪ output size. Low-degree centers
+    (G = 1) degenerate to the plain self-join with zero replication,
+    so small graphs pay ~nothing. The final (a, b) count aggregation
+    is keyed on the PAIR — diverse keys, no skew. Output is identical
+    for any block_size (the hash only routes work), so the operator
+    stays differentially checkable against a brute-force oracle."""
+    pairs = _cn_pair_stream(edges, src, dst, block_size)
+    return pairs.groupBy(
+        F.least("pa", "pb").alias("a"),
+        F.greatest("pa", "pb").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("common_n"))
+
+
+def _cn_pair_stream(
+    edges: DataFrame, src: str, dst: str, block_size: int
+) -> DataFrame:
+    """The block-decomposed wedge ENUMERATION stage of
+    common_neighbor_counts: one (pa, pb) row per wedge, each unordered
+    pair emitted exactly once per shared neighbor. Split out so the
+    skew-isolation tooling (tools/wedge_hub_scaling.py) can time the
+    stage the blocking actually fixes — the downstream (pa, pb) count
+    has diverse keys and is output-bound by definition."""
+    sym_a = _canonical_edges(edges, src, dst)
+    sym = sym_a.select(
+        F.col("a").alias("node"), F.col("b").alias("o")
+    ).unionByName(
+        sym_a.select(F.col("b").alias("node"), F.col("a").alias("o"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    g_tbl = deg.select(
+        "node",
+        ((F.col("deg") + block_size - 1) / block_size)
+        .cast("long")
+        .alias("n_blocks"),
+    )
+    nb = sym.join(g_tbl, "node").select(
+        "node",
+        "o",
+        F.pmod(F.xxhash64("o"), F.col("n_blocks")).alias("g"),
+        "n_blocks",
+    )
+    left = nb.select(
+        "node",
+        F.col("o").alias("pa"),
+        F.col("g").alias("ga"),
+        F.explode(
+            F.sequence(F.col("g"), F.col("n_blocks") - 1)
+        ).alias("tb"),
+    )
+    right = nb.select(
+        "node", F.col("o").alias("pb"), F.col("g").alias("gb")
+    )
+    # merge hint: this join is a deliberate many-to-many expansion —
+    # every probe key matches ~block_size rows. A broadcast hash join
+    # (Spark's pick while the adjacency is small) pays a hashed-
+    # relation probe per OUTPUT row (measured 12x slower than the
+    # sorted-run merge at 8*10^8 outputs), and at cluster scale the
+    # adjacency never fits the broadcast threshold anyway — so pin the
+    # strategy the big-data plan uses and let the (center, block) key
+    # spread the reducers.
+    return left.join(
+        right.hint("merge"),
+        (left.node == right.node) & (left.tb == right.gb),
+    ).filter(
+        (F.col("ga") < F.col("gb"))
+        | ((F.col("ga") == F.col("gb")) & (F.col("pa") < F.col("pb")))
+    )
 
 
 def clustering_coefficients_weighted(
@@ -324,8 +482,10 @@ def clustering_coefficients_weighted(
     coefficient is one IEEE division of two exact integers, so a DuckDB
     CTE oracle agrees bit-for-bit.
 
-    Shape: same canonical wedge-close joins as clustering_coefficients
-    with the weight carried through; each closed triangle explodes into
+    Shape: same DEGREE-ORIENTED wedge-close joins as
+    clustering_coefficients (Σ outdeg² — the compact-forward bound)
+    with the weight carried through orientation (the edge is the same
+    edge whichever way it points); each closed triangle explodes into
     its three member contributions (w_ij + w_ih at member i) and
     aggregates per node — one extra narrow shuffle on node id. Returns
     (node, degree, strength, n_triangles, coeff_w); coeff_w NULL for
@@ -348,17 +508,29 @@ def clustering_coefficients_weighted(
         .groupBy("node")
         .agg(F.count("*").alias("degree"), F.sum("w").alias("strength"))
     )
-    e1 = e.select(
-        F.col("a").alias("w_a"), F.col("b").alias("w_x"), F.col("w").alias("w_ax")
+    o = _degree_oriented(
+        e, deg.select("node", "degree"), keep=("w",)
+    ).localCheckpoint(eager=False)
+    o1 = o.select(
+        "u",
+        F.col("v").alias("w_x"),
+        F.col("dv").alias("_dx"),
+        F.col("w").alias("w_ax"),
     )
-    e2 = e.select(
-        F.col("a").alias("w_a"), F.col("b").alias("w_y"), F.col("w").alias("w_ay")
+    o2 = o.select(
+        "u",
+        F.col("v").alias("w_y"),
+        F.col("dv").alias("_dy"),
+        F.col("w").alias("w_ay"),
     )
-    wedges = e1.join(e2, "w_a").filter(F.col("w_x") < F.col("w_y"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("_dx") < F.col("_dy"))
+        | ((F.col("_dx") == F.col("_dy")) & (F.col("w_x") < F.col("w_y")))
+    )
     closed = wedges.join(
-        e.select(
-            F.col("a").alias("w_x"),
-            F.col("b").alias("w_y"),
+        o.select(
+            F.col("u").alias("w_x"),
+            F.col("v").alias("w_y"),
             F.col("w").alias("w_xy"),
         ),
         ["w_x", "w_y"],
@@ -368,7 +540,7 @@ def clustering_coefficients_weighted(
             F.explode(
                 F.array(
                     F.struct(
-                        F.col("w_a").alias("node"),
+                        F.col("u").alias("node"),
                         (F.col("w_ax") + F.col("w_ay")).alias("c"),
                     ),
                     F.struct(

@@ -421,3 +421,87 @@ def test_degree_assortativity_regular_graph_degenerate(spark):
     e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
     row = graph.degree_assortativity(e).collect()[0]
     assert row.den == 0 and row.r_micro == 0
+
+
+# ---------------------------------------------------------------- r9:
+# degree-oriented wedge machinery + block-decomposed CN census
+
+
+def test_degree_orientation_hub_has_zero_out_degree(spark):
+    # star: the hub (deg n) must never be a wedge CENTER under the
+    # (degree, id) orientation — all edges orient leaf → hub, so the
+    # Σ outdeg² wedge bound is 0 where id-orientation (hub = min id)
+    # pays C(n, 2)
+    n = 50
+    e = _edges(spark, [(0, i) for i in range(1, n + 1)])
+    canon = graph._canonical_edges(e, "src", "dst")
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    o = graph._degree_oriented(canon, deg)
+    out_deg = {r.u: r.c for r in o.groupBy("u").agg(F.count("*").alias("c")).collect()}
+    assert 0 not in out_deg  # hub enumerates no wedges
+    assert all(v == 1 for v in out_deg.values())
+    # and the orientation is the promised total order: deg(u) <= deg(v)
+    rows = o.collect()
+    dmap = {r.node: r.degree for r in deg.collect()}
+    for r in rows:
+        assert (dmap[r.u], r.u) < (dmap[r.v], r.v)
+        assert r.dv == dmap[r.v]
+
+
+def test_triangle_count_on_hub_plus_rim(spark):
+    # wheel graph: hub 0 + rim cycle 1..8 — every rim edge closes a
+    # triangle with the hub; 8 rim triangles, no others
+    rim = [(i, i % 8 + 1) for i in range(1, 9)]
+    spokes = [(0, i) for i in range(1, 9)]
+    e = _edges(spark, rim + spokes)
+    r = graph.triangle_count(e).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (9, 16, 8)
+    # clustering agrees per node: hub closes 8 of C(8,2)=28 wedges
+    cc = {x.node: x for x in graph.clustering_coefficients(e).collect()}
+    assert cc[0].n_triangles == 8 and cc[0].degree == 8
+    # each rim node: triangles (i-1, i, hub) and (i, i+1, hub)
+    assert all(cc[i].n_triangles == 2 and cc[i].degree == 3 for i in range(1, 9))
+
+
+def test_common_neighbor_counts_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    rnd = random.Random(9)
+    pairs = sorted({tuple(sorted(rnd.sample(range(12), 2))) for _ in range(30)})
+    e = _edges(spark, [(a, b) for a, b in pairs])
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for x, y in itertools.combinations(sorted(adj), 2):
+        cn = len(adj[x] & adj[y])
+        if cn:
+            expect[(x, y)] = cn
+    got = {
+        (r.a, r.b): r.common_n
+        for r in graph.common_neighbor_counts(e).collect()
+    }
+    assert got == expect
+    # block decomposition is routing, not semantics: a block size far
+    # below every degree must yield the identical census
+    got_blocked = {
+        (r.a, r.b): r.common_n
+        for r in graph.common_neighbor_counts(e, block_size=2).collect()
+    }
+    assert got_blocked == expect
+
+
+def test_common_neighbor_counts_star(spark):
+    # star: every leaf pair shares exactly the hub; hub pairs with no one
+    n = 10
+    e = _edges(spark, [(0, i) for i in range(1, n + 1)])
+    rows = graph.common_neighbor_counts(e, block_size=4).collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r.common_n == 1 and r.a >= 1 for r in rows)

@@ -329,3 +329,42 @@ def test_r8_rank_machinery_queries_have_no_global_window(spark):
         plan = explain.formatted_plan(q(spark, SF))
         for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
             assert "__pid" in spec, f"{q.__name__}: {spec}"
+
+
+def test_wedge_family_is_degree_oriented_or_block_decomposed():
+    # r9 guard (VERDICT r8 #1): no wedge enumeration may self-join the
+    # raw adjacency on a node-id key — on a hub-heavy graph a single
+    # 10^6-degree center is 10^12 wedge rows from ONE reducer. Triangle-
+    # witness operators must ride _oriented_closed_wedges (compact-
+    # forward: sum outdeg^2, outdeg <= O(sqrt(m))); the exact-CN census
+    # (where orientation can't apply — every center counts) must ride
+    # the block-decomposed common_neighbor_counts. Source-level pin,
+    # same class as the no-hard-broadcast guard above.
+    import inspect
+
+    import __spark_entry__ as em
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        graph,
+    )
+
+    for fn in (
+        graph.triangle_count,
+        graph.clustering_coefficients,
+        graph.clustering_coefficients_weighted,
+    ):
+        src = inspect.getsource(fn)
+        assert "_oriented_closed_wedges" in src or "_degree_oriented" in src, (
+            f"{fn.__name__} no longer degree-orients its wedge join"
+        )
+        # the old idiom: self-join keyed on the min-id endpoint alias
+        assert 'join(e2, "w_a")' not in src, (
+            f"{fn.__name__} regressed to the id-oriented wedge self-join"
+        )
+    src = inspect.getsource(em.q_link_prediction_cn)
+    assert "common_neighbor_counts" in src, (
+        "link prediction bypasses the block-decomposed CN census"
+    )
+    # and the census itself keys its join on (center, block), never on
+    # the bare center column alone
+    cn_src = inspect.getsource(graph._cn_pair_stream)
+    assert "tb == right.gb" in cn_src
