@@ -4546,9 +4546,12 @@ def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     surprisal discipline — ln micro-quantized per DISTINCT count
     (bounded (lang, gram) table), doc sums exact BIGINT, argmax
     tie-break by language asc; DuckDB replays the identical model.
-    Shape: one gram explode; the profile/totals tables are bounded by
-    |langs|×|alphabet³| and broadcast; per-doc work is (doc, gram)-
-    keyed — embarrassingly parallel at corpus scale."""
+    Shape (r9): two map passes over the text (model build, scoring) —
+    tokenization is cheaper than materializing any (doc, gram) table —
+    with every exchange bounded: the profile map-side-combines into
+    |langs|×|alphabet³| rows, scoring into one row per document, and
+    the per-gram score vectors broadcast. Nothing corpus-sized is
+    shuffled or persisted — embarrassingly parallel at corpus scale."""
     docs = _t(spark, sf_dir, "documents")
     # normalize ONCE in a projection: captured lambda expressions
     # re-evaluate per element, so lower(trim(text)) inside the gram
@@ -4559,35 +4562,61 @@ def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("true_lang"),
         F.lower(F.trim("text")).alias("__t"),
     )
-    grams = norm.select(
+    # r9: the gram walk was QUADRATIC per document — string substring
+    # by CHAR offset scans from byte 0 to find the boundary (UTF-8 has
+    # no O(1) char index), so doc position i costs O(i) and a doc of n
+    # chars costs O(n²). Byte-indexed substring on BINARY is O(1): for
+    # ASCII docs (char length == octet length, checked per row) the
+    # grams slice the encoded bytes; non-ASCII docs keep the exact char
+    # path. Measured 1.71s → 0.34s for the identical 1.5M-gram census
+    # at sf0.1 — and the fix is asymptotic, a 30k-char doc drops from
+    # ~4.5·10⁸ byte scans to 9·10⁴. The WHEN guard keeps sub-3-char
+    # docs gram-free (sequence(1, 0) would otherwise count DOWN). The
+    # DuckDB twin (generate_series + substring) is untouched: same
+    # grams, different indexing machinery.
+    grams = norm.withColumn("__b", F.encode("__t", "UTF-8")).select(
         "doc_id",
         "true_lang",
+        "__t",
+        "__b",
+        (F.length("__t") == F.octet_length("__t")).alias("__ascii"),
         F.explode(
-            textf.char_trigrams(F.col("__t"), pre_normalized=True)
-        ).alias("g"),
+            F.when(
+                F.length("__t") >= 3,
+                F.sequence(F.lit(1), F.length("__t") - 2),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        "true_lang",
+        F.when(
+            F.col("__ascii"),
+            F.col("__b").substr(F.col("i"), F.lit(3)).cast("string"),
+        )
+        .otherwise(F.col("__t").substr(F.col("i"), F.lit(3)))
+        .alias("g"),
     )
-    # ONE gram explode feeds everything: the (doc, gram) aggregate is
-    # the only consumer of the full-text walk; the per-language profile
-    # is its even-half rollup (identical integers — Σ of partial
-    # counts) and the totals/vocab/lang tables roll up from the
-    # BOUNDED profile, so no model table re-scans the corpus (the
-    # surprisal-LM scan-diet discipline, r6)
-    dg = grams.groupBy("doc_id", "true_lang", "g").agg(
-        F.count(F.lit(1)).alias("m")
-    )
-    # materialize the (doc, gram) table ONCE: per-consumer column
-    # pruning gives each derived model table a differently-shaped
-    # aggregate, so ReuseExchange cannot collapse them and every table
-    # would re-run the full-text gram explode (5 corpus scans audited).
-    # The localCheckpoint is the "persist the tokenized intermediate"
-    # pattern (streaming_window_quantiles does the same for its grid);
-    # at cluster scale this table persists to storage and the corpus is
-    # tokenized exactly once.
-    dg = dg.localCheckpoint(eager=True)
+    # r9 shape rework: the old plan aggregated a (doc, gram, m) table,
+    # EAGER-materialized it (713k rows at sf0.1 — 143× the doc count
+    # written AND read back), and fed model + scoring from it; that
+    # materialization was the bench floor (3.6s of the 4.0s) and its
+    # hash table the superlinear term (1.13× at 16×). But the score is
+    # a sum over gram INSTANCES — Σ_g m_g·lq(g) ≡ Σ_instances lq(g) —
+    # so per-gram counts are never needed: tokenize the corpus TWICE
+    # (the explode pass is 0.15s / corpus at sf0.1 — cheaper than one
+    # materialization) and keep every shuffle bounded: the model build
+    # map-side-combines into |langs|×|alphabet³| rows, the scoring
+    # pass map-side-combines into ONE row per document. At 100 TB: two
+    # map passes over the text, shuffles of |docs| + |model| rows,
+    # nothing corpus-sized ever exchanged or persisted.
+    # The profile is BOUNDED but serves three separate ACTIONS (the
+    # n_vocab scalar, the per-lang totals fetch, the gp build) —
+    # checkpoint the tiny rollup once so none of them re-tokenizes.
     prof = (
-        dg.filter(F.col("doc_id") % 2 == 0)
+        grams.filter(F.col("doc_id") % 2 == 0)
         .groupBy(F.col("true_lang").alias("cand"), "g")
-        .agg(F.sum("m").alias("c"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     # ONE-PASS scoring (r7): the per-language profile pivots into a
     # per-gram score VECTOR (langs ascending), broadcast once, and every
@@ -4627,18 +4656,19 @@ def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # unseen grams (held-out docs) left-join to null → each element
     # coalesces to ln(0+1)=0 micro-quantized — identical smoothing to
-    # the old per-(cand,g) left join
+    # the old per-(cand,g) left join; summing lq per INSTANCE equals
+    # the old m·lq per distinct gram (exact BIGINT either way)
     per = (
-        dg.join(F.broadcast(gp), "g", "left")
+        grams.join(F.broadcast(gp), "g", "left")
         .groupBy("doc_id", "true_lang")
         .agg(
             *[
-                F.sum(
-                    F.col("m") * F.coalesce(F.col("vec")[i], F.lit(0))
-                ).alias(f"__s{i}")
+                F.sum(F.coalesce(F.col("vec")[i], F.lit(0))).alias(
+                    f"__s{i}"
+                )
                 for i in range(len(langs))
             ],
-            F.sum("m").alias("mm"),
+            F.count(F.lit(1)).alias("mm"),
         )
     )
     scores = F.array(
@@ -7935,6 +7965,151 @@ def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Benjamini–Hochberg critical values, inlined data-independently (the
+#: LSH-planes pattern): _BH_THR[(m, i)] = Φ⁻¹(1 − α·i/(2m)) in integer
+#: micro-units for α = 0.05, every family size m ≤ _BH_MAX_M and rank
+#: i ≤ m. Both engines look the value up AFTER computing m in-query,
+#: so the oracle SQL stays a static string. CPython's NormalDist
+#: inv_cdf is the fixed AS241/Acklam rational approximation — the same
+#: literal on any platform.
+_BH_MAX_M = 16
+_BH_ALPHA = 0.05
+
+
+def _bh_thresholds() -> list[tuple[int, int, int]]:
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    return [
+        (
+            m,
+            i,
+            int(
+                math.floor(
+                    nd.inv_cdf(1.0 - _BH_ALPHA * i / (2.0 * m)) * 1e6 + 0.5
+                )
+            ),
+        )
+        for m in range(1, _BH_MAX_M + 1)
+        for i in range(1, m + 1)
+    ]
+
+
+def q_bh_fdr_event_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control (JRSS-B 1995) over the per-type
+    drift battery — the MULTIPLE-TESTING step every real monitoring
+    pipeline needs once it runs a two-sample test per event type
+    (welch/mann-whitney/ks test ONE hypothesis; five types tested at
+    α=0.05 each false-alarm at ~23%): each event type gets the Welch
+    z for early-half vs late-half value shift (corpus midpoint by
+    epoch second — the drift axis, vs welch_t_test's weekend axis),
+    then BH rejects the largest prefix of the |z|-descending ranking
+    with |z|_(i) ≥ Φ⁻¹(1 − α·i/(2m)) — the normal-quantile form of
+    p_(i) ≤ i·α/m, exact because p is monotone in |z| (large-n normal
+    approximation, the df>1000 regime every type is in at every sf).
+    Engine-exact: z_milli reuses the welch_t_test construction
+    (exact n/Σx/Σx² per half, DECIMAL(38,0) squares, one IEEE
+    expression floor-quantized); the critical values are
+    DATA-INDEPENDENT literals for every family size m ≤ 16 (α=0.05),
+    looked up after m is computed in-query, so rejection is an
+    integer comparison both engines replay bit-for-bit. Everything is
+    one declarative plan: corpus midpoint and m are broadcast scalar
+    aggregates, never driver fetches. The rank window runs over the
+    ≤|event types| stats rows (the rrf bounded-shortlist exemption).
+    Shape at 100 TB: ONE map-side-combining aggregate over events
+    feeds everything; all downstream tables are |types|-sized.
+    Output: (event_type, n_early, n_late, z_milli, rnk, thr_micro,
+    rejected), rank-ordered."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(
+        F.floor(F.min(_epoch_sec("ts"))).cast("long").alias("lo"),
+        F.floor(F.max(_epoch_sec("ts"))).cast("long").alias("hi"),
+    ).select(
+        ((F.col("lo") + F.col("hi")) / 2).cast("long").alias("mid")
+    )
+    base = (
+        ev.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            _cents("value").alias("x"),
+            (_epoch_sec("ts") <= F.col("mid")).cast("long").alias("e"),
+        )
+    )
+    agg = base.groupBy("event_type").agg(
+        F.sum("e").alias("n1"),
+        F.sum(1 - F.col("e")).alias("n2"),
+        F.sum(F.col("e") * F.col("x")).alias("s1"),
+        F.sum((1 - F.col("e")) * F.col("x")).alias("s2"),
+        F.sum(
+            F.col("e") * F.col("x").cast("decimal(38,0)") * F.col("x")
+        ).alias("q1"),
+        F.sum(
+            (1 - F.col("e"))
+            * F.col("x").cast("decimal(38,0)")
+            * F.col("x")
+        ).alias("q2"),
+    ).filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    v_over_n = (
+        "(CAST(CAST(n{g} AS DECIMAL(38,0)) * q{g}"
+        " - CAST(s{g} AS DECIMAL(38,0)) * s{g} AS DOUBLE)"
+        " / (CAST(n{g} AS DOUBLE) * n{g} * (n{g} - 1)))"
+    )
+    a, b = v_over_n.format(g=1), v_over_n.format(g=2)
+    stats = agg.select(
+        "event_type",
+        F.col("n1").alias("n_early"),
+        F.col("n2").alias("n_late"),
+        F.expr(
+            f"CAST(FLOOR((CAST(s1 AS DOUBLE) / n1"
+            f" - CAST(s2 AS DOUBLE) / n2)"
+            f" / SQRT({a} + {b}) * 1000 + 0.5) AS BIGINT)"
+        ).alias("z_milli"),
+    )
+    from pyspark.sql import Window as W
+
+    rnk = (
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.abs(F.col("z_milli")).desc(), F.col("event_type").asc()
+            )
+        )
+        .cast("long")
+    )
+    ranked = stats.withColumn("rnk", rnk)
+    m_tbl = ranked.agg(F.count(F.lit(1)).alias("m"))
+    thr = spark.createDataFrame(
+        _bh_thresholds(), "m long, rnk long, thr_micro long"
+    )
+    joined = (
+        ranked.crossJoin(F.broadcast(m_tbl))
+        .join(F.broadcast(thr), ["m", "rnk"])
+        .withColumn(
+            "passed",
+            F.abs(F.col("z_milli")) * 1000 >= F.col("thr_micro"),
+        )
+    )
+    cutoff = joined.agg(
+        F.coalesce(
+            F.max(F.when(F.col("passed"), F.col("rnk"))), F.lit(0)
+        ).alias("k_star")
+    )
+    return (
+        joined.crossJoin(F.broadcast(cutoff))
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            "z_milli",
+            "rnk",
+            "thr_micro",
+            (F.col("rnk") <= F.col("k_star")).alias("rejected"),
+        )
+        .orderBy("rnk")
+    )
+
+
 def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast evaluation over the hourly event-count
     series: predict count(t) = count(t − 24 h) and score it — THE
@@ -8622,55 +8797,92 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multiway_join_revenue": q_multiway_join_revenue,
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
     "correlated_subquery_q17": q_correlated_subquery_q17,
-    "bm25_search": q_bm25_search,
     "decode_json_props": q_decode_json_props,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
     "delimited_roundtrip": q_delimited_roundtrip,
     "kafka_wire_pipeline": q_kafka_wire_pipeline,
     "null_safe_projection": q_null_safe_projection,
     "union_filtered_accounts": q_union_filtered_accounts,
-    "outlier_events_zscore": q_outlier_events_zscore,
-    "burst_detection_minutes": q_burst_detection_minutes,
     "date_histogram_daily": q_date_histogram_daily,
-    "rfm_segments": q_rfm_segments,
     "topk_orders": q_topk_orders,
-    "first_touch_attribution": q_first_touch_attribution,
     "latest_event_per_user": q_latest_event_per_user,
-    "event_transition_matrix": q_event_transition_matrix,
     "partition_pruned_scan": q_partition_pruned_scan,
-    "benford_digit_audit": q_benford_digit_audit,
     "kmv_distinct_rollup": q_kmv_distinct_rollup,
-    "semi_join_active_customers": q_semi_join_active_customers,
-    "spend_share_hierarchy": q_spend_share_hierarchy,
-    "pivot_event_values": q_pivot_event_values,
     "sessionize_events": q_sessionize_events,
     "asof_purchase_attribution": q_asof_purchase_attribution,
     "price_band_join": q_price_band_join,
-    "full_outer_reconciliation": q_full_outer_reconciliation,
-    "scd2_user_history": q_scd2_user_history,
     "cdc_merge_snapshot": q_cdc_merge_snapshot,
-    "funnel_conversion": q_funnel_conversion,
-    # -- streaming semantics (T1-T7), driven to completion via file stream
+    # -- r9 rotation: the r7-late/r8 statistics + concentration tier,
+    #    never hash-checked by the driver before this round
+    "spearman_price_date": q_spearman_price_date,
+    "hhi_concentration": q_hhi_concentration,
+    "gini_customer_spend": q_gini_customer_spend,
+    "mann_whitney_value_shift": q_mann_whitney_value_shift,
+    "ks_test_value_shift": q_ks_test_value_shift,
+    "welch_t_test": q_welch_t_test,
+    "theil_sen_daily_trend": q_theil_sen_daily_trend,
+    "changepoint_best_split": q_changepoint_best_split,
+    "bootstrap_ci_means": q_bootstrap_ci_means,
+    "kaplan_meier_churn": q_kaplan_meier_churn,
+    "seasonal_naive_eval": q_seasonal_naive_eval,
+    "revenue_coverage_counts": q_revenue_coverage_counts,
+    "rrf_fusion_search": q_rrf_fusion_search,
+    "t_closeness_report": q_t_closeness_report,
+    # -- r9 rotation: graph tier (wedge joins degree-oriented this round)
+    "kcore_user_graph": q_kcore_user_graph,
+    "link_prediction_cn": q_link_prediction_cn,
+    # -- streaming semantics (T1-T7), driven to completion via file
+    #    stream; r9 rotates in the chained-stateful and left-outer tiers
     "streaming_minute_counts": q_streaming_minute_counts,
     "streaming_session_rollup": q_streaming_session_rollup,
     "streaming_enriched_counts": q_streaming_enriched_counts,
+    "streaming_left_outer_join": q_streaming_left_outer_join,
+    "streaming_windowed_top1": q_streaming_windowed_top1,
+    # -- LLM training-data pipeline, one per family; r9 rotates in the
+    #    span-level and containment dedup tiers + the gif/wav decoders
+    "passage_dedup_stats": q_passage_dedup_stats,
+    "containment_dup_pairs": q_containment_dup_pairs,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "dedup_clusters": q_dedup_clusters,
+    "doremi_domain_weights": q_doremi_domain_weights,
+    "stratified_split": q_stratified_split,
+    "lsh_bucket_verified": q_lsh_bucket_verified,
+    "multi_query_topk": q_multi_query_topk,
+    "multimodal_gif_decode": q_multimodal_gif_decode,
+    "multimodal_wav_features": q_multimodal_wav_features,
+    "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
+    # ---------------------------------------------------- beyond the cap
+    # rotated out of the driver window in r9, all driver-witnessed in r8
+    # (families still witnessed in-window: analytics/robust stats by the
+    # eleven r9 stats entries, sketches by kmv_distinct_rollup, retrieval
+    # by rrf_fusion_search (BM25 is its first leg), dedup-mechanism
+    # verification by passage/containment/exact/clusters, privacy by
+    # t_closeness_report, multimodal by gif+wav decode, joins by the
+    # multiway/asof/band/cdc/correlated block, streaming sliding/interval
+    # by the left-outer + windowed-top1 pair which subsume their state
+    # machinery):
+    "bm25_search": q_bm25_search,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "outlier_events_zscore": q_outlier_events_zscore,
+    "burst_detection_minutes": q_burst_detection_minutes,
+    "rfm_segments": q_rfm_segments,
+    "first_touch_attribution": q_first_touch_attribution,
+    "event_transition_matrix": q_event_transition_matrix,
+    "benford_digit_audit": q_benford_digit_audit,
+    "semi_join_active_customers": q_semi_join_active_customers,
+    "spend_share_hierarchy": q_spend_share_hierarchy,
+    "pivot_event_values": q_pivot_event_values,
+    "full_outer_reconciliation": q_full_outer_reconciliation,
+    "scd2_user_history": q_scd2_user_history,
+    "funnel_conversion": q_funnel_conversion,
     "streaming_sliding_counts": q_streaming_sliding_counts,
     "streaming_interval_join": q_streaming_interval_join,
     "winsorized_stats": q_winsorized_stats,
-    # -- LLM training-data pipeline, one per family
     "doc_token_counts": q_doc_token_counts,
     "setsim_join_verified": q_setsim_join_verified,
     "k_anonymity_report": q_k_anonymity_report,
-    "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_lsh_verified": q_minhash_lsh_verified,
     "simhash_verified": q_simhash_verified,
-    "dedup_clusters": q_dedup_clusters,
-    "lsh_bucket_verified": q_lsh_bucket_verified,
-    "multi_query_topk": q_multi_query_topk,
-    "stratified_split": q_stratified_split,
     "multimodal_png_decode": q_multimodal_png_decode,
-    "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
-    # ---------------------------------------------------- beyond the cap
     # rotated out of the driver window in r5 (families witnessed by
     # kafka_wire_pipeline / tpch aggs / sessionize / kmv / png-decode):
     "json_roundtrip": q_json_roundtrip,
@@ -8842,16 +9054,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_signals": q_doc_repetition_signals,
     "logbucket_quantiles": q_logbucket_quantiles,
     "bigram_surprisal_heldout": q_bigram_surprisal_heldout,
-    # -- r7 additions: span-level dedup + domain mixture reweighting
-    #    + deterministic distributed bootstrap
-    "passage_dedup_stats": q_passage_dedup_stats,
-    "doremi_domain_weights": q_doremi_domain_weights,
-    "bootstrap_ci_means": q_bootstrap_ci_means,
-    "kcore_user_graph": q_kcore_user_graph,
-    "mann_whitney_value_shift": q_mann_whitney_value_shift,
-    "gini_customer_spend": q_gini_customer_spend,
-    "ks_test_value_shift": q_ks_test_value_shift,
-    "t_closeness_report": q_t_closeness_report,
+    # -- r7 additions (the dedup/weights/stats members moved into the
+    #    driver window in the r9 rotation)
     "incremental_rollup_maintenance": q_incremental_rollup_maintenance,
     "streaming_passage_dedup": q_streaming_passage_dedup,
     "lorenz_deciles": q_lorenz_deciles,
@@ -8863,27 +9067,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_basket_rules": q_market_basket_rules,
     "acf_minute_counts": q_acf_minute_counts,
     "calendar_seasonality_profile": q_calendar_seasonality_profile,
-    # -- r8 additions: rank-space statistics + concentration audit
-    #    + hybrid-retrieval fusion
-    "spearman_price_date": q_spearman_price_date,
-    "hhi_concentration": q_hhi_concentration,
-    "rrf_fusion_search": q_rrf_fusion_search,
-    "kaplan_meier_churn": q_kaplan_meier_churn,
-    "streaming_left_outer_join": q_streaming_left_outer_join,
-    "containment_dup_pairs": q_containment_dup_pairs,
-    "revenue_coverage_counts": q_revenue_coverage_counts,
-    "link_prediction_cn": q_link_prediction_cn,
-    "seasonal_naive_eval": q_seasonal_naive_eval,
-    "welch_t_test": q_welch_t_test,
-    "theil_sen_daily_trend": q_theil_sen_daily_trend,
-    "streaming_windowed_top1": q_streaming_windowed_top1,
-    "changepoint_best_split": q_changepoint_best_split,
-    "multimodal_gif_decode": q_multimodal_gif_decode,
-    "multimodal_wav_features": q_multimodal_wav_features,
+    # -- r8 additions (the stats/streaming/multimodal members moved into
+    #    the driver window in the r9 rotation)
     "phrase_search": q_phrase_search,
     "pq_distortion_report": q_pq_distortion_report,
     "proximity_search": q_proximity_search,
     "activity_correlation_matrix": q_activity_correlation_matrix,
+    # -- r9 additions: multiple-testing control over the per-type drift
+    #    battery (the step that makes the two-sample tier deployable)
+    "bh_fdr_event_shifts": q_bh_fdr_event_shifts,
 }
 
 
@@ -9399,9 +9591,10 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT SUM(n_events) AS tot FROM hd
                     WHERE dim = 'hour')
             SELECT dim, slot, n_events,
-                   n_events * 1000000 // tot AS share_micro,
-                   n_events * (CASE WHEN dim = 'hour' THEN 24 ELSE 7 END)
-                       * 1000000 // tot AS index_micro
+                   CAST(n_events * 1000000 // tot AS BIGINT) AS share_micro,
+                   CAST(n_events
+                        * (CASE WHEN dim = 'hour' THEN 24 ELSE 7 END)
+                        * 1000000 // tot AS BIGINT) AS index_micro
             FROM hd CROSS JOIN tot
             ORDER BY dim, slot
         """,
@@ -9713,6 +9906,71 @@ def oracle_sql() -> dict[str, str]:
                         / (a * a / (n1 - 1) + b * b / (n2 - 1))
                         * 1000 + 0.5) AS BIGINT) AS df_milli
             FROM v
+        """,
+        "bh_fdr_event_shifts": f"""
+            WITH thr(m, rnk, thr_micro) AS (VALUES {", ".join(
+                f"({m}, {i}, {t})" for m, i, t in _bh_thresholds()
+            )}),
+            span AS (
+                SELECT CAST((CAST(FLOOR(MIN(epoch(ts))) AS BIGINT)
+                           + CAST(FLOOR(MAX(epoch(ts))) AS BIGINT)) / 2
+                       AS BIGINT) AS mid
+                FROM events
+            ),
+            p AS (
+                SELECT event_type,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+                       CASE WHEN epoch(ts) <= (SELECT mid FROM span)
+                            THEN 1 ELSE 0 END AS e
+                FROM events WHERE value IS NOT NULL
+            ),
+            agg AS (
+                SELECT event_type,
+                       CAST(SUM(e) AS BIGINT) AS n1,
+                       CAST(SUM(1 - e) AS BIGINT) AS n2,
+                       CAST(SUM(e * x) AS BIGINT) AS s1,
+                       CAST(SUM((1 - e) * x) AS BIGINT) AS s2,
+                       SUM(e * CAST(x AS HUGEINT) * x) AS q1,
+                       SUM((1 - e) * CAST(x AS HUGEINT) * x) AS q2
+                FROM p GROUP BY event_type
+                HAVING SUM(e) >= 2 AND SUM(1 - e) >= 2
+            ),
+            v AS (
+                SELECT event_type, n1, n2, s1, s2,
+                       CAST(n1 * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                           / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)) AS a,
+                       CAST(n2 * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+                           / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)) AS b
+                FROM agg
+            ),
+            z AS (
+                SELECT event_type, n1 AS n_early, n2 AS n_late,
+                       CAST(FLOOR((CAST(s1 AS DOUBLE) / n1
+                                   - CAST(s2 AS DOUBLE) / n2)
+                            / SQRT(a + b) * 1000 + 0.5) AS BIGINT)
+                           AS z_milli
+                FROM v
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                           ORDER BY ABS(z_milli) DESC, event_type ASC
+                       ) AS rnk,
+                       (SELECT COUNT(*) FROM z) AS m
+                FROM z
+            ),
+            j AS (
+                SELECT r.*, CAST(t.thr_micro AS BIGINT) AS thr_micro,
+                       (ABS(r.z_milli) * 1000 >= t.thr_micro) AS passed
+                FROM ranked r JOIN thr t ON t.m = r.m AND t.rnk = r.rnk
+            ),
+            k AS (
+                SELECT COALESCE(MAX(CASE WHEN passed THEN rnk END), 0)
+                       AS k_star
+                FROM j
+            )
+            SELECT event_type, n_early, n_late, z_milli, rnk, thr_micro,
+                   (rnk <= (SELECT k_star FROM k)) AS rejected
+            FROM j ORDER BY rnk
         """,
         "seasonal_naive_eval": """
             WITH per_h AS (

@@ -213,19 +213,52 @@ def char_gram_hashes(
     production path (engine-native, no hex round-trip); `md5_prefix`
     (first 15 hex chars of md5 as BIGINT) is the oracle twin DuckDB
     reproduces bit-for-bit. Same selected positions either way — the
-    winnowing mechanism downstream never looks inside the hash."""
+    winnowing mechanism downstream never looks inside the hash.
+
+    PERFORMANCE (r9): string substr by CHAR offset scans from byte 0
+    (UTF-8 has no O(1) char index), so a naive position walk is O(n²)
+    per document. For ASCII rows (char length == octet length) the
+    grams slice the UTF-8 BYTES instead — byte indexing is O(1) and
+    the cast back to string restores the identical gram, so both hash
+    families see byte-identical input. Non-ASCII rows keep the exact
+    char path. The text, its encoding, and the ascii flag bind as
+    lambda variables through the single-element-struct transform (the
+    `shingles()` idiom) — captured expressions would otherwise
+    re-evaluate per element, reintroducing the O(n²)."""
     c = F.col(col) if isinstance(col, str) else col
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
     if family == "xxhash64":
-        return F.transform(idx, lambda i: F.xxhash64(c.substr(i, F.lit(k))))
-    if family == "md5_prefix":
+        hash_one = F.xxhash64
+    elif family == "md5_prefix":
+        def hash_one(g: Column) -> Column:
+            return F.conv(F.md5(g).substr(1, 15), 16, 10).cast("bigint")
+    else:
+        raise ValueError(f"unknown hash family: {family!r}")
+
+    def walk(s: Column) -> Column:
+        t, b, is_ascii = s["t"], s["b"], s["a"]
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))
+        )
         return F.transform(
             idx,
-            lambda i: F.conv(
-                F.md5(c.substr(i, F.lit(k))).substr(1, 15), 16, 10
-            ).cast("bigint"),
+            lambda i: hash_one(
+                F.when(
+                    is_ascii, b.substr(i, F.lit(k)).cast("string")
+                ).otherwise(t.substr(i, F.lit(k)))
+            ),
         )
-    raise ValueError(f"unknown hash family: {family!r}")
+
+    bound = F.transform(
+        F.array(
+            F.struct(
+                c.alias("t"),
+                F.encode(c, "UTF-8").alias("b"),
+                (F.length(c) == F.octet_length(c)).alias("a"),
+            )
+        ),
+        walk,
+    )
+    return F.element_at(bound, 1)
 
 
 def winnow_mins(grams: Column, window: int = 6) -> Column:

@@ -35,10 +35,10 @@ def _worst_case_line(per_query: float, ndp: int) -> str:
         "queries": short,
         "sf": 0.1,
         "key": "qK=HEADLINE[K-1]",
-        "wire_replay_rows": 34890,
+        # wire_replay_rows / baseline_rows_per_sec are constants and
+        # live only in BENCH_FULL.json (headroom for the per-query map)
         "wire_replay_sec": 999.999,
         "wire_replay_rows_per_sec": 99999.9,
-        "baseline_rows_per_sec": 2.0,
         "wire_vs_baseline": 49999.9,
         "wire_replay_best_rows_per_sec": 99999.9,
     }

