@@ -8168,6 +8168,105 @@ def q_bh_fdr_event_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup over the embedding corpus
+    (similarity.semantic_dedup_keep; Abbas et al. 2023): seeded
+    prototype centroids partition the space (16 gaussian directions —
+    production would train k-means via train_ivf_centroids; a FIXED
+    matrix keeps the whole pipeline oracle-replayable, the LSH-planes
+    discipline), pairs compare WITHIN a cluster only (the paper's
+    tractability move — k grows with the corpus so clusters stay
+    bounded and the join keys on cid), cosine ≥ 0.4 pairs become
+    duplicate components (pointer-jumping min-label), and each
+    component keeps its LEAST-prototypical member — lowest
+    centroid-cosine, micro-quantized so the election is an integer
+    argmin, id tie-break. Completes the dedup tier's semantic corner
+    beside exact/minhash/simhash/setsim/containment/passage: those
+    dedup FORM (tokens, shingles, spans); this dedups MEANING (two
+    differently-worded copies of one fact collapse if the embedding
+    space says so). The DuckDB twin inlines the 16×64 centroid matrix
+    and its norms as literals and replays assignment argmin
+    (margins O(0.01) vs 1e-13 cross-engine noise, the pq_adc
+    contract), within-cluster pairs, a recursive-CTE min-label
+    propagation, and the quantized election bit-for-bit. Output: one
+    row per component incl. singletons (component, n_members,
+    keep_id, keep_cos_micro)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.make_planes(dim=64, n_planes=16, seed=777)
+    return similarity.semantic_dedup_keep(
+        emb, cents, threshold=0.4
+    ).orderBy("component")
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB twin of q_semantic_dedup_keep_best: the seeded centroids,
+    their squared norms, and their norms inlined as literals (repr
+    roundtrips doubles exactly); assignment as a ROW_NUMBER argmin over
+    ‖c‖² − 2·x·c (ties → smaller cid, matching Spark's struct-min);
+    within-cluster cosine pairs; components via the recursive min-label
+    CTE (the dedup_clusters shape); election by (cent_cos_micro, id)."""
+    cents = similarity.make_planes(dim=64, n_planes=16, seed=777)
+    cn = (cents**2).sum(axis=1)
+    cnorm = cn**0.5
+    rows = ", ".join(
+        f"({i}, {float(cn[i])!r}, {float(cnorm[i])!r}, "
+        f"[{', '.join(repr(float(x)) for x in cents[i])}]::DOUBLE[])"
+        for i in range(len(cents))
+    )
+    return f"""
+        WITH cents(cid, cn, cnorm, c) AS (VALUES {rows}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE list_inner_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]) > 0),
+        asg AS (SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY c.cn
+                                        - 2 * list_inner_product(e.v, c.c)
+                                        ASC, c.cid ASC) AS rn
+                    FROM e, cents c
+                ) WHERE rn = 1),
+        cc AS (SELECT a.vec_id, a.cid, a.v,
+                      CAST(FLOOR(list_inner_product(a.v, c.c)
+                                 / (SQRT(list_inner_product(a.v, a.v))
+                                    * c.cnorm) * 1000000 + 0.5)
+                           AS BIGINT) AS cent_cos_micro
+               FROM asg a JOIN cents c ON c.cid = a.cid),
+        p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM asg a JOIN asg b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+        edges AS (SELECT ia AS a, ib AS b FROM p
+                  UNION SELECT ib, ia FROM p),
+        reach AS (
+            WITH RECURSIVE r(id, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e2.b, r.label FROM r JOIN edges e2 ON e2.a = r.id
+            ) SELECT * FROM r
+        ),
+        comp_l AS (SELECT id, MIN(label) AS component
+                   FROM reach GROUP BY id),
+        m AS (SELECT cc.vec_id,
+                     COALESCE(l.component, cc.vec_id) AS component,
+                     cc.cent_cos_micro
+              FROM cc LEFT JOIN comp_l l ON l.id = cc.vec_id),
+        k AS (SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY component
+                          ORDER BY cent_cos_micro ASC, vec_id ASC) AS rn
+              FROM m)
+        SELECT m.component,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               MAX(CASE WHEN k.rn = 1 THEN k.vec_id END) AS keep_id,
+               MAX(CASE WHEN k.rn = 1 THEN k.cent_cos_micro END)
+                   AS keep_cos_micro
+        FROM m JOIN k ON k.vec_id = m.vec_id AND k.component = m.component
+        GROUP BY m.component
+        ORDER BY m.component
+    """
+
+
 def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast evaluation over the hourly event-count
     series: predict count(t) = count(t − 24 h) and score it — THE
@@ -9093,8 +9192,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "proximity_search": q_proximity_search,
     "activity_correlation_matrix": q_activity_correlation_matrix,
     # -- r9 additions: multiple-testing control over the per-type drift
-    #    battery (the step that makes the two-sample tier deployable)
+    #    battery (the step that makes the two-sample tier deployable) +
+    #    the semantic corner of the dedup tier (SemDeDup shape)
     "bh_fdr_event_shifts": q_bh_fdr_event_shifts,
+    "semantic_dedup_keep_best": q_semantic_dedup_keep_best,
 }
 
 
@@ -10998,6 +11099,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_bucket_verified": _lsh_bucket_oracle_sql(),
         "pq_adc_verified": _pq_adc_oracle_sql(),
+        "semantic_dedup_keep_best": _semantic_dedup_oracle_sql(),
         "pq_distortion_report": _pq_distortion_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """

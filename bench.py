@@ -166,6 +166,7 @@ HEADLINE = [
     "activity_correlation_matrix",
     # round-9 additions
     "bh_fdr_event_shifts",
+    "semantic_dedup_keep_best",
 ]
 
 

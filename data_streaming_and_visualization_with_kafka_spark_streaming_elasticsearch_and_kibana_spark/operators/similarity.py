@@ -624,6 +624,121 @@ def embedding_near_dup_pairs(
 # ------------------------------------------------------- k-means (Lloyd)
 
 
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse
+    quantizer, compare pairs ONLY within a cluster (the paper's move
+    that makes semantic dedup tractable — all-pairs cosine is O(n²)
+    and unrunnable at 100 TB; within-cluster pairs are
+    O(Σ |cluster|²) with |cluster| ≈ corpus/k, and k grows with the
+    corpus so per-cluster size stays bounded), connect the
+    ≥ threshold pairs into duplicate components, and elect the member
+    to KEEP per component — the paper keeps the member with the
+    LOWEST cosine to its cluster centroid (the least-prototypical
+    copy preserves the most diversity), tie-broken by id.
+
+    Deterministic end to end with a FIXED centroid matrix (callers
+    pass seeded prototypes or pre-trained centroids): assignment is
+    the ivf_assign argmin (‖c‖² − 2·x·c struct-min, ties to the
+    smaller cid), centroid cosines floor-quantize to micro BEFORE the
+    election so the argmin is an integer comparison, and components
+    come from dedup.connected_components (pointer-jumping min-label).
+    Zero vectors are excluded (no direction, no cosine). Returns one
+    row per component — singletons included, keeping themselves:
+    (component, n_members, keep_id, keep_cos_micro).
+
+    Shape: assignment + centroid cosines are map-side against the
+    broadcast-sized centroid literal; the candidate join keys on cid;
+    components shuffle id-keyed pairs; the election is one
+    component-keyed aggregate."""
+    from . import dedup as _dedup
+
+    e = corpus.filter(
+        vectors.dot(F.col(vec_col), F.col(vec_col)) > 0
+    ).select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    assigned = ivf_assign(e, centroids, "__v")
+    cnorms = np.sqrt((centroids**2).sum(axis=1))
+    cos_arr = F.array(
+        *[
+            vectors.dot(F.col("__v"), _query_vec_literal(list(c)))
+            / (vectors.norm(F.col("__v")) * F.lit(float(cnorms[i])))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    base = assigned.select(
+        id_col,
+        "cid",
+        "__v",
+        F.floor(
+            F.element_at(cos_arr, F.col("cid") + 1) * 1e6 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cent_cos_micro"),
+    ).localCheckpoint(eager=False)
+
+    # within-cluster pairs via partition-local BLAS (applyInPandas per
+    # cid — the multi_query_topk idiom): each cluster's members matmul
+    # into a cosine matrix and the >= threshold upper triangle emits as
+    # id pairs. A join + HOF-cosine filter evaluates three interpreted
+    # 64-element aggregate lambdas PER CANDIDATE PAIR (measured 47s for
+    # 125k candidates at sf0.1); one dgemm per cluster is milliseconds.
+    # Cross-engine float contract: BLAS summation order differs from
+    # any SQL engine's in the last ulp — the same accepted noise class
+    # as embedding_near_dup_pairs (threshold margins are data-scale,
+    # ~1e-13 noise); per-cluster matrices are bounded by the
+    # clusters-grow-with-corpus contract above.
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        v = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+        u = v / np.sqrt((v * v).sum(axis=1))[:, None]
+        s = u @ u.T
+        ia, ib = np.where(np.triu(s >= thr, 1))
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    pairs = (
+        base.select("cid", id_col, "__v")
+        .groupBy("cid")
+        .applyInPandas(_cluster_pairs, "id_a long, id_b long")
+        .localCheckpoint(eager=False)
+    )
+    labels = _dedup.connected_components(pairs)
+    members = (
+        base.join(labels, base[id_col] == labels["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            "cent_cos_micro",
+        )
+    )
+    keep = F.min(
+        F.struct(
+            F.col("cent_cos_micro").alias("c"), F.col(id_col).alias("i")
+        )
+    ).alias("k")
+    return (
+        members.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"), keep)
+        .select(
+            "component",
+            "n_members",
+            F.col("k.i").alias("keep_id"),
+            F.col("k.c").alias("keep_cos_micro"),
+        )
+    )
+
+
 def assign_nearest_centroid(
     corpus: DataFrame,
     centroids: DataFrame,
