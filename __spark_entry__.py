@@ -8168,6 +8168,115 @@ def q_bh_fdr_event_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type — THE binned drift
+    metric ML monitoring actually deploys (credit-scoring lineage;
+    PSI < 0.1 stable, 0.1-0.25 watch, > 0.25 act): decile bins fitted
+    on the EARLY half of the corpus (by epoch midpoint, the
+    bh_fdr/drift axis), then PSI = Σ_bins (p_e − p_l)·ln(p_e/p_l)
+    between the early and late value distributions. Completes the
+    drift battery's binned corner (KS tests the max CDF gap, Welch the
+    means, BH the family — PSI is the per-bin decomposition ops teams
+    alarm on). Engine-exact construction: bin edges are DISCRETE
+    early-half decile values at total-ordered integer ranks
+    ceil(q·N/10) = (q·N+9) DIV 10 over (cents, event_id) — the
+    winsorized_stats machinery, no interpolation floats; bin
+    assignment is Σ(x > edge) over the 9-edge broadcast array (exact
+    integer comparisons, ties deterministic); counts are exact; the
+    per-bin term uses add-half smoothing p = (2c+1)/(2N+10) (zero
+    bins stay finite and both engines agree on the rational) and
+    floor-quantizes to integer micro-nats BEFORE the per-type sum, so
+    float summation order cannot flip a hash. Every bin 0..9
+    materializes via a types×10 grid even when empty — a missing bin
+    with n_e ≠ n_l has a NONZERO smoothed term both engines must
+    include. Types with an empty early half drop (no fitted bins).
+    Shape: one type-partitioned rank window over the early half, a
+    9-edge-per-type broadcast, one (type, bin) aggregate —
+    events-scan-bounded, windows never global. Output: (event_type,
+    n_early, n_late, psi_micro), type-ordered."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(
+        F.floor(F.min(_epoch_sec("ts"))).cast("long").alias("lo"),
+        F.floor(F.max(_epoch_sec("ts"))).cast("long").alias("hi"),
+    ).select(
+        ((F.col("lo") + F.col("hi")) / 2).cast("long").alias("mid")
+    )
+    vals = (
+        ev.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            "event_id",
+            _cents("value").alias("v"),
+            (_epoch_sec("ts") <= F.col("mid")).cast("long").alias("e"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("v"), F.asc("event_id"))
+    ranked = (
+        vals.filter(F.col("e") == 1)
+        .withColumn("__r", F.row_number().over(w))
+        .withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+    )
+    qgrid = spark.range(1, 10).select(F.col("id").alias("q"))
+    edges = (
+        ranked.join(F.broadcast(qgrid), F.expr("__r = (q * __n + 9) DIV 10"))
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("q", "v"))),
+                lambda s: s["v"],
+            ).alias("edges")
+        )
+    )
+    binned = vals.join(F.broadcast(edges), "event_type").select(
+        "event_type",
+        "e",
+        F.aggregate(
+            "edges",
+            F.lit(0),
+            lambda acc, el: acc + (F.col("v") > el).cast("int"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum("e").alias("ce"),
+        F.sum(1 - F.col("e")).alias("cl"),
+    )
+    grid = edges.select("event_type").crossJoin(
+        spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
+    )
+    full = grid.join(counts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("ce", F.lit(0)).alias("ce"),
+        F.coalesce("cl", F.lit(0)).alias("cl"),
+    )
+    tot = full.groupBy("event_type").agg(
+        F.sum("ce").alias("ne"), F.sum("cl").alias("nl")
+    )
+    term = F.expr(
+        "CAST(FLOOR(("
+        " CAST(2 * ce + 1 AS DOUBLE) / (2 * ne + 10)"
+        " - CAST(2 * cl + 1 AS DOUBLE) / (2 * nl + 10)"
+        ") * LN("
+        " (CAST(2 * ce + 1 AS DOUBLE) / (2 * ne + 10))"
+        " / (CAST(2 * cl + 1 AS DOUBLE) / (2 * nl + 10))"
+        ") * 1000000 + 0.5) AS BIGINT)"
+    )
+    return (
+        full.join(F.broadcast(tot), "event_type")
+        .select("event_type", "ne", "nl", term.alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.max("ne").alias("n_early"),
+            F.max("nl").alias("n_late"),
+            F.sum("t").alias("psi_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup over the embedding corpus
     (similarity.semantic_dedup_keep; Abbas et al. 2023): seeded
@@ -9196,6 +9305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    the semantic corner of the dedup tier (SemDeDup shape)
     "bh_fdr_event_shifts": q_bh_fdr_event_shifts,
     "semantic_dedup_keep_best": q_semantic_dedup_keep_best,
+    "psi_value_drift": q_psi_value_drift,
 }
 
 
@@ -10091,6 +10201,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, n_early, n_late, z_milli, rnk, thr_micro,
                    (rnk <= (SELECT k_star FROM k)) AS rejected
             FROM j ORDER BY rnk
+        """,
+        "psi_value_drift": """
+            WITH span AS (
+                SELECT CAST((CAST(FLOOR(MIN(epoch(ts))) AS BIGINT)
+                           + CAST(FLOOR(MAX(epoch(ts))) AS BIGINT)) / 2
+                       AS BIGINT) AS mid
+                FROM events
+            ),
+            vals AS (
+                SELECT event_type, event_id,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+                       CASE WHEN epoch(ts) <= (SELECT mid FROM span)
+                            THEN 1 ELSE 0 END AS e
+                FROM events WHERE value IS NOT NULL
+            ),
+            ranked AS (
+                SELECT event_type, v,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY v, event_id) AS r,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM vals WHERE e = 1
+            ),
+            edges AS (
+                SELECT rk.event_type, q.q, rk.v AS edge
+                FROM ranked rk JOIN range(1, 10) q(q)
+                  ON rk.r = (q.q * rk.n + 9) // 10
+            ),
+            binned AS (
+                SELECT vl.event_type, vl.event_id, vl.e,
+                       SUM(CASE WHEN vl.v > ed.edge THEN 1 ELSE 0 END)
+                           AS bin
+                FROM vals vl JOIN edges ed USING (event_type)
+                GROUP BY vl.event_type, vl.event_id, vl.e
+            ),
+            counts AS (
+                SELECT event_type, bin,
+                       SUM(e) AS ce, SUM(1 - e) AS cl
+                FROM binned GROUP BY event_type, bin
+            ),
+            grid AS (
+                SELECT t.event_type, b.bin
+                FROM (SELECT DISTINCT event_type FROM edges) t
+                CROSS JOIN range(0, 10) b(bin)
+            ),
+            filled AS (
+                SELECT g.event_type, g.bin,
+                       COALESCE(c.ce, 0) AS ce, COALESCE(c.cl, 0) AS cl
+                FROM grid g LEFT JOIN counts c
+                  ON c.event_type = g.event_type AND c.bin = g.bin
+            ),
+            tot AS (
+                SELECT event_type, SUM(ce) AS ne, SUM(cl) AS nl
+                FROM filled GROUP BY event_type
+            )
+            SELECT f.event_type,
+                   CAST(MAX(t.ne) AS BIGINT) AS n_early,
+                   CAST(MAX(t.nl) AS BIGINT) AS n_late,
+                   CAST(SUM(CAST(FLOOR((
+                        CAST(2 * f.ce + 1 AS DOUBLE) / (2 * t.ne + 10)
+                        - CAST(2 * f.cl + 1 AS DOUBLE) / (2 * t.nl + 10)
+                   ) * LN(
+                        (CAST(2 * f.ce + 1 AS DOUBLE) / (2 * t.ne + 10))
+                        / (CAST(2 * f.cl + 1 AS DOUBLE) / (2 * t.nl + 10))
+                   ) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS psi_micro
+            FROM filled f JOIN tot t ON t.event_type = f.event_type
+            GROUP BY f.event_type
+            ORDER BY f.event_type
         """,
         "seasonal_naive_eval": """
             WITH per_h AS (

@@ -167,6 +167,7 @@ HEADLINE = [
     # round-9 additions
     "bh_fdr_event_shifts",
     "semantic_dedup_keep_best",
+    "psi_value_drift",
 ]
 
 
