@@ -8083,7 +8083,12 @@ def q_bh_fdr_event_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.min(_epoch_sec("ts"))).cast("long").alias("lo"),
         F.floor(F.max(_epoch_sec("ts"))).cast("long").alias("hi"),
     ).select(
-        ((F.col("lo") + F.col("hi")) / 2).cast("long").alias("mid")
+        # integer FLOOR division (DIV), matching the DuckDB twin's `//`
+        # and the pandas third-impl's `//`: double-divide-then-cast
+        # TRUNCATES on Spark but the oracle's CAST ROUNDS, so an odd
+        # lo+hi would put the boundary second in different halves per
+        # engine (latent until a testdata regeneration flips parity).
+        F.expr("(lo + hi) DIV 2").alias("mid")
     )
     base = (
         ev.filter(F.col("value").isNotNull())
@@ -8135,8 +8140,35 @@ def q_bh_fdr_event_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
     )
-    ranked = stats.withColumn("rnk", rnk)
-    m_tbl = ranked.agg(F.count(F.lit(1)).alias("m"))
+    # The ranked stats table (≤|event types| rows) feeds FOUR consumers
+    # (the m scalar, the thr join, the k* cutoff, the final select):
+    # without a cut Catalyst re-evaluates the whole events-scan subtree
+    # per consumer (PLANS.md r9 recorded 3 parquet scans and 50 repeated
+    # bounded-window warnings). localCheckpoint pins the tiny table once
+    # — the r7 sentinel-guard recipe — so events is scanned exactly once
+    # and the bounded global rank window (≤ m rows, the rrf shortlist
+    # exemption) compiles and executes exactly once.
+    ranked = stats.withColumn("rnk", rnk).localCheckpoint(eager=False)
+    # Fail LOUDLY past the precomputed threshold slate: with m >
+    # _BH_MAX_M the inner (m, rnk) join would return ZERO rows in BOTH
+    # engines (the DuckDB twin holds the identical VALUES list), so the
+    # differential gate would stay green while the output vanished.
+    m_tbl = ranked.agg(F.count(F.lit(1)).alias("m")).select(
+        F.when(F.col("m") <= _BH_MAX_M, F.col("m"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("bh_fdr family size "),
+                    F.col("m").cast("string"),
+                    F.lit(
+                        f" exceeds _BH_MAX_M={_BH_MAX_M};"
+                        " extend _bh_thresholds"
+                    ),
+                )
+            ).cast("long")
+        )
+        .alias("m")
+    )
     thr = spark.createDataFrame(
         _bh_thresholds(), "m long, rnk long, thr_micro long"
     )
@@ -8199,7 +8231,8 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.min(_epoch_sec("ts"))).cast("long").alias("lo"),
         F.floor(F.max(_epoch_sec("ts"))).cast("long").alias("hi"),
     ).select(
-        ((F.col("lo") + F.col("hi")) / 2).cast("long").alias("mid")
+        # FLOOR division, same contract as bh_fdr's midpoint above
+        F.expr("(lo + hi) DIV 2").alias("mid")
     )
     vals = (
         ev.filter(F.col("value").isNotNull())
@@ -10142,9 +10175,10 @@ def oracle_sql() -> dict[str, str]:
                 f"({m}, {i}, {t})" for m, i, t in _bh_thresholds()
             )}),
             span AS (
-                SELECT CAST((CAST(FLOOR(MIN(epoch(ts))) AS BIGINT)
-                           + CAST(FLOOR(MAX(epoch(ts))) AS BIGINT)) / 2
-                       AS BIGINT) AS mid
+                -- integer FLOOR division (//): CAST(x/2 AS BIGINT)
+                -- ROUNDS in DuckDB while Spark's DIV floors
+                SELECT (CAST(FLOOR(MIN(epoch(ts))) AS BIGINT)
+                      + CAST(FLOOR(MAX(epoch(ts))) AS BIGINT)) // 2 AS mid
                 FROM events
             ),
             p AS (
@@ -10182,10 +10216,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM v
             ),
             ranked AS (
+                -- loud guard, mirroring the Spark raise_error: past
+                -- m=16 the thr join would silently empty BOTH engines
                 SELECT *, ROW_NUMBER() OVER (
                            ORDER BY ABS(z_milli) DESC, event_type ASC
                        ) AS rnk,
-                       (SELECT COUNT(*) FROM z) AS m
+                       (SELECT CASE WHEN COUNT(*) <= 16 THEN COUNT(*)
+                               ELSE CAST(error('bh_fdr family size '
+                                   || COUNT(*) || ' exceeds 16')
+                                   AS BIGINT) END
+                        FROM z) AS m
                 FROM z
             ),
             j AS (
@@ -10204,9 +10244,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "psi_value_drift": """
             WITH span AS (
-                SELECT CAST((CAST(FLOOR(MIN(epoch(ts))) AS BIGINT)
-                           + CAST(FLOOR(MAX(epoch(ts))) AS BIGINT)) / 2
-                       AS BIGINT) AS mid
+                -- FLOOR division, same contract as bh_fdr's midpoint
+                SELECT (CAST(FLOOR(MIN(epoch(ts))) AS BIGINT)
+                      + CAST(FLOOR(MAX(epoch(ts))) AS BIGINT)) // 2 AS mid
                 FROM events
             ),
             vals AS (
