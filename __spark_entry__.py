@@ -1918,7 +1918,13 @@ def _staged_events_dir(
 
     src = f"{sf_dir}/{table}.parquet"
     st = os.stat(src)
-    key = (sf_dir, table, kind, int(st.st_mtime), st.st_size)
+    # key includes the session confs that shape the cached batch_schema
+    # / ts_type (nanosAsLong flips ts between bigint and timestamp): a
+    # caller reading under one conf must never be served a schema
+    # cached under another (r9 advice — latent until two callers share
+    # a (table, kind) across conf settings)
+    nanos_conf = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    key = (sf_dir, table, kind, int(st.st_mtime), st.st_size, nanos_conf)
     hit = _STAGE_CACHE.get(key)
     if hit is not None and os.path.isdir(hit[0]):
         return hit
@@ -8244,17 +8250,44 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_epoch_sec("ts") <= F.col("mid")).cast("long").alias("e"),
         )
     )
-    w = Window.partitionBy("event_type").orderBy(F.asc("v"), F.asc("event_id"))
-    ranked = (
-        vals.filter(F.col("e") == 1)
-        .withColumn("__r", F.row_number().over(w))
-        .withColumn(
-            "__n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    # ONE events aggregate feeds everything downstream (r10, the bh_fdr
+    # de-triplication discipline): per-(type, value) half counts — the
+    # distinct price grid, not the event stream. The decile edge at
+    # integer rank r over (v, event_id) order is the smallest v whose
+    # early cumulative count reaches r (event_id only tie-breaks WITHIN
+    # equal v, so it can never change which VALUE sits at rank r); the
+    # rank window therefore runs over the bounded value grid instead of
+    # raw rows, and bin counts are value-count sums — the raw table is
+    # never re-read (was 3 events scans: span + rank window + binning).
+    # localCheckpoint: vcounts feeds BOTH the edge ranking and the bin
+    # counting — without the cut each consumer re-runs the events scan.
+    # The table is bounded by |distinct cents values| × |types| (the
+    # winsorized/KS price-grid contract), never corpus-sized.
+    vcounts = (
+        vals.groupBy("event_type", "v")
+        .agg(
+            F.sum("e").alias("vce"),
+            F.sum(1 - F.col("e")).alias("vcl"),
         )
+        .localCheckpoint(eager=False)
+    )
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ec = vcounts.withColumn("cum_e", F.sum("vce").over(wv)).withColumn(
+        "n_e", F.sum("vce").over(Window.partitionBy("event_type"))
     )
     qgrid = spark.range(1, 10).select(F.col("id").alias("q"))
     edges = (
-        ranked.join(F.broadcast(qgrid), F.expr("__r = (q * __n + 9) DIV 10"))
+        ec.filter(F.col("n_e") > 0)
+        .join(
+            F.broadcast(qgrid),
+            F.expr(
+                "(q * n_e + 9) DIV 10 BETWEEN cum_e - vce + 1 AND cum_e"
+            ),
+        )
         .groupBy("event_type")
         .agg(
             F.transform(
@@ -8263,18 +8296,23 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edges")
         )
     )
-    binned = vals.join(F.broadcast(edges), "event_type").select(
-        "event_type",
-        "e",
-        F.aggregate(
-            "edges",
-            F.lit(0),
-            lambda acc, el: acc + (F.col("v") > el).cast("int"),
-        ).alias("bin"),
-    )
-    counts = binned.groupBy("event_type", "bin").agg(
-        F.sum("e").alias("ce"),
-        F.sum(1 - F.col("e")).alias("cl"),
+    counts = (
+        vcounts.join(F.broadcast(edges), "event_type")
+        .select(
+            "event_type",
+            "vce",
+            "vcl",
+            F.aggregate(
+                "edges",
+                F.lit(0),
+                lambda acc, el: acc + (F.col("v") > el).cast("int"),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("vce").alias("ce"),
+            F.sum("vcl").alias("cl"),
+        )
     )
     grid = edges.select("event_type").crossJoin(
         spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
@@ -8310,44 +8348,72 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: semantic dedup quantizer sizing: k = max(16, min(K_MAX, n DIV
+#: TARGET)) — the SemDeDup tractability contract (cluster size stays
+#: ~TARGET as the corpus grows, so within-cluster pair volume is
+#: O(n·TARGET), linear in n). K_MAX bounds the inlined oracle literal
+#: (the gated query must stay DuckDB-replayable); the OPERATOR
+#: (similarity.semantic_dedup_keep) takes arbitrary trained centroids
+#: (train_ivf_centroids) with unbounded k — at 100 TB k ∝ n/TARGET and
+#: the n·k assignment matmul is the paper's accepted quantizer cost.
+_SEMDEDUP_K_MAX = 64
+_SEMDEDUP_TARGET = 100
+
+
+def _semdedup_k(n: int) -> int:
+    return max(16, min(_SEMDEDUP_K_MAX, n // _SEMDEDUP_TARGET))
+
+
 def q_semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup over the embedding corpus
     (similarity.semantic_dedup_keep; Abbas et al. 2023): seeded
-    prototype centroids partition the space (16 gaussian directions —
-    production would train k-means via train_ivf_centroids; a FIXED
-    matrix keeps the whole pipeline oracle-replayable, the LSH-planes
-    discipline), pairs compare WITHIN a cluster only (the paper's
-    tractability move — k grows with the corpus so clusters stay
-    bounded and the join keys on cid), cosine ≥ 0.4 pairs become
-    duplicate components (pointer-jumping min-label), and each
+    prototype centroids partition the space (k = max(16, n/100)
+    gaussian directions — k GROWS WITH THE CORPUS so per-cluster size
+    stays ~100 and pair volume stays linear; production would train
+    k-means via train_ivf_centroids; a FIXED seeded matrix keeps the
+    whole pipeline oracle-replayable, the LSH-planes discipline —
+    prefix-stable: make_planes(K_MAX)[:k] rows are the same literals
+    at every k), pairs compare WITHIN a cluster only (the paper's
+    tractability move), cosine ≥ 0.4 pairs become duplicate
+    components (cluster-local union-find min-label), and each
     component keeps its LEAST-prototypical member — lowest
     centroid-cosine, micro-quantized so the election is an integer
     argmin, id tie-break. Completes the dedup tier's semantic corner
     beside exact/minhash/simhash/setsim/containment/passage: those
     dedup FORM (tokens, shingles, spans); this dedups MEANING (two
     differently-worded copies of one fact collapse if the embedding
-    space says so). The DuckDB twin inlines the 16×64 centroid matrix
-    and its norms as literals and replays assignment argmin
-    (margins O(0.01) vs 1e-13 cross-engine noise, the pq_adc
-    contract), within-cluster pairs, a recursive-CTE min-label
-    propagation, and the quantized election bit-for-bit. Output: one
+    space says so). The DuckDB twin inlines the full K_MAX×64 matrix
+    and derives the SAME k from count(*), so both engines slice the
+    identical centroid prefix; it replays assignment argmin (margins
+    O(0.01) vs 1e-13 cross-engine noise, the pq_adc contract),
+    within-cluster pairs, a recursive-CTE min-label propagation, and
+    the quantized election bit-for-bit. The corpus count driving k is
+    a parquet-metadata action (rowcount, no column scan). Output: one
     row per component incl. singletons (component, n_members,
     keep_id, keep_cos_micro)."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = similarity.make_planes(dim=64, n_planes=16, seed=777)
+    k = _semdedup_k(emb.count())
+    cents = similarity.make_unit_planes(
+        dim=64, n_planes=_SEMDEDUP_K_MAX, seed=777
+    )[:k]
     return similarity.semantic_dedup_keep(
         emb, cents, threshold=0.4
     ).orderBy("component")
 
 
 def _semantic_dedup_oracle_sql() -> str:
-    """DuckDB twin of q_semantic_dedup_keep_best: the seeded centroids,
-    their squared norms, and their norms inlined as literals (repr
-    roundtrips doubles exactly); assignment as a ROW_NUMBER argmin over
-    ‖c‖² − 2·x·c (ties → smaller cid, matching Spark's struct-min);
-    within-cluster cosine pairs; components via the recursive min-label
-    CTE (the dedup_clusters shape); election by (cent_cos_micro, id)."""
-    cents = similarity.make_planes(dim=64, n_planes=16, seed=777)
+    """DuckDB twin of q_semantic_dedup_keep_best: the full K_MAX seeded
+    centroid slate, their squared norms, and their norms inlined as
+    literals (repr roundtrips doubles exactly), then sliced to the SAME
+    k = max(16, min(K_MAX, count(*) DIV TARGET)) the Spark side derives
+    (make_planes is prefix-stable, so cid < k selects the identical
+    matrix); assignment as a ROW_NUMBER argmin over ‖c‖² − 2·x·c (ties
+    → smaller cid, matching Spark's struct-min); within-cluster cosine
+    pairs; components via the recursive min-label CTE (the
+    dedup_clusters shape); election by (cent_cos_micro, id)."""
+    cents = similarity.make_unit_planes(
+        dim=64, n_planes=_SEMDEDUP_K_MAX, seed=777
+    )
     cn = (cents**2).sum(axis=1)
     cnorm = cn**0.5
     rows = ", ".join(
@@ -8356,7 +8422,12 @@ def _semantic_dedup_oracle_sql() -> str:
         for i in range(len(cents))
     )
     return f"""
-        WITH cents(cid, cn, cnorm, c) AS (VALUES {rows}),
+        WITH cents0(cid, cn, cnorm, c) AS (VALUES {rows}),
+        ksel AS (SELECT GREATEST(16, LEAST({_SEMDEDUP_K_MAX},
+                     (SELECT COUNT(*) FROM embeddings)
+                         // {_SEMDEDUP_TARGET})) AS k),
+        cents AS (SELECT * FROM cents0
+                  WHERE cid < (SELECT k FROM ksel)),
         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
               WHERE list_inner_product(embedding::DOUBLE[],
                                        embedding::DOUBLE[]) > 0),
@@ -9071,8 +9142,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_attribution": q_asof_purchase_attribution,
     "price_band_join": q_price_band_join,
     "cdc_merge_snapshot": q_cdc_merge_snapshot,
-    # -- r9 rotation: the r7-late/r8 statistics + concentration tier,
-    #    never hash-checked by the driver before this round
+    # -- r10 rotation: the never-driver-witnessed remainder of the
+    #    QUERIES.md ledger — the r7/r8 time-series + profiling tier,
+    #    the retrieval pair, the r9 drift/semantic additions
+    "cusum_drift_profile": q_cusum_drift_profile,
+    "bh_fdr_event_shifts": q_bh_fdr_event_shifts,
+    "psi_value_drift": q_psi_value_drift,
+    "acf_minute_counts": q_acf_minute_counts,
+    "calendar_seasonality_profile": q_calendar_seasonality_profile,
+    "session_concurrency_profile": q_session_concurrency_profile,
+    "lorenz_deciles": q_lorenz_deciles,
+    "activity_correlation_matrix": q_activity_correlation_matrix,
+    "market_basket_rules": q_market_basket_rules,
+    "incremental_rollup_maintenance": q_incremental_rollup_maintenance,
+    "join_skew_report": q_join_skew_report,
+    "phrase_search": q_phrase_search,
+    "proximity_search": q_proximity_search,
+    "t_closeness_report": q_t_closeness_report,
+    # -- r10 rotation: graph tier (bfs/assortativity — the two members
+    #    the driver never hash-checked; kcore/link-prediction witnessed r9)
+    "bfs_hop_distance": q_bfs_hop_distance,
+    "degree_assortativity": q_degree_assortativity,
+    # -- streaming semantics (T1-T7), driven to completion via file
+    #    stream; r10 adds the stateful-dedup member
+    "streaming_minute_counts": q_streaming_minute_counts,
+    "streaming_session_rollup": q_streaming_session_rollup,
+    "streaming_enriched_counts": q_streaming_enriched_counts,
+    "streaming_left_outer_join": q_streaming_left_outer_join,
+    "streaming_windowed_top1": q_streaming_windowed_top1,
+    "streaming_passage_dedup": q_streaming_passage_dedup,
+    # -- LLM training-data pipeline, one per family; r10 rotates in the
+    #    semantic dedup corner (k ∝ corpus this round) + PQ observability
+    "semantic_dedup_keep_best": q_semantic_dedup_keep_best,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "dedup_clusters": q_dedup_clusters,
+    "doremi_domain_weights": q_doremi_domain_weights,
+    "stratified_split": q_stratified_split,
+    "lsh_bucket_verified": q_lsh_bucket_verified,
+    "multi_query_topk": q_multi_query_topk,
+    "pq_distortion_report": q_pq_distortion_report,
+    "multimodal_wav_features": q_multimodal_wav_features,
+    "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
+    # ---------------------------------------------------- beyond the cap
+    # rotated out of the driver window in r10, all driver-witnessed in r9
+    # (families still witnessed in-window: two-sample/rank stats by the
+    # bh_fdr + psi + cusum drift battery, concentration by
+    # lorenz_deciles, time-series by acf/calendar/seasonality, retrieval
+    # by phrase/proximity (BM25 scoring inside corpus_pipeline_end2end),
+    # graph by bfs/assortativity, dedup-mechanism by
+    # exact/clusters/semantic/streaming-passage, multimodal by
+    # wav_features, survival/forecast members by the in-window
+    # session-concurrency/calendar profiles):
     "spearman_price_date": q_spearman_price_date,
     "hhi_concentration": q_hhi_concentration,
     "gini_customer_spend": q_gini_customer_spend,
@@ -9086,31 +9206,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_naive_eval": q_seasonal_naive_eval,
     "revenue_coverage_counts": q_revenue_coverage_counts,
     "rrf_fusion_search": q_rrf_fusion_search,
-    "t_closeness_report": q_t_closeness_report,
-    # -- r9 rotation: graph tier (wedge joins degree-oriented this round)
     "kcore_user_graph": q_kcore_user_graph,
     "link_prediction_cn": q_link_prediction_cn,
-    # -- streaming semantics (T1-T7), driven to completion via file
-    #    stream; r9 rotates in the chained-stateful and left-outer tiers
-    "streaming_minute_counts": q_streaming_minute_counts,
-    "streaming_session_rollup": q_streaming_session_rollup,
-    "streaming_enriched_counts": q_streaming_enriched_counts,
-    "streaming_left_outer_join": q_streaming_left_outer_join,
-    "streaming_windowed_top1": q_streaming_windowed_top1,
-    # -- LLM training-data pipeline, one per family; r9 rotates in the
-    #    span-level and containment dedup tiers + the gif/wav decoders
     "passage_dedup_stats": q_passage_dedup_stats,
     "containment_dup_pairs": q_containment_dup_pairs,
-    "exact_dedup_docs": q_exact_dedup_docs,
-    "dedup_clusters": q_dedup_clusters,
-    "doremi_domain_weights": q_doremi_domain_weights,
-    "stratified_split": q_stratified_split,
-    "lsh_bucket_verified": q_lsh_bucket_verified,
-    "multi_query_topk": q_multi_query_topk,
     "multimodal_gif_decode": q_multimodal_gif_decode,
-    "multimodal_wav_features": q_multimodal_wav_features,
-    "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
-    # ---------------------------------------------------- beyond the cap
     # rotated out of the driver window in r9, all driver-witnessed in r8
     # (families still witnessed in-window: analytics/robust stats by the
     # eleven r9 stats entries, sketches by kmv_distinct_rollup, retrieval
@@ -9314,31 +9414,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_signals": q_doc_repetition_signals,
     "logbucket_quantiles": q_logbucket_quantiles,
     "bigram_surprisal_heldout": q_bigram_surprisal_heldout,
-    # -- r7 additions (the dedup/weights/stats members moved into the
-    #    driver window in the r9 rotation)
-    "incremental_rollup_maintenance": q_incremental_rollup_maintenance,
-    "streaming_passage_dedup": q_streaming_passage_dedup,
-    "lorenz_deciles": q_lorenz_deciles,
-    "join_skew_report": q_join_skew_report,
-    "cusum_drift_profile": q_cusum_drift_profile,
-    "session_concurrency_profile": q_session_concurrency_profile,
-    "bfs_hop_distance": q_bfs_hop_distance,
-    "degree_assortativity": q_degree_assortativity,
-    "market_basket_rules": q_market_basket_rules,
-    "acf_minute_counts": q_acf_minute_counts,
-    "calendar_seasonality_profile": q_calendar_seasonality_profile,
-    # -- r8 additions (the stats/streaming/multimodal members moved into
-    #    the driver window in the r9 rotation)
-    "phrase_search": q_phrase_search,
-    "pq_distortion_report": q_pq_distortion_report,
-    "proximity_search": q_proximity_search,
-    "activity_correlation_matrix": q_activity_correlation_matrix,
-    # -- r9 additions: multiple-testing control over the per-type drift
-    #    battery (the step that makes the two-sample tier deployable) +
-    #    the semantic corner of the dedup tier (SemDeDup shape)
-    "bh_fdr_event_shifts": q_bh_fdr_event_shifts,
-    "semantic_dedup_keep_best": q_semantic_dedup_keep_best,
-    "psi_value_drift": q_psi_value_drift,
+    # (the r7/r8 time-series/profiling/retrieval additions and the r9
+    # drift/semantic additions moved into the driver window in the r10
+    # rotation)
 }
 
 

@@ -277,6 +277,17 @@ def connected_components(
     so the plan stays flat. The driver-side loop is the standard shape
     for iterative graph algorithms on DataFrames (same as GraphFrames'
     CC); everything data-sized stays distributed.
+
+    ONE Spark job per round: the convergence flag rides the label table
+    as a `chg` column (old label carried through the round, compared
+    in-plan), the round's localCheckpoint is lazy, and the `chg`-count
+    action both materializes the checkpoint and measures convergence.
+    The previous shape (eager checkpoint job + a jumped-vs-old join +
+    count job per round) tripled the per-round scheduling floor, which
+    dominates wall-clock whenever the pair graph is small relative to
+    the cluster (720 pairs at sf0.1 paid ~5.5 s in pure round
+    overhead); at 100 TB the same change removes one full id-keyed
+    shuffle join per round.
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = (
@@ -288,7 +299,7 @@ def connected_components(
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nmin = (
@@ -298,23 +309,24 @@ def connected_components(
             .agg(F.min("label").alias("nlabel"))
         )
         prop = labels.join(nmin, "id", "left").select(
-            "id", F.least("label", F.coalesce("nlabel", "label")).alias("label")
+            "id",
+            F.col("label").alias("old"),
+            F.least("label", F.coalesce("nlabel", "label")).alias("label"),
         )
         # pointer jump: label <- label(label); min labels propagate
         # exponentially along chains
         ptr = prop.select(F.col("id").alias("label"), F.col("label").alias("plabel"))
         jumped = (
             prop.join(ptr, "label", "left")
-            .select("id", F.coalesce("plabel", "label").alias("label"))
-            .localCheckpoint()
+            .select(
+                "id",
+                F.coalesce("plabel", "label").alias("label"),
+                (F.coalesce("plabel", "label") != F.col("old")).alias("chg"),
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter("chg").count()
+        labels = jumped.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("component"))

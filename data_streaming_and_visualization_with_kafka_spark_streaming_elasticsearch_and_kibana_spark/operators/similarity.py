@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd  # module-scope: pandas_udf resolves stringified hints here
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 from ..functions import vectors
 from ..functions.vectors import cosine, dot
@@ -253,6 +254,22 @@ def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).randn(n_planes, dim)
 
 
+def make_unit_planes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
+    """Seeded gaussian directions normalized to UNIT norm — the right
+    prototype set when the rows are used as QUANTIZER CENTROIDS over
+    (near-)unit-norm data: the ‖c‖² − 2·x·c argmin reduces to
+    max-cosine, i.e. spherical Voronoi cells with roughly balanced
+    occupancy. Raw gaussian rows (make_planes) carry a χ-distributed
+    norm spread that DOMINATES the argmin for unit-norm x — at k=320
+    the smallest-norm row captures >half the corpus (measured: one
+    cell of 17,935 from a 32,000-vector corpus). Normalization is
+    per-row, so the prefix-stability of make_planes is preserved:
+    make_unit_planes(d, K)[:k] == make_unit_planes(d, k) for the same
+    seed."""
+    p = np.random.RandomState(seed).randn(n_planes, dim)
+    return p / np.sqrt((p * p).sum(axis=1))[:, None]
+
+
 def lsh_index(
     corpus: DataFrame,
     planes: np.ndarray,
@@ -405,6 +422,44 @@ def ivf_assign(
         ]
     )
     return corpus.withColumn("cid", F.array_min(arr)["cid"])
+
+
+def ivf_assign_arrow(
+    corpus: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """BLAS twin of ivf_assign for LARGE k: the HOF expression array is
+    O(k) interpreted aggregate lambdas PER ROW (measured 20 s for
+    k=320 over just 2,000 rows — compile plus per-row cost both grow
+    with k), while one dgemm per Arrow batch is milliseconds at any k.
+    Same argmin semantics: score = ‖c‖² − 2·x·c, ties → the FIRST
+    (smallest) cid (numpy argmin keeps the first minimum, matching the
+    struct-min tie-break). Float contract: BLAS summation order differs
+    from the HOF's left-to-right fold in the last ulp, so cross-engine
+    equality relies on argmin margins (O(0.01) for data-scale
+    separations vs ~1e-13 noise — the pq_adc contract); callers that
+    need BIT-exact oracle-replayable assignment at small k should keep
+    ivf_assign."""
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = (c * c).sum(axis=1)
+    # fresh StructType: StructType.add mutates in place, which would
+    # corrupt the input DataFrame's cached schema object
+    out_schema = StructType(
+        list(corpus.schema.fields) + [StructField("cid", IntegerType())]
+    )
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf):
+                v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                d = cn[None, :] - 2.0 * (v @ c.T)
+                cid = d.argmin(axis=1).astype("int32")
+            else:
+                cid = np.array([], dtype="int32")
+            yield pdf.assign(cid=cid)
+
+    return corpus.mapInPandas(gen, out_schema)
 
 
 def build_ivf_index(
@@ -648,44 +703,69 @@ def semantic_dedup_keep(
     the ivf_assign argmin (‖c‖² − 2·x·c struct-min, ties to the
     smaller cid), centroid cosines floor-quantize to micro BEFORE the
     election so the argmin is an integer comparison, and components
-    come from dedup.connected_components (pointer-jumping min-label).
-    Zero vectors are excluded (no direction, no cosine). Returns one
-    row per component — singletons included, keeping themselves:
-    (component, n_members, keep_id, keep_cos_micro).
+    are CLUSTER-LOCAL union-find — every pair is within one cluster by
+    construction (a vector has exactly one cid), so a component can
+    never span clusters and the distributed pointer-jumping CC is
+    unnecessary: min-id-per-component resolves inside the same Arrow
+    kernel that scores the pairs (at sf0.1 the distributed loop paid
+    9 shuffle rounds ≈ 5 s for 720 pairs; at 100 TB it would pay
+    O(diameter) corpus-wide shuffles for work that is provably
+    cluster-local). Zero vectors are excluded (no direction, no
+    cosine). Returns one row per component — singletons included,
+    keeping themselves: (component, n_members, keep_id,
+    keep_cos_micro).
 
     Shape: assignment + centroid cosines are map-side against the
-    broadcast-sized centroid literal; the candidate join keys on cid;
-    components shuffle id-keyed pairs; the election is one
-    component-keyed aggregate."""
-    from . import dedup as _dedup
-
+    broadcast-sized centroid literal; the component kernel is one
+    cid-keyed shuffle (bounded per-cluster work — the
+    clusters-grow-with-corpus contract); the election is one
+    component-keyed aggregate after an id-keyed join."""
     e = corpus.filter(
         vectors.dot(F.col(vec_col), F.col(vec_col)) > 0
     ).select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
-    assigned = ivf_assign(e, centroids, "__v")
+    # assignment: bit-exact HOF argmin while the centroid slate is
+    # small enough (the oracle-gated regime — HOF dot and DuckDB
+    # list_inner_product fold left-to-right identically); Arrow dgemm
+    # argmin past that, where O(k) interpreted lambdas per row dominate
+    # (the trained-quantizer regime, k ∝ corpus/target_cluster_size —
+    # argmin margins carry cross-engine equality there).
+    if len(centroids) <= 64:
+        assigned = ivf_assign(e, centroids, "__v")
+    else:
+        assigned = ivf_assign_arrow(e, centroids, "__v")
+    # centroid cosine via a broadcast (cid, centroid, norm) lookup —
+    # ONE HOF dot per row regardless of k (the previous k-wide
+    # element_at array re-evaluated every centroid's cosine per row);
+    # bit-identical values: same fold over the same doubles.
     cnorms = np.sqrt((centroids**2).sum(axis=1))
-    cos_arr = F.array(
-        *[
-            vectors.dot(F.col("__v"), _query_vec_literal(list(c)))
-            / (vectors.norm(F.col("__v")) * F.lit(float(cnorms[i])))
+    cent_tbl = corpus.sparkSession.createDataFrame(
+        [
+            (i, [float(x) for x in c], float(cnorms[i]))
             for i, c in enumerate(centroids)
-        ]
+        ],
+        "cid int, __c array<double>, __cnorm double",
     )
-    base = assigned.select(
+    base = assigned.join(F.broadcast(cent_tbl), "cid").select(
         id_col,
         "cid",
         "__v",
         F.floor(
-            F.element_at(cos_arr, F.col("cid") + 1) * 1e6 + F.lit(0.5)
+            vectors.dot(F.col("__v"), F.col("__c"))
+            / (vectors.norm(F.col("__v")) * F.col("__cnorm"))
+            * 1e6
+            + F.lit(0.5)
         )
         .cast("long")
         .alias("cent_cos_micro"),
     ).localCheckpoint(eager=False)
 
-    # within-cluster pairs via partition-local BLAS (applyInPandas per
-    # cid — the multi_query_topk idiom): each cluster's members matmul
-    # into a cosine matrix and the >= threshold upper triangle emits as
-    # id pairs. A join + HOF-cosine filter evaluates three interpreted
+    # within-cluster cosine pairs AND their connected components via
+    # partition-local BLAS + union-find (applyInPandas per cid — the
+    # multi_query_topk idiom): each cluster's members matmul into a
+    # cosine matrix, the >= threshold upper triangle becomes edges, and
+    # union-find labels each member with the MIN id of its component
+    # (identical semantics to min-label propagation, resolved locally).
+    # A join + HOF-cosine filter would evaluate three interpreted
     # 64-element aggregate lambdas PER CANDIDATE PAIR (measured 47s for
     # 125k candidates at sf0.1); one dgemm per cluster is milliseconds.
     # Cross-engine float contract: BLAS summation order differs from
@@ -697,31 +777,38 @@ def semantic_dedup_keep(
 
     thr = float(threshold)
 
-    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _cluster_components(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         v = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
         u = v / np.sqrt((v * v).sum(axis=1))[:, None]
         s = u @ u.T
         ia, ib = np.where(np.triu(s >= thr, 1))
-        lo = np.minimum(ids[ia], ids[ib])
-        hi = np.maximum(ids[ia], ids[ib])
-        return pd.DataFrame({"id_a": lo, "id_b": hi})
+        parent = np.arange(len(ids))
 
-    pairs = (
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(ia, ib):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                parent[ry] = rx
+        roots = np.array([find(i) for i in range(len(ids))])
+        # component label = min member id (order-independent)
+        comp = np.empty(len(ids), dtype=np.int64)
+        for r in np.unique(roots):
+            mask = roots == r
+            comp[mask] = ids[mask].min()
+        return pd.DataFrame({id_col: ids, "component": comp})
+
+    comps = (
         base.select("cid", id_col, "__v")
         .groupBy("cid")
-        .applyInPandas(_cluster_pairs, "id_a long, id_b long")
-        .localCheckpoint(eager=False)
+        .applyInPandas(_cluster_components, f"{id_col} long, component long")
     )
-    labels = _dedup.connected_components(pairs)
-    members = (
-        base.join(labels, base[id_col] == labels["id"], "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
-            "cent_cos_micro",
-        )
-    )
+    members = base.select(id_col, "cent_cos_micro").join(comps, id_col)
     keep = F.min(
         F.struct(
             F.col("cent_cos_micro").alias("c"), F.col(id_col).alias("i")

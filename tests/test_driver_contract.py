@@ -57,6 +57,22 @@ SF = "/root/testdata/sf0.001"
 #: witnessed by corpus_pipeline_end2end), minhash_lsh/simhash
 #: verified twins + png decode (mechanism families witnessed by the
 #: four in-window dedup entries and gif/wav).
+#: r10 rotation (the QUERIES.md schedule's "never-witnessed remainder"
+#: slate — 18 swaps): IN — the r7/r8 time-series + profiling tier
+#: (cusum, acf, calendar seasonality, session concurrency, lorenz,
+#: activity correlation, market basket, incremental rollup, join skew),
+#: the retrieval pair (phrase + proximity search), the graph pair the
+#: driver never hash-checked (bfs hops, degree assortativity), PQ
+#: distortion observability, and the r9 drift/semantic additions
+#: (bh_fdr, psi, semantic dedup — now k ∝ corpus) + the streaming
+#: stateful-dedup member. OUT — the eleven r9-witnessed statistics
+#: entries (drift family re-witnessed by bh_fdr/psi/cusum; rank
+#: machinery by lorenz/acf), revenue coverage (coverage shape by
+#: lorenz), rrf fusion (retrieval by phrase/proximity; BM25 leg inside
+#: corpus_pipeline_end2end), kcore + link prediction (graph by
+#: bfs/assortativity), passage + containment dedup (dedup by
+#: exact/clusters/semantic/streaming-passage), and gif decode
+#: (multimodal by wav_features).
 DRIVER_WINDOW = [
     "fusion_minute_avg",
     "multiway_join_revenue",
@@ -76,36 +92,36 @@ DRIVER_WINDOW = [
     "asof_purchase_attribution",
     "price_band_join",
     "cdc_merge_snapshot",
-    "spearman_price_date",
-    "hhi_concentration",
-    "gini_customer_spend",
-    "mann_whitney_value_shift",
-    "ks_test_value_shift",
-    "welch_t_test",
-    "theil_sen_daily_trend",
-    "changepoint_best_split",
-    "bootstrap_ci_means",
-    "kaplan_meier_churn",
-    "seasonal_naive_eval",
-    "revenue_coverage_counts",
-    "rrf_fusion_search",
+    "cusum_drift_profile",
+    "bh_fdr_event_shifts",
+    "psi_value_drift",
+    "acf_minute_counts",
+    "calendar_seasonality_profile",
+    "session_concurrency_profile",
+    "lorenz_deciles",
+    "activity_correlation_matrix",
+    "market_basket_rules",
+    "incremental_rollup_maintenance",
+    "join_skew_report",
+    "phrase_search",
+    "proximity_search",
     "t_closeness_report",
-    "kcore_user_graph",
-    "link_prediction_cn",
+    "bfs_hop_distance",
+    "degree_assortativity",
     "streaming_minute_counts",
     "streaming_session_rollup",
     "streaming_enriched_counts",
     "streaming_left_outer_join",
     "streaming_windowed_top1",
-    "passage_dedup_stats",
-    "containment_dup_pairs",
+    "streaming_passage_dedup",
+    "semantic_dedup_keep_best",
     "exact_dedup_docs",
     "dedup_clusters",
     "doremi_domain_weights",
     "stratified_split",
     "lsh_bucket_verified",
     "multi_query_topk",
-    "multimodal_gif_decode",
+    "pq_distortion_report",
     "multimodal_wav_features",
     "corpus_pipeline_end2end",
 ]
@@ -121,6 +137,46 @@ def test_driver_window_is_stable_and_fully_oracled():
     oracles = entrymod.oracle_sql()
     missing = [n for n in DRIVER_WINDOW if n not in oracles]
     assert not missing, f"driver-window queries without oracle SQL: {missing}"
+
+
+#: Queries whose oracle SQL is NEW or CHANGED this round. The r9 advice
+#: gap: a query added with fresh oracle SQL but outside the 50-slot
+#: driver window is never executed against DuckDB by ANY gate until a
+#: later rotation (the bh_fdr midpoint bug shipped exactly this way).
+#: Every round, list the additions/edits here; the test below runs the
+#: actual engine-vs-oracle comparison for them in-repo. Entries rotate
+#: OUT each round (the window + full local gate cover them afterwards).
+DEBUT_ORACLE_QUERIES = [
+    "bh_fdr_event_shifts",        # r10: DIV-2 midpoint + loud m guard
+    "psi_value_drift",            # r10: DIV-2 midpoint
+    "semantic_dedup_keep_best",   # r10: k ∝ corpus, unit centroids
+]
+
+
+def test_debut_oracle_sql_actually_runs(spark):
+    """Engine-vs-oracle differential for this round's new/changed
+    oracle SQL — the same compare as tools/check_oracle.py, run as a
+    unit test so the DuckDB side of a debut query executes BEFORE the
+    driver or any window rotation sees it."""
+    import duckdb
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.schemas import (
+        TEST_TABLES,
+    )
+    from tools.check_oracle import compare
+
+    if not DEBUT_ORACLE_QUERIES:
+        return
+    con = duckdb.connect()
+    for t in TEST_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in DEBUT_ORACLE_QUERIES:
+        sdf = qs[name](spark, SF).toPandas()
+        ddf = con.sql(oracles[name]).df()
+        err = compare(sdf, ddf)
+        assert err is None, f"{name}: {err}"
 
 
 def test_driver_window_dtypes_survive_testdata(spark):

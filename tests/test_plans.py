@@ -331,6 +331,29 @@ def test_r8_rank_machinery_queries_have_no_global_window(spark):
             assert "__pid" in spec, f"{q.__name__}: {spec}"
 
 
+def test_plan_audit_covers_every_headline_query():
+    # r10 guard (VERDICT r9 #3): PLANS.md silently lacked rows for two
+    # headline queries (psi_value_drift, semantic_dedup_keep_best), so
+    # a "3 redundant scans" class of defect was invisible for them.
+    # Totality check: every bench.HEADLINE name must appear in PLANS.md
+    # as a table row (audited) or an explicit streaming/iterative
+    # exemption line — regenerate with tools/plan_audit.py when this
+    # fails after adding a headline query.
+    import os
+
+    import bench
+
+    plans = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         "PLANS.md")
+    rows = set()
+    with open(plans) as f:
+        for line in f:
+            if line.startswith("| "):
+                rows.add(line.split("|")[1].strip().strip("`"))
+    missing = [n for n in bench.HEADLINE if n not in rows]
+    assert missing == [], f"headline queries missing from PLANS.md: {missing}"
+
+
 def test_bh_fdr_events_scanned_once_behind_checkpoint(spark):
     # r10 guard (VERDICT r9 #2): the ranked stats table (≤|event types|
     # rows) feeds four consumers; without a cut Catalyst re-evaluated

@@ -128,9 +128,14 @@ def test_semantic_dedup_matches_numpy(spark):
     emb = pd.read_parquet(f"{SF}/embeddings.parquet")
     v = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
     ids = emb["vec_id"].to_numpy()
+    # k derives from the TOTAL corpus rowcount (pre-filter), exactly as
+    # the query does via emb.count()
+    k = em._semdedup_k(len(emb))
     nz = (v * v).sum(axis=1) > 0
     v, ids = v[nz], ids[nz]
-    cents = similarity.make_planes(dim=64, n_planes=16, seed=777)
+    cents = similarity.make_unit_planes(
+        dim=64, n_planes=em._SEMDEDUP_K_MAX, seed=777
+    )[:k]
     cn = (cents**2).sum(axis=1)
     d = cn[None, :] - 2.0 * (v @ cents.T)
     cid = d.argmin(axis=1)  # first occurrence == smaller cid on ties
