@@ -708,6 +708,81 @@ def q_lsh_bucket_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(emb, qvec, planes, k=10, multiprobe=0)
 
 
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-10 (similarity.mmr_rerank_micro; Carbonell &
+    Goldstein, SIGIR 1998) for the shared ANN query vector at λ = 0.7:
+    one distributed relevance scan + TakeOrderedAndProject builds the
+    50-candidate shortlist (the corpus never shuffles), then the
+    inherently-sequential greedy runs over that BOUNDED shortlist —
+    argmax of 7·rel_micro − 3·maxsim_micro per step, integer ties to
+    the smaller id. Completes the retrieval tier's serving corner
+    beside brute-force/LSH/IVF/PQ top-k (those rank by relevance
+    alone; this trades relevance against redundancy — the fix for a
+    result page of near-identical hits). The DuckDB twin replays the
+    shortlist, the micro-quantized pairwise cosines, and the greedy as
+    a recursive CTE with a LATERAL per-step argmax, bit-for-bit (dots
+    fold left-to-right in IEEE doubles on both sides)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = _query_vec(spark, sf_dir)
+    return similarity.mmr_rerank_micro(
+        emb, qvec, k=10, shortlist=50, lam_num=7, lam_den=10
+    )
+
+
+def _mmr_oracle_sql() -> str:
+    """DuckDB twin of q_mmr_diversified_topk: shortlist by quantized
+    relevance, pairwise micro cosines between shortlist members, greedy
+    selection as a recursive CTE carrying the selected-id list, each
+    step's argmax via a LATERAL ORDER BY ... LIMIT 1 (mmr_deci DESC,
+    id ASC — the Spark greedy's exact tie order)."""
+    return """
+        WITH RECURSIVE
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE list_inner_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]) > 0),
+        rel AS (SELECT e.vec_id, e.v,
+                       CAST(FLOOR(list_inner_product(e.v, q.qv)
+                            / (SQRT(list_inner_product(e.v, e.v))
+                               * SQRT(list_inner_product(q.qv, q.qv)))
+                            * 1000000 + 0.5) AS BIGINT) AS rel_micro
+                FROM e, q),
+        short AS (SELECT * FROM rel
+                  ORDER BY rel_micro DESC, vec_id ASC LIMIT 50),
+        pc AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                      CAST(FLOOR(list_inner_product(a.v, b.v)
+                           / (SQRT(list_inner_product(a.v, a.v))
+                              * SQRT(list_inner_product(b.v, b.v)))
+                           * 1000000 + 0.5) AS BIGINT) AS sim_micro
+               FROM short a, short b WHERE a.vec_id <> b.vec_id),
+        pick(rank, vec_id, rel_micro, maxsim_micro, mmr_deci, sel) AS (
+            SELECT 1::BIGINT, s.vec_id, s.rel_micro, 0::BIGINT,
+                   7 * s.rel_micro, [s.vec_id]
+            FROM (SELECT * FROM short
+                  ORDER BY rel_micro DESC, vec_id ASC LIMIT 1) s
+            UNION ALL
+            SELECT p.rank + 1, c.vec_id, c.rel_micro, c.ms, c.mmr,
+                   list_append(p.sel, c.vec_id)
+            FROM pick p, LATERAL (
+                SELECT s.vec_id, s.rel_micro,
+                       (SELECT MAX(pc.sim_micro) FROM pc
+                        WHERE pc.ia = s.vec_id
+                          AND list_contains(p.sel, pc.ib)) AS ms,
+                       7 * s.rel_micro
+                       - 3 * (SELECT MAX(pc.sim_micro) FROM pc
+                              WHERE pc.ia = s.vec_id
+                                AND list_contains(p.sel, pc.ib)) AS mmr
+                FROM short s WHERE NOT list_contains(p.sel, s.vec_id)
+                ORDER BY mmr DESC, s.vec_id ASC LIMIT 1
+            ) c
+            WHERE p.rank < 10
+        )
+        SELECT rank, vec_id, rel_micro, maxsim_micro, mmr_deci
+        FROM pick ORDER BY rank
+    """
+
+
 def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sampling weights REALIZED (sampling.temperature_resample):
     per-doc copy counts for the alpha=0.5 temperature mixture —
@@ -9417,6 +9492,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (the r7/r8 time-series/profiling/retrieval additions and the r9
     # drift/semantic additions moved into the driver window in the r10
     # rotation)
+    # -- r10 additions: the retrieval tier's serving-side
+    #    diversification corner (MMR re-rank over the ANN shortlist)
+    "mmr_diversified_topk": q_mmr_diversified_topk,
 }
 
 
@@ -11395,6 +11473,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket_verified": _lsh_bucket_oracle_sql(),
         "pq_adc_verified": _pq_adc_oracle_sql(),
         "semantic_dedup_keep_best": _semantic_dedup_oracle_sql(),
+        "mmr_diversified_topk": _mmr_oracle_sql(),
         "pq_distortion_report": _pq_distortion_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """

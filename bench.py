@@ -178,6 +178,8 @@ HEADLINE = [
     "bh_fdr_event_shifts",
     "semantic_dedup_keep_best",
     "psi_value_drift",
+    # round-10 additions
+    "mmr_diversified_topk",
 ]
 
 

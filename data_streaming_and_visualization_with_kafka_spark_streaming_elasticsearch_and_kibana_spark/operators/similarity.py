@@ -65,6 +65,106 @@ def brute_force_topk(
     )
 
 
+def mmr_rerank_micro(
+    corpus: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — THE diversification step a retrieval stack runs after
+    ANN top-k: greedily pick the candidate maximizing
+    λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s), so near-duplicate
+    hits stop crowding the result page. The serving-side sibling of
+    semantic_dedup_keep (that one removes redundancy from the CORPUS,
+    this one from a RESULT LIST).
+
+    Scale shape: the corpus-sized work is ONE distributed pass — the
+    relevance scan + TakeOrderedAndProject shortlist (per-partition
+    top-N, driver merge; the corpus never shuffles). The greedy is
+    inherently sequential (selection i changes objective i+1), so it
+    runs on the DRIVER over the BOUNDED shortlist (N ≤ 50 whatever the
+    corpus size — the rrf bounded-shortlist class; a real serving node
+    re-ranks exactly this way after its index probe).
+
+    Deterministic and oracle-replayable end to end: relevance and
+    pairwise cosines floor-quantize to integer micro BEFORE the greedy;
+    λ applies as integers (mmr_deci = lam_num·rel − (lam_den−lam_num)·
+    max_sim, λ = lam_num/lam_den); argmax ties break toward the
+    smaller id. Driver-side pairwise dots accumulate LEFT-TO-RIGHT in
+    python IEEE doubles — bit-identical to the zip_with/aggregate fold
+    and DuckDB's list_inner_product, so a recursive-CTE twin replays
+    the greedy exactly. Output: (rank, id, rel_micro, maxsim_micro,
+    mmr_deci), rank 1..k; rank 1 is the plain top hit (max_sim = 0)."""
+    import math
+
+    q = _query_vec_literal(qvec)
+    scored = corpus.filter(
+        vectors.dot(F.col(vec_col), F.col(vec_col)) > 0
+    ).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.floor(cosine(F.col(vec_col).cast("array<double>"), q) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("rel_micro"),
+    )
+    short = (
+        scored.orderBy(F.desc("rel_micro"), F.asc(id_col))
+        .limit(int(shortlist))
+        .collect()
+    )
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    vecs = {int(r[id_col]): list(r["__v"]) for r in short}
+    rel = {int(r[id_col]): int(r["rel_micro"]) for r in short}
+    norms = {i: math.sqrt(_dot(v, v)) for i, v in vecs.items()}
+
+    def _sim_micro(a: int, b: int) -> int:
+        return int(
+            math.floor(
+                _dot(vecs[a], vecs[b]) / (norms[a] * norms[b]) * 1e6 + 0.5
+            )
+        )
+
+    selected: list[tuple[int, int, int, int, int]] = []
+    remaining = set(vecs)
+    maxsim: dict[int, int] = {i: 0 for i in remaining}
+    gap = lam_den - lam_num
+    for step in range(1, min(int(k), len(vecs)) + 1):
+        best = max(
+            remaining,
+            key=lambda i: (lam_num * rel[i] - gap * maxsim[i], -i),
+        )
+        selected.append(
+            (
+                step,
+                best,
+                rel[best],
+                maxsim[best],
+                lam_num * rel[best] - gap * maxsim[best],
+            )
+        )
+        remaining.discard(best)
+        for i in remaining:
+            s = _sim_micro(i, best)
+            if s > maxsim[i]:
+                maxsim[i] = s
+    return corpus.sparkSession.createDataFrame(
+        selected,
+        f"rank long, {id_col} long, rel_micro long, "
+        "maxsim_micro long, mmr_deci long",
+    )
+
+
 def brute_force_topk_arrow(
     corpus: DataFrame,
     qvec: list[float],

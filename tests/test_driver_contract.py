@@ -148,8 +148,9 @@ def test_driver_window_is_stable_and_fully_oracled():
 #: OUT each round (the window + full local gate cover them afterwards).
 DEBUT_ORACLE_QUERIES = [
     "bh_fdr_event_shifts",        # r10: DIV-2 midpoint + loud m guard
-    "psi_value_drift",            # r10: DIV-2 midpoint
+    "psi_value_drift",            # r10: DIV-2 midpoint + grid rewrite
     "semantic_dedup_keep_best",   # r10: k ∝ corpus, unit centroids
+    "mmr_diversified_topk",       # r10: new — greedy recursive-CTE twin
 ]
 
 

@@ -580,3 +580,43 @@ def test_ivfpq_composed_index_recall_and_pruning(spark, tmp_dir):
         recalls.append(len(exact & got) / 10)
     assert sum(recalls) / len(recalls) >= 0.9, recalls
     corpus.unpersist()
+
+
+def test_mmr_rerank_defers_redundant_hits(spark):
+    # hand-built geometry: the query's two most-relevant candidates are
+    # near-duplicates of each other; plain top-k ranks them 1-2, MMR
+    # (lambda=0.7) must defer the duplicate below the more-diverse
+    # third candidate. Rank 1 is always the plain argmax (maxsim = 0).
+    import math
+
+    # v1 must differ from the query, else every candidate's maxsim
+    # equals its rel after picking v1 and MMR degenerates to 4·rel
+    # (relevance order preserved — the first draft of this test).
+    rows = [
+        (1, [0.98, 0.19899749, 0.0, 0.0]),  # top hit, rel .98
+        (2, [0.95, 0.31224990, 0.0, 0.0]),  # near-dup of 1 (sim .993)
+        (3, [0.93, 0.0, 0.36755952, 0.0]),  # diverse (sim to 1: .911)
+        (4, [0.85, 0.0, 0.0, 0.52678269]),  # diverse, rel .85
+        (5, [0.0, 1.0, 0.0, 0.0]),          # near-orthogonal filler
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = similarity.mmr_rerank_micro(
+        corpus, [1.0, 0.0, 0.0, 0.0], k=5, shortlist=5
+    ).collect()
+    order = [r.vec_id for r in out]
+    assert order[0] == 1
+    assert out[0].maxsim_micro == 0
+    # the near-dup (2) must NOT be second: its mmr 7*999000-3*~999k
+    # loses to the diverse candidates
+    assert order[1] != 2
+    assert order.index(3) < order.index(2)
+    # every step's mmr_deci is exactly 7*rel - 3*maxsim
+    for r in out:
+        assert r.mmr_deci == 7 * r.rel_micro - 3 * r.maxsim_micro
+    # deterministic: re-run is identical
+    again = similarity.mmr_rerank_micro(
+        corpus, [1.0, 0.0, 0.0, 0.0], k=5, shortlist=5
+    ).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
