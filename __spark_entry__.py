@@ -8111,7 +8111,7 @@ def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: so the oracle SQL stays a static string. CPython's NormalDist
 #: inv_cdf is the fixed AS241/Acklam rational approximation — the same
 #: literal on any platform.
-_BH_MAX_M = 16
+_BH_MAX_M = 64
 _BH_ALPHA = 0.05
 
 
@@ -8149,7 +8149,9 @@ def q_bh_fdr_event_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-exact: z_milli reuses the welch_t_test construction
     (exact n/Σx/Σx² per half, DECIMAL(38,0) squares, one IEEE
     expression floor-quantized); the critical values are
-    DATA-INDEPENDENT literals for every family size m ≤ 16 (α=0.05),
+    DATA-INDEPENDENT literals for every family size m ≤ 64 (α=0.05;
+    64 ≫ any plausible event-type count — r10 advice: the slate must
+    never silently bound the family, and past it both engines RAISE),
     looked up after m is computed in-query, so rejection is an
     integer comparison both engines replay bit-for-bit. Everything is
     one declarative plan: corpus midpoint and m are broadcast scalar
@@ -10373,13 +10375,16 @@ def oracle_sql() -> dict[str, str]:
             ),
             ranked AS (
                 -- loud guard, mirroring the Spark raise_error: past
-                -- m=16 the thr join would silently empty BOTH engines
+                -- m={_BH_MAX_M} the thr join would silently empty BOTH
+                -- engines
                 SELECT *, ROW_NUMBER() OVER (
                            ORDER BY ABS(z_milli) DESC, event_type ASC
                        ) AS rnk,
-                       (SELECT CASE WHEN COUNT(*) <= 16 THEN COUNT(*)
+                       (SELECT CASE WHEN COUNT(*) <= {_BH_MAX_M}
+                               THEN COUNT(*)
                                ELSE CAST(error('bh_fdr family size '
-                                   || COUNT(*) || ' exceeds 16')
+                                   || COUNT(*)
+                                   || ' exceeds {_BH_MAX_M}')
                                    AS BIGINT) END
                         FROM z) AS m
                 FROM z

@@ -620,3 +620,50 @@ def test_mmr_rerank_defers_redundant_hits(spark):
         corpus, [1.0, 0.0, 0.0, 0.0], k=5, shortlist=5
     ).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_mmr_rerank_bounded_by_corpus_and_excludes_zero_vectors(spark):
+    # k larger than the (nonzero) corpus: the greedy stops when
+    # candidates run out; zero vectors never appear (no direction)
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.0, 0.0]),  # zero vector — excluded
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = similarity.mmr_rerank_micro(corpus, [1.0, 0.0], k=10).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+    assert [r.rank for r in out] == [1, 2]
+
+
+def test_ivf_assign_arrow_matches_hof_argmin(spark):
+    # the BLAS assignment path must agree with the bit-exact HOF path
+    # whenever argmin margins are real (seeded gaussian data — the
+    # documented contract; near-ties are measure-zero here)
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(300, 16)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.make_unit_planes(dim=16, n_planes=80, seed=11)
+    hof = {
+        r.vec_id: r.cid
+        for r in similarity.ivf_assign(
+            corpus, cents, "embedding"
+        ).collect()
+    }
+    arrow = {
+        r.vec_id: r.cid
+        for r in similarity.ivf_assign_arrow(
+            corpus, cents, "embedding"
+        ).collect()
+    }
+    assert hof == arrow
+    # and the input DataFrame's schema object is NOT mutated by the
+    # fresh-StructType construction (regression: schema.add in place)
+    assert [f.name for f in corpus.schema.fields] == ["vec_id", "embedding"]

@@ -83,6 +83,30 @@ TIMED = [
     "changepoint_best_split",
     "spearman_price_date",
     "kaplan_meier_churn",
+    # r10: the newly driver-windowed tier under entity growth. The
+    # drift pair (bh_fdr, psi) is ONE events aggregate each (bounded
+    # downstream tables behind lazy checkpoints); acf/calendar/cusum/
+    # lorenz walk calendar- or decile-bounded grids; the graph pair
+    # (bfs from the min-id seed, degree assortativity) sees k disjoint
+    # graph copies — bfs only reaches the seed's copy (frontier size
+    # constant, scan grows), assortativity is one edge-keyed aggregate;
+    # market_basket pairs are bounded per (user, day) basket; the
+    # retrieval pair scans the posting lists; join_skew_report is a
+    # two-table key-histogram join audit.
+    "bh_fdr_event_shifts",
+    "psi_value_drift",
+    "acf_minute_counts",
+    "calendar_seasonality_profile",
+    "cusum_drift_profile",
+    "lorenz_deciles",
+    "activity_correlation_matrix",
+    "market_basket_rules",
+    "incremental_rollup_maintenance",
+    "join_skew_report",
+    "bfs_hop_distance",
+    "degree_assortativity",
+    "phrase_search",
+    "proximity_search",
 ]
 
 SYMLINKED = (
