@@ -8557,6 +8557,136 @@ def _semantic_dedup_oracle_sql() -> str:
     """
 
 
+#: IMI quantizer sizing for the gated query: K per half =
+#: max(4, min(K_MAX, ceil(sqrt(n/TARGET)))) — K² cells track
+#: n/TARGET like the flat path, but assignment costs 2·K half-dots
+#: instead of K² full ones (the sub-quadratic leg; see
+#: similarity.imi_assign_arrow).
+_SEMDEDUP_IMI_K_MAX = 16
+
+
+def _semdedup_imi_K(n: int) -> int:
+    return max(4, min(_SEMDEDUP_IMI_K_MAX, math.ceil(math.sqrt(n / 100.0))))
+
+
+def q_semantic_dedup_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup under the TWO-LEVEL (inverted multi-index)
+    quantizer (similarity.semantic_dedup_keep_imi; Babenko &
+    Lempitsky, CVPR 2012): each vector half gets its own K seeded unit
+    directions, cell id = c1·K + c2, so K² cells cost 2·K half-dots
+    per vector — the assignment leg that stays sub-quadratic when the
+    cell count must track the corpus (flat SemDeDup assignment is
+    O(n·k·d) with k ∝ n; IMI reaches the same cell count at
+    O(n·√k·d)). K derives from count(*) in BOTH engines (ceil-sqrt of
+    n/100, clamped [4, 16]; per-half codebooks prefix-stable), the
+    cell centroid is the half-concatenation so the election cosine
+    decomposes into two K-row broadcast joins, and the DuckDB twin
+    replays per-half argmins over sliced lists, the decomposed cosine,
+    within-cell pairs, recursive-CTE components, and the quantized
+    election. Same output contract as semantic_dedup_keep_best."""
+    emb = _t(spark, sf_dir, "embeddings")
+    K = _semdedup_imi_K(emb.count())
+    cb = similarity.make_imi_codebooks(
+        dim=64, n_cells_per_half=_SEMDEDUP_IMI_K_MAX, seed=777
+    )[:, :K, :]
+    return similarity.semantic_dedup_keep_imi(
+        emb, cb, threshold=0.4
+    ).orderBy("component")
+
+
+def _semantic_dedup_imi_oracle_sql() -> str:
+    """DuckDB twin of q_semantic_dedup_imi: both half codebooks inlined
+    (squared norms + rows), K = ceil-sqrt clamp derived from count(*),
+    per-half argmin via ROW_NUMBER over ‖c‖² − 2·x_h·c on the sliced
+    list (ties → smaller index), cid = c1·K + c2, election cosine as
+    (x₁·c1 + x₂·c2)/(‖x‖·√(cn1+cn2)) — the exact Spark expression
+    order — then the flat twin's pair/component/election CTEs."""
+    cb = similarity.make_imi_codebooks(
+        dim=64, n_cells_per_half=_SEMDEDUP_IMI_K_MAX, seed=777
+    )
+    half_rows = []
+    for h in range(2):
+        cn = (cb[h] ** 2).sum(axis=1)
+        half_rows.append(
+            ", ".join(
+                f"({i}, {float(cn[i])!r}, "
+                f"[{', '.join(repr(float(x)) for x in cb[h, i])}]"
+                "::DOUBLE[])"
+                for i in range(cb.shape[1])
+            )
+        )
+    return f"""
+        WITH cb1_0(i, cn, c) AS (VALUES {half_rows[0]}),
+        cb2_0(i, cn, c) AS (VALUES {half_rows[1]}),
+        ksel AS (SELECT GREATEST(4, LEAST({_SEMDEDUP_IMI_K_MAX},
+                     CAST(CEIL(SQRT((SELECT COUNT(*) FROM embeddings)
+                                    / 100.0)) AS INT))) AS k),
+        cb1 AS (SELECT * FROM cb1_0 WHERE i < (SELECT k FROM ksel)),
+        cb2 AS (SELECT * FROM cb2_0 WHERE i < (SELECT k FROM ksel)),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE list_inner_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]) > 0),
+        a1 AS (SELECT vec_id, i AS c1, cn AS cn1, c AS cv1 FROM (
+                   SELECT e.vec_id, b.i, b.cn, b.c,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY e.vec_id
+                              ORDER BY b.cn
+                                   - 2 * list_inner_product(e.v[1:32], b.c)
+                                   ASC, b.i ASC) AS rn
+                   FROM e, cb1 b
+               ) WHERE rn = 1),
+        a2 AS (SELECT vec_id, i AS c2, cn AS cn2, c AS cv2 FROM (
+                   SELECT e.vec_id, b.i, b.cn, b.c,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY e.vec_id
+                              ORDER BY b.cn
+                                   - 2 * list_inner_product(e.v[33:64], b.c)
+                                   ASC, b.i ASC) AS rn
+                   FROM e, cb2 b
+               ) WHERE rn = 1),
+        asg AS (SELECT e.vec_id, e.v,
+                       a1.c1 * (SELECT k FROM ksel) + a2.c2 AS cid,
+                       CAST(FLOOR(
+                           (list_inner_product(e.v[1:32], a1.cv1)
+                            + list_inner_product(e.v[33:64], a2.cv2))
+                           / (SQRT(list_inner_product(e.v, e.v))
+                              * SQRT(a1.cn1 + a2.cn2))
+                           * 1000000 + 0.5) AS BIGINT) AS cent_cos_micro
+                FROM e JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)),
+        p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM asg a JOIN asg b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+        edges AS (SELECT ia AS a, ib AS b FROM p
+                  UNION SELECT ib, ia FROM p),
+        reach AS (
+            WITH RECURSIVE r(id, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e2.b, r.label FROM r JOIN edges e2 ON e2.a = r.id
+            ) SELECT * FROM r
+        ),
+        comp_l AS (SELECT id, MIN(label) AS component
+                   FROM reach GROUP BY id),
+        m AS (SELECT asg.vec_id,
+                     COALESCE(l.component, asg.vec_id) AS component,
+                     asg.cent_cos_micro
+              FROM asg LEFT JOIN comp_l l ON l.id = asg.vec_id),
+        k AS (SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY component
+                          ORDER BY cent_cos_micro ASC, vec_id ASC) AS rn
+              FROM m)
+        SELECT m.component,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               MAX(CASE WHEN k.rn = 1 THEN k.vec_id END) AS keep_id,
+               MAX(CASE WHEN k.rn = 1 THEN k.cent_cos_micro END)
+                   AS keep_cos_micro
+        FROM m JOIN k ON k.vec_id = m.vec_id AND k.component = m.component
+        GROUP BY m.component
+        ORDER BY m.component
+    """
+
+
 def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast evaluation over the hourly event-count
     series: predict count(t) = count(t − 24 h) and score it — THE
@@ -9495,8 +9625,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # drift/semantic additions moved into the driver window in the r10
     # rotation)
     # -- r10 additions: the retrieval tier's serving-side
-    #    diversification corner (MMR re-rank over the ANN shortlist)
+    #    diversification corner (MMR re-rank over the ANN shortlist) +
+    #    the sub-quadratic two-level quantizer leg of semantic dedup
     "mmr_diversified_topk": q_mmr_diversified_topk,
+    "semantic_dedup_imi": q_semantic_dedup_imi,
 }
 
 
@@ -11479,6 +11611,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_verified": _pq_adc_oracle_sql(),
         "semantic_dedup_keep_best": _semantic_dedup_oracle_sql(),
         "mmr_diversified_topk": _mmr_oracle_sql(),
+        "semantic_dedup_imi": _semantic_dedup_imi_oracle_sql(),
         "pq_distortion_report": _pq_distortion_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """

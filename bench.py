@@ -180,6 +180,7 @@ HEADLINE = [
     "psi_value_drift",
     # round-10 additions
     "mmr_diversified_topk",
+    "semantic_dedup_imi",
 ]
 
 
@@ -310,13 +311,16 @@ def main() -> None:
     short = {
         f"q{i + 1}": round(times[name], 2) for i, name in enumerate(HEADLINE)
     }
+    # "key" (the qK=HEADLINE[K-1] mapping) and the best-of-3 wire rate
+    # are BENCH_FULL-only as of r10: at 141 headline entries the modeled
+    # worst-case 2-dp line hit the capture-buffer guard exactly — the
+    # driver line keeps only what the driver itself parses.
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": short,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "key": "qK=HEADLINE[K-1]",
     }
     # wire_replay must never cost us the headline numbers already
     # measured above — any failure inside it degrades to a note.
@@ -334,22 +338,24 @@ def main() -> None:
         )
         median_run = ordered[1]
         payload.update(median_run)
-        payload["wire_replay_best_rows_per_sec"] = ordered[-1].get(
-            "wire_replay_rows_per_sec", 0
-        )
-        # constants (row count, the reference's 2 rows/s) live in
-        # BENCH_FULL.json; dropping them from the driver line buys the
-        # per-query map headroom as HEADLINE grows
+        # constants (row count, the reference's 2 rows/s) and the
+        # best-of-3 saturation rate live in BENCH_FULL.json; dropping
+        # them from the driver line buys the per-query map headroom
+        # as HEADLINE grows
         full_only = {
             k: payload.pop(k)
             for k in ("wire_replay_rows", "baseline_rows_per_sec")
             if k in payload
         }
+        full_only["wire_replay_best_rows_per_sec"] = ordered[-1].get(
+            "wire_replay_rows_per_sec", 0
+        )
     except Exception as e:  # noqa: BLE001
         full_only = {}
         payload["wire_replay_error"] = str(e)[:200]
     full = dict(payload)
     full.update(full_only)
+    full["key"] = "qK=HEADLINE[K-1]"
     full["queries"] = times  # full names, same medians
     try:
         here = os.path.dirname(os.path.abspath(__file__))

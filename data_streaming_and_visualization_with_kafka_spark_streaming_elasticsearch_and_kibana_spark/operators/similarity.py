@@ -873,6 +873,18 @@ def semantic_dedup_keep(
     # as embedding_near_dup_pairs (threshold margins are data-scale,
     # ~1e-13 noise); per-cluster matrices are bounded by the
     # clusters-grow-with-corpus contract above.
+    return _semantic_components_and_election(base, id_col, threshold)
+
+
+def _semantic_components_and_election(
+    base: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared back half of the semantic-dedup family: per-cluster BLAS
+    cosine pairs + union-find components inside one Arrow kernel, then
+    the least-prototypical election. `base` carries (id, cid, __v,
+    cent_cos_micro) for the nonzero corpus under ANY quantizer (flat
+    argmin or the two-level IMI cells) — components can never span
+    clusters because a vector has exactly one cid."""
     import pandas as pd
 
     thr = float(threshold)
@@ -924,6 +936,126 @@ def semantic_dedup_keep(
             F.col("k.c").alias("keep_cos_micro"),
         )
     )
+
+
+def make_imi_codebooks(
+    dim: int, n_cells_per_half: int, seed: int = 777
+) -> np.ndarray:
+    """Seeded two-level (inverted multi-index) codebooks: the vector
+    splits into two halves, each quantized independently by its own
+    n_cells_per_half unit directions — cell id = c1·K + c2, so K²
+    cells cost 2·K half-dot-products per vector instead of K² full
+    ones (Babenko & Lempitsky, CVPR 2012). Per-half rows are
+    unit-normalized (the make_unit_planes argument: raw gaussian norm
+    spread would bias the argmin) and prefix-stable per half. Returns
+    (2, K, dim//2)."""
+    assert dim % 2 == 0, "IMI splits the vector into equal halves"
+    return np.stack(
+        [
+            make_unit_planes(dim // 2, n_cells_per_half, seed + h)
+            for h in range(2)
+        ]
+    )
+
+
+def imi_assign_arrow(
+    corpus: DataFrame, codebooks: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Two-level cell assignment via one dgemm per half per Arrow
+    batch: cid = argmin₁·K + argmin₂ (each argmin over ‖c‖² − 2·x_h·c
+    on its half; numpy argmin keeps the FIRST minimum — ties to the
+    smaller index, the house struct-min order). Assignment cost is
+    O(n·K·d) for K² cells — the sub-quadratic quantizer leg the flat
+    path can't offer once k must track the corpus (SemDeDup at 100 TB:
+    k ∝ n/target means flat assignment is O(n²·d/target); IMI holds
+    O(n^1.5) at the same cell count)."""
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    nhalf, K, dh = cb.shape
+    assert nhalf == 2
+    cn = (cb**2).sum(axis=2)
+    out_schema = StructType(
+        list(corpus.schema.fields) + [StructField("cid", IntegerType())]
+    )
+
+    def gen(it):
+        for pdf in it:
+            if len(pdf):
+                v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                c1 = (cn[0][None, :] - 2.0 * (v[:, :dh] @ cb[0].T)).argmin(
+                    axis=1
+                )
+                c2 = (cn[1][None, :] - 2.0 * (v[:, dh:] @ cb[1].T)).argmin(
+                    axis=1
+                )
+                cid = (c1 * K + c2).astype("int32")
+            else:
+                cid = np.array([], dtype="int32")
+            yield pdf.assign(cid=cid)
+
+    return corpus.mapInPandas(gen, out_schema)
+
+
+def semantic_dedup_keep_imi(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """semantic_dedup_keep with the TWO-LEVEL quantizer: cells are IMI
+    (c1, c2) pairs, so reaching k cells costs 2√k half-dots per vector
+    instead of k full dots — the assignment leg that keeps SemDeDup
+    sub-quadratic when k must grow with the corpus. The cell centroid
+    is the concatenation [cb1[c1]; cb2[c2]], so the election cosine
+    decomposes as (x₁·c1 + x₂·c2)/(‖x‖·√(‖c1‖²+‖c2‖²)) — TWO K-row
+    broadcast joins, never a K² centroid table. Same components/
+    election core as the flat path; same output schema."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    _, K, dh = cb.shape
+    e = corpus.filter(
+        vectors.dot(F.col(vec_col), F.col(vec_col)) > 0
+    ).select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    assigned = imi_assign_arrow(e, cb, "__v")
+    spark = corpus.sparkSession
+    half_tbls = []
+    for h in range(2):
+        rows = [
+            (i, [float(x) for x in cb[h, i]], float((cb[h, i] ** 2).sum()))
+            for i in range(K)
+        ]
+        half_tbls.append(
+            spark.createDataFrame(
+                rows, f"c{h + 1} int, __cb{h + 1} array<double>, "
+                f"__cn{h + 1} double"
+            )
+        )
+    withcells = assigned.select(
+        id_col,
+        "cid",
+        "__v",
+        (F.col("cid") / K).cast("int").alias("c1"),
+        (F.col("cid") % K).alias("c2"),
+    )
+    joined = withcells.join(F.broadcast(half_tbls[0]), "c1").join(
+        F.broadcast(half_tbls[1]), "c2"
+    )
+    x1 = F.slice(F.col("__v"), 1, dh)
+    x2 = F.slice(F.col("__v"), dh + 1, dh)
+    cos = (
+        vectors.dot(x1, F.col("__cb1")) + vectors.dot(x2, F.col("__cb2"))
+    ) / (
+        vectors.norm(F.col("__v"))
+        * F.sqrt(F.col("__cn1") + F.col("__cn2"))
+    )
+    base = joined.select(
+        id_col,
+        "cid",
+        "__v",
+        F.floor(cos * 1e6 + F.lit(0.5)).cast("long").alias("cent_cos_micro"),
+    ).localCheckpoint(eager=False)
+    return _semantic_components_and_election(base, id_col, threshold)
 
 
 def assign_nearest_centroid(

@@ -151,6 +151,7 @@ DEBUT_ORACLE_QUERIES = [
     "psi_value_drift",            # r10: DIV-2 midpoint + grid rewrite
     "semantic_dedup_keep_best",   # r10: k ∝ corpus, unit centroids
     "mmr_diversified_topk",       # r10: new — greedy recursive-CTE twin
+    "semantic_dedup_imi",         # r10: new — two-level quantizer twin
 ]
 
 

@@ -667,3 +667,57 @@ def test_ivf_assign_arrow_matches_hof_argmin(spark):
     # and the input DataFrame's schema object is NOT mutated by the
     # fresh-StructType construction (regression: schema.add in place)
     assert [f.name for f in corpus.schema.fields] == ["vec_id", "embedding"]
+
+
+def test_imi_assign_cells_compose_from_half_argmins(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(200, 16)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    K = 6
+    cb = similarity.make_imi_codebooks(16, K, seed=3)
+    got = {
+        r.vec_id: r.cid
+        for r in similarity.imi_assign_arrow(
+            corpus, cb, "embedding"
+        ).collect()
+    }
+    cn = (cb**2).sum(axis=2)
+    c1 = (cn[0][None, :] - 2.0 * (vecs[:, :8] @ cb[0].T)).argmin(axis=1)
+    c2 = (cn[1][None, :] - 2.0 * (vecs[:, 8:] @ cb[1].T)).argmin(axis=1)
+    want = c1 * K + c2
+    assert all(got[i] == want[i] for i in range(len(vecs)))
+    # codebooks are prefix-stable per half (the oracle slices i < K)
+    big = similarity.make_imi_codebooks(16, K + 4, seed=3)
+    assert np.array_equal(cb, big[:, :K, :])
+
+
+def test_semantic_dedup_imi_same_contract_as_flat(spark):
+    # planted duplicate pair: both quantizer legs must output the same
+    # schema, cover every nonzero vector exactly once, and keep the
+    # duplicate pair in one component whenever they share a cell
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    vecs = rng.randn(120, 16)
+    vecs[7] = vecs[3] + 0.01 * rng.randn(16)  # near-dup of 3
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = similarity.make_imi_codebooks(16, 3, seed=3)
+    out = similarity.semantic_dedup_keep_imi(corpus, cb, threshold=0.9)
+    pdf = out.toPandas()
+    assert list(pdf.columns) == [
+        "component", "n_members", "keep_id", "keep_cos_micro",
+    ]
+    assert pdf["n_members"].sum() == 120
+    # 3 and 7 are cosine ~0.999: same half-argmins => same cell => merged
+    comp = {int(r.component) for r in out.collect() if r.n_members > 1}
+    dup = pdf[pdf["component"] == 3]
+    assert len(dup) == 1 and int(dup["n_members"].iloc[0]) >= 2
+    assert comp  # at least the planted pair merged

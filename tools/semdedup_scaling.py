@@ -117,20 +117,34 @@ def main() -> None:
             res[label] = round(time.time() - t0, 2)
             res[label + "_rows"] = cnt
             res[label + "_k"] = kc
+        # two-level IMI at the same cell-count target: 2·K half-dots
+        # per vector instead of K² full dots — the sub-quadratic
+        # assignment leg (K² cells, K = ceil(sqrt(n/100)))
+        import math
+
+        K = max(4, math.ceil(math.sqrt(n / 100.0)))
+        cb = similarity.make_imi_codebooks(64, K, seed=777)
+        t0 = time.time()
+        cnt = similarity.semantic_dedup_keep_imi(
+            emb, cb, threshold=0.4
+        ).count()
+        res["imi"] = round(time.time() - t0, 2)
+        res["imi_rows"] = cnt
+        res["imi_cells"] = K * K
         rows.append(res)
         print(res, flush=True)
 
     base = rows[0]
     print()
     print("| corpus | k_cents | components | time | growth vs corpus |"
-          " fixed k=16 time |")
-    print("|---|---|---|---|---|---|")
+          " fixed k=16 time | IMI cells | IMI time |")
+    print("|---|---|---|---|---|---|---|---|")
     for r in rows:
         ratio = (r["k_grows"] / base["k_grows"]) / (r["n"] / base["n"])
         print(
             f"| {r['n']} | {r['k_grows_k']} | {r['k_grows_rows']} |"
             f" {r['k_grows']}s | {ratio:.2f}× linear |"
-            f" {r['k_fixed16']}s |"
+            f" {r['k_fixed16']}s | {r['imi_cells']} | {r['imi']}s |"
         )
 
 
