@@ -721,3 +721,54 @@ def test_semantic_dedup_imi_same_contract_as_flat(spark):
     dup = pdf[pdf["component"] == 3]
     assert len(dup) == 1 and int(dup["n_members"].iloc[0]) >= 2
     assert comp  # at least the planted pair merged
+
+
+def test_semdedup_quantizer_retention_floors(spark):
+    """Single-probe cell co-location of planted near-duplicates (cos
+    ~0.93) — the SemDeDup recall trade, MEASURED and pinned: trained
+    k-means centroids must beat the seeded prototype slate decisively
+    (the production recall lever the operator's centroid parameter
+    exists for), and both seeded legs must clear a sanity floor.
+    Deterministic: fixed seeds everywhere."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v0 = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    rng = np.random.RandomState(99)
+    dup = v0 + rng.randn(*v0.shape) * 0.05
+    v = np.vstack([v0, dup])
+    n = len(v)
+    a = np.arange(len(v0))
+    b = a + len(v0)
+
+    k = max(16, n // 100)
+    flat = similarity.make_unit_planes(64, k, 777)
+    cid_flat = ((flat**2).sum(1)[None, :] - 2 * (v @ flat.T)).argmin(1)
+    flat_ret = float((cid_flat[a] == cid_flat[b]).mean())
+
+    K = max(4, math.ceil(math.sqrt(n / 100)))
+    cb = similarity.make_imi_codebooks(64, K, 777)
+    c1 = ((cb[0] ** 2).sum(1)[None, :] - 2 * (v[:, :32] @ cb[0].T)).argmin(1)
+    c2 = ((cb[1] ** 2).sum(1)[None, :] - 2 * (v[:, 32:] @ cb[1].T)).argmin(1)
+    cid_imi = c1 * K + c2
+    imi_ret = float((cid_imi[a] == cid_imi[b]).mean())
+
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(v)],
+        "vec_id long, embedding array<double>",
+    )
+    trained = similarity.train_ivf_centroids(
+        corpus, n_centroids=k, sample=n, seed=42
+    )
+    cid_tr = ((trained**2).sum(1)[None, :] - 2 * (v @ trained.T)).argmin(1)
+    tr_ret = float((cid_tr[a] == cid_tr[b]).mean())
+
+    # sf0.001 measured: flat 0.734, imi 0.566, trained 0.926 (k=16,
+    # K=4); floors leave noise margin for testdata regeneration
+    assert flat_ret >= 0.5, flat_ret
+    assert imi_ret >= 0.35, imi_ret
+    assert tr_ret >= 0.8, tr_ret
+    assert tr_ret > flat_ret, (tr_ret, flat_ret)
