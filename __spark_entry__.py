@@ -8166,12 +8166,13 @@ def q_bh_fdr_event_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.min(_epoch_sec("ts"))).cast("long").alias("lo"),
         F.floor(F.max(_epoch_sec("ts"))).cast("long").alias("hi"),
     ).select(
-        # integer FLOOR division (DIV), matching the DuckDB twin's `//`
-        # and the pandas third-impl's `//`: double-divide-then-cast
-        # TRUNCATES on Spark but the oracle's CAST ROUNDS, so an odd
-        # lo+hi would put the boundary second in different halves per
-        # engine (latent until a testdata regeneration flips parity).
-        F.expr("(lo + hi) DIV 2").alias("mid")
+        # TRUE integer FLOOR division, negative-safe: DuckDB's `//` and
+        # the pandas third-impl's `//` both FLOOR, while Spark's DIV
+        # truncates toward zero — subtracting pmod first makes the sum
+        # even so DIV is exact floor for either sign. (The r10 first
+        # cut used bare DIV, which still diverged for odd NEGATIVE
+        # epoch sums — pre-1970 data.)
+        F.expr("(lo + hi - pmod(lo + hi, 2)) DIV 2").alias("mid")
     )
     base = (
         ev.filter(F.col("value").isNotNull())
@@ -8314,8 +8315,9 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.min(_epoch_sec("ts"))).cast("long").alias("lo"),
         F.floor(F.max(_epoch_sec("ts"))).cast("long").alias("hi"),
     ).select(
-        # FLOOR division, same contract as bh_fdr's midpoint above
-        F.expr("(lo + hi) DIV 2").alias("mid")
+        # negative-safe FLOOR division, same contract as bh_fdr's
+        # midpoint above
+        F.expr("(lo + hi - pmod(lo + hi, 2)) DIV 2").alias("mid")
     )
     vals = (
         ev.filter(F.col("value").isNotNull())
@@ -8433,7 +8435,9 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (similarity.semantic_dedup_keep) takes arbitrary trained centroids
 #: (train_ivf_centroids) with unbounded k — at 100 TB k ∝ n/TARGET and
 #: the n·k assignment matmul is the paper's accepted quantizer cost.
-_SEMDEDUP_K_MAX = 64
+_SEMDEDUP_K_MAX = similarity.BIT_EXACT_ASSIGN_MAX_K  # = 64; raising
+#: it would ALSO move semantic_dedup_keep off the bit-exact HOF
+#: assignment path — the two bounds are one constant by construction
 _SEMDEDUP_TARGET = 100
 
 
@@ -8447,10 +8451,12 @@ def q_semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     prototype centroids partition the space (k = max(16, n/100)
     gaussian directions — k GROWS WITH THE CORPUS so per-cluster size
     stays ~100 and pair volume stays linear; production would train
-    k-means via train_ivf_centroids; a FIXED seeded matrix keeps the
-    whole pipeline oracle-replayable, the LSH-planes discipline —
-    prefix-stable: make_planes(K_MAX)[:k] rows are the same literals
-    at every k), pairs compare WITHIN a cluster only (the paper's
+    k-means via train_ivf_centroids; a FIXED seeded UNIT-NORM matrix
+    keeps the whole pipeline oracle-replayable, the LSH-planes
+    discipline — prefix-stable: make_unit_planes(K_MAX)[:k] rows are
+    the same literals at every k, and k caps at K_MAX=64 (the oracle
+    literal budget AND the bit-exact assignment bound — one shared
+    constant)), pairs compare WITHIN a cluster only (the paper's
     tractability move), cosine ≥ 0.4 pairs become duplicate
     components (cluster-local union-find min-label), and each
     component keeps its LEAST-prototypical member — lowest
@@ -8483,8 +8489,8 @@ def _semantic_dedup_oracle_sql() -> str:
     centroid slate, their squared norms, and their norms inlined as
     literals (repr roundtrips doubles exactly), then sliced to the SAME
     k = max(16, min(K_MAX, count(*) DIV TARGET)) the Spark side derives
-    (make_planes is prefix-stable, so cid < k selects the identical
-    matrix); assignment as a ROW_NUMBER argmin over ‖c‖² − 2·x·c (ties
+    (make_unit_planes is prefix-stable, so cid < k selects the
+    identical matrix); assignment as a ROW_NUMBER argmin over ‖c‖² − 2·x·c (ties
     → smaller cid, matching Spark's struct-min); within-cluster cosine
     pairs; components via the recursive min-label CTE (the
     dedup_clusters shape); election by (cent_cos_micro, id)."""
@@ -10465,11 +10471,16 @@ def oracle_sql() -> dict[str, str]:
                 f"({m}, {i}, {t})" for m, i, t in _bh_thresholds()
             )}),
             span AS (
-                -- integer FLOOR division (//): CAST(x/2 AS BIGINT)
-                -- ROUNDS in DuckDB while Spark's DIV floors
-                SELECT (CAST(FLOOR(MIN(epoch(ts))) AS BIGINT)
-                      + CAST(FLOOR(MAX(epoch(ts))) AS BIGINT)) // 2 AS mid
-                FROM events
+                -- TRUE floor division, negative-safe: DuckDB's bare
+                -- `//` truncates toward zero (CAST(x/2) even rounds);
+                -- subtracting the positive residue first makes the sum
+                -- even, so `// 2` is exact floor for either sign —
+                -- matching Spark's pmod-then-DIV and pandas `//`
+                SELECT (s - ((s % 2) + 2) % 2) // 2 AS mid FROM (
+                    SELECT CAST(FLOOR(MIN(epoch(ts))) AS BIGINT)
+                         + CAST(FLOOR(MAX(epoch(ts))) AS BIGINT) AS s
+                    FROM events
+                )
             ),
             p AS (
                 SELECT event_type,
@@ -10537,10 +10548,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "psi_value_drift": """
             WITH span AS (
-                -- FLOOR division, same contract as bh_fdr's midpoint
-                SELECT (CAST(FLOOR(MIN(epoch(ts))) AS BIGINT)
-                      + CAST(FLOOR(MAX(epoch(ts))) AS BIGINT)) // 2 AS mid
-                FROM events
+                -- negative-safe FLOOR division, same contract as
+                -- bh_fdr's midpoint
+                SELECT (s - ((s % 2) + 2) % 2) // 2 AS mid FROM (
+                    SELECT CAST(FLOOR(MIN(epoch(ts))) AS BIGINT)
+                         + CAST(FLOOR(MAX(epoch(ts))) AS BIGINT) AS s
+                    FROM events
+                )
             ),
             vals AS (
                 SELECT event_type, event_id,

@@ -137,26 +137,38 @@ def mmr_rerank_micro(
 
     selected: list[tuple[int, int, int, int, int]] = []
     remaining = set(vecs)
-    maxsim: dict[int, int] = {i: 0 for i in remaining}
+    # maxsim is the RAW max cosine to the selected set — canonical MMR,
+    # negatives included (a candidate anti-correlated with everything
+    # picked gets a diversity BONUS). The empty-set step publishes 0.
+    # Clamping at 0 (the first draft) silently diverged from the
+    # recursive-CTE twin whenever every selected item was negatively
+    # correlated with a candidate — latent on data where the query
+    # vector itself is in-corpus (rank 1 = self, all sims positive),
+    # live on any corpus where it isn't.
+    maxsim: dict[int, int | None] = {i: None for i in remaining}
     gap = lam_den - lam_num
     for step in range(1, min(int(k), len(vecs)) + 1):
         best = max(
             remaining,
-            key=lambda i: (lam_num * rel[i] - gap * maxsim[i], -i),
+            key=lambda i: (
+                lam_num * rel[i] - gap * (maxsim[i] or 0),
+                -i,
+            ),
         )
+        ms = maxsim[best] if maxsim[best] is not None else 0
         selected.append(
             (
                 step,
                 best,
                 rel[best],
-                maxsim[best],
-                lam_num * rel[best] - gap * maxsim[best],
+                ms,
+                lam_num * rel[best] - gap * ms,
             )
         )
         remaining.discard(best)
         for i in remaining:
             s = _sim_micro(i, best)
-            if s > maxsim[i]:
+            if maxsim[i] is None or s > maxsim[i]:
                 maxsim[i] = s
     return corpus.sparkSession.createDataFrame(
         selected,
@@ -350,6 +362,15 @@ def hyperplane_bucket(vec_col, planes: np.ndarray):
     return bucket
 
 
+#: Largest centroid-slate size for which semantic_dedup_keep uses the
+#: bit-exact HOF assignment (left-to-right folds, oracle-replayable);
+#: past it assignment routes through the BLAS Arrow kernel whose
+#: cross-engine equality rests on argmin margins. The oracle literal
+#: budget in __spark_entry__ (_SEMDEDUP_K_MAX) imports THIS constant so
+#: the two bounds can never drift apart.
+BIT_EXACT_ASSIGN_MAX_K = 64
+
+
 def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).randn(n_planes, dim)
 
@@ -539,8 +560,6 @@ def ivf_assign_arrow(
     separations vs ~1e-13 noise — the pq_adc contract); callers that
     need BIT-exact oracle-replayable assignment at small k should keep
     ivf_assign."""
-    import pandas as pd
-
     c = np.asarray(centroids, dtype=np.float64)
     cn = (c * c).sum(axis=1)
     # fresh StructType: StructType.add mutates in place, which would
@@ -829,7 +848,7 @@ def semantic_dedup_keep(
     # argmin past that, where O(k) interpreted lambdas per row dominate
     # (the trained-quantizer regime, k ∝ corpus/target_cluster_size —
     # argmin margins carry cross-engine equality there).
-    if len(centroids) <= 64:
+    if len(centroids) <= BIT_EXACT_ASSIGN_MAX_K:
         assigned = ivf_assign(e, centroids, "__v")
     else:
         assigned = ivf_assign_arrow(e, centroids, "__v")
@@ -885,8 +904,6 @@ def _semantic_components_and_election(
     cent_cos_micro) for the nonzero corpus under ANY quantizer (flat
     argmin or the two-level IMI cells) — components can never span
     clusters because a vector has exactly one cid."""
-    import pandas as pd
-
     thr = float(threshold)
 
     def _cluster_components(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -969,8 +986,6 @@ def imi_assign_arrow(
     path can't offer once k must track the corpus (SemDeDup at 100 TB:
     k ∝ n/target means flat assignment is O(n²·d/target); IMI holds
     O(n^1.5) at the same cell count)."""
-    import pandas as pd
-
     cb = np.asarray(codebooks, dtype=np.float64)
     nhalf, K, dh = cb.shape
     assert nhalf == 2

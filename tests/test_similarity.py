@@ -772,3 +772,34 @@ def test_semdedup_quantizer_retention_floors(spark):
     assert imi_ret >= 0.35, imi_ret
     assert tr_ret >= 0.8, tr_ret
     assert tr_ret > flat_ret, (tr_ret, flat_ret)
+
+
+def test_mmr_rerank_uses_raw_negative_maxsim(spark):
+    """Canonical-MMR regression (r10 review finding): maxsim is the RAW
+    max cosine to the selected set, negatives included — a candidate
+    anti-correlated with everything picked gets a diversity BONUS. The
+    first draft clamped at 0, silently diverging from the DuckDB
+    recursive-CTE twin on any corpus where the query vector is not a
+    corpus member (so sims to the selected set can be all-negative).
+    Geometry: query = e2; the greedy must publish NEGATIVE
+    maxsim_micro values and the exact integer objective."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.43588989, 0.0]),
+        (2, [-0.5, 0.86602540, 0.0]),
+        (3, [-0.5, -0.86602540, 0.0]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = similarity.mmr_rerank_micro(
+        corpus, [0.0, 1.0, 0.0], k=4, shortlist=4
+    ).collect()
+    got = [(r.rank, r.vec_id, r.maxsim_micro, r.mmr_deci) for r in out]
+    # verified against the recursive-CTE oracle on this exact corpus
+    assert got == [
+        (1, 2, 0, 6062175),
+        (2, 1, -72508, 3268754),
+        (3, 0, 900000, -2700000),
+        (4, 3, -500000, -4562175),
+    ], got
