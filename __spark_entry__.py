@@ -8693,6 +8693,167 @@ def _semantic_dedup_imi_oracle_sql() -> str:
     """
 
 
+#: trained-quantizer training knobs, shared by the Spark query and the
+#: SQL-Lloyd twin: bounded sample under the Knuth-hash order, fixed
+#: iteration count (Lloyd is deterministic given sample + init + iters)
+_SEMDEDUP_TRAIN_SAMPLE = 2048
+_SEMDEDUP_TRAIN_ITERS = 4
+
+
+def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup on a TRAINED quantizer, hash-gated — the r10
+    recall finding closed (seeded prototypes retain 0.61 of planted
+    near-dup pairs vs 0.88 for trained k-means cells; SCALING.md): the
+    coarse centroids come from similarity.train_semdedup_centroids, a
+    fixed-4-iteration Lloyd over the first 2048 nonzero vectors in
+    Knuth-multiplicative-hash order, run ENTIRELY in exact integer
+    micro arithmetic (vectors quantize to floor(x·10⁶+0.5); assignment
+    scores Σc²−2Σu·c, member sums, and floor(S/n+0.5) means are all
+    integer-valued doubles < 2⁵³, exact under ANY summation order —
+    so numpy BLAS here and DuckDB folds there produce bit-identical
+    centroids with no argmin-margin leap of faith). k derives from
+    count(*) exactly like the seeded flat query (max(16, min(64,
+    n/100)) — the SemDeDup cluster-size contract), ‖c‖² literals are
+    the exact Σmicro²/10¹² integers both engines share (cnorms_sq),
+    and the downstream assignment/pairs/components/election is the
+    same oracle-gated pipeline as semantic_dedup_keep_best. The DuckDB
+    twin replays the TRAINING TOO — sample, init, every Lloyd
+    iteration as chained CTEs — not just the dedup: a hash match pins
+    the whole train→assign→dedup path with zero inlined centroid
+    literals. Bounded driver work: the 2048-row sample (fixed at any
+    corpus scale, the train_ivf_centroids discipline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    k = _semdedup_k(emb.count())
+    cents, cn = similarity.train_semdedup_centroids(
+        emb,
+        k,
+        sample=_SEMDEDUP_TRAIN_SAMPLE,
+        iters=_SEMDEDUP_TRAIN_ITERS,
+    )
+    return similarity.semantic_dedup_keep(
+        emb, cents, threshold=0.4, cnorms_sq=cn
+    ).orderBy("component")
+
+
+def _semantic_dedup_trained_oracle_sql() -> str:
+    """DuckDB twin of q_semantic_dedup_trained — the training replayed
+    in SQL: the Knuth-hash-ordered 2048-row sample quantizes to the
+    integer micro grid (list_transform floor), init = the first k
+    sample rows, and each of the 4 Lloyd iterations is a chained CTE
+    pair (assignment: ROW_NUMBER argmin over Σc²−2Σu·c, ties → smaller
+    cid; update: unnest to (cid, pos), exact integer member sums,
+    floor(S/n+0.5) means, empty cells keep the previous centroid via
+    COALESCE against the unnested previous slate). All quantities are
+    integer-valued doubles < 2⁵³ — exact in every engine at any
+    summation order, which is the entire determinism argument. The
+    final slate converts to real space (x/10⁶, cn = Σu²/10¹²) and
+    flows into the SAME assignment/pairs/components/election CTEs as
+    the seeded flat twin."""
+    # MATERIALIZED throughout the training chain: each Lloyd level is
+    # referenced twice (assignment + the empty-cell COALESCE), so plain
+    # CTE inlining re-evaluates the whole chain 2^iters times — measured
+    # 15.4 s → 0.23 s at sf0.001 with the hints
+    iters = []
+    for t in range(1, _SEMDEDUP_TRAIN_ITERS + 1):
+        p = t - 1
+        iters.append(f"""
+        it{t}_a AS MATERIALIZED (SELECT sid, u, cid FROM (
+                    SELECT s.sid, s.u, c.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s.sid
+                               ORDER BY list_inner_product(c.c, c.c)
+                                        - 2 * list_inner_product(s.u, c.c)
+                                        ASC, c.cid ASC) AS rn
+                    FROM samp s, tcents{p} c
+                ) WHERE rn = 1),
+        it{t}_u AS MATERIALIZED (SELECT cid, pos, SUM(val) AS s, COUNT(*) AS n FROM (
+                    SELECT cid, unnest(u) AS val,
+                           generate_subscripts(u, 1) AS pos
+                    FROM it{t}_a) GROUP BY cid, pos),
+        tcents{t} AS MATERIALIZED (SELECT p.cid,
+                           list(CAST(COALESCE(FLOOR(w.s / w.n + 0.5),
+                                              p.pval) AS DOUBLE)
+                                ORDER BY p.pos) AS c
+                    FROM (SELECT cid, unnest(c) AS pval,
+                                 generate_subscripts(c, 1) AS pos
+                          FROM tcents{p}) p
+                    LEFT JOIN it{t}_u w
+                      ON w.cid = p.cid AND w.pos = p.pos
+                    GROUP BY p.cid)""")
+    train = ",".join(iters)
+    t_final = _SEMDEDUP_TRAIN_ITERS
+    return f"""
+        WITH ksel AS (SELECT GREATEST(16, LEAST({_SEMDEDUP_K_MAX},
+                     (SELECT COUNT(*) FROM embeddings)
+                         // {_SEMDEDUP_TARGET})) AS k),
+        e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE list_inner_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]) > 0),
+        samp AS MATERIALIZED (SELECT ROW_NUMBER() OVER (
+                        ORDER BY (vec_id * 2654435761) % 4294967296 ASC,
+                                 vec_id ASC) AS sid,
+                        list_transform(v, x ->
+                            CAST(FLOOR(x * 1000000 + 0.5) AS DOUBLE)) AS u
+                 FROM e
+                 QUALIFY sid <= {_SEMDEDUP_TRAIN_SAMPLE}),
+        tcents0 AS MATERIALIZED (SELECT sid - 1 AS cid, u AS c FROM samp
+                    WHERE sid <= (SELECT k FROM ksel)),
+        {train},
+        cents AS MATERIALIZED (SELECT cid,
+                       list_inner_product(c, c) / 1000000000000.0 AS cn,
+                       SQRT(list_inner_product(c, c)
+                            / 1000000000000.0) AS cnorm,
+                       list_transform(c, x -> x / 1000000.0) AS c
+                  FROM tcents{t_final}),
+        asg AS (SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY c.cn
+                                        - 2 * list_inner_product(e.v, c.c)
+                                        ASC, c.cid ASC) AS rn
+                    FROM e, cents c
+                ) WHERE rn = 1),
+        cc AS (SELECT a.vec_id, a.cid, a.v,
+                      CAST(FLOOR(list_inner_product(a.v, c.c)
+                                 / (SQRT(list_inner_product(a.v, a.v))
+                                    * c.cnorm) * 1000000 + 0.5)
+                           AS BIGINT) AS cent_cos_micro
+               FROM asg a JOIN cents c ON c.cid = a.cid),
+        p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM asg a JOIN asg b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+        edges AS (SELECT ia AS a, ib AS b FROM p
+                  UNION SELECT ib, ia FROM p),
+        reach AS (
+            WITH RECURSIVE r(id, label) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e2.b, r.label FROM r JOIN edges e2 ON e2.a = r.id
+            ) SELECT * FROM r
+        ),
+        comp_l AS (SELECT id, MIN(label) AS component
+                   FROM reach GROUP BY id),
+        m AS (SELECT cc.vec_id,
+                     COALESCE(l.component, cc.vec_id) AS component,
+                     cc.cent_cos_micro
+              FROM cc LEFT JOIN comp_l l ON l.id = cc.vec_id),
+        k AS (SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY component
+                          ORDER BY cent_cos_micro ASC, vec_id ASC) AS rn
+              FROM m)
+        SELECT m.component,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               MAX(CASE WHEN k.rn = 1 THEN k.vec_id END) AS keep_id,
+               MAX(CASE WHEN k.rn = 1 THEN k.cent_cos_micro END)
+                   AS keep_cos_micro
+        FROM m JOIN k ON k.vec_id = m.vec_id AND k.component = m.component
+        GROUP BY m.component
+        ORDER BY m.component
+    """
+
+
 def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast evaluation over the hourly event-count
     series: predict count(t) = count(t − 24 h) and score it — THE
@@ -9635,6 +9796,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    the sub-quadratic two-level quantizer leg of semantic dedup
     "mmr_diversified_topk": q_mmr_diversified_topk,
     "semantic_dedup_imi": q_semantic_dedup_imi,
+    # -- r11 additions: the trained-quantizer recall leg (SQL-replayed
+    #    integer Lloyd — zero inlined centroid literals)
+    "semantic_dedup_trained": q_semantic_dedup_trained,
 }
 
 
@@ -11626,6 +11790,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_keep_best": _semantic_dedup_oracle_sql(),
         "mmr_diversified_topk": _mmr_oracle_sql(),
         "semantic_dedup_imi": _semantic_dedup_imi_oracle_sql(),
+        "semantic_dedup_trained": _semantic_dedup_trained_oracle_sql(),
         "pq_distortion_report": _pq_distortion_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """

@@ -523,13 +523,24 @@ def train_ivf_centroids(
 
 
 def ivf_assign(
-    corpus: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cnorms_sq: np.ndarray | None = None,
 ) -> DataFrame:
     """Attach the nearest-centroid id (`cid`) as a column — pure JVM
     expressions: per-centroid squared distance reduces to
     ||c||² - 2·x·c (the ||x||² term is constant across centroids), and
-    argmin is array_min over (dist, cid) structs."""
-    cnorms = (centroids ** 2).sum(axis=1)
+    argmin is array_min over (dist, cid) structs.
+
+    `cnorms_sq` optionally supplies EXACT squared norms — callers whose
+    centroids live on an integer grid (train_semdedup_centroids) pass
+    Σu²/scale² so the ‖c‖² literal is the same double in every engine
+    (numpy's pairwise sum over the rounded doubles can differ from a
+    SQL fold by an ulp, which a bit-exact oracle gate cannot absorb)."""
+    cnorms = (
+        cnorms_sq if cnorms_sq is not None else (centroids ** 2).sum(axis=1)
+    )
     arr = F.array(
         *[
             F.struct(
@@ -798,12 +809,95 @@ def embedding_near_dup_pairs(
 # ------------------------------------------------------- k-means (Lloyd)
 
 
+def _lloyd_micro(u: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Fixed-iteration Lloyd entirely on the INTEGER micro grid — the
+    arithmetic core shared by `train_semdedup_centroids` and its DuckDB
+    twin. Every cross-engine quantity is an exact integer (or an
+    integer-valued double < 2⁵³, which every IEEE engine represents and
+    sums exactly in ANY order): assignment scores Σc² − 2Σu·c, member
+    sums, and the floor(S/n + 0.5) re-centroided means. That is what
+    makes a TRAINED quantizer bit-replayable — float Lloyd would hide
+    BLAS-vs-fold summation-order ulps inside every centroid.
+
+    Init = the first k sample rows (the caller fixes the sample order);
+    empty cells keep their previous centroid; argmin ties break to the
+    smaller cid (numpy first-min == SQL ROW_NUMBER dist ASC, cid ASC).
+    Returns int64 (k, dim) micro centroids."""
+    # exactness guard: products and partial sums must stay < 2^53; the
+    # embeddings regime (unit vectors → |u| ≤ ~1e6) is 6 orders inside
+    lim = float(np.abs(u).max()) if u.size else 0.0
+    if lim * lim * u.shape[1] >= 2.0**53:
+        raise ValueError(
+            f"micro-grid magnitude {lim:.3g} overflows the exact-integer "
+            "contract (|u|²·dim ≥ 2^53) — rescale the input or lower the "
+            "quantization scale"
+        )
+    c = u[: int(k)].copy()
+    for _ in range(int(iters)):
+        cn = (c * c).sum(axis=1)
+        d = cn[None, :] - 2 * (u @ c.T)
+        a = d.argmin(axis=1)
+        for j in range(len(c)):
+            m = u[a == j]
+            if len(m):
+                s = m.sum(axis=0)
+                c[j] = np.floor(s / len(m) + 0.5).astype(np.int64)
+    return c
+
+
+def train_semdedup_centroids(
+    corpus: DataFrame,
+    k: int,
+    sample: int = 2048,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ORACLE-REPLAYABLE trained coarse quantizer for semantic dedup.
+
+    `train_ivf_centroids` measures 0.88 near-dup cell co-location where
+    the seeded prototype slate measures 0.61 (SCALING.md r10) — but its
+    sample comes from Spark's partition-layout-dependent `sample()` and
+    its means from float BLAS, so no SQL engine can replay it. This
+    trainer closes that gap with three determinism moves:
+      1. the sample is the first `sample` nonzero vectors under the
+         Knuth multiplicative hash order ((id·2654435761) mod 2³²,
+         id tiebreak) — a scattered, engine-neutral pseudo-random
+         pick any SQL engine reproduces with ORDER BY + LIMIT;
+      2. vectors quantize to the integer micro grid (floor(x·scale +
+         0.5)) before training;
+      3. Lloyd runs in exact integer arithmetic (`_lloyd_micro`).
+    The driver-side materialization is the bounded sample (the
+    train_ivf_centroids discipline — fixed size at any corpus scale).
+
+    Returns (centroids float64 (k, dim), cnorms_sq float64 (k,)) where
+    centroids = micro/scale and cnorms_sq = Σmicro²/scale² EXACTLY —
+    feed both to `semantic_dedup_keep(..., cnorms_sq=...)` so the
+    downstream ‖c‖² literals match the SQL twin bit-for-bit."""
+    key = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    rows = (
+        corpus.filter(vectors.dot(F.col(vec_col), F.col(vec_col)) > 0)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(key.asc(), F.col(id_col).asc())
+        .limit(int(sample))
+        .collect()
+    )
+    x = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    u = np.floor(x * float(scale) + 0.5).astype(np.int64)
+    uc = _lloyd_micro(u, min(int(k), len(u)), iters)
+    cents = uc.astype(np.float64) / float(scale)
+    cn = (uc * uc).sum(axis=1).astype(np.float64) / (float(scale) ** 2)
+    return cents, cn
+
+
 def semantic_dedup_keep(
     corpus: DataFrame,
     centroids: np.ndarray,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cnorms_sq: np.ndarray | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): cluster the embedding space with a coarse
@@ -849,14 +943,29 @@ def semantic_dedup_keep(
     # (the trained-quantizer regime, k ∝ corpus/target_cluster_size —
     # argmin margins carry cross-engine equality there).
     if len(centroids) <= BIT_EXACT_ASSIGN_MAX_K:
-        assigned = ivf_assign(e, centroids, "__v")
+        assigned = ivf_assign(e, centroids, "__v", cnorms_sq=cnorms_sq)
     else:
+        # regime change is LOUD (r10 advisor): BLAS summation order can
+        # flip near-tie cells across builds, so oracle-replayable
+        # callers must notice they left the bit-exact HOF path
+        import warnings
+
+        warnings.warn(
+            f"semantic_dedup_keep: k={len(centroids)} > "
+            f"{BIT_EXACT_ASSIGN_MAX_K} routes assignment through the "
+            "Arrow BLAS kernel — cross-engine equality now rests on "
+            "argmin margins, not bit-exact folds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         assigned = ivf_assign_arrow(e, centroids, "__v")
     # centroid cosine via a broadcast (cid, centroid, norm) lookup —
     # ONE HOF dot per row regardless of k (the previous k-wide
     # element_at array re-evaluated every centroid's cosine per row);
     # bit-identical values: same fold over the same doubles.
-    cnorms = np.sqrt((centroids**2).sum(axis=1))
+    cnorms = np.sqrt(
+        cnorms_sq if cnorms_sq is not None else (centroids**2).sum(axis=1)
+    )
     cent_tbl = corpus.sparkSession.createDataFrame(
         [
             (i, [float(x) for x in c], float(cnorms[i]))

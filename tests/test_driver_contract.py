@@ -12,6 +12,9 @@ Two ways past rounds actually broke:
 
 from __future__ import annotations
 
+import json
+import os
+
 import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
@@ -147,12 +150,37 @@ def test_driver_window_is_stable_and_fully_oracled():
 #: actual engine-vs-oracle comparison for them in-repo. Entries rotate
 #: OUT each round (the window + full local gate cover them afterwards).
 DEBUT_ORACLE_QUERIES = [
-    "bh_fdr_event_shifts",        # r10: DIV-2 midpoint + loud m guard
-    "psi_value_drift",            # r10: DIV-2 midpoint + grid rewrite
-    "semantic_dedup_keep_best",   # r10: k ∝ corpus, unit centroids
-    "mmr_diversified_topk",       # r10: new — greedy recursive-CTE twin
-    "semantic_dedup_imi",         # r10: new — two-level quantizer twin
+    "semantic_dedup_trained",     # r11: new — SQL-replayed integer Lloyd
 ]
+
+
+def test_every_oracle_is_ledgered_or_debuting():
+    """MECHANICAL debut detection (r10 advice): the committed checksum
+    ledger (tests/oracle_checksums.json, regenerated by
+    tools/gen_oracle_checksums.py AFTER the local gates pass) pins the
+    md5 of every VERIFIED oracle SQL string. Any new or edited oracle
+    must therefore appear in DEBUT_ORACLE_QUERIES — whose test executes
+    its DuckDB side in-repo — or this assertion fails. The convention
+    'remember to list your debuts' is now a failing test, not a memory."""
+    import hashlib
+
+    with open(os.path.join(os.path.dirname(__file__), "oracle_checksums.json")) as f:
+        ledger = json.load(f)
+    oracles = entrymod.oracle_sql()
+    unledgered = [
+        name
+        for name, sql in oracles.items()
+        if ledger.get(name) != hashlib.md5(sql.encode()).hexdigest()
+        and name not in DEBUT_ORACLE_QUERIES
+    ]
+    assert not unledgered, (
+        f"oracle SQL new/changed but not in DEBUT_ORACLE_QUERIES (its "
+        f"DuckDB side would never run in-repo): {unledgered} — add them "
+        "to the debut list, then regenerate the ledger via "
+        "tools/gen_oracle_checksums.py once the gates pass"
+    )
+    ghosts = [n for n in DEBUT_ORACLE_QUERIES if n not in oracles]
+    assert not ghosts, f"DEBUT entries without oracle SQL: {ghosts}"
 
 
 def test_debut_oracle_sql_actually_runs(spark):

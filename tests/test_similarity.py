@@ -766,12 +766,54 @@ def test_semdedup_quantizer_retention_floors(spark):
     cid_tr = ((trained**2).sum(1)[None, :] - 2 * (v @ trained.T)).argmin(1)
     tr_ret = float((cid_tr[a] == cid_tr[b]).mean())
 
+    # the ORACLE-REPLAYABLE trainer (integer-micro Lloyd) must hold the
+    # same recall class as float train_ivf_centroids — it is the gated
+    # path (semantic_dedup_trained), so its floor is the r11 headline
+    g_cents, g_cn = similarity.train_semdedup_centroids(
+        corpus, k, sample=n, iters=4
+    )
+    cid_g = (g_cn[None, :] - 2 * (v @ g_cents.T)).argmin(1)
+    gated_ret = float((cid_g[a] == cid_g[b]).mean())
+
     # sf0.001 measured: flat 0.734, imi 0.566, trained 0.926 (k=16,
-    # K=4); floors leave noise margin for testdata regeneration
+    # K=4), integer-Lloyd gated 0.914; floors leave noise margin for
+    # testdata regeneration
     assert flat_ret >= 0.5, flat_ret
     assert imi_ret >= 0.35, imi_ret
     assert tr_ret >= 0.8, tr_ret
+    assert gated_ret >= 0.85, gated_ret
     assert tr_ret > flat_ret, (tr_ret, flat_ret)
+    assert gated_ret > flat_ret, (gated_ret, flat_ret)
+
+
+def test_train_semdedup_centroids_deterministic_and_exact(spark):
+    """The oracle-replayability contract of the integer-micro Lloyd
+    trainer: (1) partition layout cannot move the result (the sample is
+    a total order, the arithmetic exact integers); (2) centroids live
+    exactly on the micro grid with cnorms_sq = Σmicro²/10¹² exactly;
+    (3) the 2⁵³ exactness guard raises LOUDLY instead of silently
+    handing DuckDB a rounded 'integer'."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(300, 8) / np.sqrt(8)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    c1, n1 = similarity.train_semdedup_centroids(corpus, 8, sample=256)
+    c2, n2 = similarity.train_semdedup_centroids(
+        corpus.repartition(17), 8, sample=256
+    )
+    assert np.array_equal(c1, c2) and np.array_equal(n1, n2)
+    u = np.round(c1 * 1e6)
+    assert np.array_equal(c1, u / 1e6)  # exactly on the micro grid
+    assert np.array_equal(n1, (u * u).sum(axis=1) / 1e12)
+    with pytest.raises(ValueError, match="exact-integer contract"):
+        similarity._lloyd_micro(
+            np.full((4, 8), 2**30, dtype=np.int64), 2, 1
+        )
 
 
 def test_mmr_rerank_uses_raw_negative_maxsim(spark):
