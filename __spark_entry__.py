@@ -8735,20 +8735,20 @@ def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("component")
 
 
-def _semantic_dedup_trained_oracle_sql() -> str:
-    """DuckDB twin of q_semantic_dedup_trained — the training replayed
-    in SQL: the Knuth-hash-ordered 2048-row sample quantizes to the
-    integer micro grid (list_transform floor), init = the first k
-    sample rows, and each of the 4 Lloyd iterations is a chained CTE
-    pair (assignment: ROW_NUMBER argmin over Σc²−2Σu·c, ties → smaller
-    cid; update: unnest to (cid, pos), exact integer member sums,
+def _lloyd_train_ctes(k_sql: str) -> str:
+    """The SQL-replayed integer-Lloyd TRAINING CHAIN, shared by the
+    trained-quantizer dedup twin and the trained-index MMR twin: the
+    Knuth-hash-ordered 2048-row sample quantizes to the integer micro
+    grid (list_transform floor), init = the first `k_sql` sample rows,
+    and each of the 4 Lloyd iterations is a chained CTE pair
+    (assignment: ROW_NUMBER argmin over Σc²−2Σu·c, ties → smaller cid;
+    update: unnest to (cid, pos), exact integer member sums,
     floor(S/n+0.5) means, empty cells keep the previous centroid via
     COALESCE against the unnested previous slate). All quantities are
     integer-valued doubles < 2⁵³ — exact in every engine at any
-    summation order, which is the entire determinism argument. The
-    final slate converts to real space (x/10⁶, cn = Σu²/10¹²) and
-    flows into the SAME assignment/pairs/components/election CTEs as
-    the seeded flat twin."""
+    summation order, which is the entire determinism argument. Emits
+    CTEs `e` (nonzero vectors), `samp`, `tcents0..N`, and `cents`
+    (cid, cn = Σu²/10¹², cnorm, c = micro/10⁶)."""
     # MATERIALIZED throughout the training chain: each Lloyd level is
     # referenced twice (assignment + the empty-cell COALESCE), so plain
     # CTE inlining re-evaluates the whole chain 2^iters times — measured
@@ -8783,28 +8783,37 @@ def _semantic_dedup_trained_oracle_sql() -> str:
     train = ",".join(iters)
     t_final = _SEMDEDUP_TRAIN_ITERS
     return f"""
-        WITH ksel AS (SELECT GREATEST(16, LEAST({_SEMDEDUP_K_MAX},
-                     (SELECT COUNT(*) FROM embeddings)
-                         // {_SEMDEDUP_TARGET})) AS k),
         e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
               WHERE list_inner_product(embedding::DOUBLE[],
                                        embedding::DOUBLE[]) > 0),
         samp AS MATERIALIZED (SELECT ROW_NUMBER() OVER (
-                        ORDER BY (vec_id * 2654435761) % 4294967296 ASC,
+                        ORDER BY {similarity.knuth_key32_sql("vec_id")} ASC,
                                  vec_id ASC) AS sid,
                         list_transform(v, x ->
                             CAST(FLOOR(x * 1000000 + 0.5) AS DOUBLE)) AS u
                  FROM e
                  QUALIFY sid <= {_SEMDEDUP_TRAIN_SAMPLE}),
         tcents0 AS MATERIALIZED (SELECT sid - 1 AS cid, u AS c FROM samp
-                    WHERE sid <= (SELECT k FROM ksel)),
+                    WHERE sid <= {k_sql}),
         {train},
         cents AS MATERIALIZED (SELECT cid,
                        list_inner_product(c, c) / 1000000000000.0 AS cn,
                        SQRT(list_inner_product(c, c)
                             / 1000000000000.0) AS cnorm,
                        list_transform(c, x -> x / 1000000.0) AS c
-                  FROM tcents{t_final}),
+                  FROM tcents{t_final})"""
+
+
+def _semantic_dedup_trained_oracle_sql() -> str:
+    """DuckDB twin of q_semantic_dedup_trained — the training replayed
+    in SQL (`_lloyd_train_ctes`), k derived from count(*) exactly like
+    the Spark side, and the final slate flowing into the SAME
+    assignment/pairs/components/election CTEs as the seeded flat twin."""
+    return f"""
+        WITH ksel AS (SELECT GREATEST(16, LEAST({_SEMDEDUP_K_MAX},
+                     (SELECT COUNT(*) FROM embeddings)
+                         // {_SEMDEDUP_TARGET})) AS k),
+        {_lloyd_train_ctes("(SELECT k FROM ksel)")},
         asg AS (SELECT vec_id, v, cid FROM (
                     SELECT e.vec_id, e.v, c.cid,
                            ROW_NUMBER() OVER (
@@ -8851,6 +8860,204 @@ def _semantic_dedup_trained_oracle_sql() -> str:
         FROM m JOIN k ON k.vec_id = m.vec_id AND k.component = m.component
         GROUP BY m.component
         ORDER BY m.component
+    """
+
+
+#: trained-index MMR knobs: a FIXED 16-cell coarse quantizer (index
+#: layout must not change with corpus growth the way the dedup k does —
+#: a serving index is rebuilt on a schedule, not per-query) probed at
+#: nprobe=2, the r10-verdict serving shape
+_MMR_INDEX_K = 16
+_MMR_INDEX_NPROBE = 2
+
+
+def q_mmr_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-10 served FROM THE PERSISTED IVF INDEX
+    (similarity.mmr_from_ivf_index) — the 100 TB serving shape the
+    full-scan mmr_diversified_topk is not: the 16-cell coarse
+    quantizer comes from the SQL-replayable integer-Lloyd trainer
+    (train_semdedup_centroids — same sample/init/iteration discipline
+    as semantic_dedup_trained, k fixed at 16), the corpus materializes
+    once as a cid-partitioned parquet index (assignment = the
+    bit-exact HOF argmin with exact Σmicro²/10¹² norms), and the query
+    ranks cells DRIVER-SIDE (16 centroid dots — no data pass), reads
+    ONLY the nprobe=2 nearest partitions for the relevance shortlist,
+    and runs the same bounded-shortlist integer-micro greedy as the
+    full-scan twin. Corpus-sized cost: O(n·nprobe/16) partition-pruned
+    I/O instead of O(n). The DuckDB twin replays the TRAINING (the
+    shared Lloyd CTE chain), the full-corpus cell assignment, the
+    probe ranking (cn − 2·q·c over the same exact-integer norms), the
+    pruned-shortlist relevance, and the greedy as the recursive CTE —
+    bit-for-bit; the recall trade vs the full scan is IVF's own and is
+    measured in SCALING.md beside the exact path."""
+    import hashlib
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = _query_vec(spark, sf_dir)
+    cents, cn = similarity.train_semdedup_centroids(
+        emb,
+        _MMR_INDEX_K,
+        sample=_SEMDEDUP_TRAIN_SAMPLE,
+        iters=_SEMDEDUP_TRAIN_ITERS,
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    index_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivf_trained_index_{sf_tag}"
+    )
+    fp = (
+        _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+        + ":" + hashlib.md5(cents.tobytes()).hexdigest()
+    )
+    if not _artifact_ready(index_path, fp):
+        similarity.build_ivf_index(emb, cents, index_path, cnorms_sq=cn)
+        _mark_artifact(index_path, fp)
+    return similarity.mmr_from_ivf_index(
+        spark,
+        index_path,
+        qvec,
+        cents,
+        k=10,
+        shortlist=50,
+        nprobe=_MMR_INDEX_NPROBE,
+        lam_num=7,
+        lam_den=10,
+        cnorms_sq=cn,
+    )
+
+
+def _mmr_from_index_oracle_sql() -> str:
+    """DuckDB twin of q_mmr_from_index: the shared integer-Lloyd
+    training chain at k=16 (`_lloyd_train_ctes`), full-corpus cell
+    assignment (ROW_NUMBER argmin — the ivf_assign twin), the nprobe=2
+    probe ranking over the same exact norms, relevance restricted to
+    the probed cells (the partition-pruned read's relational shadow),
+    and the mmr_diversified_topk recursive-CTE greedy verbatim."""
+    return f"""
+        WITH RECURSIVE
+        {_lloyd_train_ctes(str(_MMR_INDEX_K))},
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0),
+        asg AS (SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY c.cn
+                                        - 2 * list_inner_product(e.v, c.c)
+                                        ASC, c.cid ASC) AS rn
+                    FROM e, cents c
+                ) WHERE rn = 1),
+        probes AS (SELECT c.cid FROM cents c, q
+                   ORDER BY c.cn - 2 * list_inner_product(q.qv, c.c) ASC,
+                            c.cid ASC
+                   LIMIT {_MMR_INDEX_NPROBE}),
+        rel AS (SELECT a.vec_id, a.v,
+                       CAST(FLOOR(list_inner_product(a.v, q.qv)
+                            / (SQRT(list_inner_product(a.v, a.v))
+                               * SQRT(list_inner_product(q.qv, q.qv)))
+                            * 1000000 + 0.5) AS BIGINT) AS rel_micro
+                FROM asg a, q
+                WHERE a.cid IN (SELECT cid FROM probes)),
+        short AS (SELECT * FROM rel
+                  ORDER BY rel_micro DESC, vec_id ASC LIMIT 50),
+        pc AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                      CAST(FLOOR(list_inner_product(a.v, b.v)
+                           / (SQRT(list_inner_product(a.v, a.v))
+                              * SQRT(list_inner_product(b.v, b.v)))
+                           * 1000000 + 0.5) AS BIGINT) AS sim_micro
+               FROM short a, short b WHERE a.vec_id <> b.vec_id),
+        pick(rank, vec_id, rel_micro, maxsim_micro, mmr_deci, sel) AS (
+            SELECT 1::BIGINT, s.vec_id, s.rel_micro, 0::BIGINT,
+                   7 * s.rel_micro, [s.vec_id]
+            FROM (SELECT * FROM short
+                  ORDER BY rel_micro DESC, vec_id ASC LIMIT 1) s
+            UNION ALL
+            SELECT p.rank + 1, c.vec_id, c.rel_micro, c.ms, c.mmr,
+                   list_append(p.sel, c.vec_id)
+            FROM pick p, LATERAL (
+                SELECT s.vec_id, s.rel_micro,
+                       (SELECT MAX(pc.sim_micro) FROM pc
+                        WHERE pc.ia = s.vec_id
+                          AND list_contains(p.sel, pc.ib)) AS ms,
+                       7 * s.rel_micro
+                       - 3 * (SELECT MAX(pc.sim_micro) FROM pc
+                              WHERE pc.ia = s.vec_id
+                                AND list_contains(p.sel, pc.ib)) AS mmr
+                FROM short s WHERE NOT list_contains(p.sel, s.vec_id)
+                ORDER BY mmr DESC, s.vec_id ASC LIMIT 1
+            ) c
+            WHERE p.rank < 10
+        )
+        SELECT rank, vec_id, rel_micro, maxsim_micro, mmr_deci
+        FROM pick ORDER BY rank
+    """
+
+
+def q_semantic_dedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-split near-dup pairs recovered by MULTI-PROBE coarse
+    quantization (similarity.semantic_dup_pairs_multiprobe; r10 verdict
+    task 2): single-probe SemDeDup misses any pair whose members argmin
+    into different cells — probing each vector's TOP-2 cells makes a
+    pair a candidate whenever their probe sets overlap (planted-corpus
+    retention 0.66 single → 0.98 multi for the seeded slate, 0.91 →
+    0.998 trained, at ~3.9× the candidate-pair volume; SCALING.md).
+    Centroids = the SQL-replayed integer-
+    Lloyd trainer at the same k-from-count as semantic_dedup_trained;
+    the top-2 assignment is the same exact ‖c‖²−2xc scores ordered
+    (d ASC, cid ASC); the cell self-join carries (cid, id) only; the
+    exact cosine verifies in integer micro BEFORE the threshold
+    compare. PAIR-level by design — multi-probe breaks the one-cell-
+    per-vector invariant that makes the component leg cluster-local,
+    so components over these pairs route through the general
+    connected_components/incremental_components machinery instead.
+    The DuckDB twin replays training, top-2 assignment (ROW_NUMBER
+    rn ≤ 2), the distinct cell-share pairs, and the quantized verify."""
+    emb = _t(spark, sf_dir, "embeddings")
+    k = _semdedup_k(emb.count())
+    cents, cn = similarity.train_semdedup_centroids(
+        emb,
+        k,
+        sample=_SEMDEDUP_TRAIN_SAMPLE,
+        iters=_SEMDEDUP_TRAIN_ITERS,
+    )
+    return similarity.semantic_dup_pairs_multiprobe(
+        emb, cents, threshold=0.4, nprobe=2, cnorms_sq=cn
+    ).orderBy("id_a", "id_b")
+
+
+def _semantic_dedup_multiprobe_oracle_sql() -> str:
+    """DuckDB twin of q_semantic_dedup_multiprobe: the shared Lloyd
+    training chain, top-2 assignment via ROW_NUMBER ≤ 2 (d ASC, cid
+    ASC — array_sort's struct order), DISTINCT pairs sharing any
+    probed cell, exact micro-quantized cosine ≥ 400000."""
+    return f"""
+        WITH ksel AS (SELECT GREATEST(16, LEAST({_SEMDEDUP_K_MAX},
+                     (SELECT COUNT(*) FROM embeddings)
+                         // {_SEMDEDUP_TARGET})) AS k),
+        {_lloyd_train_ctes("(SELECT k FROM ksel)")},
+        asg2 AS (SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY c.cn
+                                        - 2 * list_inner_product(e.v, c.c)
+                                        ASC, c.cid ASC) AS rn
+                    FROM e, cents c
+                ) WHERE rn <= 2),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM asg2 a JOIN asg2 b
+                   ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        scored AS (SELECT c.id_a, c.id_b,
+                          CAST(FLOOR(list_inner_product(ea.v, eb.v)
+                               / (SQRT(list_inner_product(ea.v, ea.v))
+                                  * SQRT(list_inner_product(eb.v, eb.v)))
+                               * 1000000 + 0.5) AS BIGINT) AS cos_micro
+                   FROM cand c
+                   JOIN e ea ON ea.vec_id = c.id_a
+                   JOIN e eb ON eb.vec_id = c.id_b)
+        SELECT id_a, id_b, cos_micro FROM scored
+        WHERE cos_micro >= 400000
+        ORDER BY id_a, id_b
     """
 
 
@@ -9521,7 +9728,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    the retrieval pair, the r9 drift/semantic additions
     "cusum_drift_profile": q_cusum_drift_profile,
     "bh_fdr_event_shifts": q_bh_fdr_event_shifts,
-    "psi_value_drift": q_psi_value_drift,
     "acf_minute_counts": q_acf_minute_counts,
     "calendar_seasonality_profile": q_calendar_seasonality_profile,
     "session_concurrency_profile": q_session_concurrency_profile,
@@ -9545,19 +9751,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_left_outer_join": q_streaming_left_outer_join,
     "streaming_windowed_top1": q_streaming_windowed_top1,
     "streaming_passage_dedup": q_streaming_passage_dedup,
-    # -- LLM training-data pipeline, one per family; r10 rotates in the
-    #    semantic dedup corner (k ∝ corpus this round) + PQ observability
-    "semantic_dedup_keep_best": q_semantic_dedup_keep_best,
+    # -- LLM training-data pipeline, one per family; r12 rotates in the
+    #    never-driver-witnessed r10/r11 debuts (MMR pair, IMI + trained
+    #    quantizer legs of semantic dedup) for redundant witnesses
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_clusters": q_dedup_clusters,
     "doremi_domain_weights": q_doremi_domain_weights,
     "stratified_split": q_stratified_split,
-    "lsh_bucket_verified": q_lsh_bucket_verified,
-    "multi_query_topk": q_multi_query_topk,
     "pq_distortion_report": q_pq_distortion_report,
     "multimodal_wav_features": q_multimodal_wav_features,
     "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
+    "mmr_diversified_topk": q_mmr_diversified_topk,
+    "mmr_from_index": q_mmr_from_index,
+    "semantic_dedup_imi": q_semantic_dedup_imi,
+    "semantic_dedup_trained": q_semantic_dedup_trained,
     # ---------------------------------------------------- beyond the cap
+    # rotated out of the driver window in r12, all driver-witnessed in
+    # r10+r11 (families still witnessed in-window: drift by
+    # cusum/bh_fdr, ANN-serving by the mmr pair + pq_distortion,
+    # semantic dedup by the imi + trained legs):
+    "psi_value_drift": q_psi_value_drift,
+    "semantic_dedup_keep_best": q_semantic_dedup_keep_best,
+    "lsh_bucket_verified": q_lsh_bucket_verified,
+    "multi_query_topk": q_multi_query_topk,
     # rotated out of the driver window in r10, all driver-witnessed in r9
     # (families still witnessed in-window: two-sample/rank stats by the
     # bh_fdr + psi + cusum drift battery, concentration by
@@ -9790,15 +10006,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_surprisal_heldout": q_bigram_surprisal_heldout,
     # (the r7/r8 time-series/profiling/retrieval additions and the r9
     # drift/semantic additions moved into the driver window in the r10
-    # rotation)
-    # -- r10 additions: the retrieval tier's serving-side
-    #    diversification corner (MMR re-rank over the ANN shortlist) +
-    #    the sub-quadratic two-level quantizer leg of semantic dedup
-    "mmr_diversified_topk": q_mmr_diversified_topk,
-    "semantic_dedup_imi": q_semantic_dedup_imi,
-    # -- r11 additions: the trained-quantizer recall leg (SQL-replayed
-    #    integer Lloyd — zero inlined centroid literals)
-    "semantic_dedup_trained": q_semantic_dedup_trained,
+    # rotation; the r10/r11 MMR + IMI + trained-quantizer additions
+    # moved into the window in the r12 rotation)
+    # -- r12 additions: the multi-probe boundary-split recall leg of
+    #    semantic dedup (pair-level; trained centroids, top-2 cells)
+    "semantic_dedup_multiprobe": q_semantic_dedup_multiprobe,
 }
 
 
@@ -11791,6 +12003,8 @@ def oracle_sql() -> dict[str, str]:
         "mmr_diversified_topk": _mmr_oracle_sql(),
         "semantic_dedup_imi": _semantic_dedup_imi_oracle_sql(),
         "semantic_dedup_trained": _semantic_dedup_trained_oracle_sql(),
+        "mmr_from_index": _mmr_from_index_oracle_sql(),
+        "semantic_dedup_multiprobe": _semantic_dedup_multiprobe_oracle_sql(),
         "pq_distortion_report": _pq_distortion_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """

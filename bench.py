@@ -181,6 +181,10 @@ HEADLINE = [
     # round-10 additions
     "mmr_diversified_topk",
     "semantic_dedup_imi",
+    # round-11/12 additions: the trained-quantizer dedup leg and the
+    # trained-index MMR serving path
+    "semantic_dedup_trained",
+    "mmr_from_index",
 ]
 
 

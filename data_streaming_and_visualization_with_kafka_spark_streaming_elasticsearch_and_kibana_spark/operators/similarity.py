@@ -660,6 +660,117 @@ def ivf_assign(
     return corpus.withColumn("cid", F.array_min(arr)["cid"])
 
 
+def ivf_assign_multiprobe(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    cnorms_sq: np.ndarray | None = None,
+) -> DataFrame:
+    """One row per (vector, probed cell) for the `nprobe` NEAREST cells
+    — the pair-generation side of multi-probe semantic dedup (r10
+    verdict task 2): a near-dup pair split across a Voronoi boundary is
+    invisible to single-probe assignment, but the two vectors' top-2
+    cell sets overlap whenever the boundary is the nearest one, so
+    probing 2 cells recovers most boundary-split pairs (measured on the
+    planted corpus in SCALING.md).
+
+    Bit-exact the same arithmetic as ivf_assign: scores ‖c‖²−2·x·c as
+    (d, cid) structs; array_sort over structs orders lexicographically
+    (d ASC, cid ASC — ties to the smaller cid), identical to a SQL
+    ROW_NUMBER ... ORDER BY d ASC, cid ASC ... WHERE rn <= nprobe.
+    Adds (probe_rank 0-based, cid); rank 0 is ivf_assign's argmin."""
+    cnorms = (
+        cnorms_sq if cnorms_sq is not None else (centroids ** 2).sum(axis=1)
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(float(cnorms[i]))
+                    - 2.0 * dot(F.col(vec_col), _query_vec_literal(list(c)))
+                ).alias("d"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(arr), 1, int(nprobe)), lambda s: s["cid"]
+    )
+    return corpus.select(
+        "*", F.posexplode(probes).alias("probe_rank", "cid")
+    )
+
+
+def semantic_dup_pairs_multiprobe(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.4,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cnorms_sq: np.ndarray | None = None,
+) -> DataFrame:
+    """Near-dup PAIRS under multi-probe coarse quantization — the
+    boundary-split recall lever for semantic dedup: each vector enters
+    its `nprobe` nearest cells, candidate pairs are vectors sharing ANY
+    probed cell, and candidates verify by exact quantized cosine ≥
+    threshold. Output (id_a, id_b, cos_micro), one row per pair.
+
+    Deliberately PAIR-level, not component-level: the single-probe
+    component/election leg (semantic_dedup_keep) is cluster-LOCAL —
+    zero corpus-wide CC shuffles — precisely because a vector lives in
+    exactly one cell. Multi-probe breaks that invariant (a shared
+    vector bridges two cells), so components over these pairs need the
+    general machinery: feed this output to dedup.connected_components
+    (batch) or dedup.incremental_components (streaming) when the keep
+    decision must see the recovered pairs.
+
+    Shuffle discipline = the banded-LSH dedup path: the cell self-join
+    carries (cid, id) ONLY (vectors never ride the self-join; pair
+    volume per cell is ≤ (nprobe·|cell|)² with |cell| ≈ corpus/k, so
+    multi-probe costs ~nprobe² the single-probe pair work, bounded),
+    pairs dedupe before vectors re-attach for the exact verify.
+    Deterministic and oracle-replayable: assignment scores fold
+    left-to-right (house contract), pair cosine floor-quantizes to
+    micro BEFORE the threshold compare (an integer compare — no float
+    boundary)."""
+    e = corpus.filter(
+        vectors.dot(F.col(vec_col), F.col(vec_col)) > 0
+    ).select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    probed = ivf_assign_multiprobe(
+        e, centroids, "__v", nprobe=nprobe, cnorms_sq=cnorms_sq
+    ).select(F.col(id_col), F.col("cid"))
+    a, b = probed.alias("a"), probed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = e.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    vb = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    cos_micro = (
+        F.floor(cosine(F.col("__va"), F.col("__vb")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("cos_micro")
+    )
+    thr = int(round(float(threshold) * 1e6))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos_micro)
+        .filter(F.col("cos_micro") >= thr)
+    )
+
+
 def ivf_assign_arrow(
     corpus: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -701,13 +812,21 @@ def build_ivf_index(
     centroids: np.ndarray,
     path: str,
     vec_col: str = "embedding",
+    cnorms_sq: np.ndarray | None = None,
 ) -> None:
     """Materialize the IVF index partitioned by centroid id — probes
     prune to `nprobe` partitions (same layout discipline as the LSH
-    index; IVF adapts to the data distribution where LSH is oblivious)."""
+    index; IVF adapts to the data distribution where LSH is oblivious).
+
+    `cnorms_sq` passes exact ‖c‖² through to ivf_assign for oracle-
+    replayable cell assignment (the train_semdedup_centroids regime)."""
     from ..sources.sinks import write_partitioned_parquet
 
-    write_partitioned_parquet(ivf_assign(corpus, centroids, vec_col), path, ["cid"])
+    write_partitioned_parquet(
+        ivf_assign(corpus, centroids, vec_col, cnorms_sq=cnorms_sq),
+        path,
+        ["cid"],
+    )
 
 
 def ivf_topk_from_index(
@@ -927,6 +1046,11 @@ def _lloyd_micro(u: np.ndarray, k: int, iters: int) -> np.ndarray:
     empty cells keep their previous centroid; argmin ties break to the
     smaller cid (numpy first-min == SQL ROW_NUMBER dist ASC, cid ASC).
     Returns int64 (k, dim) micro centroids."""
+    # empty / degenerate input: no vectors (or no components) means no
+    # trainable centroids — return the empty slate instead of letting
+    # u.shape[1] raise an opaque IndexError below (r11 advisor)
+    if u.size == 0 or u.ndim < 2:
+        return np.zeros((0, u.shape[1] if u.ndim == 2 else 0), dtype=np.int64)
     # exactness guard: products and partial sums must stay < 2^53; the
     # embeddings regime (unit vectors → |u| ≤ ~1e6) is 6 orders inside
     lim = float(np.abs(u).max()) if u.size else 0.0
@@ -947,6 +1071,44 @@ def _lloyd_micro(u: np.ndarray, k: int, iters: int) -> np.ndarray:
                 s = m.sum(axis=0)
                 c[j] = np.floor(s / len(m) + 0.5).astype(np.int64)
     return c
+
+
+#: Knuth multiplicative-hash constant (TAOCP vol. 3 §6.4) — the sample
+#: scatter key shared by train_semdedup_centroids and its SQL twins
+KNUTH_C = 2654435761
+
+
+def knuth_key32(col):
+    """(id·2654435761) mod 2³², computed WIDTH-SAFE in BIGINT.
+
+    The naive `id * 2654435761` overflows int64 once id ≳ 3.47e9 —
+    Spark (non-ANSI) would wrap silently while DuckDB promotes to
+    HUGEINT, so the two engines would pick DIFFERENT training samples
+    on a billion-scale id space (r11 verdict task 7). Split the
+    reduced id v = h·2¹⁶ + l (h, l < 2¹⁶... h < 2¹⁶ after the mod-2³²
+    reduction) so every intermediate stays < 2⁴⁹:
+        key = ((h·C mod 2³²)·2¹⁶ + l·C) mod 2³²
+    — algebraically identical to (id·C) mod 2³² for ANY non-negative
+    id, and expressible with the same BIGINT arithmetic in every SQL
+    engine (see knuth_key32_sql for the DuckDB twin)."""
+    v = F.pmod(col.cast("long"), F.lit(4294967296))
+    h = F.shiftright(v, 16)
+    lo = F.pmod(v, F.lit(65536))
+    return F.pmod(
+        F.pmod(h * F.lit(KNUTH_C), F.lit(4294967296)) * F.lit(65536)
+        + lo * F.lit(KNUTH_C),
+        F.lit(4294967296),
+    )
+
+
+def knuth_key32_sql(col: str) -> str:
+    """DuckDB/ANSI twin of knuth_key32 — the same width-safe split so
+    both engines compute the identical key at any id scale."""
+    v = f"(({col}) % 4294967296)"
+    return (
+        f"((((({v} // 65536) * {KNUTH_C}) % 4294967296) * 65536"
+        f" + ({v} % 65536) * {KNUTH_C}) % 4294967296)"
+    )
 
 
 def train_semdedup_centroids(
@@ -979,7 +1141,7 @@ def train_semdedup_centroids(
     centroids = micro/scale and cnorms_sq = Σmicro²/scale² EXACTLY —
     feed both to `semantic_dedup_keep(..., cnorms_sq=...)` so the
     downstream ‖c‖² literals match the SQL twin bit-for-bit."""
-    key = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    key = knuth_key32(F.col(id_col))
     rows = (
         corpus.filter(vectors.dot(F.col(vec_col), F.col(vec_col)) > 0)
         .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
@@ -1037,58 +1199,9 @@ def semantic_dedup_keep(
     cid-keyed shuffle (bounded per-cluster work — the
     clusters-grow-with-corpus contract); the election is one
     component-keyed aggregate after an id-keyed join."""
-    e = corpus.filter(
-        vectors.dot(F.col(vec_col), F.col(vec_col)) > 0
-    ).select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
-    # assignment: bit-exact HOF argmin while the centroid slate is
-    # small enough (the oracle-gated regime — HOF dot and DuckDB
-    # list_inner_product fold left-to-right identically); Arrow dgemm
-    # argmin past that, where O(k) interpreted lambdas per row dominate
-    # (the trained-quantizer regime, k ∝ corpus/target_cluster_size —
-    # argmin margins carry cross-engine equality there).
-    if len(centroids) <= BIT_EXACT_ASSIGN_MAX_K:
-        assigned = ivf_assign(e, centroids, "__v", cnorms_sq=cnorms_sq)
-    else:
-        # regime change is LOUD (r10 advisor): BLAS summation order can
-        # flip near-tie cells across builds, so oracle-replayable
-        # callers must notice they left the bit-exact HOF path
-        import warnings
-
-        warnings.warn(
-            f"semantic_dedup_keep: k={len(centroids)} > "
-            f"{BIT_EXACT_ASSIGN_MAX_K} routes assignment through the "
-            "Arrow BLAS kernel — cross-engine equality now rests on "
-            "argmin margins, not bit-exact folds",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-        assigned = ivf_assign_arrow(e, centroids, "__v")
-    # centroid cosine via a broadcast (cid, centroid, norm) lookup —
-    # ONE HOF dot per row regardless of k (the previous k-wide
-    # element_at array re-evaluated every centroid's cosine per row);
-    # bit-identical values: same fold over the same doubles.
-    cnorms = np.sqrt(
-        cnorms_sq if cnorms_sq is not None else (centroids**2).sum(axis=1)
-    )
-    cent_tbl = corpus.sparkSession.createDataFrame(
-        [
-            (i, [float(x) for x in c], float(cnorms[i]))
-            for i, c in enumerate(centroids)
-        ],
-        "cid int, __c array<double>, __cnorm double",
-    )
-    base = assigned.join(F.broadcast(cent_tbl), "cid").select(
-        id_col,
-        "cid",
-        "__v",
-        F.floor(
-            vectors.dot(F.col("__v"), F.col("__c"))
-            / (vectors.norm(F.col("__v")) * F.col("__cnorm"))
-            * 1e6
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("cent_cos_micro"),
+    base = semantic_assign_scored(
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        cnorms_sq=cnorms_sq,
     ).localCheckpoint(eager=False)
 
     # within-cluster cosine pairs AND their connected components via
@@ -1106,6 +1219,69 @@ def semantic_dedup_keep(
     # ~1e-13 noise); per-cluster matrices are bounded by the
     # clusters-grow-with-corpus contract above.
     return _semantic_components_and_election(base, id_col, threshold)
+
+
+def semantic_assign_scored(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cnorms_sq: np.ndarray | None = None,
+) -> DataFrame:
+    """Shared front half of the semantic-dedup family (batch AND the
+    streaming ingest sink): nonzero vectors assigned to their nearest
+    cell with the quantized centroid cosine attached — returns
+    (id, cid, __v array<double>, cent_cos_micro).
+
+    Assignment: bit-exact HOF argmin while the centroid slate is small
+    enough (the oracle-gated regime — HOF dot and DuckDB
+    list_inner_product fold left-to-right identically); Arrow dgemm
+    argmin past BIT_EXACT_ASSIGN_MAX_K, where O(k) interpreted lambdas
+    per row dominate (the trained-quantizer regime, k ∝ corpus/target —
+    argmin margins carry cross-engine equality there, and the regime
+    change warns LOUDLY per the r10 advisor). Centroid cosine via a
+    broadcast (cid, centroid, norm) lookup — ONE HOF dot per row
+    regardless of k; everything map-side, no shuffle."""
+    e = corpus.filter(
+        vectors.dot(F.col(vec_col), F.col(vec_col)) > 0
+    ).select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    if len(centroids) <= BIT_EXACT_ASSIGN_MAX_K:
+        assigned = ivf_assign(e, centroids, "__v", cnorms_sq=cnorms_sq)
+    else:
+        import warnings
+
+        warnings.warn(
+            f"semantic_assign_scored: k={len(centroids)} > "
+            f"{BIT_EXACT_ASSIGN_MAX_K} routes assignment through the "
+            "Arrow BLAS kernel — cross-engine equality now rests on "
+            "argmin margins, not bit-exact folds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        assigned = ivf_assign_arrow(e, centroids, "__v")
+    cnorms = np.sqrt(
+        cnorms_sq if cnorms_sq is not None else (centroids**2).sum(axis=1)
+    )
+    cent_tbl = corpus.sparkSession.createDataFrame(
+        [
+            (i, [float(x) for x in c], float(cnorms[i]))
+            for i, c in enumerate(centroids)
+        ],
+        "cid int, __c array<double>, __cnorm double",
+    )
+    return assigned.join(F.broadcast(cent_tbl), "cid").select(
+        id_col,
+        "cid",
+        "__v",
+        F.floor(
+            vectors.dot(F.col("__v"), F.col("__c"))
+            / (vectors.norm(F.col("__v")) * F.col("__cnorm"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cent_cos_micro"),
+    )
 
 
 def _semantic_components_and_election(

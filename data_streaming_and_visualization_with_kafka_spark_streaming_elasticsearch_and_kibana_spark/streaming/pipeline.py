@@ -517,6 +517,172 @@ def dedup_ingest_sink(
     return _apply
 
 
+def semantic_dedup_ingest_sink(
+    index_path: str,
+    centroids,
+    cnorms_sq=None,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch sink for SEMANTIC dedup at ingest (r10 verdict task
+    4) — the streaming twin of operators.similarity.semantic_dedup_keep:
+    each micro-batch of vectors is assigned against the PERSISTED
+    trained centroids (semantic_assign_scored — the exact batch-path
+    front half, map-side), compared by exact cosine against every
+    already-ingested vector IN ITS CELL (cid-pruned read of the
+    persisted vector state + one BLAS matmul per touched cell — new
+    rows never compare outside their cells, so per-batch work is
+    O(|batch|·cell_size·d), corpus-independent), and the ≥ threshold
+    edges fold into the persisted (id, component) table via
+    incremental_components — batch-sized relabel work, never a corpus
+    re-cluster. semantic_dedup_state_view reconstructs the EXACT batch
+    output contract (component, n_members, keep_id, keep_cos_micro)
+    from the persisted state; streamed == batch is pinned in
+    tests/test_streaming.py.
+
+    Replay safety (foreachBatch is at-least-once): the ledger fast-path
+    skips applied batches; a replay that does re-run rewrites its
+    per-batch vector directory with overwrite and re-derives the SAME
+    edges (matching against state that already includes its prior
+    write is harmless — self-pairs are excluded by id inequality, and
+    re-folding known edges into components is a no-op merge).
+
+    Why components here need the GENERAL incremental machinery while
+    the batch path's union-find is cluster-local: the batch kernel sees
+    each cell completely, so min-id resolution is local; the stream
+    sees a cell a slice at a time, so labels must persist and merge
+    across batches — exactly incremental_components' contract (min-id
+    convergence pinned in tests/test_dedup.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import incremental_components
+    from ..operators.similarity import semantic_assign_scored
+
+    thr = float(threshold)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        os.makedirs(index_path, exist_ok=True)
+        ledger = os.path.join(index_path, "_APPLIED_BATCHES")
+        applied = _ledger_applied(ledger)
+        if batch_id in applied:
+            return
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        scored = semantic_assign_scored(
+            batch_df, centroids, id_col=id_col, vec_col=vec_col,
+            cnorms_sq=cnorms_sq,
+        )
+        vec_root = os.path.join(index_path, "vectors")
+        scored.write.mode("overwrite").parquet(
+            os.path.join(vec_root, f"ingest={batch_id}")
+        )
+        # edges: new members vs ALL members of the touched cells (the
+        # just-written batch included, so batch-internal pairs land in
+        # the same pass). cid is bounded by k, so the probe list is a
+        # bounded driver collect; the per-cell kernel is the batch
+        # path's normalize→matmul→threshold, restricted to new rows.
+        # the vectors root carries `ingest` as a partition column, so
+        # "new" is a partition predicate, not a batch-sized id
+        # broadcast; `touched` is bounded by k (the cell count)
+        state = spark.read.parquet(vec_root)
+        touched = [int(r[0]) for r in scored.select("cid").distinct().collect()]
+        members = state.filter(F.col("cid").isin(touched)).select(
+            "cid", id_col, "__v",
+            (F.col("ingest") == batch_id).alias("__new"),
+        )
+
+        def _cell_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[id_col].to_numpy()
+            isnew = pdf["__new"].to_numpy()
+            if not isnew.any() or len(pdf) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                    {"id_a": "int64", "id_b": "int64"}
+                )
+            v = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+            u = v / np.sqrt((v * v).sum(axis=1))[:, None]
+            ni = np.where(isnew)[0]
+            s = u[ni] @ u.T
+            ra, cb = np.where(s >= thr)
+            ia, ib = ids[ni[ra]], ids[cb]
+            # rows are NEW members only, columns are ALL members — an
+            # old-vs-new pair appears exactly once (new row, old col),
+            # in whichever id order the ingest happened to produce, so
+            # normalize to (min, max) rather than filter ia < ib (which
+            # silently dropped pairs whose NEW id was the larger one)
+            mask = ia != ib
+            lo = np.minimum(ia[mask], ib[mask])
+            hi = np.maximum(ia[mask], ib[mask])
+            return pd.DataFrame({"id_a": lo, "id_b": hi}).drop_duplicates()
+
+        edges = (
+            members.groupBy("cid")
+            .applyInPandas(_cell_edges, "id_a long, id_b long")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        comp_dir = os.path.join(index_path, "components")
+        _recover_dir_swap(comp_dir)
+        labels = (
+            spark.read.parquet(comp_dir)
+            if os.path.exists(comp_dir)
+            else spark.createDataFrame([], "id long, component long")
+        )
+        incremental_components(labels, edges).write.mode(
+            "overwrite"
+        ).parquet(comp_dir + ".staging")
+        _commit_dir_swap(comp_dir)
+        _ledger_mark(ledger, applied, batch_id)
+
+    return _apply
+
+
+def semantic_dedup_state_view(spark, index_path: str) -> DataFrame:
+    """The batch output contract reconstructed from the streaming
+    sink's persisted state: every ingested vector (labelled by its
+    component, singletons labelling themselves) elects the least-
+    prototypical member per component — identical columns and
+    semantics to semantic_dedup_keep (component, n_members, keep_id,
+    keep_cos_micro); equality is pinned in tests/test_streaming.py."""
+    import os
+
+    vecs = spark.read.parquet(os.path.join(index_path, "vectors")).select(
+        "vec_id", "cent_cos_micro"
+    )
+    comp_dir = os.path.join(index_path, "components")
+    _recover_dir_swap(comp_dir)
+    labels = (
+        spark.read.parquet(comp_dir)
+        if os.path.exists(comp_dir)
+        else spark.createDataFrame([], "id long, component long")
+    )
+    m = vecs.join(
+        labels.withColumnRenamed("id", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce("component", F.col("vec_id")).alias("component"),
+        "cent_cos_micro",
+    )
+    keep = F.min(
+        F.struct(
+            F.col("cent_cos_micro").alias("c"), F.col("vec_id").alias("i")
+        )
+    ).alias("k")
+    return (
+        m.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"), keep)
+        .select(
+            "component",
+            "n_members",
+            F.col("k.i").alias("keep_id"),
+            F.col("k.c").alias("keep_cos_micro"),
+        )
+    )
+
+
 def running_totals_view(
     records: DataFrame,
     key_col: str,

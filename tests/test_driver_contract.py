@@ -76,6 +76,17 @@ SF = "/root/testdata/sf0.001"
 #: bfs/assortativity), passage + containment dedup (dedup by
 #: exact/clusters/semantic/streaming-passage), and gif decode
 #: (multimodal by wav_features).
+#: r12 rotation (the r11 verdict's ordered task 2 — the three
+#: never-driver-witnessed r10/r11 debuts plus this round's
+#: trained-index MMR): IN — mmr_diversified_topk, mmr_from_index,
+#: semantic_dedup_imi, semantic_dedup_trained. OUT — psi_value_drift
+#: (drift family still witnessed by cusum + bh_fdr),
+#: semantic_dedup_keep_best (semantic dedup by the imi + trained
+#: legs, which subsume its assignment/pairs/components/election
+#: pipeline), lsh_bucket_verified and multi_query_topk (ANN serving
+#: by the mmr pair — mmr_from_index exercises the persisted
+#: partition-pruned index probe those two witnessed — plus
+#: pq_distortion_report for the quantized path).
 DRIVER_WINDOW = [
     "fusion_minute_avg",
     "multiway_join_revenue",
@@ -97,7 +108,6 @@ DRIVER_WINDOW = [
     "cdc_merge_snapshot",
     "cusum_drift_profile",
     "bh_fdr_event_shifts",
-    "psi_value_drift",
     "acf_minute_counts",
     "calendar_seasonality_profile",
     "session_concurrency_profile",
@@ -117,16 +127,17 @@ DRIVER_WINDOW = [
     "streaming_left_outer_join",
     "streaming_windowed_top1",
     "streaming_passage_dedup",
-    "semantic_dedup_keep_best",
     "exact_dedup_docs",
     "dedup_clusters",
     "doremi_domain_weights",
     "stratified_split",
-    "lsh_bucket_verified",
-    "multi_query_topk",
     "pq_distortion_report",
     "multimodal_wav_features",
     "corpus_pipeline_end2end",
+    "mmr_diversified_topk",
+    "mmr_from_index",
+    "semantic_dedup_imi",
+    "semantic_dedup_trained",
 ]
 
 
@@ -150,7 +161,16 @@ def test_driver_window_is_stable_and_fully_oracled():
 #: actual engine-vs-oracle comparison for them in-repo. Entries rotate
 #: OUT each round (the window + full local gate cover them afterwards).
 DEBUT_ORACLE_QUERIES = [
-    "semantic_dedup_trained",     # r11: new — SQL-replayed integer Lloyd
+    # r12: new — MMR over the trained cid-partitioned IVF index
+    "mmr_from_index",
+    # r12: changed — the Knuth sample key is now WIDTH-SAFE (the naive
+    # id·2654435761 overflowed int64 at id ≳ 3.47e9, silently wrapping
+    # in Spark while DuckDB promoted to HUGEINT — divergent samples on
+    # billion-scale id spaces; similarity.knuth_key32/knuth_key32_sql)
+    "semantic_dedup_trained",
+    # r12: new — multi-probe boundary-split pair recall for semantic
+    # dedup (trained centroids, top-2 cells, pair-level verify)
+    "semantic_dedup_multiprobe",
 ]
 
 

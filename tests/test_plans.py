@@ -415,3 +415,25 @@ def test_wedge_family_is_degree_oriented_or_block_decomposed():
     # the bare center column alone
     cn_src = inspect.getsource(graph._cn_pair_stream)
     assert "tb == right.gb" in cn_src
+
+
+def test_mmr_from_index_probe_is_partition_pruned(spark):
+    """The trained-index MMR query's corpus-sized read is the nprobe=2
+    partition probe: running the entry query materializes the
+    cid-partitioned index, and the probe's relational shape
+    (cid isin(...) over that layout) must prune directories — a
+    PartitionFilter on the scan, not a post-scan data filter. At
+    100 TB this is the O(n·nprobe/k) vs O(n) difference."""
+    import os
+    import tempfile
+
+    entrymod.q_mmr_from_index(spark, SF).collect()
+    index_path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ivf_trained_index_sf0.001"
+    )
+    pruned = spark.read.parquet(index_path).filter(F.col("cid").isin([0, 1]))
+    plan = explain.formatted_plan(pruned)
+    part_section = plan.split("PartitionFilters")[1][:200]
+    assert "cid" in part_section
+    if "PushedFilters" in plan:
+        assert "cid" not in plan.split("PushedFilters")[1][:200]

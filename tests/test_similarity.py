@@ -785,6 +785,37 @@ def test_semdedup_quantizer_retention_floors(spark):
     assert tr_ret > flat_ret, (tr_ret, flat_ret)
     assert gated_ret > flat_ret, (gated_ret, flat_ret)
 
+    # MULTI-PROBE retention (r10 verdict task 2 / r12): a pair is a
+    # candidate when the two vectors' top-2 cell sets OVERLAP — the
+    # boundary-split recovery semantic_dup_pairs_multiprobe gates.
+    def ret2(scores):
+        top2 = np.argsort(scores, axis=1, kind="stable")[:, :2]
+        sa, sb = top2[a], top2[b]
+        return float(
+            (sa[:, :, None] == sb[:, None, :]).any(axis=(1, 2)).mean()
+        )
+
+    flat2 = ret2((flat**2).sum(1)[None, :] - 2 * (v @ flat.T))
+    gated2 = ret2(g_cn[None, :] - 2 * (v @ g_cents.T))
+    # IMI multi-probe: top-2 per HALF → the 4 (c1, c2) combos
+    s1 = (cb[0] ** 2).sum(1)[None, :] - 2 * (v[:, :32] @ cb[0].T)
+    s2 = (cb[1] ** 2).sum(1)[None, :] - 2 * (v[:, 32:] @ cb[1].T)
+    t1 = np.argsort(s1, axis=1, kind="stable")[:, :2]
+    t2 = np.argsort(s2, axis=1, kind="stable")[:, :2]
+    cells = (
+        t1[:, :, None] * K + t2[:, None, :]
+    ).reshape(len(v), 4)
+    ca, cbp = cells[a], cells[b]
+    imi2 = float(
+        (ca[:, :, None] == cbp[:, None, :]).any(axis=(1, 2)).mean()
+    )
+    # sf0.001 measured: flat 0.660→0.978, gated trained 0.914→0.998,
+    # imi 0.614→0.998 — multi-probe recovers nearly all boundary
+    # splits at ~4× the candidate-pair volume (SCALING.md)
+    assert flat2 >= flat_ret and flat2 >= 0.85, (flat_ret, flat2)
+    assert gated2 >= gated_ret and gated2 >= 0.95, (gated_ret, gated2)
+    assert imi2 >= imi_ret and imi2 >= 0.7, (imi_ret, imi2)
+
 
 def test_train_semdedup_centroids_deterministic_and_exact(spark):
     """The oracle-replayability contract of the integer-micro Lloyd
@@ -845,3 +876,142 @@ def test_mmr_rerank_uses_raw_negative_maxsim(spark):
         (3, 0, 900000, -2700000),
         (4, 3, -500000, -4562175),
     ], got
+
+
+def test_mmr_from_ivf_index_matches_full_scan_when_probing_all_cells(
+    spark, tmp_path
+):
+    """The trained-index MMR serving path (r11 verdict task 1): with
+    nprobe covering every cell, the partition-pruned probe sees the
+    whole corpus and must reproduce mmr_rerank_micro ROW FOR ROW —
+    same shortlist, same greedy, same integer objective."""
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(400, DIM) / np.sqrt(DIM)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents, cn = similarity.train_semdedup_centroids(
+        corpus, 4, sample=400, iters=4
+    )
+    path = str(tmp_path / "ivf_trained_idx")
+    similarity.build_ivf_index(corpus, cents, path, cnorms_sq=cn)
+    q = [float(x) for x in vecs[0]]
+    full = similarity.mmr_rerank_micro(corpus, q, k=10, shortlist=50).collect()
+    via_idx = similarity.mmr_from_ivf_index(
+        spark, path, q, cents, k=10, shortlist=50,
+        nprobe=len(cents), cnorms_sq=cn,
+    ).collect()
+    assert [tuple(r) for r in via_idx] == [tuple(r) for r in full]
+    # determinism: the eager snapshot replays identically
+    again = similarity.mmr_from_ivf_index(
+        spark, path, q, cents, k=10, shortlist=50,
+        nprobe=len(cents), cnorms_sq=cn,
+    ).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in via_idx]
+
+
+def test_mmr_from_ivf_index_serves_only_probed_cells(spark, tmp_path):
+    """nprobe=1 must confine the result to members of the single
+    nearest cell (IVF's own recall trade), and the index read must
+    prune partitions — cid appears as a PartitionFilter, never a
+    post-scan data filter."""
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(300, DIM) / np.sqrt(DIM)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents, cn = similarity.train_semdedup_centroids(
+        corpus, 4, sample=300, iters=4
+    )
+    path = str(tmp_path / "ivf_trained_idx")
+    similarity.build_ivf_index(corpus, cents, path, cnorms_sq=cn)
+    q = [float(x) for x in vecs[5]]
+    out = similarity.mmr_from_ivf_index(
+        spark, path, q, cents, k=10, shortlist=50, nprobe=1, cnorms_sq=cn
+    ).collect()
+    # replicate the driver-side probe ranking and numpy assignment
+    qv = np.asarray(q)
+    probe = int(np.lexsort(
+        (np.arange(len(cents)), cn - 2.0 * (cents @ qv))
+    )[0])
+    assign = (cn[None, :] - 2.0 * (vecs @ cents.T)).argmin(axis=1)
+    members = {i for i in range(len(vecs)) if assign[i] == probe}
+    assert out and all(r.vec_id in members for r in out)
+    # the probe's relational shape: cid isin(...) over the partitioned
+    # layout becomes a PartitionFilter on the scan
+    pruned = spark.read.parquet(path).filter(F.col("cid").isin([probe]))
+    plan = formatted_plan(pruned)
+    assert "cid" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_knuth_key32_width_safe_and_engine_identical():
+    """r11 verdict task 7: the naive id·2654435761 sample key overflows
+    int64 at id ≳ 3.47e9 (Spark wraps silently, DuckDB promotes to
+    HUGEINT → divergent training samples). knuth_key32 must equal the
+    mathematically exact (id·C) mod 2³² at ANY id, in BOTH engines."""
+    import duckdb
+
+    ids = [
+        0, 1, 12345, 2**31, 3_470_000_000, 2**32 - 1, 2**32,
+        5_000_000_000, 2**40 + 17, 2**62,
+    ]
+    con = duckdb.connect()
+    expr = similarity.knuth_key32_sql("v")
+    for i in ids:
+        want = (i * similarity.KNUTH_C) % 2**32
+        got_sql = con.sql(
+            f"SELECT {expr} AS k FROM (SELECT {i}::BIGINT AS v)"
+        ).fetchone()[0]
+        assert got_sql == want, (i, got_sql, want)
+
+
+def test_knuth_key32_spark_matches_exact_math(spark):
+    ids = [0, 7, 2**31 + 3, 3_470_000_000, 5_000_000_000, 2**40 + 17]
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    got = {
+        r.vec_id: r.k
+        for r in df.select(
+            "vec_id", similarity.knuth_key32(F.col("vec_id")).alias("k")
+        ).collect()
+    }
+    for i in ids:
+        assert got[i] == (i * similarity.KNUTH_C) % 2**32, i
+
+
+def test_trainer_sample_identical_at_billion_scale_ids(spark):
+    """End-to-end pin of the width-safe key: a corpus whose ids sit
+    past the old overflow bound must train the same centroids as a
+    python replay of the exact (id·C) mod 2³² sample order."""
+    rng = np.random.RandomState(17)
+    n = 60
+    vecs = rng.randn(n, DIM) / np.sqrt(DIM)
+    ids = [5_000_000_000 + 977 * j for j in range(n)]
+    corpus = spark.createDataFrame(
+        [(ids[j], [float(x) for x in vecs[j]]) for j in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents, cn = similarity.train_semdedup_centroids(
+        corpus, 4, sample=16, iters=2
+    )
+    order = sorted(
+        range(n),
+        key=lambda j: ((ids[j] * similarity.KNUTH_C) % 2**32, ids[j]),
+    )
+    u = np.floor(vecs[order[:16]] * 1e6 + 0.5).astype(np.int64)
+    expect = similarity._lloyd_micro(u, 4, 2)
+    assert np.array_equal(cents, expect.astype(np.float64) / 1e6)
+    assert np.array_equal(
+        cn, (expect * expect).sum(axis=1).astype(np.float64) / 1e12
+    )
+
+
+def test_lloyd_micro_empty_input_returns_empty_slate():
+    """r11 advisor: an all-zero-vector or empty corpus reaches
+    _lloyd_micro as a size-0 array — it must return an empty slate,
+    not raise an opaque IndexError on u.shape[1]."""
+    out = similarity._lloyd_micro(np.zeros((0, DIM), dtype=np.int64), 4, 2)
+    assert out.shape == (0, DIM)
+    out1d = similarity._lloyd_micro(np.array([], dtype=np.int64), 4, 2)
+    assert out1d.size == 0

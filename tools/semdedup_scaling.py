@@ -26,6 +26,14 @@ fixed-k=16 column is measured beside it to show what the r9 shape
 (fixed k → clusters grow with the corpus → O(n²/k) pairs) would cost.
 
 Usage: python tools/semdedup_scaling.py [k ...]   (default: 1 4 16)
+       python tools/semdedup_scaling.py mmr [k ...]
+           — the serving-tier mode (r11 verdict tasks 3/8): times
+           mmr_rerank_micro (full-scan relevance + bounded greedy;
+           expected ~linear scan, corpus-independent greedy) and
+           train_semdedup_centroids (fixed 2048-row sample at any
+           corpus — the scan is a TakeOrdered top-N, so cost is one
+           linear pass with a bounded heap) across the same replica
+           corpora.
 """
 
 from __future__ import annotations
@@ -88,7 +96,51 @@ def build(k: int) -> tuple[str, int]:
     return path, len(allp)
 
 
+def mmr_main(ks: list[int]) -> None:
+    shutil.rmtree(OUT, ignore_errors=True)
+    spark = get_spark(app_name="mmr-scaling", shuffle_partitions=32)
+    rows = []
+    warmed = False
+    for k in ks:
+        path, n = build(k)
+        emb = spark.read.parquet(os.path.join(path, "embeddings.parquet"))
+        emb.count()
+        qvec = [
+            float(x)
+            for x in emb.filter("vec_id = 0").select("embedding").head()[0]
+        ]
+        if not warmed:
+            similarity.mmr_rerank_micro(emb, qvec, k=10, shortlist=50)
+            similarity.train_semdedup_centroids(emb, 64, sample=2048, iters=4)
+            warmed = True
+        # mmr_rerank_micro is an EAGER SNAPSHOT — construction runs the
+        # corpus scan + greedy, so construction time IS the query time
+        t0 = time.time()
+        similarity.mmr_rerank_micro(emb, qvec, k=10, shortlist=50)
+        t_mmr = round(time.time() - t0, 2)
+        t0 = time.time()
+        similarity.train_semdedup_centroids(emb, 64, sample=2048, iters=4)
+        t_train = round(time.time() - t0, 2)
+        rows.append({"k": k, "n": n, "mmr": t_mmr, "train": t_train})
+        print(rows[-1], flush=True)
+    base = rows[0]
+    print()
+    print("| corpus | mmr_rerank time | growth vs corpus |"
+          " trainer time | growth vs corpus |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        rm = (r["mmr"] / base["mmr"]) / (r["n"] / base["n"])
+        rt = (r["train"] / base["train"]) / (r["n"] / base["n"])
+        print(
+            f"| {r['n']} | {r['mmr']}s | {rm:.2f}× linear |"
+            f" {r['train']}s | {rt:.2f}× linear |"
+        )
+
+
 def main() -> None:
+    if sys.argv[1:] and sys.argv[1] == "mmr":
+        mmr_main([int(a) for a in sys.argv[2:]] or [1, 4, 16])
+        return
     ks = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
     shutil.rmtree(OUT, ignore_errors=True)
     spark = get_spark(app_name="semdedup-scaling", shuffle_partitions=32)
