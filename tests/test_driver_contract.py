@@ -171,6 +171,9 @@ DEBUT_ORACLE_QUERIES = [
     # r12: new — multi-probe boundary-split pair recall for semantic
     # dedup (trained centroids, top-2 cells, pair-level verify)
     "semantic_dedup_multiprobe",
+    # r12: new — streaming ingest-time semantic dedup; its oracle is
+    # the batch twin verbatim (stream ≡ batch ≡ SQL replay in one hash)
+    "streaming_semantic_dedup",
 ]
 
 
