@@ -703,6 +703,122 @@ def ivf_assign_multiprobe(
     )
 
 
+def _pairs_from_probed(
+    e: DataFrame,
+    probed: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Shared back half of the multi-probe pair generators: the cell
+    self-join carries (cid, id) ONLY, pairs dedupe before vectors
+    re-attach, and the exact cosine floor-quantizes to integer micro
+    BEFORE the threshold compare. `e` carries (id, __v); `probed`
+    carries (id, cid), one row per probe."""
+    a, b = probed.alias("a"), probed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = e.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    vb = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    cos_micro = (
+        F.floor(cosine(F.col("__va"), F.col("__vb")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("cos_micro")
+    )
+    thr = int(round(float(threshold) * 1e6))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos_micro)
+        .filter(F.col("cos_micro") >= thr)
+    )
+
+
+def imi_assign_multiprobe(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    nprobe_per_half: int = 2,
+) -> DataFrame:
+    """IMI multi-probe assignment: top-`nprobe_per_half` cells PER HALF
+    → the nprobe² (c1, c2) combos, cid = c1·K + c2 — the two-level
+    twin of ivf_assign_multiprobe (r10 verdict task 2's "(c1,c2)
+    combos"). One dgemm per half per Arrow batch, then a per-row combo
+    explode inside the same kernel; argsort is stable (ties → smaller
+    index, the house order). Output: one row per (vector, probed cid),
+    columns of `corpus` plus cid. Planted-corpus pair retention 0.614
+    single-probe → 0.998 at 2 per half (SCALING.md)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    nhalf, K, dh = cb.shape
+    assert nhalf == 2
+    p = int(nprobe_per_half)
+    cn = (cb**2).sum(axis=2)
+    out_schema = StructType(
+        list(corpus.schema.fields) + [StructField("cid", IntegerType())]
+    )
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                yield pdf.assign(cid=np.array([], dtype="int32"))
+                continue
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            t1 = np.argsort(
+                cn[0][None, :] - 2.0 * (v[:, :dh] @ cb[0].T),
+                axis=1, kind="stable",
+            )[:, :p]
+            t2 = np.argsort(
+                cn[1][None, :] - 2.0 * (v[:, dh:] @ cb[1].T),
+                axis=1, kind="stable",
+            )[:, :p]
+            cells = (t1[:, :, None] * K + t2[:, None, :]).reshape(
+                len(v), p * p
+            )
+            idx = np.repeat(np.arange(len(pdf)), p * p)
+            yield pdf.iloc[idx].assign(
+                cid=cells.reshape(-1).astype("int32")
+            )
+
+    return corpus.mapInPandas(gen, out_schema)
+
+
+def semantic_dup_pairs_multiprobe_imi(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    threshold: float = 0.4,
+    nprobe_per_half: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe boundary-split pair recovery under the TWO-LEVEL
+    quantizer — semantic_dup_pairs_multiprobe's IMI twin (same
+    pair-level contract and output (id_a, id_b, cos_micro); same
+    reason it is pair-level, not component-level). Library + test
+    rather than oracle-gated BY DECISION (r11 verdict task 4's "gated
+    variant or a documented decision"): the gated multi-probe query is
+    the flat trained slate (semantic_dedup_multiprobe) — an IMI twin
+    would add a per-half top-2 ROW_NUMBER over sliced lists to SQL the
+    flat twin already pins structurally, for the same pair/verify back
+    half; retention for this leg is measured and floor-pinned instead
+    (tests/test_similarity.py, SCALING.md)."""
+    e = corpus.filter(
+        vectors.dot(F.col(vec_col), F.col(vec_col)) > 0
+    ).select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    probed = imi_assign_multiprobe(
+        e, codebooks, "__v", nprobe_per_half=nprobe_per_half
+    ).select(F.col(id_col), F.col("cid"))
+    return _pairs_from_probed(e, probed, id_col, threshold)
+
+
 def semantic_dup_pairs_multiprobe(
     corpus: DataFrame,
     centroids: np.ndarray,
@@ -742,33 +858,7 @@ def semantic_dup_pairs_multiprobe(
     probed = ivf_assign_multiprobe(
         e, centroids, "__v", nprobe=nprobe, cnorms_sq=cnorms_sq
     ).select(F.col(id_col), F.col("cid"))
-    a, b = probed.alias("a"), probed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    va = e.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
-    vb = e.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
-    cos_micro = (
-        F.floor(cosine(F.col("__va"), F.col("__vb")) * 1e6 + F.lit(0.5))
-        .cast("long")
-        .alias("cos_micro")
-    )
-    thr = int(round(float(threshold) * 1e6))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", cos_micro)
-        .filter(F.col("cos_micro") >= thr)
-    )
+    return _pairs_from_probed(e, probed, id_col, threshold)
 
 
 def ivf_assign_arrow(

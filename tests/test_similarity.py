@@ -1015,3 +1015,57 @@ def test_lloyd_micro_empty_input_returns_empty_slate():
     assert out.shape == (0, DIM)
     out1d = similarity._lloyd_micro(np.array([], dtype=np.int64), 4, 2)
     assert out1d.size == 0
+
+
+def test_semantic_dup_pairs_multiprobe_imi_matches_numpy_oracle(spark):
+    """The IMI multi-probe pair generator must produce EXACTLY the
+    candidate pairs a numpy replay derives (top-2 cells per half →
+    4 (c1,c2) combos, pair = any shared cell, verify = quantized
+    cosine ≥ threshold) — and strictly contain the single-probe
+    (argmin cell) pair set on a corpus with boundary splits."""
+    import math
+
+    rng = np.random.RandomState(23)
+    n0 = 120
+    v0 = rng.randn(n0, DIM) / np.sqrt(DIM)
+    dup = v0 + rng.randn(n0, DIM) * 0.05
+    v = np.vstack([v0, dup])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(v)],
+        "vec_id long, embedding array<double>",
+    )
+    K = 4
+    cb = similarity.make_imi_codebooks(DIM, K, seed=31)
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.semantic_dup_pairs_multiprobe_imi(
+            corpus, cb, threshold=0.4, nprobe_per_half=2
+        ).collect()
+    }
+    # numpy replay
+    dh = DIM // 2
+    cn = (cb**2).sum(axis=2)
+    s1 = cn[0][None, :] - 2 * (v[:, :dh] @ cb[0].T)
+    s2 = cn[1][None, :] - 2 * (v[:, dh:] @ cb[1].T)
+    t1 = np.argsort(s1, axis=1, kind="stable")[:, :2]
+    t2 = np.argsort(s2, axis=1, kind="stable")[:, :2]
+    cells = (t1[:, :, None] * K + t2[:, None, :]).reshape(len(v), 4)
+    u = v / np.sqrt((v * v).sum(axis=1))[:, None]
+    want = set()
+    for i in range(len(v)):
+        for j in range(i + 1, len(v)):
+            if len(set(cells[i]) & set(cells[j])):
+                cm = math.floor(float(u[i] @ u[j]) * 1e6 + 0.5)
+                if cm >= 400000:
+                    want.add((i, j))
+    assert got == want
+    # single-probe (argmin cells) pairs are a strict subset here
+    cid = (s1.argmin(1) * K + s2.argmin(1))
+    single = {
+        (i, j)
+        for i in range(len(v))
+        for j in range(i + 1, len(v))
+        if cid[i] == cid[j]
+        and math.floor(float(u[i] @ u[j]) * 1e6 + 0.5) >= 400000
+    }
+    assert single <= got and len(got) > len(single)
