@@ -49,6 +49,7 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
     similarity,
     sketches,
     temporal,
+    tokenizer,
 )
 from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.plans.shape import (
     ensure_min_parallelism,
@@ -9807,6 +9808,141 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
 
 
+#: BPE training depth for the gated queries: enough merges that
+#: multi-character tokens dominate the dictionary (the corpus's common
+#: words collapse to 1-2 tokens) while keeping the oracle's replayed
+#: chain readable — the same fixed-depth discipline as the 4-iteration
+#: Lloyd trainer
+_BPE_MERGES = 12
+
+
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING replayed under the differential gate
+    (operators/tokenizer.py; Sennrich et al., ACL 2016) — the merge
+    table itself is the result: rank, pair, corpus-weighted count for
+    the 12 most frequent adjacent-token-pair merges, trained on the
+    distinct-word frequency table (ONE corpus shuffle; every iteration
+    is a distributed pair-count aggregation over the vocabulary plus a
+    1-row argmax collect). Determinism: exact BIGINT pair counts,
+    (count DESC, a ASC, b ASC) tie-break on a binary-collated [a-z0-9]
+    alphabet, and a leftmost-non-overlapping '(a)(b)'→'(ab)' replace —
+    semantics Spark and DuckDB share exactly — so the DuckDB twin
+    replays sample-free TRAINING (all 12 iterations as MATERIALIZED
+    CTE chains) with zero inlined merge literals.
+
+    EAGER SNAPSHOT (the mmr_rerank_micro contract): the sequential
+    argmax collects run at construction time; the returned frame is the
+    materialized merge table."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = tokenizer.word_vocab(docs)
+    merges, _ = tokenizer.train_bpe_merges(vocab, _BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank long, pair_a string, pair_b string, pair_count long",
+    )
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the corpus's OWN trained BPE
+    vocabulary — the number an LLM data pipeline budgets, mixes, and
+    packs by (functions/text.py's whitespace/regex counters stay as the
+    cheap first-pass proxies). Trains the same 12 merges as
+    q_bpe_merge_table, derives the word→token-count dictionary from the
+    final training state (the vocabulary table IS the dictionary — no
+    second corpus pass), and hash-joins it back to the exploded corpus
+    (AQE picks broadcast when the dictionary is small). The DuckDB twin
+    replays training AND application from the same CTE chain."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = tokenizer.word_vocab(docs)
+    _, final_state = tokenizer.train_bpe_merges(vocab, _BPE_MERGES)
+    counts = tokenizer.doc_token_counts(
+        docs, tokenizer.token_dict(final_state)
+    )
+    return counts.select("doc_id", "n_tokens", "n_words")
+
+
+def _bpe_train_ctes() -> str:
+    """The SQL-replayed BPE TRAINING CHAIN shared by both tokenizer
+    twins: vocab build (v0 = char-wrapped distinct words), then per
+    merge t: p{t} adjacent pairs via 1-based list indexing over a
+    lateral range unnest, b{t} the argmax row (count DESC, a, b), v{t}
+    the leftmost-non-overlapping replace applied via a 1-row cross
+    join. MATERIALIZED throughout — each level is referenced by the
+    next pair count AND the next replace, so plain inlining would
+    re-evaluate the chain exponentially (the Lloyd-chain lesson).
+    Emits v0..v{N} and b1..b{N}."""
+    iters = []
+    for t in range(1, _BPE_MERGES + 1):
+        p = t - 1
+        iters.append(f"""
+        p{t} AS (SELECT t[i] AS a, t[i + 1] AS b, freq FROM (
+                    SELECT string_split(substring(enc, 2, length(enc) - 2),
+                                        ')(') AS t, freq
+                    FROM v{p}) tt,
+                    UNNEST(range(1, len(tt.t))) AS r(i)),
+        b{t} AS MATERIALIZED (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM p{t} GROUP BY a, b
+                ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        v{t} AS MATERIALIZED (SELECT v.word,
+                       replace(v.enc, '(' || b.a || ')(' || b.b || ')',
+                               '(' || b.a || b.b || ')') AS enc,
+                       v.freq
+                FROM v{p} v, b{t} b)""")
+    chain = ",".join(iters)
+    return f"""
+        w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+               FROM (SELECT unnest(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+')) AS word
+                     FROM documents)
+               WHERE word <> '' GROUP BY word),
+        v0 AS MATERIALIZED (SELECT word,
+                    regexp_replace(word, '(.)', '(\\1)', 'g') AS enc,
+                    freq
+               FROM w),
+        {chain}"""
+
+
+def _bpe_merge_table_oracle_sql() -> str:
+    """DuckDB twin of q_bpe_merge_table: the shared training chain, the
+    merge table read off the b1..bN argmax CTEs."""
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS rank, a AS pair_a, b AS pair_b, "
+        f"cnt AS pair_count FROM b{t}"
+        for t in range(1, _BPE_MERGES + 1)
+    )
+    return f"""
+        WITH {_bpe_train_ctes()}
+        SELECT * FROM ({rows}) ORDER BY rank
+    """
+
+
+def _bpe_token_counts_oracle_sql() -> str:
+    """DuckDB twin of q_bpe_token_counts: training chain verbatim, the
+    dictionary read off the final state, applied to the exploded corpus
+    with the same absent-word character-count fallback."""
+    return f"""
+        WITH {_bpe_train_ctes()},
+        dict AS (SELECT word,
+                        CAST(len(string_split(
+                            substring(enc, 2, length(enc) - 2),
+                            ')(')) AS BIGINT) AS tok_n
+                 FROM v{_BPE_MERGES}),
+        dw AS (SELECT doc_id, word FROM (
+                   SELECT doc_id,
+                          unnest(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+')) AS word
+                   FROM documents)
+               WHERE word <> '')
+        SELECT dw.doc_id,
+               CAST(SUM(COALESCE(d.tok_n, length(dw.word))) AS BIGINT)
+                   AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM dw LEFT JOIN dict d ON d.word = dw.word
+        GROUP BY dw.doc_id
+        ORDER BY dw.doc_id
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -10118,6 +10254,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    against the batch SQL replay
     "semantic_dedup_multiprobe": q_semantic_dedup_multiprobe,
     "streaming_semantic_dedup": q_streaming_semantic_dedup,
+    # -- r12 additions (late-round): BPE tokenizer — SQL-replayed
+    #    training (the merge table IS the result) and per-doc token
+    #    counts under the trained vocabulary
+    "bpe_merge_table": q_bpe_merge_table,
+    "bpe_token_counts": q_bpe_token_counts,
 }
 
 
@@ -12116,6 +12257,8 @@ def oracle_sql() -> dict[str, str]:
         # contract exactly, so its oracle IS the batch twin — one hash
         # pins stream ≡ batch ≡ SQL replay
         "streaming_semantic_dedup": _semantic_dedup_trained_oracle_sql(),
+        "bpe_merge_table": _bpe_merge_table_oracle_sql(),
+        "bpe_token_counts": _bpe_token_counts_oracle_sql(),
         "pq_distortion_report": _pq_distortion_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """

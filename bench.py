@@ -185,6 +185,10 @@ HEADLINE = [
     # trained-index MMR serving path
     "semantic_dedup_trained",
     "mmr_from_index",
+    # round-12 late additions: BPE tokenizer — SQL-replayed training
+    # (merge table) and per-doc token counts under the trained vocab
+    "bpe_merge_table",
+    "bpe_token_counts",
 ]
 
 

@@ -174,6 +174,11 @@ DEBUT_ORACLE_QUERIES = [
     # r12: new — streaming ingest-time semantic dedup; its oracle is
     # the batch twin verbatim (stream ≡ batch ≡ SQL replay in one hash)
     "streaming_semantic_dedup",
+    # r12 (late-round): new — BPE tokenizer training replayed in SQL
+    # (merge table) and per-doc token counts under the trained
+    # vocabulary (operators/tokenizer.py)
+    "bpe_merge_table",
+    "bpe_token_counts",
 ]
 
 

@@ -1,0 +1,181 @@
+"""BPE tokenizer trainer: third-implementation parity + the semantics
+pins the oracle contract leans on (leftmost-non-overlapping merge,
+lexicographic tie-break, paren-encoding structural safety)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (  # noqa: E501
+    tokenizer,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- pure-python reference (third implementation, list-of-tokens form —
+#    shares NO string/replace machinery with the Spark or DuckDB sides)
+
+
+def _ref_merge_word(toks: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def _ref_bpe(
+    word_freqs: dict[str, int], n_merges: int
+) -> tuple[list[tuple[str, str, int]], dict[str, list[str]]]:
+    state = {w: list(w) for w in word_freqs}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, toks in state.items():
+            f = word_freqs[w]
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        state = {w: _ref_merge_word(t, a, b) for w, t in state.items()}
+    return merges, state
+
+
+def _ref_vocab(spark) -> dict[str, int]:
+    import re
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    freqs: dict[str, int] = {}
+    for r in rows:
+        for w in re.split("[^a-z0-9]+", r["text"].lower()):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    return freqs
+
+
+def test_merge_table_matches_python_reference(spark):
+    freqs = _ref_vocab(spark)
+    ref_merges, _ = _ref_bpe(freqs, 12)
+    vocab = tokenizer.word_vocab(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )
+    got_merges, _ = tokenizer.train_bpe_merges(vocab, 12)
+    assert got_merges == ref_merges
+
+
+def test_token_counts_match_python_reference(spark):
+    freqs = _ref_vocab(spark)
+    _, ref_state = _ref_bpe(freqs, 12)
+    vocab = tokenizer.word_vocab(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )
+    _, final = tokenizer.train_bpe_merges(vocab, 12)
+    got = {
+        r["word"]: r["tok_n"]
+        for r in tokenizer.token_dict(final).collect()
+    }
+    assert got == {w: len(t) for w, t in ref_state.items()}
+    # structural safety: re-concatenating a word's tokens yields the
+    # word (no paren leaked into a token, no char lost)
+    for r in final.collect():
+        toks = r["enc"][1:-1].split(")(")
+        assert "".join(toks) == r["word"]
+        assert all("(" not in t and ")" not in t for t in toks)
+
+
+def test_merge_is_leftmost_non_overlapping(spark):
+    # 'aaa' + merge (a,a) must become ['aa','a'], never ['a','aa'] or
+    # a rescan into ['aaa'] — the exact semantics both engines' replace
+    # shares and the oracle contract states
+    st = spark.createDataFrame(
+        [("aaa", "(a)(a)(a)", 1), ("abab", "(a)(b)(a)(b)", 1)],
+        "word string, enc string, freq long",
+    )
+    got = {
+        r["word"]: r["enc"]
+        for r in tokenizer.apply_merge(st, "a", "a").collect()
+    }
+    assert got["aaa"] == "(aa)(a)"
+    got2 = {
+        r["word"]: r["enc"]
+        for r in tokenizer.apply_merge(st, "a", "b").collect()
+    }
+    # adjacent matches share no characters in the paren encoding, so
+    # BOTH (a,b) occurrences merge in one pass
+    assert got2["abab"] == "(ab)(ab)"
+
+
+def test_pair_pattern_cannot_cross_token_boundaries(spark):
+    # '(a)(bc)' must NOT fire merge (a,b) (prefix of a longer token),
+    # and '(xa)(b)' must NOT fire it either (suffix) — the structural
+    # guarantee the paren encoding exists to provide
+    st = spark.createDataFrame(
+        [("abc", "(a)(bc)", 1), ("xab", "(xa)(b)", 1)],
+        "word string, enc string, freq long",
+    )
+    got = {
+        r["word"]: r["enc"]
+        for r in tokenizer.apply_merge(st, "a", "b").collect()
+    }
+    assert got == {"abc": "(a)(bc)", "xab": "(xa)(b)"}
+
+
+def test_argmax_tie_breaks_lexicographic(spark):
+    # 'zy' and 'ab' each occur twice → tied pair counts; the winner
+    # must be ('a','b'), the lexicographically smallest pair
+    vocab = spark.createDataFrame(
+        [("zy", 2), ("ab", 2)], "word string, freq long"
+    )
+    merges, _ = tokenizer.train_bpe_merges(vocab, 1)
+    assert merges == [("a", "b", 2)]
+
+
+def test_train_stops_on_degenerate_vocab(spark):
+    # all-single-character vocabulary: no adjacent pair exists — the
+    # trainer returns an empty merge list instead of spinning
+    vocab = spark.createDataFrame(
+        [("a", 5), ("b", 3)], "word string, freq long"
+    )
+    merges, final = tokenizer.train_bpe_merges(vocab, 4)
+    assert merges == []
+    assert {r["enc"] for r in final.collect()} == {"(a)", "(b)"}
+
+
+def test_doc_token_counts_fallback_for_unseen_words(spark):
+    # a word absent from the dictionary counts as its characters (the
+    # exact count an un-merged word gets)
+    docs = spark.createDataFrame(
+        [(1, "the the zq")], "doc_id long, text string"
+    )
+    dictionary = spark.createDataFrame(
+        [("the", 1)], "word string, tok_n long"
+    )
+    got = tokenizer.doc_token_counts(docs, dictionary).collect()
+    assert [(r["doc_id"], r["n_tokens"], r["n_words"]) for r in got] == [
+        (1, 1 + 1 + 2, 3)
+    ]
+
+
+def test_vocab_is_corpus_weighted(spark):
+    docs = spark.createDataFrame(
+        [(1, "go go stop"), (2, "Go, STOP!")], "doc_id long, text string"
+    )
+    got = {
+        r["word"]: r["freq"]
+        for r in tokenizer.word_vocab(docs).collect()
+    }
+    # lowercasing + non-alnum splitting fold 'Go,' and 'STOP!' in
+    assert got == {"go": 3, "stop": 2}
