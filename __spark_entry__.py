@@ -9943,6 +9943,132 @@ def _bpe_token_counts_oracle_sql() -> str:
     """
 
 
+def q_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup end to end through the REAL decoder:
+    deterministic 9×8 grayscale PGMs are authored per document (pixels
+    = five chained md5 digests of the text, mod 192), with PLANTED
+    near-duplicates — a +32 uniform-brightness copy for doc_id < 50
+    (dHash is gradient-based, so the shifted copy hashes IDENTICALLY —
+    the invariance that makes it a near-dup detector) and a one-pixel
+    hot-spot copy for 50 ≤ doc_id < 100 (pixel (0,0) → 255 flips at
+    most bit (0,0): hamming ≤ 1). Each image round-trips the pure-numpy
+    P5 decoder (`multimodal.decode_image`) inside Arrow-batched
+    mapInPandas, hashes to four 16-bit dHash chunks on the integer
+    Rec.601 milli-luma grid (`image_dhash_chunks`), and pairs come from
+    the 4-chunk pigeonhole join + exact xor-popcount verify
+    (`dhash_near_dup_pairs` — any hamming ≤ 3 pair agrees on ≥1 chunk;
+    never an all-pairs scan). The DuckDB twin recomputes pixels from
+    the SAME md5 hex digits, replays the comparisons, chunk packing,
+    pigeonhole candidate set, and popcount verify — a hash match proves
+    decoder + hash + join semantics, not plumbing."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    raw = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit(s))))
+            for s in ["", "x", "y", "z", "w"]
+        ]
+    )
+    base = docs.select("doc_id", raw.alias("m"))
+    variants = (
+        base.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("orig").alias("variant"),
+            "m",
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 1000).alias("media_id"),
+                F.lit("shift").alias("variant"),
+                "m",
+            )
+        )
+        .unionByName(
+            base.filter(
+                (F.col("doc_id") >= 50) & (F.col("doc_id") < 100)
+            ).select(
+                (F.col("doc_id") + 2000).alias("media_id"),
+                F.lit("noise").alias("variant"),
+                "m",
+            )
+        )
+    )
+
+    def _author(it):
+        import pandas as _pd
+
+        for pdf in it:
+            content = []
+            for m, v in zip(pdf["m"], pdf["variant"]):
+                px = bytearray(x % 192 for x in bytes(m)[:72])
+                if v == "shift":
+                    px = bytearray(x + 32 for x in px)
+                elif v == "noise":
+                    px[0] = 255
+                content.append(b"P5\n9 8\n255\n" + bytes(px))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": content,
+                }
+            )
+
+    media = variants.mapInPandas(_author, "media_id long, content binary")
+    sigs = multimodal.image_dhash_chunks(media)
+    return multimodal.dhash_near_dup_pairs(sigs).orderBy("id_a", "id_b")
+
+
+def _image_dhash_oracle_sql() -> str:
+    """DuckDB twin of q_image_dhash_near_dup: pixels from the same md5
+    hex digits (mod 192, +32 shift / (0,0)→255 hot-spot variants), the
+    8×8 adjacent-luma comparisons via a self-join on pixel index, chunk
+    packing with integer shifts, the 4-chunk pigeonhole candidate set
+    as its relational shadow (OR of chunk equalities), and the exact
+    xor-popcount hamming verify."""
+    chunk_sums = ", ".join(
+        f"CAST(SUM(CASE WHEN bi // 16 = {k} THEN bit * (1 << (bi % 16)) "
+        f"ELSE 0 END) AS INT) AS c{k}"
+        for k in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.c{k}, b.c{k}))" for k in range(4))
+    ors = " OR ".join(f"a.c{k} = b.c{k}" for k in range(4))
+    return f"""
+        WITH px AS (
+            SELECT doc_id,
+                   lower(hex(unhex(md5(text)) || unhex(md5(text || 'x'))
+                         || unhex(md5(text || 'y')) || unhex(md5(text || 'z'))
+                         || unhex(md5(text || 'w')))) AS hs
+            FROM documents WHERE doc_id < 200),
+        med AS (
+            SELECT doc_id AS media_id, hs, 0 AS dv, FALSE AS noise FROM px
+            UNION ALL
+            SELECT doc_id + 1000, hs, 32, FALSE FROM px WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id + 2000, hs, 0, TRUE FROM px
+            WHERE doc_id >= 50 AND doc_id < 100),
+        pix AS (
+            SELECT media_id, i,
+                   CASE WHEN noise AND i = 0 THEN 255
+                        ELSE ({_pix_hex_byte("i*2+1")} % 192) + dv END AS v
+            FROM med, generate_series(0, 71) AS t(i)),
+        bits AS (
+            SELECT p1.media_id,
+                   (p1.i // 9) * 8 + (p1.i % 9) AS bi,
+                   CASE WHEN p1.v < p2.v THEN 1 ELSE 0 END AS bit
+            FROM pix p1
+            JOIN pix p2 ON p2.media_id = p1.media_id AND p2.i = p1.i + 1
+            WHERE p1.i % 9 < 8),
+        sigs AS (SELECT media_id, {chunk_sums} FROM bits GROUP BY media_id),
+        cand AS (
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST({ham} AS BIGINT) AS hamming
+            FROM sigs a JOIN sigs b
+              ON a.media_id < b.media_id AND ({ors}))
+        SELECT id_a, id_b, hamming FROM cand
+        WHERE hamming <= 3
+        ORDER BY id_a, id_b
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -10259,6 +10385,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    counts under the trained vocabulary
     "bpe_merge_table": q_bpe_merge_table,
     "bpe_token_counts": q_bpe_token_counts,
+    #    perceptual-hash image dedup through the real P5 decoder
+    "image_dhash_near_dup": q_image_dhash_near_dup,
 }
 
 
@@ -12259,6 +12387,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_semantic_dedup": _semantic_dedup_trained_oracle_sql(),
         "bpe_merge_table": _bpe_merge_table_oracle_sql(),
         "bpe_token_counts": _bpe_token_counts_oracle_sql(),
+        "image_dhash_near_dup": _image_dhash_oracle_sql(),
         "pq_distortion_report": _pq_distortion_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """

@@ -185,10 +185,14 @@ HEADLINE = [
     # trained-index MMR serving path
     "semantic_dedup_trained",
     "mmr_from_index",
-    # round-12 late additions: BPE tokenizer — SQL-replayed training
-    # (merge table) and per-doc token counts under the trained vocab
-    "bpe_merge_table",
+    # round-12 late addition: BPE tokenizer — bpe_token_counts runs the
+    # full 12-merge training PLUS the corpus dictionary join, so it
+    # carries the family's headline slot (bpe_merge_table would time a
+    # strict subset of the same work; the driver capture buffer caps
+    # HEADLINE growth — tests/test_bench_contract.py)
     "bpe_token_counts",
+    # perceptual-hash image dedup through the real P5 decoder
+    "image_dhash_near_dup",
 ]
 
 

@@ -1638,3 +1638,139 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
             )
 
     return df.mapInPandas(_batches, "media_id long, frame_idx int")
+
+
+def image_dhash_chunks(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, c0..c3): 64-bit perceptual DIFFERENCE HASH (dHash) of each
+    decoded image, packed as four 16-bit chunk values — the pigeonhole-
+    ready, sign-safe representation (packing bit 63 into one BIGINT
+    would set the sign bit; four 0..65535 INTs sidestep the two's-
+    complement game in every engine).
+
+    dHash (Krawetz's classic near-dup fingerprint): on the integer
+    Rec.601 milli-luma grid (299R+587G+114B — exact integers, so the
+    comparisons replay bit-for-bit in any engine), bit(r, c) = 1 iff
+    L[r][c] < L[r][c+1] for an (h, w) image with w = 9, h = 8 → 8
+    comparisons × 8 rows = 64 bits; bit index r·8+c; chunk k packs bits
+    [16k, 16k+16). Gradient-based, so it is INVARIANT to uniform
+    brightness shift (every comparison moves both sides equally) — the
+    property that makes it a near-dup detector rather than a checksum.
+
+    Inputs must already be on the 9×8 grid — real corpora resize first
+    (`resize_images` is the in-repo nearest-neighbor step; production
+    stacks use their imaging library's area-average). Decoding uses the
+    REAL pure-numpy codec path (`decode_image`), Arrow-batched; one
+    numpy comparison per image, no per-pixel Python."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, chunks = [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                img = decode_image(bytes(content)).astype(np.int64)
+                luma = (
+                    299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]
+                )
+                if luma.shape != (8, 9):
+                    raise ValueError(
+                        f"dhash expects a 9x8 image, got {luma.shape[1]}x"
+                        f"{luma.shape[0]} (resize first)"
+                    )
+                bits = (luma[:, :-1] < luma[:, 1:]).astype(np.int64).ravel()
+                weights = 1 << np.arange(16, dtype=np.int64)
+                ids.append(mid)
+                chunks.append(
+                    [int((bits[k * 16 : k * 16 + 16] * weights).sum()) for k in range(4)]
+                )
+            arr = np.asarray(chunks, dtype=np.int64).reshape(-1, 4)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "c0": arr[:, 0],
+                    "c1": arr[:, 1],
+                    "c2": arr[:, 2],
+                    "c3": arr[:, 3],
+                }
+            )
+
+    return df.mapInPandas(
+        _batches, f"{id_col} long, c0 int, c1 int, c2 int, c3 int"
+    )
+
+
+def dhash_near_dup_pairs(
+    sigs: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """(id_a, id_b, hamming): image near-dup pairs by pigeonhole on the
+    four 16-bit dHash chunks — any pair within hamming distance 3
+    agrees exactly on ≥1 chunk, so the candidate join is four
+    equi-joins (union'd via one exploded (chunk_idx, cval) table),
+    never an all-pairs scan. The shuffle discipline mirrors
+    dedup.simhash_candidates: the self-join carries (chunk_idx, cval,
+    id) only, chunk values re-attach after pair dedup, and degenerate
+    hot buckets (solid-color boilerplate images) are capped. Verify is
+    exact: hamming = Σ bit_count(xor(chunk)) ≤ max_hamming. Requires
+    max_hamming ≤ 3 for the 4-chunk pigeonhole to be lossless."""
+    if max_hamming > 3:
+        raise ValueError("4-chunk pigeonhole is lossless only for hamming <= 3")
+    from pyspark.sql import Window
+
+    chunked = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("chunk_idx"),
+                        F.col(f"c{k}").alias("cval"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "cc.chunk_idx", "cc.cval")
+    if max_bucket_size:
+        w = Window.partitionBy("chunk_idx", "cval")
+        chunked = (
+            chunked.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"c{k}").alias(f"a{k}") for k in range(4)],
+    )
+    sig_b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"c{k}").alias(f"b{k}") for k in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")))
+        for k in range(4)
+    )
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,140 @@
+"""Perceptual image hash (dHash) + pigeonhole near-dup pairs: the
+invariance/sensitivity properties the operator exists for, and the
+losslessness of the 4-chunk candidate join vs brute force."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (  # noqa: E501
+    multimodal,
+)
+
+
+def _pgm(px: bytes) -> bytes:
+    assert len(px) == 72
+    return b"P5\n9 8\n255\n" + px
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+def _ref_dhash_chunks(px: bytes) -> list[int]:
+    """Independent reference: dHash bits straight from the pixel bytes
+    (no decoder, no numpy broadcasting tricks)."""
+    g = [list(px[r * 9 : r * 9 + 9]) for r in range(8)]
+    chunks = [0, 0, 0, 0]
+    for r in range(8):
+        for c in range(8):
+            if g[r][c] < g[r][c + 1]:
+                bi = r * 8 + c
+                chunks[bi // 16] |= 1 << (bi % 16)
+    return chunks
+
+
+def _rand_px(seed: int) -> bytes:
+    rng = np.random.RandomState(seed)
+    return bytes(rng.randint(0, 192, 72, dtype=np.uint8).tolist())
+
+
+def test_dhash_matches_reference_and_decoder_path(spark):
+    rows = [(i, _pgm(_rand_px(i))) for i in range(20)]
+    got = {
+        r["media_id"]: [r["c0"], r["c1"], r["c2"], r["c3"]]
+        for r in multimodal.image_dhash_chunks(_media(spark, rows)).collect()
+    }
+    for i in range(20):
+        assert got[i] == _ref_dhash_chunks(_rand_px(i)), i
+
+
+def test_dhash_brightness_shift_invariance(spark):
+    # uniform +40 (clamp-free: inputs < 192) leaves every comparison,
+    # hence the hash, unchanged — the property that makes dHash a
+    # near-dup detector rather than a checksum
+    px = _rand_px(7)
+    shifted = bytes(x + 40 for x in px)
+    got = {
+        r["media_id"]: [r["c0"], r["c1"], r["c2"], r["c3"]]
+        for r in multimodal.image_dhash_chunks(
+            _media(spark, [(1, _pgm(px)), (2, _pgm(shifted))])
+        ).collect()
+    }
+    assert got[1] == got[2]
+
+
+def test_single_pixel_edit_flips_at_most_its_comparisons(spark):
+    # pixel (0,0) participates in exactly one comparison → hamming ≤ 1
+    px = bytearray(_rand_px(11))
+    edited = bytearray(px)
+    edited[0] = 255
+    sigs = multimodal.image_dhash_chunks(
+        _media(spark, [(1, _pgm(bytes(px))), (2, _pgm(bytes(edited)))])
+    )
+    pairs = multimodal.dhash_near_dup_pairs(sigs).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["hamming"] <= 1
+
+
+def _structured_px(flips: int) -> bytes:
+    """9×8 image built from DISJOINT comparison pairs: every row is
+    [10,200, 10,200, 10,200, 10,200, 10] — the four even comparisons
+    (c=0,2,4,6) read one (10,200) pair each, the odd/last comparisons
+    sit between pairs and stay 0 under any swap (200 vs 10 or equal
+    values — strict <). Swapping pair j of row 0 therefore flips
+    EXACTLY one dHash bit; `flips` swaps plant exact hamming `flips`."""
+    px = bytearray([10, 200] * 4 + [10]) * 8
+    for j in range(flips):
+        px[2 * j], px[2 * j + 1] = 200, 10
+    return bytes(px)
+
+
+def test_pigeonhole_is_lossless_vs_brute_force(spark):
+    # every hamming-≤3 pair must survive the chunk-equality candidate
+    # join; plant exact distances 0..4 (4 must be excluded by the
+    # verify, 0..3 included) plus random noise images
+    rows = [(d, _pgm(_structured_px(d))) for d in range(5)]
+    rows.append((100, _pgm(_structured_px(0))))  # distance-0 twin
+    for i in range(10, 30):
+        rows.append((i, _pgm(_rand_px(i))))
+    sigs = multimodal.image_dhash_chunks(_media(spark, rows)).persist()
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.dhash_near_dup_pairs(sigs, max_hamming=3).collect()
+    }
+    # brute force over collected sigs
+    all_sigs = {
+        r["media_id"]: [r["c0"], r["c1"], r["c2"], r["c3"]]
+        for r in sigs.collect()
+    }
+    want = {}
+    ids = sorted(all_sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(
+                bin(x ^ y).count("1")
+                for x, y in zip(all_sigs[a], all_sigs[b])
+            )
+            if h <= 3:
+                want[(a, b)] = h
+    sigs.unpersist()
+    assert got == want
+    assert want, "fixture must plant at least one close pair"
+
+
+def test_dhash_rejects_wrong_grid_and_deep_hamming(spark):
+    import pytest
+
+    bad = _media(spark, [(1, b"P5\n4 4\n255\n" + bytes(16))])
+    with pytest.raises(Exception, match="9x8|resize"):
+        multimodal.image_dhash_chunks(bad).collect()
+    sigs = spark.createDataFrame(
+        [(1, 0, 0, 0, 0)], "media_id long, c0 int, c1 int, c2 int, c3 int"
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        multimodal.dhash_near_dup_pairs(sigs, max_hamming=4)

@@ -179,6 +179,9 @@ DEBUT_ORACLE_QUERIES = [
     # vocabulary (operators/tokenizer.py)
     "bpe_merge_table",
     "bpe_token_counts",
+    # r12 (late-round): new — perceptual-hash (dHash) image near-dup
+    # pairs through the real P5 decoder (operators/multimodal.py)
+    "image_dhash_near_dup",
 ]
 
 
