@@ -10017,13 +10017,11 @@ def q_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.dhash_near_dup_pairs(sigs).orderBy("id_a", "id_b")
 
 
-def _image_dhash_oracle_sql() -> str:
-    """DuckDB twin of q_image_dhash_near_dup: pixels from the same md5
-    hex digits (mod 192, +32 shift / (0,0)→255 hot-spot variants), the
-    8×8 adjacent-luma comparisons via a self-join on pixel index, chunk
-    packing with integer shifts, the 4-chunk pigeonhole candidate set
-    as its relational shadow (OR of chunk equalities), and the exact
-    xor-popcount hamming verify."""
+def _chunk_pair_sql() -> tuple[str, str, str]:
+    """Shared SQL snippets for the 4×16-bit-chunk pigeonhole twins
+    (image dHash + audio energy contour): chunk packing from a (bi,
+    bit) table, xor-popcount hamming over aliased sigs a/b, and the
+    chunk-equality OR that shadows the banded candidate join."""
     chunk_sums = ", ".join(
         f"CAST(SUM(CASE WHEN bi // 16 = {k} THEN bit * (1 << (bi % 16)) "
         f"ELSE 0 END) AS INT) AS c{k}"
@@ -10031,6 +10029,17 @@ def _image_dhash_oracle_sql() -> str:
     )
     ham = " + ".join(f"bit_count(xor(a.c{k}, b.c{k}))" for k in range(4))
     ors = " OR ".join(f"a.c{k} = b.c{k}" for k in range(4))
+    return chunk_sums, ham, ors
+
+
+def _image_dhash_oracle_sql() -> str:
+    """DuckDB twin of q_image_dhash_near_dup: pixels from the same md5
+    hex digits (mod 192, +32 shift / (0,0)→255 hot-spot variants), the
+    8×8 adjacent-luma comparisons via a self-join on pixel index, chunk
+    packing with integer shifts, the 4-chunk pigeonhole candidate set
+    as its relational shadow (OR of chunk equalities), and the exact
+    xor-popcount hamming verify."""
+    chunk_sums, ham, ors = _chunk_pair_sql()
     return f"""
         WITH px AS (
             SELECT doc_id,
@@ -10057,6 +10066,135 @@ def _image_dhash_oracle_sql() -> str:
             FROM pix p1
             JOIN pix p2 ON p2.media_id = p1.media_id AND p2.i = p1.i + 1
             WHERE p1.i % 9 < 8),
+        sigs AS (SELECT media_id, {chunk_sums} FROM bits GROUP BY media_id),
+        cand AS (
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST({ham} AS BIGINT) AS hamming
+            FROM sigs a JOIN sigs b
+              ON a.media_id < b.media_id AND ({ors}))
+        SELECT id_a, id_b, hamming FROM cand
+        WHERE hamming <= 3
+        ORDER BY id_a, id_b
+    """
+
+
+def q_audio_contour_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection by gain-invariant ENERGY-CONTOUR hash,
+    end to end through the REAL codecs: deterministic 130-sample PCM16
+    WAVs are authored per document (samples = nine chained md5 digests
+    of the text, byte − 128) with the real RIFF encoder
+    (`multimodal.encode_wav`), with PLANTED near-duplicates — a ×2
+    uniform-GAIN copy for doc_id < 50 (every frame energy scales by 4;
+    no consecutive-energy comparison moves, so the copy hashes
+    IDENTICALLY — the loudness analog of dHash's brightness
+    invariance) and a one-sample transient-spike copy for
+    50 ≤ doc_id < 100 (sample 0 → 16000 perturbs frame 0's energy
+    only: hamming ≤ 1). Each clip round-trips the RIFF chunk walk
+    (`wav_pcm_samples`), reduces to 65 exact-integer frame energies,
+    hashes to four 16-bit contour chunks (`audio_energy_chunks`), and
+    pairs through the SAME 4-chunk pigeonhole join + xor-popcount
+    verify as the image path (`dhash_near_dup_pairs` — one pairing
+    kernel, two modalities). The DuckDB twin recomputes samples from
+    the SAME md5 hex digits and replays energies, comparisons, chunk
+    packing, candidate set, and popcount."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    raw = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit(s))))
+            for s in ["", "x", "y", "z", "w", "a", "b", "c", "d"]
+        ]
+    )
+    base = docs.select("doc_id", raw.alias("m"))
+    variants = (
+        base.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("orig").alias("variant"),
+            "m",
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 1000).alias("media_id"),
+                F.lit("gain").alias("variant"),
+                "m",
+            )
+        )
+        .unionByName(
+            base.filter(
+                (F.col("doc_id") >= 50) & (F.col("doc_id") < 100)
+            ).select(
+                (F.col("doc_id") + 2000).alias("media_id"),
+                F.lit("spike").alias("variant"),
+                "m",
+            )
+        )
+    )
+
+    def _author(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            content = []
+            for m, v in zip(pdf["m"], pdf["variant"]):
+                s = (
+                    _np.frombuffer(bytes(m), _np.uint8, 130).astype(_np.int64)
+                    - 128
+                )
+                if v == "gain":
+                    s = s * 2
+                elif v == "spike":
+                    s = s.copy()
+                    s[0] = 16000
+                content.append(multimodal.encode_wav(s, rate=16000))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": content,
+                }
+            )
+
+    media = variants.mapInPandas(_author, "media_id long, content binary")
+    sigs = multimodal.audio_energy_chunks(media)
+    return multimodal.dhash_near_dup_pairs(sigs).orderBy("id_a", "id_b")
+
+
+def _audio_contour_oracle_sql() -> str:
+    """DuckDB twin of q_audio_contour_near_dup: samples from the same
+    md5 hex digits (byte − 128, ×2 gain / sample-0 → 16000 variants),
+    65 exact-integer frame energies, consecutive-energy comparisons
+    via a self-join on frame index, and the shared chunk-pack /
+    pigeonhole / popcount tail (`_chunk_pair_sql`)."""
+    chunk_sums, ham, ors = _chunk_pair_sql()
+    return f"""
+        WITH px AS (
+            SELECT doc_id,
+                   lower(hex(unhex(md5(text)) || unhex(md5(text || 'x'))
+                         || unhex(md5(text || 'y')) || unhex(md5(text || 'z'))
+                         || unhex(md5(text || 'w')) || unhex(md5(text || 'a'))
+                         || unhex(md5(text || 'b')) || unhex(md5(text || 'c'))
+                         || unhex(md5(text || 'd')))) AS hs
+            FROM documents WHERE doc_id < 200),
+        med AS (
+            SELECT doc_id AS media_id, hs, 1 AS g, FALSE AS spike FROM px
+            UNION ALL
+            SELECT doc_id + 1000, hs, 2, FALSE FROM px WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id + 2000, hs, 1, TRUE FROM px
+            WHERE doc_id >= 50 AND doc_id < 100),
+        smp AS (
+            SELECT media_id, i,
+                   CASE WHEN spike AND i = 0 THEN 16000
+                        ELSE ({_pix_hex_byte("i*2+1")} - 128) * g END AS s
+            FROM med, generate_series(0, 129) AS t(i)),
+        fr AS (
+            SELECT media_id, i // 2 AS f, SUM(s * s) AS e
+            FROM smp GROUP BY media_id, i // 2),
+        bits AS (
+            SELECT f1.media_id, f1.f AS bi,
+                   CASE WHEN f1.e < f2.e THEN 1 ELSE 0 END AS bit
+            FROM fr f1
+            JOIN fr f2 ON f2.media_id = f1.media_id AND f2.f = f1.f + 1
+            WHERE f1.f < 64),
         sigs AS (SELECT media_id, {chunk_sums} FROM bits GROUP BY media_id),
         cand AS (
             SELECT a.media_id AS id_a, b.media_id AS id_b,
@@ -10387,6 +10525,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_counts": q_bpe_token_counts,
     #    perceptual-hash image dedup through the real P5 decoder
     "image_dhash_near_dup": q_image_dhash_near_dup,
+    #    gain-invariant audio energy-contour near-dup (same pairing kernel)
+    "audio_contour_near_dup": q_audio_contour_near_dup,
 }
 
 
@@ -12388,6 +12528,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merge_table": _bpe_merge_table_oracle_sql(),
         "bpe_token_counts": _bpe_token_counts_oracle_sql(),
         "image_dhash_near_dup": _image_dhash_oracle_sql(),
+        "audio_contour_near_dup": _audio_contour_oracle_sql(),
         "pq_distortion_report": _pq_distortion_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """

@@ -191,8 +191,10 @@ HEADLINE = [
     # strict subset of the same work; the driver capture buffer caps
     # HEADLINE growth — tests/test_bench_contract.py)
     "bpe_token_counts",
-    # perceptual-hash image dedup through the real P5 decoder
+    # perceptual-hash image dedup through the real P5 decoder, and its
+    # audio sibling (gain-invariant energy contour, same pairing kernel)
     "image_dhash_near_dup",
+    "audio_contour_near_dup",
 ]
 
 
@@ -350,13 +352,18 @@ def main() -> None:
         )
         median_run = ordered[1]
         payload.update(median_run)
-        # constants (row count, the reference's 2 rows/s) and the
-        # best-of-3 saturation rate live in BENCH_FULL.json; dropping
-        # them from the driver line buys the per-query map headroom
-        # as HEADLINE grows
+        # constants (row count, the reference's 2 rows/s), the derived
+        # wire_vs_baseline ratio (= rows_per_sec / the 2 rows/s
+        # constant, r12) and the best-of-3 saturation rate live in
+        # BENCH_FULL.json; dropping them from the driver line buys the
+        # per-query map headroom as HEADLINE grows
         full_only = {
             k: payload.pop(k)
-            for k in ("wire_replay_rows", "baseline_rows_per_sec")
+            for k in (
+                "wire_replay_rows",
+                "baseline_rows_per_sec",
+                "wire_vs_baseline",
+            )
             if k in payload
         }
         full_only["wire_replay_best_rows_per_sec"] = ordered[-1].get(

@@ -1086,16 +1086,10 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def wav_pcm_features(content: bytes) -> tuple[int, int, int, int]:
-    """REAL sample-level features from a PCM16 WAV: (n_samples,
-    zero_crossings, energy, peak) — the integer-exact trio every audio
-    data pipeline computes before filtering (silence/clipping gates,
-    voice-activity heuristics). Walks the RIFF chunks (word-aligned,
-    unknown chunks skipped), requires PCM (format 1) 16-bit, reads the
-    interleaved samples vectorized; zero crossings count sign flips
-    with sign(x) = x >= 0, energy = Σ s² (exact int64), peak =
-    max |s|. Raises NotImplementedError for non-PCM/non-16-bit and
-    ValueError for corrupt containers."""
+def wav_pcm_samples(content: bytes) -> np.ndarray:
+    """PCM16 WAV → int64 sample vector: the shared RIFF chunk walk
+    (word-aligned, unknown chunks skipped, PCM/16-bit required) behind
+    `wav_pcm_features` and `audio_energy_chunks`."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE container")
     pos = 12
@@ -1122,7 +1116,20 @@ def wav_pcm_features(content: bytes) -> tuple[int, int, int, int]:
         pos += 8 + size + (size & 1)  # word alignment
     if not fmt_ok or data is None:
         raise ValueError("WAV: missing fmt or data chunk")
-    s = np.frombuffer(data[: len(data) // 2 * 2], "<i2").astype(np.int64)
+    return np.frombuffer(data[: len(data) // 2 * 2], "<i2").astype(np.int64)
+
+
+def wav_pcm_features(content: bytes) -> tuple[int, int, int, int]:
+    """REAL sample-level features from a PCM16 WAV: (n_samples,
+    zero_crossings, energy, peak) — the integer-exact trio every audio
+    data pipeline computes before filtering (silence/clipping gates,
+    voice-activity heuristics). Walks the RIFF chunks (word-aligned,
+    unknown chunks skipped), requires PCM (format 1) 16-bit, reads the
+    interleaved samples vectorized; zero crossings count sign flips
+    with sign(x) = x >= 0, energy = Σ s² (exact int64), peak =
+    max |s|. Raises NotImplementedError for non-PCM/non-16-bit and
+    ValueError for corrupt containers."""
+    s = wav_pcm_samples(content)
     if len(s) == 0:
         return 0, 0, 0, 0
     nonneg = s >= 0
@@ -1773,4 +1780,66 @@ def dhash_near_dup_pairs(
         .join(sig_b, "id_b")
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def audio_energy_chunks(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    frame_len: int = 2,
+) -> DataFrame:
+    """(id, c0..c3): 64-bit ENERGY-CONTOUR difference hash of each
+    decoded PCM WAV — the audio sibling of `image_dhash_chunks`, with
+    the identical chunk contract so `dhash_near_dup_pairs` pairs both
+    modalities unchanged.
+
+    The clip's first 65 frames of `frame_len` samples reduce to exact
+    integer energies E[f] = Σ s² (int64 — every quantity replays
+    bit-for-bit in any engine); bit(f) = 1 iff E[f] < E[f+1] for
+    f = 0..63, packed as four 16-bit chunks. Comparing CONSECUTIVE
+    energies makes the hash invariant under uniform GAIN (×g scales
+    every energy by g² — no comparison moves), the audio analog of
+    dHash's brightness invariance: a re-encoded louder copy of the
+    same clip hashes identically, while a different clip's energy
+    contour diverges everywhere.
+
+    Decode is the REAL RIFF walk (`wav_pcm_samples`), Arrow-batched;
+    clips shorter than 65·frame_len samples raise (real pipelines
+    gate on `wav_duration_ms` first)."""
+    need = 65 * int(frame_len)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, chunks = [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                s = wav_pcm_samples(bytes(content))
+                if len(s) < need:
+                    raise ValueError(
+                        f"energy contour needs >= {need} samples, got "
+                        f"{len(s)} (gate on wav_duration_ms first)"
+                    )
+                e = (s[:need] ** 2).reshape(65, int(frame_len)).sum(axis=1)
+                bits = (e[:-1] < e[1:]).astype(np.int64)
+                weights = 1 << np.arange(16, dtype=np.int64)
+                ids.append(mid)
+                chunks.append(
+                    [
+                        int((bits[k * 16 : k * 16 + 16] * weights).sum())
+                        for k in range(4)
+                    ]
+                )
+            arr = np.asarray(chunks, dtype=np.int64).reshape(-1, 4)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "c0": arr[:, 0],
+                    "c1": arr[:, 1],
+                    "c2": arr[:, 2],
+                    "c3": arr[:, 3],
+                }
+            )
+
+    return df.mapInPandas(
+        _batches, f"{id_col} long, c0 int, c1 int, c2 int, c3 int"
     )

@@ -138,3 +138,74 @@ def test_dhash_rejects_wrong_grid_and_deep_hamming(spark):
     )
     with pytest.raises(ValueError, match="pigeonhole"):
         multimodal.dhash_near_dup_pairs(sigs, max_hamming=4)
+
+
+def _ref_audio_chunks(samples: list[int]) -> list[int]:
+    """Independent reference: contour bits straight from sample ints."""
+    e = [
+        samples[2 * f] ** 2 + samples[2 * f + 1] ** 2 for f in range(65)
+    ]
+    chunks = [0, 0, 0, 0]
+    for f in range(64):
+        if e[f] < e[f + 1]:
+            chunks[f // 16] |= 1 << (f % 16)
+    return chunks
+
+
+def _wav_rows(spark, rows):
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators.multimodal import (  # noqa: E501
+        encode_wav,
+    )
+
+    return _media(
+        spark,
+        [(i, encode_wav(np.asarray(s, dtype=np.int16))) for i, s in rows],
+    )
+
+
+def _rand_samples(seed: int) -> list[int]:
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, 256, 130) - 128).tolist()
+
+
+def test_audio_contour_matches_reference(spark):
+    rows = [(i, _rand_samples(i)) for i in range(10)]
+    got = {
+        r["media_id"]: [r["c0"], r["c1"], r["c2"], r["c3"]]
+        for r in multimodal.audio_energy_chunks(
+            _wav_rows(spark, rows)
+        ).collect()
+    }
+    for i, s in rows:
+        assert got[i] == _ref_audio_chunks(s), i
+
+
+def test_audio_contour_gain_invariance_and_spike(spark):
+    s = _rand_samples(5)
+    gained = [x * 7 for x in s]  # any uniform gain, not just 2
+    spiked = list(s)
+    spiked[0] = 16000
+    sigs = multimodal.audio_energy_chunks(
+        _wav_rows(spark, [(1, s), (2, gained), (3, spiked)])
+    ).persist()
+    got = {
+        r["media_id"]: [r["c0"], r["c1"], r["c2"], r["c3"]]
+        for r in sigs.collect()
+    }
+    assert got[1] == got[2]  # gain never moves a comparison
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.dhash_near_dup_pairs(sigs).collect()
+    }
+    sigs.unpersist()
+    assert pairs[(1, 2)] == 0
+    # sample 0 perturbs frame 0 only → at most bit 0 flips
+    assert pairs[(1, 3)] <= 1
+
+
+def test_audio_contour_rejects_short_clips(spark):
+    import pytest
+
+    short = _wav_rows(spark, [(1, [0] * 64)])
+    with pytest.raises(Exception, match="129|130|samples"):
+        multimodal.audio_energy_chunks(short).collect()

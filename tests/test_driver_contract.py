@@ -182,6 +182,9 @@ DEBUT_ORACLE_QUERIES = [
     # r12 (late-round): new — perceptual-hash (dHash) image near-dup
     # pairs through the real P5 decoder (operators/multimodal.py)
     "image_dhash_near_dup",
+    # r12 (late-round): new — gain-invariant audio energy-contour
+    # near-dup through the real RIFF codecs (same pairing kernel)
+    "audio_contour_near_dup",
 ]
 
 
