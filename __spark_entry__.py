@@ -8872,6 +8872,36 @@ _MMR_INDEX_K = 16
 _MMR_INDEX_NPROBE = 2
 
 
+def _trained_ivf_index(spark: SparkSession, sf_dir: str):
+    """(index_path, centroids, cnorms_sq): the persisted cid-partitioned
+    IVF index over the trained k=16 integer-Lloyd centroids — the shared
+    serving artifact of q_mmr_from_index and q_streaming_ann_serving,
+    built once per corpus fingerprint (centroids are part of the
+    artifact identity)."""
+    import hashlib
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, cn = similarity.train_semdedup_centroids(
+        emb,
+        _MMR_INDEX_K,
+        sample=_SEMDEDUP_TRAIN_SAMPLE,
+        iters=_SEMDEDUP_TRAIN_ITERS,
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    index_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivf_trained_index_{sf_tag}"
+    )
+    fp = (
+        _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+        + ":" + hashlib.md5(cents.tobytes()).hexdigest()
+    )
+    if not _artifact_ready(index_path, fp):
+        similarity.build_ivf_index(emb, cents, index_path, cnorms_sq=cn)
+        _mark_artifact(index_path, fp)
+    return index_path, cents, cn
+
+
 def q_mmr_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified top-10 served FROM THE PERSISTED IVF INDEX
     (similarity.mmr_from_ivf_index) — the 100 TB serving shape the
@@ -8891,28 +8921,8 @@ def q_mmr_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned-shortlist relevance, and the greedy as the recursive CTE —
     bit-for-bit; the recall trade vs the full scan is IVF's own and is
     measured in SCALING.md beside the exact path."""
-    import hashlib
-    import tempfile
-
-    emb = _t(spark, sf_dir, "embeddings")
     qvec = _query_vec(spark, sf_dir)
-    cents, cn = similarity.train_semdedup_centroids(
-        emb,
-        _MMR_INDEX_K,
-        sample=_SEMDEDUP_TRAIN_SAMPLE,
-        iters=_SEMDEDUP_TRAIN_ITERS,
-    )
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    index_path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_ivf_trained_index_{sf_tag}"
-    )
-    fp = (
-        _source_fingerprint(f"{sf_dir}/embeddings.parquet")
-        + ":" + hashlib.md5(cents.tobytes()).hexdigest()
-    )
-    if not _artifact_ready(index_path, fp):
-        similarity.build_ivf_index(emb, cents, index_path, cnorms_sq=cn)
-        _mark_artifact(index_path, fp)
+    index_path, cents, cn = _trained_ivf_index(spark, sf_dir)
     return similarity.mmr_from_ivf_index(
         spark,
         index_path,
@@ -9943,6 +9953,152 @@ def _bpe_token_counts_oracle_sql() -> str:
     """
 
 
+#: streaming ANN serving: queries per request page (bounded), probes
+#: per query — the trained-index serving constants
+_ANN_SERVE_QUERIES = 8
+_ANN_SERVE_NPROBE = 2
+
+
+def q_streaming_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUERY SERVING AS A STREAM against the persisted trained IVF
+    index (streaming.ann_serving_sink) — the request path of the
+    serving tier, where streaming_semantic_dedup is its ingest path:
+    eight query vectors arrive as a 3-slice file stream, each
+    micro-batch ranks its queries' cells driver-side (the
+    left-to-right-fold probe contract of `rank_probe_cells`, shared
+    with mmr_from_index), reads ONLY the nprobe=2 probed partitions of
+    the cid-partitioned index, scores exact quantized cosine JVM-side,
+    and appends per-query top-10. Each query is answered exactly once
+    in whichever batch delivers it, so the accumulated output is
+    INDEPENDENT of the batching — streamed serving ≡ batch
+    `ivf_multi_query_topk` (pinned in tests/test_streaming.py) ≡ the
+    SQL replay: the DuckDB twin replays training (shared Lloyd chain,
+    k=16), full-corpus assignment, per-query probe ranking, and the
+    pruned top-k — one hash pins stream ≡ batch ≡ oracle."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    index_path, cents, cn = _trained_ivf_index(spark, sf_dir)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_annserve_src_{sf_tag}"
+    )
+    fp = _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+    if not _artifact_ready(stage, fp):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        pdf = pq_mod.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_pandas()
+        pdf = pdf[pdf["vec_id"] < _ANN_SERVE_QUERIES]
+        # nonzero queries only (a zero vector has no cosine ordering;
+        # both engines would drop every candidate — filter it at the
+        # source so stream, batch, and twin agree on the query set)
+        pdf = pdf[pdf["embedding"].map(lambda v: any(x != 0 for x in v))]
+        pdf = pdf.rename(columns={"vec_id": "query_id", "embedding": "qvec"})
+        for part in range(3):
+            sl = pdf[pdf["query_id"] % 3 == part]
+            pq_mod.write_table(
+                pa.Table.from_pandas(sl, preserve_index=False),
+                os.path.join(stage, f"slice_{part}.parquet"),
+            )
+        _mark_artifact(stage, fp)
+    import hashlib
+
+    work = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_annserve_out_{sf_tag}"
+    )
+    out = os.path.join(work, "results")
+    state_fp = fp + ":" + hashlib.md5(cents.tobytes()).hexdigest()
+    if not _artifact_ready(work, state_fp):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        stream = readers.file_stream(
+            spark,
+            stage,
+            "query_id long, qvec array<float>",
+            max_files_per_trigger=1,
+        )
+        sink = streaming.ann_serving_sink(
+            index_path, cents, out, cnorms_sq=cn, k=10,
+            nprobe=_ANN_SERVE_NPROBE,
+        )
+        prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            # serving batches are pages of requests: batch-sized
+            # shuffles, not corpus-sized (the q_streaming_* convention)
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        _mark_artifact(work, state_fp)
+    return (
+        spark.read.parquet(out)
+        .select("query_id", "vec_id", "cos_sim")
+        .orderBy("query_id", F.desc("cos_sim"), "vec_id")
+    )
+
+
+def _streaming_ann_oracle_sql() -> str:
+    """DuckDB twin of q_streaming_ann_serving: the shared Lloyd chain
+    at k=16, full-corpus assignment (zero vectors excluded by the
+    chain's nonzero `e` base — they have no cosine ordering), per-query
+    probe ranking over the same exact norms, and the pruned quantized-
+    cosine top-10 — the relational shadow of what every micro-batch
+    appended."""
+    return f"""
+        WITH {_lloyd_train_ctes(str(_MMR_INDEX_K))},
+        asg AS (SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, c.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY c.cn
+                                        - 2 * list_inner_product(e.v, c.c)
+                                        ASC, c.cid ASC) AS rn
+                    FROM e, cents c
+                ) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings
+              WHERE vec_id < {_ANN_SERVE_QUERIES}
+                AND list_inner_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]) > 0),
+        pr AS (SELECT query_id, cid FROM (
+                    SELECT q.query_id, c.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY c.cn
+                                        - 2 * list_inner_product(q.qv, c.c)
+                                        ASC, c.cid ASC) AS rn
+                    FROM q, cents c
+                ) WHERE rn <= {_ANN_SERVE_NPROBE}),
+        sc AS (SELECT q.query_id, a.vec_id,
+                      FLOOR(list_inner_product(a.v, q.qv)
+                            / (SQRT(list_inner_product(a.v, a.v))
+                               * SQRT(list_inner_product(q.qv, q.qv)))
+                            * 1000000 + 0.5) / 1000000.0 AS cos_sim
+               FROM q
+               JOIN pr ON pr.query_id = q.query_id
+               JOIN asg a ON a.cid = pr.cid)
+        SELECT query_id, vec_id, cos_sim FROM (
+            SELECT sc.*, ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id ASC) AS rn
+            FROM sc)
+        WHERE rn <= 10
+        ORDER BY query_id, cos_sim DESC, vec_id
+    """
+
+
 def q_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup end to end through the REAL decoder:
     deterministic 9×8 grayscale PGMs are authored per document (pixels
@@ -10527,6 +10683,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_dhash_near_dup": q_image_dhash_near_dup,
     #    gain-invariant audio energy-contour near-dup (same pairing kernel)
     "audio_contour_near_dup": q_audio_contour_near_dup,
+    #    streaming ANN query serving against the persisted trained index
+    "streaming_ann_serving": q_streaming_ann_serving,
 }
 
 
@@ -12529,6 +12687,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": _bpe_token_counts_oracle_sql(),
         "image_dhash_near_dup": _image_dhash_oracle_sql(),
         "audio_contour_near_dup": _audio_contour_oracle_sql(),
+        "streaming_ann_serving": _streaming_ann_oracle_sql(),
         "pq_distortion_report": _pq_distortion_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """

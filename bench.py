@@ -195,6 +195,8 @@ HEADLINE = [
     # audio sibling (gain-invariant energy contour, same pairing kernel)
     "image_dhash_near_dup",
     "audio_contour_near_dup",
+    # streamed ANN query serving against the persisted trained index
+    "streaming_ann_serving",
 ]
 
 

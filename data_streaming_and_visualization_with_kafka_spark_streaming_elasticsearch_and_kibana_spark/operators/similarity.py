@@ -216,6 +216,41 @@ def mmr_rerank_micro(
     )
 
 
+def rank_probe_cells(
+    qvec: list[float],
+    centroids: np.ndarray,
+    cnorms_sq: np.ndarray | None = None,
+    nprobe: int = 2,
+) -> list[int]:
+    """Driver-side IVF cell ranking for one query — the shared probe
+    idiom of the trained-index serving paths (`mmr_from_ivf_index`,
+    `streaming.ann_serving_sink`): score each cell by ‖c‖² − 2·q·c
+    (the ‖q‖²-free argmin of squared L2), folding the dot LEFT-TO-RIGHT
+    in python IEEE doubles — bit-identical to DuckDB's
+    list_inner_product fold, the house oracle-replayability contract —
+    with ties breaking to the smaller cid. k centroid dots, no data
+    pass."""
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = (
+        np.asarray(cnorms_sq, dtype=np.float64)
+        if cnorms_sq is not None
+        else (c**2).sum(axis=1)
+    )
+    q = [float(x) for x in qvec]
+
+    def _dot_lr(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    scored_cells = sorted(
+        (float(cn[i]) - 2.0 * _dot_lr(q, [float(x) for x in c[i]]), i)
+        for i in range(len(c))
+    )
+    return [int(i) for _, i in scored_cells[: int(nprobe)]]
+
+
 def mmr_from_ivf_index(
     spark,
     index_path: str,
@@ -252,25 +287,8 @@ def mmr_from_ivf_index(
     smaller cid. The recall trade vs the full scan is IVF's own: a
     relevant vector outside the probed cells cannot enter the
     shortlist (measured beside the exact path in PLANS.md)."""
-    c = np.asarray(centroids, dtype=np.float64)
-    cn = (
-        np.asarray(cnorms_sq, dtype=np.float64)
-        if cnorms_sq is not None
-        else (c**2).sum(axis=1)
-    )
     q = [float(x) for x in qvec]
-
-    def _dot_lr(a, b) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    scored_cells = sorted(
-        (float(cn[i]) - 2.0 * _dot_lr(q, [float(x) for x in c[i]]), i)
-        for i in range(len(c))
-    )
-    probes = [int(i) for _, i in scored_cells[: int(nprobe)]]
+    probes = rank_probe_cells(q, centroids, cnorms_sq, nprobe)
     pruned = spark.read.parquet(index_path).filter(F.col("cid").isin(probes))
     short = _mmr_shortlist(pruned, q, shortlist, id_col, vec_col)
     selected = _mmr_greedy_micro(short, id_col, k, lam_num, lam_den)

@@ -1198,3 +1198,66 @@ def dedup_within_watermark(
     return records.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def ann_serving_sink(
+    index_path: str,
+    centroids,
+    out_path: str,
+    cnorms_sq=None,
+    k: int = 10,
+    nprobe: int = 2,
+    round_to: int = 6,
+):
+    """foreachBatch sink: ANN QUERY SERVING against the persisted IVF
+    index — the request-path twin of `semantic_dedup_ingest_sink`
+    (that one streams the CORPUS into state; this one streams QUERIES
+    against it, the shape a 100 TB serving tier actually runs:
+    micro-batches of query vectors arrive, each probes only its
+    nprobe nearest cells of the cid-partitioned index and appends its
+    exact top-k).
+
+    Per micro-batch: the (bounded — a serving batch is a page of
+    requests, never a corpus) query set collects to the driver, cells
+    rank via `similarity.rank_probe_cells` (the left-to-right-fold
+    probe contract shared with mmr_from_ivf_index, so a SQL twin
+    replays the ranking bit-for-bit), and one partition-pruned
+    `_topk_over_probed` job scores candidates JVM-side and appends
+    (query_id, vec_id, cos_sim) to `out_path`. Each query is answered
+    exactly once in whichever batch delivers it and touches only its
+    own probed partitions, so the accumulated output is INDEPENDENT of
+    how the query stream was batched — streamed serving ≡ the batch
+    `ivf_multi_query_topk` on the same query set (pinned in
+    tests/test_streaming.py; the gated catalog entry hash-checks it
+    against the SQL replay)."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (  # noqa: E501
+        similarity,
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        rows = batch_df.select("query_id", "qvec").collect()
+        if not rows:
+            return
+        spark = batch_df.sparkSession
+        queries = [
+            (int(r["query_id"]), [float(x) for x in r["qvec"]]) for r in rows
+        ]
+        probes = {
+            qid: similarity.rank_probe_cells(qv, centroids, cnorms_sq, nprobe)
+            for qid, qv in queries
+        }
+        idx = spark.read.parquet(index_path)
+        out = similarity._topk_over_probed(
+            spark,
+            idx,
+            probes,
+            queries,
+            k,
+            "vec_id",
+            "embedding",
+            round_to,
+            "cid",
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return sink

@@ -185,6 +185,9 @@ DEBUT_ORACLE_QUERIES = [
     # r12 (late-round): new — gain-invariant audio energy-contour
     # near-dup through the real RIFF codecs (same pairing kernel)
     "audio_contour_near_dup",
+    # r12 (late-round): new — streamed ANN query serving against the
+    # persisted trained IVF index (stream ≡ batch ≡ SQL replay)
+    "streaming_ann_serving",
 ]
 
 

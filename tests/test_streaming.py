@@ -1584,3 +1584,74 @@ def test_semantic_dedup_ingest_matches_batch(spark, tmp_dir):
         for r in pipeline.semantic_dedup_state_view(spark, index).collect()
     }
     assert again == streamed
+
+
+def test_ann_serving_stream_matches_batch(spark, tmp_dir):
+    """Streamed ANN query serving must equal the batch
+    ivf_multi_query_topk on the same query set, whatever the batching:
+    each query probes the same cells and appends its exact top-k once,
+    so the accumulated output is batching-independent."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, cn = similarity.train_semdedup_centroids(
+        emb, 16, sample=2048, iters=4
+    )
+    index = f"{tmp_dir}/annidx"
+    similarity.build_ivf_index(emb, cents, index, cnorms_sq=cn)
+
+    qrows = (
+        emb.filter(F.col("vec_id") < 6)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    ]
+
+    src = f"{tmp_dir}/qstream"
+    for part in range(3):
+        emb.filter(
+            (F.col("vec_id") < 6) & (F.col("vec_id") % 3 == part)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = f"{tmp_dir}/annout"
+    stream = file_stream(
+        spark, src, "query_id LONG, qvec ARRAY<FLOAT>",
+        max_files_per_trigger=1,
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            pipeline.ann_serving_sink(index, cents, out, cnorms_sq=cn, k=5)
+        )
+        .option("checkpointLocation", f"{tmp_dir}/annckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    streamed = {
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch twin: probes ranked by the SAME left-to-right-fold contract
+    probes = {
+        qid: similarity.rank_probe_cells(qv, cents, cn, 2)
+        for qid, qv in queries
+    }
+    batch = {
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in similarity._topk_over_probed(
+            spark, spark.read.parquet(index), probes, queries,
+            5, "vec_id", "embedding", 6, "cid",
+        ).collect()
+    }
+    assert streamed == batch
+    assert len({(a, b) for a, b, _ in streamed}) == len(streamed)
+    assert {a for a, _, _ in streamed} == {qid for qid, _ in queries}
