@@ -10363,6 +10363,169 @@ def _audio_contour_oracle_sql() -> str:
     """
 
 
+def _md5_chain(sfx: str) -> F.Column:
+    """80 deterministic bytes from five chained md5 digests of `text`,
+    suffix-seeded — the media-authoring idiom shared by the dHash /
+    audio-contour / video fixtures."""
+    return F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit(sfx + t))))
+            for t in ["", "x", "y", "z", "w"]
+        ]
+    )
+
+
+def q_video_shared_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup by SHARED PERCEPTUAL FRAME SIGNATURES, end to end
+    through the real codecs: deterministic 3-frame VID0 videos (each
+    frame a 9×8 PGM authored from suffix-seeded md5 chains of the
+    text) with PLANTED duplicates — a RE-CUT for doc_id < 50 (drops
+    frame 0, appends a new tail: 2 of 3 signatures survive) and a
+    RE-BRIGHTENED copy for 50 ≤ doc_id < 100 (+25 on every pixel of
+    every frame: every byte differs, every dHash matches — the
+    perceptual part). Each container walks `decode_video_frames`, each
+    frame decodes through the real P5 path and hashes via the shared
+    `dhash_chunks_np` kernel (`video_frame_dhash` — the real
+    frame-explode shape that `frame_sample_plan` only models), and
+    pairs come from the set-semantics signature equi-join
+    (`video_near_dup_pairs`: distinct signatures per video, hot-frame
+    caps, exact shared count ≥ 2 — no all-pairs scan). The DuckDB twin
+    recomputes every frame's pixels from the SAME md5 hex digits and
+    replays hashing, frame-set dedup, the join, and the count."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    base = docs.select(
+        "doc_id",
+        _md5_chain("f0").alias("fa"),
+        _md5_chain("f1").alias("fb"),
+        _md5_chain("f2").alias("fc"),
+        _md5_chain("g").alias("fg"),
+    )
+    variants = (
+        base.select(
+            F.col("doc_id").alias("media_id"),
+            F.col("fa").alias("m0"),
+            F.col("fb").alias("m1"),
+            F.col("fc").alias("m2"),
+            F.lit(0).alias("dv"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 1000).alias("media_id"),
+                F.col("fb").alias("m0"),
+                F.col("fc").alias("m1"),
+                F.col("fg").alias("m2"),
+                F.lit(0).alias("dv"),
+            )
+        )
+        .unionByName(
+            base.filter(
+                (F.col("doc_id") >= 50) & (F.col("doc_id") < 100)
+            ).select(
+                (F.col("doc_id") + 2000).alias("media_id"),
+                F.col("fa").alias("m0"),
+                F.col("fb").alias("m1"),
+                F.col("fc").alias("m2"),
+                F.lit(25).alias("dv"),
+            )
+        )
+    )
+
+    def _author(it):
+        import pandas as _pd
+
+        for pdf in it:
+            content = []
+            for m0, m1, m2, dv in zip(
+                pdf["m0"], pdf["m1"], pdf["m2"], pdf["dv"]
+            ):
+                frames = [
+                    b"P5\n9 8\n255\n"
+                    + bytes(x % 192 + int(dv) for x in bytes(m)[:72])
+                    for m in (m0, m1, m2)
+                ]
+                content.append(multimodal.encode_video_frames(frames))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": content,
+                }
+            )
+
+    media = variants.mapInPandas(_author, "media_id long, content binary")
+    frames = multimodal.video_frame_dhash(media)
+    return multimodal.video_near_dup_pairs(frames, min_shared=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _video_shared_frame_oracle_sql() -> str:
+    """DuckDB twin of q_video_shared_frame_dedup: per-(video, frame)
+    pixels from the same suffix-seeded md5 hex digits (re-cut frame
+    remap, +25 re-brighten), dHash comparisons/packing per frame
+    (shared `_chunk_pair_sql` packing), DISTINCT signatures per video,
+    and the signature equi-join with the exact shared count."""
+    chunk_sums, _, _ = _chunk_pair_sql()
+
+    def hx(sfx: str) -> str:
+        parts = " || ".join(
+            f"unhex(md5(text || '{sfx}{t}'))" for t in ["", "x", "y", "z", "w"]
+        )
+        return f"lower(hex({parts}))"
+
+    fh = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS fsrc, {hx(f'f{j}')} AS hs FROM base"
+        for j in range(3)
+    ) + f" UNION ALL SELECT doc_id, 9 AS fsrc, {hx('g')} AS hs FROM base"
+    vid_rows = []
+    for fi, fs in [(0, 0), (1, 1), (2, 2)]:
+        vid_rows.append(
+            f"SELECT doc_id, doc_id AS media_id, {fi} AS frame_idx, "
+            f"{fs} AS fsrc, 0 AS dv FROM base"
+        )
+    for fi, fs in [(0, 1), (1, 2), (2, 9)]:
+        vid_rows.append(
+            f"SELECT doc_id, doc_id + 1000, {fi}, {fs}, 0 FROM base "
+            f"WHERE doc_id < 50"
+        )
+    for fi, fs in [(0, 0), (1, 1), (2, 2)]:
+        vid_rows.append(
+            f"SELECT doc_id, doc_id + 2000, {fi}, {fs}, 25 FROM base "
+            f"WHERE doc_id >= 50 AND doc_id < 100"
+        )
+    vids = " UNION ALL ".join(vid_rows)
+    return f"""
+        WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        fh AS ({fh}),
+        vids AS ({vids}),
+        pix AS (
+            SELECT v.media_id, v.frame_idx, t.i,
+                   ({_pix_hex_byte("t.i*2+1")} % 192) + v.dv AS v
+            FROM vids v
+            JOIN fh ON fh.doc_id = v.doc_id AND fh.fsrc = v.fsrc,
+            generate_series(0, 71) AS t(i)),
+        bits AS (
+            SELECT p1.media_id, p1.frame_idx,
+                   (p1.i // 9) * 8 + (p1.i % 9) AS bi,
+                   CASE WHEN p1.v < p2.v THEN 1 ELSE 0 END AS bit
+            FROM pix p1
+            JOIN pix p2 ON p2.media_id = p1.media_id
+                       AND p2.frame_idx = p1.frame_idx
+                       AND p2.i = p1.i + 1
+            WHERE p1.i % 9 < 8),
+        sigs AS (SELECT media_id, frame_idx, {chunk_sums}
+                 FROM bits GROUP BY media_id, frame_idx),
+        sigd AS (SELECT DISTINCT media_id, c0, c1, c2, c3 FROM sigs)
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_frames
+        FROM sigd a JOIN sigd b
+          ON a.media_id < b.media_id
+         AND a.c0 = b.c0 AND a.c1 = b.c1 AND a.c2 = b.c2 AND a.c3 = b.c3
+        GROUP BY a.media_id, b.media_id
+        HAVING COUNT(*) >= 2
+        ORDER BY id_a, id_b
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -10685,6 +10848,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_contour_near_dup": q_audio_contour_near_dup,
     #    streaming ANN query serving against the persisted trained index
     "streaming_ann_serving": q_streaming_ann_serving,
+    #    video near-dup by shared perceptual frame signatures (VID0)
+    "video_shared_frame_dedup": q_video_shared_frame_dedup,
 }
 
 
@@ -12688,6 +12853,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash_near_dup": _image_dhash_oracle_sql(),
         "audio_contour_near_dup": _audio_contour_oracle_sql(),
         "streaming_ann_serving": _streaming_ann_oracle_sql(),
+        "video_shared_frame_dedup": _video_shared_frame_oracle_sql(),
         "pq_distortion_report": _pq_distortion_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """

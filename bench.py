@@ -197,6 +197,8 @@ HEADLINE = [
     "audio_contour_near_dup",
     # streamed ANN query serving against the persisted trained index
     "streaming_ann_serving",
+    # video near-dup by shared perceptual frame signatures (VID0)
+    "video_shared_frame_dedup",
 ]
 
 
@@ -356,15 +358,17 @@ def main() -> None:
         payload.update(median_run)
         # constants (row count, the reference's 2 rows/s), the derived
         # wire_vs_baseline ratio (= rows_per_sec / the 2 rows/s
-        # constant, r12) and the best-of-3 saturation rate live in
+        # constant) and wire_replay_sec (= the constant row count /
+        # rows_per_sec), and the best-of-3 saturation rate live in
         # BENCH_FULL.json; dropping them from the driver line buys the
-        # per-query map headroom as HEADLINE grows
+        # per-query map headroom as HEADLINE grows (r12: 147 entries)
         full_only = {
             k: payload.pop(k)
             for k in (
                 "wire_replay_rows",
                 "baseline_rows_per_sec",
                 "wire_vs_baseline",
+                "wire_replay_sec",
             )
             if k in payload
         }

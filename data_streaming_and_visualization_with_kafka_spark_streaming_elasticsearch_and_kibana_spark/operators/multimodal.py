@@ -1647,6 +1647,25 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     return df.mapInPandas(_batches, "media_id long, frame_idx int")
 
 
+def dhash_chunks_np(img: np.ndarray) -> list[int]:
+    """dHash of one decoded (8, 9, 3) image as four 16-bit chunk ints —
+    the numpy kernel shared by `image_dhash_chunks` (still images) and
+    `video_frame_dhash` (per-frame). Integer Rec.601 milli-luma
+    comparisons; bit index r·8+c; chunk k packs bits [16k, 16k+16)."""
+    a = img.astype(np.int64)
+    luma = 299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
+    if luma.shape != (8, 9):
+        raise ValueError(
+            f"dhash expects a 9x8 image, got {luma.shape[1]}x"
+            f"{luma.shape[0]} (resize first)"
+        )
+    bits = (luma[:, :-1] < luma[:, 1:]).astype(np.int64).ravel()
+    weights = 1 << np.arange(16, dtype=np.int64)
+    return [
+        int((bits[k * 16 : k * 16 + 16] * weights).sum()) for k in range(4)
+    ]
+
+
 def image_dhash_chunks(
     df: DataFrame,
     content_col: str = "content",
@@ -1677,20 +1696,9 @@ def image_dhash_chunks(
         for pdf in it:
             ids, chunks = [], []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
-                img = decode_image(bytes(content)).astype(np.int64)
-                luma = (
-                    299 * img[:, :, 0] + 587 * img[:, :, 1] + 114 * img[:, :, 2]
-                )
-                if luma.shape != (8, 9):
-                    raise ValueError(
-                        f"dhash expects a 9x8 image, got {luma.shape[1]}x"
-                        f"{luma.shape[0]} (resize first)"
-                    )
-                bits = (luma[:, :-1] < luma[:, 1:]).astype(np.int64).ravel()
-                weights = 1 << np.arange(16, dtype=np.int64)
                 ids.append(mid)
                 chunks.append(
-                    [int((bits[k * 16 : k * 16 + 16] * weights).sum()) for k in range(4)]
+                    dhash_chunks_np(decode_image(bytes(content)))
                 )
             arr = np.asarray(chunks, dtype=np.int64).reshape(-1, 4)
             yield pd.DataFrame(
@@ -1842,4 +1850,134 @@ def audio_energy_chunks(
 
     return df.mapInPandas(
         _batches, f"{id_col} long, c0 int, c1 int, c2 int, c3 int"
+    )
+
+
+#: Minimal deterministic frame container for the video plumbing: magic
+#: 'VID0', u16-LE frame count, then length-prefixed (u32-LE) frame
+#: blobs, each any image `decode_image` handles. Real video codecs
+#: (H.264/VP9/AV1) are out of this container's scope — production
+#: clusters decode via ffmpeg; the Spark-side shape (container walk →
+#: frame explode → per-frame features) is what this module makes real.
+VIDEO_MAGIC = b"VID0"
+
+
+def encode_video_frames(frames: list[bytes]) -> bytes:
+    """Pack encoded image blobs into the VID0 container."""
+    if len(frames) > 0xFFFF:
+        raise ValueError("VID0 caps at 65535 frames")
+    out = [VIDEO_MAGIC, len(frames).to_bytes(2, "little")]
+    for f in frames:
+        out.append(len(f).to_bytes(4, "little"))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_video_frames(content: bytes) -> list[bytes]:
+    """VID0 container → list of encoded frame blobs (the container
+    walk; frames decode individually via `decode_image`)."""
+    if content[:4] != VIDEO_MAGIC:
+        raise NotImplementedError(
+            "not a VID0 container (real video codecs need ffmpeg — out "
+            "of scope here)"
+        )
+    n = int.from_bytes(content[4:6], "little")
+    frames, pos = [], 6
+    for _ in range(n):
+        if pos + 4 > len(content):
+            raise ValueError("VID0: truncated frame header")
+        ln = int.from_bytes(content[pos : pos + 4], "little")
+        pos += 4
+        blob = content[pos : pos + ln]
+        if len(blob) != ln:
+            raise ValueError("VID0: truncated frame body")
+        frames.append(blob)
+        pos += ln
+    return frames
+
+
+def video_frame_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, frame_idx, c0..c3): per-frame dHash over a VID0 video
+    column — the frame-explode shape (`frame_sample_plan` models it
+    with fakes; this is the real path): one container row fans out to
+    one row per frame inside the Arrow batch, each frame decoding
+    through the real image codecs and hashing via the shared
+    `dhash_chunks_np` kernel. Downstream, `video_near_dup_pairs` joins
+    videos on identical frame signatures."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidx, chunks = [], [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                for j, blob in enumerate(decode_video_frames(bytes(content))):
+                    ids.append(mid)
+                    fidx.append(j)
+                    chunks.append(dhash_chunks_np(decode_image(blob)))
+            arr = np.asarray(chunks, dtype=np.int64).reshape(-1, 4)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "c0": arr[:, 0],
+                    "c1": arr[:, 1],
+                    "c2": arr[:, 2],
+                    "c3": arr[:, 3],
+                }
+            )
+
+    return df.mapInPandas(
+        _batches,
+        f"{id_col} long, frame_idx int, c0 int, c1 int, c2 int, c3 int",
+    )
+
+
+def video_near_dup_pairs(
+    frames: DataFrame,
+    id_col: str = "media_id",
+    min_shared: int = 2,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """(id_a, id_b, shared_frames): video pairs sharing >= min_shared
+    DISTINCT frame signatures — containment-style near-dup for video
+    (re-cut / re-branded copies keep most frames byte-different but
+    perceptually identical, which is exactly what the per-frame dHash
+    erases). SET semantics: each video's frame signatures dedup before
+    the join (a video looping one frame 100x shares ONE signature), the
+    equi-join carries (signature, id) only, hot signatures (black
+    frames, title cards) are capped like every banded join in this
+    repo, and the pair count is an exact group-by — no all-pairs scan
+    anywhere."""
+    from pyspark.sql import Window
+
+    sig = frames.select(id_col, "c0", "c1", "c2", "c3").dropDuplicates(
+        [id_col, "c0", "c1", "c2", "c3"]
+    )
+    if max_bucket_size:
+        w = Window.partitionBy("c0", "c1", "c2", "c3")
+        sig = (
+            sig.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c0") == F.col("b.c0"))
+            & (F.col("a.c1") == F.col("b.c1"))
+            & (F.col("a.c2") == F.col("b.c2"))
+            & (F.col("a.c3") == F.col("b.c3"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
     )

@@ -38,9 +38,8 @@ def _worst_case_line(per_query: float, ndp: int) -> str:
         # / the qK key-mapping hint are constants and live only in
         # BENCH_FULL.json (headroom for the per-query map — r10: the
         # 141-entry 2-dp worst case hit the guard exactly; r12 moved
-        # the derived wire_vs_baseline ratio there too when 145 entries
-        # hit it again)
-        "wire_replay_sec": 999.999,
+        # the derived wire_vs_baseline ratio and wire_replay_sec (=
+        # rows/rate, rows constant) there too as HEADLINE kept growing)
         "wire_replay_rows_per_sec": 99999.9,
     }
     # same compact serialization bench.py emits

@@ -209,3 +209,61 @@ def test_audio_contour_rejects_short_clips(spark):
     short = _wav_rows(spark, [(1, [0] * 64)])
     with pytest.raises(Exception, match="129|130|samples"):
         multimodal.audio_energy_chunks(short).collect()
+
+
+def test_video_container_roundtrip_and_errors():
+    import pytest
+
+    frames = [_pgm(_rand_px(i)) for i in range(3)]
+    blob = multimodal.encode_video_frames(frames)
+    assert multimodal.decode_video_frames(blob) == frames
+    assert multimodal.decode_video_frames(
+        multimodal.encode_video_frames([])
+    ) == []
+    with pytest.raises(NotImplementedError, match="VID0"):
+        multimodal.decode_video_frames(b"RIFF....")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_video_frames(blob[:-5])
+
+
+def test_video_frame_dhash_matches_image_path(spark):
+    frames = [_pgm(_rand_px(i)) for i in range(3)]
+    vid = _media(
+        spark, [(7, multimodal.encode_video_frames(frames))]
+    )
+    got = {
+        r["frame_idx"]: [r["c0"], r["c1"], r["c2"], r["c3"]]
+        for r in multimodal.video_frame_dhash(vid).collect()
+    }
+    want = {
+        i: _ref_dhash_chunks(_rand_px(i)) for i in range(3)
+    }
+    assert got == want
+
+
+def test_video_shared_frames_set_semantics(spark):
+    f = [_pgm(_rand_px(100 + i)) for i in range(4)]
+    bright = _pgm(bytes(x + 30 for x in _rand_px(100)))  # dHash == f[0]
+    vids = [
+        (1, multimodal.encode_video_frames([f[0], f[1], f[2]])),
+        # re-cut: shares f[1], f[2] → 2
+        (2, multimodal.encode_video_frames([f[1], f[2], f[3]])),
+        # one perceptual frame looped 3× → shares ONE signature with 1
+        (3, multimodal.encode_video_frames([bright, bright, bright])),
+    ]
+    frames = multimodal.video_frame_dhash(_media(spark, vids))
+    got = {
+        (r["id_a"], r["id_b"]): r["shared_frames"]
+        for r in multimodal.video_near_dup_pairs(
+            frames, min_shared=1
+        ).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1}
+    # min_shared=2 drops the single-frame overlap
+    got2 = {
+        (r["id_a"], r["id_b"]): r["shared_frames"]
+        for r in multimodal.video_near_dup_pairs(
+            frames, min_shared=2
+        ).collect()
+    }
+    assert got2 == {(1, 2): 2}

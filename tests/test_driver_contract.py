@@ -188,6 +188,9 @@ DEBUT_ORACLE_QUERIES = [
     # r12 (late-round): new — streamed ANN query serving against the
     # persisted trained IVF index (stream ≡ batch ≡ SQL replay)
     "streaming_ann_serving",
+    # r12 (late-round): new — video near-dup by shared perceptual
+    # frame signatures through the VID0 container walk
+    "video_shared_frame_dedup",
 ]
 
 
