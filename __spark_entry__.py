@@ -10117,14 +10117,19 @@ def q_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME md5 hex digits, replays the comparisons, chunk packing,
     pigeonhole candidate set, and popcount verify — a hash match proves
     decoder + hash + join semantics, not plumbing."""
+    sigs = multimodal.image_dhash_chunks(_dhash_media(spark, sf_dir))
+    return multimodal.dhash_near_dup_pairs(sigs).orderBy("id_a", "id_b")
+
+
+def _dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic 9×8 PGM media fixture shared by the dHash
+    near-dup and MIH-search queries: originals for doc_id < 200, a +32
+    uniform-brightness copy (media 1000+id) for doc_id < 50, a
+    one-pixel hot-spot copy (media 2000+id) for 50 ≤ doc_id < 100 —
+    pixels from the same five chained md5 digests the SQL twins
+    replay."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    raw = F.concat(
-        *[
-            F.unhex(F.md5(F.concat(F.col("text"), F.lit(s))))
-            for s in ["", "x", "y", "z", "w"]
-        ]
-    )
-    base = docs.select("doc_id", raw.alias("m"))
+    base = docs.select("doc_id", _md5_chain("").alias("m"))
     variants = (
         base.select(
             F.col("doc_id").alias("media_id"),
@@ -10168,9 +10173,7 @@ def q_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = variants.mapInPandas(_author, "media_id long, content binary")
-    sigs = multimodal.image_dhash_chunks(media)
-    return multimodal.dhash_near_dup_pairs(sigs).orderBy("id_a", "id_b")
+    return variants.mapInPandas(_author, "media_id long, content binary")
 
 
 def _chunk_pair_sql() -> tuple[str, str, str]:
@@ -10188,16 +10191,14 @@ def _chunk_pair_sql() -> tuple[str, str, str]:
     return chunk_sums, ham, ors
 
 
-def _image_dhash_oracle_sql() -> str:
-    """DuckDB twin of q_image_dhash_near_dup: pixels from the same md5
-    hex digits (mod 192, +32 shift / (0,0)→255 hot-spot variants), the
-    8×8 adjacent-luma comparisons via a self-join on pixel index, chunk
-    packing with integer shifts, the 4-chunk pigeonhole candidate set
-    as its relational shadow (OR of chunk equalities), and the exact
-    xor-popcount hamming verify."""
-    chunk_sums, ham, ors = _chunk_pair_sql()
-    return f"""
-        WITH px AS (
+def _dhash_sigs_ctes() -> str:
+    """The shared CTE prefix of the dHash twins (near-dup pairs + MIH
+    search): the media fixture's pixels from the same md5 hex digits
+    (+32 shift / (0,0)→255 hot-spot variants), the 8×8 adjacent-luma
+    comparisons via a self-join on pixel index, and per-media chunk
+    packing. Emits px/med/pix/bits/sigs."""
+    chunk_sums, _, _ = _chunk_pair_sql()
+    return f"""px AS (
             SELECT doc_id,
                    lower(hex(unhex(md5(text)) || unhex(md5(text || 'x'))
                          || unhex(md5(text || 'y')) || unhex(md5(text || 'z'))
@@ -10222,7 +10223,19 @@ def _image_dhash_oracle_sql() -> str:
             FROM pix p1
             JOIN pix p2 ON p2.media_id = p1.media_id AND p2.i = p1.i + 1
             WHERE p1.i % 9 < 8),
-        sigs AS (SELECT media_id, {chunk_sums} FROM bits GROUP BY media_id),
+        sigs AS (SELECT media_id, {chunk_sums} FROM bits GROUP BY media_id)"""
+
+
+def _image_dhash_oracle_sql() -> str:
+    """DuckDB twin of q_image_dhash_near_dup: pixels from the same md5
+    hex digits (mod 192, +32 shift / (0,0)→255 hot-spot variants), the
+    8×8 adjacent-luma comparisons via a self-join on pixel index, chunk
+    packing with integer shifts, the 4-chunk pigeonhole candidate set
+    as its relational shadow (OR of chunk equalities), and the exact
+    xor-popcount hamming verify."""
+    _, ham, ors = _chunk_pair_sql()
+    return f"""
+        WITH {_dhash_sigs_ctes()},
         cand AS (
             SELECT a.media_id AS id_a, b.media_id AS id_b,
                    CAST({ham} AS BIGINT) AS hamming
@@ -10523,6 +10536,66 @@ def _video_shared_frame_oracle_sql() -> str:
         GROUP BY a.media_id, b.media_id
         HAVING COUNT(*) >= 2
         ORDER BY id_a, id_b
+    """
+
+
+def q_image_dhash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image SEARCH from the persisted multi-index-hashing
+    index (multimodal.build_mih_index / mih_topk_from_index; Norouzi
+    et al., CVPR 2012) — the request path of the perceptual family
+    (image_dhash_near_dup is its batch dedup sibling): the shared
+    media fixture's signatures persist as four chunk-keyed tables
+    partitioned by the chunk's high byte, and the query (media 0's own
+    signature — the ingest-gate shape, "have we seen this or anything
+    3 bits away?") probes ONE partition per table (plan-pinned
+    PartitionFilters in tests/test_plans.py), filters to the exact
+    chunk value, dedups candidates, and verifies exact xor-popcount
+    hamming ≤ 3 — top-10 by (hamming, id). The pigeonhole guarantee
+    makes the probe LOSSLESS at radius 3; expected hits include media
+    0 itself and its planted +32-brightness copy at hamming 0. The
+    DuckDB twin recomputes every signature from the md5 hex digits
+    (the shared sigs chain), takes media 0's row as the query, and
+    replays the candidate pigeonhole, radius filter, and top-k."""
+    import hashlib
+    import tempfile
+
+    sigs = multimodal.image_dhash_chunks(_dhash_media(spark, sf_dir))
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    index_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_mih_index_{sf_tag}"
+    )
+    # cb_bits=4 at fixture scale (350 signatures): 16 partitions per
+    # table keeps the one-time build off the empty-dir commit floor;
+    # production corpora take the default 8 (256 partitions)
+    fp = _source_fingerprint(f"{sf_dir}/documents.parquet") + ":mih2"
+    if not _artifact_ready(index_path, fp):
+        multimodal.build_mih_index(sigs, index_path, cb_bits=4)
+        _mark_artifact(index_path, fp)
+    qrow = sigs.filter(F.col("media_id") == 0).head()
+    qsig = [qrow["c0"], qrow["c1"], qrow["c2"], qrow["c3"]]
+    return multimodal.mih_topk_from_index(
+        spark, index_path, qsig, k=10, max_hamming=3, cb_bits=4
+    )
+
+
+def _image_dhash_search_oracle_sql() -> str:
+    """DuckDB twin of q_image_dhash_search: the shared signature chain
+    (`_dhash_sigs_ctes`), media 0's signature as the query, the
+    pigeonhole candidate set (≥1 chunk equal — the four probes'
+    relational shadow), exact popcount hamming, radius filter, and the
+    (hamming, id) top-10."""
+    ham = " + ".join(f"bit_count(xor(s.c{j}, q.c{j}))" for j in range(4))
+    ors = " OR ".join(f"s.c{j} = q.c{j}" for j in range(4))
+    return f"""
+        WITH {_dhash_sigs_ctes()},
+        q AS (SELECT c0, c1, c2, c3 FROM sigs WHERE media_id = 0)
+        SELECT media_id, hamming FROM (
+            SELECT s.media_id, CAST({ham} AS BIGINT) AS hamming
+            FROM sigs s, q
+            WHERE {ors})
+        WHERE hamming <= 3
+        ORDER BY hamming, media_id
+        LIMIT 10
     """
 
 
@@ -10850,6 +10923,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_ann_serving": q_streaming_ann_serving,
     #    video near-dup by shared perceptual frame signatures (VID0)
     "video_shared_frame_dedup": q_video_shared_frame_dedup,
+    #    perceptual search from the persisted multi-index-hashing index
+    "image_dhash_search": q_image_dhash_search,
 }
 
 
@@ -12854,6 +12929,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_contour_near_dup": _audio_contour_oracle_sql(),
         "streaming_ann_serving": _streaming_ann_oracle_sql(),
         "video_shared_frame_dedup": _video_shared_frame_oracle_sql(),
+        "image_dhash_search": _image_dhash_search_oracle_sql(),
         "pq_distortion_report": _pq_distortion_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """

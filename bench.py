@@ -199,6 +199,8 @@ HEADLINE = [
     "streaming_ann_serving",
     # video near-dup by shared perceptual frame signatures (VID0)
     "video_shared_frame_dedup",
+    # perceptual search from the persisted multi-index-hashing index
+    "image_dhash_search",
 ]
 
 

@@ -26,6 +26,7 @@ production clusters have PIL/ffmpeg, this container doesn't.
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Iterator
 
 import numpy as np
@@ -1980,4 +1981,80 @@ def video_near_dup_pairs(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
         .filter(F.col("shared_frames") >= min_shared)
+    )
+
+
+def build_mih_index(sigs: DataFrame, path: str, cb_bits: int = 8) -> None:
+    """Persist a MULTI-INDEX-HASHING index (Norouzi, Punjani & Fleet,
+    CVPR 2012) over 4×16-bit signature chunks: four tables, table k
+    partitioned by chunk k's top `cb_bits` bits (`cb` = c{k} >>
+    (16 − cb_bits); 256 partitions at the default 8 — the right grain
+    for 10⁹-image corpora; small fixtures pass 4 so the build isn't
+    dominated by empty-partition commit overhead), every row carrying
+    the FULL signature so a probe
+    never needs a second lookup. The pigeonhole guarantee: any
+    signature within hamming r ≤ 3 of a query agrees EXACTLY on ≥1 of
+    the 4 chunks, so probing one partition per table (then filtering
+    to the exact chunk value) reaches every radius-3 neighbor while
+    reading ~4/256 of the index. Signatures are 4 ints per medium —
+    at 10⁹ images this index is ~16 GB against the corpus's media
+    bytes, and each probe reads ~256 MB of it, partition-pruned."""
+    from ..sources.sinks import write_partitioned_parquet
+
+    shift = 16 - int(cb_bits)
+    for k in range(4):
+        write_partitioned_parquet(
+            sigs.withColumn("cb", F.shiftright(F.col(f"c{k}"), shift)),
+            os.path.join(path, f"table{k}"),
+            ["cb"],
+        )
+
+
+def mih_topk_from_index(
+    spark,
+    path: str,
+    qsig: list[int],
+    k: int = 10,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    cb_bits: int = 8,
+) -> DataFrame:
+    """(id, hamming): the `k` nearest signatures to `qsig` within
+    hamming radius `max_hamming`, served from the persisted MIH index —
+    the request path of the perceptual family (dhash_near_dup_pairs is
+    its batch dedup sibling; this is what an ingest gate runs per new
+    image: "have we seen this, or something 3 bits away?").
+
+    Four partition-pruned reads (table k, partition qsig[k] >> 8,
+    filtered to the exact chunk value), union, per-id dedup, exact
+    xor-popcount hamming against the query literals, radius filter,
+    and a TakeOrderedAndProject top-k on (hamming, id) — fully
+    deterministic and integer-exact, so the SQL twin replays it over
+    the signature table's relational shadow. Requires max_hamming ≤ 3
+    (the 4-chunk pigeonhole bound); a larger radius needs more tables
+    or in-partition neighborhood enumeration."""
+    if max_hamming > 3:
+        raise ValueError("4-chunk pigeonhole is lossless only for hamming <= 3")
+    q = [int(x) for x in qsig]
+    if len(q) != 4:
+        raise ValueError("qsig must be the 4 chunk values")
+    shift = 16 - int(cb_bits)
+    cands = None
+    for t in range(4):
+        part = (
+            spark.read.parquet(os.path.join(path, f"table{t}"))
+            .filter(F.col("cb") == (q[t] >> shift))
+            .filter(F.col(f"c{t}") == q[t])
+            .select(id_col, "c0", "c1", "c2", "c3")
+        )
+        cands = part if cands is None else cands.unionByName(part)
+    cands = cands.dropDuplicates([id_col])
+    ham = sum(
+        F.bit_count(F.col(f"c{j}").bitwiseXOR(F.lit(q[j]))) for j in range(4)
+    )
+    return (
+        cands.select(id_col, ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("hamming", id_col)
+        .limit(k)
     )

@@ -85,12 +85,14 @@ def _structured_px(flips: int) -> bytes:
     """9×8 image built from DISJOINT comparison pairs: every row is
     [10,200, 10,200, 10,200, 10,200, 10] — the four even comparisons
     (c=0,2,4,6) read one (10,200) pair each, the odd/last comparisons
-    sit between pairs and stay 0 under any swap (200 vs 10 or equal
-    values — strict <). Swapping pair j of row 0 therefore flips
-    EXACTLY one dHash bit; `flips` swaps plant exact hamming `flips`."""
+    sit between pairs and stay 0 when a pair's NEIGHBORS are unswapped
+    (200 vs 10 or equal values — strict <; two ADJACENT swaps would
+    flip the between-comparison too, which is why each planted flip
+    lives in its OWN ROW). Swapping the first pair of row j flips
+    exactly bit (j, 0); `flips` swaps plant exact hamming `flips`."""
     px = bytearray([10, 200] * 4 + [10]) * 8
     for j in range(flips):
-        px[2 * j], px[2 * j + 1] = 200, 10
+        px[9 * j], px[9 * j + 1] = 200, 10
     return bytes(px)
 
 
@@ -267,3 +269,46 @@ def test_video_shared_frames_set_semantics(spark):
         ).collect()
     }
     assert got2 == {(1, 2): 2}
+
+
+def test_mih_index_search_is_lossless_and_bounded(spark, tmp_path):
+    # radius-3 losslessness vs brute force over a corpus with planted
+    # exact distances 0..4 (reusing the disjoint-pair images), plus the
+    # pigeonhole-bound rejection and the ranked output contract
+    import pytest
+
+    rows = [(d, _pgm(_structured_px(d))) for d in range(5)]
+    for i in range(10, 40):
+        rows.append((i, _pgm(_rand_px(i))))
+    sigs = multimodal.image_dhash_chunks(_media(spark, rows)).persist()
+    path = str(tmp_path / "mih")
+    multimodal.build_mih_index(sigs, path, cb_bits=4)
+    all_sigs = {
+        r["media_id"]: [r["c0"], r["c1"], r["c2"], r["c3"]]
+        for r in sigs.collect()
+    }
+    sigs.unpersist()
+    q = all_sigs[0]
+    got = [
+        (r["media_id"], r["hamming"])
+        for r in multimodal.mih_topk_from_index(
+            spark, path, q, k=10, max_hamming=3, cb_bits=4
+        ).collect()
+    ]
+    want = sorted(
+        (
+            (mid, sum(bin(x ^ y).count("1") for x, y in zip(s, q)))
+            for mid, s in all_sigs.items()
+        ),
+        key=lambda t: (t[1], t[0]),
+    )
+    want = [(m, h) for m, h in want if h <= 3][:10]
+    assert got == want
+    # the planted ladder: distances 0..3 in order, 4 excluded
+    assert [(m, h) for m, h in got if m < 5] == [
+        (0, 0), (1, 1), (2, 2), (3, 3)
+    ]
+    with pytest.raises(ValueError, match="pigeonhole"):
+        multimodal.mih_topk_from_index(spark, path, q, max_hamming=4)
+    with pytest.raises(ValueError, match="4 chunk"):
+        multimodal.mih_topk_from_index(spark, path, [1, 2, 3])

@@ -191,6 +191,9 @@ DEBUT_ORACLE_QUERIES = [
     # r12 (late-round): new — video near-dup by shared perceptual
     # frame signatures through the VID0 container walk
     "video_shared_frame_dedup",
+    # r12 (late-round): new — perceptual search from the persisted
+    # multi-index-hashing signature index (partition-pruned probes)
+    "image_dhash_search",
 ]
 
 

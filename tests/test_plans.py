@@ -437,3 +437,25 @@ def test_mmr_from_index_probe_is_partition_pruned(spark):
     assert "cid" in part_section
     if "PushedFilters" in plan:
         assert "cid" not in plan.split("PushedFilters")[1][:200]
+
+
+def test_mih_probe_is_partition_pruned(spark):
+    """The MIH search's four index reads must prune to the probed
+    bucket directory — a PartitionFilter on `cb`, not a post-scan data
+    filter. At 10⁹ signatures this is the ~4/2^cb_bits read the index
+    exists for."""
+    import os
+    import tempfile
+
+    entrymod.q_image_dhash_search(spark, SF).collect()
+    index_path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_mih_index_sf0.001"
+    )
+    probed = spark.read.parquet(
+        os.path.join(index_path, "table0")
+    ).filter(F.col("cb") == 3)
+    plan = explain.formatted_plan(probed)
+    part_section = plan.split("PartitionFilters")[1][:200]
+    assert "cb" in part_section
+    if "PushedFilters" in plan:
+        assert "cb" not in plan.split("PushedFilters")[1][:200]
