@@ -10599,6 +10599,74 @@ def _image_dhash_search_oracle_sql() -> str:
     """
 
 
+def q_streaming_dhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL dedup AT MEDIA INGEST, hash-gated against the batch
+    SQL twin (streaming.dhash_ingest_sink): the shared dHash media
+    fixture arrives as a 3-slice file stream (media_id % 3 —
+    interleaved, so cross-batch pairs arrive in BOTH id orders), each
+    micro-batch hashes through the real P5 decoders, probes ONLY the
+    cb partitions of the persisted MIH state its own chunk values
+    touch, verifies exact hamming ≤ 3 against probed state + the batch
+    itself, appends normalized pair decisions, and folds its
+    signatures into the state tables. The accumulated pair set is
+    batching-independent (each pair found exactly once, when its
+    later-arriving member ingests), so the ORACLE IS THE BATCH TWIN —
+    _image_dhash_oracle_sql verbatim: one hash pins streamed ingest ≡
+    batch dhash_near_dup_pairs ≡ the SQL replay; stream-vs-batch
+    equality is separately pinned in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_dhashstream_src_{sf_tag}"
+    )
+    fp = _source_fingerprint(f"{sf_dir}/documents.parquet") + ":dhs1"
+    if not _artifact_ready(stage, fp):
+        shutil.rmtree(stage, ignore_errors=True)
+        media = _dhash_media(spark, sf_dir)
+        for part in range(3):
+            media.filter(F.col("media_id") % 3 == part).coalesce(
+                1
+            ).write.mode("append").parquet(stage)
+        _mark_artifact(stage, fp)
+    work = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_dhashstream_state_{sf_tag}"
+    )
+    pairs = os.path.join(work, "pairs")
+    if not _artifact_ready(work, fp):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        stream = readers.file_stream(
+            spark,
+            stage,
+            "media_id long, content binary",
+            max_files_per_trigger=1,
+        )
+        sink = streaming.dhash_ingest_sink(
+            os.path.join(work, "state"), pairs, cb_bits=4
+        )
+        prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        _mark_artifact(work, fp)
+    return (
+        spark.read.parquet(pairs)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -10925,6 +10993,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_shared_frame_dedup": q_video_shared_frame_dedup,
     #    perceptual search from the persisted multi-index-hashing index
     "image_dhash_search": q_image_dhash_search,
+    #    ingest-time perceptual dedup (stream ≡ batch ≡ SQL replay)
+    "streaming_dhash_ingest": q_streaming_dhash_ingest,
 }
 
 
@@ -12930,6 +13000,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_ann_serving": _streaming_ann_oracle_sql(),
         "video_shared_frame_dedup": _video_shared_frame_oracle_sql(),
         "image_dhash_search": _image_dhash_search_oracle_sql(),
+        # the streamed ingest pair set reconstructs the batch output
+        # contract exactly, so its oracle IS the batch twin — one hash
+        # pins stream ≡ batch ≡ SQL replay
+        "streaming_dhash_ingest": _image_dhash_oracle_sql(),
         "pq_distortion_report": _pq_distortion_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """

@@ -201,6 +201,8 @@ HEADLINE = [
     "video_shared_frame_dedup",
     # perceptual search from the persisted multi-index-hashing index
     "image_dhash_search",
+    # ingest-time perceptual dedup (stream ≡ batch ≡ SQL replay)
+    "streaming_dhash_ingest",
 ]
 
 

@@ -1261,3 +1261,135 @@ def ann_serving_sink(
         out.write.mode("append").parquet(out_path)
 
     return sink
+
+
+def dhash_ingest_sink(
+    state_path: str,
+    pairs_path: str,
+    max_hamming: int = 3,
+    cb_bits: int = 8,
+):
+    """foreachBatch sink: PERCEPTUAL DEDUP AT MEDIA INGEST — the
+    streaming twin of `multimodal.dhash_near_dup_pairs`, with the
+    persisted MIH index as its state (the semantic-dedup ingest
+    pattern, hamming domain): each micro-batch of media hashes through
+    the real decoders (`image_dhash_chunks`), probes ONLY the state
+    partitions its own chunk values touch (cb-pruned reads of the four
+    chunk tables — per-batch state I/O is O(|batch| · state/2^cb_bits),
+    corpus-independent), verifies exact xor-popcount hamming ≤
+    `max_hamming` against both the probed state AND the batch itself,
+    appends the normalized (id_a < id_b) pair decisions, and folds the
+    batch's signatures into the state tables.
+
+    Order independence: a cross-batch pair is found exactly once — when
+    its LATER-ARRIVING member ingests, whatever the id order (the
+    candidate join carries no id inequality; normalization happens
+    after — the exact class of bug the semantic ingest test caught) —
+    and a within-batch pair exactly once via the batch-local pigeonhole
+    join. The accumulated pair set therefore EQUALS the batch
+    `dhash_near_dup_pairs` on the full corpus, whatever the batching:
+    one driver hash pins stream ≡ batch ≡ SQL replay (the gated
+    catalog entry reuses the batch DuckDB twin verbatim), and
+    stream-vs-batch equality is pinned in tests/test_streaming.py."""
+    import os
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (  # noqa: E501
+        multimodal,
+    )
+
+    shift = 16 - int(cb_bits)
+
+    def sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs_b = multimodal.image_dhash_chunks(batch_df).persist()
+        try:
+            if not sigs_b.head(1):
+                return
+            ham_cols = [
+                F.bit_count(
+                    F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}"))
+                )
+                for j in range(4)
+            ]
+            new_pairs = []
+            # within-batch pairs: the batch-local pigeonhole join
+            wb = multimodal.dhash_near_dup_pairs(
+                sigs_b, max_hamming=max_hamming
+            )
+            new_pairs.append(wb)
+            # batch-vs-state pairs: probe only the cb partitions the
+            # batch's own chunk values touch, one pruned read per table
+            if os.path.exists(os.path.join(state_path, "table0")):
+                a = sigs_b.select(
+                    F.col("media_id").alias("bid"),
+                    *[F.col(f"c{j}").alias(f"a{j}") for j in range(4)],
+                )
+                cand = None
+                for t in range(4):
+                    cbs = [
+                        int(r[0])
+                        for r in sigs_b.select(
+                            F.shiftright(F.col(f"c{t}"), shift)
+                        ).distinct().collect()
+                    ]
+                    st = (
+                        spark.read.parquet(
+                            os.path.join(state_path, f"table{t}")
+                        )
+                        .filter(F.col("cb").isin(cbs))
+                        .select(
+                            F.col("media_id").alias("sid"),
+                            *[
+                                F.col(f"c{j}").alias(f"b{j}")
+                                for j in range(4)
+                            ],
+                        )
+                    )
+                    hit = a.join(
+                        st, F.col(f"a{t}") == F.col(f"b{t}")
+                    )
+                    cand = hit if cand is None else cand.unionByName(hit)
+                xb = (
+                    cand.dropDuplicates(["bid", "sid"])
+                    .withColumn(
+                        "hamming",
+                        sum(ham_cols).cast("long"),
+                    )
+                    .filter(F.col("hamming") <= max_hamming)
+                    .select(
+                        F.least("bid", "sid").alias("id_a"),
+                        F.greatest("bid", "sid").alias("id_b"),
+                        "hamming",
+                    )
+                )
+                new_pairs.append(xb)
+            allp = new_pairs[0]
+            for p in new_pairs[1:]:
+                allp = allp.unionByName(p)
+            allp.dropDuplicates(["id_a", "id_b"]).write.mode(
+                "append"
+            ).parquet(pairs_path)
+            if os.path.exists(os.path.join(state_path, "table0")):
+                _mih_append(sigs_b, state_path, shift)
+            else:
+                multimodal.build_mih_index(
+                    sigs_b, state_path, cb_bits=cb_bits
+                )
+        finally:
+            sigs_b.unpersist()
+
+    return sink
+
+
+def _mih_append(sigs, state_path: str, shift: int) -> None:
+    """Append a batch's signatures to the four MIH state tables (same
+    layout as `multimodal.build_mih_index`, append mode)."""
+    import os
+
+    for k in range(4):
+        (
+            sigs.withColumn("cb", F.shiftright(F.col(f"c{k}"), shift))
+            .write.mode("append")
+            .partitionBy("cb")
+            .parquet(os.path.join(state_path, f"table{k}"))
+        )

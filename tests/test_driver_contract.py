@@ -194,6 +194,9 @@ DEBUT_ORACLE_QUERIES = [
     # r12 (late-round): new — perceptual search from the persisted
     # multi-index-hashing signature index (partition-pruned probes)
     "image_dhash_search",
+    # r12 (late-round): new — ingest-time perceptual dedup; its oracle
+    # is the batch dHash twin verbatim (stream ≡ batch ≡ SQL replay)
+    "streaming_dhash_ingest",
 ]
 
 

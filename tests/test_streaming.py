@@ -1655,3 +1655,67 @@ def test_ann_serving_stream_matches_batch(spark, tmp_dir):
     assert streamed == batch
     assert len({(a, b) for a, b, _ in streamed}) == len(streamed)
     assert {a for a, _, _ in streamed} == {qid for qid, _ in queries}
+
+
+def test_dhash_ingest_stream_matches_batch(spark, tmp_dir):
+    """Perceptual media ingest streamed in three interleaved slices
+    must accumulate EXACTLY the batch dhash_near_dup_pairs pair set —
+    including cross-batch pairs whose smaller id arrives LATER (the
+    id-order bug class the semantic ingest test caught)."""
+    import numpy as np
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        multimodal,
+    )
+
+    def pgm(seed, shift=0):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 192, 72, dtype=np.uint8)
+        return b"P5\n9 8\n255\n" + bytes((px + shift).tolist())
+
+    rows = []
+    for i in range(30):
+        rows.append((i, pgm(i)))
+        if i % 5 == 0:
+            # planted brightness twin with an id on the OTHER side of
+            # the slice split (big id, same signature)
+            rows.append((100 + i, pgm(i, shift=30)))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+
+    src = f"{tmp_dir}/mstream"
+    for part in range(3):
+        media.filter(F.col("media_id") % 3 == part).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    state = f"{tmp_dir}/mihstate"
+    pairs = f"{tmp_dir}/mihpairs"
+    stream = file_stream(
+        spark, src, "media_id LONG, content BINARY",
+        max_files_per_trigger=1,
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            pipeline.dhash_ingest_sink(state, pairs, cb_bits=4)
+        )
+        .option("checkpointLocation", f"{tmp_dir}/mihckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    streamed = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in spark.read.parquet(pairs).collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.dhash_near_dup_pairs(
+            multimodal.image_dhash_chunks(media)
+        ).collect()
+    }
+    assert streamed == batch
+    # the planted twins must all be present at hamming 0
+    for i in range(0, 30, 5):
+        assert (i, 100 + i, 0) in streamed
