@@ -10005,6 +10005,7 @@ def q_streaming_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pa.Table.from_pandas(sl, preserve_index=False),
                 os.path.join(stage, f"slice_{part}.parquet"),
             )
+        open(os.path.join(stage, "_SUCCESS"), "w").close()
         _mark_artifact(stage, fp)
     import hashlib
 
@@ -10041,6 +10042,9 @@ def q_streaming_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        # _artifact_ready wants the Spark-written _SUCCESS convention;
+        # the results root is sink-managed, so stamp it explicitly
+        open(os.path.join(work, "_SUCCESS"), "w").close()
         _mark_artifact(work, state_fp)
     return (
         spark.read.parquet(out)
@@ -10539,6 +10543,11 @@ def _video_shared_frame_oracle_sql() -> str:
     """
 
 
+#: media 0's dHash signature per sf_dir — the MIH query vector, fetched
+#: once per corpus (the _QVEC_CACHE pattern)
+_QSIG_CACHE: dict[str, list[int]] = {}
+
+
 def q_image_dhash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image SEARCH from the persisted multi-index-hashing
     index (multimodal.build_mih_index / mih_topk_from_index; Norouzi
@@ -10570,11 +10579,18 @@ def q_image_dhash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _source_fingerprint(f"{sf_dir}/documents.parquet") + ":mih2"
     if not _artifact_ready(index_path, fp):
         multimodal.build_mih_index(sigs, index_path, cb_bits=4)
+        # the four table dirs carry their own _SUCCESS; the index ROOT
+        # needs the explicit stamp _artifact_ready looks for
+        open(os.path.join(index_path, "_SUCCESS"), "w").close()
         _mark_artifact(index_path, fp)
-    qrow = sigs.filter(F.col("media_id") == 0).head()
-    qsig = [qrow["c0"], qrow["c1"], qrow["c2"], qrow["c3"]]
+    if sf_dir not in _QSIG_CACHE:
+        qrow = sigs.filter(F.col("media_id") == 0).head()
+        _QSIG_CACHE[sf_dir] = [
+            qrow["c0"], qrow["c1"], qrow["c2"], qrow["c3"]
+        ]
     return multimodal.mih_topk_from_index(
-        spark, index_path, qsig, k=10, max_hamming=3, cb_bits=4
+        spark, index_path, _QSIG_CACHE[sf_dir], k=10, max_hamming=3,
+        cb_bits=4,
     )
 
 
@@ -10659,6 +10675,9 @@ def q_streaming_dhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        # _artifact_ready wants the Spark-written _SUCCESS convention;
+        # the state root is sink-managed, so stamp it explicitly
+        open(os.path.join(work, "_SUCCESS"), "w").close()
         _mark_artifact(work, fp)
     return (
         spark.read.parquet(pairs)
