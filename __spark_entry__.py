@@ -10686,6 +10686,110 @@ def q_streaming_dhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET metering AS A STREAM under the corpus's own trained
+    BPE vocabulary (streaming.token_budget_sink) — the ingest-side
+    companion of bpe_token_counts: the 12-merge dictionary trains once
+    and persists (the same SQL-replayed training), documents arrive as
+    a 3-slice file stream, each micro-batch joins the broadcast
+    dictionary and appends per-source partials, and the serving view
+    sums them. Associative sums make the totals batching-independent,
+    so the DuckDB twin — training chain + dictionary application +
+    per-source aggregation — pins streamed metering ≡ batch ≡ SQL
+    replay in one hash."""
+    import shutil
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = _source_fingerprint(f"{sf_dir}/documents.parquet")
+    dict_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bpedict_{sf_tag}"
+    )
+    if not _artifact_ready(dict_path, fp):
+        docs = _t(spark, sf_dir, "documents")
+        vocab = tokenizer.word_vocab(docs)
+        _, final_state = tokenizer.train_bpe_merges(vocab, _BPE_MERGES)
+        tokenizer.token_dict(final_state).write.mode("overwrite").parquet(
+            dict_path
+        )
+        _mark_artifact(dict_path, fp)
+    stage = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_tokbudget_src_{sf_tag}"
+    )
+    if not _artifact_ready(stage, fp):
+        shutil.rmtree(stage, ignore_errors=True)
+        docs = _t(spark, sf_dir, "documents")
+        for part in range(3):
+            docs.filter(F.col("doc_id") % 3 == part).select(
+                "doc_id", "text", "source"
+            ).coalesce(1).write.mode("append").parquet(stage)
+        _mark_artifact(stage, fp)
+    work = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_tokbudget_out_{sf_tag}"
+    )
+    out = os.path.join(work, "partials")
+    if not _artifact_ready(work, fp):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        stream = readers.file_stream(
+            spark,
+            stage,
+            "doc_id long, text string, source string",
+            max_files_per_trigger=1,
+        )
+        sink = streaming.token_budget_sink(dict_path, out)
+        prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        # _artifact_ready wants the Spark-written _SUCCESS convention;
+        # the partials root is sink-managed, so stamp it explicitly
+        open(os.path.join(work, "_SUCCESS"), "w").close()
+        _mark_artifact(work, fp)
+    return streaming.token_budget_view(spark, out).orderBy("source")
+
+
+def _streaming_token_budget_oracle_sql() -> str:
+    """DuckDB twin of q_streaming_token_budget: the shared BPE training
+    chain, the dictionary off the final state, application to the
+    exploded corpus with the character-count fallback, aggregated per
+    source — what every micro-batch's partials sum to."""
+    return f"""
+        WITH {_bpe_train_ctes()},
+        dict AS (SELECT word,
+                        CAST(len(string_split(
+                            substring(enc, 2, length(enc) - 2),
+                            ')(')) AS BIGINT) AS tok_n
+                 FROM v{_BPE_MERGES}),
+        dw AS (SELECT doc_id, source, word FROM (
+                   SELECT doc_id, source,
+                          unnest(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+')) AS word
+                   FROM documents)
+               WHERE word <> ''),
+        wtot AS (SELECT source,
+                        CAST(SUM(COALESCE(d.tok_n, length(dw.word)))
+                             AS BIGINT) AS n_tokens,
+                        CAST(COUNT(*) AS BIGINT) AS n_words
+                 FROM dw LEFT JOIN dict d ON d.word = dw.word
+                 GROUP BY source),
+        dtot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY source)
+        SELECT w.source, w.n_tokens, w.n_words, d.n_docs
+        FROM wtot w JOIN dtot d ON d.source = w.source
+        ORDER BY w.source
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- reference core: scans, codecs, joins, aggs (driver-checked block)
     "fusion_minute_avg": q_fusion_minute_avg,
@@ -11014,6 +11118,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_dhash_search": q_image_dhash_search,
     #    ingest-time perceptual dedup (stream ≡ batch ≡ SQL replay)
     "streaming_dhash_ingest": q_streaming_dhash_ingest,
+    #    streamed token-budget metering under the trained BPE vocabulary
+    "streaming_token_budget": q_streaming_token_budget,
 }
 
 
@@ -13023,6 +13129,7 @@ def oracle_sql() -> dict[str, str]:
         # contract exactly, so its oracle IS the batch twin — one hash
         # pins stream ≡ batch ≡ SQL replay
         "streaming_dhash_ingest": _image_dhash_oracle_sql(),
+        "streaming_token_budget": _streaming_token_budget_oracle_sql(),
         "pq_distortion_report": _pq_distortion_oracle_sql(),
         "embedding_near_dup_pairs": _near_dup_oracle_sql(),
         "temperature_resample": """

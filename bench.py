@@ -203,6 +203,8 @@ HEADLINE = [
     "image_dhash_search",
     # ingest-time perceptual dedup (stream ≡ batch ≡ SQL replay)
     "streaming_dhash_ingest",
+    # streamed token-budget metering under the trained BPE vocabulary
+    "streaming_token_budget",
 ]
 
 

@@ -1393,3 +1393,68 @@ def _mih_append(sigs, state_path: str, shift: int) -> None:
             .partitionBy("cb")
             .parquet(os.path.join(state_path, f"table{k}"))
         )
+
+
+def token_budget_sink(dict_path: str, out_path: str):
+    """foreachBatch sink: TOKEN-BUDGET accounting at document ingest —
+    per-source token totals under a TRAINED BPE dictionary (the number
+    a mixture pipeline budgets and rebalances by while data streams
+    in; operators/tokenizer.py trains the dictionary, this meters
+    against it). Each micro-batch explodes its documents' words, joins
+    the persisted word→token-count dictionary (broadcast — the
+    dictionary is vocabulary-sized), aggregates per-source partials,
+    and appends them; the serving view sums partials per source. Sums
+    are associative, so the accumulated totals are INDEPENDENT of the
+    batching — streamed metering ≡ the batch per-source aggregation ≡
+    the SQL replay of training + application (the gated catalog entry
+    pins all three with one hash). Absent words fall back to character
+    count, exactly like tokenizer.doc_token_counts."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (  # noqa: E501
+        tokenizer,
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        words = batch_df.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.col("text")), tokenizer.WORD_SPLIT_REGEX)
+            ).alias("word"),
+        ).filter(F.col("word") != "")
+        d = F.broadcast(spark.read.parquet(dict_path))
+        partial = (
+            words.join(d, "word", "left")
+            .select(
+                "source",
+                F.coalesce(
+                    F.col("tok_n"), F.length("word").cast("long")
+                ).alias("tok_n"),
+            )
+            .groupBy("source")
+            .agg(
+                F.sum("tok_n").cast("long").alias("n_tokens"),
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+            )
+        )
+        docs = batch_df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+        partial.join(docs, "source", "full").write.mode("append").parquet(
+            out_path
+        )
+
+    return sink
+
+
+def token_budget_view(spark, out_path: str) -> DataFrame:
+    """Serving view over the appended per-batch partials: exact
+    per-source running totals."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+    )

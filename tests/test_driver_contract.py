@@ -197,6 +197,9 @@ DEBUT_ORACLE_QUERIES = [
     # r12 (late-round): new — ingest-time perceptual dedup; its oracle
     # is the batch dHash twin verbatim (stream ≡ batch ≡ SQL replay)
     "streaming_dhash_ingest",
+    # r12 (late-round): new — streamed token-budget metering under the
+    # trained BPE vocabulary (stream ≡ batch ≡ SQL replay)
+    "streaming_token_budget",
 ]
 
 

@@ -1719,3 +1719,65 @@ def test_dhash_ingest_stream_matches_batch(spark, tmp_dir):
     # the planted twins must all be present at hamming 0
     for i in range(0, 30, 5):
         assert (i, 100 + i, 0) in streamed
+
+
+def test_token_budget_stream_matches_batch(spark, tmp_dir):
+    """Streamed token metering must sum to the batch per-source
+    aggregation whatever the batching (associative partials), with the
+    character-count fallback for words absent from the dictionary."""
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        tokenizer,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat", "a"),
+            (2, "the the zq", "a"),
+            (3, "cat zq zq cat", "b"),
+            (4, "sat", "b"),
+            (5, "the", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    dict_path = f"{tmp_dir}/dict"
+    spark.createDataFrame(
+        [("the", 1), ("cat", 2), ("sat", 2)], "word string, tok_n long"
+    ).write.parquet(dict_path)
+
+    src = f"{tmp_dir}/docstream"
+    for part in range(3):
+        docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = f"{tmp_dir}/partials"
+    stream = file_stream(
+        spark, src, "doc_id LONG, text STRING, source STRING",
+        max_files_per_trigger=1,
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            pipeline.token_budget_sink(dict_path, out)
+        )
+        .option("checkpointLocation", f"{tmp_dir}/tbckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    got = {
+        r["source"]: (r["n_tokens"], r["n_words"], r["n_docs"])
+        for r in pipeline.token_budget_view(spark, out).collect()
+    }
+    # a: the(1)+cat(2)+sat(2) + the(1)+the(1)+zq(2 chars) = 9, 6 words
+    # b: cat(2)+zq(2)+zq(2)+cat(2) + sat(2) = 10, 5 words
+    # c: the(1) = 1, 1 word
+    assert got == {"a": (9, 6, 2), "b": (10, 5, 2), "c": (1, 1, 1)}
+    # batch twin through the library path
+    batch = {
+        r["doc_id"]: r["n_tokens"]
+        for r in tokenizer.doc_token_counts(
+            docs, spark.read.parquet(dict_path)
+        ).collect()
+    }
+    assert sum(batch.values()) == sum(v[0] for v in got.values())
