@@ -654,14 +654,18 @@ _QMAT_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    """Query vector (vec_id=0), fetched once per sf_dir — the ANN queries
-    share it instead of each paying a driver round-trip job."""
-    if sf_dir not in _QVEC_CACHE:
+    """Query vector (vec_id=0), fetched once per fixture — the ANN
+    queries share it instead of each paying a driver round-trip job.
+    Keyed by the source fingerprint (r12 verdict nit on the sibling
+    _QSIG_CACHE): a regenerated embeddings.parquet mid-process must
+    not serve a stale vector."""
+    key = f"{sf_dir}:{_source_fingerprint(f'{sf_dir}/embeddings.parquet')}"
+    if key not in _QVEC_CACHE:
         emb = _t(spark, sf_dir, "embeddings")
-        _QVEC_CACHE[sf_dir] = list(
+        _QVEC_CACHE[key] = list(
             emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
         )
-    return _QVEC_CACHE[sf_dir]
+    return _QVEC_CACHE[key]
 
 
 def q_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -815,16 +819,17 @@ def q_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled), exact global top-k over the tiny candidate set. The
     4-vector query matrix is a driver-side fetch, like _query_vec."""
     emb = _t(spark, sf_dir, "embeddings")
-    if sf_dir not in _QMAT_CACHE:
+    key = f"{sf_dir}:{_source_fingerprint(f'{sf_dir}/embeddings.parquet')}"
+    if key not in _QMAT_CACHE:
         qrows = (
             emb.filter(F.col("vec_id") < 4)
             .select("vec_id", "embedding")
             .collect()
         )
-        _QMAT_CACHE[sf_dir] = [
+        _QMAT_CACHE[key] = [
             (r.vec_id, [float(x) for x in r.embedding]) for r in qrows
         ]
-    return similarity.multi_query_topk(emb, _QMAT_CACHE[sf_dir], k=10)
+    return similarity.multi_query_topk(emb, _QMAT_CACHE[key], k=10)
 
 
 def q_minhash_signatures_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10583,13 +10588,17 @@ def q_image_dhash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # needs the explicit stamp _artifact_ready looks for
         open(os.path.join(index_path, "_SUCCESS"), "w").close()
         _mark_artifact(index_path, fp)
-    if sf_dir not in _QSIG_CACHE:
+    # cache key includes the fixture fingerprint (r12 verdict nit): a
+    # process that regenerates documents.parquet mid-life must not be
+    # served a stale query signature
+    qsig_key = f"{sf_dir}:{fp}"
+    if qsig_key not in _QSIG_CACHE:
         qrow = sigs.filter(F.col("media_id") == 0).head()
-        _QSIG_CACHE[sf_dir] = [
+        _QSIG_CACHE[qsig_key] = [
             qrow["c0"], qrow["c1"], qrow["c2"], qrow["c3"]
         ]
     return multimodal.mih_topk_from_index(
-        spark, index_path, _QSIG_CACHE[sf_dir], k=10, max_hamming=3,
+        spark, index_path, _QSIG_CACHE[qsig_key], k=10, max_hamming=3,
         cb_bits=4,
     )
 
@@ -10810,37 +10819,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_attribution": q_asof_purchase_attribution,
     "price_band_join": q_price_band_join,
     "cdc_merge_snapshot": q_cdc_merge_snapshot,
-    # -- r10 rotation: the never-driver-witnessed remainder of the
-    #    QUERIES.md ledger — the r7/r8 time-series + profiling tier,
-    #    the retrieval pair, the r9 drift/semantic additions
-    "cusum_drift_profile": q_cusum_drift_profile,
+    # -- r10 rotation survivors: the drift/statistics + profiling +
+    #    retrieval witnesses the r13 rotation keeps in-window
     "bh_fdr_event_shifts": q_bh_fdr_event_shifts,
-    "acf_minute_counts": q_acf_minute_counts,
     "calendar_seasonality_profile": q_calendar_seasonality_profile,
-    "session_concurrency_profile": q_session_concurrency_profile,
-    "lorenz_deciles": q_lorenz_deciles,
     "activity_correlation_matrix": q_activity_correlation_matrix,
-    "market_basket_rules": q_market_basket_rules,
     "incremental_rollup_maintenance": q_incremental_rollup_maintenance,
-    "join_skew_report": q_join_skew_report,
     "phrase_search": q_phrase_search,
-    "proximity_search": q_proximity_search,
     "t_closeness_report": q_t_closeness_report,
-    # -- r10 rotation: graph tier (bfs/assortativity — the two members
-    #    the driver never hash-checked; kcore/link-prediction witnessed r9)
+    # -- graph tier witness (assortativity rotated out r13; family
+    #    stays witnessed by bfs)
     "bfs_hop_distance": q_bfs_hop_distance,
-    "degree_assortativity": q_degree_assortativity,
     # -- streaming semantics (T1-T7), driven to completion via file
-    #    stream; r10 adds the stateful-dedup member
+    #    stream; r13 swaps the passage-dedup member for the four
+    #    never-driver-witnessed r12 streaming debuts below
     "streaming_minute_counts": q_streaming_minute_counts,
     "streaming_session_rollup": q_streaming_session_rollup,
     "streaming_enriched_counts": q_streaming_enriched_counts,
     "streaming_left_outer_join": q_streaming_left_outer_join,
     "streaming_windowed_top1": q_streaming_windowed_top1,
-    "streaming_passage_dedup": q_streaming_passage_dedup,
-    # -- LLM training-data pipeline, one per family; r12 rotates in the
-    #    never-driver-witnessed r10/r11 debuts (MMR pair, IMI + trained
-    #    quantizer legs of semantic dedup) for redundant witnesses
+    # -- LLM training-data pipeline, one per family
     "exact_dedup_docs": q_exact_dedup_docs,
     "dedup_clusters": q_dedup_clusters,
     "doremi_domain_weights": q_doremi_domain_weights,
@@ -10848,11 +10846,48 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_distortion_report": q_pq_distortion_report,
     "multimodal_wav_features": q_multimodal_wav_features,
     "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
-    "mmr_diversified_topk": q_mmr_diversified_topk,
     "mmr_from_index": q_mmr_from_index,
-    "semantic_dedup_imi": q_semantic_dedup_imi,
     "semantic_dedup_trained": q_semantic_dedup_trained,
+    # -- r13 rotation (VERDICT r12 task 1): the eleven r12 debuts the
+    #    driver never hash-checked — BPE tokenizer, the perceptual
+    #    image/audio/video tier, MIH search, the streaming
+    #    serving/ingest/metering sinks, and the multi-probe +
+    #    streaming legs of semantic dedup
+    "semantic_dedup_multiprobe": q_semantic_dedup_multiprobe,
+    "streaming_semantic_dedup": q_streaming_semantic_dedup,
+    "bpe_merge_table": q_bpe_merge_table,
+    "bpe_token_counts": q_bpe_token_counts,
+    "image_dhash_near_dup": q_image_dhash_near_dup,
+    "audio_contour_near_dup": q_audio_contour_near_dup,
+    "streaming_ann_serving": q_streaming_ann_serving,
+    "video_shared_frame_dedup": q_video_shared_frame_dedup,
+    "image_dhash_search": q_image_dhash_search,
+    "streaming_dhash_ingest": q_streaming_dhash_ingest,
+    "streaming_token_budget": q_streaming_token_budget,
     # ---------------------------------------------------- beyond the cap
+    # rotated out of the driver window in r13, all driver-witnessed in
+    # r10/r11/r12 (families still witnessed in-window: drift by bh_fdr,
+    # time-series by calendar_seasonality, profiling by
+    # activity_correlation + sessionize, concentration/coverage by
+    # t_closeness's distribution machinery, association by
+    # activity_correlation's pairwise aggregation, skew observability by
+    # the join block itself, retrieval by phrase_search (same postings
+    # as proximity), graph by bfs_hop_distance, stateful streaming
+    # dedup by the incoming streaming_semantic_dedup +
+    # streaming_dhash_ingest pair, MMR by mmr_from_index which probes
+    # the same persisted index, semantic dedup by the trained +
+    # multi-probe legs):
+    "cusum_drift_profile": q_cusum_drift_profile,
+    "acf_minute_counts": q_acf_minute_counts,
+    "session_concurrency_profile": q_session_concurrency_profile,
+    "lorenz_deciles": q_lorenz_deciles,
+    "market_basket_rules": q_market_basket_rules,
+    "join_skew_report": q_join_skew_report,
+    "proximity_search": q_proximity_search,
+    "degree_assortativity": q_degree_assortativity,
+    "streaming_passage_dedup": q_streaming_passage_dedup,
+    "mmr_diversified_topk": q_mmr_diversified_topk,
+    "semantic_dedup_imi": q_semantic_dedup_imi,
     # rotated out of the driver window in r12, all driver-witnessed in
     # r10+r11 (families still witnessed in-window: drift by
     # cusum/bh_fdr, ANN-serving by the mmr pair + pq_distortion,
@@ -11095,31 +11130,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # drift/semantic additions moved into the driver window in the r10
     # rotation; the r10/r11 MMR + IMI + trained-quantizer additions
     # moved into the window in the r12 rotation)
-    # -- r12 additions: the multi-probe boundary-split recall leg of
-    #    semantic dedup (pair-level; trained centroids, top-2 cells) and
-    #    the INGEST-time streaming twin whose persisted state hash-gates
-    #    against the batch SQL replay
-    "semantic_dedup_multiprobe": q_semantic_dedup_multiprobe,
-    "streaming_semantic_dedup": q_streaming_semantic_dedup,
-    # -- r12 additions (late-round): BPE tokenizer — SQL-replayed
-    #    training (the merge table IS the result) and per-doc token
-    #    counts under the trained vocabulary
-    "bpe_merge_table": q_bpe_merge_table,
-    "bpe_token_counts": q_bpe_token_counts,
-    #    perceptual-hash image dedup through the real P5 decoder
-    "image_dhash_near_dup": q_image_dhash_near_dup,
-    #    gain-invariant audio energy-contour near-dup (same pairing kernel)
-    "audio_contour_near_dup": q_audio_contour_near_dup,
-    #    streaming ANN query serving against the persisted trained index
-    "streaming_ann_serving": q_streaming_ann_serving,
-    #    video near-dup by shared perceptual frame signatures (VID0)
-    "video_shared_frame_dedup": q_video_shared_frame_dedup,
-    #    perceptual search from the persisted multi-index-hashing index
-    "image_dhash_search": q_image_dhash_search,
-    #    ingest-time perceptual dedup (stream ≡ batch ≡ SQL replay)
-    "streaming_dhash_ingest": q_streaming_dhash_ingest,
-    #    streamed token-budget metering under the trained BPE vocabulary
-    "streaming_token_budget": q_streaming_token_budget,
+    # (the r12 multi-probe/streaming-semantic/BPE/perceptual/serving
+    # additions moved into the driver window in the r13 rotation)
 }
 
 

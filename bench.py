@@ -19,6 +19,12 @@ jobs and has measured ±5% machine noise on identical code (r9:
 129.7s committed vs 135.3s driver on the same tree). A delta between
 rounds counts as a regression ONLY against the committed
 clean-machine artifact; SURVEY §7 cites that run exclusively.
+
+Every run writes its full per-query map to BENCH_FULL.latest.json
+(gitignored side artifact). BENCH_FULL.json — the ledger of record —
+is rewritten only under `python bench.py --record-ledger`, so a driver
+or ad-hoc run can never clobber the committed clean-machine artifact
+in the working tree (VERDICT r12 "What's wrong" #2).
 """
 
 from __future__ import annotations
@@ -388,10 +394,19 @@ def main() -> None:
     full.update(full_only)
     full["key"] = "qK=HEADLINE[K-1]"
     full["queries"] = times  # full names, same medians
+    # The LEDGER OF RECORD (committed BENCH_FULL.json) is only
+    # overwritten under an explicit --record-ledger: the r12 driver's
+    # own bench run clobbered the builder's committed clean-machine
+    # artifact in the worktree (VERDICT r12 "What's wrong" #2). Every
+    # run still persists its full 3-dp map to the side artifact
+    # BENCH_FULL.latest.json (gitignored) for bench_diff / forensics.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+        with open(os.path.join(here, "BENCH_FULL.latest.json"), "w") as fh:
             json.dump(full, fh, indent=1)
+        if "--record-ledger" in sys.argv:
+            with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+                json.dump(full, fh, indent=1)
     except OSError:
         pass
     line = json.dumps(payload, separators=(",", ":"))

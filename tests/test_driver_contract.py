@@ -87,6 +87,25 @@ SF = "/root/testdata/sf0.001"
 #: by the mmr pair — mmr_from_index exercises the persisted
 #: partition-pruned index probe those two witnessed — plus
 #: pq_distortion_report for the quantized path).
+#: r13 rotation (the r12 verdict's ordered task 1 — the eleven r12
+#: debuts the driver never hash-checked): IN — semantic_dedup_multiprobe,
+#: streaming_semantic_dedup, bpe_merge_table, bpe_token_counts,
+#: image_dhash_near_dup, audio_contour_near_dup, streaming_ann_serving,
+#: video_shared_frame_dedup, image_dhash_search, streaming_dhash_ingest,
+#: streaming_token_budget. OUT (families still witnessed in-window) —
+#: cusum_drift_profile (drift by bh_fdr), acf_minute_counts
+#: (time-series by calendar_seasonality), session_concurrency_profile
+#: (profiling by sessionize + calendar), lorenz_deciles
+#: (cumulative-distribution machinery by t_closeness),
+#: market_basket_rules (pairwise association by activity_correlation),
+#: join_skew_report (join matrix by multiway/asof/band/cdc/correlated),
+#: proximity_search (retrieval by phrase_search — same postings),
+#: degree_assortativity (graph by bfs_hop_distance),
+#: streaming_passage_dedup (stateful streaming dedup by the incoming
+#: streaming_semantic_dedup + streaming_dhash_ingest pair),
+#: mmr_diversified_topk (MMR by mmr_from_index over the same persisted
+#: index), semantic_dedup_imi (semantic dedup by the trained +
+#: multi-probe legs).
 DRIVER_WINDOW = [
     "fusion_minute_avg",
     "multiway_join_revenue",
@@ -106,27 +125,18 @@ DRIVER_WINDOW = [
     "asof_purchase_attribution",
     "price_band_join",
     "cdc_merge_snapshot",
-    "cusum_drift_profile",
     "bh_fdr_event_shifts",
-    "acf_minute_counts",
     "calendar_seasonality_profile",
-    "session_concurrency_profile",
-    "lorenz_deciles",
     "activity_correlation_matrix",
-    "market_basket_rules",
     "incremental_rollup_maintenance",
-    "join_skew_report",
     "phrase_search",
-    "proximity_search",
     "t_closeness_report",
     "bfs_hop_distance",
-    "degree_assortativity",
     "streaming_minute_counts",
     "streaming_session_rollup",
     "streaming_enriched_counts",
     "streaming_left_outer_join",
     "streaming_windowed_top1",
-    "streaming_passage_dedup",
     "exact_dedup_docs",
     "dedup_clusters",
     "doremi_domain_weights",
@@ -134,10 +144,19 @@ DRIVER_WINDOW = [
     "pq_distortion_report",
     "multimodal_wav_features",
     "corpus_pipeline_end2end",
-    "mmr_diversified_topk",
     "mmr_from_index",
-    "semantic_dedup_imi",
     "semantic_dedup_trained",
+    "semantic_dedup_multiprobe",
+    "streaming_semantic_dedup",
+    "bpe_merge_table",
+    "bpe_token_counts",
+    "image_dhash_near_dup",
+    "audio_contour_near_dup",
+    "streaming_ann_serving",
+    "video_shared_frame_dedup",
+    "image_dhash_search",
+    "streaming_dhash_ingest",
+    "streaming_token_budget",
 ]
 
 
@@ -161,45 +180,9 @@ def test_driver_window_is_stable_and_fully_oracled():
 #: actual engine-vs-oracle comparison for them in-repo. Entries rotate
 #: OUT each round (the window + full local gate cover them afterwards).
 DEBUT_ORACLE_QUERIES = [
-    # r12: new — MMR over the trained cid-partitioned IVF index
-    "mmr_from_index",
-    # r12: changed — the Knuth sample key is now WIDTH-SAFE (the naive
-    # id·2654435761 overflowed int64 at id ≳ 3.47e9, silently wrapping
-    # in Spark while DuckDB promoted to HUGEINT — divergent samples on
-    # billion-scale id spaces; similarity.knuth_key32/knuth_key32_sql)
-    "semantic_dedup_trained",
-    # r12: new — multi-probe boundary-split pair recall for semantic
-    # dedup (trained centroids, top-2 cells, pair-level verify)
-    "semantic_dedup_multiprobe",
-    # r12: new — streaming ingest-time semantic dedup; its oracle is
-    # the batch twin verbatim (stream ≡ batch ≡ SQL replay in one hash)
-    "streaming_semantic_dedup",
-    # r12 (late-round): new — BPE tokenizer training replayed in SQL
-    # (merge table) and per-doc token counts under the trained
-    # vocabulary (operators/tokenizer.py)
-    "bpe_merge_table",
-    "bpe_token_counts",
-    # r12 (late-round): new — perceptual-hash (dHash) image near-dup
-    # pairs through the real P5 decoder (operators/multimodal.py)
-    "image_dhash_near_dup",
-    # r12 (late-round): new — gain-invariant audio energy-contour
-    # near-dup through the real RIFF codecs (same pairing kernel)
-    "audio_contour_near_dup",
-    # r12 (late-round): new — streamed ANN query serving against the
-    # persisted trained IVF index (stream ≡ batch ≡ SQL replay)
-    "streaming_ann_serving",
-    # r12 (late-round): new — video near-dup by shared perceptual
-    # frame signatures through the VID0 container walk
-    "video_shared_frame_dedup",
-    # r12 (late-round): new — perceptual search from the persisted
-    # multi-index-hashing signature index (partition-pruned probes)
-    "image_dhash_search",
-    # r12 (late-round): new — ingest-time perceptual dedup; its oracle
-    # is the batch dHash twin verbatim (stream ≡ batch ≡ SQL replay)
-    "streaming_dhash_ingest",
-    # r12 (late-round): new — streamed token-budget metering under the
-    # trained BPE vocabulary (stream ≡ batch ≡ SQL replay)
-    "streaming_token_budget",
+    # (the thirteen r12 debuts rotated out at the r13 window rotation —
+    # their now-verified md5s entered tests/oracle_checksums.json via
+    # tools/gen_oracle_checksums.py after CORRECTNESS gates ran them)
 ]
 
 
