@@ -10065,6 +10065,52 @@ def _streaming_ann_oracle_sql() -> str:
     probe ranking over the same exact norms, and the pruned quantized-
     cosine top-10 — the relational shadow of what every micro-batch
     appended."""
+    return _ann_probe_topk_sql(_ANN_SERVE_QUERIES, _ANN_SERVE_NPROBE)
+
+
+#: bulk re-ranking query-set size for q_ivf_bulk_topk — 4× the serving
+#: page, drawn from the same embeddings prefix
+_ANN_BULK_QUERIES = 32
+
+
+def q_ivf_bulk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk ANN top-10 with DISTRIBUTED (in-plan) probe ranking
+    (similarity.ivf_bulk_topk — the r12 verdict's task 4): the 32-query
+    set stays a DataFrame end to end (never collected to the driver);
+    the trained k=16 integer-Lloyd centroid table rides in as ONE
+    broadcast scalar row, every query row scores all 16 cells JVM-side
+    via the shared ‖c‖²−2·q·c left-to-right fold (`rank_probe_cells`'s
+    contract, now inside whole-stage codegen), `array_sort` over
+    (score, cid) structs picks nprobe=2 cells with the (score, cid)
+    tie-break, candidates come from the cid join against the persisted
+    index, and the per-query quantized-cosine top-10 window is the
+    single exchange. Hash-matches the driver-side per-query path
+    (`ivf_multi_query_topk`) on the same query set
+    (tests/test_similarity.py) and the DuckDB twin — the same
+    training + assignment + probe ranking + top-k replay as the
+    streaming serving oracle, at the bulk query-set size."""
+    index_path, cents, cn = _trained_ivf_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ANN_BULK_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_bulk_topk(
+        spark,
+        index_path,
+        queries,
+        cents,
+        k=10,
+        nprobe=_ANN_SERVE_NPROBE,
+        cnorms_sq=cn,
+    ).orderBy("query_id", F.desc("cos_sim"), "vec_id")
+
+
+def _ann_probe_topk_sql(n_queries: int, nprobe: int) -> str:
+    """Shared DuckDB replay of trained-IVF probe serving (streaming
+    page + bulk re-rank twins): the Lloyd chain at k=16, full-corpus
+    assignment, per-query probe ranking over the same exact norms
+    (‖c‖² − 2·q·c, ties to the smaller cid), and the pruned
+    quantized-cosine top-10."""
     return f"""
         WITH {_lloyd_train_ctes(str(_MMR_INDEX_K))},
         asg AS (SELECT vec_id, v, cid FROM (
@@ -10078,7 +10124,7 @@ def _streaming_ann_oracle_sql() -> str:
                 ) WHERE rn = 1),
         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
               FROM embeddings
-              WHERE vec_id < {_ANN_SERVE_QUERIES}
+              WHERE vec_id < {n_queries}
                 AND list_inner_product(embedding::DOUBLE[],
                                        embedding::DOUBLE[]) > 0),
         pr AS (SELECT query_id, cid FROM (
@@ -10089,7 +10135,7 @@ def _streaming_ann_oracle_sql() -> str:
                                         - 2 * list_inner_product(q.qv, c.c)
                                         ASC, c.cid ASC) AS rn
                     FROM q, cents c
-                ) WHERE rn <= {_ANN_SERVE_NPROBE}),
+                ) WHERE rn <= {nprobe}),
         sc AS (SELECT q.query_id, a.vec_id,
                       FLOOR(list_inner_product(a.v, q.qv)
                             / (SQRT(list_inner_product(a.v, a.v))
@@ -11130,6 +11176,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # drift/semantic additions moved into the driver window in the r10
     # rotation; the r10/r11 MMR + IMI + trained-quantizer additions
     # moved into the window in the r12 rotation)
+    # -- r13 additions: bulk ANN re-ranking with in-plan probe ranking
+    "ivf_bulk_topk": q_ivf_bulk_topk,
     # (the r12 multi-probe/streaming-semantic/BPE/perceptual/serving
     # additions moved into the driver window in the r13 rotation)
 }
@@ -13135,6 +13183,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash_near_dup": _image_dhash_oracle_sql(),
         "audio_contour_near_dup": _audio_contour_oracle_sql(),
         "streaming_ann_serving": _streaming_ann_oracle_sql(),
+        "ivf_bulk_topk": _ann_probe_topk_sql(_ANN_BULK_QUERIES, 2),
         "video_shared_frame_dedup": _video_shared_frame_oracle_sql(),
         "image_dhash_search": _image_dhash_search_oracle_sql(),
         # the streamed ingest pair set reconstructs the batch output

@@ -211,6 +211,8 @@ HEADLINE = [
     "streaming_dhash_ingest",
     # streamed token-budget metering under the trained BPE vocabulary
     "streaming_token_budget",
+    # round-13 additions: bulk ANN re-ranking with in-plan probe ranking
+    "ivf_bulk_topk",
 ]
 
 

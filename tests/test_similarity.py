@@ -298,6 +298,41 @@ def test_batch_probe_paths_match_single_query_paths(spark, tmp_dir):
         assert batch == [(r.vec_id, r.cos_sim) for r in singles]
 
 
+def test_ivf_bulk_topk_matches_driver_side_per_query_path(spark, tmp_dir):
+    """ivf_bulk_topk ranks probe cells IN-PLAN (zip_with/aggregate fold
+    + array_sort tie-break) where ivf_multi_query_topk ranks them
+    driver-side per query — same probe sets, same candidates, same
+    quantized top-k on the same query set (the r12 verdict's done
+    condition for the bulk leg)."""
+    corpus, vecs = _corpus(spark)
+    cents = similarity.train_ivf_centroids(corpus, n_centroids=4, sample=64)
+    ivf_path = f"{tmp_dir}/ivf_bulk"
+    similarity.build_ivf_index(corpus, cents, ivf_path)
+    queries = [
+        (i, [float(x) for x in vecs[j]]) for i, j in enumerate((3, 17, 44, 59))
+    ]
+    per_query = similarity.ivf_multi_query_topk(
+        spark, ivf_path, queries, cents, k=5, nprobe=2
+    ).collect()
+    qdf = spark.createDataFrame(queries, "query_id long, qvec array<double>")
+    bulk = similarity.ivf_bulk_topk(
+        spark, ivf_path, qdf, cents, k=5, nprobe=2
+    ).collect()
+
+    def key(rows):
+        return sorted((r.query_id, r.vec_id, r.cos_sim) for r in rows)
+
+    assert key(bulk) == key(per_query)
+    # zero-norm queries have no cosine ordering: dropped in-plan, never
+    # an error (matches the serving paths' source filter)
+    qdf0 = spark.createDataFrame(
+        [(99, [0.0] * DIM)], "query_id long, qvec array<double>"
+    )
+    assert (
+        similarity.ivf_bulk_topk(spark, ivf_path, qdf0, cents, k=5, nprobe=2)
+    ).count() == 0
+
+
 def test_embedding_near_dup_pairs_finds_planted_dups(spark):
     """Plant 20 near-duplicate vector pairs (cos ~0.99) among decoys;
     the banded-LSH near-dup operator must recover almost all of them
