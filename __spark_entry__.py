@@ -10594,6 +10594,160 @@ def _video_shared_frame_oracle_sql() -> str:
     """
 
 
+#: frame stride for the sampled-index video dedup leg
+_VID_SAMPLE_STRIDE = 2
+
+
+def q_video_sampled_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup against a FRAME-SAMPLED index (the r12 verdict's
+    task 5 — real strided sampling, where `frame_sample_plan` only
+    models the explode): 8-frame VID0 videos (suffix-seeded md5-chain
+    PGMs) with planted RE-CUTS for doc_id < 30 (drop frame 0, append a
+    new tail — every frame shifts one position) and RE-BRIGHTENED
+    copies for 30 ≤ doc_id < 60 (+25 every pixel, every dHash
+    identical). The INDEX side walks the container at stride 2 —
+    unsampled frames never pay the image decode + hash, so the index
+    build costs ~half and holds ~half the rows (`video_frame_dhash(...,
+    stride=2)`); the PROBE side walks all frames. The asymmetry is the
+    design: any shared run ≥ stride contains a sampled index frame, so
+    the one-frame-shifted re-cuts are caught in BOTH orientations
+    (probe=re-cut finds 3 sampled matches, probe=original finds 4) —
+    whereas striding both sides misses every odd-shift re-cut (the
+    alignment failure pinned in tests/test_dhash.py, beside the
+    sampled-vs-full retention measurement). Pairs from
+    `video_sampled_near_dup_pairs`: distinct signatures per side,
+    hot-signature caps, exact oriented count ≥ 2. The DuckDB twin
+    recomputes every frame's pixels from the same md5 hex digits and
+    replays hashing, the stride filter, per-side signature dedup, and
+    the oriented join."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    base = docs.select(
+        "doc_id",
+        F.array(*[_md5_chain(f"s{j}") for j in range(8)]).alias("fr"),
+        _md5_chain("sg").alias("mg"),
+    )
+    variants = (
+        base.select(
+            F.col("doc_id").alias("media_id"),
+            F.col("fr").alias("frames"),
+            F.lit(0).alias("dv"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 1000).alias("media_id"),
+                F.concat(
+                    F.slice(F.col("fr"), 2, 7), F.array(F.col("mg"))
+                ).alias("frames"),
+                F.lit(0).alias("dv"),
+            )
+        )
+        .unionByName(
+            base.filter(
+                (F.col("doc_id") >= 30) & (F.col("doc_id") < 60)
+            ).select(
+                (F.col("doc_id") + 2000).alias("media_id"),
+                F.col("fr").alias("frames"),
+                F.lit(25).alias("dv"),
+            )
+        )
+    )
+
+    def _author(it):
+        import pandas as _pd
+
+        for pdf in it:
+            content = []
+            for frames, dv in zip(pdf["frames"], pdf["dv"]):
+                blobs = [
+                    b"P5\n9 8\n255\n"
+                    + bytes(x % 192 + int(dv) for x in bytes(m)[:72])
+                    for m in frames
+                ]
+                content.append(multimodal.encode_video_frames(blobs))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": content,
+                }
+            )
+
+    # authored once, walked twice (full probe + strided index)
+    media = variants.mapInPandas(
+        _author, "media_id long, content binary"
+    ).localCheckpoint(eager=False)
+    probe = multimodal.video_frame_dhash(media)
+    index = multimodal.video_frame_dhash(
+        media, stride=_VID_SAMPLE_STRIDE
+    )
+    return multimodal.video_sampled_near_dup_pairs(
+        probe, index, min_shared=2
+    ).orderBy("probe_id", "index_id")
+
+
+def _video_sampled_frame_oracle_sql() -> str:
+    """DuckDB twin of q_video_sampled_frame_dedup: per-(video, frame)
+    pixels from the same suffix-seeded md5 hex digits (8-frame
+    re-cut remap, +25 re-brighten), dHash packing per frame, the
+    stride-2 filter on the index side, per-side DISTINCT signatures,
+    and the oriented equi-join with the exact shared count."""
+    chunk_sums, _, _ = _chunk_pair_sql()
+
+    def hx(sfx: str) -> str:
+        parts = " || ".join(
+            f"unhex(md5(text || '{sfx}{t}'))" for t in ["", "x", "y", "z", "w"]
+        )
+        return f"lower(hex({parts}))"
+
+    fh = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS fsrc, {hx(f's{j}')} AS hs FROM base"
+        for j in range(8)
+    ) + f" UNION ALL SELECT doc_id, 9 AS fsrc, {hx('sg')} AS hs FROM base"
+    vid_rows = [
+        "SELECT doc_id, doc_id AS media_id, fi AS frame_idx, fi AS fsrc, "
+        "0 AS dv FROM base, generate_series(0, 7) AS g(fi)",
+        "SELECT doc_id, doc_id + 1000, fi, "
+        "CASE WHEN fi < 7 THEN fi + 1 ELSE 9 END, 0 "
+        "FROM base, generate_series(0, 7) AS g(fi) WHERE doc_id < 30",
+        "SELECT doc_id, doc_id + 2000, fi, fi, 25 "
+        "FROM base, generate_series(0, 7) AS g(fi) "
+        "WHERE doc_id >= 30 AND doc_id < 60",
+    ]
+    vids = " UNION ALL ".join(vid_rows)
+    return f"""
+        WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+        fh AS ({fh}),
+        vids AS ({vids}),
+        pix AS (
+            SELECT v.media_id, v.frame_idx, t.i,
+                   ({_pix_hex_byte("t.i*2+1")} % 192) + v.dv AS v
+            FROM vids v
+            JOIN fh ON fh.doc_id = v.doc_id AND fh.fsrc = v.fsrc,
+            generate_series(0, 71) AS t(i)),
+        bits AS (
+            SELECT p1.media_id, p1.frame_idx,
+                   (p1.i // 9) * 8 + (p1.i % 9) AS bi,
+                   CASE WHEN p1.v < p2.v THEN 1 ELSE 0 END AS bit
+            FROM pix p1
+            JOIN pix p2 ON p2.media_id = p1.media_id
+                       AND p2.frame_idx = p1.frame_idx
+                       AND p2.i = p1.i + 1
+            WHERE p1.i % 9 < 8),
+        sigs AS (SELECT media_id, frame_idx, {chunk_sums}
+                 FROM bits GROUP BY media_id, frame_idx),
+        psig AS (SELECT DISTINCT media_id, c0, c1, c2, c3 FROM sigs),
+        isig AS (SELECT DISTINCT media_id, c0, c1, c2, c3 FROM sigs
+                 WHERE frame_idx % {_VID_SAMPLE_STRIDE} = 0)
+        SELECT p.media_id AS probe_id, i.media_id AS index_id,
+               CAST(COUNT(*) AS BIGINT) AS shared_sampled
+        FROM psig p JOIN isig i
+          ON p.media_id <> i.media_id
+         AND p.c0 = i.c0 AND p.c1 = i.c1 AND p.c2 = i.c2 AND p.c3 = i.c3
+        GROUP BY p.media_id, i.media_id
+        HAVING COUNT(*) >= 2
+        ORDER BY probe_id, index_id
+    """
+
+
 #: media 0's dHash signature per sf_dir — the MIH query vector, fetched
 #: once per corpus (the _QVEC_CACHE pattern)
 _QSIG_CACHE: dict[str, list[int]] = {}
@@ -11176,8 +11330,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # drift/semantic additions moved into the driver window in the r10
     # rotation; the r10/r11 MMR + IMI + trained-quantizer additions
     # moved into the window in the r12 rotation)
-    # -- r13 additions: bulk ANN re-ranking with in-plan probe ranking
+    # -- r13 additions: bulk ANN re-ranking with in-plan probe ranking,
+    #    frame-sampled video dedup (strided index, full probe)
     "ivf_bulk_topk": q_ivf_bulk_topk,
+    "video_sampled_frame_dedup": q_video_sampled_frame_dedup,
     # (the r12 multi-probe/streaming-semantic/BPE/perceptual/serving
     # additions moved into the driver window in the r13 rotation)
 }
@@ -13185,6 +13341,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_ann_serving": _streaming_ann_oracle_sql(),
         "ivf_bulk_topk": _ann_probe_topk_sql(_ANN_BULK_QUERIES, 2),
         "video_shared_frame_dedup": _video_shared_frame_oracle_sql(),
+        "video_sampled_frame_dedup": _video_sampled_frame_oracle_sql(),
         "image_dhash_search": _image_dhash_search_oracle_sql(),
         # the streamed ingest pair set reconstructs the batch output
         # contract exactly, so its oracle IS the batch twin — one hash

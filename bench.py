@@ -211,8 +211,10 @@ HEADLINE = [
     "streaming_dhash_ingest",
     # streamed token-budget metering under the trained BPE vocabulary
     "streaming_token_budget",
-    # round-13 additions: bulk ANN re-ranking with in-plan probe ranking
+    # round-13 additions: bulk ANN re-ranking with in-plan probe
+    # ranking; frame-sampled video dedup (strided index, full probe)
     "ivf_bulk_topk",
+    "video_sampled_frame_dedup",
 ]
 
 

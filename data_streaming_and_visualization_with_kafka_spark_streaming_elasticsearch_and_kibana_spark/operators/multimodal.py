@@ -1901,6 +1901,7 @@ def video_frame_dhash(
     df: DataFrame,
     content_col: str = "content",
     id_col: str = "media_id",
+    stride: int = 1,
 ) -> DataFrame:
     """(id, frame_idx, c0..c3): per-frame dHash over a VID0 video
     column — the frame-explode shape (`frame_sample_plan` models it
@@ -1908,13 +1909,27 @@ def video_frame_dhash(
     one row per frame inside the Arrow batch, each frame decoding
     through the real image codecs and hashing via the shared
     `dhash_chunks_np` kernel. Downstream, `video_near_dup_pairs` joins
-    videos on identical frame signatures."""
+    videos on identical frame signatures.
+
+    `stride` > 1 samples every stride-th frame (frame_idx % stride ==
+    0) — the index-build economy knob: the container walk is
+    length-prefix slicing either way, but unsampled frames NEVER pay
+    the image decode + hash (the dominant per-frame cost), so an
+    index built at stride s costs ~1/s of the full build in both CPU
+    and index rows. Pair it with a FULL-walk probe side
+    (`video_sampled_near_dup_pairs`): a strided-index/full-probe join
+    detects any shared run of ≥ `stride` frames with probability 1,
+    where striding BOTH sides misses every re-cut whose frame shift
+    isn't a multiple of the stride (the alignment failure pinned in
+    tests/test_dhash.py)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, fidx, chunks = [], [], []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 for j, blob in enumerate(decode_video_frames(bytes(content))):
+                    if j % stride:
+                        continue
                     ids.append(mid)
                     fidx.append(j)
                     chunks.append(dhash_chunks_np(decode_image(blob)))
@@ -1981,6 +1996,65 @@ def video_near_dup_pairs(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
         .filter(F.col("shared_frames") >= min_shared)
+    )
+
+
+def video_sampled_near_dup_pairs(
+    frames_probe: DataFrame,
+    frames_index: DataFrame,
+    id_col: str = "media_id",
+    min_shared: int = 2,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """(probe_id, index_id, shared_sampled): video near-dup detection
+    against a FRAME-SAMPLED index — the honest way to spend a stride
+    budget. `frames_index` carries strided signatures (every s-th
+    frame, built at ~1/s the decode cost via `video_frame_dhash(...,
+    stride=s)`); `frames_probe` walks ALL frames of the probe side.
+    The asymmetry is load-bearing: any shared frame RUN of length ≥ s
+    contains a sampled index frame, so re-cuts are detected regardless
+    of their frame-shift — whereas striding both sides only matches
+    when the shift ≡ 0 (mod s), missing almost every re-cut (the
+    alignment failure pinned in tests/test_dhash.py). Same discipline
+    as `video_near_dup_pairs`: DISTINCT signatures per video on each
+    side, hot-signature caps, the equi-join carries (signature, id)
+    only, exact group-by count — never an all-pairs scan. Output is
+    ORIENTED (probe vs index; a pair can appear in both orientations
+    with different shared counts) and self-pairs are excluded. The
+    recall trade vs the full-index path is runs shorter than the
+    stride — measured on the planted fixture in tests/test_dhash.py."""
+    from pyspark.sql import Window
+
+    def _distinct_capped(frames: DataFrame) -> DataFrame:
+        sig = frames.select(id_col, "c0", "c1", "c2", "c3").dropDuplicates(
+            [id_col, "c0", "c1", "c2", "c3"]
+        )
+        if max_bucket_size:
+            w = Window.partitionBy("c0", "c1", "c2", "c3")
+            sig = (
+                sig.withColumn("__bsz", F.count(F.lit(1)).over(w))
+                .filter(F.col("__bsz") <= max_bucket_size)
+                .drop("__bsz")
+            )
+        return sig
+
+    p = _distinct_capped(frames_probe).alias("p")
+    i = _distinct_capped(frames_index).alias("i")
+    return (
+        p.join(
+            i,
+            (F.col("p.c0") == F.col("i.c0"))
+            & (F.col("p.c1") == F.col("i.c1"))
+            & (F.col("p.c2") == F.col("i.c2"))
+            & (F.col("p.c3") == F.col("i.c3"))
+            & (F.col(f"p.{id_col}") != F.col(f"i.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"p.{id_col}").alias("probe_id"),
+            F.col(f"i.{id_col}").alias("index_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_sampled"))
+        .filter(F.col("shared_sampled") >= min_shared)
     )
 
 

@@ -271,6 +271,75 @@ def test_video_shared_frames_set_semantics(spark):
     assert got2 == {(1, 2): 2}
 
 
+def test_video_frame_dhash_stride_skips_decode(spark):
+    """stride=s keeps exactly the frame_idx % s == 0 rows, and a frame
+    that would CRASH the image decoder is never touched when it falls
+    outside the stride — the structural proof that unsampled frames
+    skip the decode, not just the output."""
+    frames = [_pgm(_rand_px(i)) for i in range(4)]
+    frames[1] = b"\xff\xd8garbage-not-an-image"  # would raise in decode
+    frames[3] = b"also-not-an-image"
+    vid = _media(spark, [(5, multimodal.encode_video_frames(frames))])
+    got = {
+        r["frame_idx"]: [r["c0"], r["c1"], r["c2"], r["c3"]]
+        for r in multimodal.video_frame_dhash(vid, stride=2).collect()
+    }
+    assert got == {
+        0: _ref_dhash_chunks(_rand_px(0)),
+        2: _ref_dhash_chunks(_rand_px(2)),
+    }
+
+
+def test_video_sampled_index_retention_and_alignment_failure(spark):
+    """The r12-verdict task-5 retention pin, on planted re-cuts: 10
+    originals of 8 frames each, each with a one-frame-shifted re-cut
+    (drop frame 0, append a new tail). The FULL path finds all 10
+    pairs (7 shared frames). The sampled path (stride-2 INDEX, full
+    PROBE) retains 10/10 in both orientations — any shared run ≥
+    stride contains a sampled index frame. The naive both-sides-strided
+    join retains 0/10: an odd frame shift never aligns with an even
+    stride (why video_sampled_near_dup_pairs is asymmetric by
+    design)."""
+    vids = []
+    for d in range(10):
+        fr = [_pgm(_rand_px(1000 + d * 16 + i)) for i in range(8)]
+        tail = _pgm(_rand_px(1000 + d * 16 + 15))
+        vids.append((d, multimodal.encode_video_frames(fr)))
+        vids.append((100 + d, multimodal.encode_video_frames(fr[1:] + [tail])))
+    media = _media(spark, vids)
+    full = multimodal.video_frame_dhash(media)
+    strided = multimodal.video_frame_dhash(media, stride=2)
+
+    full_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.video_near_dup_pairs(full, min_shared=2).collect()
+    }
+    assert full_pairs == {(d, 100 + d) for d in range(10)}
+
+    sampled = multimodal.video_sampled_near_dup_pairs(
+        full, strided, min_shared=2
+    ).collect()
+    oriented = {(r["probe_id"], r["index_id"]): r["shared_sampled"] for r in sampled}
+    for d in range(10):
+        # probe=re-cut vs strided original index: sampled originals are
+        # frames {0,2,4,6}; the re-cut contains {2,4,6} of them → 3
+        assert oriented[(100 + d, d)] == 3
+        # probe=original vs strided re-cut index: sampled re-cut frames
+        # are sources {1,3,5,7}, all present in the original → 4
+        assert oriented[(d, 100 + d)] == 4
+    # retention: every full-path pair survives sampling (as either
+    # orientation)
+    found = {(min(a, b), max(a, b)) for a, b in oriented}
+    assert full_pairs <= found
+
+    # the alignment failure: striding BOTH sides finds nothing — the
+    # one-frame shift never lands on the stride-2 grid
+    naive = multimodal.video_sampled_near_dup_pairs(
+        strided, strided, min_shared=1
+    ).collect()
+    assert naive == []
+
+
 def test_mih_index_search_is_lossless_and_bounded(spark, tmp_path):
     # radius-3 losslessness vs brute force over a corpus with planted
     # exact distances 0..4 (reusing the disjoint-pair images), plus the

@@ -187,6 +187,9 @@ DEBUT_ORACLE_QUERIES = [
     # ranking over the trained IVF index; the oracle is the shared
     # probe-serving replay at the 32-query bulk size
     "ivf_bulk_topk",
+    # r13: new — video near-dup against a stride-2 frame-sampled index
+    # (full-walk probe side; oriented pair output)
+    "video_sampled_frame_dedup",
 ]
 
 
