@@ -10594,6 +10594,439 @@ def _video_shared_frame_oracle_sql() -> str:
     """
 
 
+#: seeded unit directions for the cross-modal embedding leg's quantizer
+_XMODAL_EMB_K = 8
+_XMODAL_EMB_SEED = 4242
+
+
+def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL dedup composition (the r12 verdict's task 6 — the
+    multimodal sibling of corpus_pipeline_end2end): one tri-modal item
+    corpus (text + authored PGM image + embedding, derived from
+    documents ⋈ embeddings for doc_id < 150), three INDEPENDENT dedup
+    legs, and ONE unified component census. Planted twins make each
+    modality contribute pairs the other two miss:
+
+      - TEXT twin (item 1000+d, d < 30): identical text, different
+        image (alt md5 chain), reversed embedding — only the banded
+        MinHash leg (md5 family, 4 hashes / 2 bands, exact Jaccard ≥
+        0.9 verify; the dedup_keep_best chain) catches it.
+      - IMAGE twin (item 2000+d, 30 ≤ d < 60): reversed text, +32
+        uniform-brightness image (dHash identical — the gradient
+        invariance), reversed embedding — only the 4-chunk pigeonhole
+        leg (hamming ≤ 3) catches it.
+      - EMBEDDING twin (item 3000+d, 60 ≤ d < 90): reversed text,
+        different image, IDENTICAL embedding (cosine 1) — only the
+        quantizer-cell leg (8 seeded unit directions, the house
+        ‖c‖²−2·x·c argmin, within-cell quantized cosine ≥ 0.95)
+        catches it.
+
+    The three pair sets merge into connected components (min-label
+    pointer jumping) and each component elects its keep by (quality
+    DESC, item_id ASC) — the precedence call when modalities disagree:
+    a component glued together by image evidence alone still keeps the
+    best-WRITTEN copy. Output: per component, member count, per-
+    modality pair counts, and the elected keeper. Every leg is the
+    production-shaped operator (banded/bucketed/pigeonholed — never
+    all-pairs); the DuckDB twin replays all three legs, the component
+    recursion, and the election."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    b = docs.join(emb, "doc_id").select(
+        "doc_id",
+        "text",
+        _md5_chain("cm").alias("him"),
+        _md5_chain("cmalt").alias("halt"),
+        "v",
+    )
+    d = F.col("doc_id")
+    items = (
+        b.select(
+            d.alias("item_id"),
+            F.col("text").alias("txt"),
+            F.col("him").alias("hs"),
+            F.lit(0).alias("dv"),
+            "v",
+        )
+        .unionByName(
+            b.filter(d < 30).select(
+                (d + 1000).alias("item_id"),
+                F.col("text").alias("txt"),
+                F.col("halt").alias("hs"),
+                F.lit(0).alias("dv"),
+                F.reverse("v").alias("v"),
+            )
+        )
+        .unionByName(
+            b.filter((d >= 30) & (d < 60)).select(
+                (d + 2000).alias("item_id"),
+                F.reverse("text").alias("txt"),
+                F.col("him").alias("hs"),
+                F.lit(32).alias("dv"),
+                F.reverse("v").alias("v"),
+            )
+        )
+        .unionByName(
+            b.filter((d >= 60) & (d < 90)).select(
+                (d + 3000).alias("item_id"),
+                F.reverse("text").alias("txt"),
+                F.col("halt").alias("hs"),
+                F.lit(0).alias("dv"),
+                "v",
+            )
+        )
+    ).localCheckpoint(eager=False)
+
+    # -- TEXT leg: the dedup_keep_best MinHash chain at Jaccard >= 0.9
+    tdocs = items.select(
+        F.col("item_id").alias("doc_id"), F.col("txt").alias("text")
+    )
+    words = tdocs.select("doc_id", split_words("text").alias("__w"))
+    sh = words.select(
+        "doc_id", textf.shingles_from_words(F.col("__w"), 3).alias("sh")
+    ).localCheckpoint(eager=False)
+    families = F.sequence(F.lit(0), F.lit(3))
+    sig_df = sh.select(
+        "doc_id",
+        F.transform(
+            families,
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.md5(F.concat(i.cast("string"), F.lit(" "), s)),
+                )
+            ),
+        ).alias("sig"),
+    )
+    cands = dedup.minhash_lsh_candidates(
+        tdocs,
+        sig_df=sig_df,
+        num_hashes=4,
+        bands=2,
+        max_bucket_size=None,
+        with_est=False,
+    )
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    p_text = (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .filter(dedup.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.9)
+        .select("id_a", "id_b", F.lit("text").alias("modality"))
+    )
+
+    # -- IMAGE leg: authored PGMs through the real decoder + pigeonhole
+    def _author(it):
+        import pandas as _pd
+
+        for pdf in it:
+            content = []
+            for m, dv in zip(pdf["hs"], pdf["dv"]):
+                px = bytearray(x % 192 for x in bytes(m)[:72])
+                if int(dv):
+                    px = bytearray(x + int(dv) for x in px)
+                content.append(b"P5\n9 8\n255\n" + bytes(px))
+            yield _pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"].astype("int64"),
+                    "content": content,
+                }
+            )
+
+    media = items.select("item_id", "hs", "dv").mapInPandas(
+        _author, "item_id long, content binary"
+    )
+    p_image = (
+        multimodal.dhash_near_dup_pairs(
+            multimodal.image_dhash_chunks(media, id_col="item_id"),
+            id_col="item_id",
+        )
+        .select("id_a", "id_b", F.lit("image").alias("modality"))
+    )
+
+    # -- EMBEDDING leg: seeded-direction quantizer cells, within-cell
+    #    quantized cosine (zero-norm vectors have no cosine — excluded)
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.vectors import (
+        cosine,
+    )
+
+    cents = similarity.make_unit_planes(
+        dim=64, n_planes=_XMODAL_EMB_K, seed=_XMODAL_EMB_SEED
+    )
+    cn = (cents**2).sum(axis=1)
+    vec = items.select("item_id", "v").filter(
+        vectors_dot(F.col("v"), F.col("v")) > 0
+    )
+    asg = similarity.ivf_assign(vec, cents, "v", cnorms_sq=cn)
+    ea = asg.select(
+        F.col("item_id").alias("id_a"), F.col("cid"), F.col("v").alias("va")
+    )
+    eb = asg.select(
+        F.col("item_id").alias("id_b"), F.col("cid"), F.col("v").alias("vb")
+    )
+    cos_q = F.floor(
+        cosine(F.col("va"), F.col("vb")) * 1000000 + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    p_emb = (
+        ea.join(eb, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos_q >= 0.95)
+        .select("id_a", "id_b", F.lit("embed").alias("modality"))
+    )
+
+    # -- merge: one edge set, min-label components, quality election
+    pairs = (
+        p_text.unionByName(p_image).unionByName(p_emb).dropDuplicates(
+            ["id_a", "id_b", "modality"]
+        )
+    ).localCheckpoint(eager=False)
+    comps = dedup.connected_components(pairs).select(
+        F.col("id").alias("item_id"), "component"
+    )
+    quality = items.select(
+        "item_id", textf.quality_score("txt").alias("quality")
+    )
+    members = comps.join(quality, "item_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("item_id")
+    )
+    elected = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("item_id").alias("keep_id"),
+            F.col("quality").alias("keep_quality"),
+        )
+    )
+    census = members.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    pair_comp = pairs.join(
+        comps.select(F.col("item_id").alias("id_a"), "component"), "id_a"
+    )
+    mod_counts = pair_comp.groupBy("component").agg(
+        F.sum((F.col("modality") == "text").cast("long")).alias("n_text"),
+        F.sum((F.col("modality") == "image").cast("long")).alias("n_image"),
+        F.sum((F.col("modality") == "embed").cast("long")).alias("n_embed"),
+    )
+    return (
+        census.join(mod_counts, "component")
+        .join(elected, "component")
+        .select(
+            "component",
+            "n_members",
+            "n_text",
+            "n_image",
+            "n_embed",
+            "keep_id",
+            "keep_quality",
+        )
+        .orderBy("component")
+    )
+
+
+def _cross_modal_oracle_sql() -> str:
+    """DuckDB twin of q_cross_modal_dedup: the tri-modal item table
+    (md5-chain images, reversed strings/lists for the planted
+    divergences), all three legs — the banded MinHash chain at 0.9,
+    pixel→dHash→pigeonhole at hamming ≤ 3, the inlined-centroid
+    quantizer cells with quantized within-cell cosine ≥ 0.95 — the
+    recursive min-label components over the merged edge set, and the
+    (quality DESC, id ASC) election."""
+    chunk_sums, ham, ors = _chunk_pair_sql()
+    cents = similarity.make_unit_planes(
+        dim=64, n_planes=_XMODAL_EMB_K, seed=_XMODAL_EMB_SEED
+    )
+    cnv = (cents**2).sum(axis=1)
+    rows = ", ".join(
+        f"({i}, {float(cnv[i])!r}, "
+        f"[{', '.join(repr(float(x)) for x in cents[i])}]::DOUBLE[])"
+        for i in range(len(cents))
+    )
+
+    def hx(sfx: str) -> str:
+        parts = " || ".join(
+            f"unhex(md5(text || '{sfx}{t}'))" for t in ["", "x", "y", "z", "w"]
+        )
+        return f"lower(hex({parts}))"
+
+    return f"""
+        WITH b AS (
+            SELECT d.doc_id, d.text, e.embedding::DOUBLE[] AS v
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            WHERE d.doc_id < 150),
+        it AS (
+            SELECT doc_id AS item_id, text AS txt, {hx('cm')} AS hs,
+                   0 AS dv, v
+            FROM b
+            UNION ALL
+            SELECT doc_id + 1000, text, {hx('cmalt')}, 0, list_reverse(v)
+            FROM b WHERE doc_id < 30
+            UNION ALL
+            SELECT doc_id + 2000, reverse(text), {hx('cm')}, 32,
+                   list_reverse(v)
+            FROM b WHERE doc_id >= 30 AND doc_id < 60
+            UNION ALL
+            SELECT doc_id + 3000, reverse(text), {hx('cmalt')}, 0, v
+            FROM b WHERE doc_id >= 60 AND doc_id < 90),
+        w AS (
+            SELECT item_id,
+                   string_split_regex(lower(trim(txt)), '\\s+') AS words
+            FROM it),
+        shg AS (
+            SELECT item_id,
+                   CASE WHEN len(words) < 3
+                        THEN [array_to_string(words, ' ')]
+                        ELSE list_transform(
+                            generate_series(0, len(words) - 3),
+                            i -> array_to_string(
+                                list_slice(words, i + 1, i + 3), ' '))
+                   END AS sh
+            FROM w),
+        s AS (
+            SELECT item_id,
+                   list_transform([0, 1, 2, 3],
+                       i -> list_min(list_transform(sh,
+                           x -> md5(i::VARCHAR || ' ' || x)))) AS sig
+            FROM shg),
+        bnd AS (
+            SELECT item_id, r.range AS band,
+                   sig[CAST(r.range * 2 + 1 AS INT)] || ',' ||
+                   sig[CAST(r.range * 2 + 2 AS INT)] AS bucket
+            FROM s, range(2) r),
+        candt AS (
+            SELECT DISTINCT a.item_id AS id_a, b2.item_id AS id_b
+            FROM bnd a
+            JOIN bnd b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                       AND a.item_id < b2.item_id),
+        pt AS (
+            SELECT id_a, id_b
+            FROM candt
+            JOIN shg sa ON sa.item_id = candt.id_a
+            JOIN shg sb ON sb.item_id = candt.id_b
+            WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                  / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
+                     - len(list_intersect(sa.sh, sb.sh))) >= 0.9),
+        pix AS (
+            SELECT item_id, i,
+                   ({_pix_hex_byte("i*2+1")} % 192) + dv AS pv
+            FROM it, generate_series(0, 71) AS t(i)),
+        bits AS (
+            SELECT p1.item_id,
+                   (p1.i // 9) * 8 + (p1.i % 9) AS bi,
+                   CASE WHEN p1.pv < p2.pv THEN 1 ELSE 0 END AS bit
+            FROM pix p1
+            JOIN pix p2 ON p2.item_id = p1.item_id AND p2.i = p1.i + 1
+            WHERE p1.i % 9 < 8),
+        isigs AS (SELECT item_id, {chunk_sums} FROM bits GROUP BY item_id),
+        pi AS (
+            SELECT a.item_id AS id_a, b.item_id AS id_b
+            FROM isigs a JOIN isigs b
+              ON a.item_id < b.item_id AND ({ors})
+            WHERE {ham} <= 3),
+        cents0(cid, cn, c) AS (VALUES {rows}),
+        ev AS (SELECT item_id, v FROM it
+               WHERE list_inner_product(v, v) > 0),
+        asg AS (SELECT item_id, v, cid FROM (
+                    SELECT ev.item_id, ev.v, c.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY ev.item_id
+                               ORDER BY c.cn
+                                        - 2 * list_inner_product(ev.v, c.c)
+                                        ASC, c.cid ASC) AS rn
+                    FROM ev, cents0 c
+                ) WHERE rn = 1),
+        pe AS (
+            SELECT a.item_id AS id_a, b.item_id AS id_b
+            FROM asg a JOIN asg b
+              ON a.cid = b.cid AND a.item_id < b.item_id
+            WHERE FLOOR(list_inner_product(a.v, b.v)
+                        / (SQRT(list_inner_product(a.v, a.v))
+                           * SQRT(list_inner_product(b.v, b.v)))
+                        * 1000000 + 0.5) / 1000000.0 >= 0.95),
+        pairs AS (
+            SELECT DISTINCT id_a, id_b, 'text' AS modality FROM pt
+            UNION ALL SELECT DISTINCT id_a, id_b, 'image' FROM pi
+            UNION ALL SELECT DISTINCT id_a, id_b, 'embed' FROM pe),
+        edges AS (
+            SELECT DISTINCT id_a AS ea, id_b AS eb FROM pairs
+            UNION SELECT DISTINCT id_b, id_a FROM pairs),
+        reach AS (
+            WITH RECURSIVE r(id, label) AS (
+                SELECT ea, ea FROM edges
+                UNION
+                SELECT e2.eb, r.label FROM r JOIN edges e2 ON e2.ea = r.id
+            ) SELECT * FROM r
+        ),
+        comp AS (SELECT id AS item_id, MIN(label) AS component
+                 FROM reach GROUP BY id),
+        mq AS (
+            SELECT item_id,
+                   length(txt) AS nc,
+                   CASE WHEN trim(txt) = '' THEN 0
+                        ELSE len(string_split_regex(trim(txt), '\\s+'))
+                   END AS nw,
+                   len(regexp_extract_all(txt, '[^A-Za-z0-9\\s]'))
+                       AS npunct,
+                   length(regexp_replace(txt, '\\s+', '', 'g'))
+                       AS nc_nospace
+            FROM it),
+        r2 AS (
+            SELECT item_id,
+                   LEAST(nc / 200.0, 1.0) AS len_score,
+                   LEAST((CASE WHEN nc = 0 THEN 0.0
+                               ELSE CAST(npunct AS DOUBLE) / nc END)
+                         * 2.0, 1.0) AS noise_penalty,
+                   CASE WHEN nw = 0 THEN 0.0
+                        ELSE CAST(nc_nospace AS DOUBLE) / nw
+                   END AS wl
+            FROM mq),
+        q AS (
+            SELECT item_id,
+                   FLOOR((len_score * 0.5
+                          + (CASE WHEN wl >= 3.0 AND wl <= 8.0
+                                  THEN 1.0 ELSE 0.5 END) * 0.3
+                          + (1.0 - noise_penalty) * 0.2) * 1000000
+                         + 0.5) / 1000000.0 AS quality
+            FROM r2),
+        members AS (
+            SELECT comp.item_id, comp.component, q.quality
+            FROM comp JOIN q USING (item_id)),
+        elected AS (
+            SELECT component, item_id AS keep_id, quality AS keep_quality
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                              PARTITION BY component
+                              ORDER BY quality DESC, item_id ASC) AS rn
+                  FROM members)
+            WHERE rn = 1),
+        census AS (
+            SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM members GROUP BY component),
+        pc AS (
+            SELECT c2.component, p.modality
+            FROM pairs p JOIN comp c2 ON c2.item_id = p.id_a),
+        mc AS (
+            SELECT component,
+                   CAST(SUM(CASE WHEN modality = 'text' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_text,
+                   CAST(SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_image,
+                   CAST(SUM(CASE WHEN modality = 'embed' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_embed
+            FROM pc GROUP BY component)
+        SELECT census.component, n_members, n_text, n_image, n_embed,
+               keep_id, keep_quality
+        FROM census
+        JOIN mc USING (component)
+        JOIN elected USING (component)
+        ORDER BY component
+    """
+
+
 #: frame stride for the sampled-index video dedup leg
 _VID_SAMPLE_STRIDE = 2
 
@@ -11334,6 +11767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    frame-sampled video dedup (strided index, full probe)
     "ivf_bulk_topk": q_ivf_bulk_topk,
     "video_sampled_frame_dedup": q_video_sampled_frame_dedup,
+    "cross_modal_dedup": q_cross_modal_dedup,
     # (the r12 multi-probe/streaming-semantic/BPE/perceptual/serving
     # additions moved into the driver window in the r13 rotation)
 }
@@ -13342,6 +13776,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_bulk_topk": _ann_probe_topk_sql(_ANN_BULK_QUERIES, 2),
         "video_shared_frame_dedup": _video_shared_frame_oracle_sql(),
         "video_sampled_frame_dedup": _video_sampled_frame_oracle_sql(),
+        "cross_modal_dedup": _cross_modal_oracle_sql(),
         "image_dhash_search": _image_dhash_search_oracle_sql(),
         # the streamed ingest pair set reconstructs the batch output
         # contract exactly, so its oracle IS the batch twin — one hash

@@ -215,6 +215,9 @@ HEADLINE = [
     # ranking; frame-sampled video dedup (strided index, full probe)
     "ivf_bulk_topk",
     "video_sampled_frame_dedup",
+    # cross-modal dedup composition (text MinHash + image dHash +
+    # embedding quantizer cells -> unified components + election)
+    "cross_modal_dedup",
 ]
 
 

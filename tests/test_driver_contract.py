@@ -190,6 +190,10 @@ DEBUT_ORACLE_QUERIES = [
     # r13: new — video near-dup against a stride-2 frame-sampled index
     # (full-walk probe side; oriented pair output)
     "video_sampled_frame_dedup",
+    # r13: new — cross-modal dedup composition: text MinHash + image
+    # dHash + embedding quantizer-cell pairs merged into unified
+    # components with a quality election
+    "cross_modal_dedup",
 ]
 
 
