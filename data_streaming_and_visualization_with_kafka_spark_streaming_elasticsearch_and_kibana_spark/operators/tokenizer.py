@@ -123,7 +123,7 @@ def apply_merge(state: DataFrame, a: str, b: str) -> DataFrame:
 
 
 def train_bpe_merges(
-    vocab: DataFrame, n_merges: int
+    vocab: DataFrame, n_merges: int, rematerialize_every: int = 16
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Train `n_merges` BPE merges over a (word, freq) vocabulary.
 
@@ -135,6 +135,16 @@ def train_bpe_merges(
     Stops early (returns fewer merges) if no adjacent pair remains —
     a degenerate all-single-character vocabulary.
 
+    `rematerialize_every` bounds the replace-chain length: without it,
+    iteration i re-executes ALL i prior replaces from the persisted
+    base (O(n_merges² · vocab) string work — invisible at 12 merges,
+    dominant at the production 256–512; measured in
+    tools/bpe_scaling.py). Every C merges the encoded state
+    re-materializes via localCheckpoint, so total replace work is
+    O(n_merges · C · vocab) and per-iteration cost stays flat in the
+    merge index — the fix that keeps the loop vocabulary-bound, not
+    chain-bound.
+
     EAGER: the argmax collects run at call time (training is inherently
     sequential — merge i changes the pair counts merge i+1 ranks)."""
     state = vocab.select(
@@ -143,6 +153,7 @@ def train_bpe_merges(
     merges: list[tuple[str, str, int]] = []
     try:
         cur = state
+        chain = 0
         for _ in range(int(n_merges)):
             best = (
                 adjacent_pair_counts(cur)
@@ -155,6 +166,10 @@ def train_bpe_merges(
             a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
             merges.append((a, b, cnt))
             cur = apply_merge(cur, a, b)
+            chain += 1
+            if rematerialize_every and chain >= int(rematerialize_every):
+                cur = cur.localCheckpoint(eager=True)
+                chain = 0
         # materialize the final encodings BEFORE releasing the base
         # state — callers get a plain (word, enc, freq) frame whose
         # recomputation no longer depends on the persisted input

@@ -86,9 +86,14 @@ def main() -> None:
         .head()[0 if False else "embedding"]
     ]
     os.makedirs(OUT, exist_ok=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import __spark_entry__ as entrymod
+
     rows = []
     for k in ks:
-        cpath = f"{OUT}/corpus_{k}"
+        kdir = f"{OUT}/corpus_{k}"
+        cpath = f"{kdir}/embeddings.parquet"
         ipath = f"{OUT}/index_{k}"
         replicate(spark, k, cpath)
         corpus = spark.read.parquet(cpath)
@@ -105,8 +110,16 @@ def main() -> None:
             spark, ipath, corpus, qvec, cb, k=10, shortlist=100
         ).collect()
         pq = time.time() - t0
+        # the GATED distortion-observability query verbatim over the
+        # k× corpus (kdir mimics an sf dir; the query reads only
+        # embeddings.parquet) — the r12 verdict's sf1 witness for
+        # pq_distortion_report: one corpus scan + an 8-group aggregate,
+        # expected ≤1.0× linear
+        t0 = time.time()
+        entrymod.q_pq_distortion_report(spark, kdir).count()
+        dist = time.time() - t0
         rows.append(
-            (k, n, enc, brute, pq, dir_bytes(cpath), dir_bytes(ipath))
+            (k, n, enc, brute, pq, dist, dir_bytes(cpath), dir_bytes(ipath))
         )
         print(rows[-1], flush=True)
     for p in (f"{OUT}/corpus_", f"{OUT}/index_"):
@@ -119,24 +132,28 @@ def main() -> None:
         "`tools/pq_scaling.py` — corpus replicated k× with per-replica",
         "perturbed vectors; codebook training excluded (bounded-sample,",
         "k-independent). encode = build_pq_index; brute = exact cosine",
-        "full pass; pq = ADC over codes + 100-row exact re-rank.",
+        "full pass; pq = ADC over codes + 100-row exact re-rank;",
+        "distortion = the GATED q_pq_distortion_report verbatim (one",
+        "scan + an 8-group aggregate — the sf1 witness row).",
         "",
-        "| k | rows | encode s | brute topk s | pq topk s | corpus MB | index MB | on-disk ratio |",
-        "|---|---|---|---|---|---|---|---|",
+        "| k | rows | encode s | brute topk s | pq topk s | distortion s | corpus MB | index MB | on-disk ratio |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
-    for k, n, enc, brute, pq, cb_, ib in rows:
+    for k, n, enc, brute, pq, dist, cb_, ib in rows:
         lines.append(
             f"| {k} | {n:,} | {enc:.2f} | {brute:.2f} | {pq:.2f} | "
+            f"{dist:.2f} | "
             f"{cb_/1e6:.1f} | {ib/1e6:.1f} | {cb_/max(ib,1):.1f}× |"
         )
-    k0, n0, e0, b0, p0, *_ = rows[0]
-    kn, nn, en, bn, pn, *_ = rows[-1]
+    k0, n0, e0, b0, p0, d0, *_ = rows[0]
+    kn, nn, en, bn, pn, dn, *_ = rows[-1]
     ratio = nn / n0
     lines += [
         "",
         f"At {int(ratio)}× rows: encode grew {en/max(e0,1e-9):.1f}×, "
         f"brute-force query {bn/max(b0,1e-9):.1f}×, PQ query "
-        f"{pn/max(p0,1e-9):.1f}×.",
+        f"{pn/max(p0,1e-9):.1f}×, distortion report "
+        f"{dn/max(d0,1e-9):.1f}× ({dn/max(d0,1e-9)/ratio:.2f}× linear).",
         "Honest reading: on local[32] with the corpus in page cache,",
         "brute force and two-stage PQ wall times are within noise of",
         "each other up to 512k rows — both are startup-dominated, and",

@@ -107,6 +107,13 @@ TIMED = [
     "degree_assortativity",
     "phrase_search",
     "proximity_search",
+    # r13 (VERDICT r12 task 7): the most expensive headline query under
+    # entity growth — exact common-neighbor census over k disjoint
+    # graph copies: wedge volume per copy is constant, total wedges
+    # grow k×, the (center, block) decomposition spreads each copy's
+    # hubs the same way, so the algorithmic floor should track ≤1.0×
+    # linear while output pairs grow k×.
+    "link_prediction_cn",
 ]
 
 SYMLINKED = (
