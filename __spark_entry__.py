@@ -10105,6 +10105,128 @@ def q_ivf_bulk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", F.desc("cos_sim"), "vec_id")
 
 
+#: bulk LSH serving parameters — same index as q_lsh_ann_topk, the
+#: bulk query-set size of the IVF leg, multiprobe=2
+_LSH_BULK_QUERIES = 32
+_LSH_BULK_MULTIPROBE = 2
+
+
+def q_lsh_bulk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk LSH serving with IN-PLAN probe ranking
+    (similarity.lsh_bulk_topk — the hyperplane twin of ivf_bulk_topk,
+    completing the bulk tier across both index families): the 32-query
+    set stays a DataFrame end to end; each query row computes its six
+    hyperplane margins, sign-bit bucket, and multi-probe mask ranking
+    (|margin| sums over the 41 flip sets, (score, tie_rank) struct
+    sort — python's sorted((score, flips)) exactly) inside whole-stage
+    codegen, probes explode into the bucket join against the persisted
+    bucket-partitioned index (shared artifact with q_lsh_ann_topk),
+    and the per-query quantized-cosine top-10 window is the single
+    exchange. UNLIKE the per-query LSH path (rows-only, recall-
+    floor-pinned), this leg is FULLY oracle-twinned: the DuckDB replay
+    recomputes every corpus bucket from the inlined plane literals
+    (the lsh_bucket_verified machinery), every query's margins, the
+    unrolled mask scores, the (score, tie_rank) ranking, the XOR probe
+    set, and the pruned top-k."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = similarity.make_planes(dim=64, n_planes=6, seed=42)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    index_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_lsh_index_{sf_tag}"
+    )
+    fp = _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+    if not _artifact_ready(index_path, fp):
+        similarity.build_lsh_index(emb, planes, index_path)
+        _mark_artifact(index_path, fp)
+    queries = emb.filter(F.col("vec_id") < _LSH_BULK_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.lsh_bulk_topk(
+        spark,
+        index_path,
+        queries,
+        planes,
+        k=10,
+        multiprobe=_LSH_BULK_MULTIPROBE,
+    ).orderBy("query_id", F.desc("cos_sim"), "vec_id")
+
+
+def _lsh_bulk_oracle_sql() -> str:
+    """DuckDB twin of q_lsh_bulk_topk: plane literals, per-corpus-row
+    sign-bit buckets, per-query margin lists, the 41 flip-mask scores
+    UNROLLED in ascending-bit order, (score, tie_rank) ranking, XOR
+    probes, bucket-join candidates, quantized-cosine top-10."""
+    planes = similarity.make_planes(dim=64, n_planes=6, seed=42)
+    n = len(planes)
+
+    def plane_lit(i: int) -> str:
+        return (
+            "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]::DOUBLE[]"
+        )
+
+    corpus_bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {plane_lit(i)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n)
+    )
+    proj_list = ", ".join(
+        f"list_inner_product(embedding::DOUBLE[], {plane_lit(i)})"
+        for i in range(n)
+    )
+    query_bucket = " + ".join(
+        f"(CASE WHEN proj[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n)
+    )
+    mask_selects = " UNION ALL ".join(
+        f"SELECT query_id, qb, qv, {mask} AS mask, {tie} AS tie_rank, "
+        f"({' + '.join(f'ABS(proj[{b + 1}])' for b in bits)}) AS score "
+        "FROM qp"
+        for mask, tie, bits in similarity.multiprobe_masks(n)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0),
+        cb AS (SELECT vec_id, v, ({corpus_bucket}) AS bucket FROM e),
+        qp0 AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                   [{proj_list}] AS proj
+            FROM embeddings
+            WHERE vec_id < {_LSH_BULK_QUERIES}
+              AND list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) > 0),
+        qp AS (SELECT query_id, qv, proj, ({query_bucket}) AS qb FROM qp0),
+        ms AS ({mask_selects}),
+        mr AS (SELECT query_id, qb, qv, mask FROM (
+                   SELECT ms.*, ROW_NUMBER() OVER (
+                              PARTITION BY query_id
+                              ORDER BY score ASC, tie_rank ASC) AS rn
+                   FROM ms
+               ) WHERE rn <= {_LSH_BULK_MULTIPROBE}),
+        probes AS (
+            SELECT query_id, qv, qb AS bucket FROM qp
+            UNION ALL
+            SELECT query_id, qv, xor(qb, mask) FROM mr),
+        sc AS (
+            SELECT p.query_id, c.vec_id,
+                   FLOOR(list_inner_product(c.v, p.qv)
+                         / (SQRT(list_inner_product(c.v, c.v))
+                            * SQRT(list_inner_product(p.qv, p.qv)))
+                         * 1000000 + 0.5) / 1000000.0 AS cos_sim
+            FROM probes p JOIN cb c ON c.bucket = p.bucket)
+        SELECT query_id, vec_id, cos_sim FROM (
+            SELECT sc.*, ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id ASC) AS rn
+            FROM sc)
+        WHERE rn <= 10
+        ORDER BY query_id, cos_sim DESC, vec_id
+    """
+
+
 def _ann_probe_topk_sql(n_queries: int, nprobe: int) -> str:
     """Shared DuckDB replay of trained-IVF probe serving (streaming
     page + bulk re-rank twins): the Lloyd chain at k=16, full-corpus
@@ -11766,6 +11888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- r13 additions: bulk ANN re-ranking with in-plan probe ranking,
     #    frame-sampled video dedup (strided index, full probe)
     "ivf_bulk_topk": q_ivf_bulk_topk,
+    "lsh_bulk_topk": q_lsh_bulk_topk,
     "video_sampled_frame_dedup": q_video_sampled_frame_dedup,
     "cross_modal_dedup": q_cross_modal_dedup,
     # (the r12 multi-probe/streaming-semantic/BPE/perceptual/serving
@@ -13774,6 +13897,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_contour_near_dup": _audio_contour_oracle_sql(),
         "streaming_ann_serving": _streaming_ann_oracle_sql(),
         "ivf_bulk_topk": _ann_probe_topk_sql(_ANN_BULK_QUERIES, 2),
+        "lsh_bulk_topk": _lsh_bulk_oracle_sql(),
         "video_shared_frame_dedup": _video_shared_frame_oracle_sql(),
         "video_sampled_frame_dedup": _video_sampled_frame_oracle_sql(),
         "cross_modal_dedup": _cross_modal_oracle_sql(),

@@ -214,6 +214,7 @@ HEADLINE = [
     # round-13 additions: bulk ANN re-ranking with in-plan probe
     # ranking; frame-sampled video dedup (strided index, full probe)
     "ivf_bulk_topk",
+    "lsh_bulk_topk",
     "video_sampled_frame_dedup",
     # cross-modal dedup composition (text MinHash + image dHash +
     # embedding quantizer cells -> unified components + election)

@@ -1038,6 +1038,135 @@ def lsh_multi_query_topk(
     )
 
 
+def multiprobe_masks(
+    n_planes: int, max_flips: int = 3
+) -> list[tuple[int, int, tuple[int, ...]]]:
+    """(mask, tie_rank, flip_bits) for every hyperplane flip set of
+    size 1..min(max_flips, n) — the data-independent half of
+    `query_buckets`' multi-probe ranking (Lv et al., VLDB 2007),
+    precomputed so the in-plan bulk leg and the SQL twin can both
+    score masks by summed |margin| and break score ties EXACTLY the
+    way python's sorted((score, flips)) does: `tie_rank` is the rank
+    of the flip tuple in python tuple order."""
+    from itertools import combinations
+
+    flips_list = [
+        f
+        for r in range(1, min(max_flips, n_planes) + 1)
+        for f in combinations(range(n_planes), r)
+    ]
+    order = {f: i for i, f in enumerate(sorted(flips_list))}
+    out = []
+    for f in flips_list:
+        m = 0
+        for i in f:
+            m |= 1 << i
+        out.append((m, order[f], f))
+    return out
+
+
+def lsh_bulk_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    planes: np.ndarray,
+    k: int = 10,
+    multiprobe: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    round_to: int = 6,
+) -> DataFrame:
+    """Bulk LSH serving with IN-PLAN probe ranking — the hyperplane
+    twin of `ivf_bulk_topk` (the r12 verdict's bulk-serving theme:
+    `lsh_multi_query_topk` ranks probe buckets driver-side via
+    `query_buckets`, a per-query python loop; here the query set stays
+    a DataFrame end to end). Per query row, all inside whole-stage
+    codegen: the n_planes margins (left-to-right folds over the plane
+    literals — the oracle contract), the sign-bit bucket, and —
+    for multiprobe > 0 — every flip-mask's score as the UNROLLED
+    |margin| sum in ascending-bit order, ranked by (score, tie_rank)
+    structs exactly like python's sorted((score, flips)). The probe
+    buckets explode, candidates come from the bucket join against the
+    persisted index (partitioned by bucket — at bulk query volume the
+    union of probed buckets approaches the full index, the honest bulk
+    shape), and the per-query quantized-cosine top-k window is the
+    single exchange. Zero-norm queries drop in-plan (no cosine
+    ordering). Flip masks are distinct, so probe buckets per query are
+    distinct and no candidate dedup is needed."""
+    n = len(planes)
+    qv = F.col(qvec_col).cast("array<double>")
+    proj_exprs = [
+        dot(qv, _query_vec_literal([float(x) for x in p])) for p in planes
+    ]
+    q2 = queries.filter(
+        F.aggregate(
+            F.zip_with(qv, qv, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        > 0
+    ).select(
+        qid_col,
+        qv.alias("__qv"),
+        F.array(*proj_exprs).alias("__proj"),
+    )
+    bucket = F.lit(0).cast("long")
+    for i in range(n):
+        bucket = bucket + F.when(
+            F.element_at(F.col("__proj"), i + 1) > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    q2 = q2.withColumn("__qb", bucket)
+    if multiprobe <= 0:
+        probes = F.array(F.col("__qb"))
+    else:
+        scored = []
+        for mask, tie_rank, bits in multiprobe_masks(n):
+            s = None
+            for b in bits:  # ascending-bit unrolled sum — python's order
+                t = F.abs(F.element_at(F.col("__proj"), b + 1))
+                s = t if s is None else s + t
+            scored.append(
+                F.struct(
+                    s.alias("score"),
+                    F.lit(tie_rank).alias("tie_rank"),
+                    F.lit(mask).cast("long").alias("mask"),
+                )
+            )
+        top = F.slice(F.array_sort(F.array(*scored)), 1, int(multiprobe))
+        probes = F.concat(
+            F.array(F.col("__qb")),
+            F.transform(top, lambda s: F.col("__qb").bitwiseXOR(s["mask"])),
+        )
+    probed = q2.select(
+        qid_col, "__qv", F.explode(probes).alias("bucket")
+    )
+    idx = spark.read.parquet(index_path)
+    p = float(10**round_to)
+    scored_c = (
+        idx.join(probed, "bucket")
+        .select(
+            qid_col,
+            F.col(id_col),
+            (
+                F.floor(cosine(F.col(vec_col), F.col("__qv")) * p + F.lit(0.5))
+                / F.lit(p)
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored_c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def ivf_bulk_topk(
     spark,
     index_path: str,

@@ -194,6 +194,10 @@ DEBUT_ORACLE_QUERIES = [
     # dHash + embedding quantizer-cell pairs merged into unified
     # components with a quality election
     "cross_modal_dedup",
+    # r13: new — bulk LSH serving with in-plan bucket + multi-probe
+    # mask ranking; the first FULLY oracle-twinned LSH serving leg
+    # (the per-query path is rows-only, recall-floor-pinned)
+    "lsh_bulk_topk",
 ]
 
 

@@ -333,6 +333,67 @@ def test_ivf_bulk_topk_matches_driver_side_per_query_path(spark, tmp_dir):
     ).count() == 0
 
 
+def test_lsh_bulk_topk_matches_driver_side_per_query_path(spark, tmp_dir):
+    """lsh_bulk_topk computes buckets + multi-probe mask ranking
+    IN-PLAN where lsh_multi_query_topk ranks probes driver-side
+    (query_buckets): same probe sets, same candidates, same quantized
+    top-k on the same query set — at multiprobe 0 AND 2."""
+    corpus, vecs = _corpus(spark)
+    planes = similarity.make_planes(DIM, n_planes=4, seed=1)
+    lsh_path = f"{tmp_dir}/lsh_bulk"
+    similarity.build_lsh_index(corpus, planes, lsh_path)
+    queries = [
+        (i, [float(x) for x in vecs[j]]) for i, j in enumerate((3, 17, 44, 59))
+    ]
+    qdf = spark.createDataFrame(queries, "query_id long, qvec array<double>")
+
+    def key(rows):
+        return sorted((r.query_id, r.vec_id, r.cos_sim) for r in rows)
+
+    for mp in (0, 2):
+        per_query = similarity.lsh_multi_query_topk(
+            spark, lsh_path, queries, planes, k=5, multiprobe=mp
+        ).collect()
+        bulk = similarity.lsh_bulk_topk(
+            spark, lsh_path, qdf, planes, k=5, multiprobe=mp
+        ).collect()
+        assert key(bulk) == key(per_query), f"multiprobe={mp}"
+    # zero-norm queries drop in-plan, never an error
+    qdf0 = spark.createDataFrame(
+        [(99, [0.0] * DIM)], "query_id long, qvec array<double>"
+    )
+    assert (
+        similarity.lsh_bulk_topk(spark, lsh_path, qdf0, planes, k=5,
+                                 multiprobe=2)
+    ).count() == 0
+
+
+def test_multiprobe_masks_replicate_query_buckets_order(spark):
+    """The (score, tie_rank) mask ranking must reproduce
+    query_buckets' sorted((score, flips)) EXACTLY — including tuple
+    tie-breaks — for any projection vector."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    planes = similarity.make_planes(DIM, n_planes=5, seed=9)
+    for _ in range(20):
+        q = [float(x) for x in rng.randn(DIM)]
+        want = similarity.query_buckets(q, planes, multiprobe=4)
+        proj = [
+            sum(float(a) * float(b) for a, b in zip(q, p)) for p in planes
+        ]
+        qb = 0
+        for i, v in enumerate(proj):
+            if v > 0:
+                qb |= 1 << i
+        scored = sorted(
+            (sum(abs(proj[b]) for b in bits), tie, mask)
+            for mask, tie, bits in similarity.multiprobe_masks(5)
+        )
+        got = [qb] + [qb ^ mask for _s, _t, mask in scored[:4]]
+        assert got == want
+
+
 def test_embedding_near_dup_pairs_finds_planted_dups(spark):
     """Plant 20 near-duplicate vector pairs (cos ~0.99) among decoys;
     the banded-LSH near-dup operator must recover almost all of them
