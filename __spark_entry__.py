@@ -10716,6 +10716,73 @@ def _video_shared_frame_oracle_sql() -> str:
     """
 
 
+def q_mih_bulk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch perceptual ingest gate (multimodal.mih_bulk_topk — the
+    bulk twin of image_dhash_search, completing the bulk-serving tier
+    for the third index family): ALL 350 media signatures probe the
+    persisted multi-index-hashing index in ONE job — four (cb, exact
+    chunk) joins, per-(query, candidate) dedup, exact xor-popcount
+    hamming ≤ 3, per-query (hamming, id) top-5 — answering "which of
+    these images already have a radius-3 neighbor in the corpus?"
+    (exclude_self: the gate asks about OTHERS). Expected hits include
+    every planted +32-brightness copy at hamming 0 and every hot-spot
+    copy at hamming ≤ 1, in both orientations. The DuckDB twin
+    recomputes every signature from the md5 hex digits (the shared
+    sigs chain) and replays the pigeonhole candidate set, radius
+    filter, and per-query ranking."""
+    import tempfile
+
+    sigs = multimodal.image_dhash_chunks(_dhash_media(spark, sf_dir))
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    index_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_mih_index_{sf_tag}"
+    )
+    fp = _source_fingerprint(f"{sf_dir}/documents.parquet") + ":mih2"
+    if not _artifact_ready(index_path, fp):
+        multimodal.build_mih_index(sigs, index_path, cb_bits=4)
+        open(os.path.join(index_path, "_SUCCESS"), "w").close()
+        _mark_artifact(index_path, fp)
+    # materialize the query signatures once — the four chunk-table legs
+    # would otherwise each re-author and re-hash the media fixture
+    queries = sigs.select(
+        F.col("media_id").alias("query_id"), "c0", "c1", "c2", "c3"
+    ).localCheckpoint(eager=False)
+    return multimodal.mih_bulk_topk(
+        spark,
+        index_path,
+        queries,
+        k=5,
+        max_hamming=3,
+        cb_bits=4,
+        exclude_self=True,
+    ).orderBy("query_id", "hamming", "media_id")
+
+
+def _mih_bulk_oracle_sql() -> str:
+    """DuckDB twin of q_mih_bulk_search: the shared signature chain,
+    the pigeonhole candidate set as its relational shadow (≥1 chunk
+    equal), self-pairs excluded, exact xor-popcount hamming ≤ 3, and
+    the per-query (hamming, id) top-5."""
+    ham = " + ".join(f"bit_count(xor(q.c{k}, c.c{k}))" for k in range(4))
+    ors = " OR ".join(f"q.c{k} = c.c{k}" for k in range(4))
+    return f"""
+        WITH {_dhash_sigs_ctes()},
+        cand AS (
+            SELECT q.media_id AS query_id, c.media_id AS media_id,
+                   CAST({ham} AS BIGINT) AS hamming
+            FROM sigs q JOIN sigs c
+              ON q.media_id <> c.media_id AND ({ors})
+            WHERE {ham} <= 3)
+        SELECT query_id, media_id, hamming FROM (
+            SELECT cand.*, ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY hamming, media_id) AS rn
+            FROM cand)
+        WHERE rn <= 5
+        ORDER BY query_id, hamming, media_id
+    """
+
+
 #: seeded unit directions for the cross-modal embedding leg's quantizer
 _XMODAL_EMB_K = 8
 _XMODAL_EMB_SEED = 4242
@@ -11889,6 +11956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    frame-sampled video dedup (strided index, full probe)
     "ivf_bulk_topk": q_ivf_bulk_topk,
     "lsh_bulk_topk": q_lsh_bulk_topk,
+    "mih_bulk_search": q_mih_bulk_search,
     "video_sampled_frame_dedup": q_video_sampled_frame_dedup,
     "cross_modal_dedup": q_cross_modal_dedup,
     # (the r12 multi-probe/streaming-semantic/BPE/perceptual/serving
@@ -13898,6 +13966,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_ann_serving": _streaming_ann_oracle_sql(),
         "ivf_bulk_topk": _ann_probe_topk_sql(_ANN_BULK_QUERIES, 2),
         "lsh_bulk_topk": _lsh_bulk_oracle_sql(),
+        "mih_bulk_search": _mih_bulk_oracle_sql(),
         "video_shared_frame_dedup": _video_shared_frame_oracle_sql(),
         "video_sampled_frame_dedup": _video_sampled_frame_oracle_sql(),
         "cross_modal_dedup": _cross_modal_oracle_sql(),

@@ -215,6 +215,7 @@ HEADLINE = [
     # ranking; frame-sampled video dedup (strided index, full probe)
     "ivf_bulk_topk",
     "lsh_bulk_topk",
+    "mih_bulk_search",
     "video_sampled_frame_dedup",
     # cross-modal dedup composition (text MinHash + image dHash +
     # embedding quantizer cells -> unified components + election)

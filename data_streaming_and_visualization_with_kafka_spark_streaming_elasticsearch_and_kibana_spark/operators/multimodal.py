@@ -2084,6 +2084,73 @@ def build_mih_index(sigs: DataFrame, path: str, cb_bits: int = 8) -> None:
         )
 
 
+def mih_bulk_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    qid_col: str = "query_id",
+    cb_bits: int = 8,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """(query_id, id, hamming): batch perceptual ingest gate — every
+    query signature in the DataFrame probes the persisted MIH index in
+    ONE job (the bulk twin of `mih_topk_from_index`, whose per-query
+    partition-pruned read is the request path). Four joins (table k on
+    (cb, exact chunk k) — the query side derives cb in-plan), union,
+    per-(query, candidate) dedup (a pair can agree on several chunks),
+    exact xor-popcount hamming ≤ max_hamming, and a per-query
+    (hamming, id) top-k window. At bulk query volume the union of
+    probed buckets approaches the whole index — the honest bulk shape;
+    the per-query path's partition pruning is the ONLINE shape. The
+    pigeonhole guarantee (≥1 chunk agrees within radius 3) makes the
+    probe lossless, same as the single-query leg. `exclude_self` drops
+    candidate == query rows — the ingest-gate question is "does
+    anything ELSE sit within radius r?"."""
+    if max_hamming > 3:
+        raise ValueError("4-chunk pigeonhole is lossless only for hamming <= 3")
+    shift = 16 - int(cb_bits)
+    q = queries.select(
+        qid_col, *[F.col(f"c{j}").alias(f"q{j}") for j in range(4)]
+    )
+    cands = None
+    for t in range(4):
+        idx_t = spark.read.parquet(os.path.join(path, f"table{t}"))
+        probe = q.withColumn("cb", F.shiftright(F.col(f"q{t}"), shift))
+        leg = idx_t.join(
+            probe,
+            (idx_t["cb"] == probe["cb"]) & (idx_t[f"c{t}"] == probe[f"q{t}"]),
+        ).select(
+            qid_col,
+            "q0",
+            "q1",
+            "q2",
+            "q3",
+            idx_t[id_col].alias(id_col),
+            *[idx_t[f"c{j}"].alias(f"c{j}") for j in range(4)],
+        )
+        cands = leg if cands is None else cands.unionByName(leg)
+    cands = cands.dropDuplicates([qid_col, id_col])
+    if exclude_self:
+        cands = cands.filter(F.col(qid_col) != F.col(id_col))
+    ham = sum(
+        F.bit_count(F.col(f"c{j}").bitwiseXOR(F.col(f"q{j}")))
+        for j in range(4)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy("hamming", id_col)
+    return (
+        cands.select(qid_col, id_col, ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def mih_topk_from_index(
     spark,
     path: str,

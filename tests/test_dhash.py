@@ -381,3 +381,45 @@ def test_mih_index_search_is_lossless_and_bounded(spark, tmp_path):
         multimodal.mih_topk_from_index(spark, path, q, max_hamming=4)
     with pytest.raises(ValueError, match="4 chunk"):
         multimodal.mih_topk_from_index(spark, path, [1, 2, 3])
+
+
+def test_mih_bulk_topk_matches_per_query_path(spark, tmp_path):
+    """mih_bulk_topk (one job, every query joined against the four
+    chunk tables) must return exactly what per-query
+    mih_topk_from_index returns for each query — and exclude_self
+    drops only the query's own row."""
+    rows = [(d, _pgm(_structured_px(d))) for d in range(5)]
+    for i in range(10, 40):
+        rows.append((i, _pgm(_rand_px(i))))
+    sigs = multimodal.image_dhash_chunks(_media(spark, rows)).persist()
+    path = str(tmp_path / "mih_bulk")
+    multimodal.build_mih_index(sigs, path, cb_bits=4)
+    all_sigs = {
+        r["media_id"]: [r["c0"], r["c1"], r["c2"], r["c3"]]
+        for r in sigs.collect()
+    }
+    queries = sigs.select(
+        multimodal.F.col("media_id").alias("query_id"),
+        "c0", "c1", "c2", "c3",
+    )
+    bulk = multimodal.mih_bulk_topk(
+        spark, path, queries, k=10, max_hamming=3, cb_bits=4
+    ).collect()
+    sigs.unpersist()
+    got = {}
+    for r in bulk:
+        got.setdefault(r["query_id"], []).append((r["hamming"], r["media_id"]))
+    for qid, qsig in all_sigs.items():
+        want = [
+            (r["hamming"], r["media_id"])
+            for r in multimodal.mih_topk_from_index(
+                spark, path, qsig, k=10, max_hamming=3, cb_bits=4
+            ).collect()
+        ]
+        assert sorted(got.get(qid, [])) == sorted(want), qid
+    # exclude_self: identical minus the (q, q, 0) rows
+    bulk_ns = multimodal.mih_bulk_topk(
+        spark, path, queries, k=10, max_hamming=3, cb_bits=4,
+        exclude_self=True,
+    ).collect()
+    assert all(r["query_id"] != r["media_id"] for r in bulk_ns)

@@ -198,6 +198,10 @@ DEBUT_ORACLE_QUERIES = [
     # mask ranking; the first FULLY oracle-twinned LSH serving leg
     # (the per-query path is rows-only, recall-floor-pinned)
     "lsh_bulk_topk",
+    # r13: new — batch perceptual ingest gate: every media signature
+    # probes the persisted MIH index in one job (bulk twin of
+    # image_dhash_search)
+    "mih_bulk_search",
 ]
 
 

@@ -368,6 +368,38 @@ def test_lsh_bulk_topk_matches_driver_side_per_query_path(spark, tmp_dir):
     ).count() == 0
 
 
+def test_bulk_topk_edge_cases(spark, tmp_dir):
+    """nprobe beyond the cell count degrades to a full-index scan (not
+    an error); multiprobe beyond the mask count probes every mask; an
+    empty query frame returns an empty result with the right schema."""
+    corpus, vecs = _corpus(spark)
+    cents = similarity.train_ivf_centroids(corpus, n_centroids=4, sample=64)
+    planes = similarity.make_planes(DIM, n_planes=4, seed=1)
+    ivf_path, lsh_path = f"{tmp_dir}/ivf_edge", f"{tmp_dir}/lsh_edge"
+    similarity.build_ivf_index(corpus, cents, ivf_path)
+    similarity.build_lsh_index(corpus, planes, lsh_path)
+    q = [(0, [float(x) for x in vecs[3]])]
+    qdf = spark.createDataFrame(q, "query_id long, qvec array<double>")
+    # nprobe = 99 > 4 cells: every cell probed → exact top-k
+    got = similarity.ivf_bulk_topk(
+        spark, ivf_path, qdf, cents, k=3, nprobe=99
+    ).collect()
+    want = similarity.brute_force_topk(corpus, q[0][1], k=3).collect()
+    assert [(r.vec_id, r.cos_sim) for r in got] == [
+        (r.vec_id, r.cos_sim) for r in want
+    ]
+    # multiprobe = 999 > 14 masks (n=4, flips ≤ 3): probes all of them
+    got = similarity.lsh_bulk_topk(
+        spark, lsh_path, qdf, planes, k=3, multiprobe=999
+    ).collect()
+    assert got and got[0].vec_id == 3
+    # empty query frame → empty result, schema intact
+    empty = spark.createDataFrame([], "query_id long, qvec array<double>")
+    out = similarity.ivf_bulk_topk(spark, ivf_path, empty, cents, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cos_sim"]
+
+
 def test_multiprobe_masks_replicate_query_buckets_order(spark):
     """The (score, tie_rank) mask ranking must reproduce
     query_buckets' sorted((score, flips)) EXACTLY — including tuple
