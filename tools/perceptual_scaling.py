@@ -110,9 +110,158 @@ def run(spark, k: int) -> dict:
     return {"k": k, "media": n, "pairs": n_pairs, "sec": round(dt, 2)}
 
 
+def run_bulk(spark, k: int) -> dict:
+    """r13 bulk-gate witness: build the MIH index over the k× corpus,
+    then sweep EVERY signature through mih_bulk_topk (exclude_self) —
+    the full batch ingest gate. Index build is timed separately from
+    the probe sweep; planted dup volume per unit of corpus is constant
+    so hit output grows ~linearly with media."""
+    import shutil
+    import tempfile
+
+    media = media_corpus(spark, k).persist()
+    media.count()
+    sigs = multimodal.image_dhash_chunks(media).localCheckpoint(eager=True)
+    media.unpersist()
+    n = sigs.count()
+    path = tempfile.mkdtemp(prefix=f"mih_bulk_scale_{k}_")
+    try:
+        t0 = time.perf_counter()
+        multimodal.build_mih_index(sigs, path, cb_bits=8)
+        build = time.perf_counter() - t0
+        queries = sigs.select(
+            F.col("media_id").alias("query_id"), "c0", "c1", "c2", "c3"
+        )
+        t0 = time.perf_counter()
+        hits = multimodal.mih_bulk_topk(
+            spark, path, queries, k=5, max_hamming=3, cb_bits=8,
+            exclude_self=True,
+        ).count()
+        probe = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return {
+        "k": k,
+        "media": n,
+        "hits": hits,
+        "build_sec": round(build, 2),
+        "probe_sec": round(probe, 2),
+    }
+
+
+def video_corpus(spark, k: int):
+    """k replicas of 8-frame VID0 videos (suffix-salted md5 frames)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    reps = []
+    for r in range(k):
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * n_docs)).alias("media_id"),
+                F.concat(F.col("text"), F.lit(f"#v{r}")).alias("seed"),
+            )
+        )
+    allv = reps[0]
+    for m in reps[1:]:
+        allv = allv.unionByName(m)
+    frames = F.array(
+        *[
+            F.concat(
+                *[
+                    F.unhex(
+                        F.md5(F.concat(F.col("seed"), F.lit(f"f{j}{s}")))
+                    )
+                    for s in ["", "x", "y", "z", "w"]
+                ]
+            )
+            for j in range(8)
+        ]
+    )
+    authored = allv.select("media_id", frames.alias("fr"))
+
+    def _author(it):
+        import pandas as pd
+
+        for pdf in it:
+            content = [
+                multimodal.encode_video_frames(
+                    [
+                        b"P5\n9 8\n255\n" + bytes(x % 192 for x in bytes(m)[:72])
+                        for m in fr
+                    ]
+                )
+                for fr in pdf["fr"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": content,
+                }
+            )
+
+    return authored.repartition(32).mapInPandas(
+        _author, "media_id long, content binary"
+    )
+
+
+def run_video(spark, k: int) -> dict:
+    """r13 strided-index witness: the stride-2 walk must cost ~half
+    the full walk (unsampled frames skip decode+hash entirely)."""
+    media = video_corpus(spark, k).persist()
+    n = media.count()
+    t0 = time.perf_counter()
+    multimodal.video_frame_dhash(media).count()
+    full = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    multimodal.video_frame_dhash(media, stride=2).count()
+    strided = time.perf_counter() - t0
+    media.unpersist()
+    return {
+        "k": k,
+        "videos": n,
+        "full_sec": round(full, 2),
+        "strided_sec": round(strided, 2),
+        "ratio": round(strided / full, 2) if full else float("nan"),
+    }
+
+
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    args = sys.argv[1:]
+    mode = "pairs"
+    if args and args[0] in ("pairs", "bulk", "video"):
+        mode = args.pop(0)
+    ks = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark(app_name="perceptual-scaling")
+    if mode == "bulk":
+        run_bulk(spark, 1)  # warmup
+        rows = [run_bulk(spark, k) for k in ks]
+        print("| k | media rows | gate hits | index build s | bulk probe s | probe growth vs linear |")
+        print("|---|---|---|---|---|---|")
+        base = rows[0]
+        for r in rows:
+            lin = (
+                r["probe_sec"] / base["probe_sec"] / (r["media"] / base["media"])
+                if base["probe_sec"]
+                else float("nan")
+            )
+            print(
+                f"| {r['k']} | {r['media']} | {r['hits']} | {r['build_sec']} "
+                f"| {r['probe_sec']} | {lin:.2f}x |"
+            )
+        return
+    if mode == "video":
+        run_video(spark, 1)  # warmup
+        rows = [run_video(spark, k) for k in ks]
+        print("| k | videos (8 frames) | full walk s | stride-2 walk s | strided/full |")
+        print("|---|---|---|---|---|")
+        for r in rows:
+            print(
+                f"| {r['k']} | {r['videos']} | {r['full_sec']} "
+                f"| {r['strided_sec']} | {r['ratio']}x |"
+            )
+        return
     run(spark, 1)  # warmup
     rows = [run(spark, k) for k in ks]
     base = rows[0]
