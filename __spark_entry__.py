@@ -9876,6 +9876,75 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select("doc_id", "n_tokens", "n_words")
 
 
+def q_pack_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under the corpus's OWN TRAINED BPE vocabulary —
+    the composition a real pre-training pipeline runs (whitespace
+    counts are the cheap proxy `pack_token_budget` packs by; the model
+    consumes TRUE tokenizer tokens, and packing by the proxy over- or
+    under-fills every 2048-token context window by the words-per-token
+    drift): train the 12 merges (one corpus shuffle + vocab-sized
+    iterations), hash-join the word→token-count dictionary back to the
+    corpus for exact per-doc n_tokens, then cut the doc_id-ordered
+    per-language token stream at 2048-token boundaries
+    (sampling.contiguous_pack — the distributed prefix-sum bin
+    assignment) and report the per-bin census. Documents with no
+    [a-z0-9] words carry no tokens and drop from the stream in both
+    engines. The DuckDB twin replays training, dictionary application,
+    and the running-sum packing in one chain."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = tokenizer.word_vocab(docs)
+    _, final_state = tokenizer.train_bpe_merges(vocab, _BPE_MERGES)
+    counts = tokenizer.doc_token_counts(
+        docs, tokenizer.token_dict(final_state)
+    )
+    t = docs.select("doc_id", "lang").join(
+        counts.select("doc_id", "n_tokens"), "doc_id"
+    )
+    packed = sampling.contiguous_pack(
+        t, "n_tokens", 2048, "doc_id", partition_cols=("lang",)
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+def _pack_bpe_budget_oracle_sql() -> str:
+    """DuckDB twin of q_pack_bpe_budget: the shared BPE training chain,
+    dictionary application with the character-count fallback, the lang
+    join, and the running-sum 2048-token bin assignment."""
+    return f"""
+        WITH {_bpe_train_ctes()},
+        dict AS (SELECT word,
+                        CAST(len(string_split(
+                            substring(enc, 2, length(enc) - 2),
+                            ')(')) AS BIGINT) AS tok_n
+                 FROM v{_BPE_MERGES}),
+        dw AS (SELECT doc_id, word FROM (
+                   SELECT doc_id,
+                          unnest(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+')) AS word
+                   FROM documents)
+               WHERE word <> ''),
+        tc AS (SELECT dw.doc_id,
+                      CAST(SUM(COALESCE(d.tok_n, length(dw.word)))
+                           AS BIGINT) AS n_tokens
+               FROM dw LEFT JOIN dict d ON d.word = dw.word
+               GROUP BY dw.doc_id),
+        t AS (SELECT doc.doc_id, doc.lang, tc.n_tokens
+              FROM documents doc JOIN tc ON tc.doc_id = doc.doc_id),
+        c AS (SELECT lang, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT lang,
+               CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        FROM c GROUP BY 1, 2
+    """
+
+
 def _bpe_train_ctes() -> str:
     """The SQL-replayed BPE TRAINING CHAIN shared by both tokenizer
     twins: vocab build (v0 = char-wrapped distinct words), then per
@@ -11957,6 +12026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_bulk_topk": q_ivf_bulk_topk,
     "lsh_bulk_topk": q_lsh_bulk_topk,
     "mih_bulk_search": q_mih_bulk_search,
+    "pack_bpe_budget": q_pack_bpe_budget,
     "video_sampled_frame_dedup": q_video_sampled_frame_dedup,
     "cross_modal_dedup": q_cross_modal_dedup,
     # (the r12 multi-probe/streaming-semantic/BPE/perceptual/serving
@@ -13967,6 +14037,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_bulk_topk": _ann_probe_topk_sql(_ANN_BULK_QUERIES, 2),
         "lsh_bulk_topk": _lsh_bulk_oracle_sql(),
         "mih_bulk_search": _mih_bulk_oracle_sql(),
+        "pack_bpe_budget": _pack_bpe_budget_oracle_sql(),
         "video_shared_frame_dedup": _video_shared_frame_oracle_sql(),
         "video_sampled_frame_dedup": _video_sampled_frame_oracle_sql(),
         "cross_modal_dedup": _cross_modal_oracle_sql(),

@@ -217,6 +217,9 @@ HEADLINE = [
     "lsh_bulk_topk",
     "mih_bulk_search",
     "video_sampled_frame_dedup",
+    # packing by TRUE trained-vocabulary token counts (the proxy-free
+    # composition: training + dictionary join + prefix-sum packing)
+    "pack_bpe_budget",
     # cross-modal dedup composition (text MinHash + image dHash +
     # embedding quantizer cells -> unified components + election)
     "cross_modal_dedup",

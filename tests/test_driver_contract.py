@@ -202,6 +202,10 @@ DEBUT_ORACLE_QUERIES = [
     # probes the persisted MIH index in one job (bulk twin of
     # image_dhash_search)
     "mih_bulk_search",
+    # r13: new — sequence packing under the TRAINED BPE vocabulary
+    # (pack_token_budget's whitespace proxy replaced by true token
+    # counts; training + application + packing in one replay chain)
+    "pack_bpe_budget",
 ]
 
 
