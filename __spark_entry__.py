@@ -10137,6 +10137,68 @@ def _streaming_ann_oracle_sql() -> str:
     return _ann_probe_topk_sql(_ANN_SERVE_QUERIES, _ANN_SERVE_NPROBE)
 
 
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc → token-ID ENCODING under the corpus's own trained BPE
+    vocabulary (the r13 verdict's task 2 — the operator a pre-training
+    pipeline runs before writing shards: bpe_merge_table trains,
+    bpe_token_counts budgets, pack_bpe_budget packs; this emits the
+    ACTUAL per-document token sequence). Trains the same 12 merges,
+    derives the word → ordered-token-sequence dictionary from the
+    final training state (tokenizer.token_dict_seq — the parenthesis
+    encoding splits to a pipe-joined token string), and hash-joins it
+    back to the posexploded corpus so each document's tokens
+    concatenate in word order into one byte-comparable string. Words
+    absent from the dictionary fall back to their character sequence;
+    documents with no [a-z0-9] words drop (the pack_bpe_budget
+    convention). Round-trip law pinned in tests/test_tokenizer.py:
+    tokens with pipes removed == the normalized word stream. The
+    DuckDB twin replays training, the sequence dictionary, and the
+    position-ordered string_agg."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = tokenizer.word_vocab(docs)
+    _, final_state = tokenizer.train_bpe_merges(vocab, _BPE_MERGES)
+    encoded = tokenizer.encode_docs(
+        docs, tokenizer.token_dict_seq(final_state)
+    )
+    return encoded.select("doc_id", "tokens", "n_tokens")
+
+
+def _bpe_encode_docs_oracle_sql() -> str:
+    """DuckDB twin of q_bpe_encode_docs: the shared BPE training chain,
+    the word → pipe-joined token sequence dictionary off the final
+    state, the position-keyed corpus explode, the char-sequence
+    fallback for absent words, and the per-doc position-ordered
+    string_agg."""
+    return f"""
+        WITH {_bpe_train_ctes()},
+        dict AS (SELECT word,
+                        replace(substring(enc, 2, length(enc) - 2),
+                                ')(', '|') AS toks,
+                        CAST(len(string_split(
+                            substring(enc, 2, length(enc) - 2),
+                            ')(')) AS BIGINT) AS tok_n
+                 FROM v{_BPE_MERGES}),
+        dw AS (SELECT doc_id, i AS pos, ws[i] AS word
+               FROM (SELECT doc_id,
+                            string_split_regex(lower(text),
+                                               '[^a-z0-9]+') AS ws
+                     FROM documents) tt,
+                    UNNEST(range(1, len(tt.ws) + 1)) AS r(i)
+               WHERE ws[i] <> '')
+        SELECT dw.doc_id,
+               string_agg(
+                   COALESCE(d.toks,
+                            array_to_string(string_split(dw.word, ''),
+                                            '|')),
+                   '|' ORDER BY dw.pos) AS tokens,
+               CAST(SUM(COALESCE(d.tok_n, length(dw.word))) AS BIGINT)
+                   AS n_tokens
+        FROM dw LEFT JOIN dict d ON d.word = dw.word
+        GROUP BY dw.doc_id
+        ORDER BY dw.doc_id
+    """
+
+
 #: bulk re-ranking query-set size for q_ivf_bulk_topk — 4× the serving
 #: page, drawn from the same embeddings prefix
 _ANN_BULK_QUERIES = 32
@@ -10286,6 +10348,164 @@ def _lsh_bulk_oracle_sql() -> str:
                             * SQRT(list_inner_product(p.qv, p.qv)))
                          * 1000000 + 0.5) / 1000000.0 AS cos_sim
             FROM probes p JOIN cb c ON c.bucket = p.bucket)
+        SELECT query_id, vec_id, cos_sim FROM (
+            SELECT sc.*, ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id ASC) AS rn
+            FROM sc)
+        WHERE rn <= 10
+        ORDER BY query_id, cos_sim DESC, vec_id
+    """
+
+
+#: IMI bulk serving parameters: 16 cells per half → 256 two-level
+#: cells at √-cost ranking; 4 probed cells per query
+_IMI_BULK_K = 16
+_IMI_BULK_NPROBE = 4
+_IMI_BULK_SEED = 777
+
+
+def q_imi_bulk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk ANN serving under the TWO-LEVEL (IMI) quantizer — the r13
+    verdict's task 3: ivf_bulk_topk documents its own cap (the flat
+    broadcast-scalar centroid row stops at ~4k cells) and names IMI as
+    the scale path; this is that path as a gated entry
+    (similarity.imi_bulk_topk; Babenko & Lempitsky, CVPR 2012). The
+    32-query set stays a DataFrame end to end; each query row ranks
+    per-HALF cells in-plan against two seeded √k codebook rows (the
+    shared ‖c‖²−2·q_h·c fold over sliced halves), combines the per-half
+    top-4 into 16 (c1, c2) cells scored d1+d2, keeps the overall top-4
+    (lossless — the multi-index pruning property, proven in
+    tests/test_similarity.py against the unpruned ranking), joins the
+    cid-partitioned IMI index (built by the same exact JVM arithmetic,
+    imi_assign_exact), and takes the per-query quantized-cosine top-10
+    window — 256 cells ranked at O(√cells·d) per query where the flat
+    carrier pays O(cells·d). The DuckDB twin replays assignment,
+    per-half ranking, the combo sort, and the pruned top-k; the
+    4096-cell regime where flat ranking measurably degrades is
+    witnessed in SCALING.md via tools/ann_bulk_scaling.py."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.make_imi_codebooks(
+        dim=64, n_cells_per_half=_IMI_BULK_K, seed=_IMI_BULK_SEED
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    index_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_imi_bulk_index_{sf_tag}"
+    )
+    fp = _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+    if not _artifact_ready(index_path, fp):
+        similarity.build_imi_index(emb, cb, index_path)
+        _mark_artifact(index_path, fp)
+    queries = emb.filter(F.col("vec_id") < _ANN_BULK_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.imi_bulk_topk(
+        spark,
+        index_path,
+        queries,
+        cb,
+        k=10,
+        nprobe=_IMI_BULK_NPROBE,
+    ).orderBy("query_id", F.desc("cos_sim"), "vec_id")
+
+
+def _imi_bulk_oracle_sql() -> str:
+    """DuckDB twin of q_imi_bulk_topk: both half codebooks inlined as
+    VALUES rows (i, ‖c‖², c), full-corpus two-level assignment via
+    per-half ROW_NUMBER argmins over sliced lists (ties → smaller
+    index), per-query per-half top-nprobe ranking, the d1+d2 combo
+    sort with the (score, cid) tie-break, the cid candidate join, and
+    the quantized-cosine top-10."""
+    cb = similarity.make_imi_codebooks(
+        dim=64, n_cells_per_half=_IMI_BULK_K, seed=_IMI_BULK_SEED
+    )
+    K = cb.shape[1]
+    half_rows = []
+    for h in range(2):
+        cn = (cb[h] ** 2).sum(axis=1)
+        half_rows.append(
+            ", ".join(
+                f"({i}, {float(cn[i])!r}, "
+                f"[{', '.join(repr(float(x)) for x in cb[h, i])}]"
+                "::DOUBLE[])"
+                for i in range(K)
+            )
+        )
+    np_ = _IMI_BULK_NPROBE
+    return f"""
+        WITH cb1(i, cn, c) AS (VALUES {half_rows[0]}),
+        cb2(i, cn, c) AS (VALUES {half_rows[1]}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE list_inner_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]) > 0),
+        a1 AS (SELECT vec_id, i AS c1 FROM (
+                   SELECT e.vec_id, b.i,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY e.vec_id
+                              ORDER BY b.cn
+                                   - 2 * list_inner_product(e.v[1:32], b.c)
+                                   ASC, b.i ASC) AS rn
+                   FROM e, cb1 b
+               ) WHERE rn = 1),
+        a2 AS (SELECT vec_id, i AS c2 FROM (
+                   SELECT e.vec_id, b.i,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY e.vec_id
+                              ORDER BY b.cn
+                                   - 2 * list_inner_product(e.v[33:64], b.c)
+                                   ASC, b.i ASC) AS rn
+                   FROM e, cb2 b
+               ) WHERE rn = 1),
+        asg AS (SELECT e.vec_id, e.v,
+                       CAST(a1.c1 AS BIGINT) * {K} + a2.c2 AS cid
+                FROM e JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings
+              WHERE vec_id < {_ANN_BULK_QUERIES}
+                AND list_inner_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]) > 0),
+        r1 AS (SELECT query_id, i, d FROM (
+                   SELECT q.query_id, b.i,
+                          b.cn - 2 * list_inner_product(q.qv[1:32], b.c)
+                              AS d,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY q.query_id
+                              ORDER BY b.cn
+                                   - 2 * list_inner_product(q.qv[1:32], b.c)
+                                   ASC, b.i ASC) AS rn
+                   FROM q, cb1 b
+               ) WHERE rn <= {np_}),
+        r2 AS (SELECT query_id, i, d FROM (
+                   SELECT q.query_id, b.i,
+                          b.cn - 2 * list_inner_product(q.qv[33:64], b.c)
+                              AS d,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY q.query_id
+                              ORDER BY b.cn
+                                   - 2 * list_inner_product(q.qv[33:64], b.c)
+                                   ASC, b.i ASC) AS rn
+                   FROM q, cb2 b
+               ) WHERE rn <= {np_}),
+        pr AS (SELECT query_id, cid FROM (
+                   SELECT r1.query_id,
+                          CAST(r1.i AS BIGINT) * {K} + r2.i AS cid,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY r1.query_id
+                              ORDER BY (r1.d + r2.d) ASC,
+                                       CAST(r1.i AS BIGINT) * {K} + r2.i
+                                           ASC) AS rn
+                   FROM r1 JOIN r2 USING (query_id)
+               ) WHERE rn <= {np_}),
+        sc AS (SELECT q.query_id, a.vec_id,
+                      FLOOR(list_inner_product(a.v, q.qv)
+                            / (SQRT(list_inner_product(a.v, a.v))
+                               * SQRT(list_inner_product(q.qv, q.qv)))
+                            * 1000000 + 0.5) / 1000000.0 AS cos_sim
+               FROM q
+               JOIN pr ON pr.query_id = q.query_id
+               JOIN asg a ON a.cid = pr.cid)
         SELECT query_id, vec_id, cos_sim FROM (
             SELECT sc.*, ROW_NUMBER() OVER (
                        PARTITION BY query_id
@@ -10634,6 +10854,18 @@ def _md5_chain(sfx: str) -> F.Column:
     )
 
 
+def _md5_chain9(sfx: str) -> F.Column:
+    """144 deterministic bytes from nine chained md5 digests of `text`,
+    suffix-seeded — the 130-sample audio-authoring variant of
+    `_md5_chain` (the audio-contour fixture's nine-suffix chain)."""
+    return F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit(sfx + t))))
+            for t in ["", "x", "y", "z", "w", "a", "b", "c", "d"]
+        ]
+    )
+
+
 def q_video_shared_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup by SHARED PERCEPTUAL FRAME SIGNATURES, end to end
     through the real codecs: deterministic 3-frame VID0 videos (each
@@ -10859,34 +11091,43 @@ _XMODAL_EMB_SEED = 4242
 
 def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-MODAL dedup composition (the r12 verdict's task 6 — the
-    multimodal sibling of corpus_pipeline_end2end): one tri-modal item
-    corpus (text + authored PGM image + embedding, derived from
-    documents ⋈ embeddings for doc_id < 150), three INDEPENDENT dedup
-    legs, and ONE unified component census. Planted twins make each
-    modality contribute pairs the other two miss:
+    multimodal sibling of corpus_pipeline_end2end): one quad-modal item
+    corpus (text + authored PGM image + authored PCM16 audio +
+    embedding, derived from documents ⋈ embeddings for doc_id < 150),
+    four INDEPENDENT dedup legs, and ONE unified component census.
+    Planted twins make each modality contribute pairs the others miss:
 
       - TEXT twin (item 1000+d, d < 30): identical text, different
-        image (alt md5 chain), reversed embedding — only the banded
-        MinHash leg (md5 family, 4 hashes / 2 bands, exact Jaccard ≥
-        0.9 verify; the dedup_keep_best chain) catches it.
+        image (alt md5 chain), different audio, reversed embedding —
+        only the banded MinHash leg (md5 family, 4 hashes / 2 bands,
+        exact Jaccard ≥ 0.9 verify; the dedup_keep_best chain)
+        catches it.
       - IMAGE twin (item 2000+d, 30 ≤ d < 60): reversed text, +32
         uniform-brightness image (dHash identical — the gradient
-        invariance), reversed embedding — only the 4-chunk pigeonhole
-        leg (hamming ≤ 3) catches it.
+        invariance), different audio, reversed embedding — only the
+        4-chunk pigeonhole leg (hamming ≤ 3) catches it.
       - EMBEDDING twin (item 3000+d, 60 ≤ d < 90): reversed text,
-        different image, IDENTICAL embedding (cosine 1) — only the
-        quantizer-cell leg (8 seeded unit directions, the house
-        ‖c‖²−2·x·c argmin, within-cell quantized cosine ≥ 0.95)
-        catches it.
+        different image, different audio, IDENTICAL embedding
+        (cosine 1) — only the quantizer-cell leg (8 seeded unit
+        directions, the house ‖c‖²−2·x·c argmin, within-cell
+        quantized cosine ≥ 0.95) catches it.
+      - AUDIO twin (item 4000+d, 90 ≤ d < 120; the r13 verdict's
+        task 5): reversed text, different image, reversed embedding,
+        ×2 uniform-GAIN audio — every frame energy scales by 4, no
+        consecutive-energy comparison moves, the contour hashes
+        IDENTICALLY (the loudness analog of dHash's brightness
+        invariance) — only the energy-contour leg (the shared
+        pigeonhole kernel over `audio_energy_chunks`, real RIFF
+        encode/decode round-trip) catches it.
 
-    The three pair sets merge into connected components (min-label
+    The four pair sets merge into connected components (min-label
     pointer jumping) and each component elects its keep by (quality
     DESC, item_id ASC) — the precedence call when modalities disagree:
-    a component glued together by image evidence alone still keeps the
-    best-WRITTEN copy. Output: per component, member count, per-
-    modality pair counts, and the elected keeper. Every leg is the
+    a component glued together by image or audio evidence alone still
+    keeps the best-WRITTEN copy. Output: per component, member count,
+    per-modality pair counts, and the elected keeper. Every leg is the
     production-shaped operator (banded/bucketed/pigeonholed — never
-    all-pairs); the DuckDB twin replays all three legs, the component
+    all-pairs); the DuckDB twin replays all four legs, the component
     recursion, and the election."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -10898,6 +11139,8 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         _md5_chain("cm").alias("him"),
         _md5_chain("cmalt").alias("halt"),
+        _md5_chain9("cmau").alias("aum"),
+        _md5_chain9("cmaualt").alias("aalt"),
         "v",
     )
     d = F.col("doc_id")
@@ -10907,6 +11150,8 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text").alias("txt"),
             F.col("him").alias("hs"),
             F.lit(0).alias("dv"),
+            F.col("aum").alias("am"),
+            F.lit(1).alias("ag"),
             "v",
         )
         .unionByName(
@@ -10915,6 +11160,8 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("text").alias("txt"),
                 F.col("halt").alias("hs"),
                 F.lit(0).alias("dv"),
+                F.col("aalt").alias("am"),
+                F.lit(1).alias("ag"),
                 F.reverse("v").alias("v"),
             )
         )
@@ -10924,6 +11171,8 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.reverse("text").alias("txt"),
                 F.col("him").alias("hs"),
                 F.lit(32).alias("dv"),
+                F.col("aalt").alias("am"),
+                F.lit(1).alias("ag"),
                 F.reverse("v").alias("v"),
             )
         )
@@ -10933,7 +11182,20 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.reverse("text").alias("txt"),
                 F.col("halt").alias("hs"),
                 F.lit(0).alias("dv"),
+                F.col("aalt").alias("am"),
+                F.lit(1).alias("ag"),
                 "v",
+            )
+        )
+        .unionByName(
+            b.filter((d >= 90) & (d < 120)).select(
+                (d + 4000).alias("item_id"),
+                F.reverse("text").alias("txt"),
+                F.col("halt").alias("hs"),
+                F.lit(0).alias("dv"),
+                F.col("aum").alias("am"),
+                F.lit(2).alias("ag"),
+                F.reverse("v").alias("v"),
             )
         )
     ).localCheckpoint(eager=False)
@@ -11005,6 +11267,41 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.lit("image").alias("modality"))
     )
 
+    # -- AUDIO leg: authored 130-sample PCM16 WAVs through the real
+    #    RIFF encoder, gain-invariant energy-contour chunks, the same
+    #    pigeonhole kernel as the image leg
+    def _author_wav(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            content = []
+            for m, g in zip(pdf["am"], pdf["ag"]):
+                s = (
+                    _np.frombuffer(bytes(m), _np.uint8, 130).astype(
+                        _np.int64
+                    )
+                    - 128
+                ) * int(g)
+                content.append(multimodal.encode_wav(s, rate=16000))
+            yield _pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"].astype("int64"),
+                    "content": content,
+                }
+            )
+
+    clips = items.select("item_id", "am", "ag").mapInPandas(
+        _author_wav, "item_id long, content binary"
+    )
+    p_audio = (
+        multimodal.dhash_near_dup_pairs(
+            multimodal.audio_energy_chunks(clips, id_col="item_id"),
+            id_col="item_id",
+        )
+        .select("id_a", "id_b", F.lit("audio").alias("modality"))
+    )
+
     # -- EMBEDDING leg: seeded-direction quantizer cells, within-cell
     #    quantized cosine (zero-norm vectors have no cosine — excluded)
     from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions.vectors import (
@@ -11037,9 +11334,10 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- merge: one edge set, min-label components, quality election
     pairs = (
-        p_text.unionByName(p_image).unionByName(p_emb).dropDuplicates(
-            ["id_a", "id_b", "modality"]
-        )
+        p_text.unionByName(p_image)
+        .unionByName(p_emb)
+        .unionByName(p_audio)
+        .dropDuplicates(["id_a", "id_b", "modality"])
     ).localCheckpoint(eager=False)
     comps = dedup.connected_components(pairs).select(
         F.col("id").alias("item_id"), "component"
@@ -11070,6 +11368,7 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("modality") == "text").cast("long")).alias("n_text"),
         F.sum((F.col("modality") == "image").cast("long")).alias("n_image"),
         F.sum((F.col("modality") == "embed").cast("long")).alias("n_embed"),
+        F.sum((F.col("modality") == "audio").cast("long")).alias("n_audio"),
     )
     return (
         census.join(mod_counts, "component")
@@ -11080,6 +11379,7 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_text",
             "n_image",
             "n_embed",
+            "n_audio",
             "keep_id",
             "keep_quality",
         )
@@ -11092,8 +11392,11 @@ def _cross_modal_oracle_sql() -> str:
     (md5-chain images, reversed strings/lists for the planted
     divergences), all three legs — the banded MinHash chain at 0.9,
     pixel→dHash→pigeonhole at hamming ≤ 3, the inlined-centroid
-    quantizer cells with quantized within-cell cosine ≥ 0.95 — the
-    recursive min-label components over the merged edge set, and the
+    quantizer cells with quantized within-cell cosine ≥ 0.95, and the
+    gain-invariant audio energy-contour leg (130 samples from the same
+    nine md5 digests, ×g gain, 65 exact-integer frame energies, the
+    shared chunk-pack / pigeonhole / popcount tail) — the recursive
+    min-label components over the merged edge set, and the
     (quality DESC, id ASC) election."""
     chunk_sums, ham, ors = _chunk_pair_sql()
     cents = similarity.make_unit_planes(
@@ -11112,6 +11415,13 @@ def _cross_modal_oracle_sql() -> str:
         )
         return f"lower(hex({parts}))"
 
+    def hx9(sfx: str) -> str:
+        parts = " || ".join(
+            f"unhex(md5(text || '{sfx}{t}'))"
+            for t in ["", "x", "y", "z", "w", "a", "b", "c", "d"]
+        )
+        return f"lower(hex({parts}))"
+
     return f"""
         WITH b AS (
             SELECT d.doc_id, d.text, e.embedding::DOUBLE[] AS v
@@ -11119,18 +11429,24 @@ def _cross_modal_oracle_sql() -> str:
             WHERE d.doc_id < 150),
         it AS (
             SELECT doc_id AS item_id, text AS txt, {hx('cm')} AS hs,
-                   0 AS dv, v
+                   0 AS dv, {hx9('cmau')} AS ahs, 1 AS g, v
             FROM b
             UNION ALL
-            SELECT doc_id + 1000, text, {hx('cmalt')}, 0, list_reverse(v)
+            SELECT doc_id + 1000, text, {hx('cmalt')}, 0,
+                   {hx9('cmaualt')}, 1, list_reverse(v)
             FROM b WHERE doc_id < 30
             UNION ALL
             SELECT doc_id + 2000, reverse(text), {hx('cm')}, 32,
-                   list_reverse(v)
+                   {hx9('cmaualt')}, 1, list_reverse(v)
             FROM b WHERE doc_id >= 30 AND doc_id < 60
             UNION ALL
-            SELECT doc_id + 3000, reverse(text), {hx('cmalt')}, 0, v
-            FROM b WHERE doc_id >= 60 AND doc_id < 90),
+            SELECT doc_id + 3000, reverse(text), {hx('cmalt')}, 0,
+                   {hx9('cmaualt')}, 1, v
+            FROM b WHERE doc_id >= 60 AND doc_id < 90
+            UNION ALL
+            SELECT doc_id + 4000, reverse(text), {hx('cmalt')}, 0,
+                   {hx9('cmau')}, 2, list_reverse(v)
+            FROM b WHERE doc_id >= 90 AND doc_id < 120),
         w AS (
             SELECT item_id,
                    string_split_regex(lower(trim(txt)), '\\s+') AS words
@@ -11206,10 +11522,31 @@ def _cross_modal_oracle_sql() -> str:
                         / (SQRT(list_inner_product(a.v, a.v))
                            * SQRT(list_inner_product(b.v, b.v)))
                         * 1000000 + 0.5) / 1000000.0 >= 0.95),
+        asmp AS (
+            SELECT item_id, i, ({_pix_hex_byte("i*2+1")} - 128) * g AS s
+            FROM (SELECT item_id, ahs AS hs, g FROM it) amt,
+                 generate_series(0, 129) AS ta(i)),
+        afr AS (
+            SELECT item_id, i // 2 AS f, SUM(s * s) AS e
+            FROM asmp GROUP BY item_id, i // 2),
+        abits AS (
+            SELECT f1.item_id, f1.f AS bi,
+                   CASE WHEN f1.e < f2.e THEN 1 ELSE 0 END AS bit
+            FROM afr f1
+            JOIN afr f2 ON f2.item_id = f1.item_id AND f2.f = f1.f + 1
+            WHERE f1.f < 64),
+        asigs AS (SELECT item_id, {chunk_sums} FROM abits
+                  GROUP BY item_id),
+        pa AS (
+            SELECT a.item_id AS id_a, b.item_id AS id_b
+            FROM asigs a JOIN asigs b
+              ON a.item_id < b.item_id AND ({ors})
+            WHERE {ham} <= 3),
         pairs AS (
             SELECT DISTINCT id_a, id_b, 'text' AS modality FROM pt
             UNION ALL SELECT DISTINCT id_a, id_b, 'image' FROM pi
-            UNION ALL SELECT DISTINCT id_a, id_b, 'embed' FROM pe),
+            UNION ALL SELECT DISTINCT id_a, id_b, 'embed' FROM pe
+            UNION ALL SELECT DISTINCT id_a, id_b, 'audio' FROM pa),
         edges AS (
             SELECT DISTINCT id_a AS ea, id_b AS eb FROM pairs
             UNION SELECT DISTINCT id_b, id_a FROM pairs),
@@ -11274,10 +11611,12 @@ def _cross_modal_oracle_sql() -> str:
                    CAST(SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_image,
                    CAST(SUM(CASE WHEN modality = 'embed' THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_embed
+                        AS BIGINT) AS n_embed,
+                   CAST(SUM(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_audio
             FROM pc GROUP BY component)
         SELECT census.component, n_members, n_text, n_image, n_embed,
-               keep_id, keep_quality
+               n_audio, keep_id, keep_quality
         FROM census
         JOIN mc USING (component)
         JOIN elected USING (component)
@@ -11744,18 +12083,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    image/audio/video tier, MIH search, the streaming
     #    serving/ingest/metering sinks, and the multi-probe +
     #    streaming legs of semantic dedup
-    "semantic_dedup_multiprobe": q_semantic_dedup_multiprobe,
     "streaming_semantic_dedup": q_streaming_semantic_dedup,
+    "streaming_ann_serving": q_streaming_ann_serving,
+    "streaming_token_budget": q_streaming_token_budget,
+    # -- r14 rotation (VERDICT r13 task 1): the six r13 debuts the
+    #    driver never hash-checked — the bulk ANN/LSH/MIH serving tier,
+    #    strided video dedup, cross-modal dedup (now with the audio
+    #    leg), BPE-budget packing — plus the two r14 debuts
+    #    (doc→token-sequence encoding, IMI two-level bulk ANN) so they
+    #    are driver-witnessed in their own round
+    "ivf_bulk_topk": q_ivf_bulk_topk,
+    "lsh_bulk_topk": q_lsh_bulk_topk,
+    "mih_bulk_search": q_mih_bulk_search,
+    "video_sampled_frame_dedup": q_video_sampled_frame_dedup,
+    "cross_modal_dedup": q_cross_modal_dedup,
+    "pack_bpe_budget": q_pack_bpe_budget,
+    "bpe_encode_docs": q_bpe_encode_docs,
+    "imi_bulk_topk": q_imi_bulk_topk,
+    # ---------------------------------------------------- beyond the cap
+    # rotated out of the driver window in r14, all driver-witnessed in
+    # r13 (families still witnessed in-window: BPE training/application
+    # by bpe_encode_docs + pack_bpe_budget + streaming_token_budget,
+    # image pigeonhole by cross_modal_dedup's image leg +
+    # mih_bulk_search, audio contour by cross_modal_dedup's audio leg,
+    # video by video_sampled_frame_dedup, multi-probe semantic dedup by
+    # semantic_dedup_trained + streaming_semantic_dedup, streaming
+    # perceptual ingest by streaming_semantic_dedup):
+    "semantic_dedup_multiprobe": q_semantic_dedup_multiprobe,
     "bpe_merge_table": q_bpe_merge_table,
     "bpe_token_counts": q_bpe_token_counts,
     "image_dhash_near_dup": q_image_dhash_near_dup,
     "audio_contour_near_dup": q_audio_contour_near_dup,
-    "streaming_ann_serving": q_streaming_ann_serving,
     "video_shared_frame_dedup": q_video_shared_frame_dedup,
     "image_dhash_search": q_image_dhash_search,
     "streaming_dhash_ingest": q_streaming_dhash_ingest,
-    "streaming_token_budget": q_streaming_token_budget,
-    # ---------------------------------------------------- beyond the cap
     # rotated out of the driver window in r13, all driver-witnessed in
     # r10/r11/r12 (families still witnessed in-window: drift by bh_fdr,
     # time-series by calendar_seasonality, profiling by
@@ -12021,16 +12382,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # drift/semantic additions moved into the driver window in the r10
     # rotation; the r10/r11 MMR + IMI + trained-quantizer additions
     # moved into the window in the r12 rotation)
-    # -- r13 additions: bulk ANN re-ranking with in-plan probe ranking,
-    #    frame-sampled video dedup (strided index, full probe)
-    "ivf_bulk_topk": q_ivf_bulk_topk,
-    "lsh_bulk_topk": q_lsh_bulk_topk,
-    "mih_bulk_search": q_mih_bulk_search,
-    "pack_bpe_budget": q_pack_bpe_budget,
-    "video_sampled_frame_dedup": q_video_sampled_frame_dedup,
-    "cross_modal_dedup": q_cross_modal_dedup,
     # (the r12 multi-probe/streaming-semantic/BPE/perceptual/serving
-    # additions moved into the driver window in the r13 rotation)
+    # additions moved into the driver window in the r13 rotation; the
+    # r13 bulk-serving/video/cross-modal/packing additions and the r14
+    # debuts moved into the window in the r14 rotation)
 }
 
 
@@ -14041,6 +14396,8 @@ def oracle_sql() -> dict[str, str]:
         "video_shared_frame_dedup": _video_shared_frame_oracle_sql(),
         "video_sampled_frame_dedup": _video_sampled_frame_oracle_sql(),
         "cross_modal_dedup": _cross_modal_oracle_sql(),
+        "bpe_encode_docs": _bpe_encode_docs_oracle_sql(),
+        "imi_bulk_topk": _imi_bulk_oracle_sql(),
         "image_dhash_search": _image_dhash_search_oracle_sql(),
         # the streamed ingest pair set reconstructs the batch output
         # contract exactly, so its oracle IS the batch twin — one hash

@@ -221,8 +221,14 @@ HEADLINE = [
     # composition: training + dictionary join + prefix-sum packing)
     "pack_bpe_budget",
     # cross-modal dedup composition (text MinHash + image dHash +
-    # embedding quantizer cells -> unified components + election)
+    # embedding quantizer cells + audio energy contour -> unified
+    # components + election)
     "cross_modal_dedup",
+    # round-14 additions: doc -> token-sequence encoding under the
+    # trained BPE vocabulary; bulk ANN under the two-level (IMI)
+    # quantizer (per-half in-plan ranking, sqrt-cost carrier)
+    "bpe_encode_docs",
+    "imi_bulk_topk",
 ]
 
 

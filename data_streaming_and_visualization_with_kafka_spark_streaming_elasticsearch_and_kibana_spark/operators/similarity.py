@@ -1280,6 +1280,199 @@ def ivf_bulk_topk(
     )
 
 
+def imi_assign_exact(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level cell assignment with the BIT-EXACT JVM arithmetic
+    (imi_assign_arrow's dgemm twin for oracle-gated paths): per half,
+    ‖c‖² − 2·x_h·c as (d, i) structs over the sliced vector, argmin =
+    array_min (lexicographic — ties to the smaller index, the house
+    order a SQL ROW_NUMBER ... ORDER BY d ASC, i ASC replays exactly);
+    cid = c1·K + c2 as LONG. Per-row cost O(√k_cells·d) for k_cells
+    cells — the assignment leg that stays flat-broadcast-free when the
+    cell count must track the corpus."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    nhalf, K, dh = cb.shape
+    assert nhalf == 2
+    cn = (cb**2).sum(axis=2)
+    v = F.col(vec_col).cast("array<double>")
+    halves = [F.slice(v, 1, dh), F.slice(v, dh + 1, dh)]
+    mins = []
+    for h in range(2):
+        arr = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(float(cn[h][i]))
+                        - 2.0
+                        * dot(halves[h], _query_vec_literal(list(cb[h][i])))
+                    ).alias("d"),
+                    F.lit(i).alias("i"),
+                )
+                for i in range(K)
+            ]
+        )
+        mins.append(F.array_min(arr)["i"])
+    return corpus.withColumn(
+        "cid", (mins[0].cast("long") * K + mins[1].cast("long"))
+    )
+
+
+def build_imi_index(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IMI index partitioned by the two-level cell id —
+    the same pruning layout as build_ivf_index with K² cells for
+    O(√k_cells·d) assignment arithmetic per row (imi_assign_exact, so
+    a SQL twin replays the build)."""
+    from ..sources.sinks import write_partitioned_parquet
+
+    write_partitioned_parquet(
+        imi_assign_exact(corpus, codebooks, vec_col), path, ["cid"]
+    )
+
+
+def imi_bulk_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    round_to: int = 6,
+) -> DataFrame:
+    """Bulk ANN serving under the TWO-LEVEL (inverted multi-index)
+    quantizer — the scale escape `ivf_bulk_topk` documents for itself:
+    the flat path's broadcast-scalar centroid row carries k_cells·d
+    doubles into every query row's transient and stops being the right
+    carrier beyond ~4k cells, while here the carrier is TWO √k_cells
+    half-codebook rows (2·√k_cells·d/2 = √k_cells·d doubles — 64× less
+    payload at 4096 cells) and per-query ranking work drops from
+    O(k_cells·d) to O(√k_cells·d + nprobe²).
+
+    All in-plan, zero shuffle before the top-k window: each query row
+    scores BOTH half codebooks via the shared fold contract
+    (‖c‖² − 2·q_h·c over the sliced vector — the left-to-right
+    IEEE-double fold DuckDB's list_inner_product replays), takes the
+    per-half top-`nprobe` via array_sort over (d, i) structs, combines
+    them to nprobe² (c1, c2) cells scored d1 + d2, and keeps the
+    overall top-`nprobe` (lossless: the i-th best combo's halves each
+    rank ≤ i in their own list — the standard multi-index property, so
+    pruning per half to nprobe before combining cannot drop a true
+    top-nprobe cell). Candidates come from the cid join against the
+    persisted cid-partitioned IMI index (build_imi_index — assignment
+    is the same exact arithmetic), exact quantized cosine JVM-side,
+    and the per-query top-k window is the single exchange. Zero-norm
+    queries drop in-plan. The DuckDB twin replays assignment, per-half
+    ranking, the combo sort, and the pruned top-k."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    nhalf, K, dh = cb.shape
+    assert nhalf == 2
+    cn = (cb**2).sum(axis=2)
+    halves_row = [
+        [
+            [
+                (int(i), float(cn[h][i]), [float(x) for x in cb[h][i]])
+                for i in range(K)
+            ]
+            for h in range(2)
+        ]
+    ]
+    cells_df = spark.createDataFrame(
+        halves_row,
+        "h1 array<struct<i:int,cn:double,c:array<double>>>,"
+        "h2 array<struct<i:int,cn:double,c:array<double>>>",
+    )
+    qv = F.col(qvec_col).cast("array<double>")
+
+    def _dot_lr(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    p = int(nprobe)
+    qhalves = [F.slice(qv, 1, dh), F.slice(qv, dh + 1, dh)]
+
+    def _ranked_half(col_name: str, qh):
+        # one-arg lambda (F.transform treats a second parameter as the
+        # element index); qh is closed over explicitly
+        def _score(cell):
+            return F.struct(
+                (cell["cn"] - F.lit(2.0) * _dot_lr(qh, cell["c"])).alias(
+                    "d"
+                ),
+                cell["i"].alias("i"),
+            )
+
+        return F.slice(
+            F.array_sort(F.transform(F.col(col_name), _score)), 1, p
+        )
+
+    tops = [_ranked_half("h1", qhalves[0]), _ranked_half("h2", qhalves[1])]
+    combos = F.flatten(
+        F.transform(
+            tops[0],
+            lambda a: F.transform(
+                tops[1],
+                lambda b: F.struct(
+                    (a["d"] + b["d"]).alias("score"),
+                    (a["i"].cast("long") * K + b["i"].cast("long")).alias(
+                        "cid"
+                    ),
+                ),
+            ),
+        )
+    )
+    probed = (
+        queries.filter(_dot_lr(qv, qv) > 0)
+        .crossJoin(F.broadcast(cells_df))
+        .select(
+            qid_col,
+            qv.alias("__qv"),
+            F.explode(
+                F.slice(F.array_sort(combos), 1, p)
+            ).alias("pr"),
+        )
+        .select(qid_col, "__qv", F.col("pr.cid").alias("cid"))
+    )
+    idx = spark.read.parquet(index_path)
+    scale = float(10**round_to)
+    scored = (
+        idx.join(probed, "cid")
+        .select(
+            qid_col,
+            F.col(id_col),
+            (
+                F.floor(
+                    cosine(F.col(vec_col), F.col("__qv")) * scale
+                    + F.lit(0.5)
+                )
+                / F.lit(scale)
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def ivf_multi_query_topk(
     spark,
     index_path: str,

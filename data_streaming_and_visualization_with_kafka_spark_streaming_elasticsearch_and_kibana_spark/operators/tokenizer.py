@@ -187,6 +187,72 @@ def token_dict(final_state: DataFrame) -> DataFrame:
     )
 
 
+def token_dict_seq(final_state: DataFrame) -> DataFrame:
+    """(word, toks, tok_n): per-word ORDERED token sequence under the
+    trained merges, pipe-joined ('th|e') — the dictionary the encoding
+    join consumes. Derived from the same final training state as
+    token_dict; tokens are [a-z0-9]+ so '|' can never appear inside
+    one and the joined string splits back losslessly."""
+    toks = _tokens(F.col("enc"))
+    return final_state.select(
+        "word",
+        F.array_join(toks, "|").alias("toks"),
+        F.size(toks).cast("long").alias("tok_n"),
+    )
+
+
+def encode_docs(
+    docs: DataFrame,
+    dictionary: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, tokens, n_tokens): the ACTUAL per-document token sequence
+    under a trained BPE dictionary — the operator a pre-training
+    pipeline runs before writing shards (doc_token_counts budgets by
+    the count; this emits the sequence itself, pipe-joined in document
+    word order so the result is one byte-comparable string per doc).
+
+    Corpus-sized work: posexplode (word order kept as `pos`), ONE
+    dictionary equi-join (AQE picks broadcast while the dictionary is
+    small), and a per-doc sort-by-position aggregation — the same
+    single-shuffle shape as doc_token_counts plus the order-preserving
+    struct sort inside the groupBy. Words absent from the dictionary
+    (corpus drift after training) fall back to their character
+    sequence — exactly the tokens an un-merged word carries.
+    Documents with no [a-z0-9] words carry no tokens and drop, the
+    pack_bpe_budget convention. Round-trip law (pinned in
+    tests/test_tokenizer.py): tokens with the pipes removed equal the
+    normalized word stream concatenated."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), WORD_SPLIT_REGEX)
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    char_toks = _tokens(encode_chars(F.col("word")))
+    joined = words.join(dictionary, "word", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(
+            F.col("toks"), F.array_join(char_toks, "|")
+        ).alias("toks"),
+        F.coalesce(F.col("tok_n"), F.length("word").cast("long")).alias(
+            "tok_n"
+        ),
+    )
+    return joined.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                lambda s: s["toks"],
+            ),
+            "|",
+        ).alias("tokens"),
+        F.sum("tok_n").cast("long").alias("n_tokens"),
+    )
+
+
 def doc_token_counts(
     docs: DataFrame,
     dictionary: DataFrame,

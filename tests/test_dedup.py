@@ -310,14 +310,16 @@ def test_passage_dedup_within_doc_repetition(spark):
 
 def test_cross_modal_dedup_each_modality_contributes_unique_pairs(spark):
     """The r12-verdict task-6 planted-fixture pin for the cross-modal
-    composition entry: on the sf0.001 corpus, the text twins are only
-    reachable through the MinHash leg, the +32-brightness image twins
-    only through the dHash leg, the identical-vector embedding twins
-    only through the quantizer-cell leg — each modality must yield
-    single-modality components the other two legs cannot see, and the
-    image/embed legs must find EXACTLY their 30 planted pairs (no
-    incidental pairs exist in those modalities at this scale; text has
-    incidental exact-dup documents on top of its 30)."""
+    composition entry (r13-verdict task 5 added the audio leg): on the
+    sf0.001 corpus, the text twins are only reachable through the
+    MinHash leg, the +32-brightness image twins only through the dHash
+    leg, the identical-vector embedding twins only through the
+    quantizer-cell leg, the ×2-gain audio twins only through the
+    energy-contour leg — each modality must yield single-modality
+    components the other three legs cannot see, and the
+    image/embed/audio legs must find EXACTLY their 30 planted pairs
+    (no incidental pairs exist in those modalities at this scale; text
+    has incidental exact-dup documents on top of its 30)."""
     import __spark_entry__ as entrymod
 
     df = (
@@ -327,19 +329,21 @@ def test_cross_modal_dedup_each_modality_contributes_unique_pairs(spark):
         .toPandas()
         .set_index("component")
     )
+    mods = ("text", "image", "embed", "audio")
     only = {
         m: df[
             (df[f"n_{m}"] > 0)
-            & (df[[c for c in ("n_text", "n_image", "n_embed")
-                   if c != f"n_{m}"]] == 0).all(axis=1)
+            & (df[[f"n_{o}" for o in mods if o != m]] == 0).all(axis=1)
         ]
-        for m in ("text", "image", "embed")
+        for m in mods
     }
     assert len(only["text"]) >= 25
     assert len(only["image"]) >= 25
     assert len(only["embed"]) >= 25
+    assert len(only["audio"]) >= 25
     assert int(df["n_image"].sum()) == 30
     assert int(df["n_embed"].sum()) == 30
+    assert int(df["n_audio"].sum()) == 30
     assert int(df["n_text"].sum()) >= 30
     # every emitted component is a real cluster with an elected keeper
     assert (df["n_members"] >= 2).all()

@@ -106,6 +106,21 @@ SF = "/root/testdata/sf0.001"
 #: mmr_diversified_topk (MMR by mmr_from_index over the same persisted
 #: index), semantic_dedup_imi (semantic dedup by the trained +
 #: multi-probe legs).
+#: r14 rotation (the r13 verdict's ordered task 1 — the six r13 debuts
+#: the driver never hash-checked, plus the two r14 debuts so they are
+#: witnessed in their own round): IN — ivf_bulk_topk, lsh_bulk_topk,
+#: mih_bulk_search, video_sampled_frame_dedup, cross_modal_dedup (now
+#: with the audio leg), pack_bpe_budget, bpe_encode_docs,
+#: imi_bulk_topk. OUT (families still witnessed in-window) —
+#: bpe_merge_table + bpe_token_counts (BPE training/application by
+#: bpe_encode_docs + pack_bpe_budget + streaming_token_budget),
+#: image_dhash_near_dup + image_dhash_search (image pigeonhole/MIH by
+#: cross_modal_dedup's image leg + mih_bulk_search),
+#: audio_contour_near_dup (audio contour by cross_modal_dedup's audio
+#: leg), video_shared_frame_dedup (video by video_sampled_frame_dedup),
+#: semantic_dedup_multiprobe (semantic dedup by semantic_dedup_trained
+#: + streaming_semantic_dedup), streaming_dhash_ingest (stateful
+#: streaming ingest by streaming_semantic_dedup).
 DRIVER_WINDOW = [
     "fusion_minute_avg",
     "multiway_join_revenue",
@@ -146,17 +161,17 @@ DRIVER_WINDOW = [
     "corpus_pipeline_end2end",
     "mmr_from_index",
     "semantic_dedup_trained",
-    "semantic_dedup_multiprobe",
     "streaming_semantic_dedup",
-    "bpe_merge_table",
-    "bpe_token_counts",
-    "image_dhash_near_dup",
-    "audio_contour_near_dup",
     "streaming_ann_serving",
-    "video_shared_frame_dedup",
-    "image_dhash_search",
-    "streaming_dhash_ingest",
     "streaming_token_budget",
+    "ivf_bulk_topk",
+    "lsh_bulk_topk",
+    "mih_bulk_search",
+    "video_sampled_frame_dedup",
+    "cross_modal_dedup",
+    "pack_bpe_budget",
+    "bpe_encode_docs",
+    "imi_bulk_topk",
 ]
 
 
@@ -180,32 +195,24 @@ def test_driver_window_is_stable_and_fully_oracled():
 #: actual engine-vs-oracle comparison for them in-repo. Entries rotate
 #: OUT each round (the window + full local gate cover them afterwards).
 DEBUT_ORACLE_QUERIES = [
-    # (the thirteen r12 debuts rotated out at the r13 window rotation —
-    # their now-verified md5s entered tests/oracle_checksums.json via
-    # tools/gen_oracle_checksums.py after CORRECTNESS gates ran them)
-    # r13: new — bulk ANN re-ranking with in-plan (JVM-side) probe
-    # ranking over the trained IVF index; the oracle is the shared
-    # probe-serving replay at the 32-query bulk size
-    "ivf_bulk_topk",
-    # r13: new — video near-dup against a stride-2 frame-sampled index
-    # (full-walk probe side; oriented pair output)
-    "video_sampled_frame_dedup",
-    # r13: new — cross-modal dedup composition: text MinHash + image
-    # dHash + embedding quantizer-cell pairs merged into unified
-    # components with a quality election
+    # (the six r13 debuts rotated INTO the driver window at the r14
+    # rotation; their verified md5s enter tests/oracle_checksums.json
+    # via tools/gen_oracle_checksums.py once the gates pass)
+    # r14: new — doc → token-ID encoding under the trained BPE
+    # vocabulary: per-document ordered token sequence as one
+    # byte-comparable pipe-joined string (training + sequence
+    # dictionary + position-ordered aggregation in one replay chain)
+    "bpe_encode_docs",
+    # r14: new — bulk ANN serving under the TWO-LEVEL (IMI) quantizer:
+    # per-half in-plan cell ranking, lossless top-nprobe combo pruning,
+    # cid-partitioned index join (the scale escape ivf_bulk_topk
+    # documents for its flat broadcast carrier)
+    "imi_bulk_topk",
+    # r14: CHANGED — cross_modal_dedup grows the fourth (audio) leg:
+    # gain-invariant energy-contour pairs over authored PCM16 WAVs,
+    # planted ×2-gain twins only that leg catches, n_audio census
+    # column; the twin replays the fourth leg beside the other three
     "cross_modal_dedup",
-    # r13: new — bulk LSH serving with in-plan bucket + multi-probe
-    # mask ranking; the first FULLY oracle-twinned LSH serving leg
-    # (the per-query path is rows-only, recall-floor-pinned)
-    "lsh_bulk_topk",
-    # r13: new — batch perceptual ingest gate: every media signature
-    # probes the persisted MIH index in one job (bulk twin of
-    # image_dhash_search)
-    "mih_bulk_search",
-    # r13: new — sequence packing under the TRAINED BPE vocabulary
-    # (pack_token_budget's whitespace proxy replaced by true token
-    # counts; training + application + packing in one replay chain)
-    "pack_bpe_budget",
 ]
 
 

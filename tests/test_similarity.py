@@ -368,6 +368,81 @@ def test_lsh_bulk_topk_matches_driver_side_per_query_path(spark, tmp_dir):
     ).count() == 0
 
 
+def test_imi_bulk_topk_matches_unpruned_numpy_reference(spark, tmp_dir):
+    """imi_bulk_topk prunes each half to its top-nprobe cells before
+    combining (nprobe² combos instead of K²); the multi-index property
+    says that pruning is LOSSLESS — the i-th best combo's halves each
+    rank ≤ i in their own lists, ties included under the (d, i) struct
+    order. The numpy reference here ranks ALL K² combos per query (no
+    pruning) with the same (score, cid) tie-break, probes the same
+    top-nprobe cells, and recomputes the quantized-cosine top-k over
+    the index's own assignments — bulk output must match exactly."""
+    corpus, vecs = _corpus(spark)
+    cb = similarity.make_imi_codebooks(DIM, n_cells_per_half=4, seed=5)
+    K = cb.shape[1]
+    dh = DIM // 2
+    imi_path = f"{tmp_dir}/imi_bulk"
+    similarity.build_imi_index(corpus, cb, imi_path)
+    queries = [
+        (i, [float(x) for x in vecs[j]]) for i, j in enumerate((3, 17, 44, 59))
+    ]
+    qdf = spark.createDataFrame(queries, "query_id long, qvec array<double>")
+    nprobe = 3
+    bulk = similarity.imi_bulk_topk(
+        spark, imi_path, qdf, cb, k=5, nprobe=nprobe
+    ).collect()
+    idx = spark.read.parquet(imi_path).collect()
+    by_cell: dict[int, list] = {}
+    for r in idx:
+        by_cell.setdefault(int(r.cid), []).append(
+            (int(r.vec_id), np.asarray(r.embedding, dtype=np.float64))
+        )
+    cn = (cb**2).sum(axis=2)
+    expected = []
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        d1 = cn[0] - 2.0 * (cb[0] @ q[:dh])
+        d2 = cn[1] - 2.0 * (cb[1] @ q[dh:])
+        combos = sorted(
+            ((d1[i] + d2[j], i * K + j) for i in range(K) for j in range(K))
+        )[:nprobe]
+        cands = []
+        for _, cid in combos:
+            for vid, v in by_cell.get(cid, []):
+                cos = float(q @ v) / (
+                    float(np.sqrt(v @ v)) * float(np.sqrt(q @ q))
+                )
+                cands.append((vid, np.floor(cos * 1e6 + 0.5) / 1e6))
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        expected.extend((qid, vid, cos) for vid, cos in cands[:5])
+    got = sorted((r.query_id, r.vec_id, r.cos_sim) for r in bulk)
+    assert got == sorted(expected)
+    # zero-norm queries drop in-plan, never an error
+    qdf0 = spark.createDataFrame(
+        [(99, [0.0] * DIM)], "query_id long, qvec array<double>"
+    )
+    assert (
+        similarity.imi_bulk_topk(spark, imi_path, qdf0, cb, k=5, nprobe=2)
+    ).count() == 0
+
+
+def test_imi_assign_exact_matches_arrow_assignment(spark):
+    """imi_assign_exact (the JVM fold/argmin build path the oracle
+    replays) agrees with imi_assign_arrow (the dgemm batch path) on
+    every corpus row — two implementations, one cell contract."""
+    corpus, _ = _corpus(spark)
+    cb = similarity.make_imi_codebooks(DIM, n_cells_per_half=4, seed=5)
+    exact = {
+        r.vec_id: int(r.cid)
+        for r in similarity.imi_assign_exact(corpus, cb).collect()
+    }
+    arrow = {
+        r.vec_id: int(r.cid)
+        for r in similarity.imi_assign_arrow(corpus, cb).collect()
+    }
+    assert exact == arrow
+
+
 def test_bulk_topk_edge_cases(spark, tmp_dir):
     """nprobe beyond the cell count degrades to a full-index scan (not
     an error); multiprobe beyond the mask count probes every mask; an

@@ -179,3 +179,56 @@ def test_vocab_is_corpus_weighted(spark):
     }
     # lowercasing + non-alnum splitting fold 'Go,' and 'STOP!' in
     assert got == {"go": 3, "stop": 2}
+
+
+def test_encode_docs_matches_python_reference_and_round_trips(spark):
+    """bpe_encode_docs (r13-verdict task 2): the per-document ordered
+    token sequence matches the pure-python third implementation, and
+    the round-trip law holds — tokens with the pipes removed equal the
+    document's normalized word stream concatenated."""
+    import re
+
+    freqs = _ref_vocab(spark)
+    _, ref_state = _ref_bpe(freqs, 12)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = tokenizer.word_vocab(docs)
+    _, final = tokenizer.train_bpe_merges(vocab, 12)
+    got = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in tokenizer.encode_docs(
+            docs, tokenizer.token_dict_seq(final)
+        ).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    n_checked = 0
+    for doc_id, text in texts.items():
+        words = [w for w in re.split("[^a-z0-9]+", text.lower()) if w]
+        if not words:
+            assert doc_id not in got  # no-token docs drop
+            continue
+        ref_toks = [t for w in words for t in ref_state[w]]
+        tokens, n_tokens = got[doc_id]
+        assert tokens == "|".join(ref_toks)
+        assert n_tokens == len(ref_toks)
+        # round-trip law: pipes out == normalized word stream
+        assert tokens.replace("|", "") == "".join(words)
+        n_checked += 1
+    assert n_checked > 0 and len(got) == n_checked
+
+
+def test_encode_docs_fallback_for_unseen_words(spark):
+    # a word absent from the dictionary encodes as its character
+    # sequence, in place, in document order
+    docs = spark.createDataFrame(
+        [(1, "the zq the")], "doc_id long, text string"
+    )
+    dictionary = spark.createDataFrame(
+        [("the", "th|e", 2)], "word string, toks string, tok_n long"
+    )
+    got = tokenizer.encode_docs(docs, dictionary).collect()
+    assert [(r["doc_id"], r["tokens"], r["n_tokens"]) for r in got] == [
+        (1, "th|e|z|q|th|e", 6)
+    ]

@@ -20,7 +20,19 @@ job even starts, which is the bottleneck this leg removes.
 Rewrites the "## Bulk ANN serving scaling" section of SCALING.md in
 place, preserving everything else.
 
+`--skew` mode (r13 verdict task 4): both bulk ANN legs join candidates
+on a low-cardinality key (cid / bucket) — the exact shape AQE
+skew-split exists for, previously cited but never measured. Builds a
+DELIBERATELY skewed index (one cell holding ~half a 50k-vector
+corpus; queries half hot) beside a uniform one of identical size, and
+pins the wall-time ratio skewed/uniform with AQE on — auto-broadcast
+disabled so the candidate join takes the shuffle path a 10⁶-query
+bulk job would (at real bulk volume the probe side exceeds any
+broadcast threshold). Writes the "## Bulk ANN candidate-join skew"
+section.
+
 Usage: python tools/ann_bulk_scaling.py [Q ...]   (default: 32 320 3200)
+       python tools/ann_bulk_scaling.py --skew
 """
 
 from __future__ import annotations
