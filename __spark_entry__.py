@@ -7447,12 +7447,19 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     support_micro, conf_a_to_b/conf_b_to_a, and lift_micro scaled by
     10⁶."""
     li = _t(spark, sf_dir, "lineitem")
+    # persist, NOT localCheckpoint: the distinct basket list is
+    # FACT-SIZED (grows with lineitem), and localCheckpoint
+    # materializes raw UnsafeRow copies in block-manager memory — at
+    # the 100×-lineitem witness (tools/basket_scaling.py) that OOMs
+    # the executors, while the SQL columnar cache stores the two int
+    # columns compressed and spills to disk. Same reuse (n / per_part
+    # / both pair sides read one computation), cluster-safe storage.
     op = (
         li.select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
     n = op.agg(F.count_distinct("ok").alias("n_orders"))
     per_part = op.groupBy("pk").agg(F.count("*").alias("c_part"))
@@ -11134,7 +11141,19 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    b = docs.join(emb, "doc_id").select(
+    items = _cross_modal_items(
+        _cross_modal_base(docs, emb), 30, 60, 90, 120, 1000
+    ).localCheckpoint(eager=False)
+    return _cross_modal_census(items)
+
+
+def _cross_modal_base(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """The quad-modal base frame: each doc joined to its embedding plus
+    the md5 authoring chains for the image (main + alt) and audio
+    (main + alt) fixtures. Shared by the gated entry (doc_id < 150)
+    and tools/cross_modal_scaling.py (k× replicas, replica-salted
+    text so every chain diverges across replicas)."""
+    return docs.join(emb, "doc_id").select(
         "doc_id",
         "text",
         _md5_chain("cm").alias("him"),
@@ -11143,8 +11162,19 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _md5_chain9("cmaualt").alias("aalt"),
         "v",
     )
+
+
+def _cross_modal_items(
+    b: DataFrame, r1: int, r2: int, r3: int, r4: int, off: int
+) -> DataFrame:
+    """The planted-twin item table over a quad-modal base frame:
+    originals for every doc, a text twin (+off) for doc_id < r1, an
+    image twin (+2·off) for r1 ≤ doc_id < r2, an embedding twin
+    (+3·off) for r2 ≤ doc_id < r3, an audio twin (+4·off) for
+    r3 ≤ doc_id < r4. Bounds/offset are parameters so the scaling
+    harness can stamp the same structure per replica block."""
     d = F.col("doc_id")
-    items = (
+    return (
         b.select(
             d.alias("item_id"),
             F.col("text").alias("txt"),
@@ -11155,8 +11185,8 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
         )
         .unionByName(
-            b.filter(d < 30).select(
-                (d + 1000).alias("item_id"),
+            b.filter(d < r1).select(
+                (d + off).alias("item_id"),
                 F.col("text").alias("txt"),
                 F.col("halt").alias("hs"),
                 F.lit(0).alias("dv"),
@@ -11166,8 +11196,8 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            b.filter((d >= 30) & (d < 60)).select(
-                (d + 2000).alias("item_id"),
+            b.filter((d >= r1) & (d < r2)).select(
+                (d + 2 * off).alias("item_id"),
                 F.reverse("text").alias("txt"),
                 F.col("him").alias("hs"),
                 F.lit(32).alias("dv"),
@@ -11177,8 +11207,8 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            b.filter((d >= 60) & (d < 90)).select(
-                (d + 3000).alias("item_id"),
+            b.filter((d >= r2) & (d < r3)).select(
+                (d + 3 * off).alias("item_id"),
                 F.reverse("text").alias("txt"),
                 F.col("halt").alias("hs"),
                 F.lit(0).alias("dv"),
@@ -11188,8 +11218,8 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            b.filter((d >= 90) & (d < 120)).select(
-                (d + 4000).alias("item_id"),
+            b.filter((d >= r3) & (d < r4)).select(
+                (d + 4 * off).alias("item_id"),
                 F.reverse("text").alias("txt"),
                 F.col("halt").alias("hs"),
                 F.lit(0).alias("dv"),
@@ -11198,7 +11228,14 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.reverse("v").alias("v"),
             )
         )
-    ).localCheckpoint(eager=False)
+    )
+
+
+def _cross_modal_census(items: DataFrame) -> DataFrame:
+    """The four dedup legs + unified component census + quality
+    election over a quad-modal item table (item_id, txt, hs, dv, am,
+    ag, v) — the operator body of q_cross_modal_dedup, shared with the
+    scaling harness so the witness times the REAL gated path."""
 
     # -- TEXT leg: the dedup_keep_best MinHash chain at Jaccard >= 0.9
     tdocs = items.select(

@@ -1180,6 +1180,7 @@ def ivf_bulk_topk(
     qvec_col: str = "qvec",
     cnorms_sq: np.ndarray | None = None,
     round_to: int = 6,
+    salt: int = 1,
 ) -> DataFrame:
     """Bulk ANN serving with DISTRIBUTED probe ranking (the r12 verdict
     gap): `ivf_multi_query_topk` / `streaming.ann_serving_sink` rank
@@ -1209,7 +1210,19 @@ def ivf_bulk_topk(
     right carrier (per-row transient cost grows with k_cells·d); the
     scale path is a coarse two-level quantizer (IMI — see
     imi_assign_multiprobe) before this operator, not a bigger flat
-    centroid table."""
+    centroid table.
+
+    `salt > 1` splits each cid's candidate work `salt` ways for HOT
+    cells (tools/ann_bulk_scaling.py --skew: one cell holding half the
+    corpus turns the cid join into a single-task straggler — the hot
+    key's index-side shuffle blocks are far below AQE's skew-split
+    byte threshold while its JOIN OUTPUT explodes, so AQE never
+    intervenes): the probe side replicates per salt value, the index
+    side salts by hash(id), the join key becomes (cid, salt). The
+    candidate set — and therefore the result — is bit-identical at
+    any salt (pinned in tests/test_similarity.py); cost is probe-row
+    fan-out (queries·nprobe·salt rows, trivial) bought against
+    salt-way parallelism on the hottest cell."""
     c = np.asarray(centroids, dtype=np.float64)
     cn = (
         np.asarray(cnorms_sq, dtype=np.float64)
@@ -1257,9 +1270,19 @@ def ivf_bulk_topk(
         .select(qid_col, "__qv", F.col("p.cid").cast("long").alias("cid"))
     )
     idx = spark.read.parquet(index_path)
+    join_keys = ["cid"]
+    if int(salt) > 1:
+        probed = probed.withColumn(
+            "__salt",
+            F.explode(F.array(*[F.lit(s) for s in range(int(salt))])),
+        )
+        idx = idx.withColumn(
+            "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(int(salt)))
+        )
+        join_keys = ["cid", "__salt"]
     p = float(10**round_to)
     scored = (
-        idx.join(probed, "cid")
+        idx.join(probed, join_keys)
         .select(
             qid_col,
             F.col(id_col),

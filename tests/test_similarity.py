@@ -331,6 +331,13 @@ def test_ivf_bulk_topk_matches_driver_side_per_query_path(spark, tmp_dir):
     assert (
         similarity.ivf_bulk_topk(spark, ivf_path, qdf0, cents, k=5, nprobe=2)
     ).count() == 0
+    # salting splits hot-cell candidate work without changing the
+    # candidate set: results are bit-identical at any salt
+    salted = similarity.ivf_bulk_topk(
+        spark, ivf_path, qdf, cents, k=5, nprobe=2, salt=4
+    ).collect()
+    assert key(salted) == key(bulk)
+    assert "__salt" not in salted[0].asDict()
 
 
 def test_lsh_bulk_topk_matches_driver_side_per_query_path(spark, tmp_dir):

@@ -68,7 +68,159 @@ def queries_df(spark, base_vecs: np.ndarray, q: int):
     return spark.createDataFrame(rows, "query_id long, qvec array<double>")
 
 
+SKEW_MARK = "## Bulk ANN candidate-join skew"
+SKEW_N = 20_000
+SKEW_Q = 400
+SKEW_CELLS = 16
+SKEW_DIM = 64
+SKEW_SALT = 32
+
+
+def _synth_corpus(spark, hot_frac: float, hot_center: np.ndarray):
+    """Deterministic synthetic corpus: `hot_frac` of rows hug
+    `hot_center` (0.05 noise — they all land in its cell), the rest
+    are seeded gaussian directions (numpy — per-column F.rand streams
+    are mutually correlated enough to collapse the 'uniform' corpus
+    into one cell, which this witness exists to avoid)."""
+    rng = np.random.RandomState(7_000)
+    x = rng.randn(SKEW_N, SKEW_DIM)
+    if hot_frac > 0:
+        step = int(round(1 / hot_frac))
+        x[::step] = hot_center[None, :] + 0.05 * x[::step]
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(SKEW_N)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def skew_main() -> None:
+    """Pin the wall-time ratio skewed/uniform for the bulk candidate
+    join with AQE on (spark.sql.adaptive + skewJoin are session
+    defaults), auto-broadcast disabled so the cid join takes the
+    shuffle path a 10⁶-query bulk job would."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="ann_skew_scaling")
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cents = similarity.make_unit_planes(SKEW_DIM, SKEW_CELLS, seed=31)
+        out = os.path.join(REPO, ".benchmarks", "ann_skew")
+        results = {}
+        for label, hot_frac, salt, reps in (
+            ("uniform", 0.0, 1, 3),
+            # the straggler case is timed ONCE (it IS the pathology;
+            # median-of-3 would triple a minutes-long single task)
+            ("skewed", 0.5, 1, 1),
+            ("skewed+salt", 0.5, SKEW_SALT, 3),
+        ):
+            path = f"{out}/{'skewed' if hot_frac else 'uniform'}"
+            if not os.path.exists(f"{path}/_SUCCESS"):
+                corpus = _synth_corpus(spark, hot_frac, cents[0])
+                similarity.ivf_assign_arrow(corpus, cents).coalesce(
+                    8
+                ).write.mode("overwrite").parquet(path)
+            hist = (
+                spark.read.parquet(path)
+                .groupBy("cid")
+                .count()
+                .orderBy(F.desc("count"))
+                .limit(1)
+                .collect()[0]
+            )
+            # queries drawn from the same mixture: half hug the hot
+            # center in the skewed run, so probed cells concentrate
+            rng = np.random.RandomState(77)
+            qm = rng.randn(SKEW_Q, SKEW_DIM)
+            if hot_frac > 0:
+                qm[::2] = cents[0][None, :] + 0.05 * qm[::2]
+            qdf = spark.createDataFrame(
+                [(int(i), [float(x) for x in qm[i]]) for i in range(SKEW_Q)],
+                "query_id long, qvec array<double>",
+            ).localCheckpoint(eager=True)
+
+            def run():
+                return similarity.ivf_bulk_topk(
+                    spark, path, qdf, cents, k=K, nprobe=NPROBE, salt=salt
+                ).count()
+
+            samples = []
+            for _ in range(reps):
+                t0 = _time.perf_counter()
+                run()
+                samples.append(_time.perf_counter() - t0)
+            sec = sorted(samples)[len(samples) // 2]
+            results[label] = (sec, int(hist["count"]), int(hist["cid"]))
+            print(
+                f"{label} (salt={salt}): {sec:.2f}s (hottest cell "
+                f"{hist['cid']} holds {hist['count']}/{SKEW_N})"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+    u_sec, u_max, _ = results["uniform"]
+    s_sec, s_max, s_cid = results["skewed"]
+    ss_sec, _, _ = results["skewed+salt"]
+    lines = [
+        SKEW_MARK,
+        "",
+        f"`tools/ann_bulk_scaling.py --skew` — `ivf_bulk_topk` over a "
+        f"{SKEW_N:,}-vector synthetic corpus with {SKEW_Q:,} bulk "
+        f"queries, nprobe={NPROBE}, {SKEW_CELLS} seeded cells, "
+        "auto-broadcast DISABLED (the candidate join takes the "
+        "shuffle path a 10⁶-query bulk job would), AQE + skew-join "
+        "ON (session defaults). The skewed index plants half the "
+        "corpus in one cell and half the queries on it; the uniform "
+        "twin spreads the same row count. The finding: AQE's "
+        "skew-split NEVER fires here — it triggers on shuffle-block "
+        "BYTES, and the hot cell's index rows are only ~10 MB while "
+        "its JOIN OUTPUT explodes (hot queries × hot cell ≈ "
+        f"{SKEW_Q // 2 * (SKEW_N // 2) // 1_000_000} M interpreted-"
+        "cosine rows in ONE task). The fix is the operator's `salt` "
+        "parameter: probe rows replicate per salt value, index rows "
+        "salt by hash(id), the join key becomes (cid, salt) — "
+        "bit-identical results (pinned in tests/test_similarity.py), "
+        "salt-way parallelism on the hottest cell:",
+        "",
+        "| config | hottest cell | wall | vs uniform |",
+        "|---|---|---|---|",
+        f"| uniform, salt=1 (median-of-3) | {u_max:,}/{SKEW_N:,} | "
+        f"{u_sec:.2f}s | — |",
+        f"| skewed, salt=1 (single run — the straggler) | "
+        f"{s_max:,}/{SKEW_N:,} (cid {s_cid}) | {s_sec:.2f}s "
+        f"| {s_sec / u_sec:.1f}× |",
+        f"| skewed, salt={SKEW_SALT} (median-of-3) | same | "
+        f"{ss_sec:.2f}s | {ss_sec / u_sec:.1f}× |",
+        "",
+        "The skewed runs also score ~4× the candidate rows (hot "
+        "queries × hot cell), so the salted ratio is work growth, "
+        "not a straggler. At 100 TB the operator-level salt is the "
+        "right knob for known-hot cells (a power-law corpus's head "
+        "cells); the gated entries keep salt=1 — their trained "
+        "quantizer spreads the fixture corpus and the probe side "
+        "broadcasts at request-page size.",
+    ]
+    block = "\n".join(lines) + "\n"
+    path = os.path.join(REPO, "SCALING.md")
+    text = open(path).read()
+    if SKEW_MARK in text:
+        head, rest = text.split(SKEW_MARK, 1)
+        nxt = rest.find("\n## ")
+        tail = rest[nxt + 1 :] if nxt != -1 else ""
+        text = head + block + tail
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    with open(path, "w") as fh:
+        fh.write(text)
+    print(f"updated {path}")
+
+
 def main() -> None:
+    if "--skew" in sys.argv:
+        skew_main()
+        return
     qs = [int(a) for a in sys.argv[1:]] or [32, 320, 3200]
     spark = get_spark(app_name="ann_bulk_scaling")
     sys.path.insert(0, REPO)

@@ -11,7 +11,13 @@ spread over ≥256 cells), so wall time tracks the in-plan fold work.
 Codebooks/centroids are seeded unit directions (make_unit_planes /
 make_imi_codebooks — ranking cost is oblivious to training); indexes
 build once per cell count via the Arrow dgemm assigners so build cost
-is symmetric and excluded from the timed serving runs. Timing is
+is symmetric and excluded from the timed serving runs. The witness
+indexes are UNPARTITIONED (coalesced plain parquet): the bulk
+operators JOIN on cid rather than partition-prune, and a
+cid-partitioned layout at 4096 cells over a 2,000-vector fixture
+fragments into thousands of tiny files whose listing/open cost
+swamps the ranking signal being measured (the gated entries keep the
+partitioned layout — their per-query siblings do prune). Timing is
 median-of-3 after a warmup (the bench.py statistic), Q=320 queries.
 
 Expected shape: flat ms/query grows ~linearly in cells (the fold is
@@ -40,9 +46,6 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
 )
 from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
     similarity,
-)
-from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.sources.sinks import (
-    write_partitioned_parquet,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -89,18 +92,16 @@ def main() -> None:
         assert half * half == cells, "cell counts must be perfect squares"
         flat_cents = similarity.make_unit_planes(DIM, cells, seed=99)
         imi_cb = similarity.make_imi_codebooks(DIM, half, seed=99)
-        flat_path = f"{OUT}/flat_{cells}"
-        imi_path = f"{OUT}/imi_{cells}"
+        flat_path = f"{OUT}/flat_flat_{cells}"
+        imi_path = f"{OUT}/imi_flat_{cells}"
         if not os.path.exists(f"{flat_path}/_SUCCESS"):
-            write_partitioned_parquet(
-                similarity.ivf_assign_arrow(emb, flat_cents),
-                flat_path,
-                ["cid"],
-            )
+            similarity.ivf_assign_arrow(emb, flat_cents).coalesce(
+                8
+            ).write.mode("overwrite").parquet(flat_path)
         if not os.path.exists(f"{imi_path}/_SUCCESS"):
-            write_partitioned_parquet(
-                similarity.imi_assign_arrow(emb, imi_cb), imi_path, ["cid"]
-            )
+            similarity.imi_assign_arrow(emb, imi_cb).coalesce(
+                8
+            ).write.mode("overwrite").parquet(imi_path)
         flat_sec = median3(
             lambda: similarity.ivf_bulk_topk(
                 spark, flat_path, qdf, flat_cents, k=K, nprobe=NPROBE
