@@ -1077,6 +1077,7 @@ def lsh_bulk_topk(
     qid_col: str = "query_id",
     qvec_col: str = "qvec",
     round_to: int = 6,
+    salt: int = 1,
 ) -> DataFrame:
     """Bulk LSH serving with IN-PLAN probe ranking — the hyperplane
     twin of `ivf_bulk_topk` (the r12 verdict's bulk-serving theme:
@@ -1094,7 +1095,13 @@ def lsh_bulk_topk(
     shape), and the per-query quantized-cosine top-k window is the
     single exchange. Zero-norm queries drop in-plan (no cosine
     ordering). Flip masks are distinct, so probe buckets per query are
-    distinct and no candidate dedup is needed."""
+    distinct and no candidate dedup is needed.
+
+    `salt > 1` splits hot-bucket candidate work exactly like
+    ivf_bulk_topk's salt (the bucket key is the same low-cardinality
+    join shape AQE's byte-threshold skew-split misses when the join
+    OUTPUT, not the shuffle blocks, explodes); results bit-identical
+    at any salt."""
     n = len(planes)
     qv = F.col(qvec_col).cast("array<double>")
     proj_exprs = [
@@ -1144,9 +1151,19 @@ def lsh_bulk_topk(
         qid_col, "__qv", F.explode(probes).alias("bucket")
     )
     idx = spark.read.parquet(index_path)
+    join_keys = ["bucket"]
+    if int(salt) > 1:
+        probed = probed.withColumn(
+            "__salt",
+            F.explode(F.array(*[F.lit(s) for s in range(int(salt))])),
+        )
+        idx = idx.withColumn(
+            "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(int(salt)))
+        )
+        join_keys = ["bucket", "__salt"]
     p = float(10**round_to)
     scored_c = (
-        idx.join(probed, "bucket")
+        idx.join(probed, join_keys)
         .select(
             qid_col,
             F.col(id_col),
@@ -1222,7 +1239,9 @@ def ivf_bulk_topk(
     candidate set — and therefore the result — is bit-identical at
     any salt (pinned in tests/test_similarity.py); cost is probe-row
     fan-out (queries·nprobe·salt rows, trivial) bought against
-    salt-way parallelism on the hottest cell."""
+    salt-way parallelism on the hottest cell. The same knob exists on
+    lsh_bulk_topk and imi_bulk_topk — one skew discipline across the
+    bulk tier."""
     c = np.asarray(centroids, dtype=np.float64)
     cn = (
         np.asarray(cnorms_sq, dtype=np.float64)
@@ -1372,6 +1391,7 @@ def imi_bulk_topk(
     qid_col: str = "query_id",
     qvec_col: str = "qvec",
     round_to: int = 6,
+    salt: int = 1,
 ) -> DataFrame:
     """Bulk ANN serving under the TWO-LEVEL (inverted multi-index)
     quantizer — the scale escape `ivf_bulk_topk` documents for itself:
@@ -1396,7 +1416,9 @@ def imi_bulk_topk(
     is the same exact arithmetic), exact quantized cosine JVM-side,
     and the per-query top-k window is the single exchange. Zero-norm
     queries drop in-plan. The DuckDB twin replays assignment, per-half
-    ranking, the combo sort, and the pruned top-k."""
+    ranking, the combo sort, and the pruned top-k. `salt > 1` splits
+    hot-cell candidate work exactly like ivf_bulk_topk's salt; results
+    bit-identical at any salt."""
     cb = np.asarray(codebooks, dtype=np.float64)
     nhalf, K, dh = cb.shape
     assert nhalf == 2
@@ -1470,9 +1492,19 @@ def imi_bulk_topk(
         .select(qid_col, "__qv", F.col("pr.cid").alias("cid"))
     )
     idx = spark.read.parquet(index_path)
+    join_keys = ["cid"]
+    if int(salt) > 1:
+        probed = probed.withColumn(
+            "__salt",
+            F.explode(F.array(*[F.lit(s) for s in range(int(salt))])),
+        )
+        idx = idx.withColumn(
+            "__salt", F.pmod(F.hash(F.col(id_col)), F.lit(int(salt)))
+        )
+        join_keys = ["cid", "__salt"]
     scale = float(10**round_to)
     scored = (
-        idx.join(probed, "cid")
+        idx.join(probed, join_keys)
         .select(
             qid_col,
             F.col(id_col),

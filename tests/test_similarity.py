@@ -373,6 +373,12 @@ def test_lsh_bulk_topk_matches_driver_side_per_query_path(spark, tmp_dir):
         similarity.lsh_bulk_topk(spark, lsh_path, qdf0, planes, k=5,
                                  multiprobe=2)
     ).count() == 0
+    # salting splits hot-bucket candidate work without changing the
+    # candidate set: results bit-identical at any salt
+    salted = similarity.lsh_bulk_topk(
+        spark, lsh_path, qdf, planes, k=5, multiprobe=2, salt=4
+    ).collect()
+    assert key(salted) == key(bulk)
 
 
 def test_imi_bulk_topk_matches_unpruned_numpy_reference(spark, tmp_dir):
@@ -431,6 +437,14 @@ def test_imi_bulk_topk_matches_unpruned_numpy_reference(spark, tmp_dir):
     assert (
         similarity.imi_bulk_topk(spark, imi_path, qdf0, cb, k=5, nprobe=2)
     ).count() == 0
+    # salting splits hot-cell candidate work without changing the
+    # candidate set: results bit-identical at any salt
+    salted = similarity.imi_bulk_topk(
+        spark, imi_path, qdf, cb, k=5, nprobe=nprobe, salt=4
+    ).collect()
+    assert sorted(
+        (r.query_id, r.vec_id, r.cos_sim) for r in salted
+    ) == got
 
 
 def test_imi_assign_exact_matches_arrow_assignment(spark):
