@@ -1097,6 +1097,14 @@ def lsh_bulk_topk(
     ordering). Flip masks are distinct, so probe buckets per query are
     distinct and no candidate dedup is needed.
 
+    Small query pages are NOT a full-index scan: the bucket join
+    against the bucket-PARTITIONED index triggers Spark's dynamic
+    partition pruning (the in-plan probe computation becomes a runtime
+    PartitionFilter via SubqueryAdaptiveBroadcast — pinned in
+    tests/test_similarity.py), so a request-sized page reads only its
+    probed partitions and the full scan emerges only as bulk volume
+    genuinely touches every bucket.
+
     `salt > 1` splits hot-bucket candidate work exactly like
     ivf_bulk_topk's salt (the bucket key is the same low-cardinality
     join shape AQE's byte-threshold skew-split misses when the join
@@ -1222,6 +1230,10 @@ def ivf_bulk_topk(
     paths' source filter. Results hash-match the driver-side per-query
     path on the same query set (tests/test_similarity.py) and the
     DuckDB replay of training + assignment + probe ranking + top-k.
+    Small query pages against the cid-PARTITIONED index get dynamic
+    partition pruning (the in-plan cell ranking becomes a runtime
+    PartitionFilter — pinned in tests/test_similarity.py), so the
+    request-page and bulk regimes share this one operator.
 
     Beyond ~4k cells the broadcast-scalar centroid row stops being the
     right carrier (per-row transient cost grows with k_cells·d); the
