@@ -157,6 +157,41 @@ def measure(spark, name: str, vecs: np.ndarray, queries, planes, report):
         report.append((name, "ivf", f"nprobe={npr}", rec, frac))
         print(f"{name:9s} ivf nprobe={npr:<4d} recall@{K}={rec:.3f} scan={frac:.3f}")
 
+    # IMI two-level cells (seeded per-half codebooks, 4 per half → 16
+    # cells — the same cell count as the flat IVF above so the recall
+    # curves compare the QUANTIZER GEOMETRY, not the cell budget),
+    # served through the bulk operator (per-half in-plan ranking).
+    imi_path = f"{OUT}/{name}_imi"
+    shutil.rmtree(imi_path, ignore_errors=True)
+    icb = similarity.make_imi_codebooks(DIM, 4, seed=99)
+    similarity.build_imi_index(corpus, icb, imi_path)
+    imi_hist = {
+        r.cid: r["count"]
+        for r in spark.read.parquet(imi_path).groupBy("cid").count().collect()
+    }
+    icn = (icb**2).sum(axis=2)
+    dh = DIM // 2
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        "query_id long, qvec array<double>",
+    )
+    for npr in (1, 2, 4, 8):
+        rows = similarity.imi_bulk_topk(
+            spark, imi_path, qdf, icb, K, nprobe=npr
+        ).collect()
+        probes = {}
+        for qid, qv in queries:
+            q = np.asarray(qv, dtype=np.float64)
+            d1 = icn[0] - 2.0 * (icb[0] @ q[:dh])
+            d2 = icn[1] - 2.0 * (icb[1] @ q[dh:])
+            combos = sorted(
+                ((d1[i] + d2[j], i * 4 + j) for i in range(4) for j in range(4))
+            )[:npr]
+            probes[qid] = [cid for _, cid in combos]
+        rec, frac = recall_of(rows, exact), scan_fraction(imi_hist, probes)
+        report.append((name, "imi", f"nprobe={npr}", rec, frac))
+        print(f"{name:9s} imi nprobe={npr:<4d} recall@{K}={rec:.3f} scan={frac:.3f}")
+
     # PQ two-stage (trained codebooks, ADC shortlist + exact re-rank).
     # "scan" for PQ is the exact-math fraction: shortlist/n — the ADC
     # pass reads ALL the codes by design, but at 1/32 the bytes.
