@@ -1974,6 +1974,50 @@ def make_imi_codebooks(
     )
 
 
+def train_imi_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells_per_half: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """TRAINED two-level codebooks: independent k-means per vector half
+    on one BOUNDED sample (the train_ivf_centroids discipline — the
+    sample, not the corpus, is the only driver-side materialization;
+    Babenko & Lempitsky train exactly this way). Closes most of the
+    recall gap the seeded `make_imi_codebooks` pays at a matched cell
+    budget (measured in tools/ann_recall.py: the oblivious product
+    quantizer fragments clusters; trained halves adapt to them) while
+    keeping the O(√k_cells·d) assignment/ranking cost. Returns
+    (2, K, dim//2) float64."""
+    n = corpus.count()
+    frac = min(1.0, (3.0 * sample) / max(n, 1))
+    rows = (
+        corpus.select(vec_col)
+        .sample(fraction=frac, seed=seed)
+        .limit(sample)
+        .collect()
+    )
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    dh = x.shape[1] // 2
+    assert x.shape[1] % 2 == 0, "IMI splits the vector into equal halves"
+    halves = []
+    for h, xs in enumerate((x[:, :dh], x[:, dh:])):
+        rng = np.random.RandomState(seed + h)
+        k = min(int(n_cells_per_half), len(xs))
+        cents = xs[rng.choice(len(xs), size=k, replace=False)]
+        for _ in range(int(iters)):
+            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cents)):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        halves.append(cents)
+    return np.stack(halves)
+
+
 def imi_assign_arrow(
     corpus: DataFrame, codebooks: np.ndarray, vec_col: str = "embedding"
 ) -> DataFrame:

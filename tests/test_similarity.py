@@ -447,6 +447,62 @@ def test_imi_bulk_topk_matches_unpruned_numpy_reference(spark, tmp_dir):
     ) == got
 
 
+def test_trained_imi_codebooks_beat_seeded_on_clustered_corpus(spark, tmp_dir):
+    """train_imi_codebooks (independent per-half Lloyd on a bounded
+    sample) must recover the recall the oblivious seeded product
+    quantizer loses on clustered data — the regime trained embeddings
+    live in. Floor-pinned at nprobe=1 on a planted-cluster corpus
+    (ann_recall.py measured 0.981 trained vs 0.731 seeded at 16
+    cells); determinism: same seed → identical codebooks."""
+    rng = np.random.RandomState(11)
+    rows = []
+    for _ in range(20):
+        c = rng.randn(DIM)
+        c /= np.linalg.norm(c)
+        for _ in range(20):
+            rows.append(c + 0.15 * rng.randn(DIM) / np.sqrt(DIM))
+    vecs = np.asarray(rows)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = [
+        (i, [float(x) for x in vecs[i * 37 % len(vecs)]]) for i in range(20)
+    ]
+    qdf = spark.createDataFrame(queries, "query_id long, qvec array<double>")
+    exact = {
+        qid: {
+            r.vec_id
+            for r in similarity.brute_force_topk(corpus, qv, 10).collect()
+        }
+        for qid, qv in queries
+    }
+
+    def recall(cb, path):
+        similarity.build_imi_index(corpus, cb, path)
+        got: dict[int, set] = {}
+        for r in similarity.imi_bulk_topk(
+            spark, path, qdf, cb, k=10, nprobe=1
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return float(
+            np.mean([len(exact[q] & got.get(q, set())) / 10 for q in exact])
+        )
+
+    seeded = similarity.make_imi_codebooks(DIM, 4, seed=99)
+    trained = similarity.train_imi_codebooks(
+        corpus, n_cells_per_half=4, sample=400, seed=42
+    )
+    assert trained.shape == (2, 4, DIM // 2)
+    again = similarity.train_imi_codebooks(
+        corpus, n_cells_per_half=4, sample=400, seed=42
+    )
+    assert np.array_equal(trained, again)
+    r_seeded = recall(seeded, f"{tmp_dir}/imi_seed")
+    r_trained = recall(trained, f"{tmp_dir}/imi_train")
+    assert r_trained >= max(0.8, r_seeded)
+
+
 def test_imi_assign_exact_matches_arrow_assignment(spark):
     """imi_assign_exact (the JVM fold/argmin build path the oracle
     replays) agrees with imi_assign_arrow (the dgemm batch path) on

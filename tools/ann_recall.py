@@ -192,6 +192,40 @@ def measure(spark, name: str, vecs: np.ndarray, queries, planes, report):
         report.append((name, "imi", f"nprobe={npr}", rec, frac))
         print(f"{name:9s} imi nprobe={npr:<4d} recall@{K}={rec:.3f} scan={frac:.3f}")
 
+    # IMI with TRAINED per-half codebooks (the production quantizer —
+    # independent Lloyd per half on a bounded sample), same cell budget
+    imit_path = f"{OUT}/{name}_imit"
+    shutil.rmtree(imit_path, ignore_errors=True)
+    tcb = similarity.train_imi_codebooks(
+        corpus, n_cells_per_half=4, sample=2048, seed=42
+    )
+    similarity.build_imi_index(corpus, tcb, imit_path)
+    imit_hist = {
+        r.cid: r["count"]
+        for r in spark.read.parquet(imit_path).groupBy("cid").count().collect()
+    }
+    tcn = (tcb**2).sum(axis=2)
+    for npr in (1, 2, 4, 8):
+        rows = similarity.imi_bulk_topk(
+            spark, imit_path, qdf, tcb, K, nprobe=npr
+        ).collect()
+        probes = {}
+        for qid, qv in queries:
+            q = np.asarray(qv, dtype=np.float64)
+            d1 = tcn[0] - 2.0 * (tcb[0] @ q[:dh])
+            d2 = tcn[1] - 2.0 * (tcb[1] @ q[dh:])
+            combos = sorted(
+                ((d1[i] + d2[j], i * len(tcb[0]) + j)
+                 for i in range(len(tcb[0])) for j in range(len(tcb[1])))
+            )[:npr]
+            probes[qid] = [cid for _, cid in combos]
+        rec, frac = recall_of(rows, exact), scan_fraction(imit_hist, probes)
+        report.append((name, "imi-trained", f"nprobe={npr}", rec, frac))
+        print(
+            f"{name:9s} imi-trained nprobe={npr:<4d} recall@{K}={rec:.3f} "
+            f"scan={frac:.3f}"
+        )
+
     # PQ two-stage (trained codebooks, ADC shortlist + exact re-rank).
     # "scan" for PQ is the exact-math fraction: shortlist/n — the ADC
     # pass reads ALL the codes by design, but at 1/32 the bytes.
