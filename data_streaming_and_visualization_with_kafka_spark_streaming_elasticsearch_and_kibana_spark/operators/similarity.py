@@ -1990,7 +1990,16 @@ def train_imi_codebooks(
     budget (measured in tools/ann_recall.py: the oblivious product
     quantizer fragments clusters; trained halves adapt to them) while
     keeping the O(√k_cells·d) assignment/ranking cost. Returns
-    (2, K, dim//2) float64."""
+    (2, K, dim//2) float64.
+
+    Library + test + measured recall rather than oracle-gated BY
+    DECISION (the semantic_dup_pairs_multiprobe_imi precedent): the
+    gated `imi_bulk_topk` entry already pins the two-level serving
+    mechanism end-to-end with seeded codebooks, and a trained twin
+    would duplicate the per-half Lloyd chain the flat
+    `semantic_dedup_trained` oracle already replays structurally —
+    recall recovery is floor-pinned in tests/test_similarity.py and
+    tabulated in PLANS.md instead."""
     n = corpus.count()
     frac = min(1.0, (3.0 * sample) / max(n, 1))
     rows = (
