@@ -6583,6 +6583,28 @@ def q_passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-frequency BOILERPLATE removal
+    (operators/dedup.py: boilerplate_scrub; Raffel et al., JMLR 2020
+    §2.2 — the navigation-chrome / cookie-banner / footer rule every
+    web-scale cleaning pipeline runs): every 5-word span across the
+    corpus is md5-fingerprinted, any span occurring in ≥ 2 DISTINCT
+    documents is removed from EVERY document — including the first
+    occurrence, the semantic that distinguishes chrome removal from
+    passage_dedup's keep-first content dedup — and each document is
+    reconstructed from its surviving spans in order (hash-compared
+    end to end, so the oracle proves the reconstruction byte-exact).
+    Shape: one explode to (doc, pos, span), one fp-keyed
+    document-frequency census, one fp-keyed verdict join reusing that
+    partitioning, one doc-keyed rebuild via array_sort — no windows,
+    no collects, nothing quadratic; the span-frequency table is
+    corpus-sized vocabulary and carries no broadcast hint."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.boilerplate_scrub(
+        docs, text_col="text", id_col="doc_id", window_words=5, min_df=2
+    ).orderBy("doc_id")
+
+
 def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style domain mixture reweighting (Xie et al., NeurIPS
     2023: upweight domains where the proxy model's EXCESS loss is
@@ -12452,6 +12474,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # additions moved into the driver window in the r13 rotation; the
     # r13 bulk-serving/video/cross-modal/packing additions and the r14
     # debuts moved into the window in the r14 rotation)
+    # -- r14 late addition: C4-style corpus-frequency boilerplate
+    #    removal (remove-all-occurrences chrome scrub, the complement
+    #    of passage_dedup's keep-first content dedup)
+    "boilerplate_scrub": q_boilerplate_scrub,
 }
 
 
@@ -18108,6 +18134,53 @@ def oracle_sql() -> dict[str, str]:
             FROM r3
             ORDER BY rank_units DESC, node ASC
             LIMIT 50
+        """,
+        "boilerplate_scrub": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS words
+                FROM documents
+            ), chpos AS (
+                SELECT doc_id, words,
+                       UNNEST(generate_series(
+                           0,
+                           CAST(greatest(ceil(len(words) / 5.0), 1)
+                                AS BIGINT) - 1)) AS pos
+                FROM w
+            ), ch AS (
+                SELECT doc_id, pos,
+                       array_to_string(
+                           list_slice(words,
+                                      CAST(pos * 5 + 1 AS BIGINT),
+                                      CAST(pos * 5 + 5 AS BIGINT)),
+                           ' ') AS span
+                FROM chpos
+            ), fp AS (
+                SELECT doc_id, pos, span, md5(span) AS f FROM ch
+            ), dfr AS (
+                SELECT f, COUNT(DISTINCT doc_id) AS df FROM fp GROUP BY f
+            ), flg AS (
+                SELECT fp.doc_id, fp.pos, fp.span,
+                       (dfr.df >= 2) AS boiler
+                FROM fp JOIN dfr USING (f)
+            ), agg AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_spans,
+                       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_boiler_spans,
+                       COALESCE(
+                           string_agg(
+                               CASE WHEN NOT boiler THEN span END,
+                               ' ' ORDER BY pos),
+                           '') AS kept_text
+                FROM flg GROUP BY doc_id
+            )
+            SELECT doc_id, n_spans, n_boiler_spans,
+                   CAST(CASE WHEN kept_text = '' THEN 0
+                             ELSE len(string_split(kept_text, ' '))
+                        END AS BIGINT) AS kept_words,
+                   kept_text
+            FROM agg ORDER BY doc_id
         """,
         "passage_dedup_stats": r"""
             WITH w AS (

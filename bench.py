@@ -226,9 +226,11 @@ HEADLINE = [
     "cross_modal_dedup",
     # round-14 additions: doc -> token-sequence encoding under the
     # trained BPE vocabulary; bulk ANN under the two-level (IMI)
-    # quantizer (per-half in-plan ranking, sqrt-cost carrier)
+    # quantizer (per-half in-plan ranking, sqrt-cost carrier);
+    # C4-style corpus-frequency boilerplate removal
     "bpe_encode_docs",
     "imi_bulk_topk",
+    "boilerplate_scrub",
 ]
 
 

@@ -892,3 +892,91 @@ def passage_dedup(
             id_col, "n_passages", "n_dup_passages", "kept_words", "kept_text"
         )
     )
+
+
+def boilerplate_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """C4-style corpus-frequency BOILERPLATE removal (Raffel et al.,
+    "Exploring the Limits of Transfer Learning with a Unified
+    Text-to-Text Transformer", JMLR 2020, §2.2 — discard spans that
+    repeat across the corpus; the navigation chrome / cookie banner /
+    footer rule every web-scale cleaning pipeline runs): each
+    document's word stream splits into consecutive `window_words`-word
+    spans (passage_dedup's chunking verbatim), each span is
+    fingerprinted, and any span occurring in ≥ `min_df` DISTINCT
+    documents is removed from EVERY document — including the first
+    occurrence, which is what distinguishes this from passage_dedup's
+    keep-first election (dedup keeps one copy of repeated CONTENT;
+    boilerplate removal keeps zero copies of repeated CHROME). Returns
+    one row per document:
+
+      (doc_id, n_spans, n_boiler_spans, kept_words, kept_text)
+
+    where kept_text is the document reconstructed from its surviving
+    spans in order.
+
+    Scale shape: one explode to (doc, pos, span) — corpus word volume,
+    nothing quadratic; the document-frequency census is ONE
+    fingerprint-keyed aggregate (count_distinct over doc ids,
+    map-side-combinable); the verdict join is fingerprint-keyed
+    (reusing the census partitioning, AQE picks the strategy — the
+    span-frequency table is corpus-sized vocabulary, never
+    broadcast-hinted); the reconstruction is one doc-keyed aggregate
+    ordering kept spans via array_sort on (pos, span) structs. No
+    window functions, no driver collects — the standard C4 line-dedup
+    shape at 100 TB."""
+    from ..functions.text import split_words
+
+    words = docs.select(
+        F.col(id_col).alias("__id"), split_words(text_col).alias("__w")
+    )
+    n_chunks = F.ceil(F.size("__w") / F.lit(window_words)).cast("int")
+    chunks = words.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice("__w", i * window_words + 1, window_words),
+                ),
+            )
+        ).alias("__pos", "__span"),
+    )
+    fp = chunks.withColumn("__fp", F.md5("__span"))
+    dfreq = fp.groupBy("__fp").agg(
+        F.count_distinct("__id").alias("__df")
+    )
+    flagged = fp.join(dfreq, "__fp").withColumn(
+        "__boiler", F.col("__df") >= F.lit(int(min_df))
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(~F.col("__boiler"), F.struct("__pos", "__span"))
+            )
+        ),
+        lambda s: s["__span"],
+    )
+    return (
+        flagged.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("__boiler").cast("long")).alias("n_boiler_spans"),
+            F.concat_ws(" ", kept_sorted).alias("kept_text"),
+        )
+        .withColumn(
+            "kept_words",
+            F.when(F.col("kept_text") == "", F.lit(0))
+            .otherwise(F.size(F.split("kept_text", " ")))
+            .cast("long"),
+        )
+        .select(
+            id_col, "n_spans", "n_boiler_spans", "kept_words", "kept_text"
+        )
+    )

@@ -348,3 +348,53 @@ def test_cross_modal_dedup_each_modality_contributes_unique_pairs(spark):
     # every emitted component is a real cluster with an elected keeper
     assert (df["n_members"] >= 2).all()
     assert df["keep_quality"].notna().all()
+
+
+def test_boilerplate_scrub_matches_python_reference(spark):
+    """boilerplate_scrub (C4 §2.2 remove-all chrome rule) against a
+    pure-python third implementation on the sf0.001 corpus: identical
+    chunking, document-frequency census, removal verdicts, and
+    byte-exact reconstruction — plus the semantic pin that
+    distinguishes it from passage_dedup: a span repeated across docs
+    loses EVERY occurrence, first included."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r.doc_id: (r.n_spans, r.n_boiler_spans, r.kept_words, r.kept_text)
+        for r in dedup.boilerplate_scrub(
+            docs, window_words=5, min_df=2
+        ).collect()
+    }
+    import re as _re
+    from collections import defaultdict
+
+    texts = {
+        r.doc_id: r.text for r in docs.select("doc_id", "text").collect()
+    }
+    spans: dict[int, list[str]] = {}
+    df: dict[str, set] = defaultdict(set)
+    for did, text in texts.items():
+        ws = _re.split(r"\s+", text.strip().lower())
+        n = max(1, -(-len(ws) // 5))
+        ss = [" ".join(ws[i * 5 : i * 5 + 5]) for i in range(n)]
+        spans[did] = ss
+        for s in ss:
+            df[s].add(did)
+    total_boiler = 0
+    for did, ss in spans.items():
+        boiler = [s for s in ss if len(df[s]) >= 2]
+        kept = [s for s in ss if len(df[s]) < 2]
+        kept_text = " ".join(kept)
+        exp = (
+            len(ss),
+            len(boiler),
+            len(kept_text.split(" ")) if kept_text else 0,
+            kept_text,
+        )
+        assert got[did] == exp, did
+        total_boiler += len(boiler)
+    assert total_boiler > 0  # the corpus genuinely repeats spans
+    # remove-ALL semantics (vs passage_dedup's keep-first): the FIRST
+    # occurrence of a repeated span is removed too — the doc holding
+    # it must count that span among its boiler spans
+    first_docs = {min(dids) for s, dids in df.items() if len(dids) >= 2}
+    assert any(got[d][1] > 0 for d in first_docs)

@@ -213,6 +213,12 @@ DEBUT_ORACLE_QUERIES = [
     # planted ×2-gain twins only that leg catches, n_audio census
     # column; the twin replays the fourth leg beside the other three
     "cross_modal_dedup",
+    # r14: new — C4-style corpus-frequency boilerplate removal:
+    # 5-word spans occurring in ≥2 distinct documents are removed
+    # from EVERY document (remove-all chrome scrub vs passage_dedup's
+    # keep-first content dedup); the twin replays chunking, the df
+    # census, and the byte-exact reconstruction
+    "boilerplate_scrub",
 ]
 
 
