@@ -59,6 +59,10 @@ TIMED = [
     # r8: the streaming twin of passage dedup — micro-batch file-stream
     # driven to completion, bounded per-batch state
     "streaming_passage_dedup",
+    # r14: C4-style corpus-frequency boilerplate removal — one more
+    # fp-keyed census + verdict join over the same chunking as passage
+    # dedup; must track the corpus ~linearly
+    "boilerplate_scrub",
 ]
 #: queries whose .count() Catalyst can prune into near-no-ops (narrow
 #: maps, and aggregates whose expensive agg expressions — text-derived
@@ -72,6 +76,7 @@ MAP_ONLY = {
     # a bare .count() would let Catalyst drop the kept_text rebuild
     # (array_sort + concat_ws agg expressions) — the noop sink forces it
     "passage_dedup_stats",
+    "boilerplate_scrub",
 }
 
 
