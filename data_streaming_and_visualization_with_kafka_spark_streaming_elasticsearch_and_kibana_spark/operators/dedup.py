@@ -929,10 +929,22 @@ def boilerplate_scrub(
     broadcast-hinted); the reconstruction is one doc-keyed aggregate
     ordering kept spans via array_sort on (pos, span) structs. No
     window functions, no driver collects — the standard C4 line-dedup
-    shape at 100 TB."""
+    shape at 100 TB.
+
+    Empty / whitespace-only / NULL documents carry zero words and are
+    DROPPED from the output (r14 advice edge: without this filter the
+    sequence() floor below manufactures one empty-string span per empty
+    doc, and two empty docs would make '' corpus "boilerplate",
+    inflating n_spans/n_boiler_spans for every empty doc). A scrub
+    stage has nothing to say about a document with no text; callers
+    that must keep such rows left-join this result back."""
     from ..functions.text import split_words
 
-    words = docs.select(
+    # strip ALL whitespace for the emptiness check (trim() removes
+    # spaces only — a tab/newline-only doc must drop too)
+    words = docs.filter(
+        F.regexp_replace(F.col(text_col), r"\s", "") != ""
+    ).select(
         F.col(id_col).alias("__id"), split_words(text_col).alias("__w")
     )
     n_chunks = F.ceil(F.size("__w") / F.lit(window_words)).cast("int")

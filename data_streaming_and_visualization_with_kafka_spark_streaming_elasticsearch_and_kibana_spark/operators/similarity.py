@@ -2008,9 +2008,13 @@ def train_imi_codebooks(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "train_imi_codebooks: corpus has no vectors to train on"
+        )
     x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
-    dh = x.shape[1] // 2
     assert x.shape[1] % 2 == 0, "IMI splits the vector into equal halves"
+    dh = x.shape[1] // 2
     halves = []
     for h, xs in enumerate((x[:, :dh], x[:, dh:])):
         rng = np.random.RandomState(seed + h)

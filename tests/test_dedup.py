@@ -398,3 +398,40 @@ def test_boilerplate_scrub_matches_python_reference(spark):
     # it must count that span among its boiler spans
     first_docs = {min(dids) for s, dids in df.items() if len(dids) >= 2}
     assert any(got[d][1] > 0 for d in first_docs)
+
+
+def test_boilerplate_scrub_drops_empty_documents(spark):
+    """The r14 advice edge, pinned: empty / whitespace-only / NULL
+    documents are DROPPED from the scrub output — before the fix the
+    sequence() floor manufactured one empty-string span per empty doc,
+    and two empty docs made '' corpus "boilerplate" (inflating
+    n_spans/n_boiler_spans for every empty doc). Non-empty docs must
+    be completely unaffected by empty neighbors."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, ""),            # empty
+        (4, "   \t\n  "),   # whitespace-only
+        (5, None),          # NULL text
+        (6, "unique words only here nothing repeats"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in dedup.boilerplate_scrub(
+            docs, window_words=5, min_df=2
+        ).collect()
+    }
+    # empty/whitespace/NULL docs: no row at all (not an empty-span row)
+    assert set(got) == {1, 2, 6}
+    # docs 1 and 2 share their first 5-word span -> it is boilerplate
+    # in BOTH (remove-all), the trailing 1-word span survives
+    for did, tail in ((1, "zeta"), (2, "eta")):
+        r = got[did]
+        assert (r.n_spans, r.n_boiler_spans) == (2, 1)
+        assert r.kept_text == tail and r.kept_words == 1
+    # the all-unique doc keeps everything; the two empty docs did NOT
+    # manufacture a shared '' span that could have polluted the census
+    r = got[6]
+    assert r.n_boiler_spans == 0
+    assert r.kept_text == "unique words only here nothing repeats"

@@ -121,6 +121,11 @@ SF = "/root/testdata/sf0.001"
 #: semantic_dedup_multiprobe (semantic dedup by semantic_dedup_trained
 #: + streaming_semantic_dedup), streaming_dhash_ingest (stateful
 #: streaming ingest by streaming_semantic_dedup).
+#: r15 rotation (the r14 verdict's ordered task 1): IN —
+#: boilerplate_scrub, the r14 late debut and the only catalog entry
+#: never driver-hash-checked. OUT — lsh_bulk_topk (driver-witnessed in
+#: CORRECTNESS_r14; the bulk ANN serving family stays witnessed
+#: in-window by ivf_bulk_topk + imi_bulk_topk + mih_bulk_search).
 DRIVER_WINDOW = [
     "fusion_minute_avg",
     "multiway_join_revenue",
@@ -165,13 +170,13 @@ DRIVER_WINDOW = [
     "streaming_ann_serving",
     "streaming_token_budget",
     "ivf_bulk_topk",
-    "lsh_bulk_topk",
     "mih_bulk_search",
     "video_sampled_frame_dedup",
     "cross_modal_dedup",
     "pack_bpe_budget",
     "bpe_encode_docs",
     "imi_bulk_topk",
+    "boilerplate_scrub",
 ]
 
 
@@ -195,30 +200,28 @@ def test_driver_window_is_stable_and_fully_oracled():
 #: actual engine-vs-oracle comparison for them in-repo. Entries rotate
 #: OUT each round (the window + full local gate cover them afterwards).
 DEBUT_ORACLE_QUERIES = [
-    # (the six r13 debuts rotated INTO the driver window at the r14
+    # (the r14 debuts rotated into the window / full gate at the r15
     # rotation; their verified md5s enter tests/oracle_checksums.json
     # via tools/gen_oracle_checksums.py once the gates pass)
-    # r14: new — doc → token-ID encoding under the trained BPE
-    # vocabulary: per-document ordered token sequence as one
-    # byte-comparable pipe-joined string (training + sequence
-    # dictionary + position-ordered aggregation in one replay chain)
-    "bpe_encode_docs",
-    # r14: new — bulk ANN serving under the TWO-LEVEL (IMI) quantizer:
-    # per-half in-plan cell ranking, lossless top-nprobe combo pruning,
-    # cid-partitioned index join (the scale escape ivf_bulk_topk
-    # documents for its flat broadcast carrier)
-    "imi_bulk_topk",
-    # r14: CHANGED — cross_modal_dedup grows the fourth (audio) leg:
-    # gain-invariant energy-contour pairs over authored PCM16 WAVs,
-    # planted ×2-gain twins only that leg catches, n_audio census
-    # column; the twin replays the fourth leg beside the other three
-    "cross_modal_dedup",
-    # r14: new — C4-style corpus-frequency boilerplate removal:
-    # 5-word spans occurring in ≥2 distinct documents are removed
-    # from EVERY document (remove-all chrome scrub vs passage_dedup's
-    # keep-first content dedup); the twin replays chunking, the df
-    # census, and the byte-exact reconstruction
+    # r15: CHANGED — boilerplate_scrub drops empty/whitespace-only
+    # documents before fingerprinting (the r14 advice edge: the
+    # sequence() floor manufactured one empty span per empty doc, so
+    # two empty docs made '' corpus "boilerplate"); the twin adds the
+    # matching trim(text) <> '' guard
     "boilerplate_scrub",
+    # r15: CHANGED — corpus_pipeline_end2end recomposed into the C4
+    # order (the r14 verdict's task 2): the corpus-frequency
+    # boilerplate scrub now runs FIRST, so quality scores, dedup
+    # fingerprints, and corpus-side decontamination grams all read the
+    # SCRUBBED text (benchmark docs keep their original text); the
+    # twin prepends the scrub CTE chain and re-points every stage
+    "corpus_pipeline_end2end",
+    # r15: new — the pretrain_shard_plan capstone (the r14 verdict's
+    # task 3): scrub → exact dedup → encode under the shared trained
+    # BPE state → per-language 2048-token contiguous packing → the
+    # per-shard manifest (doc census, exact tokens, ordered doc list,
+    # source mix); the twin replays all five stages in one chain
+    "pretrain_shard_plan",
 ]
 
 

@@ -503,6 +503,19 @@ def test_trained_imi_codebooks_beat_seeded_on_clustered_corpus(spark, tmp_dir):
     assert r_trained >= max(0.8, r_seeded)
 
 
+def test_train_imi_codebooks_empty_corpus_raises_clearly(spark):
+    """r14 advice: an empty corpus used to die with an opaque
+    IndexError (x.shape[1] on a 0-row array) before the friendly
+    dim-parity assert ran — now it raises a clear ValueError."""
+    import pytest
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no vectors"):
+        similarity.train_imi_codebooks(empty, n_cells_per_half=4)
+
+
 def test_imi_assign_exact_matches_arrow_assignment(spark):
     """imi_assign_exact (the JVM fold/argmin build path the oracle
     replays) agrees with imi_assign_arrow (the dgemm batch path) on
