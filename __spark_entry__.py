@@ -6623,7 +6623,11 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency census, one fp-keyed verdict join reusing that
     partitioning, one doc-keyed rebuild via array_sort — no windows,
     no collects, nothing quadratic; the span-frequency table is
-    corpus-sized vocabulary and carries no broadcast hint."""
+    corpus-sized vocabulary and carries no broadcast hint.
+    Empty/whitespace-only documents drop before fingerprinting (r15:
+    previously each manufactured one empty span, and two of them made
+    '' corpus boilerplate — the r14 advice edge, pinned in
+    tests/test_dedup.py)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.boilerplate_scrub(
         docs, text_col="text", id_col="doc_id", window_words=5, min_df=2

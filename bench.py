@@ -231,6 +231,9 @@ HEADLINE = [
     "bpe_encode_docs",
     "imi_bulk_topk",
     "boilerplate_scrub",
+    # r15 capstone: the five-stage pretraining shard manifest (scrub →
+    # dedup → trained-BPE encode → 2048-token pack → manifest)
+    "pretrain_shard_plan",
 ]
 
 

@@ -63,6 +63,12 @@ TIMED = [
     # fp-keyed census + verdict join over the same chunking as passage
     # dedup; must track the corpus ~linearly
     "boilerplate_scrub",
+    # r15 capstone: scrub → dedup → trained-BPE encode → 2048-token
+    # pack → shard manifest; the per-k _bpe_trained artifact builds
+    # once inside the (untimed) query-construction call — the
+    # production amortized shape — so the timed reps measure the
+    # five-stage manifest plan itself
+    "pretrain_shard_plan",
 ]
 #: queries whose .count() Catalyst can prune into near-no-ops (narrow
 #: maps, and aggregates whose expensive agg expressions — text-derived
@@ -77,6 +83,9 @@ MAP_ONLY = {
     # (array_sort + concat_ws agg expressions) — the noop sink forces it
     "passage_dedup_stats",
     "boilerplate_scrub",
+    # a bare .count() on the manifest would prune the doc_ids /
+    # source_mix collect_list rebuilds — the noop sink materializes them
+    "pretrain_shard_plan",
 }
 
 
