@@ -2990,10 +2990,11 @@ def q_corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     → n-gram decontamination (scrubbed-corpus trigrams anti-joined
     against benchmark trigrams, broadcast) → deterministic stratified
     train/holdout split. Every stage is the already-gated operator;
-    composing them stays declarative. Plan: the scrub's two
-    fingerprint/doc-keyed shuffles + the fingerprint window + the
-    contamination gram aggregation + 2 broadcasts (bench gram set,
-    anti-join), split assignment map-side."""
+    composing them stays declarative. Audited plan (PLANS.md): 6
+    shuffles (the scrub's span-census/verdict/rebuild aggregates, the
+    lang join, the fingerprint window, the contamination gram
+    aggregation) + 6 broadcasts (bench gram set, anti-join, the
+    AQE-picked small sides), split assignment map-side."""
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter((F.col("doc_id") % 50) != 0)
     scrubbed = (

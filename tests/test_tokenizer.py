@@ -232,3 +232,28 @@ def test_encode_docs_fallback_for_unseen_words(spark):
     assert [(r["doc_id"], r["tokens"], r["n_tokens"]) for r in got] == [
         (1, "th|e|z|q|th|e", 6)
     ]
+
+
+def test_bpe_trained_artifact_invalidates_on_merge_depth_change(
+    spark, monkeypatch
+):
+    """r14 advice regression: the shared `_bpe_trained` artifact used to
+    be keyed on the documents parquet alone, so changing _BPE_MERGES (or
+    the training code) silently served a stale artifact to every
+    BPE-family query. The fingerprint now folds in the merge depth and
+    a tokenizer-source digest: bumping the depth must retrain (deeper
+    merge table), and restoring it must retrain AGAIN rather than serve
+    the deeper state."""
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    merges, _ = entrymod._bpe_trained(spark, sf_dir)
+    assert merges.count() == entrymod._BPE_MERGES
+
+    monkeypatch.setattr(entrymod, "_BPE_MERGES", entrymod._BPE_MERGES + 1)
+    deeper, _ = entrymod._bpe_trained(spark, sf_dir)
+    assert deeper.count() == entrymod._BPE_MERGES  # retrained, not stale
+
+    monkeypatch.undo()
+    back, _ = entrymod._bpe_trained(spark, sf_dir)
+    assert back.count() == entrymod._BPE_MERGES
