@@ -12447,16 +12447,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mih_bulk_search": q_mih_bulk_search,
     "video_sampled_frame_dedup": q_video_sampled_frame_dedup,
     "cross_modal_dedup": q_cross_modal_dedup,
-    "pack_bpe_budget": q_pack_bpe_budget,
     "bpe_encode_docs": q_bpe_encode_docs,
     "imi_bulk_topk": q_imi_bulk_topk,
-    # -- r15 rotation (VERDICT r14 task 1): boilerplate_scrub — the r14
-    #    late debut, the only catalog entry never driver-hash-checked —
-    #    rotates in; lsh_bulk_topk rotates out (bulk ANN serving stays
-    #    witnessed in-window by ivf_bulk_topk + imi_bulk_topk +
-    #    mih_bulk_search; lsh_bulk_topk itself was driver-witnessed in
-    #    CORRECTNESS_r14)
+    # -- r15 rotation (VERDICT r14 task 1 + the r14 "debuts witnessed
+    #    in their own round" precedent): boilerplate_scrub in (the only
+    #    catalog entry never driver-hash-checked) and the
+    #    pretrain_shard_plan capstone in (debuted this round); OUT —
+    #    lsh_bulk_topk (bulk ANN stays witnessed in-window by
+    #    ivf_bulk_topk + imi_bulk_topk + mih_bulk_search) and
+    #    pack_bpe_budget (BPE family stays witnessed by bpe_encode_docs
+    #    + streaming_token_budget, and the capstone's twin replays the
+    #    same trained-dictionary packing chain composed); both outs
+    #    were driver-witnessed in CORRECTNESS_r14
     "boilerplate_scrub": q_boilerplate_scrub,
+    "pretrain_shard_plan": q_pretrain_shard_plan,
     # ---------------------------------------------------- beyond the cap
     # rotated out of the driver window in r14, all driver-witnessed in
     # r13 (families still witnessed in-window: BPE training/application
@@ -12743,15 +12747,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # additions moved into the driver window in the r13 rotation; the
     # r13 bulk-serving/video/cross-modal/packing additions and the r14
     # debuts moved into the window in the r14 rotation)
-    # -- rotated out of the driver window in r15 (driver-witnessed in
-    #    CORRECTNESS_r14; bulk ANN family stays witnessed in-window by
-    #    ivf_bulk_topk + imi_bulk_topk + mih_bulk_search)
+    # -- rotated out of the driver window in r15 (both driver-witnessed
+    #    in CORRECTNESS_r14; bulk ANN family stays witnessed in-window
+    #    by ivf_bulk_topk + imi_bulk_topk + mih_bulk_search, BPE by
+    #    bpe_encode_docs + streaming_token_budget + the capstone)
     "lsh_bulk_topk": q_lsh_bulk_topk,
-    # -- r15 capstone: the full pretraining SHARD PLAN — scrub → exact
-    #    dedup → encode under the shared trained BPE state → 2048-token
-    #    contiguous packing → per-shard manifest (docs, tokens, source
-    #    mix); the operator a 100 TB pipeline actually ships
-    "pretrain_shard_plan": q_pretrain_shard_plan,
+    "pack_bpe_budget": q_pack_bpe_budget,
 }
 
 

@@ -121,11 +121,16 @@ SF = "/root/testdata/sf0.001"
 #: semantic_dedup_multiprobe (semantic dedup by semantic_dedup_trained
 #: + streaming_semantic_dedup), streaming_dhash_ingest (stateful
 #: streaming ingest by streaming_semantic_dedup).
-#: r15 rotation (the r14 verdict's ordered task 1): IN —
-#: boilerplate_scrub, the r14 late debut and the only catalog entry
-#: never driver-hash-checked. OUT — lsh_bulk_topk (driver-witnessed in
-#: CORRECTNESS_r14; the bulk ANN serving family stays witnessed
-#: in-window by ivf_bulk_topk + imi_bulk_topk + mih_bulk_search).
+#: r15 rotation (the r14 verdict's ordered task 1, plus the r14
+#: "debuts witnessed in their own round" precedent): IN —
+#: boilerplate_scrub (the r14 late debut, the only catalog entry never
+#: driver-hash-checked) and pretrain_shard_plan (the r15 capstone,
+#: witnessed in its own round). OUT — lsh_bulk_topk (bulk ANN serving
+#: stays witnessed in-window by ivf_bulk_topk + imi_bulk_topk +
+#: mih_bulk_search) and pack_bpe_budget (BPE stays witnessed by
+#: bpe_encode_docs + streaming_token_budget, and the capstone's twin
+#: replays the same trained-dictionary packing chain composed); both
+#: outs were driver-witnessed in CORRECTNESS_r14.
 DRIVER_WINDOW = [
     "fusion_minute_avg",
     "multiway_join_revenue",
@@ -173,10 +178,10 @@ DRIVER_WINDOW = [
     "mih_bulk_search",
     "video_sampled_frame_dedup",
     "cross_modal_dedup",
-    "pack_bpe_budget",
     "bpe_encode_docs",
     "imi_bulk_topk",
     "boilerplate_scrub",
+    "pretrain_shard_plan",
 ]
 
 
