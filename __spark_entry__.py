@@ -622,6 +622,108 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB twin of q_dedup_keep_best — a module constant because the
+#: dedup_cluster_size_profile twin replays the ENTIRE chain as a
+#: subquery (the shard_balance_report composition pattern)
+_DEDUP_KEEP_BEST_SQL = r"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS words
+                FROM documents
+            ), shg AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) < 3
+                            THEN [array_to_string(words, ' ')]
+                            ELSE list_transform(
+                                generate_series(0, len(words) - 3),
+                                i -> array_to_string(
+                                    list_slice(words, i + 1, i + 3), ' '))
+                       END AS sh
+                FROM w
+            ), s AS (
+                SELECT doc_id,
+                       list_transform([0, 1, 2, 3],
+                           i -> list_min(list_transform(sh,
+                               x -> md5(i::VARCHAR || ' ' || x)))) AS sig
+                FROM shg
+            ), bnd AS (
+                SELECT doc_id, r.range AS band,
+                       sig[CAST(r.range * 2 + 1 AS INT)] || ',' ||
+                       sig[CAST(r.range * 2 + 2 AS INT)] AS bucket
+                FROM s, range(2) r
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+                FROM bnd a
+                JOIN bnd b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                           AND a.doc_id < b2.doc_id
+            ), p AS (
+                SELECT id_a, id_b
+                FROM cand
+                JOIN shg sa ON sa.doc_id = cand.id_a
+                JOIN shg sb ON sb.doc_id = cand.id_b
+                WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                      / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
+                         - len(list_intersect(sa.sh, sb.sh))) >= 0.6
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM p
+                UNION SELECT id_b, id_a FROM p
+            ), reach AS (
+                WITH RECURSIVE r(id, label) AS (
+                    SELECT a, a FROM edges
+                    UNION
+                    SELECT e.b, r.label FROM r JOIN edges e ON e.a = r.id
+                ) SELECT * FROM r
+            ), comp AS (
+                SELECT id AS doc_id, MIN(label) AS component
+                FROM reach GROUP BY id
+            ), m AS (
+                SELECT doc_id,
+                       length(text) AS nc,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS nw,
+                       len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                           AS npunct,
+                       length(regexp_replace(text, '\s+', '', 'g'))
+                           AS nc_nospace
+                FROM documents
+            ), r2 AS (
+                SELECT doc_id,
+                       LEAST(nc / 200.0, 1.0) AS len_score,
+                       LEAST((CASE WHEN nc = 0 THEN 0.0
+                                   ELSE CAST(npunct AS DOUBLE) / nc END)
+                             * 2.0, 1.0) AS noise_penalty,
+                       CASE WHEN nw = 0 THEN 0.0
+                            ELSE CAST(nc_nospace AS DOUBLE) / nw
+                       END AS wl
+                FROM m
+            ), q AS (
+                SELECT doc_id,
+                       FLOOR((len_score * 0.5
+                              + (CASE WHEN wl >= 3.0 AND wl <= 8.0
+                                      THEN 1.0 ELSE 0.5 END) * 0.3
+                              + (1.0 - noise_penalty) * 0.2) * 1000000
+                             + 0.5) / 1000000.0 AS quality
+                FROM r2
+            ), assigned AS (
+                SELECT q.doc_id, q.quality,
+                       COALESCE(comp.component, q.doc_id) AS component
+                FROM q LEFT JOIN comp USING (doc_id)
+            ), ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY component
+                           ORDER BY quality DESC, doc_id ASC
+                       ) AS rk
+                FROM assigned
+            )
+            SELECT component,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   MAX(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+                   MAX(CASE WHEN rk = 1 THEN quality END) AS kept_quality
+            FROM ranked GROUP BY component ORDER BY component
+        """
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact tier: top-20 most similar pairs
     within a bounded id range. (At corpus scale the LSH-bucketed index
@@ -10522,6 +10624,446 @@ def _pretrain_shard_plan_oracle_sql() -> str:
     """
 
 
+def q_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language balance audit of the pretraining shard plan — the
+    capacity/data-governance review a shard writer runs before shipping
+    (are any languages fragmenting into underfilled shards? how far
+    over budget do boundary docs push?): composes q_pretrain_shard_plan
+    (the five-stage manifest) into |langs| rows of integer-exact stats:
+    shard count, doc count, token total, min/max shard tokens, and the
+    mean fill ratio vs the 2048-token budget in parts-per-million
+    (BIGINT sums + one integer multiply-then-DIV — no float crosses an
+    aggregation, so the DuckDB twin, which replays the ENTIRE capstone
+    chain as a subquery and then the audit aggregate, hash-matches
+    bit-for-bit). Cost: the manifest aggregation (bounded rows per
+    language) plus one |langs|-row aggregate — the audit itself is
+    free; the chain is the already-audited capstone plan."""
+    man = q_pretrain_shard_plan(spark, sf_dir)
+    return (
+        man.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shards"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("shard_tokens").cast("long").alias("lang_tokens"),
+            F.min("shard_tokens").cast("long").alias("min_shard_tokens"),
+            F.max("shard_tokens").cast("long").alias("max_shard_tokens"),
+        )
+        .withColumn(
+            "fill_ppm",
+            F.expr("(lang_tokens * 1000000) DIV (n_shards * 2048)"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _shard_balance_oracle_sql() -> str:
+    """DuckDB twin of q_shard_balance_report: the full capstone chain
+    as a subquery (scrub → dedup → BPE training + dictionary → pack →
+    manifest), then the integer-exact per-language audit aggregate."""
+    return f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_shards,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(shard_tokens) AS BIGINT) AS lang_tokens,
+               CAST(MIN(shard_tokens) AS BIGINT) AS min_shard_tokens,
+               CAST(MAX(shard_tokens) AS BIGINT) AS max_shard_tokens,
+               CAST((SUM(shard_tokens) * 1000000)
+                    // (COUNT(*) * 2048) AS BIGINT) AS fill_ppm
+        FROM ({_pretrain_shard_plan_oracle_sql()})
+        GROUP BY lang ORDER BY lang
+    """
+
+
+def q_vocab_growth_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics — the two classical laws a corpus
+    QA pass checks before training (Heaps 1978: vocabulary grows
+    sublinearly with corpus size, V ∝ n^β; Zipf 1949: rank-frequency
+    follows freq ∝ rank^(-s), s ≈ 1 for natural text — a corpus whose
+    Zipf slope or Heaps curve deviates sharply is boilerplate-flooded,
+    machine-generated, or mis-extracted; the r15 k=64 scale witness
+    leaned on exactly this saturation behavior). Output: one row per
+    ingest decile — new-word count and cumulative vocabulary size (the
+    Heaps growth curve) — with the corpus Zipf slope attached (log-log
+    least squares over the top-100 rank/frequency pairs,
+    micro-quantized logs so the regression is integer-exact until ONE
+    IEEE division).
+
+    Scale shape (the reason this composes at 100 TB): the growth curve
+    does NOT run one distinct-count per checkpoint — each word carries
+    its FIRST-occurrence doc (one vocabulary-sized groupBy with
+    map-side combine, the word_vocab pass plus a MIN), the checkpoint
+    bucket is integer arithmetic on (first_doc, corpus id bounds)
+    against one broadcast scalar row, and the curve is a 10-row
+    cumulative sum. Checkpoints are doc_id-VALUE deciles (not ranks:
+    a rank checkpoint would need a global sort of the doc table; with
+    the dense/uniform ids the generators produce, value deciles ≈ rank
+    deciles, and the contract documents the value semantics). The Zipf
+    side is a top-k TakeOrdered (freq DESC, word ASC — total order) and
+    a 100-row window + regression aggregate. Two corpus-sized shuffles
+    total; nothing quadratic, no driver collects."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.col("text")), tokenizer.WORD_SPLIT_REGEX)
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    wf = words.groupBy("word").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+    )
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    per_dec = (
+        wf.crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                F.expr("((first_doc - lo) * 10) DIV (hi - lo + 1)")
+                + F.lit(1)
+            )
+            .cast("int")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_words"))
+    )
+    deciles = spark.range(1, 11).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    wc = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = (
+        deciles.join(per_dec, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("new_words", F.lit(0)).cast("long").alias(
+                "new_words"
+            ),
+        )
+        .withColumn(
+            "vocab_size", F.sum("new_words").over(wc).cast("long")
+        )
+    )
+    top = wf.orderBy(F.desc("freq"), F.asc("word")).limit(100)
+    wr = Window.orderBy(F.desc("freq"), F.asc("word"))
+    ranked = top.withColumn("r", F.row_number().over(wr))
+    x = F.floor(F.log(F.col("r").cast("double")) * 1e6 + F.lit(0.5)).cast(
+        "long"
+    )
+    y = F.floor(F.log(F.col("freq").cast("double")) * 1e6 + F.lit(0.5)).cast(
+        "long"
+    )
+    sums = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = sums.select(
+        F.when(
+            F.expr("n * sxx - sx * sx") == 0, F.lit(0).cast("long")
+        )
+        .otherwise(
+            F.floor(
+                F.lit(1e6)
+                * (
+                    F.expr("n * sxy - sx * sy").cast("double")
+                    / F.expr("n * sxx - sx * sx").cast("double")
+                )
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("zipf_slope_micro")
+    )
+    return (
+        curve.crossJoin(F.broadcast(slope))
+        .select(
+            "decile", "new_words", "vocab_size", "zipf_slope_micro"
+        )
+        .orderBy("decile")
+    )
+
+
+def _vocab_growth_zipf_oracle_sql() -> str:
+    """DuckDB twin of q_vocab_growth_zipf_profile: the first-occurrence
+    vocabulary table, the integer decile bucketing against the id
+    bounds, the 10-row cumulative curve, and the micro-quantized
+    log-log regression over the top-100 ranks."""
+    return """
+        WITH wds AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text),
+                                                 '[^a-z0-9]+')) AS word
+                FROM documents)
+            WHERE word <> ''
+        ), wf AS (
+            SELECT word, MIN(doc_id) AS first_doc,
+                   CAST(COUNT(*) AS BIGINT) AS freq
+            FROM wds GROUP BY word
+        ), b AS (
+            SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+        ), pd AS (
+            SELECT CAST(((first_doc - lo) * 10) // (hi - lo + 1)
+                        AS INT) + 1 AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS new_words
+            FROM wf, b GROUP BY 1
+        ), ds AS (
+            SELECT CAST(UNNEST(generate_series(1, 10)) AS INT) AS decile
+        ), curve AS (
+            SELECT ds.decile,
+                   CAST(COALESCE(pd.new_words, 0) AS BIGINT) AS new_words,
+                   CAST(SUM(COALESCE(pd.new_words, 0)) OVER (
+                       ORDER BY ds.decile ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS vocab_size
+            FROM ds LEFT JOIN pd USING (decile)
+        ), topw AS (
+            SELECT word, freq FROM wf
+            ORDER BY freq DESC, word LIMIT 100
+        ), rk AS (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, word) AS r
+            FROM topw
+        ), xy AS (
+            SELECT CAST(FLOOR(ln(r) * 1e6 + 0.5) AS BIGINT) AS x,
+                   CAST(FLOOR(ln(freq) * 1e6 + 0.5) AS BIGINT) AS y
+            FROM rk
+        ), s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM xy
+        ), sl AS (
+            SELECT CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(FLOOR(
+                            1e6 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                            + 0.5) AS BIGINT)
+                   END AS zipf_slope_micro
+            FROM s
+        )
+        SELECT curve.decile, curve.new_words, curve.vocab_size,
+               sl.zipf_slope_micro
+        FROM curve, sl ORDER BY curve.decile
+    """
+
+
+def q_tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer QA under the corpus's OWN trained BPE —
+    the fertility audit every multilingual pipeline runs before
+    committing to a tokenizer (fertility = BPE tokens per word; a
+    language whose fertility runs hot is over-fragmented by the shared
+    vocabulary and silently pays more context budget per sentence —
+    the standard multilingual-tokenizer comparison metric, cf. the
+    fragmentation analyses around mBERT/XLM-R): per language — doc
+    count, word occurrences, [a-z0-9] characters, exact BPE tokens
+    under the shared `_bpe_trained` state, fertility in integer
+    micro-units, characters-per-token (the compression ratio, micro),
+    and the language's share of total corpus tokens (ppm) — every
+    ratio a BIGINT multiply-then-DIV, so the DuckDB twin (which
+    replays training + the dictionary + the same aggregates)
+    hash-matches bit-for-bit.
+
+    Scale shape: the corpus-sized work is ONE (lang, word) groupBy
+    with map-side combine — the occurrence stream never reaches the
+    dictionary join; the join runs on the vocab×langs aggregate (AQE
+    broadcasts the vocab-sized dictionary), and everything downstream
+    is |langs|-sized. The corpus-token total is a broadcast scalar
+    (cross join), never a driver fetch. Languages whose documents
+    carry no [a-z0-9] words have no token stream and drop (the
+    pack_bpe_budget convention)."""
+    docs = _t(spark, sf_dir, "documents")
+    _, final_state = _bpe_trained(spark, sf_dir)
+    dic = tokenizer.token_dict(final_state)
+    lw = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.split(F.lower(F.col("text")), tokenizer.WORD_SPLIT_REGEX)
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    agg = (
+        lw.join(dic, "word", "left")
+        .select(
+            "lang",
+            "cnt",
+            F.length("word").cast("long").alias("wlen"),
+            F.coalesce(F.col("tok_n"), F.length("word").cast("long")).alias(
+                "tok_n"
+            ),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("wlen")).cast("long").alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("tok_n"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    nd = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = agg.agg(F.sum("n_tokens").cast("long").alias("tot_tokens"))
+    return (
+        nd.join(agg, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) DIV n_words").alias(
+                "fertility_micro"
+            ),
+            F.expr("(n_chars * 1000000) DIV n_tokens").alias(
+                "chars_per_token_micro"
+            ),
+            F.expr("(n_tokens * 1000000) DIV tot_tokens").alias(
+                "token_share_ppm"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _tokenizer_fertility_oracle_sql() -> str:
+    """DuckDB twin of q_tokenizer_fertility_report: the shared BPE
+    training chain, the word→token-count dictionary with the
+    character-count fallback, the (lang, word) occurrence aggregate,
+    and the integer-exact per-language ratios."""
+    return f"""
+        WITH {_bpe_train_ctes()},
+        dict AS (SELECT word,
+                        CAST(len(string_split(
+                            substring(enc, 2, length(enc) - 2),
+                            ')(')) AS BIGINT) AS tok_n
+                 FROM v{_BPE_MERGES}),
+        lw AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM (SELECT lang,
+                            unnest(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+')) AS word
+                     FROM documents)
+               WHERE word <> '' GROUP BY lang, word),
+        ag AS (SELECT lang,
+                      CAST(SUM(cnt) AS BIGINT) AS n_words,
+                      CAST(SUM(cnt * length(lw.word)) AS BIGINT) AS n_chars,
+                      CAST(SUM(cnt * COALESCE(d.tok_n, length(lw.word)))
+                           AS BIGINT) AS n_tokens
+               FROM lw LEFT JOIN dict d ON d.word = lw.word
+               GROUP BY lang),
+        nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM ag)
+        SELECT nd.lang, nd.n_docs, ag.n_words, ag.n_chars, ag.n_tokens,
+               CAST((ag.n_tokens * 1000000) // ag.n_words AS BIGINT)
+                   AS fertility_micro,
+               CAST((ag.n_chars * 1000000) // ag.n_tokens AS BIGINT)
+                   AS chars_per_token_micro,
+               CAST((ag.n_tokens * 1000000) // tot.tot_tokens AS BIGINT)
+                   AS token_share_ppm
+        FROM nd JOIN ag ON ag.lang = nd.lang, tot
+        ORDER BY nd.lang
+    """
+
+
+def q_dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplication-yield profile over the REAL MinHash-LSH
+    near-dup clustering — the figure every dedup paper reports and the
+    first diagnostic a curation team reads (how much of the corpus is
+    duplicated, and at what multiplicity? cf. the cluster-size
+    distributions in C4/Gopher/RefinedWeb): composes q_dedup_keep_best
+    (LSH → exact-Jaccard verify → connected components → keep-best
+    election, singletons included) into one row per CLUSTER SIZE:
+    cluster count, docs involved, docs a keep-one policy removes
+    (size−1 per cluster), that size's removal share of the corpus
+    (ppm), and the cumulative removal share from the largest size down
+    (the yield curve: "clusters of size ≥ s account for X ppm of the
+    corpus"). Every ratio is a BIGINT multiply-then-DIV against the
+    corpus total (itself Σ size·count — each doc is in exactly ONE
+    cluster), so the DuckDB twin, which replays the ENTIRE keep-best
+    chain as a subquery and then the census, hash-matches bit-for-bit.
+
+    Cost: the already-audited keep-best chain plus a |clusters|-sized
+    aggregate and a bounded window over |distinct sizes| rows (the
+    bounded-shortlist exemption) — the profile itself is free."""
+    clusters = q_dedup_keep_best(spark, sf_dir)
+    sizes = (
+        clusters.groupBy(F.col("n_members").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+    tot = sizes.agg(F.sum("n_docs").cast("long").alias("total_docs"))
+    wy = Window.orderBy(F.desc("cluster_size")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .withColumn("cum_removed", F.sum("n_removed").over(wy).cast("long"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            "n_removed",
+            F.expr("(n_removed * 1000000) DIV total_docs").alias(
+                "removed_share_ppm"
+            ),
+            F.expr("(cum_removed * 1000000) DIV total_docs").alias(
+                "cum_removed_ppm"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _dedup_cluster_size_oracle_sql() -> str:
+    """DuckDB twin of q_dedup_cluster_size_profile: the full keep-best
+    chain (LSH signatures → banding → exact-Jaccard verify → recursive
+    CTE components → quality election) as a subquery, then the
+    integer-exact size census and descending-cumulative yield curve."""
+    return f"""
+        WITH kb AS (SELECT * FROM ({_DEDUP_KEEP_BEST_SQL})),
+        sz AS (SELECT CAST(n_members AS BIGINT) AS cluster_size,
+                      CAST(COUNT(*) AS BIGINT) AS n_clusters
+               FROM kb GROUP BY 1),
+        e AS (SELECT cluster_size, n_clusters,
+                     CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+                     CAST((cluster_size - 1) * n_clusters AS BIGINT)
+                         AS n_removed
+              FROM sz),
+        t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM e),
+        c AS (SELECT *,
+                     CAST(SUM(n_removed) OVER (
+                         ORDER BY cluster_size DESC
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_removed
+              FROM e)
+        SELECT cluster_size, n_clusters, n_docs, n_removed,
+               CAST((n_removed * 1000000) // total_docs AS BIGINT)
+                   AS removed_share_ppm,
+               CAST((cum_removed * 1000000) // total_docs AS BIGINT)
+                   AS cum_removed_ppm
+        FROM c, t ORDER BY cluster_size
+    """
+
+
 #: bulk re-ranking query-set size for q_ivf_bulk_topk — 4× the serving
 #: page, drawn from the same embeddings prefix
 _ANN_BULK_QUERIES = 32
@@ -12421,11 +12963,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_windowed_top1": q_streaming_windowed_top1,
     # -- LLM training-data pipeline, one per family
     "exact_dedup_docs": q_exact_dedup_docs,
-    "dedup_clusters": q_dedup_clusters,
     "doremi_domain_weights": q_doremi_domain_weights,
     "stratified_split": q_stratified_split,
     "pq_distortion_report": q_pq_distortion_report,
-    "multimodal_wav_features": q_multimodal_wav_features,
     "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
     "mmr_from_index": q_mmr_from_index,
     "semantic_dedup_trained": q_semantic_dedup_trained,
@@ -12443,11 +12983,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    leg), BPE-budget packing — plus the two r14 debuts
     #    (doc→token-sequence encoding, IMI two-level bulk ANN) so they
     #    are driver-witnessed in their own round
-    "ivf_bulk_topk": q_ivf_bulk_topk,
     "mih_bulk_search": q_mih_bulk_search,
     "video_sampled_frame_dedup": q_video_sampled_frame_dedup,
     "cross_modal_dedup": q_cross_modal_dedup,
-    "bpe_encode_docs": q_bpe_encode_docs,
     "imi_bulk_topk": q_imi_bulk_topk,
     # -- r15 rotation (VERDICT r14 task 1 + the r14 "debuts witnessed
     #    in their own round" precedent): boilerplate_scrub in (the only
@@ -12461,7 +12999,46 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    were driver-witnessed in CORRECTNESS_r14
     "boilerplate_scrub": q_boilerplate_scrub,
     "pretrain_shard_plan": q_pretrain_shard_plan,
+    # -- r15 rotation, second leg (the same "debuts witnessed in their
+    #    own round" precedent): the two r15 corpus-QA debuts in —
+    #    shard_balance_report (the capstone's per-language balance
+    #    audit) and vocab_growth_zipf_profile (Heaps/Zipf corpus QA);
+    #    OUT — ivf_bulk_topk (bulk ANN stays witnessed in-window by
+    #    imi_bulk_topk — the two-level superset of the same in-plan
+    #    probe ranking + cid-partitioned index join — plus
+    #    mih_bulk_search and streaming_ann_serving) and bpe_encode_docs
+    #    (trained-BPE encode stays witnessed by pretrain_shard_plan,
+    #    whose twin replays the whole trained-encode chain composed,
+    #    plus streaming_token_budget); both outs were driver-witnessed
+    #    in CORRECTNESS_r14
+    "shard_balance_report": q_shard_balance_report,
+    "vocab_growth_zipf_profile": q_vocab_growth_zipf_profile,
+    # -- r15 rotation, third leg (same precedent): the tokenizer
+    #    fertility audit and the dedup yield profile in (the two
+    #    remaining r15 corpus-QA debuts, witnessed in their own
+    #    round); OUT — dedup_clusters (min-label connected components
+    #    stay witnessed in-window by cross_modal_dedup's component
+    #    election AND by dedup_cluster_size_profile itself, whose twin
+    #    replays the full LSH→verify→CC→elect chain composed) and
+    #    multimodal_wav_features (the RIFF/PCM16 codec stays witnessed
+    #    by cross_modal_dedup's audio energy-contour leg); both outs
+    #    driver-witnessed in many prior windows (r1-r14)
+    "tokenizer_fertility_report": q_tokenizer_fertility_report,
+    "dedup_cluster_size_profile": q_dedup_cluster_size_profile,
     # ---------------------------------------------------- beyond the cap
+    # rotated out of the driver window in the r15 second-leg rotation,
+    # both driver-witnessed in CORRECTNESS_r14 (bulk ANN stays
+    # witnessed in-window by imi_bulk_topk + mih_bulk_search +
+    # streaming_ann_serving; trained-BPE encode by pretrain_shard_plan
+    # + streaming_token_budget):
+    "ivf_bulk_topk": q_ivf_bulk_topk,
+    "bpe_encode_docs": q_bpe_encode_docs,
+    # rotated out in the r15 third leg, both driver-witnessed r1-r14
+    # (min-label CC by cross_modal_dedup + the composed keep-best
+    # chain in dedup_cluster_size_profile; the RIFF/PCM16 codec by
+    # cross_modal_dedup's audio leg):
+    "dedup_clusters": q_dedup_clusters,
+    "multimodal_wav_features": q_multimodal_wav_features,
     # rotated out of the driver window in r14, all driver-witnessed in
     # r13 (families still witnessed in-window: BPE training/application
     # by bpe_encode_docs + pack_bpe_budget + streaming_token_budget,
@@ -14487,103 +15064,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, MIN(label) AS component
             FROM reach GROUP BY id
         """,
-        "dedup_keep_best": r"""
-            WITH w AS (
-                SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\s+') AS words
-                FROM documents
-            ), shg AS (
-                SELECT doc_id,
-                       CASE WHEN len(words) < 3
-                            THEN [array_to_string(words, ' ')]
-                            ELSE list_transform(
-                                generate_series(0, len(words) - 3),
-                                i -> array_to_string(
-                                    list_slice(words, i + 1, i + 3), ' '))
-                       END AS sh
-                FROM w
-            ), s AS (
-                SELECT doc_id,
-                       list_transform([0, 1, 2, 3],
-                           i -> list_min(list_transform(sh,
-                               x -> md5(i::VARCHAR || ' ' || x)))) AS sig
-                FROM shg
-            ), bnd AS (
-                SELECT doc_id, r.range AS band,
-                       sig[CAST(r.range * 2 + 1 AS INT)] || ',' ||
-                       sig[CAST(r.range * 2 + 2 AS INT)] AS bucket
-                FROM s, range(2) r
-            ), cand AS (
-                SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-                FROM bnd a
-                JOIN bnd b2 ON a.band = b2.band AND a.bucket = b2.bucket
-                           AND a.doc_id < b2.doc_id
-            ), p AS (
-                SELECT id_a, id_b
-                FROM cand
-                JOIN shg sa ON sa.doc_id = cand.id_a
-                JOIN shg sb ON sb.doc_id = cand.id_b
-                WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                      / (len(list_distinct(sa.sh)) + len(list_distinct(sb.sh))
-                         - len(list_intersect(sa.sh, sb.sh))) >= 0.6
-            ), edges AS (
-                SELECT id_a AS a, id_b AS b FROM p
-                UNION SELECT id_b, id_a FROM p
-            ), reach AS (
-                WITH RECURSIVE r(id, label) AS (
-                    SELECT a, a FROM edges
-                    UNION
-                    SELECT e.b, r.label FROM r JOIN edges e ON e.a = r.id
-                ) SELECT * FROM r
-            ), comp AS (
-                SELECT id AS doc_id, MIN(label) AS component
-                FROM reach GROUP BY id
-            ), m AS (
-                SELECT doc_id,
-                       length(text) AS nc,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '\s+'))
-                       END AS nw,
-                       len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
-                           AS npunct,
-                       length(regexp_replace(text, '\s+', '', 'g'))
-                           AS nc_nospace
-                FROM documents
-            ), r2 AS (
-                SELECT doc_id,
-                       LEAST(nc / 200.0, 1.0) AS len_score,
-                       LEAST((CASE WHEN nc = 0 THEN 0.0
-                                   ELSE CAST(npunct AS DOUBLE) / nc END)
-                             * 2.0, 1.0) AS noise_penalty,
-                       CASE WHEN nw = 0 THEN 0.0
-                            ELSE CAST(nc_nospace AS DOUBLE) / nw
-                       END AS wl
-                FROM m
-            ), q AS (
-                SELECT doc_id,
-                       FLOOR((len_score * 0.5
-                              + (CASE WHEN wl >= 3.0 AND wl <= 8.0
-                                      THEN 1.0 ELSE 0.5 END) * 0.3
-                              + (1.0 - noise_penalty) * 0.2) * 1000000
-                             + 0.5) / 1000000.0 AS quality
-                FROM r2
-            ), assigned AS (
-                SELECT q.doc_id, q.quality,
-                       COALESCE(comp.component, q.doc_id) AS component
-                FROM q LEFT JOIN comp USING (doc_id)
-            ), ranked AS (
-                SELECT *, ROW_NUMBER() OVER (
-                           PARTITION BY component
-                           ORDER BY quality DESC, doc_id ASC
-                       ) AS rk
-                FROM assigned
-            )
-            SELECT component,
-                   CAST(COUNT(*) AS BIGINT) AS n_members,
-                   MAX(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
-                   MAX(CASE WHEN rk = 1 THEN quality END) AS kept_quality
-            FROM ranked GROUP BY component ORDER BY component
-        """,
+        "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    FLOOR(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -14766,6 +15247,10 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_docs": _bpe_encode_docs_oracle_sql(),
         "imi_bulk_topk": _imi_bulk_oracle_sql(),
         "pretrain_shard_plan": _pretrain_shard_plan_oracle_sql(),
+        "shard_balance_report": _shard_balance_oracle_sql(),
+        "vocab_growth_zipf_profile": _vocab_growth_zipf_oracle_sql(),
+        "tokenizer_fertility_report": _tokenizer_fertility_oracle_sql(),
+        "dedup_cluster_size_profile": _dedup_cluster_size_oracle_sql(),
         "image_dhash_search": _image_dhash_search_oracle_sql(),
         # the streamed ingest pair set reconstructs the batch output
         # contract exactly, so its oracle IS the batch twin — one hash

@@ -232,8 +232,13 @@ HEADLINE = [
     "imi_bulk_topk",
     "boilerplate_scrub",
     # r15 capstone: the five-stage pretraining shard manifest (scrub →
-    # dedup → trained-BPE encode → 2048-token pack → manifest)
+    # dedup → trained-BPE encode → 2048-token pack → manifest), its
+    # per-language balance audit, and the Heaps/Zipf corpus-QA profile
     "pretrain_shard_plan",
+    "shard_balance_report",
+    "vocab_growth_zipf_profile",
+    "tokenizer_fertility_report",
+    "dedup_cluster_size_profile",
 ]
 
 

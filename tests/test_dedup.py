@@ -435,3 +435,36 @@ def test_boilerplate_scrub_drops_empty_documents(spark):
     r = got[6]
     assert r.n_boiler_spans == 0
     assert r.kept_text == "unique words only here nothing repeats"
+
+
+def test_dedup_cluster_size_profile_consistent_with_keep_best(spark):
+    """The yield profile is an exact census of the keep-best clusters:
+    per distinct cluster size, the cluster/doc/removed counts must
+    equal the python fold over q_dedup_keep_best's rows; each doc is
+    in exactly one cluster so the doc column sums to the corpus; the
+    descending-cumulative yield curve ends at (total - n_clusters)
+    removed and the ppm columns are the documented integer formulas."""
+    from collections import Counter
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    clusters = entrymod.q_dedup_keep_best(spark, sf_dir).collect()
+    sizes = Counter(r.n_members for r in clusters)
+    total = sum(s * c for s, c in sizes.items())
+
+    rows = entrymod.queries()["dedup_cluster_size_profile"](
+        spark, sf_dir
+    ).collect()
+    assert [r.cluster_size for r in rows] == sorted(sizes)
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == corpus
+    cum_ref = 0
+    for r in sorted(rows, key=lambda r: -r.cluster_size):
+        assert r.n_clusters == sizes[r.cluster_size]
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_removed == (r.cluster_size - 1) * r.n_clusters
+        cum_ref += r.n_removed
+        assert r.removed_share_ppm == (r.n_removed * 1_000_000) // total
+        assert r.cum_removed_ppm == (cum_ref * 1_000_000) // total
+    assert cum_ref == total - len(clusters)

@@ -131,6 +131,26 @@ SF = "/root/testdata/sf0.001"
 #: bpe_encode_docs + streaming_token_budget, and the capstone's twin
 #: replays the same trained-dictionary packing chain composed); both
 #: outs were driver-witnessed in CORRECTNESS_r14.
+#: r15 rotation, second leg (same precedent): IN —
+#: shard_balance_report + vocab_growth_zipf_profile (the two r15
+#: corpus-QA debuts, witnessed in their own round). OUT —
+#: ivf_bulk_topk (bulk ANN stays witnessed in-window by imi_bulk_topk
+#: — the two-level superset of the same in-plan ranking +
+#: cid-partitioned join — plus mih_bulk_search +
+#: streaming_ann_serving) and bpe_encode_docs (trained-BPE encode
+#: stays witnessed by pretrain_shard_plan, whose twin replays the
+#: whole trained-encode chain composed, plus streaming_token_budget);
+#: both outs were driver-witnessed in CORRECTNESS_r14.
+#: r15 rotation, third leg (same precedent): IN —
+#: tokenizer_fertility_report + dedup_cluster_size_profile (the two
+#: remaining r15 corpus-QA debuts, witnessed in their own round).
+#: OUT — dedup_clusters (min-label CC stays witnessed in-window by
+#: cross_modal_dedup's component election AND by
+#: dedup_cluster_size_profile itself, whose twin replays the full
+#: LSH→verify→CC→elect chain composed) and multimodal_wav_features
+#: (the RIFF/PCM16 codec stays witnessed by cross_modal_dedup's audio
+#: energy-contour leg); both outs driver-witnessed in many prior
+#: windows (r1-r14).
 DRIVER_WINDOW = [
     "fusion_minute_avg",
     "multiway_join_revenue",
@@ -163,25 +183,25 @@ DRIVER_WINDOW = [
     "streaming_left_outer_join",
     "streaming_windowed_top1",
     "exact_dedup_docs",
-    "dedup_clusters",
     "doremi_domain_weights",
     "stratified_split",
     "pq_distortion_report",
-    "multimodal_wav_features",
     "corpus_pipeline_end2end",
     "mmr_from_index",
     "semantic_dedup_trained",
     "streaming_semantic_dedup",
     "streaming_ann_serving",
     "streaming_token_budget",
-    "ivf_bulk_topk",
     "mih_bulk_search",
     "video_sampled_frame_dedup",
     "cross_modal_dedup",
-    "bpe_encode_docs",
     "imi_bulk_topk",
     "boilerplate_scrub",
     "pretrain_shard_plan",
+    "shard_balance_report",
+    "vocab_growth_zipf_profile",
+    "tokenizer_fertility_report",
+    "dedup_cluster_size_profile",
 ]
 
 
@@ -227,6 +247,20 @@ DEBUT_ORACLE_QUERIES = [
     # per-shard manifest (doc census, exact tokens, ordered doc list,
     # source mix); the twin replays all five stages in one chain
     "pretrain_shard_plan",
+    # r15: new — per-language shard balance audit composing the
+    # capstone manifest (integer-exact counts + fill ppm; the twin
+    # replays the whole capstone chain as a subquery)
+    "shard_balance_report",
+    # r15: new — Heaps growth curve via first-occurrence deciles + the
+    # Zipf top-100 log-log slope, micro-quantized integer regression
+    "vocab_growth_zipf_profile",
+    # r15: new — per-language BPE fertility audit under the shared
+    # trained state (the twin replays training + dictionary +
+    # integer-exact ratios)
+    "tokenizer_fertility_report",
+    # r15: new — duplication-yield census composing the full
+    # LSH→verify→CC→keep-best chain as a subquery
+    "dedup_cluster_size_profile",
 ]
 
 

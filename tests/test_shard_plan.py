@@ -160,3 +160,36 @@ def test_manifest_drives_a_partitioned_shard_write(spark, manifest, tmp_path):
         n, ids = got[r.shard_id]
         assert n == r.n_docs
         assert ids == {int(d) for d in r.doc_ids.split("|")}
+
+
+def test_shard_balance_report_consistent_with_manifest(spark, manifest):
+    """The audit is an exact aggregate of the manifest: per language,
+    shard/doc/token counts and min/max must equal the python fold over
+    the manifest rows; fill_ppm is the documented integer formula."""
+    from collections import defaultdict
+
+    import __spark_entry__ as entrymod
+
+    got = {
+        r.lang: r
+        for r in entrymod.queries()["shard_balance_report"](
+            spark, SF_DIR
+        ).collect()
+    }
+    by_lang = defaultdict(list)
+    for r in manifest:
+        by_lang[r.lang].append(r)
+    assert set(got) == set(by_lang)
+    for lang, rows in by_lang.items():
+        g = got[lang]
+        toks = [r.shard_tokens for r in rows]
+        assert g.n_shards == len(rows)
+        assert g.n_docs == sum(r.n_docs for r in rows)
+        assert g.lang_tokens == sum(toks)
+        assert (g.min_shard_tokens, g.max_shard_tokens) == (
+            min(toks), max(toks),
+        )
+        assert g.fill_ppm == (sum(toks) * 1_000_000) // (len(rows) * 2048)
+        # packing sanity: mean fill sits near the budget (underfill only
+        # from each language's final shard and over-budget boundary docs)
+        assert g.fill_ppm > 500_000

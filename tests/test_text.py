@@ -236,3 +236,80 @@ def test_char_trigrams_walk_and_short_text(spark):
     assert got[1] == ["hel", "ell", "llo", "lo ", "o a", " ab"]
     assert got[2] == [] and got[3] == []
     assert got[4] == ["abc"]
+
+
+def test_vocab_growth_zipf_profile_matches_python_reference(spark, tmp_path):
+    """The Heaps curve + Zipf slope against a pure-python third
+    implementation on a synthetic corpus with known structure: the
+    first-occurrence decile bucketing, the cumulative vocabulary, and
+    the micro-quantized top-100 log-log regression must agree exactly;
+    a Zipfian generator (freq of rank-r word ~ N/r) must land the
+    slope near -1."""
+    import math
+    import re as _re
+
+    import __spark_entry__ as entrymod
+
+    # synthetic corpus: 40 docs; rank-r word "w{r}" appears ~120/r
+    # times, spread round-robin over docs; plus per-doc unique words so
+    # the vocabulary keeps growing across deciles
+    n_docs = 40
+    texts = {i: [] for i in range(n_docs)}
+    for r in range(1, 61):
+        for j in range(max(1, 120 // r)):
+            texts[(r * 7 + j) % n_docs].append(f"w{r}")
+    for i in range(n_docs):
+        texts[i].append(f"uniq{i}")
+    rows = [(i, " ".join(texts[i])) for i in range(n_docs)]
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "synth",
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    got = entrymod.queries()["vocab_growth_zipf_profile"](
+        spark, str(tmp_path)
+    ).collect()
+
+    # python reference
+    first, freq = {}, {}
+    for did, text in rows:
+        for w in _re.split(r"[^a-z0-9]+", text.lower()):
+            if not w:
+                continue
+            freq[w] = freq.get(w, 0) + 1
+            if w not in first or first[w] > did:
+                first[w] = min(first.get(w, did), did)
+    lo, hi = 0, n_docs - 1
+    per_dec = {}
+    for w, fd in first.items():
+        d = ((fd - lo) * 10) // (hi - lo + 1) + 1
+        per_dec[d] = per_dec.get(d, 0) + 1
+    cum, curve = 0, {}
+    for d in range(1, 11):
+        cum += per_dec.get(d, 0)
+        curve[d] = (per_dec.get(d, 0), cum)
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    xs = [math.floor(math.log(i + 1) * 1e6 + 0.5) for i in range(len(top))]
+    ys = [math.floor(math.log(f) * 1e6 + 0.5) for _, f in top]
+    n = len(top)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = math.floor(1e6 * (n * sxy - sx * sy) / (n * sxx - sx * sx) + 0.5)
+
+    assert [(r.decile, r.new_words, r.vocab_size) for r in got] == [
+        (d, curve[d][0], curve[d][1]) for d in range(1, 11)
+    ]
+    assert all(r.zipf_slope_micro == slope for r in got)
+    # the Zipfian generator should land near the canonical s = -1
+    assert -1_300_000 < slope < -700_000
+    # and the curve keeps growing (the per-doc unique words)
+    assert got[-1].vocab_size > got[0].vocab_size > 0

@@ -257,3 +257,54 @@ def test_bpe_trained_artifact_invalidates_on_merge_depth_change(
     monkeypatch.undo()
     back, _ = entrymod._bpe_trained(spark, sf_dir)
     assert back.count() == entrymod._BPE_MERGES
+
+
+def test_fertility_report_consistent_with_doc_counts(spark):
+    """The per-language fertility audit is an exact re-aggregation of
+    the same trained-dictionary token counts doc_token_counts budgets
+    by: per-language word/token totals must equal the python fold over
+    the per-doc counts joined to lang; the ratios are the documented
+    integer formulas; fertility >= 1e6 (every word is >= 1 token) and
+    chars/token >= 1e6 (every token is >= 1 char); the language token
+    shares sum to 1e6 up to |langs| floor-truncations."""
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r.lang: r
+        for r in entrymod.queries()["tokenizer_fertility_report"](
+            spark, sf_dir
+        ).collect()
+    }
+
+    _, final_state = entrymod._bpe_trained(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = tokenizer.doc_token_counts(
+        docs, tokenizer.token_dict(final_state)
+    )
+    ref = {
+        r.lang: r
+        for r in docs.select("doc_id", "lang")
+        .join(per_doc, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("w"),
+            F.sum("n_tokens").alias("t"),
+        )
+        .collect()
+    }
+    # langs with zero [a-z0-9] words drop from the report
+    assert set(got) == {k for k, v in ref.items() if v.w > 0}
+    tot = sum(r.t for r in ref.values())
+    for lang, r in ref.items():
+        g = got[lang]
+        assert (g.n_words, g.n_tokens) == (r.w, r.t)
+        assert g.fertility_micro == (r.t * 1_000_000) // r.w
+        assert g.fertility_micro >= 1_000_000
+        assert g.chars_per_token_micro >= 1_000_000
+        assert g.chars_per_token_micro == (g.n_chars * 1_000_000) // r.t
+        assert g.token_share_ppm == (r.t * 1_000_000) // tot
+    share_sum = sum(g.token_share_ppm for g in got.values())
+    assert 1_000_000 - len(got) <= share_sum <= 1_000_000
+    # doc census covers the corpus (every testdata doc has words)
+    assert sum(g.n_docs for g in got.values()) == docs.count()

@@ -69,6 +69,16 @@ TIMED = [
     # production amortized shape — so the timed reps measure the
     # five-stage manifest plan itself
     "pretrain_shard_plan",
+    # r15 corpus-QA: Heaps curve + Zipf slope — one vocabulary-sized
+    # groupBy (first-occurrence design, no per-checkpoint distincts),
+    # must track the corpus ~linearly with a shrinking constant as the
+    # vocabulary saturates
+    "vocab_growth_zipf_profile",
+    # r15 corpus-QA: per-language BPE fertility — the corpus-sized
+    # work is one (lang, word) groupBy; the dictionary join runs on
+    # the vocab-sized aggregate, so the constant should shrink as the
+    # vocabulary saturates (the same favorable regime)
+    "tokenizer_fertility_report",
 ]
 #: queries whose .count() Catalyst can prune into near-no-ops (narrow
 #: maps, and aggregates whose expensive agg expressions — text-derived
@@ -86,6 +96,9 @@ MAP_ONLY = {
     # a bare .count() on the manifest would prune the doc_ids /
     # source_mix collect_list rebuilds — the noop sink materializes them
     "pretrain_shard_plan",
+    # 10-row output: .count() could prune the slope regression and the
+    # cumulative values — the noop sink forces both
+    "vocab_growth_zipf_profile",
 }
 
 
