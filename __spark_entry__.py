@@ -11064,6 +11064,275 @@ def _dedup_cluster_size_oracle_sql() -> str:
     """
 
 
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE n-gram overlap matrix — the leakage observability
+    pass between corpus components (ngram_contamination audits docs vs
+    a held-out benchmark; this audits the training sources against
+    EACH OTHER: two "independent" crawls sharing half their 3-shingles
+    are the same content twice, which silently double-weights it and
+    defeats per-source mixture planning): per source pair — distinct
+    3-shingle vocabulary sizes, the common-shingle count, Jaccard and
+    containment in integer ppm (containment catches the
+    subset-relationship a small source has to a big one that Jaccard
+    hides). Pairs with NO overlap still emit a row (zero overlap
+    between supposedly-related sources is itself a finding).
+
+    Scale shape: the corpus-sized work is ONE distinct over (source,
+    shingle) — map-side combinable; the self-join runs on the DISTINCT
+    gram table where each gram appears at most |sources| times, so the
+    join output is ≤ |grams|·C(|sources|,2) with NO hot keys (the
+    all-pairs explosion near-dup LSH avoids cannot occur here — gram
+    multiplicity is structurally capped by the source count); the
+    |sources|²-row grid and per-source census are bounded. Shingles
+    are the keep-best alphabet (lowercased whitespace words, <3-word
+    docs contribute their whole text), so the DuckDB twin replays the
+    same chunking bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    sg = (
+        docs.select(
+            "source", F.explode(textf.shingles(F.col("text"), 3)).alias("g")
+        )
+        .distinct()
+    )
+    per = sg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    a = sg.select(F.col("source").alias("src_a"), "g")
+    b = sg.select(F.col("source").alias("src_b"), "g")
+    common = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    pa = per.select(
+        F.col("source").alias("src_a"), F.col("n_grams").alias("grams_a")
+    )
+    pb = per.select(
+        F.col("source").alias("src_b"), F.col("n_grams").alias("grams_b")
+    )
+    grid = pa.crossJoin(pb).filter(F.col("src_a") < F.col("src_b"))
+    return (
+        grid.join(common, ["src_a", "src_b"], "left")
+        .withColumn(
+            "n_common", F.coalesce("n_common", F.lit(0)).cast("long")
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "grams_a",
+            "grams_b",
+            "n_common",
+            F.expr(
+                "(n_common * 1000000) DIV (grams_a + grams_b - n_common)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "(n_common * 1000000) DIV least(grams_a, grams_b)"
+            ).alias("containment_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _source_overlap_oracle_sql() -> str:
+    """DuckDB twin of q_source_overlap_matrix: the keep-best shingle
+    chunking per source, the distinct (source, gram) table, the capped
+    self-join, and the integer-ppm similarity grid (zero-overlap pairs
+    included via the LEFT join against the full source grid)."""
+    return r"""
+        WITH w AS (
+            SELECT source,
+                   string_split_regex(lower(trim(text)), '\s+') AS words
+            FROM documents
+        ), shg AS (
+            SELECT source,
+                   CASE WHEN len(words) < 3
+                        THEN [array_to_string(words, ' ')]
+                        ELSE list_transform(
+                            generate_series(0, len(words) - 3),
+                            i -> array_to_string(
+                                list_slice(words, i + 1, i + 3), ' '))
+                   END AS sh
+            FROM w
+        ), sg AS (
+            SELECT DISTINCT source, g
+            FROM (SELECT source, unnest(sh) AS g FROM shg)
+        ), per AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM sg GROUP BY source
+        ), com AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
+        ), grid AS (
+            SELECT pa.source AS src_a, pb.source AS src_b,
+                   pa.n_grams AS grams_a, pb.n_grams AS grams_b
+            FROM per pa, per pb WHERE pa.source < pb.source
+        )
+        SELECT g.src_a, g.src_b, g.grams_a, g.grams_b,
+               CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+               CAST((COALESCE(c.n_common, 0) * 1000000)
+                    // (g.grams_a + g.grams_b - COALESCE(c.n_common, 0))
+                    AS BIGINT) AS jaccard_ppm,
+               CAST((COALESCE(c.n_common, 0) * 1000000)
+                    // LEAST(g.grams_a, g.grams_b) AS BIGINT)
+                   AS containment_ppm
+        FROM grid g
+        LEFT JOIN com c ON c.src_a = g.src_a AND c.src_b = g.src_b
+        ORDER BY g.src_a, g.src_b
+    """
+
+
+def q_mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixture EPOCH planner — the table a pretraining run
+    actually publishes about its data (the per-source mixture tables
+    in GPT-3/Llama reports: source, tokens, sampling weight, and the
+    implied EPOCH count under the token budget; Muennighoff et al.,
+    NeurIPS 2023 make epochs the first-class axis — past ~4 epochs a
+    repeated source's tokens decay in value, so a planner must SEE
+    which tail sources the temperature mixture is about to cycle):
+    per source — doc count, exact trained-BPE tokens, natural share
+    (ppm), the α=0.5 temperature sampling weight (sqrt-share,
+    renormalized — the temperature_resample α, upweighting tail
+    sources; sqrt is IEEE-correctly-rounded in both engines so ONE
+    float op crosses, floor-quantized to micro before the integer
+    renormalization), the token allocation under a 4×-corpus training
+    budget (4 epochs if sampled uniformly), and the implied epochs in
+    milli-units — the head source lands under 4000, the tail over.
+
+    Scale shape: the corpus-sized work is ONE (source, word) groupBy
+    (the fertility design — the dictionary join runs on the
+    vocab-sized aggregate); everything downstream is |sources|-sized
+    with broadcast scalar totals. The budget multiply is staged
+    ((4·T) DIV 1000 before the ppm multiply) so BIGINT never
+    overflows below ~10^15-token corpora — a 100 TB corpus is ~10^13.
+    Sources with no [a-z0-9] words carry no tokens and drop (the
+    pack_bpe_budget convention)."""
+    docs = _t(spark, sf_dir, "documents")
+    _, final_state = _bpe_trained(spark, sf_dir)
+    dic = tokenizer.token_dict(final_state)
+    sw = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.col("text")), tokenizer.WORD_SPLIT_REGEX)
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    st = (
+        sw.join(dic, "word", "left")
+        .select(
+            "source",
+            "cnt",
+            F.coalesce(F.col("tok_n"), F.length("word").cast("long")).alias(
+                "tok_n"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("cnt") * F.col("tok_n"))
+            .cast("long")
+            .alias("src_tokens")
+        )
+    )
+    nd = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = st.agg(F.sum("src_tokens").cast("long").alias("tot_tokens"))
+    base = (
+        nd.join(st, "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share_ppm", F.expr("(src_tokens * 1000000) DIV tot_tokens")
+        )
+        .withColumn(
+            "w_micro",
+            F.floor(
+                F.sqrt(
+                    F.col("src_tokens").cast("double")
+                    / F.col("tot_tokens").cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    wsum = base.agg(F.sum("w_micro").cast("long").alias("w_sum"))
+    return (
+        base.crossJoin(F.broadcast(wsum))
+        .withColumn("weight_ppm", F.expr("(w_micro * 1000000) DIV w_sum"))
+        .withColumn(
+            "alloc_tokens",
+            F.expr("(((4 * tot_tokens) DIV 1000) * weight_ppm) DIV 1000"),
+        )
+        .withColumn(
+            "epochs_milli", F.expr("(alloc_tokens * 1000) DIV src_tokens")
+        )
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            "share_ppm",
+            "weight_ppm",
+            "alloc_tokens",
+            "epochs_milli",
+        )
+        .orderBy("source")
+    )
+
+
+def _mixture_epoch_oracle_sql() -> str:
+    """DuckDB twin of q_mixture_epoch_schedule: the shared BPE
+    training chain, the (source, word) token census, the sqrt-share
+    temperature weight (one IEEE op, floor-quantized), and the staged
+    integer budget allocation."""
+    return f"""
+        WITH {_bpe_train_ctes()},
+        dict AS (SELECT word,
+                        CAST(len(string_split(
+                            substring(enc, 2, length(enc) - 2),
+                            ')(')) AS BIGINT) AS tok_n
+                 FROM v{_BPE_MERGES}),
+        sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM (SELECT source,
+                            unnest(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+')) AS word
+                     FROM documents)
+               WHERE word <> '' GROUP BY source, word),
+        st AS (SELECT source,
+                      CAST(SUM(cnt * COALESCE(d.tok_n, length(sw.word)))
+                           AS BIGINT) AS src_tokens
+               FROM sw LEFT JOIN dict d ON d.word = sw.word
+               GROUP BY source),
+        nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS tot_tokens
+                FROM st),
+        base AS (SELECT nd.source, nd.n_docs, st.src_tokens,
+                        tot.tot_tokens,
+                        CAST((st.src_tokens * 1000000) // tot.tot_tokens
+                             AS BIGINT) AS share_ppm,
+                        CAST(FLOOR(sqrt(CAST(st.src_tokens AS DOUBLE)
+                                        / CAST(tot.tot_tokens AS DOUBLE))
+                                   * 1e6 + 0.5) AS BIGINT) AS w_micro
+                 FROM nd JOIN st ON st.source = nd.source, tot),
+        ws AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_sum FROM base)
+        SELECT source, n_docs, src_tokens, share_ppm,
+               CAST((w_micro * 1000000) // w_sum AS BIGINT) AS weight_ppm,
+               CAST((((4 * tot_tokens) // 1000)
+                     * ((w_micro * 1000000) // w_sum)) // 1000 AS BIGINT)
+                   AS alloc_tokens,
+               CAST(((((4 * tot_tokens) // 1000)
+                      * ((w_micro * 1000000) // w_sum)) // 1000 * 1000)
+                    // src_tokens AS BIGINT) AS epochs_milli
+        FROM base, ws ORDER BY source
+    """
+
+
 #: bulk re-ranking query-set size for q_ivf_bulk_topk — 4× the serving
 #: page, drawn from the same embeddings prefix
 _ANN_BULK_QUERIES = 32
@@ -12959,11 +13228,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_minute_counts": q_streaming_minute_counts,
     "streaming_session_rollup": q_streaming_session_rollup,
     "streaming_enriched_counts": q_streaming_enriched_counts,
-    "streaming_left_outer_join": q_streaming_left_outer_join,
     "streaming_windowed_top1": q_streaming_windowed_top1,
     # -- LLM training-data pipeline, one per family
     "exact_dedup_docs": q_exact_dedup_docs,
-    "doremi_domain_weights": q_doremi_domain_weights,
     "stratified_split": q_stratified_split,
     "pq_distortion_report": q_pq_distortion_report,
     "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
@@ -13025,6 +13292,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    driver-witnessed in many prior windows (r1-r14)
     "tokenizer_fertility_report": q_tokenizer_fertility_report,
     "dedup_cluster_size_profile": q_dedup_cluster_size_profile,
+    # -- r15 rotation, fourth leg (same precedent): the cross-source
+    #    leakage matrix and the temperature-mixture epoch planner in
+    #    (r15 corpus-QA debuts, witnessed in their own round); OUT —
+    #    doremi_domain_weights (the mixture/sampling family stays
+    #    witnessed in-window by mixture_epoch_schedule — the same
+    #    |sources|-row planning surface over the trained-BPE census —
+    #    plus stratified_split; dsir/temperature legs witnessed in
+    #    prior windows) and streaming_left_outer_join (stream-stream
+    #    joins stay witnessed by streaming_windowed_top1, stream-static
+    #    by streaming_enriched_counts); both outs driver-witnessed in
+    #    CORRECTNESS_r14
+    "source_overlap_matrix": q_source_overlap_matrix,
+    "mixture_epoch_schedule": q_mixture_epoch_schedule,
     # ---------------------------------------------------- beyond the cap
     # rotated out of the driver window in the r15 second-leg rotation,
     # both driver-witnessed in CORRECTNESS_r14 (bulk ANN stays
@@ -13039,6 +13319,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cross_modal_dedup's audio leg):
     "dedup_clusters": q_dedup_clusters,
     "multimodal_wav_features": q_multimodal_wav_features,
+    # rotated out in the r15 fourth leg, both driver-witnessed in
+    # CORRECTNESS_r14 (mixture/sampling by mixture_epoch_schedule +
+    # stratified_split; stream-stream joins by streaming_windowed_top1,
+    # stream-static by streaming_enriched_counts):
+    "doremi_domain_weights": q_doremi_domain_weights,
+    "streaming_left_outer_join": q_streaming_left_outer_join,
     # rotated out of the driver window in r14, all driver-witnessed in
     # r13 (families still witnessed in-window: BPE training/application
     # by bpe_encode_docs + pack_bpe_budget + streaming_token_budget,
@@ -15251,6 +15537,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth_zipf_profile": _vocab_growth_zipf_oracle_sql(),
         "tokenizer_fertility_report": _tokenizer_fertility_oracle_sql(),
         "dedup_cluster_size_profile": _dedup_cluster_size_oracle_sql(),
+        "source_overlap_matrix": _source_overlap_oracle_sql(),
+        "mixture_epoch_schedule": _mixture_epoch_oracle_sql(),
         "image_dhash_search": _image_dhash_search_oracle_sql(),
         # the streamed ingest pair set reconstructs the batch output
         # contract exactly, so its oracle IS the batch twin — one hash

@@ -239,6 +239,8 @@ HEADLINE = [
     "vocab_growth_zipf_profile",
     "tokenizer_fertility_report",
     "dedup_cluster_size_profile",
+    "source_overlap_matrix",
+    "mixture_epoch_schedule",
 ]
 
 

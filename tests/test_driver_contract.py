@@ -151,6 +151,15 @@ SF = "/root/testdata/sf0.001"
 #: (the RIFF/PCM16 codec stays witnessed by cross_modal_dedup's audio
 #: energy-contour leg); both outs driver-witnessed in many prior
 #: windows (r1-r14).
+#: r15 rotation, fourth leg (same precedent): IN —
+#: source_overlap_matrix + mixture_epoch_schedule (r15 corpus-QA
+#: debuts, witnessed in their own round). OUT — doremi_domain_weights
+#: (mixture/sampling stays witnessed in-window by
+#: mixture_epoch_schedule — the same |sources|-row planning surface —
+#: plus stratified_split) and streaming_left_outer_join (stream-stream
+#: joins stay witnessed by streaming_windowed_top1, stream-static by
+#: streaming_enriched_counts); both outs driver-witnessed in
+#: CORRECTNESS_r14.
 DRIVER_WINDOW = [
     "fusion_minute_avg",
     "multiway_join_revenue",
@@ -180,10 +189,8 @@ DRIVER_WINDOW = [
     "streaming_minute_counts",
     "streaming_session_rollup",
     "streaming_enriched_counts",
-    "streaming_left_outer_join",
     "streaming_windowed_top1",
     "exact_dedup_docs",
-    "doremi_domain_weights",
     "stratified_split",
     "pq_distortion_report",
     "corpus_pipeline_end2end",
@@ -202,6 +209,8 @@ DRIVER_WINDOW = [
     "vocab_growth_zipf_profile",
     "tokenizer_fertility_report",
     "dedup_cluster_size_profile",
+    "source_overlap_matrix",
+    "mixture_epoch_schedule",
 ]
 
 
@@ -261,6 +270,12 @@ DEBUT_ORACLE_QUERIES = [
     # r15: new — duplication-yield census composing the full
     # LSH→verify→CC→keep-best chain as a subquery
     "dedup_cluster_size_profile",
+    # r15: new — cross-source 3-shingle leakage matrix (distinct
+    # (source, gram) census + the multiplicity-capped self-join)
+    "source_overlap_matrix",
+    # r15: new — temperature-mixture epoch planner over the trained-BPE
+    # source census (sqrt-share weight, staged integer allocation)
+    "mixture_epoch_schedule",
 ]
 
 

@@ -207,3 +207,66 @@ def test_weighted_bottomk_excludes_nonpositive_weights(spark):
     )
     kept = sampling.weighted_bottomk(df, ["g"], "id", "w", k=10).collect()
     assert sorted(r.id for r in kept) == [1]
+
+
+def test_mixture_epoch_schedule_laws(spark):
+    """The epoch planner's integer laws on the real corpus: src_tokens
+    re-derives from doc_token_counts grouped by source; shares and
+    weights follow the documented formulas off those exact counts; the
+    sqrt temperature FLATTENS the mixture (weight ordering preserved
+    but ratios compressed vs natural shares); allocations sum to the
+    4x budget within the staged-DIV truncation; and every source's
+    epoch count sits on alloc/src_tokens exactly."""
+    import math
+
+    import __spark_entry__ as entrymod
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (  # noqa: E501
+        tokenizer,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r.source: r
+        for r in entrymod.queries()["mixture_epoch_schedule"](
+            spark, sf_dir
+        ).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, final_state = entrymod._bpe_trained(spark, sf_dir)
+    per_doc = tokenizer.doc_token_counts(
+        docs, tokenizer.token_dict(final_state)
+    )
+    ref = {
+        r.source: r.t
+        for r in docs.select("doc_id", "source")
+        .join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    assert set(got) == set(ref)
+    tot = sum(ref.values())
+    w = {
+        s: math.floor(math.sqrt(t / tot) * 1e6 + 0.5)
+        for s, t in ref.items()
+    }
+    wsum = sum(w.values())
+    budget = 4 * tot
+    alloc_sum = 0
+    for s, t in ref.items():
+        g = got[s]
+        assert g.src_tokens == t
+        assert g.share_ppm == (t * 1_000_000) // tot
+        assert g.weight_ppm == (w[s] * 1_000_000) // wsum
+        alloc = ((budget // 1000) * g.weight_ppm) // 1000
+        assert g.alloc_tokens == alloc
+        assert g.epochs_milli == (alloc * 1000) // t
+        alloc_sum += alloc
+    # staged integer truncation only: within 0.2% of the 4x budget
+    assert 0.998 * budget < alloc_sum <= budget
+    # sqrt flattens: the head source is allocated UNDER its natural
+    # share (epochs < 4.0), the tail source OVER (epochs > 4.0)
+    head = max(ref, key=ref.get)
+    tail = min(ref, key=ref.get)
+    if ref[head] != ref[tail]:
+        assert got[head].epochs_milli < 4000 < got[tail].epochs_milli

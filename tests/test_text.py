@@ -313,3 +313,67 @@ def test_vocab_growth_zipf_profile_matches_python_reference(spark, tmp_path):
     assert -1_300_000 < slope < -700_000
     # and the curve keeps growing (the per-doc unique words)
     assert got[-1].vocab_size > got[0].vocab_size > 0
+
+
+def test_source_overlap_matrix_known_construction(spark, tmp_path):
+    """Cross-source overlap against a corpus built with KNOWN shingle
+    structure: sources A and B share exactly the shingles of one
+    common document; C is disjoint from both — the matrix must report
+    the exact common counts, the zero row for the disjoint pairs, and
+    the documented integer ppm formulas (python third implementation
+    of the same <3-word whole-doc chunking)."""
+    import itertools
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    def sh(text):
+        words = text.strip().lower().split()
+        if len(words) < 3:
+            return {" ".join(words)}
+        return {
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        }
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "A"),
+        (1, "pack my box with five dozen liquor jugs", "A"),
+        (2, "the quick brown fox jumps over the lazy dog", "B"),
+        (3, "sphinx of black quartz judge my vow today ok", "B"),
+        (4, "completely disjoint shingle universe lives here now then", "C"),
+        (5, "tiny doc", "C"),
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": [r[2] for r in rows],
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        (r.src_a, r.src_b): r
+        for r in entrymod.queries()["source_overlap_matrix"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    grams = {}
+    for _, text, src in rows:
+        grams.setdefault(src, set()).update(sh(text))
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    for sa, sb in itertools.combinations("ABC", 2):
+        g = got[(sa, sb)]
+        common = len(grams[sa] & grams[sb])
+        union = len(grams[sa] | grams[sb])
+        assert (g.grams_a, g.grams_b) == (len(grams[sa]), len(grams[sb]))
+        assert g.n_common == common
+        assert g.jaccard_ppm == (common * 1_000_000) // union
+        assert g.containment_ppm == (common * 1_000_000) // min(
+            len(grams[sa]), len(grams[sb])
+        )
+    # A∩B is exactly doc 0's shingle set; C overlaps nobody
+    assert got[("A", "B")].n_common == len(sh(rows[0][1]))
+    assert got[("A", "C")].n_common == 0
+    assert got[("B", "C")].n_common == 0

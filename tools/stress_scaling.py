@@ -79,6 +79,12 @@ TIMED = [
     # the vocab-sized aggregate, so the constant should shrink as the
     # vocabulary saturates (the same favorable regime)
     "tokenizer_fertility_report",
+    # r15 corpus-QA: cross-source shingle leakage — the distinct
+    # (source, gram) census + a self-join whose per-gram multiplicity
+    # is structurally capped at |sources|; replicas inject
+    # replica-unique shingles, so the gram table grows ~linearly and
+    # the join must track it
+    "source_overlap_matrix",
 ]
 #: queries whose .count() Catalyst can prune into near-no-ops (narrow
 #: maps, and aggregates whose expensive agg expressions — text-derived
