@@ -103,7 +103,9 @@ HEADLINE = [
     "pagerank_user_graph",
     "tfidf_top_terms",
     "dsir_importance_weights",
-    "bottomk_sample",
+    # bottomk_sample dropped from HEADLINE at 166 entries (r15: the
+    # 0-dp capture-buffer rung overflowed) — a ~0.1s mirror of the
+    # benched topk_orders; still catalog-gated for correctness
     "bm25_search",
     "kmv_distinct_rollup",
     "token_entropy_docs",
@@ -111,7 +113,9 @@ HEADLINE = [
     "pareto_front_orders",
     "regression_stats_by_type",
     "ohlc_downsample",
-    "asof_next_purchase",
+    # asof_next_purchase dropped from HEADLINE at 166 entries (r15,
+    # with bottomk_sample) — ~0.1s, the as-of family stays benched by
+    # asof_purchase_attribution; still catalog-gated for correctness
     # round-5/6 additions
     "multimodal_jpeg_decode",
     "multimodal_png_decode",
@@ -403,7 +407,10 @@ def main() -> None:
         # constant) and wire_replay_sec (= the constant row count /
         # rows_per_sec), and the best-of-3 saturation rate live in
         # BENCH_FULL.json; dropping them from the driver line buys the
-        # per-query map headroom as HEADLINE grows (r12: 147 entries)
+        # per-query map headroom as HEADLINE grows (r12: 147 entries;
+        # r15 at 164 entries moved the measured median rate itself —
+        # the driver parses only metric/value/queries, and the rate
+        # stays in BENCH_FULL.json like the rest of the wire story)
         full_only = {
             k: payload.pop(k)
             for k in (
@@ -411,6 +418,7 @@ def main() -> None:
                 "baseline_rows_per_sec",
                 "wire_vs_baseline",
                 "wire_replay_sec",
+                "wire_replay_rows_per_sec",
             )
             if k in payload
         }

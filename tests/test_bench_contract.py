@@ -39,8 +39,9 @@ def _worst_case_line(per_query: float, ndp: int) -> str:
         # BENCH_FULL.json (headroom for the per-query map — r10: the
         # 141-entry 2-dp worst case hit the guard exactly; r12 moved
         # the derived wire_vs_baseline ratio and wire_replay_sec (=
-        # rows/rate, rows constant) there too as HEADLINE kept growing)
-        "wire_replay_rows_per_sec": 99999.9,
+        # rows/rate, rows constant) there too as HEADLINE kept growing;
+        # r15 at 164 entries moved the measured median rate itself —
+        # the whole wire story now lives in BENCH_FULL.json)
     }
     # same compact serialization bench.py emits
     return json.dumps(payload, separators=(",", ":"))
