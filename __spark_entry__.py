@@ -11333,6 +11333,129 @@ def _mixture_epoch_oracle_sql() -> str:
     """
 
 
+#: the truncation ladder for the Matryoshka-style dimension audit —
+#: powers of two up to the corpus's full 64 dims (the ground truth)
+_TRUNC_DIMS = (8, 16, 32, 64)
+
+
+def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DIMENSION-truncation recall audit — the measurement
+    behind the Matryoshka/short-vector serving decision (Kusupati et
+    al., NeurIPS 2022: if the first d coordinates preserve the
+    neighborhood structure, serve d-dim vectors and cut index memory
+    and ANN cost by 64/d; the audit says which d is safe): for each
+    dim in the 8→64 ladder, the exact cosine top-10 over the corpus
+    under FIRST-d-coordinates truncation, scored against the full-dim
+    top-10 as ground truth — one row per dim: query count, total hits,
+    recall@10 in ppm (the 64-dim row is the identity check at exactly
+    1e6). Determinism is the bulk-ANN contract: cosines floor-quantize
+    to integer micro BEFORE ranking and ties break on vec_id, so both
+    engines cut the same top-10 sets bit-for-bit.
+
+    Scale shape: ONE corpus scan — the 32-query matrix and the 4-row
+    dim grid broadcast, each corpus vector scores 4×32 combos in-plan
+    (whole-stage codegen, no UDF), and the per-(dim, query) top-10
+    window is the single shuffle (128 bounded groups); the hit join
+    and the census run on the 10·|dims|·|queries|-row shortlist. At
+    100 TB the same plan runs on a corpus sample — the audit estimates
+    a recall RATIO, which concentrates long before the full scan."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qs = emb.filter(F.col("vec_id") < _ANN_BULK_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qv")
+    )
+    dims = spark.createDataFrame(
+        [(d,) for d in _TRUNC_DIMS], "dim int"
+    )
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.functions import (  # noqa: E501
+        vectors,
+    )
+
+    cos_micro = F.floor(
+        vectors.cosine(
+            F.slice(F.col("e"), F.lit(1), F.col("dim")),
+            F.slice(F.col("qv"), F.lit(1), F.col("dim")),
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(dims))
+        .select("dim", "qid", "vec_id", cos_micro.alias("cos_micro"))
+    )
+    wt = Window.partitionBy("dim", "qid").orderBy(
+        F.desc("cos_micro"), F.asc("vec_id")
+    )
+    top = (
+        scored.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= 10)
+        .select("dim", "qid", "vec_id")
+    )
+    full = top.filter(F.col("dim") == 64).select("qid", "vec_id")
+    hits = (
+        top.join(full, ["qid", "vec_id"])
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("sum_hits"))
+    )
+    qn = qs.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    return (
+        dims.join(hits, "dim", "left")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "dim",
+            "n_queries",
+            F.coalesce("sum_hits", F.lit(0)).cast("long").alias(
+                "sum_hits"
+            ),
+            F.expr(
+                "(coalesce(sum_hits, 0) * 1000000) DIV (10 * n_queries)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _dim_truncation_oracle_sql() -> str:
+    """DuckDB twin of q_dim_truncation_recall: the truncated-cosine
+    scoring grid (list_slice + list_cosine_similarity, micro-quantized
+    before ranking), the per-(dim, query) top-10 cut with the vec_id
+    tie-break, the hit join against the 64-dim ground truth, and the
+    integer recall census."""
+    dims = ", ".join(str(d) for d in _TRUNC_DIMS)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, e AS qv FROM e
+              WHERE vec_id < {_ANN_BULK_QUERIES}),
+        d AS (SELECT CAST(UNNEST([{dims}]) AS INT) AS dim),
+        s AS (SELECT d.dim, q.qid, e.vec_id,
+                     CAST(FLOOR(list_cosine_similarity(
+                              list_slice(e.e, 1, d.dim),
+                              list_slice(q.qv, 1, d.dim)) * 1000000
+                          + 0.5) AS BIGINT) AS cos_micro
+              FROM e, q, d),
+        t AS (SELECT dim, qid, vec_id FROM (
+                  SELECT *, row_number() OVER (
+                      PARTITION BY dim, qid
+                      ORDER BY cos_micro DESC, vec_id ASC) AS rk
+                  FROM s)
+              WHERE rk <= 10),
+        f AS (SELECT qid, vec_id FROM t WHERE dim = 64),
+        h AS (SELECT t.dim, CAST(COUNT(*) AS BIGINT) AS sum_hits
+              FROM t JOIN f ON f.qid = t.qid AND f.vec_id = t.vec_id
+              GROUP BY t.dim),
+        qn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q)
+        SELECT d.dim, qn.n_queries,
+               CAST(COALESCE(h.sum_hits, 0) AS BIGINT) AS sum_hits,
+               CAST((COALESCE(h.sum_hits, 0) * 1000000)
+                    // (10 * qn.n_queries) AS BIGINT) AS recall_ppm
+        FROM d LEFT JOIN h ON h.dim = d.dim, qn
+        ORDER BY d.dim
+    """
+
+
 #: bulk re-ranking query-set size for q_ivf_bulk_topk — 4× the serving
 #: page, drawn from the same embeddings prefix
 _ANN_BULK_QUERIES = 32
@@ -13232,7 +13355,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- LLM training-data pipeline, one per family
     "exact_dedup_docs": q_exact_dedup_docs,
     "stratified_split": q_stratified_split,
-    "pq_distortion_report": q_pq_distortion_report,
     "corpus_pipeline_end2end": q_corpus_pipeline_end2end,
     "mmr_from_index": q_mmr_from_index,
     "semantic_dedup_trained": q_semantic_dedup_trained,
@@ -13305,6 +13427,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    CORRECTNESS_r14
     "source_overlap_matrix": q_source_overlap_matrix,
     "mixture_epoch_schedule": q_mixture_epoch_schedule,
+    # -- r15 rotation, fifth leg (same precedent): the Matryoshka
+    #    dimension-truncation recall audit in (r15 debut, witnessed in
+    #    its own round); OUT — pq_distortion_report
+    #    (representation-compression QA stays witnessed in-window by
+    #    dim_truncation_recall — the same exact-vs-compressed
+    #    neighborhood contract — and the PQ codebook/ADC machinery by
+    #    imi_bulk_topk's two-level cells); driver-witnessed r8-r14
+    "dim_truncation_recall": q_dim_truncation_recall,
     # ---------------------------------------------------- beyond the cap
     # rotated out of the driver window in the r15 second-leg rotation,
     # both driver-witnessed in CORRECTNESS_r14 (bulk ANN stays
@@ -13325,6 +13455,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stream-static by streaming_enriched_counts):
     "doremi_domain_weights": q_doremi_domain_weights,
     "streaming_left_outer_join": q_streaming_left_outer_join,
+    # rotated out in the r15 fifth leg, driver-witnessed r8-r14
+    # (representation-compression QA by dim_truncation_recall, the
+    # PQ codebook/ADC machinery by imi_bulk_topk):
+    "pq_distortion_report": q_pq_distortion_report,
     # rotated out of the driver window in r14, all driver-witnessed in
     # r13 (families still witnessed in-window: BPE training/application
     # by bpe_encode_docs + pack_bpe_budget + streaming_token_budget,
@@ -15539,6 +15673,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_size_profile": _dedup_cluster_size_oracle_sql(),
         "source_overlap_matrix": _source_overlap_oracle_sql(),
         "mixture_epoch_schedule": _mixture_epoch_oracle_sql(),
+        "dim_truncation_recall": _dim_truncation_oracle_sql(),
         "image_dhash_search": _image_dhash_search_oracle_sql(),
         # the streamed ingest pair set reconstructs the batch output
         # contract exactly, so its oracle IS the batch twin — one hash

@@ -174,7 +174,9 @@ HEADLINE = [
     "revenue_coverage_counts",
     "link_prediction_cn",
     "seasonal_naive_eval",
-    "welch_t_test",
+    # welch_t_test dropped from HEADLINE at 165 entries (r15, with the
+    # bottomk/asof mirrors) — ~0.2s and bh_fdr_event_shifts benches the
+    # identical Welch-z construction per event type; still catalog-gated
     "theil_sen_daily_trend",
     "streaming_windowed_top1",
     "changepoint_best_split",
@@ -245,6 +247,7 @@ HEADLINE = [
     "dedup_cluster_size_profile",
     "source_overlap_matrix",
     "mixture_epoch_schedule",
+    "dim_truncation_recall",
 ]
 
 

@@ -160,6 +160,13 @@ SF = "/root/testdata/sf0.001"
 #: joins stay witnessed by streaming_windowed_top1, stream-static by
 #: streaming_enriched_counts); both outs driver-witnessed in
 #: CORRECTNESS_r14.
+#: r15 rotation, fifth leg (same precedent): IN —
+#: dim_truncation_recall (the Matryoshka dimension audit, witnessed in
+#: its own round). OUT — pq_distortion_report
+#: (representation-compression QA stays witnessed in-window by
+#: dim_truncation_recall — the same exact-vs-compressed neighborhood
+#: contract — and the PQ codebook/ADC machinery by imi_bulk_topk's
+#: two-level cells); driver-witnessed r8-r14.
 DRIVER_WINDOW = [
     "fusion_minute_avg",
     "multiway_join_revenue",
@@ -192,7 +199,6 @@ DRIVER_WINDOW = [
     "streaming_windowed_top1",
     "exact_dedup_docs",
     "stratified_split",
-    "pq_distortion_report",
     "corpus_pipeline_end2end",
     "mmr_from_index",
     "semantic_dedup_trained",
@@ -211,6 +217,7 @@ DRIVER_WINDOW = [
     "dedup_cluster_size_profile",
     "source_overlap_matrix",
     "mixture_epoch_schedule",
+    "dim_truncation_recall",
 ]
 
 
@@ -276,6 +283,10 @@ DEBUT_ORACLE_QUERIES = [
     # r15: new — temperature-mixture epoch planner over the trained-BPE
     # source census (sqrt-share weight, staged integer allocation)
     "mixture_epoch_schedule",
+    # r15: new — Matryoshka dimension-truncation recall ladder
+    # (micro-quantized truncated cosines, per-(dim, query) top-10 vs
+    # the 64-dim ground truth)
+    "dim_truncation_recall",
 ]
 
 

@@ -1396,3 +1396,64 @@ def test_semantic_dup_pairs_multiprobe_imi_matches_numpy_oracle(spark):
         and math.floor(float(u[i] @ u[j]) * 1e6 + 0.5) >= 400000
     }
     assert single <= got and len(got) > len(single)
+
+
+def test_dim_truncation_recall_matches_numpy_reference(spark):
+    """The Matryoshka truncation audit against an unpruned numpy third
+    implementation (the pq multi-index precedent): identical
+    micro-quantized truncated cosines, identical (cos DESC, vec_id)
+    top-10 cuts, identical hit counts per dim; the 64-dim row is the
+    identity check at exactly 1e6 recall and the ladder's laws hold
+    (hits bounded, queries counted)."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r.dim: r
+        for r in entrymod.queries()["dim_truncation_recall"](
+            spark, sf_dir
+        ).collect()
+    }
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.asarray([[float(x) for x in r.embedding] for r in emb])
+    ids = np.asarray([r.vec_id for r in emb])
+    Q = X[:32]
+    tops = {}
+    for d in (8, 16, 32, 64):
+        Xd, Qd = X[:, :d], Q[:, :d]
+        xn = np.sqrt((Xd * Xd).sum(axis=1))
+        qn = np.sqrt((Qd * Qd).sum(axis=1))
+        for qi in range(32):
+            cos = (Xd @ Qd[qi]) / (xn * qn[qi])
+            cm = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+            order = sorted(
+                range(len(ids)), key=lambda j: (-cm[j], ids[j])
+            )[:10]
+            tops[(d, qi)] = {int(ids[j]) for j in order}
+    for d in (8, 16, 32, 64):
+        hits = sum(
+            len(tops[(d, qi)] & tops[(64, qi)]) for qi in range(32)
+        )
+        g = got[d]
+        assert g.n_queries == 32
+        assert g.sum_hits == hits
+        assert g.recall_ppm == (hits * 1_000_000) // 320
+        assert 0 <= g.sum_hits <= 320
+    assert got[64].sum_hits == 320 and got[64].recall_ppm == 1_000_000
+    # the testdata embeddings are isotropic (no Matryoshka training),
+    # so truncation MUST lose neighborhoods — the audit's whole point
+    # is surfacing that these vectors cannot be served short — and the
+    # ladder recovers recall monotonically on this deterministic corpus
+    assert (
+        got[8].recall_ppm
+        < got[16].recall_ppm
+        < got[32].recall_ppm
+        < got[64].recall_ppm
+    )

@@ -118,8 +118,16 @@ def main() -> None:
         t0 = time.time()
         entrymod.q_pq_distortion_report(spark, kdir).count()
         dist = time.time() - t0
+        # the GATED Matryoshka truncation-recall audit verbatim over
+        # the same k× corpus (r15): one corpus scan scoring 4×32
+        # broadcast combos in-plan + the per-(dim, query) top-10
+        # window — expected ~linear in rows
+        t0 = time.time()
+        entrymod.q_dim_truncation_recall(spark, kdir).count()
+        trunc = time.time() - t0
         rows.append(
-            (k, n, enc, brute, pq, dist, dir_bytes(cpath), dir_bytes(ipath))
+            (k, n, enc, brute, pq, dist, trunc,
+             dir_bytes(cpath), dir_bytes(ipath))
         )
         print(rows[-1], flush=True)
     for p in (f"{OUT}/corpus_", f"{OUT}/index_"):
@@ -134,26 +142,31 @@ def main() -> None:
         "k-independent). encode = build_pq_index; brute = exact cosine",
         "full pass; pq = ADC over codes + 100-row exact re-rank;",
         "distortion = the GATED q_pq_distortion_report verbatim (one",
-        "scan + an 8-group aggregate — the sf1 witness row).",
+        "scan + an 8-group aggregate — the sf1 witness row); trunc =",
+        "the GATED q_dim_truncation_recall verbatim (the r15 Matryoshka",
+        "audit: 4×32 broadcast combos scored in one scan + the",
+        "per-(dim, query) top-10 window).",
         "",
-        "| k | rows | encode s | brute topk s | pq topk s | distortion s | corpus MB | index MB | on-disk ratio |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| k | rows | encode s | brute topk s | pq topk s | distortion s | trunc-recall s | corpus MB | index MB | on-disk ratio |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for k, n, enc, brute, pq, dist, cb_, ib in rows:
+    for k, n, enc, brute, pq, dist, trunc, cb_, ib in rows:
         lines.append(
             f"| {k} | {n:,} | {enc:.2f} | {brute:.2f} | {pq:.2f} | "
-            f"{dist:.2f} | "
+            f"{dist:.2f} | {trunc:.2f} | "
             f"{cb_/1e6:.1f} | {ib/1e6:.1f} | {cb_/max(ib,1):.1f}× |"
         )
-    k0, n0, e0, b0, p0, d0, *_ = rows[0]
-    kn, nn, en, bn, pn, dn, *_ = rows[-1]
+    k0, n0, e0, b0, p0, d0, t0_, *_ = rows[0]
+    kn, nn, en, bn, pn, dn, tn_, *_ = rows[-1]
     ratio = nn / n0
     lines += [
         "",
         f"At {int(ratio)}× rows: encode grew {en/max(e0,1e-9):.1f}×, "
         f"brute-force query {bn/max(b0,1e-9):.1f}×, PQ query "
         f"{pn/max(p0,1e-9):.1f}×, distortion report "
-        f"{dn/max(d0,1e-9):.1f}× ({dn/max(d0,1e-9)/ratio:.2f}× linear).",
+        f"{dn/max(d0,1e-9):.1f}× ({dn/max(d0,1e-9)/ratio:.2f}× linear), "
+        f"truncation-recall audit {tn_/max(t0_,1e-9):.1f}× "
+        f"({tn_/max(t0_,1e-9)/ratio:.2f}× linear).",
         "Honest reading: on local[32] with the corpus in page cache,",
         "brute force and two-stage PQ wall times are within noise of",
         "each other up to 512k rows — both are startup-dominated, and",
