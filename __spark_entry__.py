@@ -5480,9 +5480,12 @@ def q_pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle uses the plain one-window rewrite — same rows."""
     orders = _t(spark, sf_dir, "orders")
     n_ranges = 8
+    # materialize the price-level table once: the bounded per-bucket
+    # max collect and the final join each re-ran the orders scan +
+    # groupBy without it (guide §1.2).
     lv = orders.groupBy(F.col("o_totalprice").alias("p")).agg(
         F.max("o_orderdate").alias("lv_mx")
-    )
+    ).localCheckpoint(eager=False)
     cuts = sorted(
         set(
             orders.stat.approxQuantile(
@@ -5544,7 +5547,9 @@ def q_hierarchy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     from pyspark.sql import Window as W
 
-    us = ev.select("user_id").distinct()
+    # materialized once: the quantile pass, the bucket-offset collect,
+    # and the forest build each re-ran the events scan + distinct.
+    us = ev.select("user_id").distinct().localCheckpoint(eager=False)
     cuts = sorted(
         set(
             us.stat.approxQuantile(
@@ -6121,10 +6126,14 @@ def q_ks_test_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents("value").alias("cents"),
         (F.col("event_type") == "purchase").alias("is_p"),
     )
+    # materialized once: approxQuantile, the _dist_cumsum offset
+    # fetch, and the D-max aggregate each re-ran the events scan +
+    # groupBy without it (guide §1.2); n1/n2 also now read off this
+    # bounded census instead of a second corpus-sized aggregate.
     per_v = base.groupBy("cents").agg(
         F.sum(F.col("is_p").cast("long")).alias("c1"),
         F.sum((~F.col("is_p")).cast("long")).alias("c2"),
-    )
+    ).localCheckpoint(eager=False)
     cuts = per_v.stat.approxQuantile(
         "cents", [i / 8 for i in range(1, 8)], 0.001
     )
@@ -6134,10 +6143,7 @@ def q_ks_test_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # D's numerator needs n1/n2, the FINAL cumulative counts — one
     # bounded driver fetch (two longs) keeps the max a single aggregate
     n1, n2 = (
-        base.agg(
-            F.sum(F.col("is_p").cast("long")),
-            F.sum((~F.col("is_p")).cast("long")),
-        ).collect()[0]
+        per_v.agg(F.sum("c1"), F.sum("c2")).collect()[0]
     )
     d = cum.agg(
         F.max(
@@ -6969,9 +6975,13 @@ def q_mann_whitney_value_shift(
     cuts = base.stat.approxQuantile(
         "cents", [i / 8 for i in range(1, 8)], 0.001
     )
+    # the ranked table feeds BOTH sides of the midrank self-join
+    # below; materializing it once stops the scan + bucket window from
+    # running twice inside one plan (guide §1.2) — and makes the
+    # approxQuantile/offset-fetch prefix pay out over every reuse.
     ranked = _dist_rank(
         base, "cents", "event_id", "__rk", [float(c) for c in cuts]
-    )
+    ).localCheckpoint(eager=False)
     vr = ranked.groupBy("cents").agg(
         F.min("__rk").alias("__lo"), F.max("__rk").alias("__hi")
     )
@@ -7046,8 +7056,13 @@ def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. Output: one row — n_customers, total_cents,
     gini_micro ∈ [0, 1e6)."""
     o = _t(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.sum(_cents("o_totalprice")).alias("cents")
+    # materialize the per-customer aggregate once: approxQuantile, the
+    # _dist_rank offset fetch, and the final aggregate are three
+    # actions that each re-ran the orders scan + groupBy (guide §1.2).
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+        .localCheckpoint(eager=False)
     )
     cuts = per_cust.stat.approxQuantile(
         "cents", [i / 8 for i in range(1, 8)], 0.001
@@ -7289,8 +7304,13 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     split division. Output: 10 rows (decile, boundary_rank,
     cum_cents, share_micro)."""
     o = _t(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.sum(_cents("o_totalprice")).alias("cents")
+    # materialized once: approxQuantile, the _dist_rank and
+    # _dist_cumsum offset fetches, and the totals aggregate each
+    # re-ran the orders scan + groupBy without it (guide §1.2).
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+        .localCheckpoint(eager=False)
     )
     cuts = [
         float(c)
@@ -7343,10 +7363,13 @@ def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ranked on the negated count, the rfm trick) — everything integer,
     so the DuckDB twin hash-matches."""
     o = _t(spark, sf_dir, "orders")
+    # materialized once: approxQuantile, the two offset fetches, and
+    # the totals aggregate each re-ran the scan + groupBy without it.
     per_key = (
         o.groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("c"))
         .select("o_custkey", "c", (-F.col("c")).alias("__nc"))
+        .localCheckpoint(eager=False)
     )
     cuts = [
         float(x)
@@ -7509,7 +7532,10 @@ def q_session_concurrency_profile(
             "user_id",
             F.lit(-1).cast("long").alias("delta"),
         )
-    )
+    ).localCheckpoint(eager=False)
+    # ^ materialized once: approxQuantile, the _dist_cumsum offset
+    # fetch, the peak aggregate, and the final read each re-ran the
+    # events scan + sessionization window without it (guide §1.2).
     cuts = [
         float(c)
         for c in bounds.stat.approxQuantile(
@@ -7968,7 +7994,11 @@ def q_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = ue.select(
         F.col("a").alias("node"), F.col("b").alias("o")
     ).unionByName(ue.select(F.col("b").alias("node"), F.col("a").alias("o")))
-    deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    # the degree table re-attaches on BOTH endpoints below — compute
+    # its groupBy once (guide §1.2)
+    deg = sym.groupBy("node").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=False
+    )
     wedges = graph.common_neighbor_counts(ue, src="a", dst="b")
     nonedge = wedges.join(ue, ["a", "b"], "left_anti")
     return (
@@ -8098,7 +8128,17 @@ def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("tb") > F.col("ta"))
         .select(F.expr("(xb - xa) * 1000000 div (tb - ta)").alias("sm"))
     )
-    per_s = slopes.groupBy("sm").agg(F.count(F.lit(1)).alias("c"))
+    # materialize the distinct-slope census ONCE: approxQuantile, the
+    # _dist_cumsum bucket-offset fetch, and the final median read are
+    # three separate actions, and without this each re-ran the full
+    # calendar² pairwise join + aggregate (guide §1.2: don't compute
+    # the expensive pass three times). The census is bounded by the
+    # distinct quantized-slope count, never corpus-sized.
+    per_s = (
+        slopes.groupBy("sm")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     cuts = per_s.stat.approxQuantile("sm", [i / 8 for i in range(1, 8)], 0.001)
     cum = _dist_cumsum(per_s, "sm", "sm", ["c"], [float(x) for x in cuts])
     lower = (n_pairs + 1) // 2
@@ -9426,29 +9466,42 @@ def q_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # The unrolled 8×16 codeword-distance tree is IDENTICAL arithmetic
+    # to the pre-r15 Column-API construction (lit − 2.0·dot, zip_with/
+    # aggregate dot, floor-to-micro), but built as ONE SQL string per
+    # subspace: the Column API paid ~2,500 py4j round-trips (~8 s of
+    # driver-side construction per bench sample, measured — vs 0.6 s
+    # of actual execution); a single F.expr parse is one round-trip
+    # and the JVM-side plan is the same (guide §7.3: driver-side
+    # single-threaded work is real wall-clock).
+    def _dot_sql(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            f"(acc, x) -> acc + x)"
+        )
+
     per_s = []
     for s in range(8):
-        xsub = F.slice("__unit", s * 8 + 1, 8)
-        xx = vectors_dot(xsub, xsub)
-        mind = F.array_min(
-            F.array(
-                *[
-                    F.lit(float(cn[s, c]))
-                    - 2.0
-                    * vectors_dot(
-                        xsub,
-                        F.array(*[F.lit(float(v)) for v in cb[s, c]]),
-                    )
-                    for c in range(16)
-                ]
+        xsub = f"slice(__unit, {s * 8 + 1}, 8)"
+        xx = _dot_sql(xsub, xsub)
+        terms = ", ".join(
+            f"CAST('{float(cn[s, c])!r}' AS DOUBLE) - 2.0D * "
+            + _dot_sql(
+                xsub,
+                "array("
+                + ", ".join(
+                    f"CAST('{float(v)!r}' AS DOUBLE)" for v in cb[s, c]
+                )
+                + ")",
             )
+            for c in range(16)
         )
         per_s.append(
-            F.struct(
-                F.lit(s).alias("subspace"),
-                F.floor((mind + xx) * 1e6 + F.lit(0.5))
-                .cast("long")
-                .alias("q"),
+            F.expr(
+                f"named_struct('subspace', {s}, 'q', "
+                f"CAST(floor((array_min(array({terms})) + {xx}) "
+                f"* 1000000.0D + 0.5D) AS BIGINT))"
             )
         )
     exploded = df.select(F.explode(F.array(*per_s)).alias("e")).select(
@@ -9675,7 +9728,14 @@ def q_spearman_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def rank2_table(col: str) -> DataFrame:
-        per_v = o.groupBy(col).agg(F.count("*").alias("c"))
+        # materialize the distinct-value census once per axis: the
+        # approxQuantile pass and the _dist_cumsum offset fetch each
+        # re-ran the orders scan + groupBy without it (guide §1.2).
+        per_v = (
+            o.groupBy(col)
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=False)
+        )
         cuts = per_v.stat.approxQuantile(
             col, [i / 8 for i in range(1, 8)], 0.001
         )
@@ -9848,9 +9908,19 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifetime: (t_days, n_risk, d_churned, c_censored, s_micro),
     t-ordered."""
     ev = _t(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.floor(F.min(_epoch_sec("ts")) / 86400).cast("long").alias("d0"),
-        F.floor(F.max(_epoch_sec("ts")) / 86400).cast("long").alias("d1"),
+    # materialize the per-user lifetime table ONCE (it feeds the
+    # horizon scalar and the lifetime census) and the day-grain census
+    # ONCE: this chain previously re-ran the events scan + per-user
+    # aggregate for SIX separate actions (the n_total count, two
+    # approxQuantile passes, two _dist_cumsum offset fetches, the
+    # final read) — guide §1.2, compute the corpus-sized pass once.
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.floor(F.min(_epoch_sec("ts")) / 86400).cast("long").alias("d0"),
+            F.floor(F.max(_epoch_sec("ts")) / 86400).cast("long").alias("d1"),
+        )
+        .localCheckpoint(eager=False)
     )
     horizon = per_user.agg(F.max("d1").alias("dmax"))
     lt = per_user.crossJoin(F.broadcast(horizon)).select(
@@ -9860,8 +9930,13 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_t = lt.groupBy("t").agg(
         F.sum("is_churn").alias("d"),
         F.sum(1 - F.col("is_churn")).alias("c"),
-    )
-    n_total = lt.count()
+    ).localCheckpoint(eager=False)
+    # N = Σ_t (d_t + c_t): each user lands in exactly one lifetime row,
+    # so the total reads off the bounded census instead of a second
+    # corpus-sized count over `lt`.
+    n_total = per_t.agg(
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("n")
+    ).collect()[0]["n"]
     cuts = per_t.stat.approxQuantile("t", [i / 8 for i in range(1, 8)], 0.001)
     cum = _dist_cumsum(
         per_t, "t", "t", ["d", "c"], [float(x) for x in cuts]
@@ -12602,7 +12677,11 @@ def _cross_modal_census(items: DataFrame) -> DataFrame:
     vec = items.select("item_id", "v").filter(
         vectors_dot(F.col("v"), F.col("v")) > 0
     )
-    asg = similarity.ivf_assign(vec, cents, "v", cnorms_sq=cn)
+    # assignment materialized once — it feeds both sides of the
+    # within-cell self-join (guide §1.2)
+    asg = similarity.ivf_assign(
+        vec, cents, "v", cnorms_sq=cn
+    ).localCheckpoint(eager=False)
     ea = asg.select(
         F.col("item_id").alias("id_a"), F.col("cid"), F.col("v").alias("va")
     )

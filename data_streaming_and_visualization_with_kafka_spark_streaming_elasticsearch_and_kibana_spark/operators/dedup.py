@@ -169,6 +169,11 @@ def minhash_lsh_candidates(
     """
     if sig_df is None:
         sig_df = minhash_signatures(df, text_col, id_col, k_shingle, num_hashes)
+        if with_est:
+            # computed here and consumed three times (banding + both
+            # est re-attach sides) — materialize once (guide §1.2);
+            # callers passing their own sig_df own its materialization
+            sig_df = sig_df.localCheckpoint(eager=False)
     banded = banded_buckets(sig_df, id_col, num_hashes, bands)
     if max_bucket_size:
         w = Window.partitionBy("band", "bucket")
@@ -233,7 +238,14 @@ def minhash_dedup_pairs(
     candidate stage used (zero recomputation); the verify join streams
     the cached shingles against the broadcast candidate-pair set.
     """
-    base = minhash_signatures(df, text_col, id_col, k_shingle, num_hashes)
+    # materialize the signature table ONCE: it feeds the banded
+    # candidate stage AND both verify sides — without this the
+    # shingle + 32-minhash computation ran three times in one plan
+    # (the docstring's "zero recomputation" contract, now actually
+    # enforced; guide §1.2).
+    base = minhash_signatures(
+        df, text_col, id_col, k_shingle, num_hashes
+    ).localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(
         df,
         text_col,
@@ -272,11 +284,14 @@ def connected_components(
     Distributed min-label propagation with POINTER JUMPING (each round a
     node takes min(own, neighbors' labels), then follows its label's
     label), so convergence is O(log diameter) rounds, not O(diameter) —
-    a 1M-long dup chain resolves in ~20 rounds. Each round is two
-    id-keyed joins; lineage is truncated per round with localCheckpoint
-    so the plan stays flat. The driver-side loop is the standard shape
-    for iterative graph algorithms on DataFrames (same as GraphFrames'
-    CC); everything data-sized stays distributed.
+    a 1M-long dup chain resolves in ~20 rounds. Each round is one
+    edge join + one id-keyed aggregate (which also carries the
+    previous label via a tagged own-row — no separate labels join) +
+    the pointer-jump self-join; lineage is truncated per round with
+    localCheckpoint so the plan stays flat. The driver-side loop is
+    the standard shape for iterative graph algorithms on DataFrames
+    (same as GraphFrames' CC); everything data-sized stays
+    distributed.
 
     ONE Spark job per round: the convergence flag rides the label table
     as a `chg` column (old label carried through the round, compared
@@ -295,33 +310,43 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Seed labels with min(id, min neighbor): the node-id mint was a
+    # groupBy over `edges` anyway, so folding the first min-propagation
+    # half-round into that same aggregate costs nothing and removes one
+    # full loop round on every typical near-dup graph (size-2 twin
+    # components converge in ONE round instead of two). The fixpoint —
+    # min id reachable — is unchanged.
     labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("a").alias("id"))
+        .agg(F.least(F.first("a"), F.min("b")).alias("label"))
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
-        nmin = (
+        # one aggregate computes BOTH min(own, neighbor labels) and the
+        # round's previous label (the tagged own row), replacing the
+        # old groupBy + labels-left-join pair — one exchange fewer per
+        # round (guide §2.4: two operations keyed the same way share
+        # one exchange).
+        contrib = (
             edges.join(labels, edges["a"] == labels["id"])
-            .select(F.col("b").alias("id"), "label")
-            .groupBy("id")
-            .agg(F.min("label").alias("nlabel"))
+            .select(F.col("b").alias("id"), "label", F.lit(False).alias("own"))
+            .unionByName(
+                labels.select("id", "label", F.lit(True).alias("own"))
+            )
         )
-        prop = labels.join(nmin, "id", "left").select(
-            "id",
-            F.col("label").alias("old"),
-            F.least("label", F.coalesce("nlabel", "label")).alias("label"),
+        agg = contrib.groupBy("id").agg(
+            F.min("label").alias("lmin"),
+            F.max(F.when(F.col("own"), F.col("label"))).alias("old"),
         )
         # pointer jump: label <- label(label); min labels propagate
         # exponentially along chains
-        ptr = prop.select(F.col("id").alias("label"), F.col("label").alias("plabel"))
+        ptr = agg.select(F.col("id").alias("pk"), F.col("lmin").alias("plabel"))
         jumped = (
-            prop.join(ptr, "label", "left")
+            agg.join(ptr, agg["lmin"] == ptr["pk"], "left")
             .select(
                 "id",
-                F.coalesce("plabel", "label").alias("label"),
-                (F.coalesce("plabel", "label") != F.col("old")).alias("chg"),
+                F.coalesce("plabel", "lmin").alias("label"),
+                (F.coalesce("plabel", "lmin") != F.col("old")).alias("chg"),
             )
             .localCheckpoint(eager=False)
         )

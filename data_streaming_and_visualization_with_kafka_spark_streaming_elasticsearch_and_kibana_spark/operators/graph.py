@@ -424,12 +424,15 @@ def _cn_pair_stream(
         .cast("long")
         .alias("n_blocks"),
     )
+    # materialized once: nb feeds BOTH sides of the block-decomposed
+    # self-join below — without this the sym/deg/g_tbl chain (two
+    # shuffles over the edge list) ran twice in one plan (guide §1.2).
     nb = sym.join(g_tbl, "node").select(
         "node",
         "o",
         F.pmod(F.xxhash64("o"), F.col("n_blocks")).alias("g"),
         "n_blocks",
-    )
+    ).localCheckpoint(eager=False)
     left = nb.select(
         "node",
         F.col("o").alias("pa"),

@@ -1737,6 +1737,12 @@ def dhash_near_dup_pairs(
         raise ValueError("4-chunk pigeonhole is lossless only for hamming <= 3")
     from pyspark.sql import Window
 
+    # materialize the signature table ONCE: it feeds both sides of the
+    # pigeonhole self-join AND both exact-verify re-attach sides — four
+    # plan branches that each re-ran the upstream Arrow decode
+    # (image/audio/video payload → 4 ints) without this. Decode once,
+    # move the 4-int rows (guide §8's decide-with-small-rows rule).
+    sigs = sigs.localCheckpoint(eager=False)
     chunked = sigs.select(
         id_col,
         F.explode(

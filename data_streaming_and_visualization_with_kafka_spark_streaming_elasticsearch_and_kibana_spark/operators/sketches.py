@@ -194,9 +194,16 @@ def cms_estimate(
             )
         ).alias("cell"),
     ).select(key_col, F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"))
+    # broadcast the GRID, not the probes: Spark cannot build the left
+    # side of a left-outer join, so a hint on `probes` is silently
+    # dropped (HintErrorLogger WARN) and the planner falls back to
+    # size estimates. The grid is the bounded side anyway (≤
+    # depth×width+1 rows by construction) while `probes` is
+    # candidate-sized — at scale this replaces a shuffle of every
+    # probe row with one broadcast of the fixed-size sketch.
     return (
-        F.broadcast(probes)
-        .join(sketch.filter(F.col("r") >= 0), ["r", "bucket"], "left")
+        probes
+        .join(F.broadcast(sketch.filter(F.col("r") >= 0)), ["r", "bucket"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est"))
         .crossJoin(F.broadcast(shape))

@@ -212,7 +212,11 @@ def test_cms_grid_aggregation_is_partial(spark):
     assert "Exchange" in plan
 
 
-def test_cms_estimate_broadcasts_probes(spark):
+def test_cms_estimate_broadcasts_grid(spark):
+    # the bounded sketch grid is the legal build side of the probe
+    # left-outer join (a hint on the left/probe side of a left join is
+    # silently dropped — the r15 HintErrorLogger fix); the probe side
+    # must stay unshuffled
     from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
         sketches,
     )
@@ -223,7 +227,8 @@ def test_cms_estimate_broadcasts_probes(spark):
     plan = explain.formatted_plan(
         sketches.cms_estimate(sk, probes, "user_id")
     )
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftOuter, BuildRight" in plan
 
 
 def test_pareto_front_has_no_single_partition_window(spark):
