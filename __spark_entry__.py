@@ -6871,24 +6871,28 @@ def q_bootstrap_ci_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     B = 32
 
-    def w(b: int):
-        u = F.conv(
-            F.substring(F.md5(F.concat(F.col("k"), F.lit(f":{b}"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        expr = F.lit(5)
-        for wt in range(4, -1, -1):
-            expr = F.when(u < F.lit(_POIS1_CUT[wt]), F.lit(wt)).otherwise(
-                expr
-            )
-        return expr
+    # the 32-replica weight CASEs are IDENTICAL arithmetic to the old
+    # Column-API construction (md5-prefix uniform vs pre-floored
+    # Poisson(1) CDF cutoffs), but built as SQL strings: the Column
+    # loop paid ~700 py4j round-trips (~1.7 s of driver-side
+    # construction per run vs 0.1 s of execution — the
+    # pq_distortion_report finding, same fix).
+    def w_sql(b: int) -> str:
+        u = (
+            f"CAST(conv(substring(md5(concat(k, ':{b}')), 1, 15), 16, 10) "
+            f"AS BIGINT)"
+        )
+        whens = " ".join(
+            f"WHEN {u} < {_POIS1_CUT[wt]}L THEN {wt}"
+            for wt in range(0, 5)
+        )
+        return f"CASE {whens} ELSE 5 END"
 
     aggs = []
     for b in range(B):
-        wb = w(b)
-        aggs.append(F.sum(wb * F.col("cents")).alias(f"__s{b}"))
-        aggs.append(F.sum(wb).alias(f"__n{b}"))
+        wb = w_sql(b)
+        aggs.append(F.expr(f"sum(({wb}) * cents)").alias(f"__s{b}"))
+        aggs.append(F.expr(f"sum({wb})").alias(f"__n{b}"))
     agg = o.agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("__tot"),

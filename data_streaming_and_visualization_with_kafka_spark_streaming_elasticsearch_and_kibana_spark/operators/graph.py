@@ -897,24 +897,31 @@ def bfs_hops(
     dist = spark.createDataFrame(
         [(int(source), 0)], "node long, hop int"
     ).localCheckpoint(eager=False)
-    n_settled = 1
+    # TRUE frontier relaxation: each round joins only the nodes settled
+    # LAST round (the frontier), not the whole settled set — the
+    # |frontier ⋈ edges| bound the docstring always claimed. The old
+    # shape re-joined and re-aggregated every settled node every round
+    # (|settled ⋈ edges| work, growing per round); BFS monotonicity (a
+    # settled node's hop never improves) makes the two identical in
+    # output, so only the anti-join against the settled set is needed
+    # to drop re-reached nodes. Convergence = an empty frontier.
+    frontier = dist
     converged = False
     for _ in range(max_rounds):
-        cand = (
-            sym.join(dist, "node")
+        new = (
+            sym.join(frontier, "node")
             .select(F.col("o").alias("node"), (F.col("hop") + 1).alias("hop"))
-        )
-        dist = (
-            dist.unionByName(cand)
             .groupBy("node")
             .agg(F.min("hop").alias("hop"))
+            .join(dist.select("node"), "node", "left_anti")
             .localCheckpoint(eager=False)
         )
-        n_next = dist.count()
-        if n_next == n_settled:
+        n_new = new.count()
+        if n_new == 0:
             converged = True
             break
-        n_settled = n_next
+        dist = dist.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
     if not converged:
         # the final allowed round may have settled the LAST frontier —
         # then nothing is missing and the warning would be a false

@@ -644,6 +644,28 @@ def train_ivf_centroids(
     return cents
 
 
+def _scored_cells_sql(
+    centroids: np.ndarray, cnorms, vec_col: str
+) -> str:
+    """SQL text for the array<struct<d,cid>> of per-cell scores
+    ‖c‖² − 2·x·c — IDENTICAL arithmetic to the pre-r15 Column-API
+    construction (double literals, zip_with/aggregate left-to-right
+    dot, (d, cid) structs), but ONE string parsed in one py4j
+    round-trip instead of ~n_cells×(dim+3) Column calls (the
+    pq_distortion_report finding; guide §7.3). `CAST('<repr>' AS
+    DOUBLE)` round-trips the exact double: repr emits the shortest
+    digits that re-parse to the same bits in Python and Java alike."""
+    cells = ", ".join(
+        f"named_struct('d', CAST('{float(cnorms[i])!r}' AS DOUBLE) - "
+        f"2.0D * aggregate(zip_with({vec_col}, array("
+        + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in c)
+        + "), (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x), 'cid', {i})"
+        for i, c in enumerate(centroids)
+    )
+    return f"array({cells})"
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: np.ndarray,
@@ -663,19 +685,8 @@ def ivf_assign(
     cnorms = (
         cnorms_sq if cnorms_sq is not None else (centroids ** 2).sum(axis=1)
     )
-    arr = F.array(
-        *[
-            F.struct(
-                (
-                    F.lit(float(cnorms[i]))
-                    - 2.0 * dot(F.col(vec_col), _query_vec_literal(list(c)))
-                ).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return corpus.withColumn("cid", F.array_min(arr)["cid"])
+    arr = _scored_cells_sql(centroids, cnorms, vec_col)
+    return corpus.withColumn("cid", F.expr(f"array_min({arr}).cid"))
 
 
 def ivf_assign_multiprobe(
@@ -701,20 +712,9 @@ def ivf_assign_multiprobe(
     cnorms = (
         cnorms_sq if cnorms_sq is not None else (centroids ** 2).sum(axis=1)
     )
-    arr = F.array(
-        *[
-            F.struct(
-                (
-                    F.lit(float(cnorms[i]))
-                    - 2.0 * dot(F.col(vec_col), _query_vec_literal(list(c)))
-                ).alias("d"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    probes = F.transform(
-        F.slice(F.array_sort(arr), 1, int(nprobe)), lambda s: s["cid"]
+    arr = _scored_cells_sql(centroids, cnorms, vec_col)
+    probes = F.expr(
+        f"transform(slice(array_sort({arr}), 1, {int(nprobe)}), s -> s.cid)"
     )
     return corpus.select(
         "*", F.posexplode(probes).alias("probe_rank", "cid")
@@ -1111,49 +1111,60 @@ def lsh_bulk_topk(
     OUTPUT, not the shuffle blocks, explodes); results bit-identical
     at any salt."""
     n = len(planes)
-    qv = F.col(qvec_col).cast("array<double>")
-    proj_exprs = [
-        dot(qv, _query_vec_literal([float(x) for x in p])) for p in planes
-    ]
-    q2 = queries.filter(
-        F.aggregate(
-            F.zip_with(qv, qv, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # The margin/bucket/mask-ranking expressions are IDENTICAL
+    # arithmetic to the pre-r15 Column-API construction (zip_with/
+    # aggregate left-to-right dots, CASE sign bits, ascending-bit
+    # |margin| sums, (score, tie_rank, mask) struct sort), but built
+    # as SQL strings: the Column loops paid ~400 py4j round-trips
+    # (~1.8 s of driver-side construction per run — the
+    # pq_distortion_report finding; guide §7.3), one parse call now.
+    qv_sql = f"CAST({qvec_col} AS ARRAY<DOUBLE>)"
+
+    def _dot_lit_sql(vec) -> str:
+        lits = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec)
+        return (
+            f"aggregate(zip_with({qv_sql}, array({lits}), (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            f"(acc, x) -> acc + x)"
         )
-        > 0
+
+    proj_sql = "array(" + ", ".join(_dot_lit_sql(p) for p in planes) + ")"
+    q2 = queries.filter(
+        F.expr(
+            f"aggregate(zip_with({qv_sql}, {qv_sql}, (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x) > 0"
+        )
     ).select(
         qid_col,
-        qv.alias("__qv"),
-        F.array(*proj_exprs).alias("__proj"),
+        F.expr(qv_sql).alias("__qv"),
+        F.expr(proj_sql).alias("__proj"),
     )
-    bucket = F.lit(0).cast("long")
-    for i in range(n):
-        bucket = bucket + F.when(
-            F.element_at(F.col("__proj"), i + 1) > 0,
-            F.lit(1 << i).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    q2 = q2.withColumn("__qb", bucket)
+    bucket_sql = " + ".join(
+        ["CAST(0 AS BIGINT)"]
+        + [
+            f"(CASE WHEN element_at(__proj, {i + 1}) > 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(n)
+        ]
+    )
+    q2 = q2.withColumn("__qb", F.expr(bucket_sql))
     if multiprobe <= 0:
         probes = F.array(F.col("__qb"))
     else:
         scored = []
         for mask, tie_rank, bits in multiprobe_masks(n):
-            s = None
-            for b in bits:  # ascending-bit unrolled sum — python's order
-                t = F.abs(F.element_at(F.col("__proj"), b + 1))
-                s = t if s is None else s + t
-            scored.append(
-                F.struct(
-                    s.alias("score"),
-                    F.lit(tie_rank).alias("tie_rank"),
-                    F.lit(mask).cast("long").alias("mask"),
-                )
+            # ascending-bit sum — python's order
+            s = " + ".join(
+                f"abs(element_at(__proj, {b + 1}))" for b in bits
             )
-        top = F.slice(F.array_sort(F.array(*scored)), 1, int(multiprobe))
-        probes = F.concat(
-            F.array(F.col("__qb")),
-            F.transform(top, lambda s: F.col("__qb").bitwiseXOR(s["mask"])),
+            scored.append(
+                f"named_struct('score', {s}, 'tie_rank', {tie_rank}, "
+                f"'mask', CAST({mask} AS BIGINT))"
+            )
+        probes = F.expr(
+            f"concat(array(__qb), transform(slice(array_sort(array("
+            f"{', '.join(scored)})), 1, {int(multiprobe)}), "
+            f"s -> __qb ^ s.mask))"
         )
     probed = q2.select(
         qid_col, "__qv", F.explode(probes).alias("bucket")

@@ -14,6 +14,8 @@ dimension without driver-side iteration. Schemas are always explicit
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -67,6 +69,19 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
+#: lazy reader-handle cache: (session id, path, mtime, size) → DataFrame.
+#: This caches METADATA ONLY — the file listing + parquet footer schema
+#: that `spark.read.parquet` re-resolves through the JVM on every call
+#: (~50-100 ms each; a multi-table query paid ~1 s just re-listing the
+#: same immutable files, and a bench run re-lists every table for every
+#: sample). A DataFrame is an immutable lazy plan: every action still
+#: scans the parquet bytes, so no result or intermediate is ever reused
+#: — this is exactly the behavior a catalog table (metastore) gives a
+#: production cluster, cf. guide §6 file-listing caching. Keyed on
+#: (mtime, size) so a regenerated table invalidates.
+_TABLE_CACHE: dict = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Driver test-table loader (TESTDATA.md).
 
@@ -81,10 +96,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    st = os.stat(path)
+    key = (id(spark), path, st.st_mtime, st.st_size)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = spark.read.parquet(path)
     for c in NANOS_TS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    _TABLE_CACHE[key] = df
     return df
 
 
