@@ -559,7 +559,12 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-keyed — the full LSH→verify→cluster→elect chain of a production
     dedup pass, differentially checked end-to-end."""
     docs = _t(spark, sf_dir, "documents")
-    words = docs.select("doc_id", split_words("text").alias("__w"))
+    # fan the one-split documents scan across cores BEFORE the
+    # per-shingle md5 work — the whole LSH chain ran single-task on
+    # the sub-4MB file (guide §2.5); results are exact/layout-free
+    words = ensure_min_parallelism(
+        docs.select("doc_id", split_words("text").alias("__w"))
+    )
     sh = words.select(
         "doc_id", textf.shingles_from_words(F.col("__w"), 3).alias("sh")
     ).localCheckpoint(eager=False)
@@ -1389,7 +1394,9 @@ def q_setsim_join_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     can compute Jaccard."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    toks = docs.select(
+    toks = ensure_min_parallelism(
+        docs.select("doc_id", "text")
+    ).select(
         "doc_id",
         F.array_distinct(textf.shingles_from_words(words, 3)).alias(
             "tokens"
@@ -3177,7 +3184,9 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # unigram surprisal, LM = the full documents table (deterministic
     # reference distribution; same construction as q_unigram_surprisal)
-    toks = docs.select(
+    toks = ensure_min_parallelism(
+        docs.select("doc_id", "text")
+    ).select(
         "doc_id",
         F.explode(
             F.filter(textf.split_words("text"), lambda t: t != "")
@@ -4464,7 +4473,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = ensure_min_parallelism(
+        docs.select("doc_id", "text")
+    ).select(
         "doc_id",
         F.explode(F.filter(split_words("text"), lambda t: t != "")).alias(
             "term"
@@ -4585,7 +4596,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     terms = ["hash", "join", "stream"]
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = ensure_min_parallelism(
+        docs.select("doc_id", "text")
+    ).select(
         "doc_id",
         F.explode(F.filter(split_words("text"), lambda t: t != "")).alias(
             "term"
@@ -4704,7 +4717,9 @@ def q_bigram_surprisal_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = ensure_min_parallelism(
+        docs.select("doc_id", "text")
+    ).select(
         "doc_id",
         F.posexplode(
             F.filter(split_words("text"), lambda t: t != "")
@@ -4867,10 +4882,12 @@ def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluate per element, so lower(trim(text)) inside the gram
     # walk is O(n²) per doc (7.2s → 4.7s at sf0.1 hoisted; the
     # remainder is the linear explode+shuffle, which is the honest cost)
-    norm = docs.select(
-        "doc_id",
-        F.col("lang").alias("true_lang"),
-        F.lower(F.trim("text")).alias("__t"),
+    norm = ensure_min_parallelism(
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.lower(F.trim("text")).alias("__t"),
+        )
     )
     # r9: the gram walk was QUADRATIC per document — string substring
     # by CHAR offset scans from byte 0 to find the boundary (UTF-8 has
@@ -5259,7 +5276,9 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = ensure_min_parallelism(
+        docs.select("doc_id", "text")
+    ).select(
         "doc_id",
         F.explode(F.filter(split_words("text"), lambda t: t != "")).alias(
             "term"
@@ -5436,7 +5455,9 @@ def q_token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = ensure_min_parallelism(
+        docs.select("doc_id", "text")
+    ).select(
         "doc_id",
         F.explode(F.filter(split_words("text"), lambda t: t != "")).alias(
             "term"
@@ -6764,7 +6785,9 @@ def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     |domains|-row aggregate; the domain table is bounded, the scalar
     corpus mean broadcasts."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = ensure_min_parallelism(
+        docs.select("doc_id", "text")
+    ).select(
         "doc_id",
         F.explode(
             F.filter(textf.split_words("text"), lambda t: t != "")
@@ -7865,7 +7888,11 @@ def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding, and verify. Output: (id_a, id_b, n_common, cont_micro),
     pair-ordered."""
     docs = _t(spark, sf_dir, "documents")
-    words = docs.select("doc_id", split_words("text").alias("__w"))
+    # same one-split fan as q_dedup_keep_best: shingle+md5 work was
+    # single-task on the sub-4MB scan (guide §2.5)
+    words = ensure_min_parallelism(
+        docs.select("doc_id", split_words("text").alias("__w"))
+    )
     sh = words.select(
         "doc_id", textf.shingles_from_words(F.col("__w"), 3).alias("sh")
     ).localCheckpoint(eager=False)
@@ -9541,7 +9568,9 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lower + whitespace), so the differential gate also pins the
     tokenizer's position semantics."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = ensure_min_parallelism(
+        docs.select("doc_id", "text")
+    ).select(
         "doc_id",
         F.posexplode(
             F.filter(split_words("text"), lambda t: t != "")
@@ -9674,7 +9703,9 @@ def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MINIMUM absolute distance (the rerank feature). Output:
     top-50 by (n_pairs DESC, min_dist ASC, doc_id ASC)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = ensure_min_parallelism(
+        docs.select("doc_id", "text")
+    ).select(
         "doc_id",
         F.posexplode(
             F.filter(split_words("text"), lambda t: t != "")
@@ -11168,7 +11199,8 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     same chunking bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
     sg = (
-        docs.select(
+        ensure_min_parallelism(docs.select("source", "text"))
+        .select(
             "source", F.explode(textf.shingles(F.col("text"), 3)).alias("g")
         )
         .distinct()
@@ -12702,7 +12734,29 @@ def _cross_modal_census(items: DataFrame) -> DataFrame:
         .select("id_a", "id_b", F.lit("embed").alias("modality"))
     )
 
-    # -- merge: one edge set, min-label components, quality election
+    # -- merge: one edge set, min-label components, quality election.
+    # The four legs are INDEPENDENT plans that the CC loop's first
+    # action used to materialize strictly one after another (each leg
+    # is a chain of small stages, so the cluster idled between them).
+    # Materialize the shared item table once, then run the four legs
+    # as CONCURRENT jobs from a thread pool (guide §2.6 — actions are
+    # only sequential because the driver calls them sequentially;
+    # FIFO scheduling back-fills the tail of one leg with the next).
+    # Each leg is deterministic and results merge by unionByName, so
+    # output is identical to the sequential shape.
+    from concurrent.futures import ThreadPoolExecutor
+
+    items.count()  # shared base materializes once, not raced 4 ways
+
+    def _mat(leg: DataFrame) -> DataFrame:
+        out = leg.localCheckpoint(eager=False)
+        out.count()
+        return out
+
+    with ThreadPoolExecutor(max_workers=4) as _pool:
+        p_text, p_image, p_emb, p_audio = list(
+            _pool.map(_mat, [p_text, p_image, p_emb, p_audio])
+        )
     pairs = (
         p_text.unionByName(p_image)
         .unionByName(p_emb)

@@ -576,9 +576,13 @@ def contamination_hits(
     lookup → partial-aggregated count per doc. Shingling reuses the
     one-pass builder from functions.text (no O(words²) blowup).
     """
-    grams = docs.select(
+    # fan the one-split scan before the per-doc shingle build (no-op
+    # at scale — plans/shape.py)
+    grams = ensure_min_parallelism(
+        docs.select(id_col, is_benchmark.alias("__bench"), text_col)
+    ).select(
         id_col,
-        is_benchmark.alias("__bench"),
+        "__bench",
         F.explode(F.array_distinct(shingles(F.col(text_col)))).alias("gram"),
     )
     bench = grams.filter(F.col("__bench")).select("gram").distinct()
@@ -966,11 +970,15 @@ def boilerplate_scrub(
     from ..functions.text import split_words
 
     # strip ALL whitespace for the emptiness check (trim() removes
-    # spaces only — a tab/newline-only doc must drop too)
-    words = docs.filter(
-        F.regexp_replace(F.col(text_col), r"\s", "") != ""
-    ).select(
-        F.col(id_col).alias("__id"), split_words(text_col).alias("__w")
+    # spaces only — a tab/newline-only doc must drop too); the fan
+    # spreads a one-split scan before the span/md5 work (no-op at
+    # scale — plans/shape.py)
+    words = ensure_min_parallelism(
+        docs.filter(
+            F.regexp_replace(F.col(text_col), r"\s", "") != ""
+        ).select(
+            F.col(id_col).alias("__id"), split_words(text_col).alias("__w")
+        )
     )
     n_chunks = F.ceil(F.size("__w") / F.lit(window_words)).cast("int")
     chunks = words.select(

@@ -452,8 +452,25 @@ def _cn_pair_stream(
     # adjacency never fits the broadcast threshold anyway — so pin the
     # strategy the big-data plan uses and let the (center, block) key
     # spread the reducers.
-    return left.join(
-        right.hint("merge"),
+    #
+    # Explicit join-key repartition: AQE coalesces the join's INPUT
+    # exchanges by input bytes (2.2 MB of adjacency → 2 partitions at
+    # the 1 MB minPartitionSize floor) but this join's OUTPUT is
+    # ~10× its input by construction, so the whole wedge expansion ran
+    # on 2 tasks (measured 6.9 of 38s executor time, the stage at the
+    # top of every link_prediction profile). Same defect class as the
+    # r14 skew-witness finding — AQE cannot see join-output explosion.
+    # A user repartition with an explicit partition count is final
+    # (AQE never coalesces it), matches the join keys so the merge
+    # join reuses the exchange, and sizes to max(cores, configured
+    # shuffle partitions) — locally the core count, on a cluster
+    # whatever spark.sql.shuffle.partitions the deployment tuned.
+    n_out = max(
+        edges.sparkSession.sparkContext.defaultParallelism,
+        int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+    )
+    return left.repartition(n_out, "node", "tb").join(
+        right.repartition(n_out, "node", "gb").hint("merge"),
         (left.node == right.node) & (left.tb == right.gb),
     ).filter(
         (F.col("ga") < F.col("gb"))

@@ -111,8 +111,14 @@ def repetition_signals(
     from pyspark.sql import Window
 
     from ..functions.text import split_words
+    from ..plans.shape import ensure_min_parallelism
 
-    lines = docs.select(
+    # fan the one-split scan before the line/token explodes (no-op at
+    # scale — plans/shape.py); both explodes share the projected base
+    base = ensure_min_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
+    )
+    lines = base.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), "\n")).alias("line"),
     ).filter(F.trim("line") != "")
@@ -125,7 +131,7 @@ def repetition_signals(
         F.sum((F.col("c") - 1) * F.col("ln")).alias("dup_chars"),
         F.sum(F.col("c") * F.col("ln")).alias("tot_line_chars"),
     )
-    toks = docs.select(
+    toks = base.select(
         F.col(id_col),
         F.posexplode(
             F.filter(split_words(text_col), lambda t: t != "")

@@ -229,8 +229,14 @@ def dsir_bucket_llr(
     h = hash_expr if hash_expr is not None else (
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
-    toks = docs.select(
-        target.alias("__is_tgt"),
+    from ..plans.shape import ensure_min_parallelism
+
+    # fan the one-split scan before the token explode + per-token md5
+    # (no-op at scale — plans/shape.py)
+    toks = ensure_min_parallelism(
+        docs.select(target.alias("__is_tgt"), F.col(text_col))
+    ).select(
+        "__is_tgt",
         F.explode(
             F.filter(split_words(text_col), lambda t: t != "")
         ).alias("__tok"),
@@ -281,11 +287,16 @@ def dsir_weights(
     tokens look like the target subset score positive; resample by
     softmax/top-k downstream (temperature_resample composes here)."""
     from ..functions.text import split_words
+    from ..plans.shape import ensure_min_parallelism
 
     h = hash_expr if hash_expr is not None else (
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
-    toks = docs.select(
+    # fan the one-split scan before the token explode + per-token md5
+    # (no-op at scale — plans/shape.py)
+    toks = ensure_min_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col),
         F.explode(
             F.filter(split_words(text_col), lambda t: t != "")
