@@ -1394,9 +1394,10 @@ def q_setsim_join_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     can compute Jaccard."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    toks = ensure_min_parallelism(
-        docs.select("doc_id", "text")
-    ).select(
+    # fan the one-split scan before the shingle build (guide §2.5) —
+    # the prefix-join chain is shingle-compute-bound like
+    # containment_dup_pairs, where the same fan measured 4.7 → 1.1 s
+    toks = ensure_min_parallelism(docs.select("doc_id", "text")).select(
         "doc_id",
         F.array_distinct(textf.shingles_from_words(words, 3)).alias(
             "tokens"
@@ -3184,9 +3185,7 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # unigram surprisal, LM = the full documents table (deterministic
     # reference distribution; same construction as q_unigram_surprisal)
-    toks = ensure_min_parallelism(
-        docs.select("doc_id", "text")
-    ).select(
+    toks = docs.select(
         "doc_id",
         F.explode(
             F.filter(textf.split_words("text"), lambda t: t != "")
@@ -4473,9 +4472,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    toks = ensure_min_parallelism(
-        docs.select("doc_id", "text")
-    ).select(
+    toks = docs.select(
         "doc_id",
         F.explode(F.filter(split_words("text"), lambda t: t != "")).alias(
             "term"
@@ -4596,9 +4593,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     terms = ["hash", "join", "stream"]
     docs = _t(spark, sf_dir, "documents")
-    toks = ensure_min_parallelism(
-        docs.select("doc_id", "text")
-    ).select(
+    toks = docs.select(
         "doc_id",
         F.explode(F.filter(split_words("text"), lambda t: t != "")).alias(
             "term"
@@ -4717,9 +4712,7 @@ def q_bigram_surprisal_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    toks = ensure_min_parallelism(
-        docs.select("doc_id", "text")
-    ).select(
+    toks = docs.select(
         "doc_id",
         F.posexplode(
             F.filter(split_words("text"), lambda t: t != "")
@@ -4882,12 +4875,10 @@ def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluate per element, so lower(trim(text)) inside the gram
     # walk is O(n²) per doc (7.2s → 4.7s at sf0.1 hoisted; the
     # remainder is the linear explode+shuffle, which is the honest cost)
-    norm = ensure_min_parallelism(
-        docs.select(
-            "doc_id",
-            F.col("lang").alias("true_lang"),
-            F.lower(F.trim("text")).alias("__t"),
-        )
+    norm = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.lower(F.trim("text")).alias("__t"),
     )
     # r9: the gram walk was QUADRATIC per document — string substring
     # by CHAR offset scans from byte 0 to find the boundary (UTF-8 has
@@ -5276,9 +5267,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    toks = ensure_min_parallelism(
-        docs.select("doc_id", "text")
-    ).select(
+    toks = docs.select(
         "doc_id",
         F.explode(F.filter(split_words("text"), lambda t: t != "")).alias(
             "term"
@@ -5455,9 +5444,7 @@ def q_token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    toks = ensure_min_parallelism(
-        docs.select("doc_id", "text")
-    ).select(
+    toks = docs.select(
         "doc_id",
         F.explode(F.filter(split_words("text"), lambda t: t != "")).alias(
             "term"
@@ -6084,6 +6071,7 @@ def _dist_cumsum(
     tie: str,
     cols: list[str],
     cuts: list[float],
+    rank_out: str | None = None,
 ) -> DataFrame:
     """Distributed RUNNING TOTALS over the global (key ASC, tie ASC)
     order — the prefix-sum sibling of _dist_rank, same cutpoint-bucket
@@ -6095,22 +6083,36 @@ def _dist_cumsum(
     (strict > per cutpoint), so the composed order is the exact total
     order. Adds `cum_<col>` for each input col. This is what ECDFs,
     Lorenz curves, and KS statistics need at corpus scale — a running
-    sum with NO single-partition WindowExec."""
+    sum with NO single-partition WindowExec.
+
+    `rank_out` (optional): also emit the global row_number over the
+    SAME order — identical construction to _dist_rank, but the bucket
+    row counts ride the one census collect and the row_number shares
+    the cumsum's partitioning+sort, so callers that need rank AND
+    running totals (Lorenz, coverage, skew reports) pay ONE census
+    job and ONE shuffled pass instead of two of each plus a re-join
+    (guide §1.2)."""
     spark = df.sparkSession
     part = df.withColumn("__pid", _cut_bucket(key, cuts))
     btots = sorted(
         (r["__pid"], r)
         for r in part.groupBy("__pid")
-        .agg(*[F.sum(c).alias(c) for c in cols])
+        .agg(
+            *[F.sum(c).alias(c) for c in cols],
+            F.count(F.lit(1)).alias("__n"),
+        )
         .collect()
     )
-    offsets, acc = [], {c: 0 for c in cols}
+    offsets, acc, acc_n = [], {c: 0 for c in cols}, 0
     for p, r in btots:
-        offsets.append(tuple([p] + [acc[c] for c in cols]))
+        offsets.append(tuple([p] + [acc[c] for c in cols] + [acc_n]))
         for c in cols:
             acc[c] += r[c] or 0
-    off_schema = "__pid int, " + ", ".join(
-        f"__off_{c} long" for c in cols
+        acc_n += r["__n"]
+    off_schema = (
+        "__pid int, "
+        + ", ".join(f"__off_{c} long" for c in cols)
+        + ", __off_n long"
     )
     off = spark.createDataFrame(offsets, off_schema)
     w = (
@@ -6123,7 +6125,14 @@ def _dist_cumsum(
         out = out.withColumn(
             f"cum_{c}", F.col(f"__off_{c}") + F.sum(c).over(w)
         )
-    return out.drop("__pid", *[f"__off_{c}" for c in cols])
+    if rank_out is not None:
+        wr = Window.partitionBy("__pid").orderBy(F.asc(key), F.asc(tie))
+        out = out.withColumn(
+            rank_out, F.col("__off_n") + F.row_number().over(wr)
+        )
+    return out.drop(
+        "__pid", "__off_n", *[f"__off_{c}" for c in cols]
+    )
 
 
 def q_ks_test_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6785,9 +6794,7 @@ def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     |domains|-row aggregate; the domain table is bounded, the scalar
     corpus mean broadcasts."""
     docs = _t(spark, sf_dir, "documents")
-    toks = ensure_min_parallelism(
-        docs.select("doc_id", "text")
-    ).select(
+    toks = docs.select(
         "doc_id",
         F.explode(
             F.filter(textf.split_words("text"), lambda t: t != "")
@@ -7345,8 +7352,10 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents", [i / 8 for i in range(1, 8)], 0.001
         )
     ]
-    ranked = _dist_rank(per_cust, "cents", "o_custkey", "__rk", cuts)
-    cum = _dist_cumsum(ranked, "cents", "o_custkey", ["cents"], cuts)
+    # one census + one pass: rank rides the cumsum (guide §1.2)
+    cum = _dist_cumsum(
+        per_cust, "cents", "o_custkey", ["cents"], cuts, rank_out="__rk"
+    )
     tot = per_cust.agg(
         F.count(F.lit(1)).alias("__n"), F.sum("cents").alias("__tot")
     )
@@ -7404,8 +7413,10 @@ def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__nc", [i / 8 for i in range(1, 8)], 0.001
         )
     ]
-    ranked = _dist_rank(per_key, "__nc", "o_custkey", "__rk", cuts)
-    cum = _dist_cumsum(ranked, "__nc", "o_custkey", ["c"], cuts)
+    # one census + one pass: rank rides the cumsum (guide §1.2)
+    cum = _dist_cumsum(
+        per_key, "__nc", "o_custkey", ["c"], cuts, rank_out="__rk"
+    )
     tot = per_key.agg(
         F.count(F.lit(1)).alias("__k"),
         F.sum("c").alias("__t"),
@@ -7967,11 +7978,16 @@ def q_revenue_coverage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = spend.stat.approxQuantile(
         "__ns", [i / 8 for i in range(1, 8)], 0.001
     )
-    cum = _dist_cumsum(
-        spend, "__ns", "o_custkey", ["s"], [float(c) for c in cuts]
+    # one census + one pass: rank rides the cumsum, deleting the
+    # second census collect AND the cum⋈rank re-join (guide §1.2)
+    j = _dist_cumsum(
+        spend,
+        "__ns",
+        "o_custkey",
+        ["s"],
+        [float(c) for c in cuts],
+        rank_out="rk",
     )
-    ranked = _dist_rank(spend, "__ns", "o_custkey", "rk", [float(c) for c in cuts])
-    j = cum.join(ranked.select("o_custkey", "rk"), "o_custkey")
     total = spend.agg(F.sum("s").alias("tot"))
     th = spark.createDataFrame([(50,), (80,), (90,), (99,)], "pct int")
     hits = (
@@ -8228,8 +8244,10 @@ def q_changepoint_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi, t_total = int(span["lo"]), int(span["hi"]), int(span["t"])
     n_total = hi - lo + 1
     cuts = m.stat.approxQuantile("idx", [i / 8 for i in range(1, 8)], 0.001)
-    cum = _dist_cumsum(m, "idx", "idx", ["x"], [float(c) for c in cuts])
-    rk = _dist_rank(cum, "idx", "idx", "r", [float(c) for c in cuts])
+    # one census + one pass: rank rides the cumsum (guide §1.2)
+    rk = _dist_cumsum(
+        m, "idx", "idx", ["x"], [float(c) for c in cuts], rank_out="r"
+    )
     succ = rk.select((F.col("r") - 1).alias("r"), F.col("idx").alias("nxt"))
     cand = (
         rk.join(succ, "r", "left")
@@ -9568,9 +9586,7 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lower + whitespace), so the differential gate also pins the
     tokenizer's position semantics."""
     docs = _t(spark, sf_dir, "documents")
-    toks = ensure_min_parallelism(
-        docs.select("doc_id", "text")
-    ).select(
+    toks = docs.select(
         "doc_id",
         F.posexplode(
             F.filter(split_words("text"), lambda t: t != "")
@@ -9703,9 +9719,7 @@ def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MINIMUM absolute distance (the rerank feature). Output:
     top-50 by (n_pairs DESC, min_dist ASC, doc_id ASC)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = ensure_min_parallelism(
-        docs.select("doc_id", "text")
-    ).select(
+    toks = docs.select(
         "doc_id",
         F.posexplode(
             F.filter(split_words("text"), lambda t: t != "")
@@ -10001,9 +10015,13 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ),
     )
-    cuts2 = step.stat.approxQuantile("t", [i / 8 for i in range(1, 8)], 0.001)
+    # the survival cumsum buckets on the SAME t multiset the first
+    # cumsum did (step is per_t row-for-row), so the first quantile
+    # pass's cutpoints are verbatim reusable — the second
+    # approxQuantile action re-ran the whole cum→step chain for an
+    # identical answer (guide §1.2)
     surv = _dist_cumsum(
-        step, "t", "t", ["l_micro"], [float(x) for x in cuts2]
+        step, "t", "t", ["l_micro"], [float(x) for x in cuts]
     )
     return surv.select(
         F.col("t").alias("t_days"),
