@@ -3107,6 +3107,13 @@ def q_corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE-picked small sides), split assignment map-side."""
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter((F.col("doc_id") % 50) != 0)
+    # materialized once: the scrub chain (span explode → census →
+    # verdict join → per-doc rebuild, the pipeline's heaviest stage)
+    # feeds BOTH the quality/dedup branch and the decontamination-gram
+    # branch — without this the whole chain ran once per consumer
+    # (stage profile: the 2.1 MB scrub exchange written twice, read
+    # four times; guide §1.2). At 100 TB this is the persisted
+    # working set of the curation pipeline.
     scrubbed = (
         dedup.boilerplate_scrub(
             corpus, text_col="text", id_col="doc_id",
@@ -3114,6 +3121,7 @@ def q_corpus_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("kept_text").alias("text"))
         .join(corpus.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=False)
     )
     scored = scrubbed.select(
         "doc_id",
@@ -10594,9 +10602,13 @@ def q_pretrain_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", "lang", "source").join(
         counts.select("doc_id", "n_tokens"), "doc_id"
     )
+    # materialized once: `packed` feeds BOTH the manifest aggregate
+    # and the source-mix rollup — without this the entire upstream
+    # chain (scrub → dedup window → BPE token counts → pack cumsum)
+    # ran once per consumer (guide §1.2)
     packed = sampling.contiguous_pack(
         t, "n_tokens", 2048, "doc_id", partition_cols=("lang",)
-    )
+    ).localCheckpoint(eager=False)
     manifest = packed.groupBy("lang", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("shard_tokens"),

@@ -55,9 +55,14 @@ def pagerank(
     are collapsed first (an edge is a link, not a count).
     """
     num = int(round(damping * 100))  # damping as the rational num/100
+    # e feeds the node mint, the degree table, and every round's join;
+    # the per-round rank is consumed TWICE by the next round (contrib
+    # join + carry), so the lazy plan DOUBLED per iteration — truncate
+    # lineage with lazy checkpoints (no extra jobs; guide §5 / §3.3
+    # "materialising an intermediate truncates the plan")
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -98,6 +103,7 @@ def pagerank(
                 .cast("long")
                 .alias("rank_units"),
             )
+            .localCheckpoint(eager=False)
         )
     return rank.select(
         "node",
@@ -174,9 +180,13 @@ def resolve_ancestors(
         nxt = a.select(
             F.col("n").alias("n2"), F.col("anc").alias("anc2"), F.col("d").alias("d2")
         )
+        # a is consumed TWICE per round (probe + ancestor sides), so
+        # the lazy plan doubled per round (2^6 copies by round 6) —
+        # truncate lineage, no extra jobs (guide §3.3)
         a = (
             a.join(nxt, a.anc == nxt.n2)
             .select("n", F.col("anc2").alias("anc"), (F.col("d") + F.col("d2")).alias("d"))
+            .localCheckpoint(eager=False)
         )
     return a.select(
         F.col("n").alias(node),
@@ -619,11 +629,13 @@ def pagerank_weighted(
     (zero-weight edges carry no mass and define no denominator) that
     both engines agree on."""
     num = int(round(damping * 100))
+    # same lineage-truncation shape as pagerank(): e reused per round,
+    # rank consumed twice by the next round
     e = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         F.col(weight).alias("w"),
-    ).filter(F.col("w") > 0)
+    ).filter(F.col("w") > 0).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -659,6 +671,7 @@ def pagerank_weighted(
                 .cast("long")
                 .alias("rank_units"),
             )
+            .localCheckpoint(eager=False)
         )
     return rank.select(
         "node",
@@ -693,9 +706,12 @@ def label_propagation(
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).filter(F.col("a") != F.col("b")).distinct()
+    # nbr feeds the node mint and every round's join — checkpoint
+    # lazily so the distinct chain computes once and round plans stay
+    # flat (guide §1.2)
     nbr = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     nodes = nbr.select(F.col("a").alias("node")).distinct()
     lbl = nodes.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("node").orderBy(
@@ -712,6 +728,7 @@ def label_propagation(
             counts.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)
             .select("node", "label")
+            .localCheckpoint(eager=False)
         )
     return lbl
 
@@ -770,6 +787,7 @@ def label_propagation_weighted(
             counts.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)
             .select("node", "label")
+            .localCheckpoint(eager=False)
         )
     return lbl
 
