@@ -228,7 +228,10 @@ def test_cms_estimate_broadcasts_grid(spark):
         sketches.cms_estimate(sk, probes, "user_id")
     )
     assert "BroadcastHashJoin" in plan
-    assert "LeftOuter, BuildRight" in plan
+    # formatted-explain tree syntax: "BroadcastHashJoin LeftOuter
+    # BuildRight (n)" — no comma (the simple-string format that DOES
+    # comma-separate is not what formatted_plan returns)
+    assert "LeftOuter BuildRight" in plan
 
 
 def test_pareto_front_has_no_single_partition_window(spark):
