@@ -576,13 +576,12 @@ def contamination_hits(
     lookup → partial-aggregated count per doc. Shingling reuses the
     one-pass builder from functions.text (no O(words²) blowup).
     """
-    # fan the one-split scan before the per-doc shingle build (no-op
-    # at scale — plans/shape.py)
-    grams = ensure_min_parallelism(
-        docs.select(id_col, is_benchmark.alias("__bench"), text_col)
-    ).select(
+    # NOTE: no scan fan here — measured flat standalone and ~0.2 s
+    # SLOWER composed into the corpus pipelines (the explode feeds a
+    # map-side-combined aggregate; the extra exchange never pays)
+    grams = docs.select(
         id_col,
-        "__bench",
+        is_benchmark.alias("__bench"),
         F.explode(F.array_distinct(shingles(F.col(text_col)))).alias("gram"),
     )
     bench = grams.filter(F.col("__bench")).select("gram").distinct()

@@ -724,11 +724,14 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count("*").alias("cnt"))
         )
+        # NOTE: no per-round checkpoint on lbl — measured SLOWER (the
+        # per-round block write outweighs the 3-round linear plan,
+        # which, unlike pagerank's, does not double per round); nbr's
+        # checkpoint above is the one that pays
         lbl = (
             counts.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=False)
         )
     return lbl
 
@@ -783,11 +786,14 @@ def label_propagation_weighted(
             .groupBy("node", "label")
             .agg(F.sum("wt").alias("cnt"))
         )
+        # NOTE: no per-round checkpoint on lbl — measured SLOWER (the
+        # per-round block write outweighs the 3-round linear plan,
+        # which, unlike pagerank's, does not double per round); nbr's
+        # checkpoint above is the one that pays
         lbl = (
             counts.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=False)
         )
     return lbl
 

@@ -111,13 +111,12 @@ def repetition_signals(
     from pyspark.sql import Window
 
     from ..functions.text import split_words
-    from ..plans.shape import ensure_min_parallelism
 
-    # fan the one-split scan before the line/token explodes (no-op at
-    # scale — plans/shape.py); both explodes share the projected base
-    base = ensure_min_parallelism(
-        docs.select(F.col(id_col), F.col(text_col))
-    )
+    # NOTE: no scan fan here — measured flat standalone and ~0.2 s
+    # SLOWER composed into corpus_pipeline_v2 (line/token explodes
+    # feed map-side-combined aggregates; the extra exchange never
+    # pays); both explodes still share one projected base
+    base = docs.select(F.col(id_col), F.col(text_col))
     lines = base.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), "\n")).alias("line"),
