@@ -12626,7 +12626,14 @@ def _cross_modal_census(items: DataFrame) -> DataFrame:
     """The four dedup legs + unified component census + quality
     election over a quad-modal item table (item_id, txt, hs, dv, am,
     ag, v) — the operator body of q_cross_modal_dedup, shared with the
-    scaling harness so the witness times the REAL gated path."""
+    scaling harness so the witness times the REAL gated path.
+
+    INPUT CONTRACT (ADVICE r15): `items` must already be materialized
+    (localCheckpoint'ed) by the caller — the items.count() below plus
+    the four CONCURRENT legs all read it, so on a plain lazy frame the
+    count would be wasted work and the legs would race to recompute
+    the base. Both callers (q_cross_modal_dedup,
+    tools/cross_modal_scaling.py) checkpoint before calling."""
 
     # -- TEXT leg: the dedup_keep_best MinHash chain at Jaccard >= 0.9
     tdocs = items.select(

@@ -103,9 +103,11 @@ HEADLINE = [
     "pagerank_user_graph",
     "tfidf_top_terms",
     "dsir_importance_weights",
-    # bottomk_sample dropped from HEADLINE at 166 entries (r15: the
-    # 0-dp capture-buffer rung overflowed) — a ~0.1s mirror of the
-    # benched topk_orders; still catalog-gated for correctness
+    # bottomk_sample moved to the r16 restoration block at the END of
+    # HEADLINE (r15 dropped it when the 0-dp capture-buffer rung
+    # overflowed; the r15 verdict ordered it restored — appending
+    # instead of re-inserting keeps q1..q164 positionally aligned with
+    # the r15 ledger so the driver's positional PERF diff stays valid)
     "bm25_search",
     "kmv_distinct_rollup",
     "token_entropy_docs",
@@ -113,9 +115,8 @@ HEADLINE = [
     "pareto_front_orders",
     "regression_stats_by_type",
     "ohlc_downsample",
-    # asof_next_purchase dropped from HEADLINE at 166 entries (r15,
-    # with bottomk_sample) — ~0.1s, the as-of family stays benched by
-    # asof_purchase_attribution; still catalog-gated for correctness
+    # asof_next_purchase moved to the r16 restoration block (end of
+    # HEADLINE), same story as bottomk_sample above
     # round-5/6 additions
     "multimodal_jpeg_decode",
     "multimodal_png_decode",
@@ -174,9 +175,8 @@ HEADLINE = [
     "revenue_coverage_counts",
     "link_prediction_cn",
     "seasonal_naive_eval",
-    # welch_t_test dropped from HEADLINE at 165 entries (r15, with the
-    # bottomk/asof mirrors) — ~0.2s and bh_fdr_event_shifts benches the
-    # identical Welch-z construction per event type; still catalog-gated
+    # welch_t_test moved to the r16 restoration block (end of
+    # HEADLINE), same story as bottomk_sample above
     "theil_sen_daily_trend",
     "streaming_windowed_top1",
     "changepoint_best_split",
@@ -248,6 +248,18 @@ HEADLINE = [
     "source_overlap_matrix",
     "mixture_epoch_schedule",
     "dim_truncation_recall",
+    # r16 restoration (VERDICT r15 "Next round" item 1): the three
+    # queries the interrupted r15 BUILD round dropped to dodge the
+    # driver's 2,000-char capture buffer go BACK into the timed set —
+    # the buffer is handled by the precision ladder (the 1-dp rung fits
+    # 167 entries; test_bench_contract models the worst case), never by
+    # narrowing the set. Appended at the end so q1..q164 keep their r15
+    # positions; tests/test_bench_contract.py now also pins HEADLINE
+    # against the committed ledger's name set so a drop can never again
+    # go undetected.
+    "bottomk_sample",
+    "asof_next_purchase",
+    "welch_t_test",
 ]
 
 

@@ -475,9 +475,14 @@ def _cn_pair_stream(
     # join reuses the exchange, and sizes to max(cores, configured
     # shuffle partitions) — locally the core count, on a cluster
     # whatever spark.sql.shuffle.partitions the deployment tuned.
+    try:  # non-numeric on some deployments (e.g. "auto") — fall back
+        conf_parts = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (ValueError, TypeError):
+        conf_parts = 0
     n_out = max(
-        edges.sparkSession.sparkContext.defaultParallelism,
-        int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        edges.sparkSession.sparkContext.defaultParallelism, conf_parts
     )
     return left.repartition(n_out, "node", "tb").join(
         right.repartition(n_out, "node", "gb").hint("merge"),

@@ -654,7 +654,18 @@ def _scored_cells_sql(
     round-trip instead of ~n_cells×(dim+3) Column calls (the
     pq_distortion_report finding; guide §7.3). `CAST('<repr>' AS
     DOUBLE)` round-trips the exact double: repr emits the shortest
-    digits that re-parse to the same bits in Python and Java alike."""
+    digits that re-parse to the same bits in Python and Java alike —
+    for FINITE doubles only (Spark's cast yields NULL for Python's
+    'inf'/'nan' spellings, silently diverging from F.lit), so
+    non-finite centroids/norms are rejected loudly here (ADVICE r15)."""
+    if not (
+        np.all(np.isfinite(np.asarray(centroids, dtype=np.float64)))
+        and np.all(np.isfinite(np.asarray(cnorms, dtype=np.float64)))
+    ):
+        raise ValueError(
+            "_scored_cells_sql: non-finite centroid/norm — the SQL "
+            "double-literal path cannot represent inf/NaN"
+        )
     cells = ", ".join(
         f"named_struct('d', CAST('{float(cnorms[i])!r}' AS DOUBLE) - "
         f"2.0D * aggregate(zip_with({vec_col}, array("
@@ -1111,6 +1122,11 @@ def lsh_bulk_topk(
     OUTPUT, not the shuffle blocks, explodes); results bit-identical
     at any salt."""
     n = len(planes)
+    if not np.all(np.isfinite(np.asarray(planes, dtype=np.float64))):
+        raise ValueError(
+            "lsh_bulk_topk: non-finite plane — the SQL double-literal "
+            "path cannot represent inf/NaN (ADVICE r15)"
+        )
     # The margin/bucket/mask-ranking expressions are IDENTICAL
     # arithmetic to the pre-r15 Column-API construction (zip_with/
     # aggregate left-to-right dots, CASE sign bits, ascending-bit

@@ -172,3 +172,37 @@ def test_sensor_tree_stream_ignores_torn_lines_and_replays_offsets(
     with open(f"{root}/r1/co2.csv", "a") as f:
         f.write("3.0,30.0\n")
     assert list(r.readBetweenOffsets(off1, off2)) == [(2.0, 22.5, "r1")]
+
+
+def test_read_table_cache_misses_on_regenerated_file(spark, tmp_dir):
+    """The reader-handle cache is metadata-only and keyed on the
+    table's (mtime, size) fingerprint: rewriting the parquet in place
+    must MISS (fresh handle over the new file) while an untouched table
+    HITS (same lazy handle object back). Also pins the bound: the
+    module-level dict can never outgrow _TABLE_CACHE_MAX."""
+    import os
+    import shutil
+    import time as _time
+
+    sf = f"{tmp_dir}/sfx"
+    os.makedirs(sf, exist_ok=True)
+
+    def _write(rows):
+        tmp = f"{tmp_dir}/stage"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+        shutil.copyfile(f"{tmp}/{part}", f"{sf}/documents.parquet")
+
+    _write([(1, "a")])
+    h1 = readers.read_table(spark, sf, "documents")
+    assert readers.read_table(spark, sf, "documents") is h1  # hit
+    _time.sleep(0.05)
+    _write([(1, "a"), (2, "b")])  # regenerate in place
+    os.utime(f"{sf}/documents.parquet")  # ensure mtime moves even on
+    # coarse-granularity filesystems
+    h2 = readers.read_table(spark, sf, "documents")
+    assert h2 is not h1, "regenerated table served a stale cached handle"
+    assert h2.count() == 2
+    assert len(readers._TABLE_CACHE) <= readers._TABLE_CACHE_MAX

@@ -1,14 +1,15 @@
-"""Dump .explain("formatted") for named queries to plans/r15/.
+"""Dump .explain("formatted") for named queries to plans/<round>/
+(round dir from $SPARK_GRAFT_PLAN_DIR, default r16).
 
 Usage:
     python tools/dump_plans.py before query [query ...]
     python tools/dump_plans.py after  query [query ...]
 
-Writes plans/r15/<query>_<tag>.txt at sf0.1 (the bench scale, so the
-plan matches what the bench times). Queries whose construction runs
+Writes plans/<round>/<query>_<tag>.txt at sf0.1 (the bench scale, so
+the plan matches what the bench times). Queries whose construction runs
 eager driver work (streaming, BPE training collects) still dump — the
 explain covers the final lazy frame; the eager prefix is noted by the
-caller in OPTIMIZATION_r15.md.
+caller in the round's OPTIMIZATION ledger.
 """
 
 from __future__ import annotations
@@ -27,7 +28,11 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
 )
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_DIR", "r16"),
+)
 
 
 def main() -> None:

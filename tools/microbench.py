@@ -24,12 +24,18 @@ from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_a
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # warmup at the sibling sf0.001 of whatever sf_dir points at (r15
+    # advice: the hardcoded /root/testdata path ran every warmup cold
+    # on any other host layout)
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     names = sys.argv[1:]
     spark = get_spark(app_name="microbench")
     qs = entrymod.queries()
     for name in names:
         try:
-            qs[name](spark, "/root/testdata/sf0.001").count()
+            qs[name](spark, warm_dir).count()
         except Exception as exc:  # surface, don't die: timing tool
             print(f"{name} WARMUP-ERR {exc}")
     for name in names:
