@@ -7588,7 +7588,13 @@ def q_session_concurrency_profile(
             "key", [i / 8 for i in range(1, 8)], 0.001
         )
     ]
-    cum = _dist_cumsum(bounds, "key", "user_id", ["delta"], cuts)
+    cum = _dist_cumsum(bounds, "key", "user_id", ["delta"], cuts).localCheckpoint(
+        eager=False
+    )
+    # ^ materialized once (r16, guide §1.2): cum feeds BOTH the peak/
+    # count broadcast aggregate and the final filtered read — without
+    # this the bucketed cumsum pass over `bounds` ran twice (bounds is
+    # checkpointed, so the 2× was the shuffle+window, ~2·|sessions| rows)
     tot = cum.agg(
         F.max("cum_delta").alias("__peak"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
@@ -10547,6 +10553,45 @@ def _bpe_encode_docs_oracle_sql() -> str:
     """
 
 
+def _pretrain_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone chain up to (and including) the 2048-token pack —
+    (doc_id, lang, source, n_tokens, bin), localCheckpoint'ed because
+    every consumer aggregates it more than once in one plan: the
+    manifest + source-mix pair in q_pretrain_shard_plan, and the
+    balance rollup in q_shard_balance_report (which through r15 re-ran
+    the ENTIRE scrub → dedup → encode → pack chain as the manifest
+    subquery it composes — guide §1.2). Shared plan prefix, never a
+    shared result: a fresh frame is built per query invocation."""
+    docs = _t(spark, sf_dir, "documents")
+    scrubbed = (
+        dedup.boilerplate_scrub(
+            docs, text_col="text", id_col="doc_id",
+            window_words=5, min_df=2,
+        )
+        .filter(F.col("kept_words") > 0)
+        .select("doc_id", F.col("kept_text").alias("text"))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        scrubbed.withColumn(
+            "fingerprint", textf.normalized_fingerprint("text")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    _, final_state = _bpe_trained(spark, sf_dir)
+    counts = tokenizer.doc_token_counts(
+        deduped, tokenizer.token_dict(final_state)
+    )
+    t = docs.select("doc_id", "lang", "source").join(
+        counts.select("doc_id", "n_tokens"), "doc_id"
+    )
+    return sampling.contiguous_pack(
+        t, "n_tokens", 2048, "doc_id", partition_cols=("lang",)
+    ).localCheckpoint(eager=False)
+
+
 def q_pretrain_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CAPSTONE: a pretraining SHARD PLAN — the one operator a
     100 TB pipeline actually ships (the r14 verdict's task 3), chaining
@@ -10577,38 +10622,7 @@ def q_pretrain_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     and two map-side-combinable manifest aggregates; per-shard doc
     lists are bounded by the 2048-token budget, so collect_list here
     is O(budget/avg_doc_tokens) per group, never corpus-sized."""
-    docs = _t(spark, sf_dir, "documents")
-    scrubbed = (
-        dedup.boilerplate_scrub(
-            docs, text_col="text", id_col="doc_id",
-            window_words=5, min_df=2,
-        )
-        .filter(F.col("kept_words") > 0)
-        .select("doc_id", F.col("kept_text").alias("text"))
-    )
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    deduped = (
-        scrubbed.withColumn(
-            "fingerprint", textf.normalized_fingerprint("text")
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
-    )
-    _, final_state = _bpe_trained(spark, sf_dir)
-    counts = tokenizer.doc_token_counts(
-        deduped, tokenizer.token_dict(final_state)
-    )
-    t = docs.select("doc_id", "lang", "source").join(
-        counts.select("doc_id", "n_tokens"), "doc_id"
-    )
-    # materialized once: `packed` feeds BOTH the manifest aggregate
-    # and the source-mix rollup — without this the entire upstream
-    # chain (scrub → dedup window → BPE token counts → pack cumsum)
-    # ran once per consumer (guide §1.2)
-    packed = sampling.contiguous_pack(
-        t, "n_tokens", 2048, "doc_id", partition_cols=("lang",)
-    ).localCheckpoint(eager=False)
+    packed = _pretrain_packed(spark, sf_dir)
     manifest = packed.groupBy("lang", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("shard_tokens"),
@@ -10775,12 +10789,26 @@ def q_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BIGINT sums + one integer multiply-then-DIV — no float crosses an
     aggregation, so the DuckDB twin, which replays the ENTIRE capstone
     chain as a subquery and then the audit aggregate, hash-matches
-    bit-for-bit). Cost: the manifest aggregation (bounded rows per
-    language) plus one |langs|-row aggregate — the audit itself is
-    free; the chain is the already-audited capstone plan."""
-    man = q_pretrain_shard_plan(spark, sf_dir)
+    bit-for-bit). Cost (r16 restructure, guide §1.2/§2.4): ONE
+    two-level rollup straight off the shared `_pretrain_packed` frame.
+    Through r15 this composed q_pretrain_shard_plan verbatim, which
+    made the audit pay the manifest's collect_list(doc_ids) sort, the
+    THREE-aggregate source-mix subtree, and a (lang, bin) join whose
+    only role was multiplicity the optimizer cannot prove away (mix is
+    1:1 with manifest BY CONSTRUCTION — both group the same packed
+    rows by (lang, bin), so the inner join never changes cardinality
+    and per-shard n_docs/shard_tokens are identical either way; the
+    unchanged oracle, which still replays the full manifest⋈mix chain,
+    pins that equivalence). The audit reads (lang, bin, n_docs,
+    shard_tokens) only — aggregating packed directly drops 2
+    aggregates, 1 join, and the doc_ids string sort from the plan."""
+    packed = _pretrain_packed(spark, sf_dir)
+    per_shard = packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+    )
     return (
-        man.groupBy("lang")
+        per_shard.groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shards"),
             F.sum("n_docs").cast("long").alias("n_docs"),
@@ -11150,6 +11178,12 @@ def q_dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_removed"),
         )
+        # materialized once (r16, guide §1.2): this |distinct sizes|-row
+        # census feeds BOTH the broadcast total subquery and the final
+        # read — without it the keep-best LAZY TAIL (quality scan ⋈
+        # components → election window → cluster groupBy) ran twice per
+        # invocation, once under the broadcast and once in the main pass
+        .localCheckpoint(eager=False)
     )
     tot = sizes.agg(F.sum("n_docs").cast("long").alias("total_docs"))
     wy = Window.orderBy(F.desc("cluster_size")).rowsBetween(
