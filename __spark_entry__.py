@@ -3199,6 +3199,12 @@ def q_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(textf.split_words("text"), lambda t: t != "")
         ).alias("term"),
     )
+    # NOTE (r16 A/B, kept as the negative result): checkpointing the
+    # (doc, term) counts and rolling ct up from them (one explode pass
+    # instead of two) measured 2.43 s vs 2.03 s baseline — the doc-term
+    # table is nearly corpus-token-sized, so materializing it costs
+    # more than the explode recompute it saves, the same verdict r15
+    # recorded for the whole token-explode tier.
     ct = toks.groupBy("term").agg(F.count("*").alias("ct"))
     total = ct.agg(F.sum("ct").alias("tt"))  # Σ vocab, not a 3rd scan
     dt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))

@@ -992,7 +992,9 @@ def boilerplate_scrub(
             )
         ).alias("__pos", "__span"),
     )
-    fp = chunks.withColumn("__fp", F.md5("__span"))
+    fp = chunks.withColumn("__fp", F.md5("__span")).localCheckpoint(
+        eager=False
+    )
     dfreq = fp.groupBy("__fp").agg(
         F.count_distinct("__id").alias("__df")
     )
