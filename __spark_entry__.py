@@ -8068,8 +8068,18 @@ def q_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wedges = graph.common_neighbor_counts(ue, src="a", dst="b")
     nonedge = wedges.join(ue, ["a", "b"], "left_anti")
+    # top-20 BEFORE the degree attach (r16, guide §1.2): the selection
+    # order is (common_n DESC, a, b) — a total order computed entirely
+    # by the wedge census — so the TakeOrdered runs on the census and
+    # the degree joins touch 20 rows instead of the full non-adjacent
+    # pair table (~1.1M rows at sf0.1). Every wedge endpoint is a graph
+    # node, so the inner degree joins drop nothing; the final orderBy
+    # re-establishes the output order over the 20 survivors.
+    top = nonedge.orderBy(
+        F.desc("common_n"), F.asc("a"), F.asc("b")
+    ).limit(20)
     return (
-        nonedge.join(
+        top.join(
             deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")),
             "a",
         )
@@ -8088,7 +8098,6 @@ def q_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jacc_micro"),
         )
         .orderBy(F.desc("common_n"), F.asc("a"), F.asc("b"))
-        .limit(20)
     )
 
 

@@ -1879,9 +1879,21 @@ def semantic_assign_scored(
     change warns LOUDLY per the r10 advisor). Centroid cosine via a
     broadcast (cid, centroid, norm) lookup — ONE HOF dot per row
     regardless of k; everything map-side, no shuffle."""
-    e = corpus.filter(
-        vectors.dot(F.col(vec_col), F.col(vec_col)) > 0
-    ).select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    from ..plans.shape import ensure_min_parallelism
+
+    # fan the one-split embeddings scan across cores BEFORE the O(k·d)
+    # per-row argmin (r16, the VERDICT r15 item-6 restructure): the
+    # TRAINING sample upstream is order-based (Knuth hash + limit —
+    # layout-FREE, unlike train_ivf_centroids' sample()), so only the
+    # assign leg fans and the trained centroids are byte-identical; the
+    # guard is a no-op on any real multi-split table (guide §2.5).
+    # Downstream is partitioning-independent by construction (the pair
+    # kernel re-shuffles by cid).
+    e = ensure_min_parallelism(
+        corpus.filter(
+            vectors.dot(F.col(vec_col), F.col(vec_col)) > 0
+        ).select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    )
     if len(centroids) <= BIT_EXACT_ASSIGN_MAX_K:
         assigned = ivf_assign(e, centroids, "__v", cnorms_sq=cnorms_sq)
     else:
