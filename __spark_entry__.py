@@ -10106,9 +10106,16 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage, batch_schema, ts_type = _staged_events_dir(
             spark, sf_dir, kind="wm2"
         )
-        stream = readers.file_stream(
-            spark, stage, batch_schema, max_files_per_trigger=1
-        )
+        # ONE availableNow batch for data + sentinel (r16 probe, guide
+        # §2.1): maxFilesPerTrigger=1 forced a data batch, a sentinel
+        # batch, and the eviction batch — but the watermark only
+        # advances at END of batch, so same-batch rows are never "late"
+        # relative to each other and the join's output SET is
+        # batching-invariant (the docstring's replay argument). The
+        # file-later-than-data mtime ordering still guards any reader
+        # that DOES split batches. One stateful micro-batch fewer per
+        # run; oracle hash unchanged.
+        stream = readers.file_stream(spark, stage, batch_schema)
         if ts_type == "bigint":
             stream = stream.withColumn(
                 "ts", F.expr("timestamp_micros(ts div 1000)")

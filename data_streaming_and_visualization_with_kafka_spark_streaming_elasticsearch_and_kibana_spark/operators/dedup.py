@@ -35,7 +35,7 @@ from ..functions.text import (
     shingles_from_words,
     split_words,
 )
-from ..plans.shape import ensure_min_parallelism
+from ..plans.shape import ensure_min_parallelism, loop_checkpoint
 
 
 # ------------------------------------------------------------------ exact
@@ -316,10 +316,9 @@ def connected_components(
     # full loop round on every typical near-dup graph (size-2 twin
     # components converge in ONE round instead of two). The fixpoint —
     # min id reachable — is unchanged.
-    labels = (
+    labels = loop_checkpoint(
         edges.groupBy(F.col("a").alias("id"))
         .agg(F.least(F.first("a"), F.min("b")).alias("label"))
-        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         # one aggregate computes BOTH min(own, neighbor labels) and the
@@ -348,8 +347,8 @@ def connected_components(
                 F.coalesce("plabel", "lmin").alias("label"),
                 (F.coalesce("plabel", "lmin") != F.col("old")).alias("chg"),
             )
-            .localCheckpoint(eager=False)
         )
+        jumped = loop_checkpoint(jumped)
         changed = jumped.filter("chg").count()
         labels = jumped.select("id", "label")
         if changed == 0:

@@ -38,6 +38,8 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.shape import loop_checkpoint
+
 UNITS = 10**9
 
 
@@ -103,8 +105,8 @@ def pagerank(
                 .cast("long")
                 .alias("rank_units"),
             )
-            .localCheckpoint(eager=False)
         )
+        rank = loop_checkpoint(rank)
     return rank.select(
         "node",
         "rank_units",
@@ -676,8 +678,8 @@ def pagerank_weighted(
                 .cast("long")
                 .alias("rank_units"),
             )
-            .localCheckpoint(eager=False)
         )
+        rank = loop_checkpoint(rank)
     return rank.select(
         "node",
         "rank_units",
@@ -954,19 +956,18 @@ def bfs_hops(
     frontier = dist
     converged = False
     for _ in range(max_rounds):
-        new = (
+        new = loop_checkpoint(
             sym.join(frontier, "node")
             .select(F.col("o").alias("node"), (F.col("hop") + 1).alias("hop"))
             .groupBy("node")
             .agg(F.min("hop").alias("hop"))
             .join(dist.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=False)
         )
         n_new = new.count()
         if n_new == 0:
             converged = True
             break
-        dist = dist.unionByName(new).localCheckpoint(eager=False)
+        dist = loop_checkpoint(dist.unionByName(new))
         frontier = new
     if not converged:
         # the final allowed round may have settled the LAST frontier —

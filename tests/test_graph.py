@@ -505,3 +505,44 @@ def test_common_neighbor_counts_star(spark):
     rows = graph.common_neighbor_counts(e, block_size=4).collect()
     assert len(rows) == n * (n - 1) // 2
     assert all(r.common_n == 1 and r.a >= 1 for r in rows)
+
+
+def test_loop_checkpoint_reliable_path_when_dir_set(spark, tmp_dir):
+    """VERDICT r15 item 9: iterative loops (CC / PageRank / BFS) take
+    the RELIABLE checkpoint path when the session has a checkpoint dir
+    (restartable rounds at 100 TB), and results are identical to the
+    default executor-local path — checkpointing moves blocks, never
+    data content."""
+    import os
+
+    from data_streaming_and_visualization_with_kafka_spark_streaming_elasticsearch_and_kibana_spark.operators import (
+        dedup,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "id_a long, id_b long"
+    )
+    local = sorted(
+        (r.id, r.component)
+        for r in dedup.connected_components(edges).collect()
+    )
+    sc = spark.sparkContext
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()
+    ckdir = os.path.join(tmp_dir, "reliable_ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        reliable = sorted(
+            (r.id, r.component)
+            for r in dedup.connected_components(edges).collect()
+        )
+        assert reliable == local
+        # the reliable path actually wrote checkpoint data there
+        assert any(os.scandir(ckdir)), "no reliable checkpoint written"
+    finally:
+        # un-set for the rest of the suite (None is not accepted by the
+        # JVM setter; clear the underlying option directly — the scala
+        # setter name contains '$', so reach it via getattr)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()
