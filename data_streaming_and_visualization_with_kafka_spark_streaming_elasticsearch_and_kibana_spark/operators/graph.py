@@ -774,6 +774,10 @@ def label_propagation_weighted(
         )
         .filter((F.col("a") != F.col("b")) & (F.col("wt") > 0))
     )
+    # nbr feeds the node mint and every round's join — checkpoint
+    # lazily so the weight-sum chain computes once and round plans stay
+    # flat (guide §1.2; r16: the unweighted twin had this, the weighted
+    # variant re-ran the doubled-edge groupBy in all 3 rounds + mint)
     nbr = (
         e.unionByName(
             e.select(
@@ -782,6 +786,7 @@ def label_propagation_weighted(
         )
         .groupBy("a", "b")
         .agg(F.sum("wt").alias("wt"))
+        .localCheckpoint(eager=False)
     )
     nodes = nbr.select(F.col("a").alias("node")).distinct()
     lbl = nodes.select("node", F.col("node").alias("label"))
