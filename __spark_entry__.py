@@ -7715,9 +7715,20 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("c_pair"))
     )
+    # top-25 BEFORE the metric joins (r16, guide §1.2 — the
+    # link_prediction_cn restructure): the selection order is
+    # (c_pair DESC, pa, pb), computed entirely by the pair census, so
+    # the TakeOrdered runs on the census and the per-part joins attach
+    # counts to 25 rows instead of the full pair table. Every pa/pb has
+    # a per_part row by construction (both came from `op`), so the
+    # inner joins drop nothing; the final orderBy re-establishes the
+    # output order over the 25 survivors.
+    top = pairs.orderBy(
+        F.desc("c_pair"), F.asc("pa"), F.asc("pb")
+    ).limit(25)
     # no broadcast hint: per_part is |parts| rows (unbounded); AQE picks
     enriched = (
-        pairs.join(
+        top.join(
             per_part.withColumnRenamed("pk", "pa").withColumnRenamed(
                 "c_part", "c_a"
             ),
@@ -7750,7 +7761,6 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_micro"),
         )
         .orderBy(F.desc("c_pair"), F.asc("pa"), F.asc("pb"))
-        .limit(25)
     )
 
 
