@@ -353,6 +353,11 @@ def connected_components(
         labels = jumped.select("id", "label")
         if changed == 0:
             break
+    # the final labels are checkpointed (materialized by the last chg
+    # count), so the edge cache is dead weight from here — release it
+    # instead of letting a long-lived session accumulate one pinned
+    # edge list per CC invocation (VERDICT r15 item 4 storage note)
+    edges.unpersist(blocking=False)
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
